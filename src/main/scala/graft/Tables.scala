@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table registry (see TESTDATA.md / FIXTURES.md §B).
+  *
+  * Every declared query receives `(spark, sfDir)` and reads only through
+  * here, so the physical layout (one parquet per table) is a single seam:
+  * pointing this at a partitioned/bucketed warehouse dir is the only change
+  * needed to run the full suite against cluster-scale data.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
+    // vectorized reader rejects. Read nanos as raw long and truncate to a
+    // microsecond timestamp — the same truncation DuckDB applies, so
+    // oracle comparisons see identical values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}
+
+/** One declared engine query: a Spark plan plus (when SQL-expressible) the
+  * ANSI-SQL oracle the driver replays in DuckDB. `oracle = None` → the
+  * driver records a weaker rows-only check (ML / RNG-dependent ops).
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
