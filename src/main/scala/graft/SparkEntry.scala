@@ -12,7 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All declared queries, in module order. */
   def allDefs: Seq[QueryDef] =
-    graft.relational.Relational.defs
+    graft.relational.Relational.defs ++
+      graft.text.TextAnalysis.defs ++
+      graft.dedup.Dedup.defs ++
+      graft.similarity.Similarity.defs ++
+      graft.pipeline.Sampling.defs ++
+      graft.sources.Roundtrip.defs ++
+      graft.streaming.Windows.defs ++
+      graft.ml.MLQueries.defs ++
+      graft.multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

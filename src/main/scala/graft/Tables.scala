@@ -26,6 +26,15 @@ object Tables {
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+    // documents/embeddings feed signature computation + pairwise
+    // self-joins (minhash, simhash, jaccard, cosine) whose per-row cost
+    // dwarfs the scan. The fixtures are single small parquet files = 1-2
+    // scan splits, which would serialize that work on one core; fan out
+    // to the cluster's parallelism up front. At warehouse scale the scan
+    // has many splits and this repartition is a no-op cost-wise relative
+    // to the downstream pair work.
+    else if (name == "documents" || name == "embeddings")
+      df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
 }

@@ -1,0 +1,273 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.text.TextAnalysis.{tokensExpr, trigramsExpr, duckTokens, duckTrigrams}
+import graft.util.Hashing._
+
+/** Deduplication suite over `documents` / `embeddings` — the operators a
+  * training-data pipeline runs before anything else: exact dedup,
+  * MinHash+LSH banding, SimHash hamming dedup, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - signatures (minhash / simhash) are plain codegen'd min/sum
+  *    AGGREGATES over an exploded (doc, shingle-hash) stream — each hash
+  *    computed exactly once, partial-aggregated map-side, shuffled by
+  *    doc_id (NOT nested higher-order-function expressions, which
+  *    Catalyst's project-collapse would inline per reference, multiplying
+  *    the tokenize+shingle cost ~60× — measured, not theoretical);
+  *  - candidate generation is a *bucket equi-join* (band tuple / simhash
+  *    chunk), never an O(n^2) cross join — shuffle keys are the bucket
+  *    hashes, so work is proportional to true collisions;
+  *  - only verified candidates pay the exact-similarity cost.
+  *
+  * Every pseudo-random quantity derives from md5 (graft.util.Hashing), so
+  * the DuckDB oracle replays the *identical* algorithm — the LSH output is
+  * exactly reproducible, not just statistically similar.
+  */
+object Dedup {
+
+  /** Per-doc distinct word-trigram shingle array. Kept as ONE projection
+    * whose output feeds a shuffle/generator boundary — never referenced
+    * from many sibling expressions (Catalyst's project-collapse would
+    * inline and re-evaluate the whole tokenize+shingle pipeline per
+    * reference; at 60 references that 60×'d the scan cost). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .withColumn("toks", expr(tokensExpr))
+      // equivalent to size(g) > 0, but the predicate the optimizer pushes
+      // to the scan then inlines ONE tokenize, not the full trigram build
+      .filter(size(col("toks")) >= 3)
+      .withColumn("g", expr(trigramsExpr))
+      .select("doc_id", "g")
+
+  /** One row per (doc, shingle-hash): the signature computations below are
+    * plain codegen'd aggregates over this — each hash computed exactly
+    * once, partial-aggregated map-side, shuffled by doc_id.
+    * explode_outer (not explode): InferFiltersFromGenerate would add a
+    * non-empty filter whose pushed-down condition inlines the whole
+    * shingle pipeline below the repartition — the single scan task then
+    * re-tokenizes every row several times (measured 30s/query at sf0.1). */
+  private def exploded(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"), explode_outer(col("g")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .withColumn("h", expr(sparkMd5Long("sh")))
+
+  private val duckShingled =
+    s"""t AS (SELECT doc_id, $duckTokens toks FROM documents),
+       |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       |sh0 AS (SELECT doc_id, $duckTrigrams g FROM t2),
+       |sh AS (SELECT doc_id, g FROM sh0),
+       |ex AS (SELECT doc_id, ${duckMd5Long("u.s")} h
+       |       FROM sh, unnest(g) AS u(s))""".stripMargin
+
+  /** MinHash signature: k=16 permutations min((h%P)*a_i + b_i mod P) as 16
+    * min-aggregates -> assembled into an array column. */
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    exploded(s, d).groupBy("doc_id")
+      .agg(min(expr(s"((h % $P) * ${A(0)} + ${B(0)}) % $P")).as("m_0"),
+        (1 until K).map(i =>
+          min(expr(s"((h % $P) * ${A(i)} + ${B(i)}) % $P")).as(s"m_$i")): _*)
+      .select(col("doc_id"),
+        array((0 until K).map(i => col(s"m_$i")): _*).as("sig"))
+  private val duckSig =
+    s"""sig AS (SELECT doc_id,
+       |  ${(0 until K).map(i => s"MIN(((h % $P) * ${A(i)} + ${B(i)}) % $P)").mkString("[", ", ", "]")} sig
+       |  FROM ex GROUP BY doc_id)""".stripMargin
+
+  /** SimHash: per-bit sign sums as 60 aggregates -> 60-bit signature. */
+  def simhashSig(s: SparkSession, d: String): DataFrame =
+    exploded(s, d).groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN (shiftright(h, 0) & 1) = 1 THEN 1 ELSE -1 END")).as("s_0"),
+        (1 until 60).map(b =>
+          sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s_$b")): _*)
+      .select(col("doc_id"), expr(
+        (0 until 60).map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b}L ELSE 0L END)")
+          .mkString(" + ")).as("sim"))
+  private val duckSimhash =
+    s"""sim AS (SELECT doc_id,
+       |  ${(0 until 60).map(b =>
+            s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)")
+           .mkString(" + ")} sim
+       |  FROM ex GROUP BY doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q40:
+    // exact dedup via hash-groupBy on a canonical content fingerprint
+    // (md5 of the sorted distinct token set — bag-of-words identity).
+    // Output: duplicate groups with the kept representative (min doc_id).
+    // One shuffle on the 128-bit hash regardless of document size.
+    QueryDef(
+      "q40_exact_dedup",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("fp", md5(expr("concat_ws('|', array_sort(array_distinct(toks)))")))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+          .filter(col("n_docs") > 1)
+          .orderBy("keep_doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $duckTokens toks FROM documents),
+        f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), '|')) fp FROM t)
+        SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+        FROM f GROUP BY fp HAVING COUNT(*) > 1
+        ORDER BY keep_doc_id""")),
+
+    // --------------------------------------------------------------- q41:
+    // MinHash + LSH banding (4 bands x 4 rows), exact-Jaccard verify at
+    // 0.8. Candidates come from an equi-join on band keys; the verify join
+    // re-attaches shingle arrays only for candidate pairs.
+    QueryDef(
+      "q41_minhash_lsh_dedup",
+      (s, d) => {
+        val sig = minhashSig(s, d)
+        val bands = sig.select(col("doc_id"),
+            explode(expr("transform(sequence(0, 3), j -> struct(j AS band, array_join(transform(slice(sig, j*4+1, 4), x -> CAST(x AS STRING)), ',') AS key))")).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val g = shingled(s, d).select(col("doc_id"), col("g"))
+        cand
+          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
+          .withColumn("jaccard", round(
+            expr("CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE) / size(array_union(ga.g, gb.g))"), 6))
+          .filter(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH $duckShingled,
+        $duckSig,
+        bands AS (SELECT doc_id, j AS band,
+                         array_to_string(sig[j*4+1 : j*4+4], ',') AS key
+                  FROM sig, generate_series(0, 3) AS t2(j)),
+        cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        j AS (SELECT doc_a, doc_b,
+                     round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                           / len(list_distinct(ga.g || gb.g)), 6) jaccard
+              FROM cand JOIN sh ga ON doc_a = ga.doc_id
+                        JOIN sh gb ON doc_b = gb.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
+    // --------------------------------------------------------------- q42:
+    // SimHash near-dup: 60-bit signature, candidates via 5x12-bit chunk
+    // buckets (pigeonhole: hamming <= 4 => at least one chunk identical,
+    // so the bucket join is *exact*, not approximate), verify hamming <= 4.
+    QueryDef(
+      "q42_simhash_dedup",
+      (s, d) => {
+        val sh = simhashSig(s, d)
+        val chunks = sh.select(col("doc_id"), col("sim"),
+            explode(expr("transform(sequence(0, 4), c -> struct(c AS c, (shiftright(sim, c*12) & 4095) AS v))")).as("ck"))
+          .select(col("doc_id"), col("sim"), col("ck.c").as("c"), col("ck.v").as("v"))
+        chunks.as("x").join(chunks.as("y"),
+            col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            expr("CAST(bit_count(x.sim ^ y.sim) AS INT)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 4)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH $duckShingled,
+        $duckSimhash,
+        chunks AS (SELECT doc_id, sim, c, (sim >> (c*12)) & 4095 AS v
+                   FROM sim, generate_series(0, 4) AS t2(c)),
+        pairs AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
+                         CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) hamming
+                  FROM chunks x JOIN chunks y
+                    ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 4
+        ORDER BY doc_a, doc_b""")),
+
+    // --------------------------------------------------------------- q43:
+    // n-gram (unigram) Jaccard similarity within a blocking key (source):
+    // exact pairwise Jaccard over distinct token sets, blocked so the join
+    // is per-source (bounded partitions at scale), threshold 0.9.
+    QueryDef(
+      "q43_ngram_jaccard_pairs",
+      (s, d) => {
+        // Two-level blocking: pairs only form within a source, but the
+        // JOIN KEY is (source, bucket(a), bucket(b)) — the left side
+        // replicates across the 8 partner buckets so pair generation
+        // shuffles over sources × 64 bucket-pairs rather than the handful
+        // of source keys (which capped parallelism at #sources tasks).
+        // Physical-only change: output pairs are identical, so the oracle
+        // keeps the plain formulation.
+        val nb = 8
+        val sh = Tables(s, d, "documents")
+          .withColumn("g", expr(s"array_distinct($tokensExpr)"))
+          .filter(size(col("g")) > 0)
+          .select(col("doc_id"), col("source"), col("g"),
+            pmod(col("doc_id"), lit(nb)).as("bk"))
+        val a = sh.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})"))).as("a")
+        a.join(sh.as("b"),
+            col("a.source") === col("b.source") &&
+            col("a.bk_partner") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .withColumn("jaccard", round(
+            expr("CAST(size(array_intersect(a.g, b.g)) AS DOUBLE) / size(array_union(a.g, b.g))"), 6))
+          .filter(col("jaccard") >= 0.9)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.source").as("source"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH sh AS (SELECT doc_id, source, list_distinct($duckTokens) g FROM documents),
+        sh2 AS (SELECT * FROM sh WHERE len(g) > 0)
+        SELECT a.doc_id doc_a, b.doc_id doc_b, a.source source,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / len(list_distinct(a.g || b.g)), 6) jaccard
+        FROM sh2 a JOIN sh2 b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / len(list_distinct(a.g || b.g)), 6) >= 0.9
+        ORDER BY doc_a, doc_b""")),
+
+    // --------------------------------------------------------------- q44:
+    // embedding-cosine near-dup within a blocking key (label). Dot/norm
+    // are sequential double folds — bit-identical in both engines.
+    QueryDef(
+      "q44_embedding_cosine_dedup",
+      (s, d) => {
+        val v = Tables(s, d, "embeddings").select("vec_id", "label", "embedding")
+        v.as("a").join(v.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          // native codegen'd expression (graft.functions.CosineSimilarity):
+          // same sequential-fold semantics as the oracle's list_reduce.
+          .withColumn("cos",
+            graft.functions.functions.cosine_sim(col("a.embedding"), col("b.embedding")))
+          .filter(col("cos") >= 0.35)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.label").as("label"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, label, embedding,
+                          sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+                               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                               (a2, b2) -> a2 + b2)) norm
+                   FROM embeddings),
+        p AS (SELECT a.vec_id vec_a, b.vec_id vec_b, a.label AS "label",
+                     list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                        (a2, b2) -> a2 + b2) / (a.norm * b.norm) cos
+              FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, label, round(cos, 6) AS cos_sim
+        FROM p WHERE cos >= 0.35
+        ORDER BY vec_a, vec_b"""))
+  )
+}

@@ -1,0 +1,52 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** ML-pipeline parity (SURVEY.md §2.1 M1-M5): the reference's
+  * VectorAssembler -> RandomForest(100 trees, depth 10, seed 42) pipeline
+  * (train_model.py:16-31), rebuilt over the `embeddings` fixture.
+  *
+  * The feature vector comes from the embedding array (array_to_vector —
+  * the fixture analog of assembling 30 scalar columns), the label from the
+  * fixture's `label`. Train/test split is the same deterministic md5-based
+  * stratified 70/30 as q51 (prepare_data.py:26-31 analog, seed 42).
+  *
+  * Declared WITHOUT an oracle: VectorUDT and RF internals are not
+  * DuckDB-expressible (FIXTURES.md A4); the driver records a rows-only
+  * check, and MLPipelineSpec asserts seed-reproducibility and
+  * save/load/transform identity.
+  */
+object MLQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q60_rf_pipeline",
+      (s, d) => {
+        val w = Window.partitionBy(col("label"))
+          .orderBy(md5(concat(lit("42:"), col("vec_id").cast("string"))), col("vec_id"))
+        val wc = Window.partitionBy(col("label"))
+        val base = Tables(s, d, "embeddings")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_class", count(lit(1)).over(wc))
+          .withColumn("is_train", col("rn") <= ceil(col("n_class") * 0.7).cast("long"))
+          .withColumn("features", array_to_vector(col("embedding")))
+        val train = base.filter(col("is_train"))
+        val test = base.filter(!col("is_train"))
+        val rf = new RandomForestClassifier()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setNumTrees(100).setMaxDepth(10).setSeed(42)
+        val model = new Pipeline().setStages(Array(rf)).fit(train)
+        model.transform(test)
+          .select(col("vec_id"), col("label"),
+            col("prediction").cast("int").as("predicted_label"))
+          .orderBy("vec_id")
+      },
+      None)
+  )
+}

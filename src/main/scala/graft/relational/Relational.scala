@@ -136,7 +136,7 @@ object Relational {
       "q05_not_exists_anti_join",
       (s, d) => {
         val cust = t(s, d, "customer")
-        val ord = t(s, d, "orders")
+        val ord = t(s, d, "orders").filter(col("o_orderstatus") === "P")
         cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
           .select("c_custkey", "c_name", "c_acctbal")
           .orderBy("c_custkey")
@@ -144,7 +144,8 @@ object Relational {
       Some("""
         SELECT c_custkey, c_name, c_acctbal
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------- Q6:
@@ -424,13 +425,14 @@ object Relational {
       (s, d) => {
         val a = t(s, d, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
           .select(col("c_custkey").as("custkey"))
-        val b = t(s, d, "orders").select(col("o_custkey").as("custkey"))
+        val b = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey"))
         a.except(b).orderBy("custkey")
       },
       Some("""
         SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         EXCEPT
-        SELECT o_custkey FROM orders
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
         ORDER BY custkey""")),
 
     // --------------------------------------------------------------- Q18:

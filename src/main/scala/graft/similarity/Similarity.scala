@@ -1,0 +1,131 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.util.Hashing._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * q45 is the exact baseline: brute-force cosine top-k for a fixed query
+  * set. The dot product is a per-row sequential double fold (zip_with +
+  * aggregate), so it stays in whole-stage codegen; top-k per query is a
+  * rank-window over the query partition, never a global sort.
+  *
+  * q46 is the scale path: random-hyperplane LSH. Each vector gets an 8-bit
+  * signature (sign of dot with 8 deterministic md5-derived hyperplanes);
+  * search is an equi-join on the bucket id, so at 100 TB the shuffle is
+  * bucket-sized, not corpus-sized. The hyperplanes derive from md5 — the
+  * DuckDB oracle replays the identical planes, so even this "random"
+  * structure is exactly reproducible.
+  */
+object Similarity {
+
+  /** dot(v, plane_p): plane weight for (p, d) = ((md5long('p:d') % 2001)
+    * - 1000) / 1000.0 in [-1, 1]. */
+  private val sparkPlaneDot =
+    s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, d2) -> acc +
+       |  CAST(element_at(embedding, d2 + 1) AS DOUBLE) *
+       |  ((${sparkMd5Long("concat(p, ':', d2)")} % 2001) - 1000) / 1000.0)""".stripMargin
+  private val duckPlaneDot =
+    s"""list_reduce(list_transform(generate_series(0, 63), d2 ->
+       |  CAST(embedding[d2 + 1] AS DOUBLE) *
+       |  ((${duckMd5Long("concat(p, ':', d2)")} % 2001) - 1000) / 1000.0),
+       |  (a2, b2) -> a2 + b2)""".stripMargin
+
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — same
+    * sequential-fold double semantics as the oracle's list_reduce. */
+  private def cosCol = graft.functions.functions.cosine_sim(
+    col("q.embedding"), col("c.embedding"))
+
+  private val duckCos =
+    """list_reduce(list_transform(generate_series(1, len(q.embedding)),
+      |  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      |  (a2, b2) -> a2 + b2) / (q.norm * c.norm)""".stripMargin
+
+  private val duckNormed =
+    """v AS (SELECT vec_id, label, embedding,
+      |        sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+      |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |             (a2, b2) -> a2 + b2)) norm
+      |      FROM embeddings)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q45:
+    // brute-force cosine top-10 for query vectors vec_id < 5.
+    QueryDef(
+      "q45_knn_bruteforce",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables(s, d, "embeddings")
+        val q = v.filter(col("vec_id") < 5).select(
+          col("vec_id").as("query_id"), col("embedding")).as("q")
+        val c = v.select(col("vec_id").as("cand_id"), col("embedding")).as("c")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        q.join(c, col("query_id") =!= col("cand_id"))
+          .withColumn("cos", cosCol)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $duckNormed,
+        p AS (SELECT q.vec_id query_id, c.vec_id cand_id, $duckCos cos
+              FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        r AS (SELECT query_id, cand_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, cand_id) AS INTEGER) rank
+              FROM p)
+        SELECT query_id, rank, cand_id, round(cos, 6) AS cos_sim
+        FROM r WHERE rank <= 10
+        ORDER BY query_id, rank""")),
+
+    // --------------------------------------------------------------- q46:
+    // LSH-bucketed ANN: 8 hyperplane sign bits -> bucket id; candidates
+    // share the query's bucket (equi-join); top-5 within bucket.
+    QueryDef(
+      "q46_knn_lsh_bucketed",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables(s, d, "embeddings")
+          .withColumn("bucket", expr(
+            s"""aggregate(sequence(0, 7), 0, (acc, p) ->
+               |  acc + CASE WHEN ($sparkPlaneDot) > 0 THEN shiftleft(1, p) ELSE 0 END)""".stripMargin))
+        val q = v.filter(col("vec_id") < 20).select(
+          col("vec_id").as("query_id"), col("embedding"), col("bucket")).as("q")
+        val c = v.select(col("vec_id").as("cand_id"),
+          col("embedding"), col("bucket")).as("c")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        q.join(c, col("q.bucket") === col("c.bucket") && col("query_id") =!= col("cand_id"))
+          .withColumn("cos", cosCol)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), expr("q.bucket").as("bucket"), col("rank"),
+            col("cand_id"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $duckNormed,
+        vb AS (SELECT vec_id, embedding, norm,
+                      CAST(list_reduce(list_transform(generate_series(0, 7), p ->
+                        CASE WHEN ($duckPlaneDot) > 0 THEN (1 << p) ELSE 0 END),
+                        (a2, b2) -> a2 + b2) AS INTEGER) bucket
+               FROM v),
+        p AS (SELECT q.vec_id query_id, q.bucket bucket, c.vec_id cand_id, $duckCos cos
+              FROM vb q JOIN vb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              WHERE q.vec_id < 20),
+        r AS (SELECT query_id, bucket, cand_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, cand_id) AS INTEGER) rank
+              FROM p)
+        SELECT query_id, bucket, rank, cand_id, round(cos, 6) AS cos_sim
+        FROM r WHERE rank <= 5
+        ORDER BY query_id, rank"""))
+  )
+}

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.util.Det._
+
+/** Source/sink format coverage (SURVEY.md §2.1 S1/K1-K2 analogs): CSV and
+  * JSON-lines codecs proven by a write -> read-back -> aggregate round
+  * trip. The oracle computes the same aggregate straight from parquet, so
+  * a hash match proves the text codecs are lossless for the exercised
+  * types (int64, double, string, timestamp).
+  *
+  * Reads use explicit schemas (never inferSchema — a second full scan at
+  * 100 TB) and the writes keep Spark's default per-partition file layout
+  * (no coalesce(1): a single-file write serializes the whole sink through
+  * one task at scale).
+  */
+object Roundtrip {
+
+  private def io(d: String, kind: String): String =
+    s"/tmp/graft_io/${kind}_${Integer.toHexString(d.hashCode)}"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q52:
+    // CSV round-trip (S1 csv-scan analog): orders subset -> csv ->
+    // explicit-schema read -> aggregate.
+    QueryDef(
+      "q52_csv_roundtrip",
+      (s, d) => {
+        val path = io(d, "csv")
+        Tables(s, d, "orders")
+          .filter(col("o_orderkey") < 5000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("header", "true").csv(path)
+        val sch = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.option("header", "true").schema(sch).csv(path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderkey < 5000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // --------------------------------------------------------------- q53:
+    // JSON-lines round-trip (P6/P7 from_json/to_json file analog),
+    // including a timestamp column through ISO-8601 text.
+    QueryDef(
+      "q53_jsonl_roundtrip",
+      (s, d) => {
+        val path = io(d, "jsonl")
+        Tables(s, d, "orders")
+          .filter(col("o_orderkey") < 5000)
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .write.mode("overwrite").json(path)
+        val sch = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderdate", TimestampType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(sch).json(path)
+          .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("yr")
+      },
+      Some("""
+        SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderkey < 5000
+        GROUP BY 1
+        ORDER BY yr"""))
+  )
+}

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.util.Det._
+
+/** Event-time windowing + Structured Streaming (SURVEY.md §2.2 streaming
+  * rows; reference S4/K4 re-expressed Spark-first).
+  *
+  * q70-q72 run the window operators in batch mode — `window()` /
+  * `session_window()` produce identical results on batch and streaming
+  * DataFrames, so the oracle-checked batch plan IS the streaming plan's
+  * semantics. q73 then runs a *real* Structured Streaming query
+  * (readStream -> watermark -> windowed agg -> memory sink,
+  * Trigger.AvailableNow) and returns its result table, proving the
+  * streaming path end-to-end inside the same correctness gate.
+  *
+  * Scale: event-time windows pre-aggregate per partition before the
+  * group-key shuffle; session windows shuffle once on user_id. Watermarks
+  * bound streaming state — without one, a 100 TB stream's window state
+  * grows forever.
+  */
+object Windows {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) -> read as long,
+    * truncated to micros by Tables; streaming read mirrors that). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q70:
+    // tumbling 1-hour event-time windows per event_type.
+    QueryDef(
+      "q70_tumbling_window",
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("hour_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("hour_start", "event_type"),
+      Some("""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour_start, event_type""")),
+
+    // --------------------------------------------------------------- q71:
+    // sliding windows (2h length, 1h slide) — each event lands in two
+    // windows; Spark expands via its window generator, the oracle via an
+    // explicit 2-element unnest.
+    QueryDef(
+      "q71_sliding_window",
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+          .orderBy("win_start"),
+      Some("""
+        WITH e AS (SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                                  time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS win_start,
+                          value
+                   FROM events)
+        SELECT win_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM e GROUP BY 1
+        ORDER BY win_start""")),
+
+    // --------------------------------------------------------------- q72:
+    // session windows (10-minute gap) per user — Spark's session_window
+    // vs. the classic gaps-and-islands formulation in the oracle.
+    // Spark's session end = last event + gap; a new session starts when
+    // the gap is >= 10 minutes (windows are half-open).
+    QueryDef(
+      "q72_session_window",
+      (s, d) =>
+        Tables(s, d, "events")
+          .filter(col("user_id") < 20)
+          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n"), col("sum_value"))
+          .orderBy("user_id", "session_start"),
+      Some("""
+        WITH e AS (SELECT user_id, ts, value,
+                          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    >= INTERVAL 10 MINUTE
+                               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               THEN 1 ELSE 0 END AS new_session
+                   FROM events WHERE user_id < 20),
+        s2 AS (SELECT user_id, ts, value,
+                      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM e)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM s2 GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
+    // --------------------------------------------------------------- q73:
+    // REAL Structured Streaming: file stream source -> event-time
+    // watermark -> tumbling 6h window -> complete-mode memory sink,
+    // Trigger.AvailableNow. Returns the sink table; oracle = the batch
+    // equivalent (batch/stream equivalence is the contract).
+    QueryDef(
+      "q73_stream_tumbling",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "graft_stream_" + Integer.toHexString(d.hashCode)
+        val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val q = stream.writeStream
+          .format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+          .orderBy("win_start")
+      },
+      Some("""
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+        ORDER BY win_start"""))
+  )
+}

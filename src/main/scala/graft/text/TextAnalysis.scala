@@ -1,0 +1,226 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis suite over the `documents` table — the training-data-
+  * pipeline text operators (token stats, language ID, quality scoring,
+  * fingerprinting, n-gram extraction).
+  *
+  * Everything is a per-row higher-order-function expression over a token
+  * array (`filter(split(lower(text), ...))`), so the hot path is
+  * whole-stage-codegen'd, shuffles only for the final aggregates, and
+  * scales linearly: at 100 TB each document is processed exactly once with
+  * no cross-row state.
+  *
+  * Reference analog: the reference has no text ops (SURVEY.md §2.2) — this
+  * is north-star coverage; tokenization mirrors what its JSON pipeline
+  * would need for document payloads (predict.py:30-44 shape).
+  */
+object TextAnalysis {
+
+  /** Tokens: lowercase, split on non-alphanumeric runs, drop empties.
+    * Same regex semantics in Java regex and RE2 for this simple class. */
+  val tokensExpr = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  val duckTokens = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Word trigrams (shingles) of the token array, distinct. Guarded: Spark
+    * sequence(1, n) with n < 1 would generate a *descending* sequence. */
+  val trigramsExpr =
+    """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
+      |ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+      |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))) END""".stripMargin
+  val duckTrigrams =
+    """list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""".stripMargin
+
+  private def docsWithTokens(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr(tokensExpr))
+
+  /** Per-language stopword lists (distinct-match heuristics — intersect
+    * semantics so Spark/DuckDB agree exactly). */
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+  private def sparkStopHits(l: String) =
+    s"CAST(size(array_intersect(toks, array(${stop(l).map("'" + _ + "'").mkString(",")}))) AS BIGINT)"
+  private def duckStopHits(l: String) =
+    s"CAST(len(list_intersect(toks, [${stop(l).map("'" + _ + "'").mkString(",")}])) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q30:
+    // per-document token statistics (token counting for budget/quota
+    // accounting in a data pipeline).
+    QueryDef(
+      "q30_token_stats",
+      (s, d) =>
+        docsWithTokens(Tables(s, d, "documents"))
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+            expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
+            expr("CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(toks)")
+              .as("avg_token_len"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id, n_chars,
+                          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') toks
+                   FROM documents)
+        SELECT doc_id, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
+                 / len(toks) AS avg_token_len
+        FROM t ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q31:
+    // global word frequency top-k: explode -> hash agg -> top-k. The agg
+    // shuffles one row per distinct word (partial agg map-side), then
+    // TakeOrderedAndProject — no full sort at any scale.
+    QueryDef(
+      "q31_word_freq_topk",
+      (s, d) =>
+        docsWithTokens(Tables(s, d, "documents"))
+          // explode_outer: plain explode gets an inferred non-empty filter
+          // whose scan-pushed condition re-runs the tokenizer (see Dedup)
+          .select(col("doc_id"), explode_outer(col("toks")).as("word"))
+          .filter(length(col("word")) > 2)
+          .groupBy("word")
+          .agg(count(lit(1)).as("n_occurrences"),
+               countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n_occurrences").desc, col("word"))
+          .limit(50),
+      Some("""
+        WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                                     x -> x <> '')) AS word
+                   FROM documents)
+        SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        FROM w WHERE length(word) > 2
+        GROUP BY word
+        ORDER BY n_occurrences DESC, word
+        LIMIT 50""")),
+
+    // --------------------------------------------------------------- q32:
+    // language identification via stopword-set hits (n-gram-free heuristic
+    // — per-row, no shuffle).
+    QueryDef(
+      "q32_lang_id",
+      (s, d) =>
+        docsWithTokens(Tables(s, d, "documents"))
+          .select(
+            col("doc_id"), col("lang"),
+            expr(sparkStopHits("en")).as("hits_en"),
+            expr(sparkStopHits("de")).as("hits_de"),
+            expr(sparkStopHits("fr")).as("hits_fr"),
+            expr(sparkStopHits("es")).as("hits_es"))
+          .withColumn("guess",
+            expr("""CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
+                         WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
+                         WHEN hits_fr >= hits_es THEN 'fr'
+                         ELSE 'es' END"""))
+          .withColumn("is_match", col("guess") === col("lang"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, $duckTokens toks FROM documents),
+        h AS (SELECT doc_id, lang,
+                     ${duckStopHits("en")} hits_en, ${duckStopHits("de")} hits_de,
+                     ${duckStopHits("fr")} hits_fr, ${duckStopHits("es")} hits_es
+              FROM t)
+        SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+               CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
+                    WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
+                    WHEN hits_fr >= hits_es THEN 'fr'
+                    ELSE 'es' END AS guess,
+               (CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
+                     WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
+                     WHEN hits_fr >= hits_es THEN 'fr'
+                     ELSE 'es' END) = lang AS is_match
+        FROM h ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q33:
+    // document quality scoring: length/alnum-ratio/stopword-ratio
+    // composite. Pure per-row IEEE arithmetic, bit-identical both engines.
+    QueryDef(
+      "q33_quality_score",
+      (s, d) =>
+        docsWithTokens(Tables(s, d, "documents"))
+          .select(
+            col("doc_id"),
+            expr("CAST(length(text) AS BIGINT)").as("len_chars"),
+            expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+            expr("CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '')) AS DOUBLE) / length(text)")
+              .as("alnum_ratio"),
+            (expr(sparkStopHits("en")).cast("double") / expr("size(toks)"))
+              .as("stop_ratio"))
+          .withColumn("quality",
+            round(least(lit(1.0), col("n_tokens") / 100.0) * 0.5 +
+                  col("alnum_ratio") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.2, 6))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $duckTokens toks FROM documents),
+        m AS (SELECT doc_id,
+                     CAST(length(text) AS BIGINT) len_chars,
+                     CAST(len(toks) AS BIGINT) n_tokens,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) / length(text) alnum_ratio,
+                     CAST(${duckStopHits("en")} AS DOUBLE) / len(toks) stop_ratio
+              FROM t)
+        SELECT doc_id, len_chars, n_tokens, alnum_ratio, stop_ratio,
+               round(least(1.0, n_tokens / 100.0) * 0.5 + alnum_ratio * 0.3 + (1.0 - stop_ratio) * 0.2, 6) AS quality
+        FROM m ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q34:
+    // document fingerprinting: md5 of whitespace-normalized text plus an
+    // order-independent content fingerprint (md5 of the sorted distinct
+    // trigram set) with duplicate-group counts.
+    QueryDef(
+      "q34_fingerprint",
+      (s, d) => {
+        val fp = docsWithTokens(Tables(s, d, "documents"))
+          .withColumn("tri", expr(trigramsExpr))
+          .select(
+            col("doc_id"),
+            md5(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")).as("fp_norm"),
+            md5(expr("concat_ws('|', array_sort(tri))")).as("fp_shingle"))
+        val grp = fp.groupBy("fp_shingle").agg(count(lit(1)).as("n_same_shingle"))
+        fp.join(grp, "fp_shingle")
+          .select("doc_id", "fp_norm", "fp_shingle", "n_same_shingle")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $duckTokens toks FROM documents),
+        f AS (SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fp_norm,
+                     md5(array_to_string(list_sort($duckTrigrams), '|')) fp_shingle
+              FROM t)
+        SELECT doc_id, fp_norm, fp_shingle,
+               COUNT(*) OVER (PARTITION BY fp_shingle) AS n_same_shingle
+        FROM f ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q35:
+    // top word-trigrams corpus-wide (n-gram extraction + hash agg).
+    QueryDef(
+      "q35_top_trigrams",
+      (s, d) =>
+        docsWithTokens(Tables(s, d, "documents"))
+          .withColumn("tri", expr(trigramsExpr))
+          .select(col("doc_id"), explode_outer(col("tri")).as("trigram"))
+          .filter(col("trigram").isNotNull)
+          .groupBy("trigram")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("trigram"))
+          .limit(30),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $duckTokens toks FROM documents),
+        g AS (SELECT doc_id, unnest($duckTrigrams) AS trigram FROM t)
+        SELECT trigram, COUNT(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY trigram
+        ORDER BY n_docs DESC, trigram
+        LIMIT 30"""))
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup/similarity invariants beyond the oracle hash-match: LSH output
+  * soundness (every reported pair really meets the threshold) and ANN
+  * recall of the bucketed search against the brute-force baseline.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("minhash LSH pairs all meet the exact-jaccard threshold (soundness)") {
+    val pairs = run("q41_minhash_lsh_dedup")
+    assert(pairs.filter(col("jaccard") < 0.8).count() == 0)
+  }
+
+  test("simhash banding finds ALL pairs with hamming <= 4 (pigeonhole completeness)") {
+    import spark.implicits._
+    // brute-force hamming over all signature pairs must equal the query
+    val lsh = run("q42_simhash_dedup")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // recompute signatures via the same declared pipeline, cross-check all pairs
+    val docs = graft.dedup.Dedup.simhashSig(spark, sfDir)
+    val brute = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.sim ^ y.sim) <= 4"))
+      .select(col("x.doc_id"), col("y.doc_id")).as[(Long, Long)].collect().toSet
+    assert(lsh == brute)
+  }
+
+  test("LSH-bucketed ANN has nonzero recall vs brute force and is sound") {
+    import spark.implicits._
+    val bf = run("q45_knn_bruteforce")
+      .filter(col("query_id") < 5 && col("rank") <= 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = run("q46_knn_lsh_bucketed")
+      .filter(col("query_id") < 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    // bucketed candidates are a subset of the corpus; any overlap with the
+    // true top-5 demonstrates recall — exact recall varies by bucket density
+    assert((bf & lsh).nonEmpty)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming parity tests (SURVEY.md §3.2 / phase 5): the
+  * reference's Kafka JSON score loop re-expressed over MemoryStream, plus
+  * watermark late-data semantics and stateful streaming dedup — the parts
+  * of the streaming engine the batch oracle can't check.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  test("json decode -> transform -> json encode round-trips through a stream (predict.py analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData(
+      """{"event_id":1,"user_id":10,"value":5.0}""",
+      """{"event_id":2,"user_id":11,"value":50.0}""")
+    val scored = in.toDF().select(from_json(col("value"), eventSchema).as("data"))
+      .select("data.*")
+      // stand-in for model.transform: threshold score (predict.py:34 analog)
+      .withColumn("predicted_label", when(col("value") > 10.0, 1).otherwise(0))
+      .select(to_json(struct(col("event_id"), col("value"), col("predicted_label"))).as("value"))
+    val q = scored.writeStream.format("memory").queryName("scored_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("scored_out").as[String].collect().sorted
+    assert(rows.toSeq == Seq(
+      """{"event_id":1,"value":5.0,"predicted_label":0}""",
+      """{"event_id":2,"value":50.0,"predicted_label":1}"""))
+  }
+
+  test("watermark drops late data past the threshold in windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: events at 10:01, 10:22 -> watermark advances to 10:17,
+    // which is past the END of the [10:00, 10:10) window
+    in.addData((ts(1), 1.0), (ts(22), 1.0))
+    q.processAllAvailable()
+    // batch 2: late event at 10:03 — its window end (10:10) is behind the
+    // watermark (10:17), so state is expired and the event must be DROPPED
+    in.addData((ts(3), 1.0), (ts(25), 1.0))
+    q.processAllAvailable()
+    // batch 3: advance far so the 10:20 window also closes
+    in.addData((ts(59), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_out")
+      .select(date_format(col("start"), "HH:mm").as("s"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out("10:00") == 1L, "late 10:03 event must not be re-counted")
+    assert(out("10:20") == 2L) // 10:22 + 10:25; the late 10:03 dropped
+  }
+
+  test("stateful streaming dropDuplicates dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("id").dropDuplicates("id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData(1L, 2L, 2L)
+    q.processAllAvailable()
+    in.addData(2L, 3L, 1L) // cross-batch duplicates -> state must filter
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("file-stream source processes the events fixture exactly once (availableNow)") {
+    val ckpt = Files.createTempDirectory("graft_test_ckpt_").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val q = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("cnt_out").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cnt_out").as[Long].head()
+    val batch = Tables(spark, sfDir, "events").count()
+    assert(streamed == batch)
+  }
+}
