@@ -13,6 +13,7 @@ object SparkEntry {
   /** All declared queries, in module order. */
   def allDefs: Seq[QueryDef] =
     graft.relational.Relational.defs ++
+      graft.relational.Advanced.defs ++
       graft.text.TextAnalysis.defs ++
       graft.dedup.Dedup.defs ++
       graft.similarity.Similarity.defs ++

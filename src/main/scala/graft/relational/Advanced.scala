@@ -1,0 +1,195 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.{QueryDef, Tables}
+import graft.util.Det._
+
+/** Advanced relational coverage beyond the core suite: PIVOT, the SQL text
+  * entry surface, a custom typed Aggregator (UDAF), approximate sketches,
+  * and bucketed co-located joins.
+  */
+object Advanced {
+
+  /** Exact scaled-integer moments buffer: quantities have <= 4 fractional
+    * digits, so x*10^4 is an exact long and sum/sum-of-squares are exact
+    * integer arithmetic — order-insensitive under shuffle, and the DuckDB
+    * oracle mirrors the identical integer ops (SURVEY.md §5 determinism
+    * rules). Max |q_scaled| < 10^6, so sumsq terms < 10^12: ~9*10^6 rows
+    * per group before overflow — fine for the grouped use here.
+    */
+  final case class Moments(n: Long, s: Long, ss: Long)
+
+  /** Typed Aggregator (UDAF): count/mean/variance of a quantity column.
+    * The reference has zero UDFs/UDAFs (SURVEY.md §2.2) — this is the
+    * declared custom-aggregate capability, done the Spark-4 way
+    * (Aggregator + functions.udaf, not the deprecated
+    * UserDefinedAggregateFunction). */
+  object MomentsAgg extends Aggregator[Double, Moments, (Long, Double, Double)] {
+    private def scaled(x: Double): Long = math.round(x * 10000.0) // HALF_UP for positives
+    def zero: Moments = Moments(0L, 0L, 0L)
+    def reduce(b: Moments, x: Double): Moments = {
+      val q = scaled(x)
+      Moments(b.n + 1, b.s + q, b.ss + q * q)
+    }
+    def merge(a: Moments, b: Moments): Moments =
+      Moments(a.n + b.n, a.s + b.s, a.ss + b.ss)
+    def finish(b: Moments): (Long, Double, Double) = {
+      val mean = (b.s.toDouble / 10000.0) / b.n
+      val variance = (b.ss.toDouble / 100000000.0) / b.n - mean * mean
+      (b.n, mean, variance)
+    }
+    def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
+    def outputEncoder: Encoder[(Long, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q25:
+    // PIVOT: linestatus values to columns (explicit value list — an
+    // unlisted-values pivot needs an extra distinct pass at scale).
+    QueryDef(
+      "q25_pivot",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .select(col("l_returnflag"),
+            coalesce(col("F"), lit(0.0)).as("qty_f"),
+            coalesce(col("O"), lit(0.0)).as("qty_o"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS qty_f,
+               COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------------- q26:
+    // SQL text entry surface: CTE + window rank, planned by the same
+    // Catalyst pipeline as the DataFrame API.
+    QueryDef(
+      "q26_sql_cte_rank",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          WITH monthly AS (
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+            FROM orders_v
+            GROUP BY year(o_orderdate), month(o_orderdate))
+          SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS mo, revenue,
+                 CAST(rank() OVER (PARTITION BY yr ORDER BY revenue DESC, mo) AS INT) AS rk
+          FROM monthly
+          ORDER BY yr, rk, mo""")
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+          FROM orders
+          GROUP BY 1, 2)
+        SELECT CAST(yr AS INTEGER) AS yr, CAST(mo AS INTEGER) AS mo, revenue,
+               CAST(rank() OVER (PARTITION BY yr ORDER BY revenue DESC, mo) AS INTEGER) AS rk
+        FROM monthly
+        ORDER BY yr, rk, mo""")),
+
+    // --------------------------------------------------------------- q27:
+    // custom typed Aggregator (UDAF): exact integer-scaled moments.
+    QueryDef(
+      "q27_custom_udaf_moments",
+      (s, d) => {
+        val moments = udaf(MomentsAgg)
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(moments(col("l_quantity")).as("m"))
+          .select(col("l_returnflag"),
+            col("m._1").as("n"),
+            col("m._2").as("mean_qty"),
+            col("m._3").as("var_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s,
+                 CAST(SUM(q * q) AS BIGINT) AS ss
+          FROM (SELECT l_returnflag,
+                       CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10000 AS BIGINT) AS q
+                FROM lineitem)
+          GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (CAST(s AS DOUBLE) / 10000.0) / n AS mean_qty,
+               (CAST(ss AS DOUBLE) / 100000000.0) / n
+                 - ((CAST(s AS DOUBLE) / 10000.0) / n) * ((CAST(s AS DOUBLE) / 10000.0) / n) AS var_qty
+        FROM m
+        ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------------- q28:
+    // approximate sketches: HLL++ distinct counts and quantile sketch.
+    // Sketch internals differ engine-to-engine, so no oracle — the driver
+    // records a rows-only check; exact counterparts are oracle-checked in
+    // q14. At 100 TB these replace exact distinct/percentile: fixed-size
+    // state, one pass, no expand.
+    QueryDef(
+      "q28_approx_sketches",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+            percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+          .orderBy("l_returnflag"),
+      None),
+
+    // --------------------------------------------------------------- q29:
+    // bucketed co-located join: both fact tables written bucketed+sorted
+    // on the join key -> the join plans with ZERO Exchange (verify with
+    // Explain: SortMergeJoin over two bucketed scans). At 100 TB this is
+    // the difference between re-shuffling both fact tables per query and
+    // a shuffle-free merge — bucket layout is computed once at write time.
+    QueryDef(
+      "q29_bucketed_join",
+      (s, d) => {
+        val wh = s"/tmp/graft_warehouse/${Integer.toHexString(d.hashCode)}"
+        val nb = 8
+        s.sql("DROP TABLE IF EXISTS li_b")
+        s.sql("DROP TABLE IF EXISTS ord_b")
+        Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite")
+          .option("path", s"$wh/li_b")
+          .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("li_b")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite")
+          .option("path", s"$wh/ord_b")
+          .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("ord_b")
+        // merge-join hint: at smoke scale AQE would broadcast the small
+        // side and never touch the bucket layout; the fact-fact 100 TB
+        // shape is the sort-merge path, which bucketing makes exchange-
+        // and sort-free (both sides pre-hashed and pre-sorted on disk).
+        s.table("li_b").hint("merge")
+          .join(s.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""))
+  )
+}

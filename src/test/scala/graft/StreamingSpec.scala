@@ -84,6 +84,36 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mapGroupsWithState keeps custom per-key state across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // custom stateful operator: running per-user event count + max value
+    def update(user: Long, rows: Iterator[(Long, Double)],
+               state: GroupState[(Long, Double)]): (Long, Long, Double) = {
+      val (n0, mx0) = state.getOption.getOrElse((0L, Double.MinValue))
+      var n = n0; var mx = mx0
+      rows.foreach { case (_, v) => n += 1; mx = math.max(mx, v) }
+      state.update((n, mx))
+      (user, n, mx)
+    }
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .toDF("user_id", "n", "max_value")
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update()).start()
+    in.addData((1L, 5.0), (1L, 7.0), (2L, 1.0))
+    q.processAllAvailable()
+    in.addData((1L, 6.0), (2L, 9.0)) // state must carry: user 1 -> n=3, max=7
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("state_out")
+      .groupBy("user_id").agg(max(col("n")).as("n"), max(col("max_value")).as("mx"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(last.toSeq == Seq((1L, 3L, 7.0), (2L, 2L, 9.0)))
+  }
+
   test("file-stream source processes the events fixture exactly once (availableNow)") {
     val ckpt = Files.createTempDirectory("graft_test_ckpt_").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
