@@ -37,6 +37,27 @@ object Multimodal {
   final case class BinFeatures(
       doc_id: Long, n_bytes: Long, byte_sum: Long, payload_md5: String, lang: String)
 
+  /** Frame-sample features: every `stride`-th byte treated as a "frame"
+    * (the video-pipeline shape: decode container -> sample frames ->
+    * per-frame features, stubbed to byte arithmetic). */
+  final case class FrameFeatures(
+      doc_id: Long, n_frames: Long, frame_checksum: Long, first_frame: Int)
+
+  /** STUB FRAME SAMPLER — stands in for container demux + frame decode.
+    * Strided access over the payload mirrors how a real sampler seeks
+    * keyframes without decoding everything between them. */
+  def frameSampleStub(stride: Int)(rows: Iterator[BinDoc]): Iterator[FrameFeatures] =
+    rows.map { r =>
+      var sum = 0L; var n = 0L; var i = 0
+      var first = -1
+      while (i < r.payload.length) {
+        val b = r.payload(i) & 0xff
+        if (first < 0) first = b
+        sum += b; n += 1; i += stride
+      }
+      FrameFeatures(r.doc_id, n, sum, first)
+    }
+
   /** STUB DECODER — stands in for a real media decode (e.g. JPEG ->
     * pixels -> embedding). Deterministic pure function of the bytes so the
     * pipeline is testable; swap the body for a real codec in production.
@@ -87,6 +108,30 @@ object Multimodal {
                CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum,
                COUNT(DISTINCT payload_md5) AS n_distinct_payloads
         FROM f GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // --------------------------------------------------------------- q81:
+    // frame sampling over binary payloads: stride-32 byte "frames" per
+    // document (stub for keyframe extraction), per-doc features. The
+    // oracle recomputes from the ASCII text (byte == char code).
+    QueryDef(
+      "q81_frame_sample",
+      (s, d) => {
+        implicit val inEnc = Encoders.product[BinDoc]
+        implicit val outEnc = Encoders.product[FrameFeatures]
+        Tables(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("lang"))
+          .as[BinDoc](inEnc)
+          .mapPartitions(frameSampleStub(32) _)(outEnc).toDF()
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(generate_series(1, length(text), 32)) AS BIGINT) AS n_frames,
+               CAST(list_sum(list_transform(generate_series(1, length(text), 32),
+                    i -> ord(substr(text, i, 1)))) AS BIGINT) AS frame_checksum,
+               CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_frame
+        FROM documents
+        ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.streaming.Replay
+
+/** End-to-end reference-pipeline parity (SURVEY.md §0, §3): the complete
+  * prepare → train → produce → predict flow of the reference
+  * (`tasks/scripts/{prepare_data,train_model,producer,predict}.py`),
+  * rebuilt Spark-first over the `embeddings` fixture:
+  *
+  *  1. prepare: deterministic stratified sample + 70/30 split as
+  *     distributed transformations (prepare_data.py:19-31, seed-42 analog
+  *     via md5 ranking — no driver-side pandas);
+  *  2. train: RandomForest(100 trees, depth 10, seed 42) in an ML
+  *     Pipeline, persisted to disk (train_model.py:21-33);
+  *  3. produce: throttled replay of the test split as JSON-lines files —
+  *     the sealed-env Kafka topic (producer.py:30-43, graft.streaming.Replay);
+  *  4. predict: Structured Streaming file source → schema'd JSON decode →
+  *     loaded PipelineModel.transform → to_json projection carrying
+  *     actual_label + predicted_label side by side → checkpointed file
+  *     sink (predict.py:22-53, output shape tasks/README.md:108-116).
+  *
+  * Every stage is cluster-shaped: no collect() (replay streams via
+  * toLocalIterator), checkpointed exactly-once sink, schema-enforced
+  * decode. PipelineE2ESpec drives the whole flow and asserts each test
+  * row is scored exactly once.
+  */
+object FraudPipeline {
+
+  /** Declared wire schema of one replayed record (schema.py:3-35 analog:
+    * id + feature payload + ground-truth label). */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  final case class Artifacts(
+      modelDir: String, topicDir: String, outDir: String, nTest: Long)
+
+  /** Stages 1-3: prepare, train, persist model, replay test split. */
+  def prepareTrainProduce(spark: SparkSession, sfDir: String,
+                          workDir: String, replayBatch: Int = 50): Artifacts = {
+    // 1. prepare — exact stratified 70/30 (prepare_data.py:26-31 analog)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(md5(concat(lit("42:"), col("vec_id").cast("string"))), col("vec_id"))
+    val wc = Window.partitionBy(col("label"))
+    val base = Tables(spark, sfDir, "embeddings")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_class", count(lit(1)).over(wc))
+      .withColumn("is_train", col("rn") <= ceil(col("n_class") * 0.7).cast("long"))
+    val train = base.filter(col("is_train"))
+      .select("vec_id", "embedding", "label")
+    val test = base.filter(!col("is_train"))
+      .select("vec_id", "embedding", "label")
+
+    // 2. train + persist (train_model.py:21-33 analog)
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(100).setMaxDepth(10).setSeed(42)
+    val model = new Pipeline().setStages(Array(rf))
+      .fit(train.withColumn("features", array_to_vector(col("embedding"))))
+    val modelDir = s"$workDir/credit_model"
+    model.write.overwrite().save(modelDir)
+
+    // 3. produce — throttled JSON replay (producer.py:30-43 analog)
+    val topicDir = s"$workDir/input_data"
+    val n = Replay.replay(test, "vec_id", topicDir,
+      batchSize = replayBatch, intervalMs = 0L)
+    Artifacts(modelDir, topicDir, s"$workDir/predictions", n)
+  }
+
+  /** Stage 4: streaming score (predict.py:22-53 analog). Returns the
+    * started query; callers await termination (AvailableNow drains the
+    * replayed topic and stops). */
+  def predict(spark: SparkSession, a: Artifacts): StreamingQuery = {
+    val model = PipelineModel.load(a.modelDir)
+    val parsed = spark.readStream.schema(recordSchema).json(a.topicDir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val scored = model.transform(parsed)
+      .select(to_json(struct(
+        col("vec_id"),
+        col("label").as("actual_label"),
+        col("prediction").as("predicted_label"))).as("value"))
+    // text sink: one JSON string per line — the Kafka message-value shape
+    scored.writeStream
+      .format("text")
+      .option("path", a.outDir)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_predict_ckpt_").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Reads back the prediction topic as a DataFrame of the documented
+    * output shape (tasks/README.md:108-116). */
+  def readPredictions(spark: SparkSession, a: Artifacts): DataFrame = {
+    val sch = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("actual_label", IntegerType),
+      StructField("predicted_label", DoubleType)))
+    spark.read.text(a.outDir)
+      .select(from_json(col("value"), sch).as("p")).select("p.*")
+  }
+}

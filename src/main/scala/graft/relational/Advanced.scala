@@ -190,6 +190,41 @@ object Advanced {
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus
-        ORDER BY o_orderstatus"""))
+        ORDER BY o_orderstatus""")),
+
+    // --------------------------------------------------------------- q47:
+    // salted skew join: l_returnflag has 3 values, so a plain shuffle join
+    // on it sends a third of the fact table through single reducers. The
+    // fact side gets a deterministic salt (pmod(l_orderkey, 16)); the dim
+    // side replicates 16x; the join key becomes (flag, salt) = 48 evenly
+    // sized partitions. Salting is physical only — the aggregate result is
+    // identical, so the oracle stays unsalted. (AQE skew-join handles
+    // sort-merge skew automatically at runtime; explicit salting is the
+    // plan-level tool when the skew is known, e.g. hot keys at 100 TB.)
+    QueryDef(
+      "q47_salted_skew_join",
+      (s, d) => {
+        import s.implicits._
+        val nSalt = 16
+        val dim = Seq(("A", "returned"), ("N", "kept"), ("R", "refunded"))
+          .toDF("flag", "flag_desc")
+          .withColumn("salt", explode(expr(s"sequence(0, ${nSalt - 1})")))
+        val fact = Tables(s, d, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(nSalt)).cast("int"))
+        fact.hint("shuffle_hash")
+          .join(dim, fact("l_returnflag") === dim("flag") &&
+            fact("salt") === dim("salt"))
+          .groupBy("flag_desc")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("flag_desc")
+      },
+      Some("""
+        SELECT flag_desc, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+          AS dim(flag, flag_desc) ON l_returnflag = flag
+        GROUP BY flag_desc
+        ORDER BY flag_desc"""))
   )
 }

@@ -221,6 +221,36 @@ object TextAnalysis {
         SELECT trigram, COUNT(DISTINCT doc_id) AS n_docs
         FROM g GROUP BY trigram
         ORDER BY n_docs DESC, trigram
-        LIMIT 30"""))
+        LIMIT 30""")),
+
+    // --------------------------------------------------------------- q36:
+    // token counting two ways: whitespace split vs a BPE-ish regex that
+    // segments runs of letters / digits / punctuation with their leading
+    // space (the GPT-2 pre-tokenizer shape, ASCII subset) — the budget
+    // numbers an LLM-data pipeline accounts with. Pure per-row regex,
+    // codegen'd, no shuffle until the final ORDER BY.
+    QueryDef(
+      "q36_bpe_token_count",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            expr("CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT)")
+              .as("ws_tokens"),
+            expr("CAST(size(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)) AS BIGINT)")
+              .as("bpe_tokens"),
+            expr("CAST(length(text) AS BIGINT)").as("n_chars"))
+          .withColumn("chars_per_bpe_token",
+            col("n_chars").cast("double") / col("bpe_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS chars_per_bpe_token
+        FROM documents
+        ORDER BY doc_id"""))
   )
 }
