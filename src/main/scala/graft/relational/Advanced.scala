@@ -225,6 +225,94 @@ object Advanced {
         JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
           AS dim(flag, flag_desc) ON l_returnflag = flag
         GROUP BY flag_desc
-        ORDER BY flag_desc"""))
+        ORDER BY flag_desc""")),
+
+    // --------------------------------------------------------------- q48:
+    // full outer join: BUILDING customers vs 'P'-status orders — both
+    // unmatched sides survive (left-only customers with no P orders,
+    // right-only orders from non-BUILDING customers).
+    QueryDef(
+      "q48_full_outer_join",
+      (s, d) => {
+        val cust = Tables(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_name")
+        val ord = Tables(s, d, "orders")
+          .filter(col("o_orderstatus") === "P")
+          .select("o_custkey", "o_orderkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+          .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_custkey").isNotNull.as("is_building"))
+          .agg(count(col("o_orderkey")).as("n_p_orders"))
+          .orderBy("custkey", "is_building")
+      },
+      Some("""
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               (c_custkey IS NOT NULL) AS is_building,
+               COUNT(o_orderkey) AS n_p_orders
+        FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+        FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'P') o
+          ON c_custkey = o_custkey
+        GROUP BY 1, 2
+        ORDER BY custkey, is_building""")),
+
+    // --------------------------------------------------------------- q49:
+    // lateral array expansion with ordinality (posexplode): embedding
+    // vectors to (vec_id, dim, value) rows.
+    QueryDef(
+      "q49_posexplode",
+      (s, d) =>
+        Tables(s, d, "embeddings")
+          .filter(col("vec_id") < 3)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim").cast("int").as("dim"),
+            round(col("v").cast("double"), 6).as("val"))
+          .orderBy("vec_id", "dim"),
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 unnest(list_transform(generate_series(1, len(embedding)),
+                        i -> {'i': i, 'v': embedding[i]})) AS u
+          FROM embeddings WHERE vec_id < 3)
+        SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS dim,
+               round(CAST(u.v AS DOUBLE), 6) AS val
+        FROM e
+        ORDER BY vec_id, dim""")),
+
+    // --------------------------------------------------------------- q37:
+    // higher-order array-function battery over the embedding column
+    // (transform / filter / aggregate / array_max — the brief's
+    // functions.aggregate / zip_with toolkit, oracle-mirrored by DuckDB
+    // list lambdas with identical fold order).
+    QueryDef(
+      "q37_array_funcs",
+      (s, d) =>
+        Tables(s, d, "embeddings")
+          .filter(col("vec_id") < 200)
+          .select(
+            col("vec_id"),
+            expr("CAST(size(embedding) AS BIGINT)").as("n_dims"),
+            expr("round(CAST(array_max(embedding) AS DOUBLE), 6)").as("max_val"),
+            expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),
+            expr("""round(sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+                 (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)""")
+              .as("l2_norm"),
+            expr("""round(aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                 CAST(0 AS DOUBLE), (acc, x) -> acc + x), 6)""").as("l1_norm"))
+          .orderBy("vec_id"),
+      Some("""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+               round(sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                     (a2, b2) -> a2 + b2)), 6) AS l2_norm,
+               round(list_reduce(list_transform(generate_series(1, len(embedding)),
+                     i -> abs(CAST(embedding[i] AS DOUBLE))),
+                     (a2, b2) -> a2 + b2), 6) AS l1_norm
+        FROM embeddings
+        WHERE vec_id < 200
+        ORDER BY vec_id"""))
   )
 }
