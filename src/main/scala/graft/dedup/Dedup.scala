@@ -212,15 +212,31 @@ object Dedup {
         val sh = Tables(s, d, "documents")
           .withColumn("g", expr(s"array_distinct($tokensExpr)"))
           .filter(size(col("g")) > 0)
-          .select(col("doc_id"), col("source"), col("g"),
+          .select(col("doc_id"), col("source"), col("g"), size(col("g")).as("n"),
             pmod(col("doc_id"), lit(nb)).as("bk"))
-        val a = sh.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})"))).as("a")
+        // A small single-file scan yields ONE input split, so without an
+        // explicit exchange the whole pairwise join runs as one task; at
+        // cluster scale the same repartition spreads sources × buckets
+        // across executors.
+        val shufN = s.sparkContext.defaultParallelism
+        val a = sh.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})")))
+          .repartition(shufN, col("source"), col("bk_partner")).as("a")
         a.join(sh.as("b"),
             col("a.source") === col("b.source") &&
             col("a.bk_partner") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .withColumn("jaccard", round(
-            expr("CAST(size(array_intersect(a.g, b.g)) AS DOUBLE) / size(array_union(a.g, b.g))"), 6))
+            col("a.doc_id") < col("b.doc_id") &&
+            // Exact length-ratio prune: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+            // so pairs whose sizes differ by >10% can never reach the 0.9
+            // threshold (0.89 margin absorbs the round-to-6-digits boundary).
+            // Evaluated on precomputed ints BEFORE any per-pair array work —
+            // at scale this drops the O(|g|) intersect from ~all candidate
+            // pairs to only near-equal-length ones.
+            least(col("a.n"), col("b.n")).cast("double") >=
+              greatest(col("a.n"), col("b.n")) * lit(0.89))
+          // |A∪B| = |A|+|B|-|A∩B|: one array traversal per surviving pair
+          // instead of two (array_union never materialized).
+          .withColumn("inter", expr("CAST(size(array_intersect(a.g, b.g)) AS DOUBLE)"))
+          .withColumn("jaccard", round(col("inter") / (col("a.n") + col("b.n") - col("inter")), 6))
           .filter(col("jaccard") >= 0.9)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.source").as("source"), col("jaccard"))
