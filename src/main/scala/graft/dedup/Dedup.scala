@@ -214,14 +214,14 @@ object Dedup {
           .filter(size(col("g")) > 0)
           .select(col("doc_id"), col("source"), col("g"), size(col("g")).as("n"),
             pmod(col("doc_id"), lit(nb)).as("bk"))
-        // A small single-file scan yields ONE input split, so without an
-        // explicit exchange the whole pairwise join runs as one task; at
-        // cluster scale the same repartition spreads sources × buckets
-        // across executors.
-        val shufN = s.sparkContext.defaultParallelism
-        val a = sh.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})")))
-          .repartition(shufN, col("source"), col("bk_partner")).as("a")
-        a.join(sh.as("b"),
+        // Force a shuffled hash join on (source, bucket): left to itself
+        // Catalyst broadcasts the ×8-replicated side (BuildLeft) and runs
+        // the probe over b's handful of scan splits — serializing the
+        // pairwise work. The shuffle spreads the sources × 64 bucket-pair
+        // key space across all partitions, and unlike a broadcast it
+        // still works when documents is a full-size table, not a dim.
+        val a = sh.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})"))).as("a")
+        a.join(sh.as("b").hint("shuffle_hash"),
             col("a.source") === col("b.source") &&
             col("a.bk_partner") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id") &&

@@ -14,8 +14,10 @@ import graft.{QueryDef, Tables}
   *
   * The feature vector comes from the embedding array (array_to_vector —
   * the fixture analog of assembling 30 scalar columns), the label from the
-  * fixture's `label`. Train/test split is the same deterministic md5-based
-  * stratified 70/30 as q51 (prepare_data.py:26-31 analog, seed 42).
+  * fixture's `label`. Mirrors the reference's staging exactly: a 2,000-row
+  * stratified working set (prepare_data.py:19-24 analog) then the same
+  * deterministic md5-based stratified 70/30 split as q51
+  * (prepare_data.py:26-31 analog, seed 42).
   *
   * Declared WITHOUT an oracle: VectorUDT and RF internals are not
   * DuckDB-expressible (FIXTURES.md A4); the driver records a rows-only
@@ -31,12 +33,28 @@ object MLQueries {
         val w = Window.partitionBy(col("label"))
           .orderBy(md5(concat(lit("42:"), col("vec_id").cast("string"))), col("vec_id"))
         val wc = Window.partitionBy(col("label"))
-        val base = Tables(s, d, "embeddings")
+        val raw = Tables(s, d, "embeddings")
+        // Reference contract (prepare_data.py:19-31): draw a 2,000-row
+        // stratified working set FIRST, then split 70/30 — training never
+        // scales with the raw table. Proportional per-class quotas; the
+        // global count arrives via a broadcast 1-row aggregate (no
+        // single-partition global window).
+        val tot = raw.agg(count(lit(1)).as("n_total"))
+        val base = raw
           .withColumn("rn", row_number().over(w))
           .withColumn("n_class", count(lit(1)).over(wc))
-          .withColumn("is_train", col("rn") <= ceil(col("n_class") * 0.7).cast("long"))
+          .crossJoin(broadcast(tot))
+          .withColumn("quota", least(col("n_class"),
+            round(lit(2000.0) * col("n_class") / col("n_total")).cast("long")))
+          .filter(col("rn") <= col("quota"))
+          .withColumn("is_train", col("rn") <= ceil(col("quota") * 0.7).cast("long"))
           .withColumn("features", array_to_vector(col("embedding")))
-        val train = base.filter(col("is_train"))
+        // The working set is ≤2,000 rows by construction, but tree
+        // induction runs many small jobs (one per node group per level);
+        // at 32+ partitions each job is scheduler-bound. Exchange the
+        // sampled set down to a handful of partitions before fit — valid
+        // at any cluster size because the sample is bounded, not the table.
+        val train = base.filter(col("is_train")).repartition(4)
         val test = base.filter(!col("is_train"))
         val rf = new RandomForestClassifier()
           .setLabelCol("label").setFeaturesCol("features")

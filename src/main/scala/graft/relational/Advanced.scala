@@ -313,6 +313,114 @@ object Advanced {
                      (a2, b2) -> a2 + b2), 6) AS l1_norm
         FROM embeddings
         WHERE vec_id < 200
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // --------------------------------------------------------------- q55:
+    // AS-OF join (brief's named custom operator): for each 'error' event,
+    // the latest 'click' by the same user at or before its timestamp.
+    // Spark lacks ASOF JOIN; the naive range-join + argmax explodes to
+    // O(L×R) per user. This is the scalable composition: tag both sides,
+    // union, ONE shuffle on user_id, and carry the right side forward
+    // with last_value(ignoreNulls) over (ts, side) — right rows sort
+    // before left at equal ts, giving >= semantics. DuckDB's native
+    // ASOF JOIN is the oracle.
+    QueryDef(
+      "q55_asof_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, d, "events")
+        // right side made unique per (user_id, ts) so the as-of pick is
+        // well-defined in both engines (max value on the tie).
+        val r = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("r_ts"))
+          .agg(max(col("value")).as("r_value"))
+          .select(lit(null).cast("long").as("event_id"), col("user_id"),
+            col("r_ts").as("ts"), col("r_ts"), col("r_value"), lit(0).as("side"))
+        val l = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            lit(null).cast("timestamp").as("r_ts"),
+            lit(null).cast("double").as("r_value"), lit(1).as("side"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        l.unionByName(r)
+          .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+          .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1 && col("asof_value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts"), col("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             r AS (SELECT user_id, ts AS r_ts, max(value) AS r_value
+                   FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, r.r_ts AS asof_ts, r.r_value AS asof_value
+        FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
+        ORDER BY event_id""")),
+
+    // --------------------------------------------------------------- q39:
+    // GROUPING SETS with grouping() disambiguation — completes the
+    // multi-level aggregate family next to q12 rollup / q13 cube.
+    // NULLS FIRST is explicit: Spark defaults ASC NULLS FIRST, DuckDB
+    // NULLS LAST.
+    QueryDef(
+      "q39_grouping_sets",
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                 CAST(grouping(l_linestatus) AS INT) AS g_status,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY g_flag, g_status,
+                   l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status,
+                 l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // --------------------------------------------------------------- q38:
+    // MapType function battery: per-user event_type -> count map built
+    // with map_from_entries (sorted entries → deterministic key order),
+    // then interrogated via map_keys / element_at / map_contains_key.
+    // The oracle mirrors the derived scalars (DuckDB map parquet I/O
+    // isn't needed — the map never leaves the plan).
+    QueryDef(
+      "q38_map_funcs",
+      (s, d) => {
+        val counts = Tables(s, d, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        counts.groupBy("user_id")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+          .select(col("user_id"),
+            size(map_keys(col("m"))).as("n_types"),
+            array_join(map_keys(col("m")), ",").as("types"),
+            coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+            coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"),
+            map_contains_key(col("m"), "view").as("has_view"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (SELECT user_id, event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(count(*) AS INTEGER) AS n_types,
+               string_agg(event_type, ',' ORDER BY event_type) AS types,
+               coalesce(max(n) FILTER (WHERE event_type = 'click'), 0) AS clicks,
+               coalesce(max(n) FILTER (WHERE event_type = 'error'), 0) AS errors,
+               bool_or(event_type = 'view') AS has_view
+        FROM c GROUP BY user_id
+        ORDER BY user_id"""))
   )
 }

@@ -79,6 +79,32 @@ object Roundtrip {
         FROM orders
         WHERE o_orderkey < 5000
         GROUP BY 1
-        ORDER BY yr"""))
+        ORDER BY yr""")),
+
+    // --------------------------------------------------------------- q54:
+    // ORC round-trip: the second columnar format (predicate pushdown +
+    // column pruning apply to ORC scans the same as parquet). Write ->
+    // read-back -> aggregate; oracle reads the original parquet.
+    QueryDef(
+      "q54_orc_roundtrip",
+      (s, d) => {
+        val path = io(d, "orc")
+        Tables(s, d, "lineitem")
+          .filter(col("l_orderkey") < 5000)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .filter(col("l_quantity") > 10)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey < 5000 AND l_quantity > 10
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }
