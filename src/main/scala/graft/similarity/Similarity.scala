@@ -65,7 +65,12 @@ object Similarity {
         val c = v.select(col("vec_id").as("cand_id"), col("embedding")).as("c")
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("cand_id"))
-        q.join(c, col("query_id") =!= col("cand_id"))
+        // Broadcast the QUERY set and stream the corpus — unhinted, Spark
+        // builds right and broadcasts the whole corpus, which inverts at
+        // scale (queries are a handful, the corpus is the 100 TB side).
+        // Per-partition WindowGroupLimit then keeps top-k map-side; only
+        // ~k rows per partition reach the query_id exchange.
+        broadcast(q).join(c, col("query_id") =!= col("cand_id"))
           .withColumn("cos", cosCol)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 10)
@@ -126,6 +131,75 @@ object Similarity {
               FROM p)
         SELECT query_id, bucket, rank, cand_id, round(cos, 6) AS cos_sim
         FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // --------------------------------------------------------------- q56:
+    // IVF ANN — the second scale path beside LSH (q46). Coarse quantizer =
+    // a deterministic 16-entry codebook (the first 16 corpus vectors), so
+    // unlike KMeans init the whole structure is exactly reproducible and
+    // DuckDB-oracle-checkable. Every vector is assigned to its nearest
+    // cell (16-way broadcast scoring, map-side); queries probe their 2
+    // nearest cells; candidates arrive via an equi-join on cell_id — at
+    // 100 TB the search shuffle is cell-sized, not corpus-sized, and the
+    // corpus side can be pre-partitioned by cell.
+    QueryDef(
+      "q56_knn_ivf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cos2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          graft.functions.functions.cosine_sim(a, b)
+        val v = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cb = v.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cb_emb"))
+        val wa = Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cell_id"))
+        val ranked = v.crossJoin(broadcast(cb))
+          .withColumn("cd", cos2(col("embedding"), col("cb_emb")))
+          .withColumn("arn", row_number().over(wa))
+        val assigned = ranked.filter(col("arn") === 1)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("cell_id"))
+        val qcells = ranked.filter(col("vec_id") < 5 && col("arn") <= 2)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell_id"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+        broadcast(qcells).join(assigned, Seq("cell_id"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("cos", cos2(col("q_emb"), col("c_emb")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("cand_id"), col("cell_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH vn AS (SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                    (a2, b2) -> a2 + b2)) norm
+             FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, embedding AS cb_emb, norm AS cb_norm
+               FROM vn WHERE vec_id < 16),
+        ass AS (SELECT vn.vec_id, vn.embedding, vn.norm, cb.cell_id,
+               list_reduce(list_transform(generate_series(1, len(vn.embedding)),
+                 i -> CAST(vn.embedding[i] AS DOUBLE) * CAST(cb.cb_emb[i] AS DOUBLE)),
+                 (a2, b2) -> a2 + b2) / (vn.norm * cb.cb_norm) AS cd
+               FROM vn CROSS JOIN cb),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cd DESC, cell_id) AS arn FROM ass),
+        assigned AS (SELECT vec_id AS cand_id, embedding AS c_emb, norm AS c_norm, cell_id
+                     FROM rk WHERE arn = 1),
+        qc AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell_id
+               FROM rk WHERE vec_id < 5 AND arn <= 2),
+        scored AS (SELECT q.query_id, a.cand_id, q.cell_id,
+               list_reduce(list_transform(generate_series(1, len(q.q_emb)),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE)),
+                 (a2, b2) -> a2 + b2) / (q.q_norm * a.c_norm) AS cos
+               FROM qc q JOIN assigned a USING (cell_id)
+               WHERE a.cand_id <> q.query_id),
+        r AS (SELECT query_id, cand_id, cell_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+              FROM scored)
+        SELECT query_id, rank, cand_id, cell_id, round(cos, 6) AS cos_sim
+        FROM r WHERE rank <= 10
         ORDER BY query_id, rank"""))
   )
 }
