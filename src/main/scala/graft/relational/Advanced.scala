@@ -421,6 +421,107 @@ object Advanced {
                coalesce(max(n) FILTER (WHERE event_type = 'error'), 0) AS errors,
                bool_or(event_type = 'view') AS has_view
         FROM c GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- q57:
+    // window-function battery completing the family beyond q09-q11:
+    // ntile / percent_rank / cume_dist / first_value / nth_value, all
+    // over one deterministic per-nation ordering (unique tiebreaker).
+    QueryDef(
+      "q57_window_battery",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            first_value(col("c_custkey")).over(w).as("richest"),
+            nth_value(col("c_custkey"), 2).over(w).as("second_richest"))
+          .orderBy("c_nationkey", "quartile", "c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               first_value(c_custkey) OVER w AS richest,
+               nth_value(c_custkey, 2) OVER w AS second_richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_nationkey, quartile, c_custkey""")),
+
+    // --------------------------------------------------------------- q58:
+    // subquery family, SQL surface: uncorrelated scalar subquery,
+    // correlated EXISTS, NOT IN — Catalyst rewrites them into joins
+    // (scalar → broadcast, EXISTS → left-semi, NOT IN → null-aware
+    // anti). The scalar threshold goes through exact decimal arithmetic
+    // so both engines compare against the identical double.
+    QueryDef(
+      "q58_subqueries",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders_v")
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        Tables(s, d, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT o_orderkey, o_totalprice
+          FROM orders_v o
+          WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                                       / COUNT(*) FROM orders_v)
+            AND EXISTS (SELECT 1 FROM lineitem_v l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer_v
+                                  WHERE c_mktsegment = 'MACHINERY')
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                                     / COUNT(*) FROM orders)
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'MACHINERY')
+        ORDER BY o_orderkey""")),
+
+    // --------------------------------------------------------------- q59:
+    // multiset set ops: INTERSECT ALL / EXCEPT ALL preserve
+    // multiplicities (min / difference of per-value counts) — the ALL
+    // variants q15-q17 don't cover.
+    QueryDef(
+      "q59_set_ops_all",
+      (s, d) => {
+        val r = Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_suppkey").as("suppkey"))
+        val a = Tables(s, d, "lineitem").filter(col("l_returnflag") === "A")
+          .select(col("l_suppkey").as("suppkey"))
+        r.intersectAll(a).groupBy("suppkey").agg(count(lit(1)).as("n_inter"))
+          .join(
+            r.exceptAll(a).groupBy("suppkey").agg(count(lit(1)).as("n_exc")),
+            Seq("suppkey"), "full_outer")
+          .select(col("suppkey"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            coalesce(col("n_exc"), lit(0L)).as("n_exc"))
+          .orderBy("suppkey")
+      },
+      Some("""
+        WITH i AS (SELECT suppkey, count(*) AS n_inter FROM (
+                     SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+                     INTERSECT ALL
+                     SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A') x
+                   GROUP BY suppkey),
+             e AS (SELECT suppkey, count(*) AS n_exc FROM (
+                     SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+                     EXCEPT ALL
+                     SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A') x
+                   GROUP BY suppkey)
+        SELECT COALESCE(i.suppkey, e.suppkey) AS suppkey,
+               COALESCE(n_inter, 0) AS n_inter,
+               COALESCE(n_exc, 0) AS n_exc
+        FROM i FULL OUTER JOIN e ON i.suppkey = e.suppkey
+        ORDER BY suppkey"""))
   )
 }

@@ -145,6 +145,47 @@ object Windows {
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1
-        ORDER BY win_start"""))
+        ORDER BY win_start""")),
+
+    // --------------------------------------------------------------- q74:
+    // REAL streaming chained stateful operators: dropDuplicates →
+    // aggregation in one query (distinct-users-per-hour — streaming
+    // forbids COUNT(DISTINCT), so dedup-then-count is the idiomatic
+    // rewrite). The dedup key includes the truncated hour, so the
+    // surviving representative is irrelevant to the count and the result
+    // is arrival-order-independent — exactly hash-comparable to the
+    // batch oracle. Dedup state is watermark-bounded.
+    QueryDef(
+      "q74_stream_dedup_agg",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "graft_dedup_" + Integer.toHexString(d.hashCode)
+        val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("hr", date_trunc("hour", col("ts")))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("hr", "user_id", "event_type")
+          .groupBy(col("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+        val q = stream.writeStream
+          .format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("hr").as("hr_start"), col("event_type"), col("n_users"))
+          .orderBy("hr_start", "event_type")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS hr_start, event_type,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hr_start, event_type"""))
   )
 }
