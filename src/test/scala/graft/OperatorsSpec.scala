@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property checks for the round-1 operator additions, beyond the oracle
+  * hash-match: as-of join against a naive per-row definition, IVF ANN
+  * bounded by the exact baseline, multiset set-op identities, and
+  * grouping-sets totals.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("asof join matches the naive greatest-ts-at-or-before definition") {
+    import spark.implicits._
+    val got = run("q55_asof_join")
+      .select("event_id", "asof_ts").as[(Long, java.sql.Timestamp)]
+      .collect().toMap
+    // naive: range join then per-error max click ts (quadratic — test only)
+    val ev = Tables(spark, sfDir, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("u"), col("ts").as("ets"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("ts").as("cts"))
+    val naive = err.join(clk, col("u") === col("u2") && col("cts") <= col("ets"))
+      .groupBy("event_id").agg(max(col("cts")).as("best"))
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(got == naive)
+  }
+
+  test("IVF ANN is bounded by brute force and probes only assigned cells") {
+    import spark.implicits._
+    val bf = run("q45_knn_bruteforce").filter(col("rank") === 1)
+      .select("query_id", "cos_sim").as[(Long, Double)].collect().toMap
+    val ivf = run("q56_knn_ivf").filter(col("rank") === 1)
+      .select("query_id", "cos_sim").as[(Long, Double)].collect().toMap
+    assert(ivf.nonEmpty)
+    // approximate top-1 can never beat the exact top-1
+    ivf.foreach { case (q, c) => assert(c <= bf(q) + 1e-9, s"query $q") }
+  }
+
+  test("INTERSECT ALL + EXCEPT ALL multiplicities sum to the left multiset") {
+    import spark.implicits._
+    val got = run("q59_set_ops_all")
+      .select(col("suppkey"), (col("n_inter") + col("n_exc")).as("tot"))
+      .as[(Long, Long)].collect().toMap
+    val left = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_suppkey").as("suppkey")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == left)
+  }
+
+  test("grouping sets grand-total row equals the table count") {
+    val gs = run("q39_grouping_sets")
+    val grand = gs.filter(col("g_flag") === 1 && col("g_status") === 1)
+      .select("n").collect()
+    assert(grand.length == 1)
+    assert(grand.head.getLong(0) == Tables(spark, sfDir, "lineitem").count())
+  }
+
+  test("map battery n_types equals countDistinct per user") {
+    import spark.implicits._
+    val got = run("q38_map_funcs")
+      .select(col("user_id"), col("n_types").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val exp = Tables(spark, sfDir, "events")
+      .groupBy("user_id").agg(countDistinct("event_type").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == exp)
+  }
+}
