@@ -12,6 +12,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet
+    // Untimed warm-up: JVM JIT + Catalyst/codegen class-loading otherwise
+    // land entirely on the alphabetically-first query (measured ~3 s).
+    try SparkEntry.queries("q02_filter_project")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
       .map { case (name, fn) =>

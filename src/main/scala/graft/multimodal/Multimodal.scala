@@ -76,6 +76,24 @@ object Multimodal {
     }
   }
 
+  /** Resize-stub output: fixed-size "thumbnail" from a variable-size
+    * payload. */
+  final case class Thumb(doc_id: Long, thumb: Array[Int], thumb_sum: Long)
+
+  /** STUB RESIZER — nearest-neighbor downsample of the payload to a fixed
+    * `target` length, the byte-level analog of image resize-to-WxH (and
+    * exactly what a cheap thumbnailer does per axis). Swap the body for a
+    * real scaler in production; the fixed-output-shape contract is what
+    * downstream feature columns rely on. */
+  def resizeStub(target: Int)(rows: Iterator[BinDoc]): Iterator[Thumb] =
+    rows.map { r =>
+      val n = r.payload.length
+      val t = Array.tabulate(target) { i =>
+        if (n == 0) 0 else r.payload((i.toLong * n / target).toInt) & 0xff
+      }
+      Thumb(r.doc_id, t, t.map(_.toLong).sum)
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q80:
@@ -132,6 +150,41 @@ object Multimodal {
                     i -> ord(substr(text, i, 1)))) AS BIGINT) AS frame_checksum,
                CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_frame
         FROM documents
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q82:
+    // resize: variable-size payload -> fixed 16-"pixel" nearest-neighbor
+    // thumbnail (image-resize analog), per-partition typed pass. The
+    // array stays in-plan; the output projects it to scalars + a joined
+    // string so the oracle can recompute from the ASCII text.
+    QueryDef(
+      "q82_resize_stub",
+      (s, d) => {
+        implicit val inEnc = Encoders.product[BinDoc]
+        implicit val outEnc = Encoders.product[Thumb]
+        Tables(s, d, "documents")
+          .filter(length(col("text")) >= 16)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("lang"))
+          .as[BinDoc](inEnc)
+          .mapPartitions(resizeStub(16) _)(outEnc).toDF()
+          .select(col("doc_id"),
+            array_join(col("thumb"), ",").as("thumb_str"),
+            col("thumb_sum"),
+            element_at(col("thumb"), 1).as("first_px"),
+            element_at(col("thumb"), 16).as("last_px"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          list_transform(generate_series(0, 15),
+                            i -> ord(substr(text, CAST((i * length(text)) // 16 AS INTEGER) + 1, 1))) AS thumb
+                   FROM documents WHERE length(text) >= 16)
+        SELECT doc_id,
+               array_to_string(thumb, ',') AS thumb_str,
+               CAST(list_sum(thumb) AS BIGINT) AS thumb_sum,
+               CAST(thumb[1] AS INTEGER) AS first_px,
+               CAST(thumb[16] AS INTEGER) AS last_px
+        FROM t
         ORDER BY doc_id"""))
   )
 }

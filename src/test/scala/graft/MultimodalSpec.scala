@@ -26,4 +26,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.n_bytes == 0L && out.head.byte_sum == 0L)
     assert(out(1).byte_sum == 255L)
   }
+
+  test("resizeStub always emits the fixed target shape") {
+    import graft.multimodal.Multimodal.resizeStub
+    val rows = Seq(
+      BinDoc(1L, Array.emptyByteArray, "en"),
+      BinDoc(2L, "x".getBytes("UTF-8"), "en"),
+      BinDoc(3L, ("y" * 1000).getBytes("UTF-8"), "en"))
+    val out = resizeStub(16)(rows.iterator).toSeq
+    assert(out.forall(_.thumb.length == 16))
+    assert(out.head.thumb.forall(_ == 0))              // empty -> zero thumb
+    assert(out(1).thumb.forall(_ == 'x'.toInt))        // constant payload -> constant thumb
+    assert(out(2).thumb_sum == 16L * 'y'.toInt)
+  }
 }
