@@ -251,6 +251,50 @@ object TextAnalysis {
                CAST(length(text) AS DOUBLE)
                  / len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS chars_per_bpe_token
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q63:
+    // exact distributed TF-IDF, top-3 terms per document: the classic
+    // explode → (doc,term) partial-agg → df agg → broadcast-N join
+    // pipeline (every shuffle is key-sized; corpus count arrives as a
+    // 1-row broadcast). Scores are ranked on the ROUNDED value so an
+    // ulp of ln() difference between engines can't flip the order.
+    QueryDef(
+      "q63_tfidf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, d, "documents")
+        val tf = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("nn"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.filter(col("doc_id") < 100)
+          .join(dfreq, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("score", round(col("tf") *
+            (log((col("nn") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($duckTokens) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS nn FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term,
+                      round(tf.tf * (ln((nn + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+               FROM tf JOIN dfreq USING (term) CROSS JOIN n
+               WHERE tf.doc_id < 100),
+        r AS (SELECT doc_id, term, score,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS INTEGER) AS rk
+              FROM sc)
+        SELECT doc_id, rk, term, score
+        FROM r WHERE rk <= 3
+        ORDER BY doc_id, rk"""))
   )
 }
