@@ -186,6 +186,50 @@ object Windows {
                COUNT(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY 1, 2
-        ORDER BY hr_start, event_type"""))
+        ORDER BY hr_start, event_type""")),
+
+    // --------------------------------------------------------------- q75:
+    // REAL stream-stream inner join: clicks ⋈ errors per user within a
+    // 30-minute window after the click. Both sides watermarked + the
+    // time-range condition bounds join state (without both, a 100 TB
+    // stream buffers forever). Inner-join output is arrival-order
+    // independent, so the batch range join is an exact oracle.
+    QueryDef(
+      "q75_stream_stream_join",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "graft_ssj_" + Integer.toHexString(d.hashCode)
+        val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+        def side(tpe: String, prefix: String) =
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .filter(col("event_type") === tpe)
+            .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+              col("ts").as(s"${prefix}_ts"))
+            .withWatermark(s"${prefix}_ts", "1 hour")
+        val joined = side("click", "c").join(
+          side("error", "e"),
+          expr("""c_user = e_user AND
+                  e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 30 MINUTES"""))
+        val q = joined.writeStream
+          .format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("c_id"), col("e_id"), col("c_user").as("user_id"))
+          .orderBy("c_id", "e_id")
+      },
+      Some("""
+        SELECT c.event_id AS c_id, e.event_id AS e_id, c.user_id
+        FROM events c JOIN events e
+          ON c.event_type = 'click' AND e.event_type = 'error'
+         AND c.user_id = e.user_id
+         AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY c_id, e_id"""))
   )
 }
