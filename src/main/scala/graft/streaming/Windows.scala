@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -33,6 +34,21 @@ object Windows {
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Run a streaming query with state sized to 8 shuffle partitions.
+    * Streaming results are partition-count-independent, but every state
+    * store instance (numShufflePartitions × stores-per-stateful-op) pays
+    * init + per-batch commit I/O — at local test scale 32 partitions is
+    * pure overhead (measured 2-3× on the stream-stream join). On a real
+    * cluster this knob is sized to executor count before the query starts
+    * (it is fixed into the checkpoint at first run).
+    */
+  private def withStreamShuffle[T](s: SparkSession)(f: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(k)
+    s.conf.set(k, "8")
+    try f finally s.conf.set(k, prev)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -117,7 +133,7 @@ object Windows {
     // equivalent (batch/stream equivalence is the contract).
     QueryDef(
       "q73_stream_tumbling",
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = "graft_stream_" + Integer.toHexString(d.hashCode)
         val ckpt = Files.createTempDirectory("graft_ckpt_").toString
@@ -157,7 +173,7 @@ object Windows {
     // batch oracle. Dedup state is watermark-bounded.
     QueryDef(
       "q74_stream_dedup_agg",
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = "graft_dedup_" + Integer.toHexString(d.hashCode)
         val ckpt = Files.createTempDirectory("graft_ckpt_").toString
@@ -196,7 +212,7 @@ object Windows {
     // independent, so the batch range join is an exact oracle.
     QueryDef(
       "q75_stream_stream_join",
-      (s, d) => {
+      (s, d) => withStreamShuffle(s) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = "graft_ssj_" + Integer.toHexString(d.hashCode)
         val ckpt = Files.createTempDirectory("graft_ckpt_").toString
