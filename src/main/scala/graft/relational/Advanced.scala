@@ -423,6 +423,51 @@ object Advanced {
         FROM c GROUP BY user_id
         ORDER BY user_id""")),
 
+    // --------------------------------------------------------------- q64:
+    // map higher-order functions: transform_values / map_filter /
+    // map_zip_with over per-user event_type->count and ->avg maps. The
+    // maps live in-plan (sorted-entry construction → deterministic);
+    // the oracle mirrors the derived scalars.
+    QueryDef(
+      "q64_map_higher_order",
+      (s, d) => {
+        val counts = Tables(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("sv"))
+        counts.groupBy("user_id")
+          .agg(
+            map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n"))))).as("mn"),
+            map_from_entries(array_sort(collect_list(struct(col("event_type"), col("sv"))))).as("mv"))
+          // doubled counts via transform_values; busy types via map_filter;
+          // per-type mean via map_zip_with(sum, count)
+          .withColumn("doubled", expr("transform_values(mn, (k, v) -> v * 2)"))
+          .withColumn("busy", expr("map_filter(mn, (k, v) -> v >= 20)"))
+          .withColumn("means", expr(
+            "map_zip_with(mv, mn, (k, sv2, n2) -> round(sv2 / n2, 6))"))
+          .select(col("user_id"),
+            expr("aggregate(map_values(doubled), CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("sum_doubled"),
+            expr("CAST(cardinality(busy) AS INT)").as("n_busy"),
+            array_join(expr("array_sort(map_keys(busy))"), ",").as("busy_types"),
+            expr("round(coalesce(element_at(means, 'click'), CAST(0 AS DOUBLE)), 6)")
+              .as("click_mean"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (SELECT user_id, event_type, count(*) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sv
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(SUM(n * 2) AS BIGINT) AS sum_doubled,
+               CAST(count(*) FILTER (WHERE n >= 20) AS INTEGER) AS n_busy,
+               coalesce(string_agg(event_type, ',' ORDER BY event_type)
+                        FILTER (WHERE n >= 20), '') AS busy_types,
+               round(coalesce(max(sv / n) FILTER (WHERE event_type = 'click'), 0), 6)
+                 AS click_mean
+        FROM c GROUP BY user_id
+        ORDER BY user_id""")),
+
     // --------------------------------------------------------------- q57:
     // window-function battery completing the family beyond q09-q11:
     // ntile / percent_rank / cume_dist / first_value / nth_value, all
