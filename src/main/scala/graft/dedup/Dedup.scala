@@ -208,7 +208,14 @@ object Dedup {
         // of source keys (which capped parallelism at #sources tasks).
         // Physical-only change: output pairs are identical, so the oracle
         // keeps the plain formulation.
-        val nb = 8
+        // Bucket count scales with the cluster: replication cost grows
+        // linearly in nb while the key space grows as nb², so nb ≈
+        // sqrt(2·parallelism) gives ≥2 keys per core even for a single hot
+        // source (nb=8 at local[32]; ~45 at a 1000-core cluster). Any nb
+        // yields the same pairs — each (a,b) meets exactly once, where
+        // a.bk_partner == b.bk.
+        val nb = math.max(8, math.ceil(
+          math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
         val sh = Tables(s, d, "documents")
           .withColumn("g", expr(s"array_distinct($tokensExpr)"))
           .filter(size(col("g")) > 0)

@@ -151,13 +151,26 @@ object Similarity {
         val v = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val cb = v.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cell_id"), col("embedding").as("cb_emb"))
-        val wa = Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cell_id"))
-        val ranked = v.crossJoin(broadcast(cb))
+        // Cell assignment = argmax over the 16 broadcast codebook entries.
+        // max_by partial-aggregates map-side, so the corpus-side shuffle is
+        // N rows — a row_number window here would shuffle the full 16×N
+        // expansion. Ordering key (cd, -cell_id) reproduces the oracle's
+        // tie-break exactly: max cd, then MIN cell_id.
+        val assigned = v.crossJoin(broadcast(cb))
           .withColumn("cd", cos2(col("embedding"), col("cb_emb")))
-          .withColumn("arn", row_number().over(wa))
-        val assigned = ranked.filter(col("arn") === 1)
-          .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("cell_id"))
-        val qcells = ranked.filter(col("vec_id") < 5 && col("arn") <= 2)
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cell_id"), col("embedding")),
+            struct(col("cd"), negate(col("cell_id")))).as("best"))
+          .select(col("vec_id").as("cand_id"),
+            col("best.embedding").as("c_emb"), col("best.cell_id").as("cell_id"))
+        // Query side (nprobe=2 cells) is a handful of vectors by contract —
+        // filtered BEFORE the codebook expansion, so its rank window covers
+        // |queries|×16 rows, never the corpus.
+        val wq = Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cell_id"))
+        val qcells = v.filter(col("vec_id") < 5).crossJoin(broadcast(cb))
+          .withColumn("cd", cos2(col("embedding"), col("cb_emb")))
+          .withColumn("arn", row_number().over(wq))
+          .filter(col("arn") <= 2)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell_id"))
         val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
         broadcast(qcells).join(assigned, Seq("cell_id"))
