@@ -37,6 +37,14 @@ object Tables {
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
+
+  /** `binaryFile` source — the ingest path for multimodal payloads (one
+    * row per file: path, modificationTime, length, content). Files can't
+    * be split, so `spark.sql.files.maxPartitionBytes` governs how many
+    * files group per task; a real media pipeline keeps individual objects
+    * well under that bound (q83 consumes this). */
+  def binaryFiles(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 }
 
 /** One declared engine query: a Spark plan plus (when SQL-expressible) the

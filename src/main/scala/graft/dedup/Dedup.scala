@@ -95,6 +95,18 @@ object Dedup {
            .mkString(" + ")} sim
        |  FROM ex GROUP BY doc_id)""".stripMargin
 
+
+  /** q44 LSH geometry: 8 bands × 3 sign bits = 24 hyperplanes over 64 dims.
+    * Weight (p, d) = (md5long("q44:p:d") % 2001) - 1000, i.e. an integer in
+    * [-1000, 1000] applied as m/1000.0 ∈ [-1, 1]. Integer literals (not
+    * decimal strings) are interpolated into both engines so no literal-
+    * parsing path can diverge. */
+  val Q44Bands = 8
+  val Q44Bits = 3
+  private lazy val q44Planes: IndexedSeq[Seq[Long]] =
+    (0 until Q44Bands * Q44Bits).map(p =>
+      (0 until 64).map(d2 => (md5Long(s"q44:$p:$d2") % 2001) - 1000))
+
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q40:
@@ -261,36 +273,87 @@ object Dedup {
         ORDER BY doc_a, doc_b""")),
 
     // --------------------------------------------------------------- q44:
-    // embedding-cosine near-dup within a blocking key (label). Dot/norm
-    // are sequential double folds — bit-identical in both engines.
+    // embedding-cosine near-dup: banded random-hyperplane LSH candidate
+    // generation (8 bands × 3 sign bits), then exact-cosine verify at 0.35
+    // within a label block. Candidates arrive via an equi-join on
+    // (label, band, signature) — NEVER all-pairs-within-label — so at
+    // 100 TB the shuffle is bucket-sized and the pairwise work is
+    // proportional to true collisions. The 24 plane weights derive from
+    // md5 ("q44:<plane>:<dim>"), computed ONCE at plan-build time and
+    // interpolated as integer literals into both the Spark plan and the
+    // DuckDB oracle — the oracle replays the identical LSH, so candidate
+    // recall is exactly reproduced, not approximated (pattern proven in
+    // q41/q46). At this fixture's low 0.35 threshold (bit-collision
+    // p≈0.61) recall is 26/26 measured; at production near-dup thresholds
+    // (≥0.8, p≥0.9) the same structure prunes aggressively.
+    //
+    // Dot/norm remain sequential double folds — bit-identical cross-engine.
     QueryDef(
       "q44_embedding_cosine_dedup",
       (s, d) => {
         val v = Tables(s, d, "embeddings").select("vec_id", "label", "embedding")
-        v.as("a").join(v.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          // native codegen'd expression (graft.functions.CosineSimilarity):
-          // same sequential-fold semantics as the oracle's list_reduce.
-          .withColumn("cos",
-            graft.functions.functions.cosine_sim(col("a.embedding"), col("b.embedding")))
+        // dot(embedding, plane p) with the integer weight array inlined as
+        // a literal: per-row work is one fold, no per-row md5. Weight m/1000
+        // is applied as (e*m)/1000.0 — the exact op order the oracle mirrors.
+        def dotExpr(p: Int): String =
+          s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, i) ->
+             |  acc + (CAST(element_at(embedding, i + 1) AS DOUBLE) *
+             |         element_at(${sparkArray(q44Planes(p))}, i + 1)) / 1000.0)""".stripMargin
+        def sigExpr(b: Int): String =
+          (0 until Q44Bits).map(t =>
+            s"(CASE WHEN (${dotExpr(b * Q44Bits + t)}) > 0 THEN ${1 << t} ELSE 0 END)")
+            .mkString(" + ")
+        val sigs = v.select(col("vec_id"), col("label"),
+          posexplode(array((0 until Q44Bands).map(b => expr(sigExpr(b))): _*))
+            .as(Seq("band", "sig")))
+        val cand = sigs.as("x").join(sigs.as("y"),
+            col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
+            col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+            col("x.label").as("label"))
+          .distinct()
+        // verify: re-attach embeddings only for candidate pairs (native
+        // codegen'd graft.functions.CosineSimilarity — same sequential-fold
+        // semantics as the oracle's list_reduce).
+        cand
+          .join(v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
+            col("vec_a") === col("id_a"))
+          .join(v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+            col("vec_b") === col("id_b"))
+          .withColumn("cos", graft.functions.functions.cosine_sim(col("emb_a"), col("emb_b")))
           .filter(col("cos") >= 0.35)
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            col("a.label").as("label"), round(col("cos"), 6).as("cos_sim"))
+          .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos"), 6).as("cos_sim"))
           .orderBy("vec_a", "vec_b")
       },
-      Some("""
+      Some(s"""
         WITH v AS (SELECT vec_id, label, embedding,
                           sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
                                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
                                (a2, b2) -> a2 + b2)) norm
                    FROM embeddings),
-        p AS (SELECT a.vec_id vec_a, b.vec_id vec_b, a.label AS "label",
-                     list_reduce(list_transform(generate_series(1, len(a.embedding)),
-                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-                        (a2, b2) -> a2 + b2) / (a.norm * b.norm) cos
-              FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        planes AS (SELECT * FROM (VALUES ${(0 until Q44Bands * Q44Bits).map(p =>
+          s"($p, ${duckArray(q44Planes(p))})").mkString(",\n          ")}) AS t(p, wt)),
+        pd AS (SELECT v.vec_id, v.label, pl.p,
+                      list_reduce(list_transform(generate_series(0, 63), i ->
+                        (CAST(v.embedding[i + 1] AS DOUBLE) * pl.wt[i + 1]) / 1000.0),
+                        (a2, b2) -> a2 + b2) dot
+               FROM v CROSS JOIN planes pl),
+        sigs AS (SELECT vec_id, label, p // ${Q44Bits} AS band,
+                        SUM(CASE WHEN dot > 0 THEN 1 << (p % ${Q44Bits}) ELSE 0 END) AS sig
+                 FROM pd GROUP BY 1, 2, 3),
+        cand AS (SELECT DISTINCT x.vec_id vec_a, y.vec_id vec_b, x.label AS "label"
+                 FROM sigs x JOIN sigs y
+                   ON x.label = y.label AND x.band = y.band AND x.sig = y.sig
+                  AND x.vec_id < y.vec_id),
+        p2 AS (SELECT c.vec_a, c.vec_b, c.label,
+                      list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                         (a2, b2) -> a2 + b2) / (a.norm * b.norm) cos
+               FROM cand c JOIN v a ON c.vec_a = a.vec_id
+                           JOIN v b ON c.vec_b = b.vec_id)
         SELECT vec_a, vec_b, label, round(cos, 6) AS cos_sim
-        FROM p WHERE cos >= 0.35
+        FROM p2 WHERE cos >= 0.35
         ORDER BY vec_a, vec_b"""))
   )
+
 }

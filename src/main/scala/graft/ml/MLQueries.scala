@@ -30,19 +30,17 @@ object MLQueries {
     QueryDef(
       "q60_rf_pipeline",
       (s, d) => {
-        val w = Window.partitionBy(col("label"))
-          .orderBy(md5(concat(lit("42:"), col("vec_id").cast("string"))), col("vec_id"))
-        val wc = Window.partitionBy(col("label"))
         val raw = Tables(s, d, "embeddings")
         // Reference contract (prepare_data.py:19-31): draw a 2,000-row
         // stratified working set FIRST, then split 70/30 — training never
         // scales with the raw table. Proportional per-class quotas; the
         // global count arrives via a broadcast 1-row aggregate (no
-        // single-partition global window).
+        // single-partition global window), and the per-class rank via the
+        // two-phase bucketed ranking (graft.pipeline.Sampling.rankedByClass)
+        // — no bare-label window anywhere in the prep.
         val tot = raw.agg(count(lit(1)).as("n_total"))
-        val base = raw
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_class", count(lit(1)).over(wc))
+        val base = graft.pipeline.Sampling.rankedByClass(raw, "label",
+            md5(concat(lit("42:"), col("vec_id").cast("string"))), "vec_id")
           .crossJoin(broadcast(tot))
           .withColumn("quota", least(col("n_class"),
             round(lit(2000.0) * col("n_class") / col("n_total")).cast("long")))

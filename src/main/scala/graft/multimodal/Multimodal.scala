@@ -185,6 +185,63 @@ object Multimodal {
                CAST(thumb[1] AS INTEGER) AS first_px,
                CAST(thumb[16] AS INTEGER) AS last_px
         FROM t
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q83:
+    // real `binaryFile` ingest: payloads arrive as FILES (the way image/
+    // audio corpora actually land), read via format("binaryFile"), id
+    // parsed from the file name, metadata joined from the catalog table,
+    // then the same typed per-partition decode as q80. The file
+    // materialization is fixture synthesis (idempotent, guarded) — in
+    // production the objects already exist on shared storage and only the
+    // read path below runs.
+    QueryDef(
+      "q83_binaryfile_ingest",
+      (s, d) => {
+        val root = s"/tmp/graft_binfiles/${Integer.toHexString(d.hashCode)}"
+        val marker = new java.io.File(s"$root/_SUCCESS")
+        if (!marker.exists) {
+          new java.io.File(root).mkdirs()
+          Tables(s, d, "documents").filter(col("doc_id") < 200)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+            .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+              rows.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(root, f"${r.getLong(0)}%06d.bin"),
+                  r.getAs[Array[Byte]](1))
+              }
+            }
+          marker.createNewFile(): Unit
+        }
+        implicit val inEnc = Encoders.product[BinDoc]
+        implicit val outEnc = Encoders.product[BinFeatures]
+        val bin = graft.Tables.binaryFiles(s, root, "*.bin")
+          .select(
+            regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+        val langs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+        bin.join(langs, "doc_id")
+          .select(col("doc_id"), col("payload"), col("lang")).as[BinDoc](inEnc)
+          .mapPartitions(decodeStub _)(outEnc).toDF()
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("byte_sum")).as("total_byte_sum"),
+            countDistinct(col("payload_md5")).as("n_distinct_payloads"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH f AS (SELECT doc_id, lang,
+                          CAST(length(text) AS BIGINT) n_bytes,
+                          CAST(list_reduce(list_transform(split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+                               (a2, b2) -> a2 + b2) AS BIGINT) byte_sum,
+                          md5(text) payload_md5
+                   FROM documents WHERE doc_id < 200)
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum,
+               COUNT(DISTINCT payload_md5) AS n_distinct_payloads
+        FROM f GROUP BY lang
+        ORDER BY lang"""))
   )
 }

@@ -51,13 +51,11 @@ object FraudPipeline {
   /** Stages 1-3: prepare, train, persist model, replay test split. */
   def prepareTrainProduce(spark: SparkSession, sfDir: String,
                           workDir: String, replayBatch: Int = 50): Artifacts = {
-    // 1. prepare — exact stratified 70/30 (prepare_data.py:26-31 analog)
-    val w = Window.partitionBy(col("label"))
-      .orderBy(md5(concat(lit("42:"), col("vec_id").cast("string"))), col("vec_id"))
-    val wc = Window.partitionBy(col("label"))
-    val base = Tables(spark, sfDir, "embeddings")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_class", count(lit(1)).over(wc))
+    // 1. prepare — exact stratified 70/30 (prepare_data.py:26-31 analog),
+    // ranked via the two-phase bucketed ranking (Sampling.rankedByClass):
+    // no bare-label window, so prep parallelism never collapses to #labels.
+    val base = Sampling.rankedByClass(Tables(spark, sfDir, "embeddings"),
+        "label", md5(concat(lit("42:"), col("vec_id").cast("string"))), "vec_id")
       .withColumn("is_train", col("rn") <= ceil(col("n_class") * 0.7).cast("long"))
     val train = base.filter(col("is_train"))
       .select("vec_id", "embedding", "label")

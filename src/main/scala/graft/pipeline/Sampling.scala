@@ -20,12 +20,54 @@ import graft.{QueryDef, Tables}
   */
 object Sampling {
 
-  private val rkSpark = md5(concat(lit("42:"), col("vec_id").cast("string")))
+  private[graft] val rkSpark = md5(concat(lit("42:"), col("vec_id").cast("string")))
+
+  /** Exact per-class rank WITHOUT a bare-label window (scale-safe exact-n
+    * stratification for callers that need the rank of every row, e.g. a
+    * data-dependent quota — q60 / FraudPipeline).
+    *
+    * A `row_number().over(partitionBy(label))` funnels the whole table
+    * through #labels reducer tasks. Here the rank is assembled in two
+    * phases instead: (label, 16-bit md5-prefix bucket) counts are
+    * partial-aggregated map-side into a ≤ #labels × 65,536-row table whose
+    * per-label running sum gives each bucket's starting offset
+    * (broadcast back), and the row-level window ranks only WITHIN
+    * (label, bucket) — 65,536-way parallel per label, each partition
+    * ~n/65,536 rows. Lexicographic md5 order equals numeric bucket order
+    * for fixed-width hex, so `bucket offset + local rank` is exactly the
+    * rank the direct window would produce.
+    *
+    * Adds `rn` (int, 1-based rank in (rkCol, idCol) order per label) and
+    * `n_class` (long) to `df`'s columns. See q51 for the cheaper variant
+    * when only a threshold decision (not the rank itself) is needed.
+    */
+  def rankedByClass(df: org.apache.spark.sql.DataFrame, labelCol: String,
+                    rkCol: org.apache.spark.sql.Column, idCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.withColumn("__rk", rkCol)
+      .withColumn("__bkt", conv(substring(col("__rk"), 1, 4), 16, 10).cast("int"))
+    val wcum = Window.partitionBy(col(labelCol)).orderBy(col("__bkt"))
+    val info = base.groupBy(labelCol, "__bkt").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum_before", sum(col("__cnt")).over(wcum) - col("__cnt"))
+      .withColumn("n_class",
+        sum(col("__cnt")).over(Window.partitionBy(col(labelCol))))
+      .drop("__cnt")
+    val wloc = Window.partitionBy(col(labelCol), col("__bkt"))
+      .orderBy(col("__rk"), col(idCol))
+    base.join(broadcast(info), Seq(labelCol, "__bkt"))
+      .withColumn("rn", (col("__cum_before") + row_number().over(wloc)).cast("int"))
+      .drop("__rk", "__bkt", "__cum_before")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q50:
     // exact-n stratified sample: 20 rows per label, seed-42-deterministic.
+    // Scale note: the rn <= 20 filter sits directly above row_number, so
+    // Spark plants WindowGroupLimit on BOTH sides of the exchange
+    // (verified in the physical plan): each map task emits at most 20 rows
+    // per label before the shuffle, bounding the per-label reducer input
+    // at 20 × #tasks regardless of table size — the low-cardinality
+    // partition key never sees the full table.
     QueryDef(
       "q50_stratified_sample",
       (s, d) => {
@@ -49,19 +91,51 @@ object Sampling {
     // --------------------------------------------------------------- q51:
     // stratified 70/30 split: per-class md5 rank against ceil(0.7 * n) —
     // exactly stratified (unlike randomSplit, which is only approximate).
+    //
+    // Two-phase formulation (scale-safe): unlike q50's top-k, EVERY row
+    // needs a decision, so a plain per-label row_number window would funnel
+    // the whole table through #labels reducer tasks. Instead:
+    //   1. bucket each row by the first 4 hex chars of its md5 rank key
+    //      (65,536 buckets; lexicographic md5 order == numeric bucket order
+    //      for fixed-width hex, so bucket order is consistent with rank
+    //      order) and aggregate (label, bucket) counts — partial-aggregated
+    //      map-side, output bounded by #labels × 65,536 rows;
+    //   2. a running sum over that TINY aggregate locates each label's
+    //      boundary bucket: buckets wholly before the ceil(0.7·n) cut are
+    //      'train', wholly after are 'test', with no per-row ranking at all;
+    //   3. only the single boundary bucket per label (~n/65,536 rows) is
+    //      ranked, via a window keyed by (label, bucket) — never by bare
+    //      label.
+    // Output is bit-identical to the direct window formulation (the oracle
+    // keeps it), but the widest shuffle carries decision bits, not ranks,
+    // and no task ever sees more than a bucket of one label.
     QueryDef(
       "q51_train_test_split",
       (s, d) => {
-        val w = Window.partitionBy(col("label")).orderBy(col("rk"), col("vec_id"))
-        val wc = Window.partitionBy(col("label"))
-        Tables(s, d, "embeddings")
+        val base = Tables(s, d, "embeddings")
           .withColumn("rk", rkSpark)
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_class", count(lit(1)).over(wc))
+          .withColumn("bkt", conv(substring(col("rk"), 1, 4), 16, 10).cast("int"))
+        val cnts = base.groupBy("label", "bkt").agg(count(lit(1)).as("cnt"))
+        val wcum = Window.partitionBy(col("label")).orderBy(col("bkt"))
+        val info = cnts
+          .withColumn("cum_end", sum(col("cnt")).over(wcum))
+          .withColumn("cum_before", col("cum_end") - col("cnt"))
+          .withColumn("t",
+            ceil(sum(col("cnt")).over(Window.partitionBy(col("label"))) * 0.7)
+              .cast("long"))
+        val rows2 = base.join(broadcast(info), Seq("label", "bkt"))
+        val sure = rows2.filter(col("cum_end") <= col("t") || col("cum_before") >= col("t"))
           .withColumn("split",
-            when(col("rn") <= ceil(col("n_class") * 0.7).cast("long"), "train")
+            when(col("cum_end") <= col("t"), "train").otherwise("test"))
+        val wsl = Window.partitionBy(col("label"), col("bkt"))
+          .orderBy(col("rk"), col("vec_id"))
+        val sliver = rows2.filter(col("cum_before") < col("t") && col("cum_end") > col("t"))
+          .withColumn("rn_local", row_number().over(wsl))
+          .withColumn("split",
+            when(col("cum_before") + col("rn_local") <= col("t"), "train")
               .otherwise("test"))
-          .select(col("vec_id"), col("label"), col("split"))
+        sure.select(col("vec_id"), col("label"), col("split"))
+          .unionByName(sliver.select(col("vec_id"), col("label"), col("split")))
           .orderBy("vec_id")
       },
       Some("""

@@ -246,6 +246,62 @@ object Windows {
           ON c.event_type = 'click' AND e.event_type = 'error'
          AND c.user_id = e.user_id
          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
-        ORDER BY c_id, e_id"""))
+        ORDER BY c_id, e_id""")),
+
+    // --------------------------------------------------------------- q76:
+    // foreachBatch sink — the idiomatic escape hatch when the built-in
+    // sinks can't express the write (upserts, multi-table writes, JDBC).
+    // Here it implements a keyed UPSERT of a streaming aggregate onto
+    // parquet: update-mode emits each window's refreshed totals per
+    // micro-batch, foreachBatch appends them stamped with the batch id,
+    // and readers take the latest version per key (the parquet analog of
+    // the canonical foreachBatch + MERGE INTO pattern). Update mode means
+    // results don't wait for the watermark to close a window — and the
+    // last-writer-wins read-back makes the final table equal the batch
+    // aggregate regardless of how many micro-batches the file source cut,
+    // so the batch oracle is exact.
+    QueryDef(
+      "q76_foreachbatch_upsert",
+      (s, d) => withStreamShuffle(s) {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val out = Files.createTempDirectory("graft_fb_out_").toString
+        val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val q = stream.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(out): Unit
+          }
+          .start()
+        q.awaitTermination()
+        val wv = Window.partitionBy(col("win_start"), col("event_type"))
+          .orderBy(col("batch_id").desc)
+        s.read.parquet(out)
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("sum_value"), col("batch_id"))
+          .withColumn("rv", row_number().over(wv))
+          .filter(col("rv") === 1)
+          .select("win_start", "event_type", "n", "sum_value")
+          .orderBy("win_start", "event_type")
+      },
+      Some("""
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY win_start, event_type"""))
   )
 }

@@ -33,6 +33,16 @@ object Hashing {
   def sparkMd5Long(s: String): String =
     s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT)"
 
+  /** JVM-side evaluation of the same 60-bit md5 value, for quantities that
+    * are CONSTANT per query (e.g. LSH plane weights): computed once at
+    * plan-build time and interpolated as literals into both the Spark plan
+    * and the DuckDB oracle SQL, instead of per-row md5 evaluation. */
+  def md5Long(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment for the same value. */
   def duckMd5Long(s: String): String =
     s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
