@@ -118,8 +118,9 @@ object Multimodal {
       Some("""
         WITH f AS (SELECT doc_id, lang,
                           CAST(length(text) AS BIGINT) n_bytes,
-                          CAST(list_reduce(list_transform(split(text, ''), c -> CAST(ord(c) AS BIGINT)),
-                               (a2, b2) -> a2 + b2) AS BIGINT) byte_sum,
+                          CASE WHEN length(text) = 0 THEN 0
+                               ELSE CAST(list_reduce(list_transform(split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+                                    (a2, b2) -> a2 + b2) AS BIGINT) END byte_sum,
                           md5(text) payload_md5
                    FROM documents)
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
@@ -146,9 +147,11 @@ object Multimodal {
       Some("""
         SELECT doc_id,
                CAST(len(generate_series(1, length(text), 32)) AS BIGINT) AS n_frames,
-               CAST(list_sum(list_transform(generate_series(1, length(text), 32),
-                    i -> ord(substr(text, i, 1)))) AS BIGINT) AS frame_checksum,
-               CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_frame
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE CAST(list_sum(list_transform(generate_series(1, length(text), 32),
+                         i -> ord(substr(text, i, 1)))) AS BIGINT) END AS frame_checksum,
+               CASE WHEN length(text) = 0 THEN -1
+                    ELSE CAST(ord(substr(text, 1, 1)) AS INTEGER) END AS first_frame
         FROM documents
         ORDER BY doc_id""")),
 
@@ -234,8 +237,9 @@ object Multimodal {
       Some("""
         WITH f AS (SELECT doc_id, lang,
                           CAST(length(text) AS BIGINT) n_bytes,
-                          CAST(list_reduce(list_transform(split(text, ''), c -> CAST(ord(c) AS BIGINT)),
-                               (a2, b2) -> a2 + b2) AS BIGINT) byte_sum,
+                          CASE WHEN length(text) = 0 THEN 0
+                               ELSE CAST(list_reduce(list_transform(split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+                                    (a2, b2) -> a2 + b2) AS BIGINT) END byte_sum,
                           md5(text) payload_md5
                    FROM documents WHERE doc_id < 200)
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,

@@ -50,4 +50,32 @@ object Replay {
     flush()
     emitted
   }
+
+  /** All-Spark replay variant: a `rate` source paces emission with NO
+    * driver loop at all. The bounded replay set is ranked once (0-based,
+    * total order on `orderCol`); the rate stream's monotonically
+    * increasing `value` picks exactly one row per tick via a stream-static
+    * inner join, so each row is emitted once, `rowsPerSecond` rows per
+    * second, entirely inside the engine. Rows past the end of the replay
+    * set simply stop matching — the query drains and idles.
+    *
+    * The global rank window is over the REPLAY SET (a bounded test split
+    * by contract), not an unbounded table; pacing state lives in the rate
+    * source's offsets, so the replay survives restarts from the checkpoint.
+    */
+  def rateReplay(df: DataFrame, orderCol: String,
+                 rowsPerSecond: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ranked = df.withColumn("__r",
+      row_number().over(Window.orderBy(col(orderCol))).cast("long") - 1L)
+    df.sparkSession.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong.toString)
+      .load()
+      // rate's (timestamp, value) renamed away: replayed tables may carry
+      // their own columns with those names
+      .select(col("value").as("__tick"))
+      .join(ranked, col("__tick") === col("__r"))
+      .drop("__r", "__tick")
+  }
 }

@@ -65,7 +65,12 @@ object TextAnalysis {
             col("n_chars"),
             expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
             expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
-            expr("CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(toks)")
+            // empty doc → NULL in BOTH engines (Spark's 0.0/0 would give
+            // NaN; DuckDB's bare list_reduce would raise on the empty
+            // list) — the totality guard that keeps the oracle contract
+            // defined over the full fixture schema, not just non-empty docs.
+            expr("""CASE WHEN size(toks) = 0 THEN NULL
+                 ELSE CAST(aggregate(toks, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(toks) END""")
               .as("avg_token_len"))
           .orderBy("doc_id"),
       Some("""
@@ -75,8 +80,9 @@ object TextAnalysis {
         SELECT doc_id, n_chars,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-               CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
-                 / len(toks) AS avg_token_len
+               CASE WHEN len(toks) = 0 THEN NULL
+                    ELSE CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
+                         / len(toks) END AS avg_token_len
         FROM t ORDER BY doc_id""")),
 
     // --------------------------------------------------------------- q31:
@@ -154,9 +160,14 @@ object TextAnalysis {
             col("doc_id"),
             expr("CAST(length(text) AS BIGINT)").as("len_chars"),
             expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
-            expr("CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '')) AS DOUBLE) / length(text)")
+            // zero-denominator guards: DuckDB float division by zero is
+            // NULL while Spark's is NaN — nullify explicitly so both
+            // engines agree on empty docs (fixtures have none today).
+            expr("""CASE WHEN length(text) = 0 THEN NULL
+                 ELSE CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '')) AS DOUBLE) / length(text) END""")
               .as("alnum_ratio"),
-            (expr(sparkStopHits("en")).cast("double") / expr("size(toks)"))
+            when(expr("size(toks)") === 0, lit(null))
+              .otherwise(expr(sparkStopHits("en")).cast("double") / expr("size(toks)"))
               .as("stop_ratio"))
           .withColumn("quality",
             round(least(lit(1.0), col("n_tokens") / 100.0) * 0.5 +
@@ -240,8 +251,11 @@ object TextAnalysis {
             expr("CAST(size(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)) AS BIGINT)")
               .as("bpe_tokens"),
             expr("CAST(length(text) AS BIGINT)").as("n_chars"))
+          // empty text → 0 bpe tokens → NULL (matches DuckDB's NULL-on-
+          // zero-division; Spark alone would produce NaN)
           .withColumn("chars_per_bpe_token",
-            col("n_chars").cast("double") / col("bpe_tokens"))
+            when(col("bpe_tokens") === 0, lit(null))
+              .otherwise(col("n_chars").cast("double") / col("bpe_tokens")))
           .orderBy("doc_id"),
       Some("""
         SELECT doc_id,
