@@ -111,4 +111,56 @@ object FraudPipeline {
     spark.read.text(a.outDir)
       .select(from_json(col("value"), sch).as("p")).select("p.*")
   }
+
+  /** The reference's Airflow DAG (O4/O5: prepare → train / produce →
+    * predict, `airflow/dags` task ordering) wired onto [[Dag]]: stages
+    * share state via the filesystem exactly as the reference's tasks share
+    * via HDFS, `train` and `produce` run in PARALLEL once `prepare`
+    * lands (the dependency structure Airflow would exploit), every stage
+    * is idempotence-guarded, and a failed stage skips its dependents.
+    * Returns the run report plus the artifact locations. */
+  def dag(spark: SparkSession, sfDir: String, workDir: String,
+          replayBatch: Int = 50): (Dag.Report, Artifacts) = {
+    val trainPath = s"$workDir/train_split"
+    val testPath = s"$workDir/test_split"
+    val modelDir = s"$workDir/credit_model"
+    val topicDir = s"$workDir/input_data"
+    val outDir = s"$workDir/predictions"
+    def done(p: String) = new java.io.File(p, "_SUCCESS").exists
+
+    val prepare = Dag.Stage("prepare",
+      isDone = () => done(trainPath) && done(testPath)) { () =>
+      val base = Sampling.rankedByClass(Tables(spark, sfDir, "embeddings"),
+          "label", md5(concat(lit("42:"), col("vec_id").cast("string"))), "vec_id")
+        .withColumn("is_train", col("rn") <= ceil(col("n_class") * 0.7).cast("long"))
+      base.filter(col("is_train")).select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(trainPath)
+      base.filter(!col("is_train")).select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(testPath)
+    }
+    val train = Dag.Stage("train", deps = Seq("prepare"),
+      isDone = () => new java.io.File(modelDir).exists) { () =>
+      val rf = new RandomForestClassifier()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setNumTrees(100).setMaxDepth(10).setSeed(42)
+      val model = new Pipeline().setStages(Array(rf)).fit(
+        spark.read.parquet(trainPath)
+          .withColumn("features", array_to_vector(col("embedding"))))
+      model.write.overwrite().save(modelDir)
+    }
+    val produce = Dag.Stage("produce", deps = Seq("prepare"),
+      isDone = () => new java.io.File(topicDir).exists) { () =>
+      Replay.replay(spark.read.parquet(testPath), "vec_id", topicDir,
+        batchSize = replayBatch, intervalMs = 0L): Unit
+    }
+    // the streaming text sink writes _spark_metadata (not _SUCCESS):
+    // directory existence is the idempotence marker here
+    val predictStage = Dag.Stage("predict", deps = Seq("train", "produce"),
+      isDone = () => new java.io.File(outDir).exists) { () =>
+      predict(spark, Artifacts(modelDir, topicDir, outDir, -1L))
+        .awaitTermination()
+    }
+    val report = Dag.run(Seq(prepare, train, produce, predictStage), parallelism = 2)
+    (report, Artifacts(modelDir, topicDir, outDir, -1L))
+  }
 }
