@@ -577,6 +577,68 @@ object Advanced {
                COALESCE(n_inter, 0) AS n_inter,
                COALESCE(n_exc, 0) AS n_exc
         FROM i FULL OUTER JOIN e ON i.suppkey = e.suppkey
-        ORDER BY suppkey"""))
+        ORDER BY suppkey""")),
+
+    // --------------------------------------------------------------- q65:
+    // EXACT percentiles (type-7 linear interpolation — Spark `percentile`
+    // == DuckDB `quantile_cont`, both rank = p·(n-1) then lerp). The
+    // approximate path is q28's sketches; this is the exact complement a
+    // data-quality report needs. Exactness costs a per-group sort of the
+    // VALUES ONLY (quantities, not rows) — at 100 TB one would reach for
+    // q28's KLL sketch first; when exact is required, the per-group value
+    // sort is the honest minimum. Quantities are integer-valued doubles,
+    // so the lerp is exact in both engines (no ulp risk at the round(6)
+    // boundary).
+    QueryDef(
+      "q65_exact_percentiles",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("ps"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("n"),
+            round(element_at(col("ps"), 1), 6).as("p25"),
+            round(element_at(col("ps"), 2), 6).as("p50"),
+            round(element_at(col("ps"), 3), 6).as("p75"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+               round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+               round(quantile_cont(l_quantity, 0.75), 6) AS p75
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------------- q67:
+    // LATERAL correlated subquery (SQL surface): per-nation top-2
+    // customers by balance. Catalyst rewrites the lateral into a
+    // DomainJoin → window-ranked join, so the executed plan is the same
+    // rank-then-filter shape as q09 — the lateral is API surface, not a
+    // nested-loop execution.
+    QueryDef(
+      "q67_lateral_topk",
+      (s, d) => {
+        Tables(s, d, "nation").createOrReplaceTempView("nation_v")
+        Tables(s, d, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT n.n_name, t.c_name, t.c_acctbal
+          FROM nation_v n,
+               LATERAL (SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+                        FROM customer_v c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY c.c_acctbal DESC, c_name
+                        LIMIT 2) t
+          ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+      },
+      Some("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+             LATERAL (SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+                      FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c.c_acctbal DESC, c_name
+                      LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""))
   )
 }

@@ -302,6 +302,149 @@ object Windows {
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
-        ORDER BY win_start, event_type"""))
+        ORDER BY win_start, event_type""")),
+
+    // --------------------------------------------------------------- q77:
+    // REAL streaming session windows: the watermark both bounds session
+    // state AND closes sessions for emission (append mode — a session row
+    // is final once the watermark passes its gap-extended end; complete
+    // mode isn't supported for session aggregations). Batch q72 is the
+    // oracle. Sessions within the final watermark delay of the stream's
+    // max event time would stay open at drain, so a far-future SENTINEL
+    // event (distinct user) is added to push the watermark past every real
+    // session — the standard end-of-stream flush pattern. The sentinel is
+    // excluded at SINK READ-BACK, not inside the streaming plan: a
+    // user_id filter anywhere above the agg is pushed through it, merged
+    // with the pre-agg filter, and simplified to plain user_id < 20 —
+    // silently dropping the sentinel BEFORE the watermark operator (the
+    // optimizer doesn't model the watermark side-effect; verified via
+    // PushedFilters in the streaming scan).
+    QueryDef(
+      "q77_stream_session_window",
+      (s, d) => withStreamShuffle(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "graft_sess_" + Integer.toHexString(d.hashCode)
+        val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+        val maxTs = Tables(s, d, "events")
+          .agg(max(col("ts").cast("long"))).collect()(0).getLong(0)
+        // one source dir = symlinked fixture + the sentinel file (a single
+        // file source keeps watermark bookkeeping trivially global)
+        val srcDir = Files.createTempDirectory("graft_sess_src_")
+        Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val tmpOut = Files.createTempDirectory("graft_sentinel_")
+        s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(
+              -1L, (maxTs + 3L * 3600) * 1000000000L, 1000000L, "flush", 0.0, "")),
+            rawSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = Files.list(tmpOut).iterator()
+        var sentinelFile: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) sentinelFile = p
+        }
+        Files.copy(sentinelFile, srcDir.resolve("zz_sentinel.parquet"))
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "1 hour")
+          // state bound: only tracked users + the sentinel reach the agg
+          // (the sentinel must pass the watermark node above, so the user
+          // filter sits AFTER withWatermark)
+          .filter(col("user_id") < 20 || col("user_id") === 1000000L)
+          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val q = stream.writeStream
+          .format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n"), col("sum_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, ts, value,
+                          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    >= INTERVAL 10 MINUTE
+                               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               THEN 1 ELSE 0 END AS new_session
+                   FROM events WHERE user_id < 20),
+        s2 AS (SELECT user_id, ts, value,
+                      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM e)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM s2 GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
+    // --------------------------------------------------------------- q78:
+    // REAL arbitrary stateful streaming: flatMapGroupsWithState with a
+    // custom per-user state (event count + distinct-type set). State
+    // fields are chosen ORDER-FREE (counts and set sizes — never a float
+    // fold over arrival order), so the drained result is deterministic and
+    // the batch aggregate is an exact oracle. Update mode re-emits a key's
+    // state each batch it changes; counters are monotone, so last-writer-
+    // wins on read-back = max per key (single-file source → one batch, but
+    // the read-back stays correct under any batching).
+    QueryDef(
+      "q78_custom_state_agg",
+      (s, d) => withStreamShuffle(s) {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = "graft_state_" + Integer.toHexString(d.hashCode)
+        val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+        implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+        implicit val rowEnc = org.apache.spark.sql.Encoders
+          .product[(Long, String)]
+        implicit val stEnc = org.apache.spark.sql.Encoders
+          .product[(Long, Set[String])]
+        implicit val outEnc = org.apache.spark.sql.Encoders
+          .product[(Long, Long, Int)]
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_type"))
+          .as[(Long, String)](rowEnc)
+        val updated = stream.groupByKey(_._1)(longEnc)
+          .flatMapGroupsWithState[(Long, Set[String]), (Long, Long, Int)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            (user: Long, rows: Iterator[(Long, String)],
+             state: GroupState[(Long, Set[String])]) =>
+              val (n0, types0) = state.getOption.getOrElse((0L, Set.empty[String]))
+              var n = n0; var types = types0
+              rows.foreach { case (_, t) => n += 1; types += t }
+              state.update((n, types))
+              Iterator.single((user, n, types.size))
+          }(stEnc, outEnc)
+        val q = updated.toDF("user_id", "n_events", "n_types")
+          .writeStream
+          .format("memory").queryName(name)
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"), max(col("n_types")).as("n_types"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+        FROM events
+        WHERE user_id < 50
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
 }
