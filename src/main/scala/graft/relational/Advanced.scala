@@ -639,6 +639,112 @@ object Advanced {
                       WHERE c.c_nationkey = n.n_nationkey
                       ORDER BY c.c_acctbal DESC, c_name
                       LIMIT 2) t
-        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""))
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")),
+
+    // --------------------------------------------------------------- q66:
+    // UNPIVOT (melt): wide per-status metrics to long (metric, value)
+    // rows — the inverse of q25's PIVOT. Spark's Dataset.unpivot is a
+    // Generate (Expand) — per-row fanout, no shuffle beyond the base agg;
+    // the oracle spells it as UNION ALL.
+    QueryDef(
+      "q66_unpivot",
+      (s, d) => {
+        val wide = Tables(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(dsum(col("o_totalprice")).as("sum_price"),
+            count(lit(1)).cast("double").as("n_orders"))
+        wide.unpivot(
+            Array(col("o_orderstatus")),
+            Array(col("sum_price"), col("n_orders")),
+            "metric", "value")
+          .orderBy("o_orderstatus", "metric")
+      },
+      Some("""
+        WITH w AS (SELECT o_orderstatus,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) sum_price,
+                          CAST(COUNT(*) AS DOUBLE) n_orders
+                   FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM w
+        UNION ALL
+        SELECT o_orderstatus, 'n_orders', n_orders FROM w
+        ORDER BY o_orderstatus, metric""")),
+
+    // --------------------------------------------------------------- q68:
+    // VARIANT (Spark 4's semi-structured type): parse_json once, then
+    // typed path extraction — the modern engine path for schemaless JSON
+    // columns (shredded binary encoding, no per-access re-parse like
+    // get_json_object). Missing paths extract as NULL in both engines.
+    QueryDef(
+      "q68_variant_json",
+      (s, d) =>
+        Tables(s, d, "events")
+          .filter(col("event_id") < 2000)
+          .withColumn("v", parse_json(col("props")))
+          .select(
+            col("event_id"),
+            expr("variant_get(v, '$.k', 'int')").as("k"),
+            expr("variant_get(v, '$.missing', 'string')").as("missing_str"))
+          .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+               json_extract_string(props, '$.missing') AS missing_str
+        FROM events
+        WHERE event_id < 2000
+        ORDER BY event_id""")),
+
+    // --------------------------------------------------------------- q69:
+    // order-insensitive array aggregation: collect_list is shuffle-order-
+    // dependent, so the DETERMINISTIC pattern is collect -> array_sort
+    // before anything observes the array (the only oracle-safe way to
+    // aggregate rows INTO an array column).
+    QueryDef(
+      "q69_collect_sorted",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .filter(col("l_orderkey") < 500)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            array_join(array_sort(collect_list(col("l_suppkey"))), ",").as("suppkeys"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               array_to_string(list_sort(list(l_suppkey)), ',') AS suppkeys
+        FROM lineitem
+        WHERE l_orderkey < 500
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------------- q79:
+    // RANGE frame over event time (interval-bounded rolling aggregate) —
+    // value-based frames, not row counts: each row sums the preceding
+    // 30 minutes of ITS OWN partition's event time. The summed measure
+    // rides DECIMAL(12,4) so frame-internal fold order (Spark running
+    // sum vs DuckDB segment tree) cannot produce ulp drift.
+    QueryDef(
+      "q79_range_interval_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // range key = microsecond epoch (NOT cast-to-long = seconds:
+        // second-truncation would admit rows up to 1800.999s apart that
+        // the oracle's exact interval comparison excludes)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-1800L * 1000000L, 0L)
+        Tables(s, d, "events")
+          .filter(col("user_id") < 20)
+          .withColumn("rolling_30m", sum(dec4(col("value"))).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("rolling_30m"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS rolling_30m
+        FROM events
+        WHERE user_id < 20
+        ORDER BY event_id"""))
   )
 }
