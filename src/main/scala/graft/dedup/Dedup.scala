@@ -107,6 +107,45 @@ object Dedup {
     (0 until Q44Bands * Q44Bits).map(p =>
       (0 until 64).map(d2 => (md5Long(s"q44:$p:$d2") % 2001) - 1000))
 
+  /** q41's verified duplicate pairs (doc_a < doc_b, jaccard >= 0.8) —
+    * shared by q41 (pair listing) and q84 (cluster resolution). */
+  private def minhashDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val bands = sig.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 3), j -> struct(j AS band, array_join(transform(slice(sig, j*4+1, 4), x -> CAST(x AS STRING)), ',') AS key))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val g = shingled(s, d).select(col("doc_id"), col("g"))
+    cand
+      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .withColumn("jaccard", round(
+        expr("CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE) / size(array_union(ga.g, gb.g))"), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The same pairs as DuckDB CTEs (terminal CTE: `dup_pairs`). */
+  private val duckDupPairs =
+    s"""$duckShingled,
+       |$duckSig,
+       |bands AS (SELECT doc_id, j AS band,
+       |                 array_to_string(sig[j*4+1 : j*4+4], ',') AS key
+       |          FROM sig, generate_series(0, 3) AS t2(j)),
+       |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |             round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+       |                   / len(list_distinct(ga.g || gb.g)), 6) jaccard
+       |      FROM cand JOIN sh ga ON doc_a = ga.doc_id
+       |                JOIN sh gb ON doc_b = gb.doc_id),
+       |dup_pairs AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q40:
@@ -137,41 +176,10 @@ object Dedup {
     // re-attaches shingle arrays only for candidate pairs.
     QueryDef(
       "q41_minhash_lsh_dedup",
-      (s, d) => {
-        val sig = minhashSig(s, d)
-        val bands = sig.select(col("doc_id"),
-            explode(expr("transform(sequence(0, 3), j -> struct(j AS band, array_join(transform(slice(sig, j*4+1, 4), x -> CAST(x AS STRING)), ',') AS key))")).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val g = shingled(s, d).select(col("doc_id"), col("g"))
-        cand
-          .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-          .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
-          .withColumn("jaccard", round(
-            expr("CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE) / size(array_union(ga.g, gb.g))"), 6))
-          .filter(col("jaccard") >= 0.8)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => minhashDupPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""
-        WITH $duckShingled,
-        $duckSig,
-        bands AS (SELECT doc_id, j AS band,
-                         array_to_string(sig[j*4+1 : j*4+4], ',') AS key
-                  FROM sig, generate_series(0, 3) AS t2(j)),
-        cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
-                 FROM bands x JOIN bands y
-                   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-        j AS (SELECT doc_a, doc_b,
-                     round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-                           / len(list_distinct(ga.g || gb.g)), 6) jaccard
-              FROM cand JOIN sh ga ON doc_a = ga.doc_id
-                        JOIN sh gb ON doc_b = gb.doc_id)
-        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+        WITH $duckDupPairs
+        SELECT doc_a, doc_b, jaccard FROM dup_pairs
         ORDER BY doc_a, doc_b""")),
 
     // --------------------------------------------------------------- q42:
@@ -353,7 +361,67 @@ object Dedup {
                            JOIN v b ON c.vec_b = b.vec_id)
         SELECT vec_a, vec_b, label, round(cos, 6) AS cos_sim
         FROM p2 WHERE cos >= 0.35
-        ORDER BY vec_a, vec_b"""))
+        ORDER BY vec_a, vec_b""")),
+
+    // --------------------------------------------------------------- q84:
+    // duplicate-CLUSTER resolution: connected components over the verified
+    // near-dup pairs (q41's edges), giving each document its canonical
+    // representative — the step a training pipeline actually needs after
+    // pair generation ("keep one per group"). Distributed min-label
+    // propagation: each round is one shuffle join (label(v) = min(label(v),
+    // min over neighbors)), converging in O(component diameter) rounds —
+    // dup clusters are shallow (diameter ~2-3), so 3-6 rounds at any
+    // scale; production graphs with long chains would switch to
+    // path-doubling / large-star-small-star (alternating min-label
+    // exchange), same join shape. The oracle replays the fixpoint as a
+    // DuckDB recursive CTE (min over the full reachable set — what label
+    // propagation converges to).
+    QueryDef(
+      "q84_dup_clusters",
+      (s, d) => {
+        val pairs = minhashDupPairs(s, d).select("doc_a", "doc_b")
+        // dup-pair graphs are tiny relative to the corpus (edges ~= dups):
+        // cache the edge list; each iteration re-joins it against labels.
+        val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+          .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+          .cache()
+        var labels = edges.select(col("x").as("doc")).distinct()
+          .withColumn("lbl", col("doc"))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val viaNbr = edges.join(labels, col("y") === col("doc"))
+            .select(col("x").as("doc"), col("lbl"))
+          val next = labels.unionByName(viaNbr)
+            .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+            .cache()
+          changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
+            .filter(col("n.lbl") =!= col("o.lbl")).count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "lbl")
+          .select(col("doc").as("doc_id"), col("lbl").as("canonical_id"),
+            col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $duckDupPairs,
+        edges AS (SELECT doc_a AS x, doc_b AS y FROM dup_pairs
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM dup_pairs),
+        verts AS (SELECT DISTINCT x AS doc FROM edges),
+        reach(doc, r) AS (
+          SELECT doc, doc FROM verts
+          UNION
+          SELECT reach.doc, e.y FROM reach JOIN edges e ON reach.r = e.x),
+        canon AS (SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc),
+        sizes AS (SELECT canonical, COUNT(*) AS cluster_size FROM canon GROUP BY canonical)
+        SELECT c.doc AS doc_id, c.canonical AS canonical_id, s2.cluster_size
+        FROM canon c JOIN sizes s2 ON c.canonical = s2.canonical
+        ORDER BY doc_id"""))
   )
 
 }
