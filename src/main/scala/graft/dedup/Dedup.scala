@@ -300,19 +300,18 @@ object Dedup {
       "q44_embedding_cosine_dedup",
       (s, d) => {
         val v = Tables(s, d, "embeddings").select("vec_id", "label", "embedding")
-        // dot(embedding, plane p) with the integer weight array inlined as
-        // a literal: per-row work is one fold, no per-row md5. Weight m/1000
-        // is applied as (e*m)/1000.0 — the exact op order the oracle mirrors.
-        def dotExpr(p: Int): String =
-          s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, i) ->
-             |  acc + (CAST(element_at(embedding, i + 1) AS DOUBLE) *
-             |         element_at(${sparkArray(q44Planes(p))}, i + 1)) / 1000.0)""".stripMargin
-        def sigExpr(b: Int): String =
+        // dot(embedding, plane p) via the native codegen'd PlaneDot
+        // expression — integer weights applied as (e*m)/1000.0, the exact
+        // op order the oracle mirrors; per-row work is one primitive loop
+        // per plane, inside whole-stage codegen (no per-row md5, no
+        // interpreted HOF fold).
+        def sigCol(b: Int) =
           (0 until Q44Bits).map(t =>
-            s"(CASE WHEN (${dotExpr(b * Q44Bits + t)}) > 0 THEN ${1 << t} ELSE 0 END)")
-            .mkString(" + ")
+            when(graft.functions.PlaneDot.plane_dot(
+                col("embedding"), q44Planes(b * Q44Bits + t)) > 0,
+              lit(1 << t)).otherwise(lit(0))).reduce(_ + _)
         val sigs = v.select(col("vec_id"), col("label"),
-          posexplode(array((0 until Q44Bands).map(b => expr(sigExpr(b))): _*))
+          posexplode(array((0 until Q44Bands).map(sigCol): _*))
             .as(Seq("band", "sig")))
         val cand = sigs.as("x").join(sigs.as("y"),
             col("x.label") === col("y.label") && col("x.band") === col("y.band") &&

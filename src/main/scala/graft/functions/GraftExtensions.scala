@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("plane_dot"),
+      new ExpressionInfo(classOf[PlaneDot].getName, "plane_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PlaneDot.fromSql(children)))
   }
 }

@@ -32,10 +32,6 @@ object Similarity {
   private val planeW: IndexedSeq[Seq[Long]] =
     (0 until 8).map(p => (0 until 64).map(d2 =>
       (md5Long(s"$p:$d2") % 2001) - 1000))
-  private def sparkPlaneDotLit(p: Int) =
-    s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, d2) -> acc +
-       |  CAST(element_at(embedding, d2 + 1) AS DOUBLE) *
-       |  element_at(${sparkArray(planeW(p))}, d2 + 1) / 1000.0)""".stripMargin
   private def duckPlaneDotLit(p: Int) =
     s"""list_reduce(list_transform(generate_series(0, 63), d2 ->
        |  CAST(embedding[d2 + 1] AS DOUBLE) *
@@ -105,11 +101,13 @@ object Similarity {
       "q46_knn_lsh_bucketed",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // native codegen'd plane dots (graft.functions.PlaneDot) — the
+        // signature projection stays inside whole-stage codegen instead of
+        // 8 interpreted HOF folds per row
         val v = Tables(s, d, "embeddings")
-          .withColumn("bucket", expr(
-            (0 until 8).map(p =>
-              s"(CASE WHEN (${sparkPlaneDotLit(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
-              .mkString(" + ")))
+          .withColumn("bucket", (0 until 8).map(p =>
+            when(graft.functions.PlaneDot.plane_dot(col("embedding"), planeW(p)) > 0,
+              lit(1 << p)).otherwise(lit(0))).reduce(_ + _))
         val q = v.filter(col("vec_id") < 20).select(
           col("vec_id").as("query_id"), col("embedding"), col("bucket")).as("q")
         val c = v.select(col("vec_id").as("cand_id"),

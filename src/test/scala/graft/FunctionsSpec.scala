@@ -41,4 +41,37 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("array<float>"))
   }
+
+  test("plane_dot matches the interpreted HOF formulation bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val w = Seq(312L, -771L, 1000L, -1000L)
+    val df = Seq(Tuple1(Array(0.25f, -3.5f, 1.1f, 0.0f))).toDF("a")
+    val native = df.select(graft.functions.PlaneDot.plane_dot(col("a"), w))
+      .head().getDouble(0)
+    val hof = df.selectExpr(
+      s"""aggregate(sequence(0, 3), CAST(0 AS DOUBLE), (acc, i) ->
+         |  acc + (CAST(element_at(a, i + 1) AS DOUBLE) *
+         |         element_at(array(${w.mkString(",")}), i + 1)) / 1000.0)""".stripMargin)
+      .head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(native) ==
+      java.lang.Double.doubleToLongBits(hof))
+  }
+
+  test("plane_dot SQL registration, null array, and null-element totality") {
+    val r = spark.sql(
+      """SELECT plane_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), array(1000, 500)) AS d,
+        |       plane_dot(CAST(NULL AS ARRAY<FLOAT>), array(1000)) AS n1,
+        |       plane_dot(CAST(array(1.0, NULL) AS ARRAY<FLOAT>), array(1000, 500)) AS n2
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 2.0) // 1*1000/1000 + 2*500/1000
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("plane_dot rejects non-literal weights in SQL") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT plane_dot(CAST(array(1.0) AS ARRAY<FLOAT>), array(CAST(rand()*2 AS INT)))").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
 }
