@@ -745,6 +745,78 @@ object Advanced {
                     AS DOUBLE) AS rolling_30m
         FROM events
         WHERE user_id < 20
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // --------------------------------------------------------------- q85:
+    // time-series densify / gap fill: every (user, hour) bucket in the
+    // user's active span, zero-filled where no events landed — the
+    // resample step before any rolling-feature computation. The hour
+    // spine is generated per user with sequence()+explode (bounded by the
+    // user's own span, never a global calendar cross join) and the
+    // observed aggregate arrives via a left join on the (user, hour) key.
+    QueryDef(
+      "q85_gap_fill",
+      (s, d) => {
+        val ev = Tables(s, d, "events").filter(col("user_id") < 10)
+          .withColumn("hr", date_trunc("hour", col("ts")))
+        val agg = ev.groupBy("user_id", "hr")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val spine = ev.groupBy("user_id")
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hr"))
+        spine.join(agg, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          .orderBy("user_id", "hr")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr, value
+                   FROM events WHERE user_id < 10),
+        agg AS (SELECT user_id, hr, COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+                FROM e GROUP BY 1, 2),
+        spine AS (SELECT user_id, unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+                  FROM e GROUP BY user_id)
+        SELECT s.user_id, s.hr,
+               COALESCE(a.n, 0) AS n,
+               COALESCE(a.sum_value, 0.0) AS sum_value
+        FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.hr = a.hr
+        ORDER BY s.user_id, s.hr""")),
+
+    // --------------------------------------------------------------- q86:
+    // fuzzy matching: blocked pairwise Levenshtein over part names —
+    // the standard entity-resolution primitive. Blocking key = brand
+    // (pairs never form across blocks), plus an exact length-difference
+    // prune (|len(a)-len(b)| > k ⇒ distance > k) evaluated on ints
+    // before any O(len²) DP work.
+    QueryDef(
+      "q86_edit_distance_pairs",
+      (s, d) => {
+        val p = Tables(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+            length(col("p_name")).as("len"))
+        p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey") &&
+            abs(col("a.len") - col("b.len")) <= 3)
+          .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+          .filter(col("dist") <= 3 && col("dist") > 0)
+          .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+            col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+            col("dist"))
+          .orderBy("key_a", "key_b")
+      },
+      Some("""
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+          AND levenshtein(a.p_name, b.p_name) > 0
+        ORDER BY key_a, key_b"""))
   )
 }
