@@ -105,6 +105,39 @@ object Roundtrip {
         FROM lineitem
         WHERE l_orderkey < 5000 AND l_quantity > 10
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------------- q87:
+    // XML round-trip (Spark 4 merged spark-xml into core): write rows as
+    // XML documents, read back with an explicit schema + rowTag, aggregate
+    // — proves the third text codec (after CSV/JSONL) lossless for the
+    // exercised types. Same explicit-schema discipline: XML inference is
+    // another full pass AND coerces by observed content.
+    QueryDef(
+      "q87_xml_roundtrip",
+      (s, d) => {
+        val path = io(d, "xml")
+        Tables(s, d, "customer")
+          .filter(col("c_custkey") < 1000)
+          .select("c_custkey", "c_name", "c_acctbal")
+          .write.mode("overwrite")
+          .option("rootTag", "customers").option("rowTag", "customer")
+          .format("xml").save(path)
+        val sch = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_acctbal", DoubleType)))
+        s.read.schema(sch).option("rowTag", "customer").format("xml").load(path)
+          .groupBy(substring(col("c_name"), 1, 1).as("initial"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("initial")
+      },
+      Some("""
+        SELECT substr(c_name, 1, 1) AS initial, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE c_custkey < 1000
+        GROUP BY 1
+        ORDER BY initial"""))
   )
 }

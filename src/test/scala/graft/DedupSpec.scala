@@ -41,4 +41,23 @@ class DedupSpec extends SparkSpec {
     // true top-5 demonstrates recall — exact recall varies by bucket density
     assert((bf & lsh).nonEmpty)
   }
+
+  test("q84 clusters are consistent: canonical is min, pairs co-clustered, sizes add up") {
+    import spark.implicits._
+    val clusters = run("q84_dup_clusters")
+      .select("doc_id", "canonical_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val canon = clusters.map(c => c._1 -> c._2).toMap
+    // canonical is a cluster member and the minimum of its cluster
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.map(_._1).min == lbl, s"canonical $lbl is not the min member")
+      assert(members.forall(_._3 == members.size), s"cluster_size mismatch for $lbl")
+    }
+    // every verified dup pair ends up in the same cluster
+    val pairs = run("q41_minhash_lsh_dedup")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) == canon(b), s"pair ($a,$b) split across clusters")
+    }
+  }
 }
