@@ -386,16 +386,21 @@ object Dedup {
           .cache()
         var labels = edges.select(col("x").as("doc")).distinct()
           .withColumn("lbl", col("doc"))
-        var changed = 1L
+        // convergence probe: min-label propagation only ever DECREASES
+        // labels, so sum(lbl) is strictly monotone until the fixpoint —
+        // an O(1)-output aggregate per round instead of a change-count
+        // join (halves the per-round job cost).
+        var prevSum = Long.MinValue
+        var curSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
         var rounds = 0
-        while (changed > 0 && rounds < 20) {
+        while (curSum != prevSum && rounds < 20) {
           val viaNbr = edges.join(labels, col("y") === col("doc"))
             .select(col("x").as("doc"), col("lbl"))
           val next = labels.unionByName(viaNbr)
             .groupBy("doc").agg(min(col("lbl")).as("lbl"))
             .cache()
-          changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
-            .filter(col("n.lbl") =!= col("o.lbl")).count()
+          prevSum = curSum
+          curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
           labels.unpersist()
           labels = next
           rounds += 1

@@ -794,15 +794,28 @@ object Advanced {
     QueryDef(
       "q86_edit_distance_pairs",
       (s, d) => {
+        // Two-level blocking (q43's pattern): pairs only form within a
+        // brand, but the JOIN KEY is (brand, bucket(a), bucket(b)) — the
+        // left side replicates across nb partner buckets so the pair work
+        // spreads over #brands × nb² keys instead of capping parallelism
+        // at #brands tasks. Output pairs identical.
+        val nb = math.max(8, math.ceil(
+          math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
         val p = Tables(s, d, "part")
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
-            length(col("p_name")).as("len"))
-        p.as("a").join(p.as("b"),
+            length(col("p_name")).as("len"),
+            pmod(col("p_partkey"), lit(nb)).as("bk"))
+        val a = p.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})"))).as("a")
+        a.join(p.as("b").hint("shuffle_hash"),
             col("a.p_brand") === col("b.p_brand") &&
+            col("a.bk_partner") === col("b.bk") &&
             col("a.p_partkey") < col("b.p_partkey") &&
             abs(col("a.len") - col("b.len")) <= 3)
-          .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
-          .filter(col("dist") <= 3 && col("dist") > 0)
+          // 3-arg levenshtein = banded DP: O(len × k) with k = 3 instead
+          // of the full O(len²) matrix; pairs beyond the threshold return
+          // -1 (excluded by the 1..3 filter, same output as unbounded).
+          .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 3))
+          .filter(col("dist").between(1, 3))
           .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
             col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
             col("dist"))
