@@ -830,6 +830,92 @@ object Advanced {
          AND abs(length(a.p_name) - length(b.p_name)) <= 3
         WHERE levenshtein(a.p_name, b.p_name) <= 3
           AND levenshtein(a.p_name, b.p_name) > 0
-        ORDER BY key_a, key_b"""))
+        ORDER BY key_a, key_b""")),
+
+    // --------------------------------------------------------------- q88:
+    // keyed upsert-merge: base ∪ delta, keep the LATEST version per key
+    // (the lakehouse MERGE-style refresh every incremental pipeline runs).
+    // max_by over the union partial-aggregates map-side — one shuffle on
+    // the key, never a window over the full history; the (ts, src) struct
+    // ordering makes the delta win ties deterministically in both engines.
+    QueryDef(
+      "q88_merge_latest",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        // base = first 2 days, delta = re-emissions of a key subset later
+        val base = ev.filter(col("ts") < expr("TIMESTAMP '2024-01-03 00:00:00'"))
+          .select(col("user_id"), col("ts"), col("value"), lit(0).as("src"))
+        val delta = ev.filter(col("ts") >= expr("TIMESTAMP '2024-01-03 00:00:00'")
+            && col("user_id") < 40)
+          .select(col("user_id"), col("ts"), col("value"), lit(1).as("src"))
+        base.unionByName(delta)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("value"), col("src")), struct(col("ts"), col("src"))).as("w"),
+            max(col("ts")).as("latest_ts"), count(lit(1)).as("n_versions"))
+          .select(col("user_id"), col("latest_ts"),
+            round(col("w.value"), 6).as("latest_value"),
+            col("w.src").as("latest_src"), col("n_versions"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id, ts, value, 0 AS src FROM events
+          WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+          UNION ALL
+          SELECT user_id, ts, value, 1 FROM events
+          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND user_id < 40),
+        r AS (SELECT user_id, ts, value, src,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, src DESC) AS rn,
+                     MAX(ts) OVER (PARTITION BY user_id) AS latest_ts,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+              FROM u)
+        SELECT user_id, latest_ts, round(value, 6) AS latest_value,
+               src AS latest_src, n_versions
+        FROM r WHERE rn = 1
+        ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- q89:
+    // funnel analysis: per-user view → click → purchase conversion with
+    // strictly increasing timestamps. Stage reach = conditional MIN
+    // aggregates (view_ts, then the earliest click AFTER the view, etc.)
+    // — one shuffle on user_id, partial-aggregated; no per-user sort, no
+    // collect_list materialization of event histories.
+    QueryDef(
+      "q89_funnel",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val perUser = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+          .join(ev.select(col("user_id"), col("ts"), col("event_type")), Seq("user_id"))
+          .groupBy("user_id", "t_view")
+          .agg(min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).as("t_click"))
+          .join(ev.select(col("user_id"), col("ts"), col("event_type")), Seq("user_id"))
+          .groupBy("user_id", "t_view", "t_click")
+          .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).as("t_purchase"))
+        perUser
+          .agg(count(lit(1)).as("n_users"),
+            count(col("t_view")).as("reached_view"),
+            count(col("t_click")).as("reached_click"),
+            count(col("t_purchase")).as("reached_purchase"))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) t_view
+                   FROM events GROUP BY user_id),
+        c AS (SELECT e.user_id, v.t_view,
+                     MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view THEN e.ts END) t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              GROUP BY e.user_id, v.t_view),
+        p AS (SELECT e.user_id, c.t_view, c.t_click,
+                     MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END) t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              GROUP BY e.user_id, c.t_view, c.t_click)
+        SELECT COUNT(*) AS n_users,
+               COUNT(t_view) AS reached_view,
+               COUNT(t_click) AS reached_click,
+               COUNT(t_purchase) AS reached_purchase
+        FROM p"""))
   )
 }
