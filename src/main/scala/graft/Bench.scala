@@ -41,14 +41,26 @@ object Bench {
         err.fold("")(e => s"  ERROR:$e"))
       (name, dt, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON short: the driver's
+    // log capture truncated the round-2 line (q01-q29 vanished from
+    // BENCH_r02.json), and full double precision was ~40% of the bytes.
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // A crashed query must not flatter the total: errors are listed
     // explicitly so the bench JSON is auditable against the correctness run.
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Belt and braces against tail-capture truncation: stdout line (the
+    // driver's channel), a stderr copy, and an on-disk artifact.
+    println(json)
+    System.err.println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json.getBytes("UTF-8")): Unit
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

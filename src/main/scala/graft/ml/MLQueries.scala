@@ -47,12 +47,21 @@ object MLQueries {
           .filter(col("rn") <= col("quota"))
           .withColumn("is_train", col("rn") <= ceil(col("quota") * 0.7).cast("long"))
           .withColumn("features", array_to_vector(col("embedding")))
-        // The working set is ≤2,000 rows by construction, but tree
-        // induction runs many small jobs (one per node group per level);
-        // at 32+ partitions each job is scheduler-bound. Exchange the
-        // sampled set down to a handful of partitions before fit — valid
-        // at any cluster size because the sample is bounded, not the table.
-        val train = base.filter(col("is_train")).repartition(4)
+          // The working set is ≤2,000 rows by construction, but tree
+          // induction runs many small jobs (one per node group per level);
+          // at 32+ partitions each job is scheduler-bound. Exchange the
+          // sampled set down to a handful of partitions before fit — valid
+          // at any cluster size because the sample is bounded, not the table.
+          .repartition(4)
+          // Materialize the prep ONCE: `train`, `test`, and the final
+          // transform all consume this set, and RF induction re-triggers
+          // its input many times (one job per node group per level) — an
+          // eager localCheckpoint cuts the lineage so the two-phase
+          // ranking + broadcast join never re-derives from the raw table.
+          // Bounded set -> executor-local storage is safe; released by the
+          // ContextCleaner when the plan is GC'd.
+          .localCheckpoint()
+        val train = base.filter(col("is_train"))
         val test = base.filter(!col("is_train"))
         val rf = new RandomForestClassifier()
           .setLabelCol("label").setFeaturesCol("features")
