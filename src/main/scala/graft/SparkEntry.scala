@@ -19,6 +19,7 @@ object SparkEntry {
       graft.similarity.Similarity.defs ++
       graft.pipeline.Sampling.defs ++
       graft.sources.Roundtrip.defs ++
+      graft.sources.Partitioned.defs ++
       graft.streaming.Windows.defs ++
       graft.ml.MLQueries.defs ++
       graft.multimodal.Multimodal.defs

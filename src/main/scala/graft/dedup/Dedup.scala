@@ -362,7 +362,8 @@ object Dedup {
         FROM p2 WHERE cos >= 0.35
         ORDER BY vec_a, vec_b""")),
 
-    // --------------------------------------------------------------- q84:
+    // --------------------------------------------------------------- q84
+    // (implementation: connectedComponents below the defs):
     // duplicate-CLUSTER resolution: connected components over the verified
     // near-dup pairs (q41's edges), giving each document its canonical
     // representative — the step a training pipeline actually needs after
@@ -379,32 +380,8 @@ object Dedup {
       "q84_dup_clusters",
       (s, d) => {
         val pairs = minhashDupPairs(s, d).select("doc_a", "doc_b")
-        // dup-pair graphs are tiny relative to the corpus (edges ~= dups):
-        // cache the edge list; each iteration re-joins it against labels.
-        val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
-          .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
-          .cache()
-        var labels = edges.select(col("x").as("doc")).distinct()
-          .withColumn("lbl", col("doc"))
-        // convergence probe: min-label propagation only ever DECREASES
-        // labels, so sum(lbl) is strictly monotone until the fixpoint —
-        // an O(1)-output aggregate per round instead of a change-count
-        // join (halves the per-round job cost).
-        var prevSum = Long.MinValue
-        var curSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
-        var rounds = 0
-        while (curSum != prevSum && rounds < 20) {
-          val viaNbr = edges.join(labels, col("y") === col("doc"))
-            .select(col("x").as("doc"), col("lbl"))
-          val next = labels.unionByName(viaNbr)
-            .groupBy("doc").agg(min(col("lbl")).as("lbl"))
-            .cache()
-          prevSum = curSum
-          curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
-          labels.unpersist()
-          labels = next
-          rounds += 1
-        }
+        val labels = connectedComponents(
+          pairs.select(col("doc_a").as("x"), col("doc_b").as("y")))
         val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "lbl")
           .select(col("doc").as("doc_id"), col("lbl").as("canonical_id"),
@@ -427,5 +404,60 @@ object Dedup {
         FROM canon c JOIN sizes s2 ON c.canonical = s2.canonical
         ORDER BY doc_id"""))
   )
+
+  /** Distributed connected components: min-label propagation with a
+    * path-doubling escalation. Each round pulls the min neighbor label —
+    * one shuffle join on the cached edge list. Real dup-cluster graphs
+    * are shallow (diameter 2-3) and converge in 2-3 such rounds; a plain
+    * pull needs O(diameter) rounds though, so if convergence hasn't
+    * arrived after `plainRounds`, every later round ALSO shortcuts
+    * doc -> lbl -> lbl(lbl) via a self-join (Wyllie-style pointer
+    * jumping), halving every remaining chain — O(log diameter) from
+    * there, so the cap of 20 rounds covers diameters ~2^15, not 20
+    * (spec-covered with a diameter-60 chain). Escalating lazily keeps
+    * the common shallow case at its minimal two-shuffles-per-round cost.
+    *
+    * Labels only ever decrease, so sum(lbl) is strictly monotone until
+    * the fixpoint — an O(1)-output aggregate per round is the convergence
+    * probe (the only driver-side collect; scalar). Edges are cached once:
+    * dup-pair graphs are tiny relative to the corpus (edges ~= dups).
+    *
+    * @param pairsXY undirected edges as columns (x, y)
+    * @return one row per vertex: (doc, lbl) with lbl = min doc id reachable
+    */
+  def connectedComponents(pairsXY: DataFrame, maxRounds: Int = 20,
+                          plainRounds: Int = 4): DataFrame = {
+    val edges = pairsXY
+      .unionByName(pairsXY.select(col("y").as("x"), col("x").as("y")))
+      .cache()
+    var labels = edges.select(col("x").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).cache()
+    var prevSum = Long.MinValue
+    var curSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+    var rounds = 0
+    while (curSum != prevSum && rounds < maxRounds) {
+      val viaNbr = edges.join(labels, col("y") === col("doc"))
+        .select(col("x").as("doc"), col("lbl"))
+      val pulled = labels.unionByName(viaNbr)
+        .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+      val next = (if (rounds < plainRounds) pulled
+        else {
+          // escalation: adopt the label OF my label; left join because a
+          // component's root labels itself.
+          pulled.as("a")
+            .join(pulled.select(col("doc").as("ldoc"), col("lbl").as("llbl")),
+              col("a.lbl") === col("ldoc"), "left")
+            .select(col("a.doc").as("doc"),
+              coalesce(col("llbl"), col("a.lbl")).as("lbl"))
+        }).cache()
+      prevSum = curSum
+      curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
 
 }

@@ -138,6 +138,36 @@ object Roundtrip {
         FROM customer
         WHERE c_custkey < 1000
         GROUP BY 1
-        ORDER BY initial"""))
+        ORDER BY initial""")),
+
+    // --------------------------------------------------------------- q91:
+    // Avro round-trip — the row-oriented wire format next to the columnar
+    // (parquet/ORC) and text (CSV/JSONL/XML) families. This distribution
+    // ships the Avro implementation inside spark-sql 4.x but WITHOUT the
+    // spark-avro module's service registration, so the `avro` short name
+    // doesn't resolve (probed: AnalysisException) — binding the FileFormat
+    // class directly is the supported fallback and exercises the exact
+    // same reader/writer. Avro is schema-on-write (schema travels in the
+    // file header), so unlike the text codecs no explicit read schema is
+    // needed for losslessness.
+    QueryDef(
+      "q91_avro_roundtrip",
+      (s, d) => {
+        val path = io(d, "avro")
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        Tables(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").format(avroFmt).save(path)
+        s.read.format(avroFmt).load(path)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_bal
+        FROM supplier
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey"""))
   )
 }

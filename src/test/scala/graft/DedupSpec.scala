@@ -60,4 +60,21 @@ class DedupSpec extends SparkSpec {
       assert(canon(a) == canon(b), s"pair ($a,$b) split across clusters")
     }
   }
+
+  test("connected components converge on a diameter-60 chain within the round cap") {
+    import spark.implicits._
+    // Adversarial shape for plain min-label propagation: a path graph
+    // needs O(diameter) rounds, which would bust the cap of 20. The
+    // path-doubling shortcut makes it O(log d) — diameter 60 must
+    // converge, and every vertex must land on the chain head. A disjoint
+    // triangle (offset ids) guards against cross-component label bleed.
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val triangle = Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L))
+    val edges = (chain ++ triangle).toDF("x", "y")
+    val got = graft.dedup.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 64)
+    (0L to 60L).foreach(v => assert(got(v) == 0L, s"vertex $v labeled ${got(v)}"))
+    Seq(1000L, 1001L, 1002L).foreach(v => assert(got(v) == 1000L))
+  }
 }

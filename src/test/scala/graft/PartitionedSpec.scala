@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Partitioned
+
+/** Plan-shape + layout contracts for the partitioned warehouse (q90). */
+class PartitionedSpec extends SparkSpec {
+
+  test("q90 scan carries non-empty PartitionFilters (pruning is planned, not filtered)") {
+    val plan = Partitioned.prunedWeek(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The date predicate must land on partition VALUES at planning time.
+    // If it degraded to a data filter the scan would read all 30 days.
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1))
+    assert(pf.exists(_.contains("event_date")),
+      s"expected event_date in PartitionFilters, plan:\n$plan")
+    // ...and the predicate must NOT appear among data filters/pushed
+    // filters — partition columns aren't stored in the data files.
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_date)"))
+  }
+
+  test("pruned scan reads only the selected partitions' rows") {
+    val wh = Partitioned.eventsByDay(spark, sfDir)
+    val oneDay = spark.read.parquet(wh)
+      .filter(col("event_date") === lit("2024-01-10"))
+    val full = spark.read.parquet(wh)
+    val dayRows = oneDay.count()
+    assert(dayRows > 0 && dayRows < full.count())
+    // the partition column round-trips as a real DATE, not a string
+    assert(oneDay.schema("event_date").dataType ==
+      org.apache.spark.sql.types.DateType)
+  }
+
+  test("dynamic partition overwrite replaces only touched partitions") {
+    val src = Partitioned.eventsByDay(spark, sfDir)
+    val wh = "/tmp/graft_part/dyn_overwrite_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.read.parquet(src).write.mode("overwrite")
+      .partitionBy("event_date").parquet(wh)
+    val before = spark.read.parquet(wh)
+      .groupBy("event_date").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    // The daily-backfill idiom: rewrite ONE day; with dynamic mode the
+    // other 29 partitions are untouched (static mode would drop them).
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.read.parquet(src)
+        .filter(col("event_date") === lit("2024-01-05"))
+        .limit(7)
+        .write.mode("overwrite").partitionBy("event_date").parquet(wh)
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+
+    val after = spark.read.parquet(wh)
+      .groupBy("event_date").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(after("2024-01-05") == 7L)
+    assert((before - "2024-01-05") == (after - "2024-01-05"),
+      "untouched partitions must survive a dynamic overwrite")
+  }
+}
