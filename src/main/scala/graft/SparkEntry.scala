@@ -15,6 +15,7 @@ object SparkEntry {
     graft.relational.Relational.defs ++
       graft.relational.Advanced.defs ++
       graft.text.TextAnalysis.defs ++
+      graft.text.Packing.defs ++
       graft.dedup.Dedup.defs ++
       graft.similarity.Similarity.defs ++
       graft.pipeline.Sampling.defs ++

@@ -147,6 +147,46 @@ object Sampling {
                           ORDER BY md5(concat('42:', vec_id)), vec_id) AS INTEGER) rn,
                      COUNT(*) OVER (PARTITION BY label) n_class
               FROM embeddings) x
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // --------------------------------------------------------------- q95:
+    // domain-mixture resampling (DoReMi/Pile-style): draw a corpus whose
+    // language proportions match an explicit TARGET MIX, not the source
+    // distribution — the knob every LLM data pipeline turns after dedup.
+    // Per-language quotas come from the target weights (broadcast-tiny
+    // literal map), and the deterministic md5 rank picks which rows fill
+    // each quota — reusing the two-phase rankedByClass machinery, so no
+    // bare-language window touches the full table. The oracle replays the
+    // identical rank, verifying exact row identity of the drawn mix.
+    QueryDef(
+      "q95_domain_mixture",
+      (s, d) => {
+        val budget = 200
+        val weights = Seq("en" -> 0.40, "fr" -> 0.20, "de" -> 0.20,
+          "es" -> 0.10, "zh" -> 0.10)
+        val wdf = broadcast(
+          s.createDataFrame(weights.map { case (l, w) =>
+            (l, Math.round(budget * w))
+          }).toDF("lang", "quota"))
+        val ranked = rankedByClass(Tables(s, d, "documents"), "lang",
+          md5(concat(lit("mix42:"), col("doc_id").cast("string"))), "doc_id")
+        ranked.join(wdf, Seq("lang"))
+          .filter(col("rn") <= least(col("quota"), col("n_class")))
+          .select(col("lang"), col("doc_id"), col("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some("""
+        WITH w(lang, quota) AS (VALUES ('en', 80), ('fr', 40), ('de', 40),
+                                       ('es', 20), ('zh', 20)),
+        r AS (SELECT lang, doc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY md5(concat('mix42:', doc_id)), doc_id)
+                       AS INTEGER) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n_class
+              FROM documents)
+        SELECT r.lang, r.doc_id, r.rn
+        FROM r JOIN w ON r.lang = w.lang
+        WHERE rn <= LEAST(w.quota, n_class)
+        ORDER BY r.lang, rn"""))
   )
 }

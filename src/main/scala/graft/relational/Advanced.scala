@@ -916,6 +916,60 @@ object Advanced {
                COUNT(t_view) AS reached_view,
                COUNT(t_click) AS reached_click,
                COUNT(t_purchase) AS reached_purchase
-        FROM p"""))
+        FROM p""")),
+
+    // --------------------------------------------------------------- q96:
+    // SCD type-2 history build (q88's merge-latest is the type-1 sibling):
+    // collapse each user's event stream into validity intervals of their
+    // current event_type — consecutive same-type events merge into one
+    // interval, a type change closes the previous interval (valid_to =
+    // next interval's start; open interval = NULL). Gaps-and-islands with
+    // both windows keyed by user_id — high cardinality, so the shuffle
+    // spreads across the cluster; each per-user partition is one user's
+    // history (bounded), never the table. Deterministic: (ts, event_id)
+    // is a total order per user.
+    QueryDef(
+      "q96_scd2_history",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val grouped = Tables(s, d, "events")
+          .filter(col("user_id") < 50)
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(wSeq) === col("event_type"), 0)
+              .otherwise(1))
+          .withColumn("grp", sum(col("chg")).over(
+            wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "grp", "event_type")
+          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+        val wNext = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+        grouped
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+          .select(col("user_id"), col("event_type"), col("valid_from"),
+            col("valid_to"), col("n_events"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+          FROM events WHERE user_id < 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+          SELECT user_id, event_type, ts,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM e),
+        iv AS (
+          SELECT user_id, grp, event_type,
+                 MIN(ts) AS valid_from, COUNT(*) AS n_events
+          FROM g GROUP BY 1, 2, 3)
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                 AS valid_to,
+               n_events
+        FROM iv
+        ORDER BY user_id, valid_from"""))
   )
 }

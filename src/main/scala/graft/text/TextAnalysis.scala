@@ -309,6 +309,74 @@ object TextAnalysis {
               FROM sc)
         SELECT doc_id, rk, term, score
         FROM r WHERE rk <= 3
-        ORDER BY doc_id, rk"""))
+        ORDER BY doc_id, rk""")),
+
+    // --------------------------------------------------------------- q93:
+    // PII scrub — regex redaction over a per-row text field, the pass a
+    // training pipeline runs on every document before anything ships. All
+    // codegen'd string expressions (regexp_replace / regexp_extract_all),
+    // zero shuffles until the final sort: per-row cost only, embarrassingly
+    // parallel at any scale. The synthetic fixture's PII-shaped payload is
+    // the customer id embedded in c_name ('Customer#000000042'); the
+    // pattern is deliberately RE2-safe so DuckDB replays it exactly
+    // (DuckDB needs the 'g' flag for replace-ALL — Java's default).
+    QueryDef(
+      "q93_pii_scrub",
+      (s, d) => {
+        val msg = concat(lit("reach "), col("c_name"),
+          lit(" segment "), col("c_mktsegment"))
+        Tables(s, d, "customer")
+          .withColumn("scrubbed", regexp_replace(msg, "#[0-9]+", "#[ID]"))
+          .withColumn("n_redacted",
+            size(expr("regexp_extract_all(concat('reach ', c_name, " +
+              "' segment ', c_mktsegment), '#[0-9]+', 0)")))
+          .filter(col("n_redacted") > 0)
+          .select(col("c_custkey"), col("scrubbed"), col("n_redacted"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH m AS (SELECT c_custkey,
+                          'reach ' || c_name || ' segment ' || c_mktsegment AS msg
+                   FROM customer)
+        SELECT c_custkey,
+               regexp_replace(msg, '#[0-9]+', '#[ID]', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(msg, '#[0-9]+')) AS INTEGER) AS n_redacted
+        FROM m
+        WHERE len(regexp_extract_all(msg, '#[0-9]+')) > 0
+        ORDER BY c_custkey""")),
+
+    // --------------------------------------------------------------- q94:
+    // repetition-ratio quality filter (the Gopher/C4-family signal q33's
+    // length/punct/stopword scores don't capture): share of tokens that
+    // are repeats of an earlier token. Pure per-row higher-order-function
+    // arithmetic — no shuffle until the final sort. Totality: the ratio
+    // is defined 0 for empty docs on BOTH sides (ADVICE round-1 lesson:
+    // oracles must not divide by zero when fixtures grow empty docs).
+    QueryDef(
+      "q94_repetition_ratio",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .withColumn("n_tok", size(expr(tokensExpr)).cast("long"))
+          .withColumn("n_uniq",
+            size(array_distinct(expr(tokensExpr))).cast("long"))
+          .withColumn("rep_ratio",
+            when(col("n_tok") === 0, lit(0.0))
+              .otherwise(round(lit(1.0) - col("n_uniq") / col("n_tok"), 6)))
+          .withColumn("keep", col("rep_ratio") <= 0.55)
+          .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+            col("rep_ratio"), col("keep"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len($duckTokens) AS BIGINT) AS n_tok,
+                          CAST(len(list_distinct($duckTokens)) AS BIGINT) AS n_uniq
+                   FROM documents)
+        SELECT doc_id, n_tok, n_uniq,
+               CASE WHEN n_tok = 0 THEN 0.0
+                    ELSE round(1.0 - n_uniq / n_tok, 6) END AS rep_ratio,
+               (CASE WHEN n_tok = 0 THEN 0.0
+                     ELSE round(1.0 - n_uniq / n_tok, 6) END) <= 0.55 AS keep
+        FROM t
+        ORDER BY doc_id"""))
   )
 }
