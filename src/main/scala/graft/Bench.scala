@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Locale.ROOT decimal formatting for the JSON artifact — the
+    * f-interpolator uses the JVM default locale, which renders "1,234"
+    * under comma-decimal locales and breaks the JSON (spec-covered). */
+  private[graft] def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,6 +41,10 @@ object Bench {
         System.gc()
         dt
       }
+      // Cached frames a query leaks (or legitimately builds) must not bill
+      // later queries: clear the cache manager between queries so every
+      // in-suite time approximates its isolated time.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       val dt = samples.min
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
         (if (samples.size > 1) f"  (max ${samples.max}%.2f)" else "") +
@@ -44,7 +54,7 @@ object Bench {
     // Millisecond precision keeps the one-line JSON short: the driver's
     // log capture truncated the round-2 line (q01-q29 vanished from
     // BENCH_r02.json), and full double precision was ~40% of the bytes.
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     // A crashed query must not flatter the total: errors are listed
     // explicitly so the bench JSON is auditable against the correctness run.
@@ -52,7 +62,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // Belt and braces against tail-capture truncation: stdout line (the
     // driver's channel), a stderr copy, and an on-disk artifact.
     println(json)

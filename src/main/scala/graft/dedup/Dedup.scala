@@ -419,45 +419,73 @@ object Dedup {
     *
     * Labels only ever decrease, so sum(lbl) is strictly monotone until
     * the fixpoint — an O(1)-output aggregate per round is the convergence
-    * probe (the only driver-side collect; scalar). Edges are cached once:
-    * dup-pair graphs are tiny relative to the corpus (edges ~= dups).
+    * probe (the only driver-side collect; scalar).
+    *
+    * Each round is `localCheckpoint`ed, NOT `cache`d: caching substitutes
+    * an InMemoryRelation at physical planning only, so the LOGICAL plan
+    * keeps the full round history — and the escalation self-join references
+    * `pulled` twice, doubling plan size per round until plan analysis /
+    * stringification alone OOMs the driver (independent of data size).
+    * Checkpointing truncates lineage, keeping plan size O(1) in rounds;
+    * superseded rounds' blocks are released by the ContextCleaner once
+    * unreferenced. The input pairs are checkpointed once so the (possibly
+    * deep and expensive) upstream pair-generation plan is paid exactly
+    * once — NOT twice via the two union branches, and not per round.
+    *
+    * Constraint propagation is scoped OFF for the loop: LogicalRDD (what
+    * localCheckpoint leaves behind) copies the source plan's inferred
+    * constraints, and Union.rewriteConstraints over successive checkpoint
+    * generations can reference attributes the checkpoint no longer carries
+    * (analysis-time "key not found: doc#N" — hit by the diameter-60 chain
+    * spec). Constraint inference also re-costs O(plan size) every round
+    * and can infer nothing useful for a fixpoint loop over two columns.
     *
     * @param pairsXY undirected edges as columns (x, y)
     * @return one row per vertex: (doc, lbl) with lbl = min doc id reachable
     */
   def connectedComponents(pairsXY: DataFrame, maxRounds: Int = 20,
                           plainRounds: Int = 4): DataFrame = {
-    val edges = pairsXY
-      .unionByName(pairsXY.select(col("y").as("x"), col("x").as("y")))
-      .cache()
-    var labels = edges.select(col("x").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).cache()
-    var prevSum = Long.MinValue
-    var curSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
-    var rounds = 0
-    while (curSum != prevSum && rounds < maxRounds) {
-      val viaNbr = edges.join(labels, col("y") === col("doc"))
-        .select(col("x").as("doc"), col("lbl"))
-      val pulled = labels.unionByName(viaNbr)
-        .groupBy("doc").agg(min(col("lbl")).as("lbl"))
-      val next = (if (rounds < plainRounds) pulled
-        else {
-          // escalation: adopt the label OF my label; left join because a
-          // component's root labels itself.
-          pulled.as("a")
-            .join(pulled.select(col("doc").as("ldoc"), col("lbl").as("llbl")),
-              col("a.lbl") === col("ldoc"), "left")
-            .select(col("a.doc").as("doc"),
-              coalesce(col("llbl"), col("a.lbl")).as("lbl"))
-        }).cache()
-      prevSum = curSum
-      curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    edges.unpersist()
-    labels
+    val spark = pairsXY.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try {
+      val pairs = pairsXY.localCheckpoint(true)
+      // flip is a narrow re-read of the checkpointed blocks — cheap per
+      // round, no second in-memory copy of the edge list needed
+      val edges = pairs
+        .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
+      var labels = edges.select(col("x").as("doc")).distinct()
+        .withColumn("lbl", col("doc")).localCheckpoint(true)
+      var prevSum = Long.MinValue
+      var curSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      var rounds = 0
+      while (curSum != prevSum && rounds < maxRounds) {
+        val viaNbr = edges.join(labels, col("y") === col("doc"))
+          .select(col("x").as("doc"), col("lbl"))
+        val pulled = labels.unionByName(viaNbr)
+          .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+        val next = (if (rounds < plainRounds) pulled
+          else {
+            // escalation: adopt the label OF my label; left join because a
+            // component's root labels itself.
+            pulled.as("a")
+              .join(pulled.select(col("doc").as("ldoc"), col("lbl").as("llbl")),
+                col("a.lbl") === col("ldoc"), "left")
+              .select(col("a.doc").as("doc"),
+                coalesce(col("llbl"), col("a.lbl")).as("lbl"))
+          }).localCheckpoint(true)
+        prevSum = curSum
+        curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+        labels = next
+        rounds += 1
+      }
+      if (curSum != prevSum)
+        throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxRounds rounds " +
+            s"(label sum still moving: $prevSum -> $curSum)")
+      labels
+    } finally cpPrev.fold(spark.conf.unset(cpKey))(v => spark.conf.set(cpKey, v))
   }
 
 }

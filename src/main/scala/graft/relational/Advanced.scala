@@ -2,7 +2,7 @@ package graft.relational
 
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 
 import graft.{QueryDef, Tables}
 import graft.util.Det._
@@ -930,26 +930,7 @@ object Advanced {
     // is a total order per user.
     QueryDef(
       "q96_scd2_history",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val wSeq = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val grouped = Tables(s, d, "events")
-          .filter(col("user_id") < 50)
-          .withColumn("chg",
-            when(lag(col("event_type"), 1).over(wSeq) === col("event_type"), 0)
-              .otherwise(1))
-          .withColumn("grp", sum(col("chg")).over(
-            wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "grp", "event_type")
-          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
-        val wNext = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
-        grouped
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
-          .select(col("user_id"), col("event_type"), col("valid_from"),
-            col("valid_to"), col("n_events"))
-          .orderBy("user_id", "valid_from")
-      },
+      (s, d) => scd2History(Tables(s, d, "events").filter(col("user_id") < 50)),
       Some("""
         WITH e AS (
           SELECT user_id, event_id, ts, event_type,
@@ -966,10 +947,41 @@ object Advanced {
                  MIN(ts) AS valid_from, COUNT(*) AS n_events
           FROM g GROUP BY 1, 2, 3)
         SELECT user_id, event_type, valid_from,
-               lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, grp)
                  AS valid_to,
                n_events
         FROM iv
-        ORDER BY user_id, valid_from"""))
+        ORDER BY user_id, valid_from, grp"""))
   )
+
+  /** SCD2 interval build over an (user_id, event_id, ts, event_type) frame
+    * (q96's engine, factored for direct property testing).
+    *
+    * grp tie-break: two consecutive intervals CAN share valid_from —
+    * same-ts events of different types, split only by the event_id
+    * ordering — so valid_from alone would leave lead() and the final sort
+    * engine-dependent. grp is monotone per user in (ts, event_id) order,
+    * making (valid_from, grp) a total order per user (OperatorsSpec covers
+    * the shared-valid_from case).
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val grouped = events
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wSeq) === col("event_type"), 0)
+          .otherwise(1))
+      .withColumn("grp", sum(col("chg")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp", "event_type")
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("grp"))
+    grouped
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .orderBy("user_id", "valid_from", "grp")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+  }
 }

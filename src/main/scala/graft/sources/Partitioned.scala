@@ -21,13 +21,33 @@ import graft.util.Det._
   */
 object Partitioned {
 
-  /** Day-partitioned copy of `events`, written once per (sfDir, session
-    * lifetime) behind a _SUCCESS guard: the layout is computed at WRITE
-    * time — re-partitioning per query would defeat the point (same
-    * contract as q29's bucket setup).
+  /** Cache key for the partitioned copy: the fixture's canonical path plus
+    * every underlying file's (name, mtime, size). A regenerated fixture at
+    * the same path — or a different sfDir whose path hashCode collides —
+    * changes the key, so the warehouse is rebuilt instead of silently
+    * serving stale data (the failure mode of keying by `d.hashCode` alone).
+    */
+  private def fixtureKey(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val fixture = new java.io.File(d, "events.parquet")
+    val sig = (fixture.getCanonicalPath +: walk(fixture)
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}"))
+      .mkString("|")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new java.math.BigInteger(1, md5).toString(16)
+  }
+
+  /** Day-partitioned copy of `events`, written once per fixture VERSION
+    * (content fingerprint, see [[fixtureKey]]) behind a _SUCCESS guard:
+    * the layout is computed at WRITE time — re-partitioning per query
+    * would defeat the point (same contract as q29's bucket setup).
     */
   def eventsByDay(s: SparkSession, d: String): String = {
-    val wh = s"/tmp/graft_part/events_${Integer.toHexString(d.hashCode)}"
+    val wh = s"/tmp/graft_part/events_${fixtureKey(d)}"
     if (!new java.io.File(s"$wh/_SUCCESS").exists) {
       Tables(s, d, "events")
         .withColumn("event_date", to_date(col("ts")))

@@ -271,14 +271,20 @@ object Windows {
           side("error", "e"),
           expr("""c_user = e_user AND
                   e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 30 MINUTES"""))
-        // append mode emits each joined row exactly once across batches
-        // (checkpointed), so a plain parquet append is a faithful sink.
+        // Append mode emits each joined row in exactly one micro-batch, but
+        // foreachBatch itself is only AT-LEAST-once: a crash between the
+        // parquet commit and the checkpoint offset commit re-runs the batch
+        // on restart. The sink is made idempotent PER BATCH by writing each
+        // batch to its own batch_id=<id> partition with overwrite — a retry
+        // of batch N replaces batch N's files instead of duplicating them
+        // (the parquet analog of the documented "use batchId to deduplicate"
+        // foreachBatch contract).
         val q = joined.writeStream
           .outputMode("append")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out): Unit
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$out/batch_id=$id"): Unit
           }
           .start()
         q.awaitTermination()
@@ -417,15 +423,17 @@ object Windows {
           .filter(col("user_id") < 20 || col("user_id") === 1000000L)
           .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        // append mode emits each closed session exactly once -> parquet
-        // append is faithful; empty batches write empty (schema-bearing)
-        // files, which the read-back tolerates.
+        // Append mode emits each closed session in exactly one micro-batch,
+        // but foreachBatch is at-least-once on crash-retry — so each batch
+        // lands in its own batch_id=<id> partition with overwrite (retry of
+        // batch N replaces, never duplicates). Empty batches write empty
+        // (schema-bearing) partitions, which the read-back tolerates.
         val q = stream.writeStream
           .outputMode("append")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out): Unit
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$out/batch_id=$id"): Unit
           }
           .start()
         q.awaitTermination()

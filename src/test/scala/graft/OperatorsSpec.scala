@@ -59,6 +59,23 @@ class OperatorsSpec extends SparkSpec {
     assert(grand.head.getLong(0) == Tables(spark, sfDir, "lineitem").count())
   }
 
+  test("scd2 intervals sharing valid_from resolve deterministically via grp") {
+    import spark.implicits._
+    // user 1: A at t0 (eid 1), B at the SAME t0 (eid 2), A again at t1 —
+    // the first two intervals share valid_from, the exact tie the grp
+    // tie-break exists for (valid_from alone would leave lead() ambiguous)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val ev = Seq((1L, 1L, t0, "A"), (1L, 2L, t0, "B"), (1L, 3L, t1, "A"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.relational.Advanced.scd2History(ev)
+      .select("event_type", "valid_from", "valid_to").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "B", "A"))
+    assert(got(0).getTimestamp(1) == t0 && got(0).getTimestamp(2) == t0)
+    assert(got(1).getTimestamp(1) == t0 && got(1).getTimestamp(2) == t1)
+    assert(got(2).getTimestamp(1) == t1 && got(2).getTimestamp(2) == null)
+  }
+
   test("map battery n_types equals countDistinct per user") {
     import spark.implicits._
     val got = run("q38_map_funcs")

@@ -33,6 +33,23 @@ class PartitionedSpec extends SparkSpec {
       org.apache.spark.sql.types.DateType)
   }
 
+  test("warehouse cache invalidates when the fixture is regenerated in place") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_inval_")
+    val fix = tmp.resolve("events.parquet").toString
+    val ev = Tables(spark, sfDir, "events")
+    // v1 fixture -> warehouse built from it
+    ev.limit(1000).write.mode("overwrite").parquet(fix)
+    val wh1 = Partitioned.eventsByDay(spark, tmp.toString)
+    assert(spark.read.parquet(wh1).count() == 1000)
+    // regenerate the fixture IN PLACE (same path, new content/files); the
+    // content-fingerprint key must yield a different warehouse, not serve
+    // the stale 1000-row copy behind the old _SUCCESS guard
+    ev.limit(200).write.mode("overwrite").parquet(fix)
+    val wh2 = Partitioned.eventsByDay(spark, tmp.toString)
+    assert(wh2 != wh1, "regenerated fixture must not reuse the stale warehouse")
+    assert(spark.read.parquet(wh2).count() == 200)
+  }
+
   test("dynamic partition overwrite replaces only touched partitions") {
     val src = Partitioned.eventsByDay(spark, sfDir)
     val wh = "/tmp/graft_part/dyn_overwrite_spec"
