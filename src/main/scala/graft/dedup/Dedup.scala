@@ -402,7 +402,60 @@ object Dedup {
         sizes AS (SELECT canonical, COUNT(*) AS cluster_size FROM canon GROUP BY canonical)
         SELECT c.doc AS doc_id, c.canonical AS canonical_id, s2.cluster_size
         FROM canon c JOIN sizes s2 ON c.canonical = s2.canonical
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q99:
+    // INCREMENTAL dedup — the production shape of q41: dedup a NEW batch
+    // (doc_id % 10 == 0 here) against an EXISTING corpus, not the corpus
+    // against itself. A daily pipeline never re-pairs the whole corpus;
+    // it computes minhash band keys for the new batch only and equi-joins
+    // them against the corpus's PRECOMPUTED band index (at 100 TB that
+    // index is a bucketed table written once per corpus version — here
+    // both sides derive from the same signature stage, which is what the
+    // index materialization would contain). The new batch is tiny
+    // relative to the corpus, so its band keys are BROADCAST: candidate
+    // generation touches the corpus index map-side, and only verified
+    // candidates pay the exact-Jaccard shingle join.
+    QueryDef(
+      "q99_incremental_dedup",
+      (s, d) => {
+        val sig = minhashSig(s, d)
+        val bands = sig.select(col("doc_id"),
+            explode(expr("transform(sequence(0, 3), j -> struct(j AS band, array_join(transform(slice(sig, j*4+1, 4), x -> CAST(x AS STRING)), ',') AS key))")).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val newBands = bands.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("new_doc"), col("band"), col("key"))
+        val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("corpus_doc"), col("band"), col("key"))
+        val cand = corpusBands.join(broadcast(newBands), Seq("band", "key"))
+          .select("new_doc", "corpus_doc").distinct()
+        val g = shingled(s, d).select(col("doc_id"), col("g"))
+        cand
+          .join(g.as("ga"), col("new_doc") === col("ga.doc_id"))
+          .join(g.as("gb"), col("corpus_doc") === col("gb.doc_id"))
+          .withColumn("jaccard", round(
+            expr("CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE) / size(array_union(ga.g, gb.g))"), 6))
+          .filter(col("jaccard") >= 0.8)
+          .select("new_doc", "corpus_doc", "jaccard")
+          .orderBy("new_doc", "corpus_doc")
+      },
+      Some(s"""
+        WITH $duckShingled,
+        $duckSig,
+        bands AS (SELECT doc_id, j AS band,
+                         array_to_string(sig[j*4+1 : j*4+4], ',') AS key
+                  FROM sig, generate_series(0, 3) AS t2(j)),
+        cand AS (SELECT DISTINCT n.doc_id new_doc, c.doc_id corpus_doc
+                 FROM bands n JOIN bands c
+                   ON n.band = c.band AND n.key = c.key
+                WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+        j AS (SELECT new_doc, corpus_doc,
+                     round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                           / len(list_distinct(ga.g || gb.g)), 6) jaccard
+              FROM cand JOIN sh ga ON new_doc = ga.doc_id
+                        JOIN sh gb ON corpus_doc = gb.doc_id)
+        SELECT new_doc, corpus_doc, jaccard FROM j WHERE jaccard >= 0.8
+        ORDER BY new_doc, corpus_doc"""))
   )
 
   /** Distributed connected components: min-label propagation with a

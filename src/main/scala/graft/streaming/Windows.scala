@@ -523,6 +523,58 @@ object Windows {
         FROM events
         WHERE user_id < 50
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- q98:
+    // REAL stream-STATIC join: the streaming enrichment pattern — each
+    // micro-batch of events joins a static dimension table (here nation
+    // via user_id % 25), then aggregates per 12h window per nation name.
+    // The static side is re-planned per micro-batch and explicitly
+    // broadcast: no stream-side state is kept for the join (unlike
+    // stream-stream q75), so at 100 TB/day the enrichment costs one
+    // broadcast hash probe per row, and the only stateful operator is the
+    // watermark-bounded window aggregate. Complete-mode overwrite sink as
+    // q73 (re-emits the refreshed full result; finite fixture keeps it
+    // small — production would use append/update on the windowed agg).
+    QueryDef(
+      "q98_stream_static_join",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        val base = stableDir("q98", d)
+        val ckpt = base.resolve("ckpt").toString
+        val out = base.resolve("out").toString
+        val nations = Tables(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("nation_key"),
+            col("n_name"))
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "1 hour")
+          .withColumn("nation_key", col("user_id") % 25)
+          .join(broadcast(nations), "nation_key")
+          .groupBy(window(col("ts"), "12 hours"), col("n_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val q = stream.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select(col("window.start").as("win_start"), col("n_name"),
+            col("n"), col("sum_value"))
+          .orderBy("win_start", "n_name")
+      },
+      Some("""
+        SELECT time_bucket(INTERVAL 12 HOUR, e.ts) AS win_start, n.n_name,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        GROUP BY 1, 2
+        ORDER BY win_start, n_name"""))
   )
 }

@@ -377,6 +377,44 @@ object TextAnalysis {
                (CASE WHEN n_tok = 0 THEN 0.0
                      ELSE round(1.0 - n_uniq / n_tok, 6) END) <= 0.55 AS keep
         FROM t
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q97:
+    // benchmark decontamination — flag corpus documents sharing any word
+    // trigram with a held-out benchmark set (the pass every pretraining
+    // pipeline runs so eval data never leaks into training data; here the
+    // benchmark is the deterministic doc_id % 97 == 0 slice).
+    //
+    // Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    // (evals are thousands of docs, the corpus is billions), so it is
+    // BROADCAST — the corpus side explodes trigrams and probes the
+    // broadcast hash map entirely map-side. The only shuffle is the
+    // per-doc distinct-hit count over the matched subset (contaminated
+    // docs only), which is orders of magnitude smaller than the corpus.
+    QueryDef(
+      "q97_decontaminate",
+      (s, d) => {
+        val tri = Tables(s, d, "documents")
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("tri", expr(trigramsExpr))
+          .select(col("doc_id"), explode_outer(col("tri")).as("trigram"))
+          .filter(col("trigram").isNotNull)
+        val bench = tri.filter(col("doc_id") % 97 === 0)
+          .select("trigram").distinct()
+        tri.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "trigram")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("trigram")).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $duckTokens toks FROM documents),
+        g AS (SELECT doc_id, unnest($duckTrigrams) AS trigram FROM t),
+        b AS (SELECT DISTINCT trigram FROM g WHERE doc_id % 97 = 0)
+        SELECT c.doc_id, CAST(COUNT(DISTINCT c.trigram) AS BIGINT) AS n_hits
+        FROM g c JOIN b USING (trigram)
+        WHERE c.doc_id % 97 <> 0
+        GROUP BY c.doc_id
         ORDER BY doc_id"""))
   )
 }

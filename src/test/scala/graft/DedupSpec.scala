@@ -61,6 +61,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup pairs are sound and a subset of the self-dedup pairs") {
+    import spark.implicits._
+    val inc = run("q99_incremental_dedup")
+      .select("new_doc", "corpus_doc", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    // side discipline: new batch is the %10==0 slice, corpus the rest
+    inc.foreach { case (n, c, j) =>
+      assert(n % 10 == 0, s"new_doc $n not in the new batch")
+      assert(c % 10 != 0, s"corpus_doc $c not in the corpus")
+      assert(j >= 0.8, s"pair ($n,$c) below threshold: $j")
+    }
+    // same signatures + bands + threshold as q41, so every cross-side
+    // incremental pair must also be a self-dedup pair (sorted)
+    val selfPairs = run("q41_minhash_lsh_dedup")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    inc.foreach { case (n, c, _) =>
+      val p = (math.min(n, c), math.max(n, c))
+      assert(selfPairs.contains(p), s"incremental pair $p missing from q41")
+    }
+  }
+
   test("connected components converge on a diameter-60 chain within the round cap") {
     import spark.implicits._
     // Adversarial shape for plain min-label propagation: a path graph

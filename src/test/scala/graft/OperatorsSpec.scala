@@ -76,6 +76,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2).getTimestamp(1) == t1 && got(2).getTimestamp(2) == null)
   }
 
+  test("decontamination flags exactly the corpus docs sharing a benchmark trigram") {
+    import spark.implicits._
+    val flagged = run("q97_decontaminate")
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    // no benchmark doc is ever flagged; every hit count is positive
+    flagged.foreach { case (id, n) =>
+      assert(id % 97 != 0, s"benchmark doc $id flagged as contaminated")
+      assert(n >= 1)
+    }
+    // completeness + soundness vs a naive recomputation: a corpus doc is
+    // flagged iff its trigram set intersects the benchmark trigram union
+    val tri = Tables(spark, sfDir, "documents")
+      .withColumn("toks", expr(graft.text.TextAnalysis.tokensExpr))
+      .withColumn("tri", expr(graft.text.TextAnalysis.trigramsExpr))
+      .select(col("doc_id"), col("tri"))
+      .as[(Long, Seq[String])].collect()
+    val bench = tri.filter(_._1 % 97 == 0).flatMap(_._2).toSet
+    val expect = tri.filter(_._1 % 97 != 0)
+      .filter(_._2.exists(bench.contains)).map(_._1).toSet
+    assert(flagged.keySet == expect)
+  }
+
   test("map battery n_types equals countDistinct per user") {
     import spark.implicits._
     val got = run("q38_map_funcs")

@@ -132,4 +132,17 @@ class StreamingSpec extends SparkSpec {
     val batch = Tables(spark, sfDir, "events").count()
     assert(streamed == batch)
   }
+
+  test("stream-static join enriches every event exactly once (q98)") {
+    // user_id % 25 always hits exactly one of the 25 nations, so the
+    // enrichment is total: windowed counts must sum to the event count,
+    // and every nation name must come from the dimension table
+    val got = SparkEntry.queries("q98_stream_static_join")(spark, sfDir)
+    val total = got.agg(sum(col("n"))).head().getLong(0)
+    assert(total == Tables(spark, sfDir, "events").count())
+    val names = got.select("n_name").distinct().as[String].collect().toSet
+    val dim = Tables(spark, sfDir, "nation")
+      .select("n_name").as[String].collect().toSet
+    assert(names.subsetOf(dim) && names.nonEmpty)
+  }
 }
