@@ -1,0 +1,72 @@
+package graft
+
+/** Plan-shape regression guards for the scale-critical physical choices:
+  * the properties that make a query survive a 100 TB input are planning
+  * facts (what got broadcast, what got pushed to the scan), not row
+  * counts — so they are asserted on the executed plan directly. Each
+  * query is collected first so AQE's final (re-planned) physical plan is
+  * what's inspected, not the initial speculative one.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // force AQE to finalize the plan
+    // the AQE tree string prints BOTH the final and the initial plan;
+    // shape assertions are about what actually ran
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q02 filter and projection reach the parquet scan") {
+    val plan = finalPlan("q02_filter_project")
+    // the FileScan line truncates long field lists with "..." so parse
+    // leniently: a non-empty PushedFilters list, not the exact contents
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"filter not pushed to the scan:\n$plan")
+    // column pruning: the scan's (untruncated) output column list must
+    // not carry l_comment (the widest lineitem column)
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanCols.nonEmpty && !scanCols.contains("l_comment"),
+      s"projection not pruned, scan reads: $scanCols")
+  }
+
+  test("q06 dimension join is a broadcast hash join") {
+    val plan = finalPlan("q06_broadcast_dim_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim join did not broadcast:\n$plan")
+  }
+
+  test("q97 benchmark n-gram set is broadcast (corpus side stays map-side)") {
+    val plan = finalPlan("q97_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set not broadcast:\n$plan")
+  }
+
+  test("q99 new-batch band keys are broadcast against the corpus index") {
+    val plan = finalPlan("q99_incremental_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"new-batch bands not broadcast:\n$plan")
+  }
+
+  test("q01 aggregate is partially applied map-side before the shuffle") {
+    val plan = finalPlan("q01_pricing_summary")
+    // two HashAggregate nodes (partial + final) around one exchange —
+    // the map-side combine that keeps a 100 TB groupBy's shuffle small
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("q30 per-row text pipeline adds no shuffle beyond fan-out and final sort") {
+    val plan = finalPlan("q30_token_stats")
+    // codegen spans render as "*(n)" in the executed-plan tree; the
+    // higher-order-function projects sit between spans (HOF expressions
+    // aren't codegen-supported) but must still be per-row only:
+    assert(plan.contains("*("), s"no codegen span at all:\n$plan")
+    // exactly two exchanges — the Tables fan-out repartition and the
+    // final ORDER BY range partitioning; anything more means the per-row
+    // pipeline grew cross-row state it doesn't need
+    val exchanges = "\\+- Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected extra shuffle ($exchanges):\n$plan")
+  }
+}
