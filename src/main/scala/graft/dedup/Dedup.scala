@@ -510,8 +510,12 @@ object Dedup {
         .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
       var labels = edges.select(col("x").as("doc")).distinct()
         .withColumn("lbl", col("doc")).localCheckpoint(true)
+      // null-safe: sum over ZERO vertices (clean corpus, no dup pairs)
+      // is null, and a bare getLong would NPE before the loop even runs
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).collect()(0).getLong(0)
       var prevSum = Long.MinValue
-      var curSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      var curSum = labelSum(labels)
       var rounds = 0
       while (curSum != prevSum && rounds < maxRounds) {
         val viaNbr = edges.join(labels, col("y") === col("doc"))
@@ -529,7 +533,7 @@ object Dedup {
                 coalesce(col("llbl"), col("a.lbl")).as("lbl"))
           }).localCheckpoint(true)
         prevSum = curSum
-        curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+        curSum = labelSum(next)
         labels = next
         rounds += 1
       }

@@ -82,6 +82,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components of an empty edge set is the empty labeling") {
+    import spark.implicits._
+    // a clean corpus produces ZERO dup pairs — the resolver must return
+    // empty, not NPE on the null sum of an empty convergence probe
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(graft.dedup.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("connected components converge on a diameter-60 chain within the round cap") {
     import spark.implicits._
     // Adversarial shape for plain min-label propagation: a path graph
