@@ -951,7 +951,135 @@ object Advanced {
                  AS valid_to,
                n_events
         FROM iv
-        ORDER BY user_id, valid_from, grp"""))
+        ORDER BY user_id, valid_from, grp""")),
+
+    // -------------------------------------------------------------- q100:
+    // gap-based sessionization with per-session attribution — the
+    // gaps-and-islands batch complement of q72's `session_window`: q72
+    // yields (start, end, n, sum) per session; this additionally
+    // attributes each session's ENTRY and EXIT event types (landing /
+    // bounce pages in a clickstream) and its active duration
+    // (last - first, not last + gap), which `session_window` cannot
+    // express. The 30-minute gap is compared in exact integer
+    // MICROSECONDS on both engines — a seconds-granularity comparison
+    // would disagree on fractional-second boundaries.
+    //
+    // Scale shape: one shuffle on user_id for the window; the session
+    // groupBy keys are (user_id, sid), of which user_id is a subset, so
+    // HashPartitioning(user_id) already satisfies the aggregate's
+    // clustered distribution — windows + aggregate ride a SINGLE
+    // exchange (plan-shape spec). user_id is high-cardinality, so the
+    // shuffle spreads; each per-user partition is one user's history,
+    // bounded, never the table.
+    QueryDef(
+      "q100_session_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = 1800000000L // 30 min in microseconds
+        val sess = Tables(s, d, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeq))
+          .withColumn("new_s",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(
+            wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy("user_id", "sid")
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+              .as("duration_us"),
+            count(lit(1)).as("n_events"),
+            min_by(col("event_type"), struct(col("ts"), col("event_id")))
+              .as("entry_type"),
+            max_by(col("event_type"), struct(col("ts"), col("event_id")))
+              .as("exit_type"),
+            dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("sid").as("session_ord"),
+            col("session_start"), col("session_end"), col("duration_us"),
+            col("n_events"), col("entry_type"), col("exit_type"),
+            col("sum_value"))
+          .orderBy("user_id", "session_ord")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, event_type, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR date_diff('microsecond', lag(ts) OVER w, ts)
+                              > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+          SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sid
+          FROM e),
+        f AS (
+          SELECT *, first_value(event_type) OVER ws AS entry_type,
+                    last_value(event_type) OVER ws AS exit_type
+          FROM g
+          WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING))
+        SELECT user_id, sid AS session_ord,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
+               COUNT(*) AS n_events,
+               MIN(entry_type) AS entry_type, MIN(exit_type) AS exit_type,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM f
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_ord""")),
+
+    // -------------------------------------------------------------- q104:
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE -> UnionLoopExec): generate
+    // the corpus's full daily spine by recursion from the min day — the
+    // anchor row CARRIES the max day so the step needs no subquery — and
+    // left-join daily aggregates onto it (zero-filled gap fill, the
+    // recursive sibling of q85's sequence() spine). Recursion depth =
+    // #days, and each iteration is O(1) rows: the data-sized work (the
+    // daily aggregate, one map-side-combined shuffle) happens OUTSIDE the
+    // loop, which is the only shape where a recursive CTE stays sane at
+    // 100 TB — recursing over the fact table itself would run one
+    // distributed job per iteration over the full input.
+    QueryDef(
+      "q104_recursive_cte",
+      (s, d) => {
+        Tables(s, d, "events").createOrReplaceTempView("events_v")
+        s.sql("""
+          WITH RECURSIVE spine(day, day_max) AS (
+            SELECT date_trunc('DAY', min(ts)), date_trunc('DAY', max(ts))
+            FROM events_v
+            UNION ALL
+            SELECT day + INTERVAL '1' DAY, day_max FROM spine
+            WHERE day < day_max),
+          daily AS (
+            SELECT date_trunc('DAY', ts) AS day, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+            FROM events_v GROUP BY 1)
+          SELECT s.day AS day, CAST(COALESCE(d2.n, 0) AS BIGINT) AS n,
+                 COALESCE(d2.sum_value, CAST(0 AS DOUBLE)) AS sum_value
+          FROM spine s LEFT JOIN daily d2 ON s.day = d2.day
+          ORDER BY day""")
+      },
+      Some("""
+        WITH RECURSIVE spine(day, day_max) AS (
+          SELECT date_trunc('day', min(ts)), date_trunc('day', max(ts))
+          FROM events
+          UNION ALL
+          SELECT day + INTERVAL 1 DAY, day_max FROM spine
+          WHERE day < day_max),
+        daily AS (
+          SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1)
+        SELECT s.day AS day, CAST(COALESCE(d2.n, 0) AS BIGINT) AS n,
+               COALESCE(d2.sum_value, 0.0) AS sum_value
+        FROM spine s LEFT JOIN daily d2 ON s.day = d2.day
+        ORDER BY day"""))
   )
 
   /** SCD2 interval build over an (user_id, event_id, ts, event_type) frame

@@ -220,6 +220,52 @@ object Similarity {
               FROM scored)
         SELECT query_id, rank, cand_id, cell_id, round(cos, 6) AS cos_sim
         FROM r WHERE rank <= 10
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // -------------------------------------------------------------- q105:
+    // per-label embedding centroids (class prototypes — the E-step of a
+    // supervised k-means / the "mean embedding per class" every
+    // embedding-quality report starts from). DISTRIBUTED element-wise
+    // mean: posexplode fans each vector into (label, pos, v) rows, the
+    // per-(label, pos) aggregate partial-combines map-side, so the
+    // shuffle carries at most labels x dims rows PER TASK no matter the
+    // corpus size — never whole vectors to one reducer, never a
+    // collect-and-average on the driver. Decimal-exact sums (Det policy)
+    // keep the mean bit-identical across engines and shuffle orders.
+    QueryDef(
+      "q105_label_centroids",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+        // centroid stays UNROUNDED: the decimal sum is order-free exact,
+        // its double cast is correctly rounded (scaled int < 2^53), and
+        // the IEEE division by n is deterministic — whereas round() on a
+        // double near a half-ulp tie differs between engines. The float
+        // element widens to DOUBLE first on BOTH engines: a direct
+        // float->decimal cast rounds the float's (short) decimal repr,
+        // where scale-6 ties are common and engines disagree; the
+        // double's expansion makes a tie at scale 6 unrepresentable
+        // (the Det argument).
+        e.groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("v").cast("double").cast("decimal(16,6)")).cast("double") /
+              count(lit(1))).as("centroid"))
+          .select(col("label").cast("long").as("label"), col("pos"),
+            col("n"), col("centroid"))
+          .orderBy("label", "pos")
+      },
+      Some("""
+        WITH x AS (
+          SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding) AS v
+          FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(16,6))) AS DOUBLE)
+                 / COUNT(*) AS centroid
+        FROM x
+        GROUP BY 1, 2
+        ORDER BY label, pos"""))
   )
 }

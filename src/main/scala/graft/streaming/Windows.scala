@@ -575,6 +575,54 @@ object Windows {
                CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         GROUP BY 1, 2
-        ORDER BY win_start, n_name"""))
+        ORDER BY win_start, n_name""")),
+
+    // -------------------------------------------------------------- q103:
+    // REAL streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark.
+    // q74's dropDuplicates holds every key it has ever seen (its dedup key
+    // carries no event-time column, so nothing is ever evicted) — fine for
+    // an hour-bucketed key space, fatal for a 100 TB/day stream keyed by
+    // event id. The WithinWatermark variant evicts each key's state once
+    // the watermark passes its event time, so state is O(keys per
+    // watermark horizon), not O(keys ever). Duplicates are injected by
+    // exploding every source row into two identical copies (an
+    // at-least-once upstream — e.g. a producer retry); dedup on event_id
+    // restores exactly-once, proven by landing on the same per-type
+    // totals as the clean batch table.
+    QueryDef(
+      "q103_stream_dedup_bounded",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        val base = stableDir("q103", d)
+        val ckpt = base.resolve("ckpt").toString
+        val out = base.resolve("out").toString
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("copy", explode(array(lit(1), lit(2)))).drop("copy")
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val q = stream.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select(col("event_type"), col("n"), col("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

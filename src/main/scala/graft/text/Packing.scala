@@ -78,6 +78,49 @@ object Packing {
                COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
         FROM o
         GROUP BY 1, 2
-        ORDER BY source, chunk_id"""))
+        ORDER BY source, chunk_id""")),
+
+    // -------------------------------------------------------------- q102:
+    // deterministic corpus shuffle — the seeded global permutation a
+    // training pipeline applies before packing/sharding so examples are
+    // decorrelated from ingest order but every re-run (and every
+    // downstream consumer) sees the identical order. Shuffle key =
+    // md5(seed || doc_id): replayable, uniform, engine-agnostic.
+    //
+    // Scale shape: assigning the global POSITION under that order is the
+    // q92 two-phase prefix sum, not a global window — bucket by the key's
+    // first hex byte (256 ranges), count per bucket (one hash aggregate),
+    // exclusive-cumsum the 256 bucket counts (the only low-parallelism
+    // window, fixed 256 rows at ANY corpus size) broadcast back, then
+    // rank within bucket (high-cardinality window, ~1/256th of the table
+    // each). A bare row_number() OVER (ORDER BY key) — or an RDD
+    // zipWithIndex — funnels the full corpus through one task.
+    QueryDef(
+      "q102_corpus_shuffle",
+      (s, d) => {
+        val t = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("k"))
+          .withColumn("b", substring(col("k"), 1, 2))
+        val bCounts = t.groupBy("b").agg(count(lit(1)).as("n"))
+        val wB = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bOff = bCounts
+          .withColumn("off", coalesce(sum(col("n")).over(wB), lit(0L)))
+          .drop("n")
+        val wLoc = Window.partitionBy(col("b"))
+          .orderBy(col("k"), col("doc_id"))
+        t.join(broadcast(bOff), Seq("b"))
+          .withColumn("pos", col("off") + row_number().over(wLoc))
+          .select(col("pos").cast("long").as("pos"), col("doc_id"))
+          .orderBy("pos")
+      },
+      Some("""
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS pos,
+               doc_id
+        FROM documents
+        ORDER BY pos"""))
   )
 }

@@ -415,6 +415,74 @@ object TextAnalysis {
         FROM g c JOIN b USING (trigram)
         WHERE c.doc_id % 97 <> 0
         GROUP BY c.doc_id
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------- q101:
+    // cross-document repeated-span (boilerplate) detection — the
+    // CCNet/RefinedWeb-style pass that flags documents dominated by text
+    // shared with OTHER documents (site headers/footers, licence blocks,
+    // templated pages). Spans are overlapping 8-token shingles, distinct
+    // per document; a span occurring in >= 2 distinct documents is
+    // boilerplate; a document keeps only if its boilerplate span fraction
+    // is <= 0.5.
+    //
+    // Scale shape: the cross-corpus frequency aggregate and the per-doc
+    // re-join shuffle md5(span) — a FIXED-WIDTH 32-char key — never the
+    // span text, so shuffle width is independent of span length (at 100 TB
+    // the 8-gram text payload would dominate the wire otherwise). Both
+    // aggregates partial-combine map-side; the doc-frequency table only
+    // carries spans, not documents, so its size is bounded by the distinct
+    // span count, and the >= 2 filter shrinks it to the (rare) repeated
+    // tail before the re-join.
+    QueryDef(
+      "q101_span_dedup",
+      (s, d) => {
+        val spansExpr =
+          """CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<STRING>)
+            |ELSE array_distinct(transform(sequence(1, size(toks) - 7),
+            |  i -> concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
+        val docs = Tables(s, d, "documents")
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("spans", expr(spansExpr))
+        val spans = docs
+          .select(col("doc_id"), explode(col("spans")).as("span"))
+          .select(col("doc_id"), md5(col("span")).as("h"))
+        val boiler = spans.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val perDoc = spans.join(boiler, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        docs.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+          .withColumn("boiler_frac", when(col("n_spans") === 0, lit(0.0))
+            .otherwise(round(col("n_boiler").cast("double") / col("n_spans"), 6)))
+          .withColumn("keep", col("boiler_frac") <= 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                   i -> array_to_string(toks[i:i+7], ' '))) AS spans
+          FROM (SELECT doc_id, $duckTokens toks FROM documents)),
+        sp AS (SELECT doc_id, md5(span) AS h
+               FROM (SELECT doc_id, unnest(spans) AS span FROM t)),
+        b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) nd
+                             FROM sp GROUP BY h) WHERE nd >= 2),
+        pd AS (SELECT doc_id, COUNT(*) AS n_boiler
+               FROM sp JOIN b USING (h) GROUP BY doc_id),
+        base AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans FROM t)
+        SELECT base.doc_id, n_spans,
+               CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+               CASE WHEN n_spans = 0 THEN 0.0
+                    ELSE round(COALESCE(n_boiler, 0) / n_spans, 6) END
+                 AS boiler_frac,
+               (CASE WHEN n_spans = 0 THEN 0.0
+                     ELSE round(COALESCE(n_boiler, 0) / n_spans, 6) END) <= 0.5
+                 AS keep
+        FROM base LEFT JOIN pd USING (doc_id)
         ORDER BY doc_id"""))
   )
 }

@@ -108,4 +108,117 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == exp)
   }
+
+  test("q100 sessions partition each user's events with 30-min gap boundaries") {
+    import spark.implicits._
+    val sessions = run("q100_session_stats")
+      .select(col("user_id"), col("session_ord"),
+        unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // session event counts add up to each user's event count
+    val perUser = Tables(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(sessions.view.mapValues(_.map(_._5).sum).toMap == perUser)
+    val gapUs = 1800000000L
+    for ((u, ss) <- sessions) {
+      // ordinals are 1..k and consecutive sessions are > gap apart —
+      // merging any two adjacent sessions would violate the gap rule
+      assert(ss.map(_._2).toSeq == (1L to ss.size).toSeq, s"user $u ordinals")
+      ss.foreach { case (_, _, s, e, _) => assert(s <= e) }
+      ss.toSeq.sliding(2).foreach {
+        case Seq((_, _, _, e1, _), (_, _, s2, _, _)) =>
+          assert(s2 - e1 > gapUs, s"user $u sessions closer than the gap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q101 boilerplate spans are exactly those shared by >= 2 docs (naive replay)") {
+    import spark.implicits._
+    val got = run("q101_span_dedup")
+      .select(col("doc_id"), col("n_spans"), col("n_boiler"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, ns, nb) => id -> ((ns, nb)) }.toMap
+    // naive driver-side replay at smoke scale
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"))
+      .as[(Long, Seq[String])].collect()
+    val spans = toks.map { case (id, t) =>
+      id -> t.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    }.toMap
+    val freq = spans.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val boiler = freq.filter(_._2 >= 2).keySet
+    for ((id, sp) <- spans) {
+      val (ns, nb) = got(id)
+      assert(ns == sp.size, s"doc $id n_spans")
+      assert(nb == sp.count(boiler.contains), s"doc $id n_boiler")
+    }
+  }
+
+  test("q104 recursive spine has no holes and conserves the event count") {
+    import spark.implicits._
+    val got = run("q104_recursive_cte")
+      .select(unix_micros(col("day")), col("n")).as[(Long, Long)].collect()
+    val dayUs = 86400000000L
+    // consecutive spine rows are exactly one day apart (recursion emitted
+    // every day, no duplicates, no gaps)
+    got.map(_._1).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b - a == dayUs, "spine hole")
+      case _ => ()
+    }
+    assert(got.map(_._2).sum == Tables(spark, sfDir, "events").count())
+  }
+
+  test("q105 centroids equal the naive per-label mean (driver replay)") {
+    import spark.implicits._
+    val got = run("q105_label_centroids")
+      .select(col("label"), col("pos"), col("centroid"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (l, p, c) => (l, p) -> c }.toMap
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("label").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    for ((label, group) <- vecs.groupBy(_._1); pos <- group.head._2.indices) {
+      val exp = group.map { case (_, v) =>
+        BigDecimal(v(pos).toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / group.size
+      assert(math.abs(got((label, pos.toLong)) - exp) < 1e-12,
+        s"centroid ($label, $pos)")
+    }
+  }
+
+  test("observe() surfaces pipeline data-quality metrics without a second scan") {
+    // the Observation API is how a production pipeline audits a stage
+    // (row counts, null rates) as a side-effect of the action it already
+    // runs — no extra job, no driver-side re-aggregation
+    val obs = new org.apache.spark.sql.Observation("docs_quality")
+    val out = Tables(spark, sfDir, "documents")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(when(col("lang").isNull, 1).otherwise(0)).as("null_lang"))
+      .filter(col("n_chars") > 0)
+    val kept = out.count()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] ==
+      Tables(spark, sfDir, "documents").count())
+    assert(m("null_lang").asInstanceOf[Long] == 0L)
+    assert(kept <= m("rows").asInstanceOf[Long])
+  }
+
+  test("q102 shuffle positions are a permutation and follow the md5 key order") {
+    import spark.implicits._
+    val got = run("q102_corpus_shuffle")
+      .select(col("pos"), col("doc_id")).as[(Long, Long)].collect()
+    val n = Tables(spark, sfDir, "documents").count()
+    assert(got.map(_._1).sorted.toSeq == (1L to n).toSeq, "pos not a permutation")
+    // two-phase assignment must equal the naive global order
+    val naive = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("k"))
+      .as[(Long, String)].collect().sortBy { case (id, k) => (k, id) }
+      .map(_._1).toSeq
+    assert(got.sortBy(_._1).map(_._2).toSeq == naive, "order differs from naive sort")
+  }
 }

@@ -69,4 +69,26 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "\\+- Exchange ".r.findAllIn(plan).size
     assert(exchanges <= 2, s"unexpected extra shuffle ($exchanges):\n$plan")
   }
+
+  test("q100 session window + aggregate ride a single user_id exchange") {
+    val plan = finalPlan("q100_session_stats")
+    // the groupBy keys (user_id, sid) contain the window partitioning
+    // (user_id) as a subset, so HashPartitioning(user_id) must satisfy the
+    // aggregate's distribution: exactly ONE hash exchange in the plan
+    // (the final ORDER BY adds a range exchange, not a hash one)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"sessionize re-shuffled ($hashEx hash exchanges):\n$plan")
+  }
+
+  test("q102 global position never funnels the corpus through one task") {
+    val plan = finalPlan("q102_corpus_shuffle")
+    // the full-table rank must be windowed by the bucket column (a hash
+    // exchange); the only SinglePartition exchange allowed is the one
+    // feeding the 256-row bucket-offset cumsum
+    assert(plan.contains("Exchange hashpartitioning(b"),
+      s"per-bucket rank not hash-partitioned:\n$plan")
+    // bucket offsets join back as a broadcast, not a shuffle join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$plan")
+  }
 }

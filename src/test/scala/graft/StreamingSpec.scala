@@ -145,4 +145,18 @@ class StreamingSpec extends SparkSpec {
       .select("n_name").as[String].collect().toSet
     assert(names.subsetOf(dim) && names.nonEmpty)
   }
+
+  test("q103 bounded-state dedup removes the injected duplicates exactly (stream = clean batch)") {
+    // every source row is doubled upstream of dropDuplicatesWithinWatermark;
+    // the deduped totals must equal the CLEAN batch table's — both the
+    // per-type counts (dup copies dropped) and the decimal-exact sums
+    // (the surviving copy is bit-identical to the original)
+    val got = SparkEntry.queries("q103_stream_dedup_bounded")(spark, sfDir)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    val exp = Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), graft.util.Det.dsum(col("value")).as("s"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+  }
 }
