@@ -18,6 +18,7 @@ class StreamingSpec extends SparkSpec {
     StructField("event_id", LongType), StructField("user_id", LongType),
     StructField("value", DoubleType)))
 
+
   test("json decode -> transform -> json encode round-trips through a stream (predict.py analog)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
@@ -146,6 +147,39 @@ class StreamingSpec extends SparkSpec {
     assert(names.subsetOf(dim) && names.nonEmpty)
   }
 
+  test("transformWithState keeps typed per-key state across micro-batches (RocksDB)") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx = spark.sqlContext
+    // Spark 4's arbitrary-state successor to mapGroupsWithState: typed,
+    // named state variables on an explicit handle, RocksDB-only — the
+    // state store that actually scales (incremental checkpoints, no JVM
+    // heap residency for 100 TB-of-keys state)
+    val kProv = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(kProv)
+    spark.conf.set(kProv,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)]
+      val q = in.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new StatsProcessor, TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "n", "max_value")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      in.addData((1L, 5.0), (1L, 7.0), (2L, 1.0))
+      q.processAllAvailable()
+      in.addData((1L, 6.0), (2L, 9.0)) // state must carry across batches
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws_out")
+        .groupBy("user_id").agg(max(col("n")).as("n"), max(col("max_value")).as("mx"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      assert(last.toSeq == Seq((1L, 3L, 7.0), (2L, 2L, 9.0)))
+    } finally prev.fold(spark.conf.unset(kProv))(v => spark.conf.set(kProv, v))
+  }
+
   test("q103 bounded-state dedup removes the injected duplicates exactly (stream = clean batch)") {
     // every source row is doubled upstream of dropDuplicatesWithinWatermark;
     // the deduped totals must equal the CLEAN batch table's — both the
@@ -158,5 +192,29 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), graft.util.Det.dsum(col("value")).as("s"))
       .as[(String, Long, Double)].collect().sortBy(_._1)
     assert(got.toSeq == exp.toSeq)
+  }
+}
+
+/** transformWithState processor: running per-key count + max, held in two
+  * named ValueStates (the typed replacement for GroupState). Top-level —
+  * the processor is shipped to executors and must not capture the spec. */
+private[graft] class StatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var n: ValueState[Long] = _
+  @transient private var mx: ValueState[Double] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    mx = getHandle.getValueState[Double]("mx", Encoders.scalaDouble, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timers: TimerValues): Iterator[(Long, Long, Double)] = {
+    var cnt = if (n.exists()) n.get() else 0L
+    var m = if (mx.exists()) mx.get() else Double.MinValue
+    rows.foreach { case (_, v) => cnt += 1; m = math.max(m, v) }
+    n.update(cnt); mx.update(m)
+    Iterator.single((key, cnt, m))
   }
 }
