@@ -23,7 +23,8 @@ object SparkEntry {
       graft.sources.Partitioned.defs ++
       graft.streaming.Windows.defs ++
       graft.ml.MLQueries.defs ++
-      graft.multimodal.Multimodal.defs
+      graft.multimodal.Multimodal.defs ++
+      graft.plans.PlanQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -13,6 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension: per-group top-k with map-side partial
+    // reduction (logical node + two-phase physical plan)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

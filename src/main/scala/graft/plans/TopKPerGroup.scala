@@ -1,0 +1,193 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graftshims.GraftShims
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension: per-group top-k with MAP-SIDE
+  * PARTIAL REDUCTION — the (c)-tier custom-operator path (LogicalPlan +
+  * SparkStrategy + SparkPlan, registered through SparkSessionExtensions).
+  *
+  * Why built-ins can't express it: Spark's per-group top-k idiom
+  * (`row_number().over(partitionBy(g).orderBy(o)) <= k`) shuffles EVERY
+  * input row to its group's reducer and sorts it there — at 100 TB the
+  * shuffle is the full table even though only k rows per group survive.
+  * `max_by` partial-aggregates but only covers k = 1; `collect_list` +
+  * slice holds whole groups in a single aggregation buffer. This operator
+  * keeps a bounded buffer (≤ 2k rows) per group PER INPUT PARTITION and
+  * shuffles only those survivors: shuffle volume is
+  * min(input, k × groups × partitions), and no reducer ever sorts more
+  * than k × partitions rows per group. The same partial/final split
+  * Spark's own HashAggregate uses, applied to an operator it lacks.
+  *
+  * Determinism contract: `order` must be a TOTAL order of the input
+  * (include a unique tiebreaker) or the cut at rank k is arbitrary —
+  * same contract as LIMIT after ORDER BY.
+  */
+case class TopKPerGroup(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Partial phase: bounded per-group buffers within each input partition —
+  * no distribution requirement, runs where the data already is. */
+case class PartialTopKPerGroupExec(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution)
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, out) = (group, order, k, child.output)
+    child.execute().mapPartitions(
+      TopKPerGroupExec.topKPerPartition(_, g, o, kk, out),
+      preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Final phase: same bounded reduction after clustering by the group
+  * keys, emitting each group's k rows in `order`. */
+case class FinalTopKPerGroupExec(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (group.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(group) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, out) = (group, order, k, child.output)
+    child.execute().mapPartitions(
+      TopKPerGroupExec.topKPerPartition(_, g, o, kk, out),
+      preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Bounded per-group top-k over one partition: rows accumulate per
+    * group key and compact back to k whenever a buffer reaches 2k, so
+    * memory is O(groups-in-partition × k) and cost O(n log k) — never a
+    * full partition sort, never an unbounded group buffer. */
+  private[plans] def topKPerPartition(
+      iter: Iterator[InternalRow],
+      group: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      output: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(group, output)
+    val ord: BaseOrdering = RowOrdering.create(order, output)
+    val lt = (a: InternalRow, b: InternalRow) => ord.compare(a, b) < 0
+    val groups = new java.util.HashMap[UnsafeRow, ArrayBuffer[InternalRow]]()
+    iter.foreach { row =>
+      val key = keyProj(row)
+      var buf = groups.get(key)
+      if (buf == null) {
+        buf = new ArrayBuffer[InternalRow](k + 1)
+        groups.put(key.copy(), buf)
+      }
+      // rows are retained across iterator steps -> must defensive-copy
+      buf += row.copy()
+      if (buf.length >= 2 * k) {
+        val kept = buf.sortWith(lt).take(k)
+        buf.clear()
+        buf ++= kept
+      }
+    }
+    groups.values.asScala.iterator.flatMap(_.sortWith(lt).take(k))
+  }
+}
+
+/** Planner strategy: one partial stage on the existing layout, one final
+  * stage behind the group-key exchange EnsureRequirements inserts. */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      FinalTopKPerGroupExec(g, o, k,
+        PartialTopKPerGroupExec(g, o, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public entry: `TopK.perGroup(df, Seq(df("g")), Seq(df("x").desc), k)`.
+  * Group/order columns must come from `df` itself (already resolved);
+  * bare columns default to ascending. Select the needed columns BEFORE
+  * calling — projection does not push through a custom node. */
+object TopK {
+  def perGroup(df: DataFrame, group: Seq[Column], order: Seq[Column],
+               k: Int): DataFrame = {
+    val sortOrder = order.map(GraftShims.resolvedExpression).map {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    }
+    GraftShims.ofRows(df.sparkSession,
+      TopKPerGroup(group.map(GraftShims.resolvedExpression), sortOrder, k,
+        df.queryExecution.analyzed))
+  }
+}
+
+object PlanQueries {
+  import org.apache.spark.sql.functions._
+  import graft.{QueryDef, Tables}
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------- q106:
+    // the custom operator end-to-end: 5 most expensive lineitems per
+    // (returnflag, linestatus) — a 6-group, millions-of-rows shape where
+    // the window-rank idiom shuffles and sorts EVERYTHING through 6
+    // reducers, while this plan's partial stage cuts each input partition
+    // to ≤ 5 rows per group before the exchange (plan-shape spec asserts
+    // the partial/final pair). Ordering carries (orderkey, linenumber) as
+    // the unique tiebreaker per the operator's total-order contract.
+    QueryDef(
+      "q106_native_topk",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        TopK.perGroup(li,
+          Seq(li("l_returnflag"), li("l_linestatus")),
+          Seq(li("l_extendedprice").desc, li("l_orderkey"), li("l_linenumber")),
+          5)
+          .orderBy(col("l_returnflag"), col("l_linestatus"),
+            col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+                 l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                   AS rn
+          FROM lineitem)
+        SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+               l_extendedprice
+        FROM r WHERE rn <= 5
+        ORDER BY l_returnflag, l_linestatus, l_extendedprice DESC,
+                 l_orderkey, l_linenumber"""))
+  )
+}

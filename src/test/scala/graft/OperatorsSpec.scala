@@ -208,6 +208,43 @@ class OperatorsSpec extends SparkSpec {
     assert(kept <= m("rows").asInstanceOf[Long])
   }
 
+  test("native TopKPerGroup equals the window-rank idiom on every (group, k)") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    for (k <- Seq(1, 3, 17)) { // k=17 > events-per-user/2 exercises partial passthrough; k=3 the compaction loop
+      val got = graft.plans.TopK.perGroup(ev,
+        Seq(ev("user_id")), Seq(ev("value").desc, ev("event_id")), k)
+        .select("user_id", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      val exp = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("user_id", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"k=$k mismatch")
+    }
+  }
+
+  test("native TopKPerGroup handles null keys, null order values, and empty input") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (1L, null), (1L, 7.0), (null, 3.0), (null, 9.0), (2L, 1.0))
+      .toDF("g", "v")
+    val got = graft.plans.TopK.perGroup(df, Seq(df("g")),
+      Seq(df("v").desc_nulls_last), 2)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    // null group key is its own group (same as groupBy); null order values
+    // sort last under desc_nulls_last so they are cut first
+    assert(got == Set(
+      (Some(1L), Some(7.0)), (Some(1L), Some(5.0)),
+      (None, Some(9.0)), (None, Some(3.0)),
+      (Some(2L), Some(1.0))))
+    val empty = graft.plans.TopK.perGroup(df.filter(col("g") > 100),
+      Seq(df("g")), Seq(df("v")), 3)
+    assert(empty.count() == 0)
+  }
+
   test("q102 shuffle positions are a permutation and follow the md5 key order") {
     import spark.implicits._
     val got = run("q102_corpus_shuffle")

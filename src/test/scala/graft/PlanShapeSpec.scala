@@ -80,6 +80,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 1, s"sessionize re-shuffled ($hashEx hash exchanges):\n$plan")
   }
 
+  test("q106 native top-k plans as partial -> exchange -> final (map-side cut)") {
+    val plan = finalPlan("q106_native_topk")
+    assert(plan.contains("PartialTopKPerGroup"),
+      s"partial stage missing:\n$plan")
+    assert(plan.contains("FinalTopKPerGroup"),
+      s"final stage missing:\n$plan")
+    // the partial stage must sit BELOW the exchange (its whole point is
+    // cutting rows before the shuffle)
+    val ex = plan.indexOf("Exchange hashpartitioning")
+    val partial = plan.indexOf("PartialTopKPerGroup")
+    assert(ex >= 0 && partial > ex,
+      s"partial stage not below the group-key exchange:\n$plan")
+  }
+
   test("q102 global position never funnels the corpus through one task") {
     val plan = finalPlan("q102_corpus_shuffle")
     // the full-table rank must be windowed by the bucket column (a hash
