@@ -226,6 +226,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("native TopKPerGroup matches a naive reference on random inputs (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    val rowsGen = Gen.listOf(Gen.zip(
+      Gen.choose(0L, 5L), Gen.choose(-3L, 3L), Gen.choose(0, 10000)))
+    val prop = Prop.forAll(rowsGen, Gen.choose(1, 4)) { (rows, k) =>
+      // uid makes the order total, so the reference is unambiguous
+      val data = rows.zipWithIndex.map { case ((g, v, _), i) => (g, v, i.toLong) }
+      val df = data.toDF("g", "v", "uid")
+      val got = graft.plans.TopK.perGroup(df, Seq(df("g")),
+        Seq(df("v").desc, df("uid")), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exp = data.groupBy(_._1).values.flatMap(
+        _.sortBy { case (_, v, uid) => (-v, uid) }.take(k)).toSet
+      got == exp
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("native TopKPerGroup is identical with AQE disabled (non-adaptive exchange path)") {
+    val kAqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(kAqe)
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    def run() = graft.plans.TopK.perGroup(ev,
+      Seq(ev("user_id")), Seq(ev("value").desc, ev("event_id")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withAqe = run()
+    spark.conf.set(kAqe, "false")
+    try assert(run() == withAqe)
+    finally spark.conf.set(kAqe, prev)
+  }
+
   test("native TopKPerGroup handles null keys, null order values, and empty input") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](
