@@ -483,6 +483,96 @@ object TextAnalysis {
                      ELSE round(COALESCE(n_boiler, 0) / n_spans, 6) END) <= 0.5
                  AS keep
         FROM base LEFT JOIN pd USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------- q107:
+    // the CLEANING CASCADE — the individual filters (q31 lang, q30
+    // length, q94 repetition, q101 boilerplate, q40 exact dedup)
+    // composed in pipeline order, reporting per-stage survivor counts:
+    // the funnel report every training-data run publishes. Stage order
+    // matters (each filter sees only the previous stage's survivors) and
+    // is identical in both engines.
+    //
+    // Scale shape: stages 1-3 are per-row predicates fused into one scan
+    // pass by Catalyst; only the boilerplate stage (cross-doc frequency
+    // on md5(span) keys, scoped to stage-3 survivors) and the final
+    // dedup groupBy shuffle. The six O(1)-row stage counts union at the
+    // end — no stage materializes anything but its aggregate.
+    QueryDef(
+      "q107_clean_cascade",
+      (s, d) => {
+        val s0 = Tables(s, d, "documents")
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+        val s1 = s0.filter(col("lang") === "en")
+        val s2 = s1.filter(col("n_tok") >= 10 && col("n_tok") <= 10000)
+        val s3 = s2.filter(
+          (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            col("n_tok")) <= 0.55)
+        // boilerplate fraction over stage-3 survivors only (q101's shape)
+        val spansExpr =
+          """CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<STRING>)
+            |ELSE array_distinct(transform(sequence(1, size(toks) - 7),
+            |  i -> concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
+        val withSpans = s3.withColumn("spans", expr(spansExpr))
+        val spans = withSpans
+          .select(col("doc_id"), explode(col("spans")).as("span"))
+          .select(col("doc_id"), md5(col("span")).as("h"))
+        val boiler = spans.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val perDoc = spans.join(boiler, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        val s4 = withSpans
+          .select(col("doc_id"), col("text"),
+            size(col("spans")).cast("long").as("n_spans"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .filter(coalesce(col("n_boiler"), lit(0L)).cast("double") <=
+            col("n_spans") * 0.5 || col("n_spans") === 0)
+        val s5 = s4.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        def cnt(df: org.apache.spark.sql.DataFrame, ord: Int, name: String) =
+          df.agg(count(lit(1)).as("rows_kept"))
+            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+              col("rows_kept"))
+        cnt(s0, 0, "input").unionByName(cnt(s1, 1, "lang"))
+          .unionByName(cnt(s2, 2, "length"))
+          .unionByName(cnt(s3, 3, "repetition"))
+          .unionByName(cnt(s4, 4, "boilerplate"))
+          .unionByName(cnt(s5, 5, "exact_dedup"))
+          .orderBy("stage_ord")
+      },
+      Some(s"""
+        WITH s0 AS (SELECT doc_id, text, lang, $duckTokens toks,
+                           CAST(len($duckTokens) AS BIGINT) n_tok
+                    FROM documents),
+        s1 AS (SELECT * FROM s0 WHERE lang = 'en'),
+        s2 AS (SELECT * FROM s1 WHERE n_tok BETWEEN 10 AND 10000),
+        s3 AS (SELECT * FROM s2
+               WHERE 1.0 - len(list_distinct(toks)) / n_tok <= 0.55),
+        ws AS (SELECT doc_id, text,
+                      list_distinct(list_transform(
+                        generate_series(1, len(toks) - 7),
+                        i -> array_to_string(toks[i:i+7], ' '))) spans
+               FROM s3),
+        sp AS (SELECT doc_id, md5(span) h
+               FROM (SELECT doc_id, unnest(spans) span FROM ws)),
+        b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) nd
+                             FROM sp GROUP BY h) WHERE nd >= 2),
+        pd AS (SELECT doc_id, COUNT(*) n_boiler
+               FROM sp JOIN b USING (h) GROUP BY doc_id),
+        s4 AS (SELECT ws.doc_id, ws.text
+               FROM ws LEFT JOIN pd USING (doc_id)
+               WHERE COALESCE(n_boiler, 0) <= len(spans) * 0.5
+                  OR len(spans) = 0),
+        s5 AS (SELECT md5(text) fp, MIN(doc_id) doc_id FROM s4 GROUP BY 1)
+        SELECT * FROM (
+          SELECT 0 AS stage_ord, 'input' AS stage, COUNT(*) AS rows_kept FROM s0
+          UNION ALL SELECT 1, 'lang', COUNT(*) FROM s1
+          UNION ALL SELECT 2, 'length', COUNT(*) FROM s2
+          UNION ALL SELECT 3, 'repetition', COUNT(*) FROM s3
+          UNION ALL SELECT 4, 'boilerplate', COUNT(*) FROM s4
+          UNION ALL SELECT 5, 'exact_dedup', COUNT(*) FROM s5)
+        ORDER BY stage_ord"""))
   )
 }

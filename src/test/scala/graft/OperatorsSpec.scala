@@ -159,6 +159,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q107 cascade counts are monotone non-increasing from the full table") {
+    import spark.implicits._
+    val got = run("q107_clean_cascade")
+      .select(col("stage_ord"), col("rows_kept")).as[(Int, Long)]
+      .collect().sortBy(_._1).map(_._2)
+    assert(got.head == Tables(spark, sfDir, "documents").count())
+    got.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "a filter stage grew the data")
+      case _ => ()
+    }
+    assert(got.last > 0, "cascade must not empty the corpus on the fixture")
+  }
+
   test("q104 recursive spine has no holes and conserves the event count") {
     import spark.implicits._
     val got = run("q104_recursive_cte")
