@@ -1079,7 +1079,115 @@ object Advanced {
         SELECT s.day AS day, CAST(COALESCE(d2.n, 0) AS BIGINT) AS n,
                COALESCE(d2.sum_value, 0.0) AS sum_value
         FROM spine s LEFT JOIN daily d2 ON s.day = d2.day
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // -------------------------------------------------------------- q108:
+    // table-version diff (reconciliation report): classify every key
+    // across two snapshots of the same table as inserted / deleted /
+    // changed / unchanged — the audit a pipeline runs after a backfill or
+    // a CDC resync. Snapshots are deterministic slices of the fixture:
+    // "old" misses event_id % 13 == 0, "new" misses % 17 == 0 and carries
+    // a corrected value for % 7 == 0. One full-outer shuffle join on the
+    // high-cardinality key, classification is per-row, and the report
+    // aggregate is O(4) rows — nothing else materializes.
+    QueryDef(
+      "q108_table_diff",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val oldT = ev.filter(col("event_id") % 13 =!= 0)
+          .select(col("event_id"), col("value").as("old_value"))
+        val newT = ev.filter(col("event_id") % 17 =!= 0)
+          .select(col("event_id"),
+            when(col("event_id") % 7 === 0, col("value") + 1)
+              .otherwise(col("value")).as("new_value"))
+        oldT.join(newT, Seq("event_id"), "full_outer")
+          .withColumn("class",
+            when(col("old_value").isNull, "inserted")
+              .when(col("new_value").isNull, "deleted")
+              .when(col("old_value") =!= col("new_value"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("class").agg(count(lit(1)).as("n_keys"))
+          .orderBy("class")
+      },
+      Some("""
+        WITH o AS (SELECT event_id, value AS old_value FROM events
+                   WHERE event_id % 13 <> 0),
+        n AS (SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END
+                       AS new_value
+              FROM events WHERE event_id % 17 <> 0)
+        SELECT CASE WHEN old_value IS NULL THEN 'inserted'
+                    WHEN new_value IS NULL THEN 'deleted'
+                    WHEN old_value <> new_value THEN 'changed'
+                    ELSE 'unchanged' END AS class,
+               COUNT(*) AS n_keys
+        FROM o FULL OUTER JOIN n USING (event_id)
+        GROUP BY 1
+        ORDER BY class""")),
+
+    // -------------------------------------------------------------- q109:
+    // data-quality validation report: rule -> violation count over the
+    // fact tables (the gate a pipeline evaluates before publishing a
+    // batch). Per-row rules (nulls, ranges) fuse into one scan as
+    // conditional-count aggregates; the relational rules are an ANTI join
+    // (referential orphans) and a grouped HAVING (duplicate keys) — each
+    // an O(1)-row aggregate, unioned into the report. Zero-violation
+    // rules still appear: a DQ report that omits passing rules can't
+    // prove it ran them.
+    QueryDef(
+      "q109_dq_report",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val ord = Tables(s, d, "orders")
+        val perRow = li.agg(
+          sum(when(col("l_shipdate").isNull, 1).otherwise(0)).as("null_shipdate"),
+          sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)
+            .otherwise(0)).as("quantity_range"),
+          sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).as("nonpositive_price"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
+            .otherwise(0)).as("discount_range"))
+        val rules = perRow.select(expr(
+          """stack(4,
+            |'null_shipdate', null_shipdate,
+            |'quantity_range', quantity_range,
+            |'nonpositive_price', nonpositive_price,
+            |'discount_range', discount_range) AS (rule, violations)""".stripMargin))
+          .select(col("rule"), col("violations").cast("long").as("violations"))
+        val orphans = li.join(ord,
+            li("l_orderkey") === ord("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("orphan_orderkey").as("rule"), col("violations"))
+        val dups = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("violations"))
+          .select(lit("duplicate_line_key").as("rule"), col("violations"))
+        rules.unionByName(orphans).unionByName(dups).orderBy("rule")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'null_shipdate' AS rule,
+                 CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+                   AS violations FROM lineitem
+          UNION ALL
+          SELECT 'quantity_range',
+                 COUNT(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50)
+                 FROM lineitem
+          UNION ALL
+          SELECT 'nonpositive_price',
+                 COUNT(*) FILTER (WHERE l_extendedprice <= 0) FROM lineitem
+          UNION ALL
+          SELECT 'discount_range',
+                 COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                 FROM lineitem
+          UNION ALL
+          SELECT 'orphan_orderkey', COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL
+          SELECT 'duplicate_line_key', CAST(COALESCE(SUM(c), 0) AS BIGINT)
+          FROM (SELECT COUNT(*) c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+        ORDER BY rule"""))
   )
 
   /** SCD2 interval build over an (user_id, event_id, ts, event_type) frame

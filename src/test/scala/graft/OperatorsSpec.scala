@@ -172,6 +172,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.last > 0, "cascade must not empty the corpus on the fixture")
   }
 
+  test("q108 diff classes partition the union of snapshot keys") {
+    import spark.implicits._
+    val got = run("q108_table_diff")
+      .select(col("class"), col("n_keys")).as[(String, Long)].collect().toMap
+    val ev = Tables(spark, sfDir, "events")
+    val nOld = ev.filter(col("event_id") % 13 =!= 0).count()
+    val nNew = ev.filter(col("event_id") % 17 =!= 0).count()
+    // |old| = deleted + changed + unchanged; |new| = inserted + changed + unchanged
+    val (ins, del) = (got.getOrElse("inserted", 0L), got.getOrElse("deleted", 0L))
+    val (chg, unc) = (got.getOrElse("changed", 0L), got.getOrElse("unchanged", 0L))
+    assert(del + chg + unc == nOld)
+    assert(ins + chg + unc == nNew)
+  }
+
   test("q104 recursive spine has no holes and conserves the event count") {
     import spark.implicits._
     val got = run("q104_recursive_cte")
