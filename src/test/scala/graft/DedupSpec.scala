@@ -106,4 +106,44 @@ class DedupSpec extends SparkSpec {
     (0L to 60L).foreach(v => assert(got(v) == 0L, s"vertex $v labeled ${got(v)}"))
     Seq(1000L, 1001L, 1002L).foreach(v => assert(got(v) == 1000L))
   }
+
+  test("connected components equal union-find on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // random sparse graphs mix the shapes that stress different code
+    // paths: singleton edges, short cliques, and long-ish chains that
+    // trigger the path-doubling escalation
+    val edgesGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield edges.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(edgesGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.dedup.Dedup.connectedComponents(edges.toDF("x", "y"))
+          .as[(Long, Long)].collect().toMap
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(v: Long): Long = {
+          val p = parent.getOrElseUpdate(v, v)
+          if (p == v) v else { val r = find(p); parent(v) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        // min-label contract: every vertex labeled with the min id
+        // reachable from it
+        val byRoot = verts.groupBy(find)
+        val expect = byRoot.values.flatMap { vs =>
+          val lbl = vs.min; vs.map(_ -> lbl)
+        }.toMap
+        got == expect
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -80,4 +80,33 @@ class PartitionedSpec extends SparkSpec {
     assert((before - "2024-01-05") == (after - "2024-01-05"),
       "untouched partitions must survive a dynamic overwrite")
   }
+
+  test("layout-controlled write: maxRecordsPerFile bounds files, sortWithinPartitions orders them") {
+    import spark.implicits._
+    // The file-sizing idiom for a 100 TB table: range-partition on the
+    // clustering key, sort within partitions, cap records per file. Small
+    // bounded files with narrow per-file min/max ranges are what makes
+    // footer-stats data skipping effective downstream.
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_layout_").toString
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartitionByRange(4, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("event_id"))
+      .write.option("maxRecordsPerFile", 200).mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val rows = spark.read.parquet(f.getPath)
+        .select(col("user_id"), col("event_id")).as[(Long, Long)].collect()
+      assert(rows.length <= 200, s"${f.getName} exceeds maxRecordsPerFile")
+      // sorted within the file -> tight min/max footer ranges
+      assert(rows.toSeq == rows.toSeq.sorted, s"${f.getName} not sorted")
+    }
+    // range partitioning -> distinct files cover disjoint user ranges per
+    // partition; total row conservation across the layout rewrite
+    val total = spark.read.parquet(out).count()
+    assert(total == Tables(spark, sfDir, "events").count())
+  }
 }
