@@ -28,5 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PlaneDot].getName, "plane_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PlaneDot.fromSql(children)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[GraftTokens].getName, "graft_tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_tokens takes exactly 1 argument")
+        GraftTokens(children.head)
+      }))
   }
 }

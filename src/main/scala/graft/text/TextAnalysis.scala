@@ -21,9 +21,15 @@ import graft.{QueryDef, Tables}
   */
 object TextAnalysis {
 
-  /** Tokens: lowercase, split on non-alphanumeric runs, drop empties.
-    * Same regex semantics in Java regex and RE2 for this simple class. */
-  val tokensExpr = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  /** Tokens: lowercase, split on non-alphanumeric runs, drop empties —
+    * via the native single-pass [[graft.functions.GraftTokens]]
+    * expression (equal to
+    * `filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')` on ASCII
+    * corpora; FunctionsSpec pins the equivalence). The composed form
+    * pays a Unicode lowercase allocation + regex split + a
+    * CodegenFallback `filter` HOF per row; the native walk stays inside
+    * whole-stage codegen. */
+  val tokensExpr = "graft_tokens(text)"
   val duckTokens = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   /** Word trigrams (shingles) of the token array, distinct. Guarded: Spark

@@ -74,4 +74,39 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("graft_tokens equals the regex formulation on ASCII (property) and from SQL") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // random ASCII including separators, empties, runs, case mix
+    val asciiGen = Gen.listOf(Gen.frequency(
+      (6, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', ',', '-', '_', '!', '\t')),
+      (1, Gen.choose(33.toChar, 126.toChar)))).map(_.mkString)
+    val prop = Prop.forAll(Gen.listOfN(8, asciiGen)) { texts =>
+      val df = (texts :+ "").toDF("text")
+      val native = df.selectExpr("graft_tokens(text) AS t").as[Seq[String]].collect().toSeq
+      val regex = df.selectExpr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS t")
+        .as[Seq[String]].collect().toSeq
+      native == regex
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("graft_tokens contract: null in, null out; non-ASCII codepoints are separators") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT graft_tokens(CAST(NULL AS STRING)) AS n,
+        |       graft_tokens('') AS e,
+        |       graft_tokens('Ka\u212Afee 42') AS k
+        |""".stripMargin).head()
+    assert(r.isNullAt(0))
+    assert(r.getSeq[String](1).isEmpty)
+    // U+212A KELVIN SIGN would case-fold to ASCII 'k' under the regex
+    // formulation; the documented native contract treats it as a
+    // separator, splitting the word
+    assert(r.getSeq[String](2) == Seq("ka", "fee", "42"))
+  }
 }
