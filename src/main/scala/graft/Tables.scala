@@ -15,6 +15,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Declared queries must run on ANY session: register the native
+    // functions + planner strategy session-locally (idempotent) so a
+    // caller without spark.sql.extensions=GraftExtensions still resolves
+    // graft_tokens / cosine_sim / plane_dot and plans TopKPerGroup.
+    graft.functions.GraftExtensions.ensureRegistered(spark)
     // The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
     // vectorized reader rejects. Read nanos as raw long and truncate to a
     // microsecond timestamp — the same truncation DuckDB applies, so

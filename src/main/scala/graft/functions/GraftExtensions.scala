@@ -11,6 +11,33 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Activate with:
   *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
   */
+/** Session-local fallback registration: declared queries call this (via
+  * [[graft.Tables]]) so the engine's native functions and SQL surface
+  * work on ANY SparkSession, not only ones built with
+  * `spark.sql.extensions=GraftExtensions` — a vanilla session would
+  * otherwise fail UNRESOLVED_ROUTINE on `graft_tokens(...)` in
+  * `tokensExpr`. Idempotent per session. The planner strategy is also
+  * injected at runtime (experimental.extraStrategies) for the same
+  * reason. */
+object GraftExtensions {
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftshims.GraftShims
+    GraftShims.registerFunction(spark, "cosine_sim", { children =>
+      require(children.size == 2, "cosine_sim takes exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+    GraftShims.registerFunction(spark, "plane_dot", PlaneDot.fromSql)
+    GraftShims.registerFunction(spark, "graft_tokens", { children =>
+      require(children.size == 1, "graft_tokens takes exactly 1 argument")
+      GraftTokens(children.head)
+    })
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        strategies :+ graft.plans.TopKPerGroupStrategy
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // whole-operator extension: per-group top-k with map-side partial

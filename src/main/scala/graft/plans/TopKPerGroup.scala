@@ -92,6 +92,14 @@ object TopKPerGroupExec {
     * group key and compact back to k whenever a buffer reaches 2k, so
     * memory is O(groups-in-partition × k) and cost O(n log k) — never a
     * full partition sort, never an unbounded group buffer. */
+  /** Per-group state: candidate buffer + the current k-th-best row
+    * (valid once a compaction has run), used to reject rows without
+    * copying them. */
+  private final class GroupBuf(k: Int) {
+    val buf = new ArrayBuffer[InternalRow](k + 1)
+    var bound: InternalRow = null
+  }
+
   private[plans] def topKPerPartition(
       iter: Iterator[InternalRow],
       group: Seq[Expression],
@@ -101,23 +109,31 @@ object TopKPerGroupExec {
     val keyProj = UnsafeProjection.create(group, output)
     val ord: BaseOrdering = RowOrdering.create(order, output)
     val lt = (a: InternalRow, b: InternalRow) => ord.compare(a, b) < 0
-    val groups = new java.util.HashMap[UnsafeRow, ArrayBuffer[InternalRow]]()
+    val groups = new java.util.HashMap[UnsafeRow, GroupBuf]()
     iter.foreach { row =>
       val key = keyProj(row)
-      var buf = groups.get(key)
-      if (buf == null) {
-        buf = new ArrayBuffer[InternalRow](k + 1)
-        groups.put(key.copy(), buf)
+      var g = groups.get(key)
+      if (g == null) {
+        g = new GroupBuf(k)
+        groups.put(key.copy(), g)
       }
-      // rows are retained across iterator steps -> must defensive-copy
-      buf += row.copy()
-      if (buf.length >= 2 * k) {
-        val kept = buf.sortWith(lt).take(k)
-        buf.clear()
-        buf ++= kept
+      // bound = the group's k-th-best after the last compaction: a row
+      // not strictly better can never enter the top-k, so it is rejected
+      // BEFORE the defensive copy — on mostly-ordered or heavy-tailed
+      // input almost every row skips the allocation (the comparison uses
+      // the transient row, which is safe: nothing is retained)
+      if (g.bound == null || ord.compare(row, g.bound) < 0) {
+        // rows are retained across iterator steps -> must defensive-copy
+        g.buf += row.copy()
+        if (g.buf.length >= 2 * k) {
+          val kept = g.buf.sortWith(lt).take(k)
+          g.buf.clear()
+          g.buf ++= kept
+          g.bound = kept.last
+        }
       }
     }
-    groups.values.asScala.iterator.flatMap(_.sortWith(lt).take(k))
+    groups.values.asScala.iterator.flatMap(_.buf.sortWith(lt).take(k))
   }
 }
 
@@ -139,13 +155,20 @@ object TopKPerGroupStrategy extends SparkStrategy {
 object TopK {
   def perGroup(df: DataFrame, group: Seq[Column], order: Seq[Column],
                k: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
     val sortOrder = order.map(GraftShims.resolvedExpression).map {
       case s: SortOrder => s
       case e => SortOrder(e, Ascending)
     }
+    // Float/double group keys must normalize (0.0 == -0.0, canonical
+    // NaN) exactly as the analyzer rewrites groupBy/window keys — a
+    // custom node bypasses that rule, and un-normalized keys would both
+    // split the UnsafeRow hash groups and mis-route rows across the
+    // ClusteredDistribution exchange.
+    val g = group.map(GraftShims.resolvedExpression)
+      .map(GraftShims.normalizeFloat)
     GraftShims.ofRows(df.sparkSession,
-      TopKPerGroup(group.map(GraftShims.resolvedExpression), sortOrder, k,
-        df.queryExecution.analyzed))
+      TopKPerGroup(g, sortOrder, k, df.queryExecution.analyzed))
   }
 }
 

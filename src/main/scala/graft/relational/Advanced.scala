@@ -1094,31 +1094,37 @@ object Advanced {
       "q108_table_diff",
       (s, d) => {
         val ev = Tables(s, d, "events")
+        // presence markers, not value-nullness: a key present in both
+        // snapshots with a NULL value must classify by VALUE comparison
+        // (null-safe), never as inserted/deleted
         val oldT = ev.filter(col("event_id") % 13 =!= 0)
-          .select(col("event_id"), col("value").as("old_value"))
+          .select(col("event_id"), col("value").as("old_value"),
+            lit(1).as("in_old"))
         val newT = ev.filter(col("event_id") % 17 =!= 0)
           .select(col("event_id"),
             when(col("event_id") % 7 === 0, col("value") + 1)
-              .otherwise(col("value")).as("new_value"))
+              .otherwise(col("value")).as("new_value"),
+            lit(1).as("in_new"))
         oldT.join(newT, Seq("event_id"), "full_outer")
           .withColumn("class",
-            when(col("old_value").isNull, "inserted")
-              .when(col("new_value").isNull, "deleted")
-              .when(col("old_value") =!= col("new_value"), "changed")
+            when(col("in_old").isNull, "inserted")
+              .when(col("in_new").isNull, "deleted")
+              .when(!(col("old_value") <=> col("new_value")), "changed")
               .otherwise("unchanged"))
           .groupBy("class").agg(count(lit(1)).as("n_keys"))
           .orderBy("class")
       },
       Some("""
-        WITH o AS (SELECT event_id, value AS old_value FROM events
-                   WHERE event_id % 13 <> 0),
+        WITH o AS (SELECT event_id, value AS old_value, 1 AS in_old
+                   FROM events WHERE event_id % 13 <> 0),
         n AS (SELECT event_id,
                      CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END
-                       AS new_value
+                       AS new_value,
+                     1 AS in_new
               FROM events WHERE event_id % 17 <> 0)
-        SELECT CASE WHEN old_value IS NULL THEN 'inserted'
-                    WHEN new_value IS NULL THEN 'deleted'
-                    WHEN old_value <> new_value THEN 'changed'
+        SELECT CASE WHEN in_old IS NULL THEN 'inserted'
+                    WHEN in_new IS NULL THEN 'deleted'
+                    WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
                     ELSE 'unchanged' END AS class,
                COUNT(*) AS n_keys
         FROM o FULL OUTER JOIN n USING (event_id)

@@ -57,6 +57,42 @@ object TextAnalysis {
   private def duckStopHits(l: String) =
     s"CAST(len(list_intersect(toks, [${stop(l).map("'" + _ + "'").mkString(",")}])) AS BIGINT)"
 
+  /** Overlapping 8-token spans, distinct per document (expects `toks`).
+    * Shared by q101 and q107's boilerplate stage — span width and the
+    * >= 2-docs threshold must stay in lockstep between them. */
+  val spansExpr: String =
+    """CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<STRING>)
+      |ELSE array_distinct(transform(sequence(1, size(toks) - 7),
+      |  i -> concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
+  val duckSpans: String =
+    """list_distinct(list_transform(generate_series(1, len(toks) - 7),
+      |  i -> array_to_string(toks[i:i+7], ' ')))""".stripMargin
+
+  /** (doc_id, n_boiler) from a frame carrying (doc_id, spans): spans
+    * whose md5 occurs in >= 2 distinct docs, counted per doc. The
+    * cross-corpus aggregate and the re-join shuffle md5(span) — a
+    * fixed-width key — never span text. */
+  private def boilerCounts(withSpans: DataFrame): DataFrame = {
+    val spans = withSpans
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("h"))
+    val boiler = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    spans.join(boiler, "h").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_boiler"))
+  }
+
+  /** The sp/b/pd CTE chain over a CTE named `ws` carrying
+    * (doc_id, spans) — the oracle mirror of [[boilerCounts]]. */
+  private def duckBoilerCtes(ws: String): String =
+    s"""sp AS (SELECT doc_id, md5(span) AS h
+       |       FROM (SELECT doc_id, unnest(spans) AS span FROM $ws)),
+       |b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) nd
+       |                     FROM sp GROUP BY h) WHERE nd >= 2),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_boiler
+       |       FROM sp JOIN b USING (h) GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q30:
@@ -443,51 +479,35 @@ object TextAnalysis {
     QueryDef(
       "q101_span_dedup",
       (s, d) => {
-        val spansExpr =
-          """CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<STRING>)
-            |ELSE array_distinct(transform(sequence(1, size(toks) - 7),
-            |  i -> concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
         val docs = Tables(s, d, "documents")
           .withColumn("toks", expr(tokensExpr))
           .withColumn("spans", expr(spansExpr))
-        val spans = docs
-          .select(col("doc_id"), explode(col("spans")).as("span"))
-          .select(col("doc_id"), md5(col("span")).as("h"))
-        val boiler = spans.groupBy("h")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("h")
-        val perDoc = spans.join(boiler, "h")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        // boiler_frac stays UNROUNDED: both engines divide the same two
+        // exact small integers widened to double — bit-identical IEEE —
+        // whereas round() on a double near a scale-6 decimal tie
+        // (1/640 = 0.0015625) resolves differently per engine (the q105
+        // lesson)
         docs.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
-          .join(perDoc, Seq("doc_id"), "left")
+          .join(boilerCounts(docs), Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_spans"),
             coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
           .withColumn("boiler_frac", when(col("n_spans") === 0, lit(0.0))
-            .otherwise(round(col("n_boiler").cast("double") / col("n_spans"), 6)))
+            .otherwise(col("n_boiler").cast("double") / col("n_spans")))
           .withColumn("keep", col("boiler_frac") <= 0.5)
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH t AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(generate_series(1, len(toks) - 7),
-                   i -> array_to_string(toks[i:i+7], ' '))) AS spans
+        WITH ws AS (
+          SELECT doc_id, $duckSpans AS spans
           FROM (SELECT doc_id, $duckTokens toks FROM documents)),
-        sp AS (SELECT doc_id, md5(span) AS h
-               FROM (SELECT doc_id, unnest(spans) AS span FROM t)),
-        b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) nd
-                             FROM sp GROUP BY h) WHERE nd >= 2),
-        pd AS (SELECT doc_id, COUNT(*) AS n_boiler
-               FROM sp JOIN b USING (h) GROUP BY doc_id),
-        base AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans FROM t)
+        ${duckBoilerCtes("ws")},
+        base AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans FROM ws)
         SELECT base.doc_id, n_spans,
                CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
                CASE WHEN n_spans = 0 THEN 0.0
-                    ELSE round(COALESCE(n_boiler, 0) / n_spans, 6) END
-                 AS boiler_frac,
+                    ELSE COALESCE(n_boiler, 0) / n_spans END AS boiler_frac,
                (CASE WHEN n_spans = 0 THEN 0.0
-                     ELSE round(COALESCE(n_boiler, 0) / n_spans, 6) END) <= 0.5
-                 AS keep
+                     ELSE COALESCE(n_boiler, 0) / n_spans END) <= 0.5 AS keep
         FROM base LEFT JOIN pd USING (doc_id)
         ORDER BY doc_id""")),
 
@@ -499,53 +519,50 @@ object TextAnalysis {
     // matters (each filter sees only the previous stage's survivors) and
     // is identical in both engines.
     //
-    // Scale shape: stages 1-3 are per-row predicates fused into one scan
-    // pass by Catalyst; only the boilerplate stage (cross-doc frequency
-    // on md5(span) keys, scoped to stage-3 survivors) and the final
-    // dedup groupBy shuffle. The six O(1)-row stage counts union at the
-    // end — no stage materializes anything but its aggregate.
+    // Scale shape: stages 0-3 are cumulative BOOLEAN FLAGS computed in a
+    // single scan pass (And short-circuits per row, so the repetition
+    // ratio is only evaluated for length-passing docs) and counted by
+    // one conditional-sum aggregate — six independent count branches
+    // would rescan and re-tokenize the corpus per stage, since Catalyst
+    // shares no subplans across union branches. Only the cross-doc
+    // boilerplate stage (md5(span) frequency over stage-3 survivors,
+    // q101's shape via the shared boilerCounts) and the final dedup
+    // fingerprint pay additional passes.
     QueryDef(
       "q107_clean_cascade",
       (s, d) => {
-        val s0 = Tables(s, d, "documents")
+        val flagged = Tables(s, d, "documents")
           .withColumn("toks", expr(tokensExpr))
           .withColumn("n_tok", size(col("toks")).cast("long"))
-        val s1 = s0.filter(col("lang") === "en")
-        val s2 = s1.filter(col("n_tok") >= 10 && col("n_tok") <= 10000)
-        val s3 = s2.filter(
-          (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-            col("n_tok")) <= 0.55)
-        // boilerplate fraction over stage-3 survivors only (q101's shape)
-        val spansExpr =
-          """CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<STRING>)
-            |ELSE array_distinct(transform(sequence(1, size(toks) - 7),
-            |  i -> concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
-        val withSpans = s3.withColumn("spans", expr(spansExpr))
-        val spans = withSpans
-          .select(col("doc_id"), explode(col("spans")).as("span"))
-          .select(col("doc_id"), md5(col("span")).as("h"))
-        val boiler = spans.groupBy("h")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("h")
-        val perDoc = spans.join(boiler, "h")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-        val s4 = withSpans
+          .withColumn("f1", col("lang") === "en")
+          .withColumn("f2", col("f1") &&
+            col("n_tok") >= 10 && col("n_tok") <= 10000)
+          .withColumn("f3", col("f2") &&
+            (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+              col("n_tok")) <= 0.55)
+        val s3 = flagged.filter(col("f3"))
+          .withColumn("spans", expr(spansExpr))
+        val s4 = s3
           .select(col("doc_id"), col("text"),
             size(col("spans")).cast("long").as("n_spans"))
-          .join(perDoc, Seq("doc_id"), "left")
+          .join(boilerCounts(s3), Seq("doc_id"), "left")
           .filter(coalesce(col("n_boiler"), lit(0L)).cast("double") <=
             col("n_spans") * 0.5 || col("n_spans") === 0)
-        val s5 = s4.groupBy(md5(col("text")).as("fp"))
-          .agg(min(col("doc_id")).as("doc_id"))
-        def cnt(df: org.apache.spark.sql.DataFrame, ord: Int, name: String) =
-          df.agg(count(lit(1)).as("rows_kept"))
-            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-              col("rows_kept"))
-        cnt(s0, 0, "input").unionByName(cnt(s1, 1, "lang"))
-          .unionByName(cnt(s2, 2, "length"))
-          .unionByName(cnt(s3, 3, "repetition"))
-          .unionByName(cnt(s4, 4, "boilerplate"))
-          .unionByName(cnt(s5, 5, "exact_dedup"))
+        val headCounts = flagged.agg(
+          count(lit(1)).as("c0"),
+          sum(col("f1").cast("long")).as("c1"),
+          sum(col("f2").cast("long")).as("c2"),
+          sum(col("f3").cast("long")).as("c3"))
+        val tailCounts = s4.agg(
+          count(lit(1)).as("c4"),
+          countDistinct(md5(col("text"))).as("c5"))
+        headCounts.crossJoin(tailCounts)
+          .select(expr(
+            """stack(6,
+              |0, 'input', c0, 1, 'lang', c1, 2, 'length', c2,
+              |3, 'repetition', c3, 4, 'boilerplate', c4,
+              |5, 'exact_dedup', c5) AS (stage_ord, stage, rows_kept)"""
+              .stripMargin))
           .orderBy("stage_ord")
       },
       Some(s"""
@@ -556,17 +573,8 @@ object TextAnalysis {
         s2 AS (SELECT * FROM s1 WHERE n_tok BETWEEN 10 AND 10000),
         s3 AS (SELECT * FROM s2
                WHERE 1.0 - len(list_distinct(toks)) / n_tok <= 0.55),
-        ws AS (SELECT doc_id, text,
-                      list_distinct(list_transform(
-                        generate_series(1, len(toks) - 7),
-                        i -> array_to_string(toks[i:i+7], ' '))) spans
-               FROM s3),
-        sp AS (SELECT doc_id, md5(span) h
-               FROM (SELECT doc_id, unnest(spans) span FROM ws)),
-        b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) nd
-                             FROM sp GROUP BY h) WHERE nd >= 2),
-        pd AS (SELECT doc_id, COUNT(*) n_boiler
-               FROM sp JOIN b USING (h) GROUP BY doc_id),
+        ws AS (SELECT doc_id, text, $duckSpans spans FROM s3),
+        ${duckBoilerCtes("ws")},
         s4 AS (SELECT ws.doc_id, ws.text
                FROM ws LEFT JOIN pd USING (doc_id)
                WHERE COALESCE(n_boiler, 0) <= len(spans) * 0.5

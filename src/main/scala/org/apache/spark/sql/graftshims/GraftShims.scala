@@ -24,6 +24,37 @@ object GraftShims {
     * state) would reach task serialization. */
   def resolvedExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Floating-point key normalization (0.0 == -0.0, canonical NaN) — the
+    * rewrite the analyzer applies to groupBy/window/join keys. Custom
+    * LogicalPlan nodes bypass that rule, so whole-operator extensions
+    * must normalize their own grouping keys or float keys silently split
+    * groups the built-ins would merge. */
+  def normalizeFloat(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** Idempotent session-local registration of an expression builder —
+    * lets a declared query register the engine's native functions on
+    * ANY session (no `spark.sql.extensions` config required). */
+  def registerFunction(
+      spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val registry = cs.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!registry.functionExists(id))
+      registry.registerFunction(id,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          builder.getClass.getName, name),
+        builder(_))
+  }
+
+  /** Test seam: drop a session-local function so specs can prove the
+    * lazy re-registration path (a vanilla session without the
+    * GraftExtensions config). */
+  def dropFunction(spark: SparkSession, name: String): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name)): Unit
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -95,6 +95,18 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("declared queries self-register their functions on a session without the extensions config") {
+    import org.apache.spark.sql.graftshims.GraftShims
+    // a fresh session state with graft_tokens explicitly dropped stands
+    // in for a caller that built its SparkSession without
+    // spark.sql.extensions=GraftExtensions; Tables() must re-register
+    // (text queries would otherwise fail UNRESOLVED_ROUTINE)
+    val ns = spark.newSession()
+    GraftShims.dropFunction(ns, "graft_tokens")
+    val out = SparkEntry.queries("q30_token_stats")(ns, sfDir)
+    assert(out.count() > 0)
+  }
+
   test("graft_tokens contract: null in, null out; non-ASCII codepoints are separators") {
     import spark.implicits._
     val r = spark.sql(
