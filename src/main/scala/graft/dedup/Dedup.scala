@@ -123,9 +123,17 @@ object Dedup {
     cand
       .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
-      .withColumn("jaccard", round(
-        expr("CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE) / size(array_union(ga.g, gb.g))"), 6))
-      .filter(col("jaccard") >= 0.8)
+      // jaccard stays UNROUNDED (raw IEEE division of exact ints is
+      // bit-identical across engines; round(double, 6) diverges at
+      // scale-6 decimal ties like 577/640). The 0.8 threshold keeps the
+      // rounded semantics (ratio >= 0.7999995) but as EXACT integer
+      // arithmetic, deterministic on both engines.
+      .withColumn("inter",
+        expr("CAST(size(array_intersect(ga.g, gb.g)) AS BIGINT)"))
+      .withColumn("uni",
+        expr("CAST(size(array_union(ga.g, gb.g)) AS BIGINT)"))
+      .filter(col("inter") * 10000000L >= col("uni") * 7999995L)
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -140,11 +148,13 @@ object Dedup {
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |j AS (SELECT doc_a, doc_b,
-       |             round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-       |                   / len(list_distinct(ga.g || gb.g)), 6) jaccard
+       |             CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) inter,
+       |             CAST(len(list_distinct(ga.g || gb.g)) AS BIGINT) uni
        |      FROM cand JOIN sh ga ON doc_a = ga.doc_id
        |                JOIN sh gb ON doc_b = gb.doc_id),
-       |dup_pairs AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8)""".stripMargin
+       |dup_pairs AS (SELECT doc_a, doc_b,
+       |                     CAST(inter AS DOUBLE) / uni AS jaccard
+       |              FROM j WHERE inter * 10000000 >= uni * 7999995)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -262,22 +272,28 @@ object Dedup {
               greatest(col("a.n"), col("b.n")) * lit(0.89))
           // |A∪B| = |A|+|B|-|A∩B|: one array traversal per surviving pair
           // instead of two (array_union never materialized).
-          .withColumn("inter", expr("CAST(size(array_intersect(a.g, b.g)) AS DOUBLE)"))
-          .withColumn("jaccard", round(col("inter") / (col("a.n") + col("b.n") - col("inter")), 6))
-          .filter(col("jaccard") >= 0.9)
+          .withColumn("inter", expr("CAST(size(array_intersect(a.g, b.g)) AS BIGINT)"))
+          .withColumn("uni", col("a.n").cast("long") + col("b.n") - col("inter"))
+          // threshold in EXACT integer arithmetic (rounded-0.9 semantics =
+          // ratio >= 0.8999995); jaccard output unrounded — raw IEEE
+          // division is bit-identical across engines, round(double, 6)
+          // is not at scale-6 decimal ties (577/640)
+          .filter(col("inter") * 10000000L >= col("uni") * 8999995L)
+          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.source").as("source"), col("jaccard"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
         WITH sh AS (SELECT doc_id, source, list_distinct($duckTokens) g FROM documents),
-        sh2 AS (SELECT * FROM sh WHERE len(g) > 0)
-        SELECT a.doc_id doc_a, b.doc_id doc_b, a.source source,
-               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                     / len(list_distinct(a.g || b.g)), 6) jaccard
-        FROM sh2 a JOIN sh2 b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                    / len(list_distinct(a.g || b.g)), 6) >= 0.9
+        sh2 AS (SELECT * FROM sh WHERE len(g) > 0),
+        p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.source source,
+                     CAST(len(list_intersect(a.g, b.g)) AS BIGINT) inter,
+                     CAST(len(list_distinct(a.g || b.g)) AS BIGINT) uni
+              FROM sh2 a JOIN sh2 b ON a.source = b.source AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, source, CAST(inter AS DOUBLE) / uni AS jaccard
+        FROM p
+        WHERE inter * 10000000 >= uni * 8999995
         ORDER BY doc_a, doc_b""")),
 
     // --------------------------------------------------------------- q44:
@@ -433,9 +449,13 @@ object Dedup {
         cand
           .join(g.as("ga"), col("new_doc") === col("ga.doc_id"))
           .join(g.as("gb"), col("corpus_doc") === col("gb.doc_id"))
-          .withColumn("jaccard", round(
-            expr("CAST(size(array_intersect(ga.g, gb.g)) AS DOUBLE) / size(array_union(ga.g, gb.g))"), 6))
-          .filter(col("jaccard") >= 0.8)
+          .withColumn("inter",
+            expr("CAST(size(array_intersect(ga.g, gb.g)) AS BIGINT)"))
+          .withColumn("uni",
+            expr("CAST(size(array_union(ga.g, gb.g)) AS BIGINT)"))
+          // exact-integer 0.8 threshold + unrounded ratio (see q41/q43)
+          .filter(col("inter") * 10000000L >= col("uni") * 7999995L)
+          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
           .select("new_doc", "corpus_doc", "jaccard")
           .orderBy("new_doc", "corpus_doc")
       },
@@ -450,11 +470,12 @@ object Dedup {
                    ON n.band = c.band AND n.key = c.key
                 WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
         j AS (SELECT new_doc, corpus_doc,
-                     round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-                           / len(list_distinct(ga.g || gb.g)), 6) jaccard
+                     CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) inter,
+                     CAST(len(list_distinct(ga.g || gb.g)) AS BIGINT) uni
               FROM cand JOIN sh ga ON new_doc = ga.doc_id
                         JOIN sh gb ON corpus_doc = gb.doc_id)
-        SELECT new_doc, corpus_doc, jaccard FROM j WHERE jaccard >= 0.8
+        SELECT new_doc, corpus_doc, CAST(inter AS DOUBLE) / uni AS jaccard
+        FROM j WHERE inter * 10000000 >= uni * 7999995
         ORDER BY new_doc, corpus_doc"""))
   )
 

@@ -401,10 +401,16 @@ object TextAnalysis {
           .withColumn("n_tok", size(expr(tokensExpr)).cast("long"))
           .withColumn("n_uniq",
             size(array_distinct(expr(tokensExpr))).cast("long"))
+          // rep_ratio unrounded (raw IEEE 1.0 - u/t is bit-identical
+          // across engines; round(double, 6) is not at scale-6 decimal
+          // ties); the 0.55 cut keeps the rounded semantics
+          // (ratio <= 0.5500005) as EXACT integer arithmetic
           .withColumn("rep_ratio",
             when(col("n_tok") === 0, lit(0.0))
-              .otherwise(round(lit(1.0) - col("n_uniq") / col("n_tok"), 6)))
-          .withColumn("keep", col("rep_ratio") <= 0.55)
+              .otherwise(lit(1.0) - col("n_uniq") / col("n_tok")))
+          .withColumn("keep", col("n_tok") === 0 ||
+            (col("n_tok") - col("n_uniq")) * 10000000L <=
+              col("n_tok") * 5500005L)
           .select(col("doc_id"), col("n_tok"), col("n_uniq"),
             col("rep_ratio"), col("keep"))
           .orderBy("doc_id"),
@@ -415,9 +421,9 @@ object TextAnalysis {
                    FROM documents)
         SELECT doc_id, n_tok, n_uniq,
                CASE WHEN n_tok = 0 THEN 0.0
-                    ELSE round(1.0 - n_uniq / n_tok, 6) END AS rep_ratio,
-               (CASE WHEN n_tok = 0 THEN 0.0
-                     ELSE round(1.0 - n_uniq / n_tok, 6) END) <= 0.55 AS keep
+                    ELSE 1.0 - n_uniq / n_tok END AS rep_ratio,
+               (n_tok = 0 OR
+                (n_tok - n_uniq) * 10000000 <= n_tok * 5500005) AS keep
         FROM t
         ORDER BY doc_id""")),
 
