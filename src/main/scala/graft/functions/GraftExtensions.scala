@@ -35,6 +35,10 @@ object GraftExtensions {
     if (!strategies.contains(graft.plans.TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
         strategies :+ graft.plans.TopKPerGroupStrategy
+    val optimizations = spark.experimental.extraOptimizations
+    if (!optimizations.contains(graft.plans.PushThroughTopKPerGroup))
+      spark.experimental.extraOptimizations =
+        optimizations :+ graft.plans.PushThroughTopKPerGroup
   }
 }
 
@@ -43,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: per-group top-k with map-side partial
     // reduction (logical node + two-phase physical plan)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // projection/filter pushdown through the custom node (runs inside the
+    // operator-optimization fixed point)
+    e.injectOptimizerRule(_ => graft.plans.PushThroughTopKPerGroup)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -7,9 +7,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graftshims.GraftShims
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSet, BaseOrdering, Expression, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator Catalyst extension: per-group top-k with MAP-SIDE
@@ -57,8 +58,14 @@ case class PartialTopKPerGroupExec(
     Seq(UnspecifiedDistribution)
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, kk, out) = (group, order, k, child.output)
+    // the partial stage is an OPTIMIZATION, not a correctness stage: when
+    // per-partition group cardinality would blow the buffer budget, it
+    // caps the map and passes overflow rows through unreduced — the
+    // final stage re-reduces, so results are identical either way
+    val cap = math.max(16,
+      TopKPerGroupExec.PartialBufferRowBudget / (2 * kk))
     child.execute().mapPartitions(
-      TopKPerGroupExec.topKPerPartition(_, g, o, kk, out),
+      TopKPerGroupExec.topKPerPartition(_, g, o, kk, out, cap),
       preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
@@ -79,8 +86,14 @@ case class FinalTopKPerGroupExec(
     else ClusteredDistribution(group) :: Nil
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, kk, out) = (group, order, k, child.output)
+    // the final stage MUST fully reduce (its output is the answer) — no
+    // pass-through cap. Its memory is still bounded: each group holds
+    // ≤ 2k rows, and the ClusteredDistribution exchange spreads distinct
+    // groups across all reducers, so a reducer holds
+    // O(groups / shuffle-partitions × k) rows — the same class of bound
+    // as Spark's own HashAggregate final stage.
     child.execute().mapPartitions(
-      TopKPerGroupExec.topKPerPartition(_, g, o, kk, out),
+      TopKPerGroupExec.topKPerPartition(_, g, o, kk, out, Int.MaxValue),
       preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
@@ -88,6 +101,13 @@ case class FinalTopKPerGroupExec(
 }
 
 object TopKPerGroupExec {
+  /** Partial-stage memory budget in buffered rows per task. Each group
+    * buffers ≤ 2k defensively-copied rows, so the per-task cap is
+    * budget/(2k) DISTINCT groups (≥ 16); past the cap, new groups'
+    * rows pass through unreduced instead of growing the hash map —
+    * trading shuffle volume for bounded memory, never correctness
+    * (the final stage re-reduces everything it receives). */
+  val PartialBufferRowBudget: Int = 1 << 19
   /** Bounded per-group top-k over one partition: rows accumulate per
     * group key and compact back to k whenever a buffer reaches 2k, so
     * memory is O(groups-in-partition × k) and cost O(n log k) — never a
@@ -105,35 +125,48 @@ object TopKPerGroupExec {
       group: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
-      output: Seq[Attribute]): Iterator[InternalRow] = {
+      output: Seq[Attribute],
+      maxGroups: Int): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(group, output)
     val ord: BaseOrdering = RowOrdering.create(order, output)
     val lt = (a: InternalRow, b: InternalRow) => ord.compare(a, b) < 0
     val groups = new java.util.HashMap[UnsafeRow, GroupBuf]()
-    iter.foreach { row =>
+    // pass-through overflow rows stream out lazily DURING the scan (no
+    // buffering); buffered groups flush after the input is exhausted —
+    // `++`'s right operand is by-name, so the flush sees the final map
+    val passedThrough = iter.flatMap { row =>
       val key = keyProj(row)
       var g = groups.get(key)
-      if (g == null) {
-        g = new GroupBuf(k)
-        groups.put(key.copy(), g)
-      }
-      // bound = the group's k-th-best after the last compaction: a row
-      // not strictly better can never enter the top-k, so it is rejected
-      // BEFORE the defensive copy — on mostly-ordered or heavy-tailed
-      // input almost every row skips the allocation (the comparison uses
-      // the transient row, which is safe: nothing is retained)
-      if (g.bound == null || ord.compare(row, g.bound) < 0) {
-        // rows are retained across iterator steps -> must defensive-copy
-        g.buf += row.copy()
-        if (g.buf.length >= 2 * k) {
-          val kept = g.buf.sortWith(lt).take(k)
-          g.buf.clear()
-          g.buf ++= kept
-          g.bound = kept.last
+      if (g == null && groups.size() >= maxGroups) {
+        // group-cardinality cap reached (partial stage only): emit the
+        // row unreduced rather than growing the map — the transient row
+        // is safe to yield, flatMap hands it downstream before next()
+        Iterator.single(row)
+      } else {
+        if (g == null) {
+          g = new GroupBuf(k)
+          groups.put(key.copy(), g)
         }
+        // bound = the group's k-th-best after the last compaction: a row
+        // not strictly better can never enter the top-k, so it is rejected
+        // BEFORE the defensive copy — on mostly-ordered or heavy-tailed
+        // input almost every row skips the allocation (the comparison uses
+        // the transient row, which is safe: nothing is retained)
+        if (g.bound == null || ord.compare(row, g.bound) < 0) {
+          // rows are retained across iterator steps -> must defensive-copy
+          g.buf += row.copy()
+          if (g.buf.length >= 2 * k) {
+            val kept = g.buf.sortWith(lt).take(k)
+            g.buf.clear()
+            g.buf ++= kept
+            g.bound = kept.last
+          }
+        }
+        Iterator.empty
       }
     }
-    groups.values.asScala.iterator.flatMap(_.buf.sortWith(lt).take(k))
+    passedThrough ++
+      groups.values.asScala.iterator.flatMap(_.buf.sortWith(lt).take(k))
   }
 }
 
@@ -148,10 +181,51 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: pushes projection and group-key filters through the
+  * custom [[TopKPerGroup]] node — the pruning Catalyst does for free on
+  * built-in operators but cannot do for a node it doesn't know.
+  *
+  * - Project above the node: prune the CHILD to projected ∪ group ∪
+  *   order columns, so a caller who selects late still gets a parquet
+  *   scan that reads only the needed columns (and the partial stage
+  *   buffers narrow rows, not the full child schema).
+  * - Filter above the node: conjuncts that are deterministic and
+  *   reference only BARE-ATTRIBUTE group keys filter whole groups, so
+  *   they commute with per-group top-k and move below it (enabling
+  *   parquet pushdown). Conjuncts on float-normalized keys are NOT
+  *   moved: a predicate could distinguish 0.0 from -0.0 or NaN bit
+  *   patterns the normalized grouping merges.
+  *
+  * Runs inside the operator-optimization fixed point (extensions path)
+  * or the user-provided batch (runtime path), converging in one step:
+  * a pruned child / pushed filter makes the rewrite a no-op next pass. */
+object PushThroughTopKPerGroup extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, t @ TopKPerGroup(g, _, _, child)) =>
+      val bareGroupAttrs = AttributeSet(g.collect { case a: Attribute => a })
+      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.nonEmpty &&
+          c.references.subsetOf(bareGroupAttrs))
+      if (push.isEmpty) f
+      else {
+        val below = t.copy(child = Filter(push.reduce(And), child))
+        keep.reduceOption(And).map(Filter(_, below)).getOrElse(below)
+      }
+    case p @ Project(fields, t @ TopKPerGroup(g, o, _, child)) =>
+      val needed = AttributeSet(fields.flatMap(_.references)) ++
+        AttributeSet(g.flatMap(_.references)) ++
+        AttributeSet(o.flatMap(_.references))
+      val pruned = child.output.filter(needed.contains)
+      if (pruned.length == child.output.length) p
+      else p.copy(child = t.copy(child = Project(pruned, child)))
+  }
+}
+
 /** Public entry: `TopK.perGroup(df, Seq(df("g")), Seq(df("x").desc), k)`.
   * Group/order columns must come from `df` itself (already resolved);
-  * bare columns default to ascending. Select the needed columns BEFORE
-  * calling — projection does not push through a custom node. */
+  * bare columns default to ascending. Selecting only the needed columns
+  * after the call is fine — [[PushThroughTopKPerGroup]] prunes the scan
+  * and pushes group-key filters below the node. */
 object TopK {
   def perGroup(df: DataFrame, group: Seq[Column], order: Seq[Column],
                k: Int): DataFrame = {
@@ -189,13 +263,16 @@ object PlanQueries {
     QueryDef(
       "q106_native_topk",
       (s, d) => {
-        val li = Tables(s, d, "lineitem").select(
-          col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
-          col("l_linenumber"), col("l_extendedprice"))
+        // deliberately hands the FULL 16-column lineitem to the operator
+        // and selects late: PushThroughTopKPerGroup prunes the scan to
+        // the 5 needed columns (PlanShapeSpec pins the plan shape)
+        val li = Tables(s, d, "lineitem")
         TopK.perGroup(li,
           Seq(li("l_returnflag"), li("l_linestatus")),
           Seq(li("l_extendedprice").desc, li("l_orderkey"), li("l_linenumber")),
           5)
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"))
           .orderBy(col("l_returnflag"), col("l_linestatus"),
             col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       },

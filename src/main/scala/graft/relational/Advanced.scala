@@ -1045,10 +1045,28 @@ object Advanced {
     // loop, which is the only shape where a recursive CTE stays sane at
     // 100 TB — recursing over the fact table itself would run one
     // distributed job per iteration over the full input.
+    //
+    // Recursion depth = #days, and Spark 4 enforces
+    // spark.sql.cteRecursionLevelLimit (default 100): a corpus spanning
+    // more than ~100 days would fail at runtime with the default. So the
+    // builder first measures the actual day span — an O(1) min/max
+    // aggregate answered from parquet footer stats (same pattern as the
+    // streaming fixtures' MAX(ts) probe) — and raises the session limit
+    // just enough to cover it. Raising the limit is monotone-safe (it only
+    // relaxes a fail-fast guard, never changes results), so it is not
+    // restored afterwards: the returned DataFrame is lazy and must still
+    // see the raised limit when the caller executes it.
     QueryDef(
       "q104_recursive_cte",
       (s, d) => {
         Tables(s, d, "events").createOrReplaceTempView("events_v")
+        val spanDays = s.sql(
+          "SELECT datediff(max(ts), min(ts)) FROM events_v")
+          .head().getInt(0)
+        val key = "spark.sql.cteRecursionLevelLimit"
+        val current = s.conf.get(key, "100").toLong
+        if (current != -1L && current < spanDays + 16L)
+          s.conf.set(key, (spanDays + 16L).toString)
         s.sql("""
           WITH RECURSIVE spine(day, day_max) AS (
             SELECT date_trunc('DAY', min(ts)), date_trunc('DAY', max(ts))

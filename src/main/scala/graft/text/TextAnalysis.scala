@@ -403,13 +403,15 @@ object TextAnalysis {
             size(array_distinct(expr(tokensExpr))).cast("long"))
           // rep_ratio unrounded (raw IEEE 1.0 - u/t is bit-identical
           // across engines; round(double, 6) is not at scale-6 decimal
-          // ties); the 0.55 cut keeps the rounded semantics
-          // (ratio <= 0.5500005) as EXACT integer arithmetic
+          // ties); the 0.55 cut keeps round-half-up semantics
+          // (round(ratio,6) <= 0.55  ⇔  ratio < 0.5500005, STRICT: a
+          // ratio of exactly 0.5500005 rounds up to 0.550001 and is
+          // excluded) as EXACT integer arithmetic
           .withColumn("rep_ratio",
             when(col("n_tok") === 0, lit(0.0))
               .otherwise(lit(1.0) - col("n_uniq") / col("n_tok")))
           .withColumn("keep", col("n_tok") === 0 ||
-            (col("n_tok") - col("n_uniq")) * 10000000L <=
+            (col("n_tok") - col("n_uniq")) * 10000000L <
               col("n_tok") * 5500005L)
           .select(col("doc_id"), col("n_tok"), col("n_uniq"),
             col("rep_ratio"), col("keep"))
@@ -423,7 +425,7 @@ object TextAnalysis {
                CASE WHEN n_tok = 0 THEN 0.0
                     ELSE 1.0 - n_uniq / n_tok END AS rep_ratio,
                (n_tok = 0 OR
-                (n_tok - n_uniq) * 10000000 <= n_tok * 5500005) AS keep
+                (n_tok - n_uniq) * 10000000 < n_tok * 5500005) AS keep
         FROM t
         ORDER BY doc_id""")),
 
@@ -543,9 +545,12 @@ object TextAnalysis {
           .withColumn("f1", col("lang") === "en")
           .withColumn("f2", col("f1") &&
             col("n_tok") >= 10 && col("n_tok") <= 10000)
+          // f3 is EXACTLY q94's keep predicate (same integer arithmetic,
+          // same strict boundary) so a doc q94 keeps is never dropped by
+          // the cascade that documents itself as composing q94's filter
           .withColumn("f3", col("f2") &&
-            (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-              col("n_tok")) <= 0.55)
+            (col("n_tok") - size(array_distinct(col("toks"))).cast("long"))
+              * 10000000L < col("n_tok") * 5500005L)
         val s3 = flagged.filter(col("f3"))
           .withColumn("spans", expr(spansExpr))
         val s4 = s3
@@ -578,7 +583,8 @@ object TextAnalysis {
         s1 AS (SELECT * FROM s0 WHERE lang = 'en'),
         s2 AS (SELECT * FROM s1 WHERE n_tok BETWEEN 10 AND 10000),
         s3 AS (SELECT * FROM s2
-               WHERE 1.0 - len(list_distinct(toks)) / n_tok <= 0.55),
+               WHERE (n_tok - CAST(len(list_distinct(toks)) AS BIGINT))
+                       * 10000000 < n_tok * 5500005),
         ws AS (SELECT doc_id, text, $duckSpans spans FROM s3),
         ${duckBoilerCtes("ws")},
         s4 AS (SELECT ws.doc_id, ws.text

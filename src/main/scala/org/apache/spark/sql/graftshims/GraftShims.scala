@@ -35,18 +35,33 @@ object GraftShims {
 
   /** Idempotent session-local registration of an expression builder —
     * lets a declared query register the engine's native functions on
-    * ANY session (no `spark.sql.extensions` config required). */
+    * ANY session (no `spark.sql.extensions` config required).
+    *
+    * The skip path is only silent when the existing registration is
+    * OURS (recognized by the `graft.` class-name prefix both this path
+    * and the `spark.sql.extensions` path stamp into the ExpressionInfo).
+    * A session that registered its own function under the same name
+    * keeps its registration — never clobbered — but gets a loud WARN,
+    * because the declared queries would then run with foreign semantics. */
   def registerFunction(
       spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val registry = cs.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-    if (!registry.functionExists(id))
+    if (!registry.functionExists(id)) {
       registry.registerFunction(id,
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           builder.getClass.getName, name),
         builder(_))
+    } else {
+      val ours = registry.lookupFunction(id)
+        .exists(_.getClassName.startsWith("graft."))
+      if (!ours) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"function '$name' is already registered by this session with " +
+          s"non-graft semantics (${registry.lookupFunction(id).map(_.getClassName).getOrElse("?")}); " +
+          "graft queries referencing it will use the session's version")
+    }
   }
 
   /** Test seam: drop a session-local function so specs can prove the

@@ -94,6 +94,44 @@ class PlanShapeSpec extends SparkSpec {
       s"partial stage not below the group-key exchange:\n$plan")
   }
 
+  test("q106 late select prunes the parquet scan through the custom node") {
+    // q106 hands the FULL 16-column lineitem to TopK.perGroup and selects
+    // late — PushThroughTopKPerGroup must prune the scan to exactly the
+    // group ∪ order ∪ output columns, or the partial stage would buffer
+    // (and the scan would read) the whole width
+    val plan = finalPlan("q106_native_topk")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val read = scanCols.split(",").map(_.trim.replaceAll("#\\d+L?", ""))
+      .filter(_.nonEmpty).toSet
+    assert(read == Set("l_returnflag", "l_linestatus", "l_orderkey",
+      "l_linenumber", "l_extendedprice"),
+      s"scan not pruned to the 5 needed columns, reads: $scanCols\n$plan")
+  }
+
+  test("group-key filters push below the custom top-k node to the scan") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables(spark, sfDir, "lineitem")
+    val df = graft.plans.TopK.perGroup(li,
+      Seq(li("l_returnflag"), li("l_linestatus")),
+      Seq(li("l_extendedprice").desc, li("l_orderkey"), li("l_linenumber")), 3)
+      .filter(col("l_returnflag") === "R")
+      .select("l_returnflag", "l_orderkey", "l_extendedprice")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"group-key filter did not reach the scan:\n$plan")
+    // and the filtered result matches the filter-first formulation
+    val expected = graft.plans.TopK.perGroup(
+      {val f = li.filter(col("l_returnflag") === "R"); f},
+      Seq(li("l_returnflag"), li("l_linestatus")),
+      Seq(li("l_extendedprice").desc, li("l_orderkey"), li("l_linenumber")), 3)
+      .select("l_returnflag", "l_orderkey", "l_extendedprice")
+    assert(df.orderBy("l_orderkey", "l_extendedprice").collect().toSeq ==
+      expected.orderBy("l_orderkey", "l_extendedprice").collect().toSeq)
+  }
+
   test("q102 global position never funnels the corpus through one task") {
     val plan = finalPlan("q102_corpus_shuffle")
     // the full-table rank must be windowed by the bucket column (a hash
