@@ -76,23 +76,69 @@ object Multimodal {
     }
   }
 
-  /** Resize-stub output: fixed-size "thumbnail" from a variable-size
-    * payload. */
-  final case class Thumb(doc_id: Long, thumb: Array[Int], thumb_sum: Long)
+  // ------------------------------------------------------------------ PNG
+  // Real image path (NOT a stub): the JDK ships a PNG codec
+  // (javax.imageio), so the image family's decode step is genuine —
+  // deterministic grayscale PNGs are synthesized per doc_id (fixture
+  // synthesis, lossless format), then DECODED with ImageIO, resized
+  // nearest-neighbor, and reduced to pixel stats. Because PNG is
+  // lossless and the pixel function is pure doc_id arithmetic, the
+  // DuckDB oracle recomputes the exact same sums WITHOUT a decoder —
+  // the decode path is hash-checked end-to-end.
 
-  /** STUB RESIZER — nearest-neighbor downsample of the payload to a fixed
-    * `target` length, the byte-level analog of image resize-to-WxH (and
-    * exactly what a cheap thumbnailer does per axis). Swap the body for a
-    * real scaler in production; the fixed-output-shape contract is what
-    * downstream feature columns rely on. */
-  def resizeStub(target: Int)(rows: Iterator[BinDoc]): Iterator[Thumb] =
-    rows.map { r =>
-      val n = r.payload.length
-      val t = Array.tabulate(target) { i =>
-        if (n == 0) 0 else r.payload((i.toLong * n / target).toInt) & 0xff
-      }
-      Thumb(r.doc_id, t, t.map(_.toLong).sum)
+  final case class PngDoc(doc_id: Long, payload: Array[Byte])
+  final case class PngFeatures(
+      doc_id: Long, width: Int, height: Int, pixel_sum: Long,
+      thumb_str: String, thumb_sum: Long)
+
+  /** Deterministic image geometry/content, shared with the oracle. */
+  def pngWidth(id: Long): Int = 8 + (id % 5).toInt
+  def pngHeight(id: Long): Int = 6 + (id % 4).toInt
+  def pngPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 251).toInt
+
+  /** Fixture synthesis: deterministic 8-bit grayscale PNG per doc_id
+    * (variable WxH so the resize below has real work to do). */
+  def makePng(rows: Iterator[Long]): Iterator[PngDoc] = rows.map { id =>
+    val w = pngWidth(id); val h = pngHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+      y += 1
     }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    PngDoc(id, bos.toByteArray)
+  }
+
+  /** REAL DECODER: ImageIO PNG decode -> nearest-neighbor 4x4 resize ->
+    * pixel statistics. Iterator->Iterator per-partition shape so a
+    * heavier codec (JNI, ffmpeg pipe) slots in with its init amortized;
+    * the work is embarrassingly parallel across executors. */
+  def decodePng(rows: Iterator[PngDoc]): Iterator[PngFeatures] = rows.map { r =>
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    val raster = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    // nearest-neighbor 4x4 thumbnail (the resize-to-fixed-shape contract
+    // downstream feature columns rely on)
+    val thumb = Array.tabulate(16) { i =>
+      raster.getSample((i % 4) * w / 4, (i / 4) * h / 4, 0)
+    }
+    PngFeatures(r.doc_id, w, h, sum, thumb.mkString(","),
+      thumb.map(_.toLong).sum)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -156,38 +202,41 @@ object Multimodal {
         ORDER BY doc_id""")),
 
     // --------------------------------------------------------------- q82:
-    // resize: variable-size payload -> fixed 16-"pixel" nearest-neighbor
-    // thumbnail (image-resize analog), per-partition typed pass. The
-    // array stays in-plan; the output projects it to scalars + a joined
-    // string so the oracle can recompute from the ASCII text.
+    // REAL image decode: deterministic grayscale PNGs (synthesized per
+    // doc_id — lossless, so content is known arithmetic) are decoded with
+    // the JDK's javax.imageio PNG codec, resized nearest-neighbor to a
+    // fixed 4x4 thumbnail, and reduced to pixel stats. The oracle
+    // recomputes the exact pixel sums from the doc_id arithmetic — no
+    // decoder needed on the DuckDB side, full hash check on this one.
     QueryDef(
-      "q82_resize_stub",
+      "q82_png_decode",
       (s, d) => {
-        implicit val inEnc = Encoders.product[BinDoc]
-        implicit val outEnc = Encoders.product[Thumb]
+        implicit val idEnc = Encoders.scalaLong
+        implicit val pngEnc = Encoders.product[PngDoc]
+        implicit val featEnc = Encoders.product[PngFeatures]
         Tables(s, d, "documents")
-          .filter(length(col("text")) >= 16)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("lang"))
-          .as[BinDoc](inEnc)
-          .mapPartitions(resizeStub(16) _)(outEnc).toDF()
-          .select(col("doc_id"),
-            array_join(col("thumb"), ",").as("thumb_str"),
-            col("thumb_sum"),
-            element_at(col("thumb"), 1).as("first_px"),
-            element_at(col("thumb"), 16).as("last_px"))
+          .select(col("doc_id")).as[Long](idEnc)
+          .mapPartitions(makePng _)(pngEnc)
+          .mapPartitions(decodePng _)(featEnc).toDF()
           .orderBy("doc_id")
       },
       Some("""
         WITH t AS (SELECT doc_id,
-                          list_transform(generate_series(0, 15),
-                            i -> ord(substr(text, CAST((i * length(text)) // 16 AS INTEGER) + 1, 1))) AS thumb
-                   FROM documents WHERE length(text) >= 16)
-        SELECT doc_id,
+                          CAST(8 + doc_id % 5 AS INTEGER) AS width,
+                          CAST(6 + doc_id % 4 AS INTEGER) AS height
+                   FROM documents),
+        p AS (SELECT doc_id, width, height,
+                     CAST(list_sum(flatten(list_transform(generate_series(0, height - 1),
+                       y -> list_transform(generate_series(0, width - 1),
+                         x -> (doc_id * 31 + x * 7 + y * 13) % 251)))) AS BIGINT) AS pixel_sum,
+                     list_transform(generate_series(0, 15),
+                       i -> (doc_id * 31 + ((i % 4) * width // 4) * 7
+                             + ((i // 4) * height // 4) * 13) % 251) AS thumb
+              FROM t)
+        SELECT doc_id, width, height, pixel_sum,
                array_to_string(thumb, ',') AS thumb_str,
-               CAST(list_sum(thumb) AS BIGINT) AS thumb_sum,
-               CAST(thumb[1] AS INTEGER) AS first_px,
-               CAST(thumb[16] AS INTEGER) AS last_px
-        FROM t
+               CAST(list_sum(thumb) AS BIGINT) AS thumb_sum
+        FROM p
         ORDER BY doc_id""")),
 
     // --------------------------------------------------------------- q83:

@@ -27,16 +27,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).byte_sum == 255L)
   }
 
-  test("resizeStub always emits the fixed target shape") {
-    import graft.multimodal.Multimodal.resizeStub
-    val rows = Seq(
-      BinDoc(1L, Array.emptyByteArray, "en"),
-      BinDoc(2L, "x".getBytes("UTF-8"), "en"),
-      BinDoc(3L, ("y" * 1000).getBytes("UTF-8"), "en"))
-    val out = resizeStub(16)(rows.iterator).toSeq
-    assert(out.forall(_.thumb.length == 16))
-    assert(out.head.thumb.forall(_ == 0))              // empty -> zero thumb
-    assert(out(1).thumb.forall(_ == 'x'.toInt))        // constant payload -> constant thumb
-    assert(out(2).thumb_sum == 16L * 'y'.toInt)
+  test("PNG encode -> ImageIO decode roundtrips pixels losslessly") {
+    import graft.multimodal.Multimodal.{decodePng, makePng, pngHeight, pngPixel, pngWidth}
+    val ids = Seq(0L, 7L, 123L, 4999L)
+    val out = decodePng(makePng(ids.iterator)).toSeq
+    assert(out.map(_.doc_id) == ids)
+    out.foreach { f =>
+      val (w, h) = (pngWidth(f.doc_id), pngHeight(f.doc_id))
+      assert(f.width == w && f.height == h)
+      val expectedSum = (for (y <- 0 until h; x <- 0 until w)
+        yield pngPixel(f.doc_id, x, y).toLong).sum
+      assert(f.pixel_sum == expectedSum, s"decode not lossless for ${f.doc_id}")
+      val expectedThumb = Array.tabulate(16)(i =>
+        pngPixel(f.doc_id, (i % 4) * w / 4, (i / 4) * h / 4))
+      assert(f.thumb_str == expectedThumb.mkString(","))
+      assert(f.thumb_sum == expectedThumb.map(_.toLong).sum)
+    }
+  }
+
+  test("makePng emits a real PNG container (magic bytes)") {
+    import graft.multimodal.Multimodal.makePng
+    val png = makePng(Iterator(42L)).next().payload
+    assert(png.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
   }
 }
