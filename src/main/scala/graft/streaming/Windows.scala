@@ -623,6 +623,111 @@ object Windows {
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // -------------------------------------------------------------- q110:
+    // transformWithState on RocksDB — Spark 4's arbitrary-state successor
+    // to map/flatMapGroupsWithState: named, typed state variables on an
+    // explicit handle (here a ValueState counter + ValueState max + a
+    // MapState of per-event-type counts), with the RocksDB provider that
+    // actually scales (incremental checkpoints, state off the JVM heap, so
+    // 100 TB-of-keys state never OOMs an executor). Every state field is
+    // ORDER-FREE (counts, set sizes, max) so the drained result is
+    // deterministic and the batch aggregate below is an exact oracle.
+    // Update mode re-emits a key's stats each batch they change; all three
+    // outputs are monotone, so last-writer-wins on read-back = max per key.
+    // TimeMode.None/TTL.NONE keep the declared query batch-equivalent —
+    // TTL eviction is wall-clock-dependent and belongs to the spec
+    // (StreamingSpec), not an oracle-paired result.
+    QueryDef(
+      "q110_transform_with_state",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val base = stableDir("q110", d)
+        val ckpt = base.resolve("ckpt").toString
+        val out = base.resolve("out").toString
+        val kProv = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(kProv)
+        s.conf.set(kProv,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+          implicit val rowEnc =
+            org.apache.spark.sql.Encoders.product[(Long, String, Double)]
+          implicit val outEnc =
+            org.apache.spark.sql.Encoders.product[(Long, Long, Int, Double)]
+          val stream = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .filter(col("user_id") < 50)
+            .select(col("user_id"), col("event_type"), col("value"))
+            .as[(Long, String, Double)](rowEnc)
+          val updated = stream.groupByKey(_._1)(longEnc)
+            .transformWithState(new UserStatsProcessor, TimeMode.None(),
+              OutputMode.Update())(outEnc)
+          val q = updated.toDF("user_id", "n_events", "n_types", "max_value")
+            .writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out): Unit
+            }
+            .start()
+          q.awaitTermination()
+        } finally prev.fold(s.conf.unset(kProv))(v => s.conf.set(kProv, v))
+        s.read.parquet(out)
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("n_types")).as("n_types"),
+            max(col("max_value")).as("max_value"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
+               MAX(value) AS max_value
+        FROM events
+        WHERE user_id < 50
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
+}
+
+/** transformWithState processor for q110: running per-user stats in three
+  * named state variables — `n` (ValueState count), `mx` (ValueState max),
+  * `types` (MapState event_type -> count, whose key cardinality is the
+  * distinct-type counter). Top-level class: it is shipped to executors
+  * and must not capture the enclosing query builder. */
+private[streaming] class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Double), (Long, Long, Int, Double)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var n: ValueState[Long] = _
+  @transient private var mx: ValueState[Double] = _
+  @transient private var types: MapState[String, Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    mx = getHandle.getValueState[Double]("mx", Encoders.scalaDouble, TTLConfig.NONE)
+    types = getHandle.getMapState[String, Long]("types",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String, Double)],
+      timers: TimerValues): Iterator[(Long, Long, Int, Double)] = {
+    var cnt = if (n.exists()) n.get() else 0L
+    var m = if (mx.exists()) mx.get() else Double.NegativeInfinity
+    rows.foreach { case (_, t, v) =>
+      cnt += 1
+      m = math.max(m, v)
+      val prevN = if (types.containsKey(t)) types.getValue(t) else 0L
+      types.updateValue(t, prevN + 1L)
+    }
+    n.update(cnt); mx.update(m)
+    var nTypes = 0
+    val it = types.keys()
+    while (it.hasNext) { it.next(); nTypes += 1 }
+    Iterator.single((key, cnt, nTypes, m))
+  }
 }
