@@ -16,6 +16,7 @@ object SparkEntry {
       graft.relational.Advanced.defs ++
       graft.text.TextAnalysis.defs ++
       graft.text.Packing.defs ++
+      graft.text.Bpe.defs ++
       graft.dedup.Dedup.defs ++
       graft.similarity.Similarity.defs ++
       graft.pipeline.Sampling.defs ++

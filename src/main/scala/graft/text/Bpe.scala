@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** BPE vocabulary learning — the tokenizer-training op of an LLM data
+  * pipeline (Sennrich et al. 2016's corpus side): iteratively count
+  * adjacent symbol pairs, merge the most frequent pair everywhere, emit
+  * the learned merge table.
+  *
+  * Scale shape (the reason this survives 100 TB):
+  *  - BPE never iterates over the corpus. The corpus collapses ONCE into
+  *    the word-TYPE table (word, freq) — one map-side-combined shuffle —
+  *    and every merge round runs on word types weighted by freq. Type
+  *    count grows ~sublinearly with corpus size (heaps' law), so rounds
+  *    cost the same at 100 TB as at 100 GB modulo the one-time collapse.
+  *  - Each round is one partial-aggregated pair count (explode adjacent
+  *    pairs -> sum(freq)), one O(1)-row driver probe for the argmax (the
+  *    same scalar-probe precedent as q84's convergence check), and one
+  *    per-row greedy fold rewrite. No round shuffles the word table.
+  *  - `localCheckpoint(eager)` per round keeps the plan O(1) deep (the
+  *    q84 lesson: a k-round lineage of HOF folds would nest k deep and
+  *    re-execute every round's fold per action).
+  *
+  * Determinism: argmax ties break on (count DESC, left ASC, right ASC) —
+  * ASCII-only symbols, so Spark and DuckDB string orderings agree. The
+  * greedy left-to-right fold merge is replayed in DuckDB as a
+  * non-overlapping string replace over a '|'-delimited symbol string
+  * (both are the same left-to-right greedy semantics; symbols are
+  * [a-z0-9]+ so the delimiter never collides).
+  */
+object Bpe {
+
+  val Rounds = 10
+
+  /** One greedy merge of (l, r) over the symbol array, as a codegen-side
+    * fold: acc.last == l && x == r -> replace last with l+r, else append.
+    * The merged symbol (l+r != l) can never immediately re-match as a
+    * LEFT, which is exactly the non-overlapping replace the oracle uses. */
+  private[text] def mergeFold(l: String, r: String) = {
+    val (lq, rq, mq) = (s"'$l'", s"'$r'", s"'${l + r}'")
+    expr(s"""aggregate(syms, cast(array() as array<string>),
+      (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = $lq AND x = $rq,
+                     concat(slice(acc, 1, size(acc) - 1), array($mq)),
+                     concat(acc, array(x))))""")
+  }
+
+  def learn(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    // the one corpus-sized pass: collapse to word types + frequencies,
+    // then symbolize each type into its character sequence
+    var words = Tables(s, d, "documents")
+      .select(explode(expr(TextAnalysis.tokensExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1)
+        .collect()(0) // O(1)-row argmax probe per round, never the table
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round, l, r, cnt))
+      val prev = words
+      words = words.withColumn("syms", mergeFold(l, r)).localCheckpoint(true)
+      prev.unpersist()
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      merges.result().map { case (n, l, r, c) =>
+        org.apache.spark.sql.Row(n, l, r, c) }.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "round INT, left_sym STRING, right_sym STRING, pair_count BIGINT"))
+      .orderBy("round")
+  }
+
+  /** DuckDB replay: w0 = word types with a '|'-delimited symbol string;
+    * each round re-derives pair counts from the split symbols, picks the
+    * same argmax, and merges via non-overlapping replace of '|l||r|' with
+    * '|lr|' (double delimiters make consecutive matches share no chars,
+    * so left-to-right replace == the Spark-side greedy fold). */
+  private def oracleSql(rounds: Int): String = {
+    val w0 = s"""w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             '|' || array_to_string(list_transform(generate_series(1, length(word)),
+               i -> substr(word, CAST(i AS INTEGER), 1)), '||') || '|' AS seq
+      FROM (SELECT unnest(${TextAnalysis.duckTokens}) AS word FROM documents)
+      GROUP BY word)"""
+    val rounds_ctes = (1 to rounds).map { k =>
+      s"""p$k AS (
+        SELECT struct_extract(z, 1) AS l, struct_extract(z, 2) AS r,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, unnest(list_zip(s, s[2:])) AS z
+              FROM (SELECT freq, string_split(trim(seq, '|'), '||') AS s
+                    FROM w${k - 1}))
+        WHERE struct_extract(z, 2) IS NOT NULL
+        GROUP BY 1, 2),
+      b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+      w$k AS (SELECT word, freq,
+                     replace(seq, '|' || b.l || '||' || b.r || '|',
+                             '|' || b.l || b.r || '|') AS seq
+              FROM w${k - 1}, b$k b)"""
+    }.mkString(",\n")
+    val union = (1 to rounds).map(k =>
+      if (k == 1) s"SELECT 1 AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b1"
+      else s"UNION ALL SELECT $k, l, r, cnt FROM b$k").mkString("\n")
+    s"""WITH $w0,\n$rounds_ctes
+      SELECT CAST(round AS INTEGER) AS round, left_sym, right_sym, pair_count
+      FROM ($union)
+      ORDER BY round"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // -------------------------------------------------------------- q111:
+    // BPE vocab learning over the documents corpus: 10 merge rounds, each
+    // emitting (round, merged pair, weighted pair count).
+    QueryDef(
+      "q111_bpe_vocab_learn",
+      (s, d) => learn(s, d, Rounds),
+      Some(oracleSql(Rounds))))
+}
