@@ -599,6 +599,78 @@ object TextAnalysis {
           UNION ALL SELECT 3, 'repetition', COUNT(*) FROM s3
           UNION ALL SELECT 4, 'boilerplate', COUNT(*) FROM s4
           UNION ALL SELECT 5, 'exact_dedup', COUNT(*) FROM s5)
-        ORDER BY stage_ord"""))
+        ORDER BY stage_ord""")),
+
+    // -------------------------------------------------------------- q112:
+    // span-level boilerplate REMOVAL (RefinedWeb-style) — the operator a
+    // cleaning pipeline runs after q101 DECIDES which spans are
+    // boilerplate: excise every token covered by a cross-document span,
+    // keep the rest in original order, and report the removal accounting.
+    // Width 8 and the >= 2-distinct-docs threshold are q101's — the two
+    // queries must stay in lockstep (q101 flags, q112 excises).
+    //
+    // Scale shape: span occurrences shuffle as (md5, start) — fixed-width
+    // hash + int, never span text; the boilerplate set is derived with one
+    // map-side-combined distinct-count; coverage is a per-doc array fold
+    // (exists() over the doc's own boiler starts — tens of ints), so the
+    // only corpus-sized shuffles are the span hash aggregate and the
+    // starts re-join, both keyed small.
+    QueryDef(
+      "q112_boiler_removal",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), expr(tokensExpr).as("toks"))
+        // ALL span occurrences with start positions (q101 distincts spans
+        // per doc for counting; removal needs every covered position)
+        val spansPos = docs
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) < 8
+              |THEN CAST(array() AS ARRAY<STRUCT<st: INT, h: STRING>>)
+              |ELSE transform(sequence(1, size(toks) - 7),
+              |  i -> struct(i AS st, md5(concat_ws(' ', slice(toks, i, 8))) AS h))
+              |END""".stripMargin)).as("sp"))
+          .select(col("doc_id"), col("sp.st").as("st"), col("sp.h").as("h"))
+        val boiler = spansPos.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val starts = spansPos.join(boiler, "h")
+          .groupBy("doc_id").agg(collect_list(col("st")).as("starts"))
+        docs.join(starts, Seq("doc_id"), "left")
+          .withColumn("starts",
+            coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+          .withColumn("kept", expr(
+            """CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<INT>)
+              |ELSE filter(sequence(1, size(toks)),
+              |  i -> NOT exists(starts, s -> s <= i AND i <= s + 7)) END"""
+              .stripMargin))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+            expr("concat_ws(' ', transform(kept, i -> element_at(toks, i)))")
+              .as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH dt AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+        sp AS (SELECT doc_id, i AS st,
+                      md5(array_to_string(toks[i:i+7], ' ')) AS h
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 7)) AS i
+                     FROM dt)),
+        b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) nd
+                             FROM sp GROUP BY h) WHERE nd >= 2),
+        st AS (SELECT doc_id, list(sp.st) AS starts
+               FROM sp JOIN b USING (h) GROUP BY doc_id),
+        k AS (SELECT dt.doc_id, toks,
+                     list_filter(generate_series(1, len(toks)),
+                       i -> len(list_filter(COALESCE(starts, []),
+                              s -> s <= i AND i <= s + 7)) = 0) AS kept
+              FROM dt LEFT JOIN st ON dt.doc_id = st.doc_id)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(list_transform(kept,
+                 i -> toks[CAST(i AS INTEGER)]), ' '), '') AS clean_text
+        FROM k
+        ORDER BY doc_id"""))
   )
 }
