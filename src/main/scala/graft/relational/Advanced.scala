@@ -591,11 +591,23 @@ object Advanced {
     // boundary).
     QueryDef(
       "q65_exact_percentiles",
+      // histogram-first: l_quantity is domain-bounded (TPC-H: 1..50), so
+      // the full-data pass is a whole-stage-codegen hash COUNT by
+      // (flag, quantity) — map-side combined, ~150 rows out — and the
+      // exact type-7 interpolation runs percentile(value, pcts, freq)
+      // over that tiny histogram. The naive percentile-over-raw-rows
+      // formulation ObjectHashAggregates every row into per-partition
+      // value buffers (no codegen, r05 bench showed it ~2x slower); at
+      // 100 TB it would also shuffle far more partial-buffer state than
+      // the bounded histogram.
       (s, d) =>
         Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("f"))
           .groupBy("l_returnflag")
-          .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("ps"),
-            count(lit(1)).as("n"))
+          .agg(
+            expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D), f)").as("ps"),
+            sum(col("f")).as("n"))
           .select(col("l_returnflag"), col("n"),
             round(element_at(col("ps"), 1), 6).as("p25"),
             round(element_at(col("ps"), 2), 6).as("p50"),
