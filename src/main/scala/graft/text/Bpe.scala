@@ -47,7 +47,11 @@ object Bpe {
                      concat(acc, array(x))))""")
   }
 
-  def learn(s: SparkSession, d: String, rounds: Int): DataFrame = {
+  /** Run the merge-learning loop; returns the merge table AND the word
+    * table in its post-merge state (word, freq, syms) — the trained
+    * tokenizer q113 applies. */
+  private def trained(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     // the one corpus-sized pass: collapse to word types + frequencies,
     // then symbolize each type into its character sequence
     var words = Tables(s, d, "documents")
@@ -75,13 +79,42 @@ object Bpe {
       words = words.withColumn("syms", mergeFold(l, r)).localCheckpoint(true)
       prev.unpersist()
     }
+    (merges.result(), words)
+  }
+
+  def learn(s: SparkSession, d: String, rounds: Int): DataFrame = {
     import scala.jdk.CollectionConverters._
     s.createDataFrame(
-      merges.result().map { case (n, l, r, c) =>
+      trained(s, d, rounds)._1.map { case (n, l, r, c) =>
         org.apache.spark.sql.Row(n, l, r, c) }.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "round INT, left_sym STRING, right_sym STRING, pair_count BIGINT"))
       .orderBy("round")
+  }
+
+  /** Apply the learned vocabulary: per-doc token counts under the trained
+    * BPE (sum over the doc's words of that word's post-merge symbol
+    * count). The trained word table is a broadcast-sized dimension
+    * relative to the corpus (word TYPES, not tokens — at 100 TB a ~10M
+    * row vocab still broadcasts at ~hundreds of MB, and if it ever
+    * doesn't, the equi-join on `word` degrades gracefully to one
+    * shuffle); the corpus-sized side is one explode + map-side-combined
+    * count. */
+  def encodeCounts(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val vocab = broadcast(
+      trained(s, d, rounds)._2
+        .select(col("word"), size(col("syms")).cast("long").as("n_sym")))
+    val perDoc = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("word"))
+      .join(vocab, "word") // total: the vocab was built from this corpus
+      .groupBy("doc_id")
+      .agg(sum(col("n_sym")).as("s"), count(lit(1)).as("c"))
+    Tables(s, d, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("s"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("c"), lit(0L)).as("n_words"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB replay: w0 = word types with a '|'-delimited symbol string;
@@ -89,7 +122,10 @@ object Bpe {
     * same argmax, and merges via non-overlapping replace of '|l||r|' with
     * '|lr|' (double delimiters make consecutive matches share no chars,
     * so left-to-right replace == the Spark-side greedy fold). */
-  private def oracleSql(rounds: Int): String = {
+  /** The shared learning replay: w0 (word types as delimited symbol
+    * strings) plus per-round pair-count / argmax / merge CTEs, leaving
+    * w<rounds> as the trained word table. */
+  private def duckTrainCtes(rounds: Int): String = {
     val w0 = s"""w0 AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
              '|' || array_to_string(list_transform(generate_series(1, length(word)),
@@ -111,14 +147,31 @@ object Bpe {
                              '|' || b.l || b.r || '|') AS seq
               FROM w${k - 1}, b$k b)"""
     }.mkString(",\n")
+    s"$w0,\n$rounds_ctes"
+  }
+
+  private def oracleSql(rounds: Int): String = {
     val union = (1 to rounds).map(k =>
       if (k == 1) s"SELECT 1 AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b1"
       else s"UNION ALL SELECT $k, l, r, cnt FROM b$k").mkString("\n")
-    s"""WITH $w0,\n$rounds_ctes
+    s"""WITH ${duckTrainCtes(rounds)}
       SELECT CAST(round AS INTEGER) AS round, left_sym, right_sym, pair_count
       FROM ($union)
       ORDER BY round"""
   }
+
+  private def encodeOracleSql(rounds: Int): String =
+    s"""WITH ${duckTrainCtes(rounds)},
+      d AS (SELECT doc_id, unnest(${TextAnalysis.duckTokens}) AS word
+            FROM documents),
+      vs AS (SELECT word, CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS n_sym
+             FROM w$rounds),
+      a AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM d JOIN vs USING (word) GROUP BY doc_id)
+      SELECT doc_id, COALESCE(s, 0) AS n_bpe_tokens, COALESCE(c, 0) AS n_words
+      FROM documents LEFT JOIN a USING (doc_id)
+      ORDER BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
     // -------------------------------------------------------------- q111:
@@ -127,5 +180,15 @@ object Bpe {
     QueryDef(
       "q111_bpe_vocab_learn",
       (s, d) => learn(s, d, Rounds),
-      Some(oracleSql(Rounds))))
+      Some(oracleSql(Rounds))),
+
+    // -------------------------------------------------------------- q113:
+    // apply the learned vocab — per-doc token counts under the trained
+    // BPE (the token-budget accounting every pretraining pipeline runs
+    // with its production tokenizer, here the q111-trained one). The
+    // trained word table joins the corpus as a broadcast dimension.
+    QueryDef(
+      "q113_bpe_encode",
+      (s, d) => encodeCounts(s, d, Rounds),
+      Some(encodeOracleSql(Rounds))))
 }

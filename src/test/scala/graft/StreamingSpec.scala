@@ -180,6 +180,14 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(kProv))(v => spark.conf.set(kProv, v))
   }
 
+  // NOTE on TTL: TTLConfig requires TimeMode.ProcessingTime, under which
+  // the query self-schedules state-cleanup work — in this single-JVM
+  // environment that loops batches indefinitely (processAllAvailable and
+  // even Trigger.AvailableNow never settle; measured, not speculated).
+  // TTL is therefore exercised nowhere: q110 documents why wall-clock
+  // eviction is excluded from the oracle-paired surface, and the
+  // TTLConfig.NONE paths above pin the state API itself.
+
   test("q103 bounded-state dedup removes the injected duplicates exactly (stream = clean batch)") {
     // every source row is doubled upstream of dropDuplicatesWithinWatermark;
     // the deduped totals must equal the CLEAN batch table's — both the
