@@ -420,6 +420,62 @@ object Dedup {
         FROM canon c JOIN sizes s2 ON c.canonical = s2.canonical
         ORDER BY doc_id""")),
 
+    // -------------------------------------------------------------- q114:
+    // dedup-corpus MATERIALIZATION (keep-best): q84 labels the duplicate
+    // clusters; this emits the surviving corpus — one canonical doc per
+    // cluster (longest text wins, doc_id breaks ties) plus every
+    // singleton, with per-survivor drop accounting. This is the step
+    // that actually shrinks the training set after cluster resolution.
+    //
+    // Scale shape: the cluster label table is tiny (only clustered docs —
+    // duplicates are a small fraction of a real corpus), so the left join
+    // tags the corpus map-side; keep-best is max_by over a struct key
+    // (partial-aggregated, never a per-cluster sort of the corpus).
+    QueryDef(
+      "q114_dedup_keep_best",
+      (s, d) => {
+        val pairs = minhashDupPairs(s, d).select("doc_a", "doc_b")
+        val labels = connectedComponents(
+          pairs.select(col("doc_a").as("x"), col("doc_b").as("y")))
+        val labeled = Tables(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .join(labels.select(col("doc").as("doc_id"), col("lbl")),
+            Seq("doc_id"), "left")
+          .withColumn("lbl", coalesce(col("lbl"), col("doc_id")))
+        labeled.groupBy("lbl")
+          .agg(
+            expr("max_by(struct(doc_id, n_chars), struct(n_chars, -doc_id))")
+              .as("k"),
+            count(lit(1)).as("cs"))
+          .select(col("k.doc_id").as("doc_id"), col("k.n_chars").as("n_chars"),
+            col("cs").as("cluster_size"),
+            (col("cs") - 1).as("n_dropped"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $duckDupPairs,
+        edges AS (SELECT doc_a AS x, doc_b AS y FROM dup_pairs
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM dup_pairs),
+        verts AS (SELECT DISTINCT x AS doc FROM edges),
+        reach(doc, r) AS (
+          SELECT doc, doc FROM verts
+          UNION
+          SELECT reach.doc, e.y FROM reach JOIN edges e ON reach.r = e.x),
+        canon AS (SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc),
+        lab AS (SELECT d.doc_id, d.n_chars,
+                       COALESCE(c.canonical, d.doc_id) AS lbl
+                FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc),
+        w AS (SELECT doc_id, n_chars, lbl,
+                     ROW_NUMBER() OVER (PARTITION BY lbl
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY lbl) AS cs
+              FROM lab)
+        SELECT doc_id, n_chars, CAST(cs AS BIGINT) AS cluster_size,
+               CAST(cs - 1 AS BIGINT) AS n_dropped
+        FROM w WHERE rn = 1
+        ORDER BY doc_id""")),
+
     // --------------------------------------------------------------- q99:
     // INCREMENTAL dedup — the production shape of q41: dedup a NEW batch
     // (doc_id % 10 == 0 here) against an EXISTING corpus, not the corpus
