@@ -266,6 +266,103 @@ object Similarity {
                  / COUNT(*) AS centroid
         FROM x
         GROUP BY 1, 2
-        ORDER BY label, pos"""))
+        ORDER BY label, pos""")),
+
+    // -------------------------------------------------------------- q115:
+    // ANN recall evaluation — the acceptance measurement a pipeline runs
+    // before trusting an approximate index: recall@5 of the q46-style
+    // LSH-bucketed search against the exact brute-force top-5, per query.
+    // Both arms and the scoring are deterministic (cand_id tiebreak), so
+    // even the quality metric itself is oracle hash-checked.
+    //
+    // Measured finding (sf0.01): mean recall@5 = 0.03 — q46's single-table
+    // 8-bit signature is a WEAK index on the near-uniform fixture
+    // embeddings (256 buckets x 500 vectors; bucket mates are rarely true
+    // neighbors). That is the point of shipping the evaluator: it is the
+    // query that tells you to reach for q44's banded multi-table LSH (8
+    // bands x 3 bits, candidate recall by union over bands) or q56's IVF
+    // with rerank before trusting an index at 100 TB.
+    //
+    // Scale shape: the exact arm broadcasts the 20-query set against the
+    // corpus (the q45 plan — never the reverse); the LSH arm shuffles
+    // bucket-sized; the scoring join is 20x5 rows. At 100 TB the exact
+    // arm is the expensive audit you run on a SAMPLE of queries (exactly
+    // this shape), not per lookup.
+    QueryDef(
+      "q115_ann_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables(s, d, "embeddings")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        val q = v.filter(col("vec_id") < 20).select(
+          col("vec_id").as("query_id"), col("embedding")).as("q")
+        val c = v.select(col("vec_id").as("cand_id"), col("embedding")).as("c")
+        val exact = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+          .withColumn("cos", cosCol)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "cand_id")
+        val vb = v.withColumn("bucket", (0 until 8).map(p =>
+          when(graft.functions.PlaneDot.plane_dot(col("embedding"), planeW(p)) > 0,
+            lit(1 << p)).otherwise(lit(0))).reduce(_ + _))
+        val qb = vb.filter(col("vec_id") < 20).select(
+          col("vec_id").as("query_id"), col("embedding"), col("bucket")).as("q")
+        val cb = vb.select(
+          col("vec_id").as("cand_id"), col("embedding"), col("bucket")).as("c")
+        val approx = qb
+          .join(cb, col("q.bucket") === col("c.bucket") &&
+            col("query_id") =!= col("cand_id"))
+          .withColumn("cos", cosCol)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "cand_id")
+        val hit = exact.join(approx, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        val got = approx.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(got, Seq("query_id"), "left")
+          .join(hit, Seq("query_id"), "left")
+          .select(col("query_id"),
+            col("n_exact"),
+            coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)) / col("n_exact").cast("double"))
+              .as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH $duckNormed,
+        ep AS (SELECT q.vec_id query_id, c.vec_id cand_id, $duckCos cos
+               FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        er AS (SELECT query_id, cand_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, cand_id) rn
+               FROM ep),
+        exact AS (SELECT query_id, cand_id FROM er WHERE rn <= 5),
+        vb AS (SELECT vec_id, embedding, norm,
+                      CAST(${(0 until 8).map(p =>
+                        s"(CASE WHEN (${duckPlaneDotLit(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+                        .mkString(" + ")} AS INTEGER) bucket
+               FROM v),
+        ap AS (SELECT q.vec_id query_id, c.vec_id cand_id, $duckCos cos
+               FROM vb q JOIN vb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+               WHERE q.vec_id < 20),
+        ar AS (SELECT query_id, cand_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, cand_id) rn
+               FROM ap),
+        approx AS (SELECT query_id, cand_id FROM ar WHERE rn <= 5),
+        hit AS (SELECT query_id, COUNT(*) AS n_hit
+                FROM exact JOIN approx USING (query_id, cand_id)
+                GROUP BY query_id),
+        got AS (SELECT query_id, COUNT(*) AS n_lsh FROM approx GROUP BY query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+        SELECT query_id, n_exact,
+               COALESCE(n_lsh, 0) AS n_lsh,
+               COALESCE(n_hit, 0) AS n_hit,
+               COALESCE(n_hit, 0) / CAST(n_exact AS DOUBLE) AS recall
+        FROM ex LEFT JOIN got USING (query_id) LEFT JOIN hit USING (query_id)
+        ORDER BY query_id"""))
   )
 }
