@@ -32,11 +32,19 @@ object Similarity {
   private val planeW: IndexedSeq[Seq[Long]] =
     (0 until 8).map(p => (0 until 64).map(d2 =>
       (md5Long(s"$p:$d2") % 2001) - 1000))
-  private def duckPlaneDotLit(p: Int) =
+  private def duckPlaneDotOf(w: Seq[Long]) =
     s"""list_reduce(list_transform(generate_series(0, 63), d2 ->
        |  CAST(embedding[d2 + 1] AS DOUBLE) *
-       |  (${duckArray(planeW(p))})[d2 + 1] / 1000.0),
+       |  (${duckArray(w)})[d2 + 1] / 1000.0),
        |  (a2, b2) -> a2 + b2)""".stripMargin
+  private def duckPlaneDotLit(p: Int) = duckPlaneDotOf(planeW(p))
+
+  /** q116 banded-search geometry: 4 bands x 6 sign bits = 24 planes,
+    * deterministic md5 weights (seed "q116:p:d"), same integer-literal
+    * interpolation contract as [[planeW]]. */
+  private val bandPlanes: IndexedSeq[Seq[Long]] =
+    (0 until 24).map(p => (0 until 64).map(d2 =>
+      (md5Long(s"q116:$p:$d2") % 2001) - 1000))
 
   /** Native codegen'd cosine (graft.functions.CosineSimilarity) — same
     * sequential-fold double semantics as the oracle's list_reduce. */
@@ -363,6 +371,114 @@ object Similarity {
                COALESCE(n_hit, 0) AS n_hit,
                COALESCE(n_hit, 0) / CAST(n_exact AS DOUBLE) AS recall
         FROM ex LEFT JOIN got USING (query_id) LEFT JOIN hit USING (query_id)
+        ORDER BY query_id""")),
+
+    // -------------------------------------------------------------- q116:
+    // the fix q115's measurement demands: BANDED multi-table LSH search —
+    // 4 bands x 6 sign bits (own md5-derived planes), candidates = union
+    // of the query's 4 band buckets, exact cosine rerank, then the same
+    // recall@5 audit against brute force. Also reports the candidate
+    // count, because banding buys recall by touching more of the corpus —
+    // the recall/cost tradeoff IS the result. At 100 TB each band is an
+    // equi-join on a 6-bit key within a band (pre-partitionable corpus
+    // index per band); the rerank touches only the candidate union.
+    //
+    // Measured (sf0.01, vs q115's 0.03 on the single-table index): mean
+    // recall@5 = 0.22 at a mean candidate set of 36.6 of 500 vectors —
+    // 7x the recall for 7% of the corpus touched. More bands/bits move
+    // along the same curve; the evaluator makes the knob measurable.
+    QueryDef(
+      "q116_knn_banded_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables(s, d, "embeddings")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        val q = v.filter(col("vec_id") < 20).select(
+          col("vec_id").as("query_id"), col("embedding")).as("q")
+        val c = v.select(col("vec_id").as("cand_id"), col("embedding")).as("c")
+        val exact = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+          .withColumn("cos", cosCol)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "cand_id")
+        val sig = v.withColumn("sig", (0 until 24).map(p =>
+          when(graft.functions.PlaneDot.plane_dot(
+            col("embedding"), bandPlanes(p)) > 0, lit(1 << p)).otherwise(lit(0)))
+          .reduce(_ + _))
+        val bands = sig.select(col("vec_id"), explode(expr(
+            """transform(sequence(0, 3),
+              |  b -> struct(b AS band,
+              |              CAST(shiftright(sig, b * 6) & 63 AS INT) AS key))"""
+              .stripMargin)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = broadcast(
+            bands.filter(col("vec_id") < 20).select(
+              col("vec_id").as("query_id"), col("band"), col("key")))
+          .join(bands.select(col("vec_id").as("cand_id"), col("band"), col("key")),
+            Seq("band", "key"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .select("query_id", "cand_id").distinct()
+        val approx = cand
+          .join(v.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+            "query_id")
+          .join(v.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+            "cand_id")
+          .withColumn("cos",
+            graft.functions.functions.cosine_sim(col("qe"), col("ce")))
+          .withColumn("rank", row_number().over(w))
+        val top = approx.filter(col("rank") <= 5).select("query_id", "cand_id")
+        val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+        val hit = exact.join(top, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(nCand, Seq("query_id"), "left")
+          .join(hit, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)) / col("n_exact").cast("double"))
+              .as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH $duckNormed,
+        ep AS (SELECT q.vec_id query_id, c.vec_id cand_id, $duckCos cos
+               FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        er AS (SELECT query_id, cand_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, cand_id) rn
+               FROM ep),
+        exact AS (SELECT query_id, cand_id FROM er WHERE rn <= 5),
+        sb AS (SELECT vec_id,
+                      CAST(${(0 until 24).map(p =>
+                        s"(CASE WHEN (${duckPlaneDotOf(bandPlanes(p))}) > 0 THEN ${1 << p} ELSE 0 END)")
+                        .mkString(" + ")} AS BIGINT) sig
+               FROM v),
+        bands AS (SELECT vec_id, b AS band,
+                         CAST((sig >> (b * 6)) & 63 AS INTEGER) AS key
+                  FROM sb, generate_series(0, 3) AS t2(b)),
+        cand AS (SELECT DISTINCT x.vec_id query_id, y.vec_id cand_id
+                 FROM bands x JOIN bands y USING (band, key)
+                 WHERE x.vec_id < 20 AND x.vec_id <> y.vec_id),
+        ap AS (SELECT cand.query_id, cand.cand_id, $duckCos cos
+               FROM cand JOIN v q ON q.vec_id = cand.query_id
+                         JOIN v c ON c.vec_id = cand.cand_id),
+        ar AS (SELECT query_id, cand_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, cand_id) rn
+               FROM ap),
+        top5 AS (SELECT query_id, cand_id FROM ar WHERE rn <= 5),
+        nc AS (SELECT query_id, COUNT(*) AS n_cand FROM cand GROUP BY query_id),
+        hit AS (SELECT query_id, COUNT(*) AS n_hit
+                FROM exact JOIN top5 USING (query_id, cand_id)
+                GROUP BY query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+        SELECT query_id, n_exact,
+               COALESCE(n_cand, 0) AS n_cand,
+               COALESCE(n_hit, 0) AS n_hit,
+               COALESCE(n_hit, 0) / CAST(n_exact AS DOUBLE) AS recall
+        FROM ex LEFT JOIN nc USING (query_id) LEFT JOIN hit USING (query_id)
         ORDER BY query_id"""))
   )
 }
