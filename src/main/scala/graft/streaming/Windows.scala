@@ -83,6 +83,58 @@ object Windows {
     stableDirs.computeIfAbsent(name + ":" + d,
       _ => Files.createTempDirectory(s"graft_${name}_"))
 
+  /** One source dir = symlinked fixture + a far-future SENTINEL file (a
+    * single file source keeps watermark bookkeeping trivially global).
+    * The sentinel (user_id 1000000, event_type "flush", max(ts) + 3 h)
+    * pushes the final watermark past every real row so append-mode
+    * stateful operators flush at drain — the standard end-of-stream
+    * pattern shared by q77 (session close) and q117 (outer-join null
+    * emission). Built once per (query, sfDir): the sentinel timestamp
+    * comes from the parquet FOOTER STATS via aggregate pushdown (no
+    * filter, no other column -> MAX(ts) is answered from metadata) — at
+    * 100 TB this is a metadata read, not an extra pass. */
+  private def sentinelSrc(s: SparkSession, d: String,
+      base: java.nio.file.Path, nSentinels: Int = 1): java.nio.file.Path = {
+    val srcDir = base.resolve("src")
+    if (!Files.exists(srcDir)) {
+      val kAgg = "spark.sql.parquet.aggregatePushDown"
+      val prevAgg = s.conf.getOption(kAgg)
+      s.conf.set(kAgg, "true")
+      val maxTsNanos =
+        try s.read.parquet(s"$d/events.parquet").agg(max("ts"))
+          .collect()(0).getLong(0)
+        finally prevAgg.fold(s.conf.unset(kAgg))(v => s.conf.set(kAgg, v))
+      val staging = Files.createTempDirectory("graft_sess_src_")
+      Files.createSymbolicLink(staging.resolve("events.parquet"),
+        java.nio.file.Paths.get(d, "events.parquet"))
+      // nSentinels = 2 for operators whose FLUSH itself is watermark-gated
+      // (stream-stream outer join): the watermark a batch evicts with is
+      // the one computed from PRIOR batches, so sentinel #1's advance only
+      // takes effect in the batch that processes sentinel #2 (+6 h) — the
+      // engine ran no further no-data batch after the last file here
+      // (measured: the last-hour null rows stayed in state with one
+      // sentinel).
+      (1 to nSentinels).foreach { i =>
+        val tmpOut = Files.createTempDirectory("graft_sentinel_")
+        s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(
+              -i.toLong, (maxTsNanos / 1000000000L + 3L * 3600 * i) * 1000000000L,
+              1000000L, "flush", 0.0, "")),
+            rawSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = Files.list(tmpOut).iterator()
+        var sentinelFile: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) sentinelFile = p
+        }
+        Files.copy(sentinelFile, staging.resolve(s"zz_sentinel$i.parquet"))
+      }
+      Files.move(staging, srcDir) // atomic publish: exists => complete
+    }
+    srcDir
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q70:
@@ -378,41 +430,7 @@ object Windows {
         val base = stableDir("q77", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
-        // one source dir = symlinked fixture + the sentinel file (a single
-        // file source keeps watermark bookkeeping trivially global).
-        // Built once per (query, sfDir): the sentinel timestamp comes from
-        // the parquet FOOTER STATS via aggregate pushdown (no filter, no
-        // other column -> MAX(ts) is answered from metadata; the plan shows
-        // PushedAggregation [MAX(ts)]) — at 100 TB this is a metadata read,
-        // not an extra full pass before the stream starts.
-        val srcDir = base.resolve("src")
-        if (!Files.exists(srcDir)) {
-          val kAgg = "spark.sql.parquet.aggregatePushDown"
-          val prevAgg = s.conf.getOption(kAgg)
-          s.conf.set(kAgg, "true")
-          val maxTsNanos =
-            try s.read.parquet(s"$d/events.parquet").agg(max("ts"))
-              .collect()(0).getLong(0)
-            finally prevAgg.fold(s.conf.unset(kAgg))(v => s.conf.set(kAgg, v))
-          val staging = Files.createTempDirectory("graft_sess_src_")
-          Files.createSymbolicLink(staging.resolve("events.parquet"),
-            java.nio.file.Paths.get(d, "events.parquet"))
-          val tmpOut = Files.createTempDirectory("graft_sentinel_")
-          s.createDataFrame(
-              java.util.List.of(org.apache.spark.sql.Row(
-                -1L, (maxTsNanos / 1000000000L + 3L * 3600) * 1000000000L,
-                1000000L, "flush", 0.0, "")),
-              rawSchema)
-            .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-          val part = Files.list(tmpOut).iterator()
-          var sentinelFile: java.nio.file.Path = null
-          while (part.hasNext) {
-            val p = part.next()
-            if (p.getFileName.toString.endsWith(".parquet")) sentinelFile = p
-          }
-          Files.copy(sentinelFile, staging.resolve("zz_sentinel.parquet"))
-          Files.move(staging, srcDir) // atomic publish: exists => complete
-        }
+        val srcDir = sentinelSrc(s, d, base)
         val stream = s.readStream.schema(rawSchema)
           .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -624,6 +642,68 @@ object Windows {
         FROM events
         GROUP BY event_type
         ORDER BY event_type""")),
+
+    // -------------------------------------------------------------- q117:
+    // stream-stream LEFT OUTER interval join — q75's inner join only ever
+    // emits matches; the outer variant must ALSO emit every unmatched
+    // click with NULL error columns, and may only do so once the
+    // watermark proves no matching error can still arrive (the join state
+    // eviction and the null emission are the same event). The far-future
+    // sentinel (shared staging with q77) pushes the final watermark 2 h
+    // past max(ts), closing every click's 30-minute match window, so the
+    // drained stream equals the batch LEFT JOIN exactly. The q77 pushdown
+    // lesson applies DOUBLY here: a plain type filter placed after
+    // withWatermark is still PUSHED BELOW the watermark node by the
+    // optimizer, silently dropping the sentinel before it can advance the
+    // watermark (measured: the last hour's null rows stayed in state). So
+    // each side's filter explicitly ADMITS the sentinel user alongside
+    // its type, and the sentinel pairs are excluded at sink read-back.
+    QueryDef(
+      "q117_stream_stream_outer_join",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        val base = stableDir("q117", d)
+        val ckpt = base.resolve("ckpt").toString
+        val out = base.resolve("out").toString
+        val srcDir = sentinelSrc(s, d, base, nSentinels = 2)
+        def side(tpe: String, prefix: String) =
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              col("ts").as(s"${prefix}_ts"),
+              col("event_type").as(s"${prefix}_type"))
+            .withWatermark(s"${prefix}_ts", "1 hour")
+            .filter(col(s"${prefix}_type") === tpe ||
+              col(s"${prefix}_user") === 1000000L)
+            .drop(s"${prefix}_type")
+        val joined = side("click", "c").join(
+          side("error", "e"),
+          expr("""c_user = e_user AND
+                  e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 30 MINUTES"""),
+          "left_outer")
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$out/batch_id=$id"): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .filter(col("c_user") =!= 1000000L)
+          .select(col("c_id"), col("e_id"), col("c_user").as("user_id"))
+          .orderBy(col("c_id"), col("e_id"))
+      },
+      Some("""
+        SELECT c.event_id AS c_id, e.event_id AS e_id, c.user_id
+        FROM events c LEFT JOIN events e
+          ON e.event_type = 'error' AND c.user_id = e.user_id
+         AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+        ORDER BY c_id, e_id NULLS FIRST""")),
 
     // -------------------------------------------------------------- q110:
     // transformWithState on RocksDB — Spark 4's arbitrary-state successor
