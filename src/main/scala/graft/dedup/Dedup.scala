@@ -437,9 +437,12 @@ object Dedup {
         val pairs = minhashDupPairs(s, d).select("doc_a", "doc_b")
         val labels = connectedComponents(
           pairs.select(col("doc_a").as("x"), col("doc_b").as("y")))
+        // labels cover only CLUSTERED docs (a small fraction of any real
+        // corpus) — broadcast them; unhinted, Catalyst sort-merge-joins
+        // the corpus against them (verified via Explain)
         val labeled = Tables(s, d, "documents")
           .select(col("doc_id"), col("n_chars"))
-          .join(labels.select(col("doc").as("doc_id"), col("lbl")),
+          .join(broadcast(labels.select(col("doc").as("doc_id"), col("lbl"))),
             Seq("doc_id"), "left")
           .withColumn("lbl", coalesce(col("lbl"), col("doc_id")))
         labeled.groupBy("lbl")
