@@ -329,8 +329,9 @@ object Similarity {
           .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
         val got = approx.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
         exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-          .join(got, Seq("query_id"), "left")
-          .join(hit, Seq("query_id"), "left")
+          // the scoring tables are |queries| rows — broadcast, never SMJ
+          .join(broadcast(got), Seq("query_id"), "left")
+          .join(broadcast(hit), Seq("query_id"), "left")
           .select(col("query_id"),
             col("n_exact"),
             coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
@@ -419,9 +420,11 @@ object Similarity {
             Seq("band", "key"))
           .filter(col("query_id") =!= col("cand_id"))
           .select("query_id", "cand_id").distinct()
-        val approx = cand
+        // cand is queries x bucket-mates (tiny vs the corpus): broadcast it
+        // through both embedding re-joins so the corpus never shuffles
+        val approx = broadcast(broadcast(cand)
           .join(v.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
-            "query_id")
+            "query_id"))
           .join(v.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
             "cand_id")
           .withColumn("cos",
@@ -432,8 +435,9 @@ object Similarity {
         val hit = exact.join(top, Seq("query_id", "cand_id"))
           .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
         exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-          .join(nCand, Seq("query_id"), "left")
-          .join(hit, Seq("query_id"), "left")
+          // the scoring tables are |queries| rows — broadcast, never SMJ
+          .join(broadcast(nCand), Seq("query_id"), "left")
+          .join(broadcast(hit), Seq("query_id"), "left")
           .select(col("query_id"), col("n_exact"),
             coalesce(col("n_cand"), lit(0L)).as("n_cand"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
