@@ -83,6 +83,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_boiler"))
   }
 
+  /** Boilerplate EXCISION over a frame carrying (doc_id, toks): q101's
+    * span geometry (8-token spans, >= 2 distinct docs as "boilerplate"),
+    * but with ALL occurrences positioned (q101 distincts spans per doc
+    * for counting; removal needs every covered position). Emits
+    * (doc_id, n_tokens, n_removed, clean_text) — shared by q112 (whole
+    * corpus) and q118 (cascade survivors). */
+  private def excised(docs: DataFrame): DataFrame = {
+    val spansPos = docs
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 8
+          |THEN CAST(array() AS ARRAY<STRUCT<st: INT, h: STRING>>)
+          |ELSE transform(sequence(1, size(toks) - 7),
+          |  i -> struct(i AS st, md5(concat_ws(' ', slice(toks, i, 8))) AS h))
+          |END""".stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.st").as("st"), col("sp.h").as("h"))
+    val boiler = spansPos.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val starts = spansPos.join(boiler, "h")
+      .groupBy("doc_id").agg(collect_list(col("st")).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept", expr(
+        """CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE filter(sequence(1, size(toks)),
+          |  i -> NOT exists(starts, s -> s <= i AND i <= s + 7)) END"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(kept, i -> element_at(toks, i)))")
+          .as("clean_text"))
+  }
+
+  /** The excision CTE chain over a CTE named `src` carrying
+    * (doc_id, toks) — the oracle mirror of [[excised]]; terminal CTE
+    * `excised` has (doc_id, n_tokens, n_removed, clean_text). */
+  private def duckExciseCtes(src: String): String =
+    s"""xsp AS (SELECT doc_id, i AS st,
+       |              md5(array_to_string(toks[i:i+7], ' ')) AS h
+       |       FROM (SELECT doc_id, toks,
+       |                    unnest(generate_series(1, len(toks) - 7)) AS i
+       |             FROM $src)),
+       |xb AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) nd
+       |                      FROM xsp GROUP BY h) WHERE nd >= 2),
+       |xst AS (SELECT doc_id, list(xsp.st) AS starts
+       |        FROM xsp JOIN xb USING (h) GROUP BY doc_id),
+       |xk AS (SELECT $src.doc_id, toks,
+       |              list_filter(generate_series(1, len(toks)),
+       |                i -> len(list_filter(COALESCE(starts, []),
+       |                       s -> s <= i AND i <= s + 7)) = 0) AS kept
+       |       FROM $src LEFT JOIN xst ON $src.doc_id = xst.doc_id),
+       |excised AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |                   CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |                   COALESCE(array_to_string(list_transform(kept,
+       |                     i -> toks[CAST(i AS INTEGER)]), ' '), '') AS clean_text
+       |            FROM xk)""".stripMargin
+
   /** The sp/b/pd CTE chain over a CTE named `ws` carrying
     * (doc_id, spans) — the oracle mirror of [[boilerCounts]]. */
   private def duckBoilerCtes(ws: String): String =
@@ -617,60 +676,64 @@ object TextAnalysis {
     // starts re-join, both keyed small.
     QueryDef(
       "q112_boiler_removal",
+      (s, d) => excised(Tables(s, d, "documents")
+        .select(col("doc_id"), expr(tokensExpr).as("toks")))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH dt AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+        ${duckExciseCtes("dt")}
+        SELECT doc_id, n_tokens, n_removed, clean_text
+        FROM excised
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------- q118:
+    // the cleaning pipeline MATERIALIZED — q107 reports the funnel, this
+    // emits the corpus a training run would actually consume: lang →
+    // length → repetition filters (q107's exact predicates), boilerplate
+    // EXCISION over the survivors (q112's operator, not just the 50%
+    // drop rule), a post-excision minimum length, and exact dedup on the
+    // CLEANED text (min doc_id survives). Every stage is individually
+    // oracle-proven; this pins their composition.
+    QueryDef(
+      "q118_clean_corpus",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-          .select(col("doc_id"), expr(tokensExpr).as("toks"))
-        // ALL span occurrences with start positions (q101 distincts spans
-        // per doc for counting; removal needs every covered position)
-        val spansPos = docs
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(toks) < 8
-              |THEN CAST(array() AS ARRAY<STRUCT<st: INT, h: STRING>>)
-              |ELSE transform(sequence(1, size(toks) - 7),
-              |  i -> struct(i AS st, md5(concat_ws(' ', slice(toks, i, 8))) AS h))
-              |END""".stripMargin)).as("sp"))
-          .select(col("doc_id"), col("sp.st").as("st"), col("sp.h").as("h"))
-        val boiler = spansPos.groupBy("h")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("h")
-        val starts = spansPos.join(boiler, "h")
-          .groupBy("doc_id").agg(collect_list(col("st")).as("starts"))
-        docs.join(starts, Seq("doc_id"), "left")
-          .withColumn("starts",
-            coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
-          .withColumn("kept", expr(
-            """CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<INT>)
-              |ELSE filter(sequence(1, size(toks)),
-              |  i -> NOT exists(starts, s -> s <= i AND i <= s + 7)) END"""
-              .stripMargin))
-          .select(col("doc_id"),
-            size(col("toks")).cast("long").as("n_tokens"),
-            (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
-            expr("concat_ws(' ', transform(kept, i -> element_at(toks, i)))")
-              .as("clean_text"))
+        val survivors = Tables(s, d, "documents")
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .filter(col("lang") === "en")
+          .filter(col("n_tok") >= 10 && col("n_tok") <= 10000)
+          .filter((col("n_tok") - size(array_distinct(col("toks"))).cast("long"))
+            * 10000000L < col("n_tok") * 5500005L)
+          .select(col("doc_id"), col("toks"))
+        excised(survivors)
+          .filter(col("n_tokens") - col("n_removed") >= 10)
+          .groupBy(md5(col("clean_text")).as("fp"))
+          .agg(expr(
+            "min_by(struct(doc_id, n_tokens, n_removed, clean_text), doc_id)")
+            .as("k"))
+          .select(col("k.doc_id").as("doc_id"),
+            col("k.n_tokens").as("n_tokens_raw"),
+            (col("k.n_tokens") - col("k.n_removed")).as("n_tokens_clean"),
+            col("k.clean_text").as("clean_text"))
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH dt AS (SELECT doc_id, $duckTokens AS toks FROM documents),
-        sp AS (SELECT doc_id, i AS st,
-                      md5(array_to_string(toks[i:i+7], ' ')) AS h
-               FROM (SELECT doc_id, toks,
-                            unnest(generate_series(1, len(toks) - 7)) AS i
-                     FROM dt)),
-        b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) nd
-                             FROM sp GROUP BY h) WHERE nd >= 2),
-        st AS (SELECT doc_id, list(sp.st) AS starts
-               FROM sp JOIN b USING (h) GROUP BY doc_id),
-        k AS (SELECT dt.doc_id, toks,
-                     list_filter(generate_series(1, len(toks)),
-                       i -> len(list_filter(COALESCE(starts, []),
-                              s -> s <= i AND i <= s + 7)) = 0) AS kept
-              FROM dt LEFT JOIN st ON dt.doc_id = st.doc_id)
-        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-               CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
-               COALESCE(array_to_string(list_transform(kept,
-                 i -> toks[CAST(i AS INTEGER)]), ' '), '') AS clean_text
-        FROM k
+        WITH s0 AS (SELECT doc_id, lang, $duckTokens AS toks FROM documents),
+        f1 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+               FROM s0 WHERE lang = 'en'),
+        f2 AS (SELECT * FROM f1 WHERE n_tok BETWEEN 10 AND 10000),
+        f3 AS (SELECT doc_id, toks FROM f2
+               WHERE (n_tok - CAST(len(list_distinct(toks)) AS BIGINT))
+                       * 10000000 < n_tok * 5500005),
+        ${duckExciseCtes("f3")},
+        c2 AS (SELECT * FROM excised WHERE n_tokens - n_removed >= 10),
+        r AS (SELECT doc_id, n_tokens AS n_tokens_raw,
+                     n_tokens - n_removed AS n_tokens_clean, clean_text,
+                     ROW_NUMBER() OVER (PARTITION BY md5(clean_text)
+                       ORDER BY doc_id) AS rn
+              FROM c2)
+        SELECT doc_id, n_tokens_raw, n_tokens_clean, clean_text
+        FROM r WHERE rn = 1
         ORDER BY doc_id"""))
   )
 }
