@@ -132,6 +132,38 @@ class PlanShapeSpec extends SparkSpec {
       expected.orderBy("l_orderkey", "l_extendedprice").collect().toSeq)
   }
 
+  test("non-group-key filters do NOT push below the custom top-k node") {
+    import org.apache.spark.sql.functions.col
+    // a predicate on the ORDER column filters individual rows, not whole
+    // groups — pushing it below top-k would change which rows rank in the
+    // top k. The rule must leave it above; results must equal the
+    // filter-AFTER-window-rank reference.
+    val li = Tables(spark, sfDir, "lineitem")
+    val cut = 5000.0
+    val df = graft.plans.TopK.perGroup(li,
+      Seq(li("l_returnflag")),
+      Seq(li("l_extendedprice").desc, li("l_orderkey"), li("l_linenumber")), 8)
+      .filter(col("l_extendedprice") > cut)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val ref = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8).filter(col("l_extendedprice") > cut)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getInt(2))
+    assert(df.collect().map(key).toSet == ref.collect().map(key).toSet)
+    // and the plan kept the row-level filter ABOVE the final top-k stage
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val filterIdx = plan.indexOf("Filter")
+    val finalIdx = plan.indexOf("FinalTopKPerGroup")
+    assert(filterIdx >= 0 && finalIdx > filterIdx,
+      s"row-level filter was pushed below the top-k node:\n$plan")
+  }
+
   test("q102 global position never funnels the corpus through one task") {
     val plan = finalPlan("q102_corpus_shuffle")
     // the full-table rank must be windowed by the bucket column (a hash
