@@ -1223,7 +1223,92 @@ object Advanced {
           SELECT 'duplicate_line_key', CAST(COALESCE(SUM(c), 0) AS BIGINT)
           FROM (SELECT COUNT(*) c FROM lineitem
                 GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
-        ORDER BY rule"""))
+        ORDER BY rule""")),
+
+    // -------------------------------------------------------------- q119:
+    // column-profiling report (ANALYZE-style statistics as a query): one
+    // scan of the fact table computes, per profiled column, null count,
+    // exact distinct count, and typed min/max — numerics as DOUBLE,
+    // strings/dates as strings (timestamps are profiled at DATE
+    // granularity: timestamp-to-string rendering differs between engines
+    // at fractional seconds, date strings are ISO-stable in both). The
+    // n-way exact COUNT(DISTINCT) expands the scan n-fold before the
+    // partial aggregate (Spark's Expand) — the price of exact counts; a
+    // profiling pass that can tolerate error would swap in HLL sketches
+    // (q28) and drop the expansion.
+    QueryDef(
+      "q119_column_profile",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        val aggs =
+          Seq(count(lit(1)).as("n_rows")) ++
+          numCols.flatMap(c => Seq(
+            count(col(c)).as(s"cnt_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("double").as(s"min_$c"),
+            max(col(c)).cast("double").as(s"max_$c"))) ++
+          strCols.flatMap(c => Seq(
+            count(col(c)).as(s"cnt_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))) ++
+          Seq(
+            count(col("l_shipdate")).as("cnt_l_shipdate"),
+            countDistinct(col("l_shipdate")).as("nd_l_shipdate"),
+            min(col("l_shipdate").cast("date")).cast("string")
+              .as("min_l_shipdate"),
+            max(col("l_shipdate").cast("date")).cast("string")
+              .as("max_l_shipdate"))
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        val numRows = numCols.map(c =>
+          s"'$c', n_rows - cnt_$c, nd_$c, min_$c, max_$c, " +
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)")
+        val strRows = (strCols ++ Seq("l_shipdate")).map(c =>
+          s"'$c', n_rows - cnt_$c, nd_$c, CAST(NULL AS DOUBLE), " +
+            s"CAST(NULL AS DOUBLE), min_$c, max_$c")
+        one.select(col("n_rows"), expr(
+            s"""stack(${numCols.size + strCols.size + 1},
+              |${(numRows ++ strRows).mkString(",\n")})
+              |AS (col_name, n_nulls, n_distinct, min_num, max_num,
+              |    min_str, max_str)""".stripMargin))
+          .select(col("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_num"), col("max_num"),
+            col("min_str"), col("max_str"))
+          .orderBy("col_name")
+      },
+      Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n_rows,
+                 COUNT(l_orderkey) c1, COUNT(DISTINCT l_orderkey) d1,
+                 CAST(MIN(l_orderkey) AS DOUBLE) lo1, CAST(MAX(l_orderkey) AS DOUBLE) hi1,
+                 COUNT(l_quantity) c2, COUNT(DISTINCT l_quantity) d2,
+                 CAST(MIN(l_quantity) AS DOUBLE) lo2, CAST(MAX(l_quantity) AS DOUBLE) hi2,
+                 COUNT(l_extendedprice) c3, COUNT(DISTINCT l_extendedprice) d3,
+                 CAST(MIN(l_extendedprice) AS DOUBLE) lo3, CAST(MAX(l_extendedprice) AS DOUBLE) hi3,
+                 COUNT(l_discount) c4, COUNT(DISTINCT l_discount) d4,
+                 CAST(MIN(l_discount) AS DOUBLE) lo4, CAST(MAX(l_discount) AS DOUBLE) hi4,
+                 COUNT(l_returnflag) c5, COUNT(DISTINCT l_returnflag) d5,
+                 MIN(l_returnflag) lo5, MAX(l_returnflag) hi5,
+                 COUNT(l_linestatus) c6, COUNT(DISTINCT l_linestatus) d6,
+                 MIN(l_linestatus) lo6, MAX(l_linestatus) hi6,
+                 COUNT(l_shipdate) c7, COUNT(DISTINCT l_shipdate) d7,
+                 CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) lo7,
+                 CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) hi7
+          FROM lineitem)
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS col_name, n_rows, n_rows - c1 AS n_nulls, d1 AS n_distinct,
+                 lo1 AS min_num, hi1 AS max_num,
+                 CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+          UNION ALL SELECT 'l_quantity', n_rows, n_rows - c2, d2, lo2, hi2, NULL, NULL FROM a
+          UNION ALL SELECT 'l_extendedprice', n_rows, n_rows - c3, d3, lo3, hi3, NULL, NULL FROM a
+          UNION ALL SELECT 'l_discount', n_rows, n_rows - c4, d4, lo4, hi4, NULL, NULL FROM a
+          UNION ALL SELECT 'l_returnflag', n_rows, n_rows - c5, d5, NULL, NULL, lo5, hi5 FROM a
+          UNION ALL SELECT 'l_linestatus', n_rows, n_rows - c6, d6, NULL, NULL, lo6, hi6 FROM a
+          UNION ALL SELECT 'l_shipdate', n_rows, n_rows - c7, d7, NULL, NULL, lo7, hi7 FROM a)
+        ORDER BY col_name"""))
   )
 
   /** SCD2 interval build over an (user_id, event_id, ts, event_type) frame
