@@ -14,7 +14,9 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.relational.Relational.defs ++
       graft.relational.Advanced.defs ++
+      graft.relational.Temporal.defs ++
       graft.text.TextAnalysis.defs ++
+      graft.text.Indexing.defs ++
       graft.text.Packing.defs ++
       graft.text.Bpe.defs ++
       graft.dedup.Dedup.defs ++

@@ -1,0 +1,191 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.util.Det._
+
+/** Temporal / change-data operators: SCD Type-2 compaction, event-sequence
+  * funnels, and dense-calendar gap filling — the dimension-maintenance and
+  * behavioral-analytics layer a warehouse runs on top of the relational
+  * core. (The reference's Airflow DAG re-loads dimensions wholesale,
+  * `tasks/dags/` — these are the incremental equivalents a 100 TB user
+  * needs instead.)
+  *
+  * Scale notes common to all three: every query here shuffles at most once
+  * per key column, and every window re-uses the partitioning (and where
+  * possible the sort) of the exchange that precedes it — check with
+  * `.explain`: one Exchange per query, no extra Sort between chained
+  * windows over the same key.
+  */
+object Temporal {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------- q120:
+    // SCD Type-2 dimension merge: collapse each customer's order-priority
+    // change stream into validity intervals. Change detection is a lag()
+    // against the previous row; interval close is a lead() over the
+    // SURVIVING change rows only. Both windows partition by o_custkey and
+    // sort by the same (date, key) prefix, so the plan carries ONE
+    // exchange + ONE sort for the whole query — the lead() after the
+    // filter piggybacks on the lag()'s order. o_orderkey is the
+    // deterministic tie-break for same-day changes and is kept in the
+    // output as change_key so row identity survives ties.
+    QueryDef(
+      "q120_scd2_merge",
+      (s, d) => {
+        val byKey = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val closing = Window.partitionBy("o_custkey")
+          .orderBy("valid_from", "change_key")
+        Tables(s, d, "orders")
+          .withColumn("prev", lag("o_orderpriority", 1).over(byKey))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+          .select(col("o_custkey"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate").as("valid_from"),
+            col("o_orderkey").as("change_key"))
+          .withColumn("valid_to", lead("valid_from", 1).over(closing))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("o_custkey", "valid_from", "change_key")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                 lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders),
+        changes AS (
+          SELECT o_custkey, o_orderpriority AS priority,
+                 o_orderdate AS valid_from, o_orderkey AS change_key
+          FROM ranked WHERE prev IS NULL OR prev <> o_orderpriority),
+        v AS (
+          SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey
+                      ORDER BY valid_from, change_key) AS valid_to
+          FROM changes)
+        SELECT o_custkey, priority, valid_from, change_key, valid_to,
+               valid_to IS NULL AS is_current
+        FROM v ORDER BY o_custkey, valid_from, change_key""")),
+
+    // -------------------------------------------------------------- q121:
+    // Event-sequence funnel: signup -> first click within 7 days -> first
+    // purchase within 7 days of that click. Cascaded min-ts aggregations:
+    // each stage aggregates events down to one row per surviving user,
+    // and the NEXT stage joins that (strictly shrinking) frame back to
+    // the raw events with an explicit broadcast — at 100 TB the event
+    // scan is the only big side, and no stage ever shuffles it. The
+    // alternative (collect_list of each user's full event history, then
+    // walk it) holds unbounded per-user state; this shape holds one
+    // timestamp per user per stage.
+    QueryDef(
+      "q121_funnel",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(broadcast(s1), "user_id")
+          .filter(col("ts") >= col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(s2), "user_id")
+          .filter(col("ts") >= col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        // Three 1-row count frames -> one funnel row. Rates are a single
+        // IEEE division of exact BIGINT counts — deterministic across
+        // engines (Det.scala contract).
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+          .select(col("n_signup"), col("n_click"), col("n_purchase"),
+            when(col("n_signup") > 0,
+              col("n_click").cast("double") / col("n_signup").cast("double"))
+              .as("click_rate"),
+            when(col("n_click") > 0,
+              col("n_purchase").cast("double") / col("n_click").cast("double"))
+              .as("purchase_rate"))
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+          GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 7 DAY
+          GROUP BY 1),
+        n AS (SELECT (SELECT count(*) FROM s1) AS n_signup,
+                     (SELECT count(*) FROM s2) AS n_click,
+                     (SELECT count(*) FROM s3) AS n_purchase)
+        SELECT n_signup, n_click, n_purchase,
+               CASE WHEN n_signup > 0 THEN
+                 CAST(n_click AS DOUBLE) / CAST(n_signup AS DOUBLE) END
+                 AS click_rate,
+               CASE WHEN n_click > 0 THEN
+                 CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE) END
+                 AS purchase_rate
+        FROM n""")),
+
+    // -------------------------------------------------------------- q122:
+    // Dense-calendar gap fill + forward fill: per-user daily purchase
+    // revenue on a complete daily spine (global [min_day, max_day]),
+    // missing days forward-filled from the last observed value (0.0
+    // before the first observation) and flagged. The spine is users ×
+    // sequence(d0, d1) — the 1-row bounds frame is broadcast, so the
+    // spine costs no shuffle beyond the distinct over user_id; the left
+    // join and the fill window both key on user_id, and the window
+    // re-uses the join's exchange. Per-row state in the fill is one
+    // value (running last), never a buffered history.
+    QueryDef(
+      "q122_gap_fill",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        val spine = ev.select("user_id").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+        val daily = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(dsum(col("value")).as("rev"))
+        val fill = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(last(col("rev"), ignoreNulls = true).over(fill), lit(0.0))
+              .as("rev_filled"),
+            col("rev").isNull.as("was_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0,
+                          CAST(max(ts) AS DATE) AS d1 FROM events),
+        spine AS (
+          SELECT u.user_id,
+                 CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM (SELECT DISTINCT user_id FROM events) u, b),
+        daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS rev
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT s.user_id, s.day,
+               COALESCE(last_value(d.rev IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+                 AS rev_filled,
+               d.rev IS NULL AS was_gap
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+        ORDER BY user_id, day"""))
+  )
+}
