@@ -116,9 +116,21 @@ object Dedup {
     * key (the BPE-training-cache precedent). */
   private val dedupCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    dedupCache.computeIfAbsent(s"${System.identityHashCode(s)}:$key",
-      _ => build.localCheckpoint(true))
+  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: the labels build re-enters `cached` for the
+    // pair index, and a nested computeIfAbsent on the same map throws
+    // "Recursive update" whenever the two keys share a bin (bin choice
+    // varies per run via identityHashCode). A lost race merely costs a
+    // duplicate build.
+    val k = s"${System.identityHashCode(s)}:$key"
+    val existing = dedupCache.get(k)
+    if (existing != null) existing
+    else {
+      val df = build.localCheckpoint(true)
+      val prev = dedupCache.putIfAbsent(k, df)
+      if (prev != null) prev else df
+    }
+  }
 
   /** q41's verified duplicate pairs (doc_a < doc_b, jaccard >= 0.8) —
     * shared by q41 (pair listing) and q84/q114 (cluster resolution /
