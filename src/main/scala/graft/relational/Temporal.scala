@@ -186,6 +186,109 @@ object Temporal {
                  AS rev_filled,
                d.rev IS NULL AS was_gap
         FROM spine s LEFT JOIN daily d USING (user_id, day)
-        ORDER BY user_id, day"""))
+        ORDER BY user_id, day""")),
+
+    // -------------------------------------------------------------- q125:
+    // Sessionization: split each user's event stream into sessions on a
+    // 30-minute inactivity gap, then roll each session up to start/end/
+    // count/value. The break test is a pure timestamp comparison
+    // (prev + INTERVAL 30 MINUTES < ts) — no epoch truncation, so
+    // microsecond timestamps can't straddle a second boundary differently
+    // in the two engines; durations are exact BIGINT microsecond diffs.
+    // Scale shape: ONE exchange on user_id; the lag window, the running
+    // session-number sum, and the final groupBy(user_id, session_seq) all
+    // reuse it (session_seq is a function of the user-partitioned order,
+    // so the aggregation needs no second shuffle — verify: one Exchange
+    // in .explain). Per-row window state is one timestamp + one counter.
+    QueryDef(
+      "q125_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, d, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("is_new",
+            (col("prev_ts").isNull ||
+              col("prev_ts") + expr("INTERVAL 30 MINUTES") < col("ts"))
+              .cast("long"))
+          .withColumn("session_seq",
+            sum("is_new").over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_seq")
+          .agg(min("ts").as("session_start"),
+            max("ts").as("session_end"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("session_value"))
+          .withColumn("duration_us",
+            unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .select("user_id", "session_seq", "session_start", "session_end",
+            "duration_us", "n_events", "session_value")
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR lag(ts) OVER w + INTERVAL 30 MINUTE < ts
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessioned AS (
+          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_seq
+          FROM flagged)
+        SELECT user_id, session_seq,
+               min(ts) AS session_start, max(ts) AS session_end,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                 AS session_value
+        FROM sessioned GROUP BY 1, 2
+        ORDER BY user_id, session_seq""")),
+
+    // -------------------------------------------------------------- q126:
+    // Cohort retention matrix: users are cohorted by the ISO week of
+    // their first event; each (cohort_week, week_offset) cell counts the
+    // distinct users from that cohort active in that week. Both inputs
+    // are per-user reductions of the same scan — the (user, week)
+    // distinct IS the user-count dedup, so the final cell aggregate is a
+    // plain count(*). The cohort frame joins back on user_id; at 100 TB
+    // both sides are already user-reduced (|users| rows, not |events|),
+    // and the join shuffles only those reductions, never raw events.
+    QueryDef(
+      "q126_cohort_retention",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val cohort = ev.groupBy("user_id")
+          .agg(to_date(date_trunc("week", min("ts"))).as("cohort_week"))
+        val active = ev
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("act_week"))
+          .distinct()
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            // both are Monday week-starts, so the day diff is an exact
+            // multiple of 7 and the double division is exact
+            expr("CAST(datediff(act_week, cohort_week) / 7 AS BIGINT)")
+              .as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH cohort AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY 1),
+        active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS act_week
+          FROM events)
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, a.act_week) / 7 AS BIGINT)
+                 AS week_offset,
+               count(*) AS n_users
+        FROM active a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset"""))
   )
 }
