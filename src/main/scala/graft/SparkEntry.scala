@@ -21,6 +21,7 @@ object SparkEntry {
       graft.text.Bpe.defs ++
       graft.dedup.Dedup.defs ++
       graft.similarity.Similarity.defs ++
+      graft.similarity.Clustering.defs ++
       graft.pipeline.Sampling.defs ++
       graft.sources.Roundtrip.defs ++
       graft.sources.Partitioned.defs ++
