@@ -289,6 +289,105 @@ object Temporal {
                count(*) AS n_users
         FROM active a JOIN cohort c USING (user_id)
         GROUP BY 1, 2
-        ORDER BY cohort_week, week_offset"""))
+        ORDER BY cohort_week, week_offset""")),
+
+    // -------------------------------------------------------------- q130:
+    // Incremental materialized-view maintenance: a per-customer order
+    // aggregate "MV" built from history (< 1997-01-01) is merged with the
+    // aggregate of ONLY the delta (>= cutoff) via one full-outer join —
+    // history is never re-aggregated. Partial sums stay DECIMAL until
+    // after the merge so the incremental result is bit-identical to a
+    // full recompute — which is exactly what the oracle runs: the
+    // hash-match IS the proof that merge(MV, delta) == recompute(all).
+    // At 100 TB the MV and the delta aggregate are both |keys|-sized;
+    // bucketing both by the key makes the merge exchange-free.
+    QueryDef(
+      "q130_incremental_agg",
+      (s, d) => {
+        val orders = Tables(s, d, "orders")
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum(dec4(col("o_totalprice"))).as("t"))
+        val mv = agg(orders.filter(col("o_orderdate") < lit("1997-01-01")))
+        val delta = agg(orders.filter(col("o_orderdate") >= lit("1997-01-01")))
+        mv.as("b").join(delta.as("d"),
+            col("b.o_custkey") === col("d.o_custkey"), "full_outer")
+          .select(
+            coalesce(col("b.o_custkey"), col("d.o_custkey")).as("o_custkey"),
+            (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+              .as("n_orders"),
+            (coalesce(col("b.t"), lit(0).cast("decimal(22,4)")) +
+              coalesce(col("d.t"), lit(0).cast("decimal(22,4)")))
+              .cast("double").as("sum_total"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                 AS sum_total
+        FROM orders GROUP BY 1 ORDER BY o_custkey""")),
+
+    // -------------------------------------------------------------- q131:
+    // CDC / MERGE INTO apply: a deterministic changeset (delete every
+    // o_orderkey % 10 == 0, update the price of % 10 == 1, insert a new
+    // key for % 10 == 2) applied to the orders snapshot through ONE
+    // key-partitioned full-outer join — the upsert/delete shape of a
+    // MERGE without rescanning the snapshot per operation. The update
+    // arithmetic (price + 100.0) is a single IEEE op on the same input
+    // double in both engines. At 100 TB the changeset is delta-sized;
+    // snapshot and changes bucketed by key make the merge exchange-free,
+    // and the same plan is the foreachBatch body of a streaming CDC sink.
+    QueryDef(
+      "q131_cdc_apply",
+      (s, d) => {
+        val snap = Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        val del = snap.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").as("k"), lit("D").as("op"),
+            lit(null).cast("double").as("new_price"))
+        val upd = snap.filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey").as("k"), lit("U").as("op"),
+            (col("o_totalprice") + lit(100.0)).as("new_price"))
+        val ins = snap.filter(col("o_orderkey") % 10 === 2)
+          .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+            col("o_totalprice").as("new_price"))
+        val changes = del.unionByName(upd).unionByName(ins)
+        snap.as("s").join(changes.as("c"),
+            col("s.o_orderkey") === col("c.k"), "full_outer")
+          .filter(col("c.op").isNull || col("c.op") =!= "D")
+          .select(
+            coalesce(col("s.o_orderkey"), col("c.k")).as("o_orderkey"),
+            col("s.o_custkey").as("o_custkey"),
+            when(col("c.op").isNotNull, col("c.new_price"))
+              .otherwise(col("s.o_totalprice")).as("o_totalprice"),
+            col("s.o_orderdate").as("o_orderdate"),
+            when(col("c.op").isNull, "kept")
+              .when(col("c.op") === "U", "updated")
+              .otherwise("inserted").as("action"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                      FROM orders),
+        changes AS (
+          SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+          FROM snap WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, 'U', o_totalprice + 100.0
+          FROM snap WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey + 100000000, 'I', o_totalprice
+          FROM snap WHERE o_orderkey % 10 = 2)
+        SELECT COALESCE(s.o_orderkey, c.k) AS o_orderkey,
+               s.o_custkey AS o_custkey,
+               CASE WHEN c.op IS NOT NULL THEN c.new_price
+                    ELSE s.o_totalprice END AS o_totalprice,
+               s.o_orderdate AS o_orderdate,
+               CASE WHEN c.op IS NULL THEN 'kept'
+                    WHEN c.op = 'U' THEN 'updated'
+                    ELSE 'inserted' END AS action
+        FROM snap s FULL OUTER JOIN changes c ON s.o_orderkey = c.k
+        WHERE c.op IS NULL OR c.op <> 'D'
+        ORDER BY o_orderkey"""))
   )
 }

@@ -110,6 +110,16 @@ object Clustering {
       assign(pts, cents)
     }
 
+  /** One raw (un-checkpointed) assignment pass against the seed
+    * centroids — spec-only surface so the plan shape of the iteration
+    * body is assertable (the cached finalAssign shows only its
+    * checkpoint scan). */
+  private[graft] def assignPlanProbe(s: SparkSession, d: String): DataFrame = {
+    val pts = points(s, d)
+    assign(pts, pts.orderBy("vec_id").limit(K)
+      .select(col("vec_id").as("cluster"), col("pe").as("ce")))
+  }
+
   /** The centroid frame the final assignment was scored against —
     * spec-only surface (Voronoi-optimality check). */
   private[graft] def finalCentroids(s: SparkSession, d: String): DataFrame = {

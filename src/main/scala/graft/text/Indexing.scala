@@ -6,10 +6,10 @@ import graft.{QueryDef, Tables}
 import graft.plans.TopK
 
 /** Corpus-statistics operators built on the token stream: unigram
-  * frequency scoring (the CCNet-style LM-quality proxy) and an inverted
+  * frequency scoring (the CCNet-style LM-quality proxy), an inverted
   * index build (the retrieval-side artifact a decontamination / search
-  * pipeline materializes). Both ride the native single-pass
-  * [[graft.functions.GraftTokens]] tokenizer.
+  * pipeline materializes), and overlapping context-window chunking. All
+  * ride the native single-pass [[graft.functions.GraftTokens]] tokenizer.
   */
 object Indexing {
 
@@ -107,6 +107,51 @@ object Indexing {
                array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 16), ',')
                  AS postings_sample
         FROM pd GROUP BY term
-        ORDER BY term"""))
+        ORDER BY term""")),
+
+    // -------------------------------------------------------------- q129:
+    // Context-window chunking: split each document's token stream into
+    // max-32-token chunks with an 8-token overlap (stride 24; sized so
+    // the <=99-token fixture docs actually split — real context windows
+    // just scale the two constants) — the
+    // operator that turns a cleaned corpus into training sequences when
+    // packing (q92) isn't wanted because document boundaries must hold.
+    // Per-row work only: the chunk fan-out is an explode over
+    // sequence(0, floor((n-1)/24)) and a slice per chunk — no join, no
+    // shuffle before the deterministic output sort; at 100 TB this is
+    // embarrassingly parallel and the output is ~n/stride rows per doc.
+    QueryDef(
+      "q129_chunking",
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(col("doc_id"), expr(tokensExpr).as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("toks"),
+            explode(expr("sequence(0L, CAST(floor((n - 1) / 24) AS LONG))"))
+              .as("chunk_id"))
+          .withColumn("start_tok", col("chunk_id") * 24L)
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            expr("CAST(size(slice(toks, CAST(start_tok + 1 AS INT), 32)) AS BIGINT)")
+              .as("n_tok_chunk"),
+            expr("array_join(slice(toks, CAST(start_tok + 1 AS INT), 32), ' ')")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+        f AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+              FROM t WHERE len(toks) > 0),
+        c AS (SELECT doc_id, toks,
+                unnest(generate_series(0, CAST(floor((n - 1) / 24) AS BIGINT)))
+                  AS chunk_id
+              FROM f)
+        SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+               CAST(len(list_slice(toks, chunk_id * 24 + 1,
+                 chunk_id * 24 + 32)) AS BIGINT) AS n_tok_chunk,
+               array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                 chunk_id * 24 + 32), ' ') AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_id"""))
   )
 }
