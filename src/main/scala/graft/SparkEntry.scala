@@ -17,6 +17,7 @@ object SparkEntry {
       graft.relational.Temporal.defs ++
       graft.text.TextAnalysis.defs ++
       graft.text.Indexing.defs ++
+      graft.text.Selection.defs ++
       graft.text.Packing.defs ++
       graft.text.Bpe.defs ++
       graft.dedup.Dedup.defs ++
