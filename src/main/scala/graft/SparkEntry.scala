@@ -15,6 +15,7 @@ object SparkEntry {
     graft.relational.Relational.defs ++
       graft.relational.Advanced.defs ++
       graft.relational.Temporal.defs ++
+      graft.relational.RuntimeFilters.defs ++
       graft.text.TextAnalysis.defs ++
       graft.text.Indexing.defs ++
       graft.text.Selection.defs ++

@@ -231,4 +231,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
       s"argmin not partially aggregated map-side:\n$plan")
   }
+
+  test("q134 injects a bloom runtime filter below the fact-side exchange") {
+    val plan = graft.relational.RuntimeFilters.bloomPlanProbe(spark, sfDir)
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom probe on the lineitem scan:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"no bloom build over the filtered orders keys:\n$plan")
+  }
 }
