@@ -50,7 +50,7 @@ object RuntimeFilters {
   private def bloomJoin(s: SparkSession, d: String): DataFrame = {
     val o = Tables(s, d, "orders")
       .filter(col("o_orderpriority") === "1-URGENT" &&
-        col("o_orderdate") < lit("1992-03-01"))
+        col("o_orderdate") < lit("1995-03-01"))
     val l = Tables(s, d, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderdate")
@@ -87,7 +87,7 @@ object RuntimeFilters {
                  AS sum_price
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT'
-          AND o.o_orderdate < DATE '1992-03-01'
+          AND o.o_orderdate < DATE '1995-03-01'
         GROUP BY 1
         ORDER BY o_orderdate"""))
   )

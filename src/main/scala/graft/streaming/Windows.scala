@@ -771,7 +771,69 @@ object Windows {
         FROM events
         WHERE user_id < 50
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------- q135:
+    // REAL chained event-time window aggregations in ONE streaming query
+    // (the Spark 3.4+ multiple-stateful-operator path): hourly counts per
+    // event_type -> daily rollup (peak hour, day total, active hours) over
+    // the FINALIZED hourly windows via window_time(). The first agg's
+    // append output feeds the second's state inside the same micro-batch
+    // pipeline — no intermediate sink, one checkpoint — which is the
+    // shape a metrics pipeline wants at scale: the second agg's input is
+    // already |windows|-sized, not event-sized, so its state and shuffle
+    // are tiny regardless of corpus size. Both aggs require append mode;
+    // the sentinel (event_type 'flush') pushes the final watermark past
+    // the last real day so BOTH operators drain at AvailableNow
+    // termination, and is dropped at read-back.
+    QueryDef(
+      "q135_chained_stream_aggs",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        val base = stableDir("q135", d)
+        val ckpt = base.resolve("ckpt").toString
+        val out = base.resolve("out").toString
+        // 2 sentinels: the daily agg evicts with the watermark computed
+        // from PRIOR batches (same lag q117 measured), so sentinel #1's
+        // advance reaches the second stateful operator only in the batch
+        // that processes sentinel #2.
+        val srcDir = sentinelSrc(s, d, base, nSentinels = 2)
+        val hourly = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_hour"))
+        val daily = hourly
+          .withColumn("hw", window_time(col("window")))
+          .groupBy(window(col("hw"), "1 day"), col("event_type"))
+          .agg(max("n_hour").as("peak_hour"), sum("n_hour").as("n_day"),
+            count(lit(1)).as("n_hours"))
+        val q = daily.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$out/batch_id=$id"): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .filter(col("event_type") =!= "flush")
+          .select(col("window.start").as("day_start"), col("event_type"),
+            col("peak_hour"), col("n_day"), col("n_hours"))
+          .orderBy("day_start", "event_type")
+      },
+      Some("""
+        WITH h AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hr, event_type,
+                          count(*) AS n_hour
+                   FROM events GROUP BY 1, 2)
+        SELECT time_bucket(INTERVAL 1 DAY, hr) AS day_start, event_type,
+               MAX(n_hour) AS peak_hour,
+               CAST(SUM(n_hour) AS BIGINT) AS n_day,
+               COUNT(*) AS n_hours
+        FROM h GROUP BY 1, 2
+        ORDER BY day_start, event_type"""))
   )
 }
 
