@@ -24,6 +24,7 @@ object SparkEntry {
       graft.dedup.Dedup.defs ++
       graft.similarity.Similarity.defs ++
       graft.similarity.Clustering.defs ++
+      graft.similarity.ProductQuant.defs ++
       graft.pipeline.Sampling.defs ++
       graft.sources.Roundtrip.defs ++
       graft.sources.Partitioned.defs ++
