@@ -27,6 +27,10 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
     GraftShims.registerFunction(spark, "plane_dot", PlaneDot.fromSql)
+    GraftShims.registerFunction(spark, "sq_dist", { children =>
+      require(children.size == 2, "sq_dist takes exactly 2 arguments")
+      SqDist(children.head, children(1))
+    })
     GraftShims.registerFunction(spark, "graft_tokens", { children =>
       require(children.size == 1, "graft_tokens takes exactly 1 argument")
       GraftTokens(children.head)
@@ -62,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PlaneDot].getName, "plane_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PlaneDot.fromSql(children)))
+    e.injectFunction((
+      new FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "sq_dist takes exactly 2 arguments")
+        SqDist(children.head, children(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[GraftTokens].getName, "graft_tokens"),

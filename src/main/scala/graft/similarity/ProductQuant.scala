@@ -23,14 +23,14 @@ object ProductQuant {
   private val K = 16       // codewords per subspace
 
   /** Exact sequential-fold squared L2 between two ARRAY<FLOAT> columns —
-    * float→double per element, left-to-right accumulation, the same op
-    * order as the oracle's list_reduce (0.0 + x == x exactly for the
-    * non-negative squares, so the fold seeds agree). */
-  private def sqDist(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-       |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-       |            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    * the native codegen [[graft.functions.SqDist]] (float→double per
+    * element, left-to-right accumulation, the same op order as the
+    * oracle's list_reduce; 0.0 + x == x exactly for the non-negative
+    * squares, so the fold seeds agree). The `aggregate(zip_with(...))`
+    * composition computes the identical value but interprets a boxed
+    * lambda per element — on the encode stage's corpus × 64 codeword
+    * evaluations that overhead dominates. */
+  private def sqDist(a: String, b: String): String = s"sq_dist($a, $b)"
 
   private def duckSqDist(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, len($a)), i ->

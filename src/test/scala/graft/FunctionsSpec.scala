@@ -121,4 +121,27 @@ class FunctionsSpec extends SparkSpec {
     // separator, splitting the word
     assert(r.getSeq[String](2) == Seq("ka", "fee", "42"))
   }
+
+  test("sq_dist matches the HOF formulation bit-for-bit; totality on nulls/empties") {
+    val r = spark.sql(
+      """SELECT sq_dist(CAST(array(1.5, -2.0) AS ARRAY<FLOAT>),
+        |               CAST(array(0.5,  1.0) AS ARRAY<FLOAT>)) AS d,
+        |       aggregate(zip_with(CAST(array(1.5, -2.0) AS ARRAY<FLOAT>),
+        |                          CAST(array(0.5,  1.0) AS ARRAY<FLOAT>),
+        |           (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+        |                     (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof,
+        |       sq_dist(CAST(NULL AS ARRAY<FLOAT>),
+        |               CAST(array(1.0) AS ARRAY<FLOAT>)) AS nl,
+        |       sq_dist(CAST(array(CAST(NULL AS FLOAT)) AS ARRAY<FLOAT>),
+        |               CAST(array(1.0) AS ARRAY<FLOAT>)) AS ne,
+        |       sq_dist(CAST(array() AS ARRAY<FLOAT>),
+        |               CAST(array() AS ARRAY<FLOAT>)) AS emp
+        |""".stripMargin).head()
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"native ${r.getDouble(0)} != HOF ${r.getDouble(1)}")
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) == 0.0)
+  }
 }
