@@ -82,6 +82,56 @@ object Partitioned {
         FROM events
         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // -------------------------------------------------------------- q138:
+    // Z-order (Morton-curve) layout cells over orders — the multi-column
+    // clustering a lakehouse OPTIMIZE ZORDER BY (o_custkey, o_orderdate)
+    // performs so that BOTH a customer predicate and a date predicate
+    // prune files. Each row's two dims bucketize to 8 bits (custkey mod
+    // 256; orderdate day-index / 10), the bits interleave into a 16-bit
+    // z-value, and the query reports per-cell (top-6-bits → 64 cells)
+    // extents + counts. The locality contract — each cell spans ≤ 32
+    // consecutive buckets in EACH dim, because the top 6 z-bits fix 3
+    // high bits of both dims — is what makes file-level min/max stats
+    // selective for either predicate; ZOrderSpec asserts it. The write
+    // path composes as repartitionByRange(z) + sortWithinPartitions(z)
+    // before .write.parquet: row groups then inherit these rectangles.
+    // Per-row bit math only — one aggregate shuffle of 64 cells.
+    QueryDef(
+      "q138_zorder_layout",
+      (s, d) => {
+        val x = col("o_custkey") % 256L
+        val y = (datediff(col("o_orderdate"), lit("1995-01-01")) / 10)
+          .cast("long")
+        val z = (0 until 8).map { i =>
+          shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+            shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i)
+        }.reduce(_ + _)
+        Tables(s, d, "orders")
+          .select(x.as("x"), y.as("y"))
+          .withColumn("z_cell", shiftright(z, 10).cast("long"))
+          .groupBy("z_cell")
+          .agg(count(lit(1)).as("n"),
+            min("x").as("min_ck"), max("x").as("max_ck"),
+            min("y").as("min_day"), max("y").as("max_day"))
+          .orderBy("z_cell")
+      },
+      Some {
+        val zBits = (0 until 8).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})")
+          .mkString(" + ")
+        s"""
+        WITH b AS (SELECT o_custkey % 256 AS x,
+                          CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) // 10 AS BIGINT) AS y
+                   FROM orders),
+        zc AS (SELECT x, y, CAST(($zBits) >> 10 AS BIGINT) AS z_cell FROM b)
+        SELECT z_cell, count(*) AS n,
+               min(x) AS min_ck, max(x) AS max_ck,
+               min(y) AS min_day, max(y) AS max_day
+        FROM zc GROUP BY 1
+        ORDER BY z_cell"""
+      })
   )
 }

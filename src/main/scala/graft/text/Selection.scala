@@ -125,7 +125,79 @@ object Selection {
         SELECT c.term, c.cnt, tot.n_total
         FROM c CROSS JOIN tot
         WHERE c.cnt * 64 > tot.n_total
-        ORDER BY cnt DESC, term"""))
+        ORDER BY cnt DESC, term""")),
+
+    // -------------------------------------------------------------- q137:
+    // Corpus-mixture drift: pairwise total-variation distance between the
+    // per-source unigram distributions — the monitor a training pipeline
+    // runs when the domain mixture (q95) must stay stable across crawl
+    // snapshots. TV(a,b) = ½·Σ_t |p_a(t) − p_b(t)| involves divisions, so
+    // the engine carries the EXACT integer numerator
+    //   num = Σ_t |cnt_a(t)·N_b − cnt_b(t)·N_a|
+    // and divides once at the end (2·N_a·N_b). Terms present in only one
+    // source are folded in WITHOUT a full-outer join via
+    //   Σ_{t∈a∖b} cnt_a·N_b = (N_a − Σ_{t∈both} cnt_a)·N_b  (and sym.) —
+    // the pair join stays an INNER join on term.
+    //
+    // Scale shape: one shuffle builds per-(source, term) counts; source
+    // totals are a |sources|-row broadcast; the pair stage joins the
+    // vocab-sized count table to itself on term (all source pairs of one
+    // term meet in one partition — shuffle is vocab-sized, output is
+    // |pairs per term| ≤ |sources|²; with thousands of snapshots you'd
+    // bound pairs to adjacent snapshots, the 10-source fixture keeps all
+    // 45). The corpus itself is touched once.
+    QueryDef(
+      "q137_corpus_drift",
+      (s, d) => {
+        val tc = Tables(s, d, "documents")
+          .select(col("source"), explode(expr(tokensExpr)).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        val totals = tc.groupBy("source").agg(sum("cnt").as("n"))
+        val a = tc.join(broadcast(totals), "source")
+          .select(col("source").as("src_a"), col("term"),
+            col("cnt").as("ca"), col("n").as("na"))
+        val b = tc.join(broadcast(totals), "source")
+          .select(col("source").as("src_b"), col("term"),
+            col("cnt").as("cb"), col("n").as("nb"))
+        a.join(b, Seq("term"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(first("na").as("n_a"), first("nb").as("n_b"),
+            sum("ca").as("shared_a"), sum("cb").as("shared_b"),
+            sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+              .as("num_both"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            (col("num_both") +
+              (col("n_a") - col("shared_a")) * col("n_b") +
+              (col("n_b") - col("shared_b")) * col("n_a")).as("tv_num"))
+          .withColumn("tv",
+            col("tv_num").cast("double") /
+              (lit(2.0) * (col("n_a") * col("n_b")).cast("double")))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""
+        WITH t AS (SELECT source, unnest($duckTokens) AS term
+                   FROM documents),
+        tc AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+                FROM tc GROUP BY 1),
+        p AS (SELECT a.source AS src_a, b.source AS src_b,
+                     ta.n AS n_a, tb.n AS n_b,
+                     CAST(sum(a.cnt) AS BIGINT) AS shared_a,
+                     CAST(sum(b.cnt) AS BIGINT) AS shared_b,
+                     CAST(sum(abs(a.cnt * tb.n - b.cnt * ta.n)) AS BIGINT)
+                       AS num_both
+              FROM tc a JOIN tc b ON a.term = b.term AND a.source < b.source
+              JOIN tot ta ON ta.source = a.source
+              JOIN tot tb ON tb.source = b.source
+              GROUP BY 1, 2, 3, 4)
+        SELECT src_a, src_b, n_a, n_b,
+               num_both + (n_a - shared_a) * n_b + (n_b - shared_b) * n_a
+                 AS tv_num,
+               CAST(num_both + (n_a - shared_a) * n_b + (n_b - shared_b) * n_a
+                 AS DOUBLE) / (2.0 * CAST(n_a * n_b AS DOUBLE)) AS tv
+        FROM p
+        ORDER BY src_a, src_b"""))
   )
 
   /** Misra–Gries frequent-candidates summary of one partition's token

@@ -31,6 +31,22 @@ class SelectionSpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq, "sketch+recount diverged from exact")
   }
 
+  test("q137 TV distances are valid metrics values (0 <= tv <= 1, exact numerator)") {
+    val rows = graft.SparkEntry.queries("q137_corpus_drift")(spark, sfDir)
+      .collect()
+    val nSrc = graft.Tables(spark, sfDir, "documents")
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      s"expected C($nSrc,2) source pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (na, nb, num, tv) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(num >= 0 && num <= 2 * na * nb, s"numerator out of range: $r")
+      assert(tv >= 0.0 && tv <= 1.0, s"tv out of [0,1]: $r")
+      assert(tv == num.toDouble / (2.0 * (na * nb).toDouble), s"tv != num/(2 na nb): $r")
+    }
+  }
+
   test("q132 top-100 is dominated by the lang='en' target slice") {
     val rows = graft.SparkEntry.queries("q132_dsir_select")(spark, sfDir)
       .collect()
