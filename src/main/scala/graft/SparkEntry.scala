@@ -25,6 +25,7 @@ object SparkEntry {
       graft.similarity.Similarity.defs ++
       graft.similarity.Clustering.defs ++
       graft.similarity.ProductQuant.defs ++
+      graft.similarity.IvfPq.defs ++
       graft.pipeline.Sampling.defs ++
       graft.sources.Roundtrip.defs ++
       graft.sources.Partitioned.defs ++

@@ -1287,9 +1287,10 @@ object Advanced {
               |${(numRows ++ strRows).mkString(",\n")})
               |AS (col_name, n_nulls, min_num, max_num, min_str, max_str)"""
               .stripMargin))
-          .join(broadcast(nd), "col_name")
+          .join(broadcast(nd), Seq("col_name"), "left")
           .select(col("col_name"), col("n_rows"), col("n_nulls"),
-            col("n_distinct"), col("min_num"), col("max_num"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+            col("min_num"), col("max_num"),
             col("min_str"), col("max_str"))
           .orderBy("col_name")
       },

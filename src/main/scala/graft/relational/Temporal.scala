@@ -226,14 +226,15 @@ object Temporal {
       },
       Some("""
         WITH flagged AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, event_id, ts, value,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR lag(ts) OVER w + INTERVAL 30 MINUTE < ts
                       THEN 1 ELSE 0 END AS is_new
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sessioned AS (
-          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS BIGINT) AS session_seq
           FROM flagged)

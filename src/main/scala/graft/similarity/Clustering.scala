@@ -22,10 +22,24 @@ import graft.{QueryDef, Tables}
   */
 object Clustering {
 
-  /** k and the fixed Lloyd rounds (centroid updates); Rounds+1 assignment
-    * passes run in total. Fixed — not convergence-tested — so the oracle
-    * can replay the exact same computation as chained CTEs. */
-  val K = 8
+  /** Target cluster population: k is DERIVED from the corpus as
+    * k = max(2, ceil(n / TargetClusterSize)) — the SemDeDup scale law.
+    * With k ∝ n, expected |c| stays ≈ TargetClusterSize at ANY corpus
+    * size, so the within-cluster pair stage does Σ|c|² ≈ n ·
+    * TargetClusterSize work — LINEAR in n, where a pinned k would be
+    * quadratic (the published recipe runs k in the tens of thousands for
+    * exactly this reason). The oracle computes the same k from the same
+    * count in SQL, so the law — not a constant — is what hash-matches.
+    * (Fixture note: sf0.001 and sf0.01 both ship 500 vectors → k=4;
+    * sf0.1 ships 2000 → k=16. ClusteringSpec proves the law varies k by
+    * additionally running a subsampled corpus.) */
+  val TargetClusterSize = 128
+  def kFor(n: Long): Int =
+    math.max(2, math.ceil(n.toDouble / TargetClusterSize).toInt)
+
+  /** Fixed Lloyd rounds (centroid updates); Rounds+1 assignment passes
+    * run in total. Fixed — not convergence-tested — so the oracle can
+    * replay the exact same computation as chained CTEs. */
   val Rounds = 2
 
   /** SemDeDup keep threshold. Fixture-calibrated: the synthetic embeddings
@@ -100,7 +114,11 @@ object Clustering {
   private def finalAssign(s: SparkSession, d: String): DataFrame =
     cached(s, s"kmeans:$d") {
       val pts = points(s, d)
-      var cents = pts.orderBy("vec_id").limit(K)
+      // O(1)-row scalar probe (count → k); the corpus itself never
+      // collects. At 100 TB this is a metadata-cheap count vs a
+      // quadratic pair stage — the right trade.
+      val k = kFor(pts.count())
+      var cents = pts.orderBy("vec_id").limit(k)
         .select(col("vec_id").as("cluster"), col("pe").as("ce"))
         .localCheckpoint(true)
       for (_ <- 1 to Rounds) {
@@ -116,7 +134,7 @@ object Clustering {
     * checkpoint scan). */
   private[graft] def assignPlanProbe(s: SparkSession, d: String): DataFrame = {
     val pts = points(s, d)
-    assign(pts, pts.orderBy("vec_id").limit(K)
+    assign(pts, pts.orderBy("vec_id").limit(kFor(pts.count()))
       .select(col("vec_id").as("cluster"), col("pe").as("ce")))
   }
 
@@ -133,7 +151,10 @@ object Clustering {
   private val duckKmeans = s"""
     p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
           FROM embeddings),
-    c0 AS (SELECT vec_id AS cluster, pe AS ce FROM p ORDER BY vec_id LIMIT $K),
+    nk AS (SELECT GREATEST(2, CAST(ceil(count(*) / $TargetClusterSize.0)
+             AS BIGINT)) AS k FROM p),
+    c0 AS (SELECT vec_id AS cluster, pe AS ce FROM p
+           QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM nk)),
     a0 AS (SELECT p.vec_id, c.cluster,
              list_reduce(list_transform(generate_series(1, 64),
                i -> (p.pe[i] - c.ce[i]) * (p.pe[i] - c.ce[i])),
@@ -171,7 +192,8 @@ object Clustering {
   val defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------------- q127:
-    // Lloyd k-means over the corpus embeddings, k=8, 2 fixed centroid
+    // Lloyd k-means over the corpus embeddings, k = ceil(n/128) (the
+    // SemDeDup scale law — see TargetClusterSize), 2 fixed centroid
     // updates, deterministic lowest-vec_id seeding. At 100 TB the shape
     // is the textbook one: k·dims centroids broadcast every round (a few
     // KB), the corpus scanned once per round with a map-side-combined
@@ -189,7 +211,8 @@ object Clustering {
     // earlier (lower vec_id) cluster member is semantically near-identical
     // (cosine > tau) — greedy-by-id, so the decision is deterministic and
     // single-pass. The pairwise stage is the point of the recipe: it runs
-    // per cluster (sum of |c|² bounded via k), using the native codegen'd
+    // per cluster — and because k scales with n (TargetClusterSize), the
+    // expected Σ|c|² is n·TargetClusterSize, linear — using the native codegen'd
     // cosine_sim, and reduces to max-over-earlier per point — no pair
     // list survives the aggregation. max() over doubles is order-free, so
     // no decimal detour is needed.

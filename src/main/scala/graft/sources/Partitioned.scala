@@ -102,8 +102,12 @@ object Partitioned {
       "q138_zorder_layout",
       (s, d) => {
         val x = col("o_custkey") % 256L
-        val y = (datediff(col("o_orderdate"), lit("1995-01-01")) / 10)
-          .cast("long")
+        // floor() (not double-div truncation) so pre-epoch dates bucket the
+        // same way the oracle's `//` does, then pmod into the 8-bit domain
+        // so the interleave never sees a negative or >255 day index.
+        val y = pmod(
+          floor(datediff(col("o_orderdate"), lit("1995-01-01")) / 10),
+          lit(256L)).cast("long")
         val z = (0 until 8).map { i =>
           shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
             shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i)
@@ -123,8 +127,9 @@ object Partitioned {
           .mkString(" + ")
         s"""
         WITH b AS (SELECT o_custkey % 256 AS x,
-                          CAST(date_diff('day', DATE '1995-01-01',
-                            CAST(o_orderdate AS DATE)) // 10 AS BIGINT) AS y
+                          CAST((((date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) // 10) % 256) + 256)
+                            % 256 AS BIGINT) AS y
                    FROM orders),
         zc AS (SELECT x, y, CAST(($zBits) >> 10 AS BIGINT) AS z_cell FROM b)
         SELECT z_cell, count(*) AS n,

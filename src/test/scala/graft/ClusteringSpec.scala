@@ -16,7 +16,40 @@ class ClusteringSpec extends SparkSpec {
     assert(a.count() == n)
     assert(a.select("vec_id").distinct().count() == n)
     val k = a.select("cluster").distinct().count()
-    assert(k > 1 && k <= graft.similarity.Clustering.K)
+    assert(k > 1 && k <= graft.similarity.Clustering.kFor(n))
+  }
+
+  test("k derives from corpus size — the scale law, not a constant") {
+    import graft.similarity.Clustering
+    // The law itself: k = max(2, ceil(n / TargetClusterSize)).
+    assert(Clustering.kFor(150) == 2)
+    assert(Clustering.kFor(500) == 4)
+    assert(Clustering.kFor(2000) == 16)
+    assert(Clustering.kFor(1000000) == 7813)
+    // Proof the engine varies k with the data, not the SF label: a
+    // subsampled corpus (150 of sf0.001's 500 vectors) clusters with
+    // k=2 where the full corpus uses k=4.
+    val subDir = "/tmp/graft-spec-subcorpus"
+    val sub = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy("vec_id").limit(150)
+    sub.write.mode("overwrite").parquet(s"$subDir/embeddings.parquet")
+    val aSub = SparkEntry.queries("q127_kmeans")(spark, subDir)
+    val aFull = SparkEntry.queries("q127_kmeans")(spark, sfDir)
+    val kSub = aSub.select("cluster").distinct().count()
+    val kFull = aFull.select("cluster").distinct().count()
+    assert(kSub <= 2 && kSub < kFull,
+      s"subsampled corpus used k=$kSub, full used k=$kFull")
+  }
+
+  test("within-cluster pair work is linear in n: sum |c|^2 <= 2 * n * TargetClusterSize") {
+    import graft.similarity.Clustering
+    val sizes = run("q127_kmeans").groupBy("cluster")
+      .agg(count(lit(1)).as("c")).select(sum(col("c") * col("c")))
+      .head().getLong(0)
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val bound = 2L * n * Clustering.TargetClusterSize
+    assert(sizes <= bound,
+      s"sum|c|^2 = $sizes exceeds linear bound $bound — clusters too skewed")
   }
 
   test("final assignment is Voronoi-optimal: sq_dist is the minimum over all centroids") {

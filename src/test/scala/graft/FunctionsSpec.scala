@@ -136,12 +136,16 @@ class FunctionsSpec extends SparkSpec {
         |       sq_dist(CAST(array(CAST(NULL AS FLOAT)) AS ARRAY<FLOAT>),
         |               CAST(array(1.0) AS ARRAY<FLOAT>)) AS ne,
         |       sq_dist(CAST(array() AS ARRAY<FLOAT>),
-        |               CAST(array() AS ARRAY<FLOAT>)) AS emp
+        |               CAST(array() AS ARRAY<FLOAT>)) AS emp,
+        |       sq_dist(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |               CAST(array(1.0) AS ARRAY<FLOAT>)) AS mism
         |""".stripMargin).head()
     assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
       java.lang.Double.doubleToLongBits(r.getDouble(1)),
       s"native ${r.getDouble(0)} != HOF ${r.getDouble(1)}")
     assert(r.isNullAt(2) && r.isNullAt(3))
     assert(r.getDouble(4) == 0.0)
+    // Mismatched lengths null out, matching zip_with's null-padding.
+    assert(r.isNullAt(5))
   }
 }
