@@ -33,4 +33,36 @@ class BpeSpec extends graft.SparkSpec {
     assert(out.forall(_.getLong(3) > 0))
     assert(out.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
   }
+
+  test("local trainer merge equals the SQL fold on the overlap cases") {
+    for ((l, r, in) <- Seq(
+      ("a", "a", Seq("a", "a", "a")),
+      ("a", "b", Seq("a", "b", "a", "b")),
+      ("a", "b", Seq("a", "a", "b")),
+      ("a", "b", Seq("x", "a", "b", "y")),
+      ("a", "b", Seq("b", "a")),
+      ("a", "b", Seq("a"))))
+      assert(Bpe.mergeLocal(in.toIndexedSeq, l, r) == merge(l, r, in),
+        s"mergeLocal diverges from SQL fold on ($l,$r) over $in")
+  }
+
+  test("rounds=100 trains in seconds at sf0.1 and maintained counts equal a recount") {
+    val t0 = System.nanoTime()
+    val (merges, words) =
+      Bpe.trainedForSpec(spark, "/root/testdata/sf0.1", 100)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // production-vocab viability: no per-round Spark jobs, so even 10x
+    // this round count stays interactive
+    assert(secs < 30.0, f"rounds=100 took $secs%.1f s")
+    assert(merges.size <= 100 && merges.nonEmpty)
+    // exactness of the incremental maintenance: the final driver-held
+    // pair table must equal an independent Spark recount of the final
+    // word table
+    assert(Bpe.lastPairCounts == Bpe.pairRecount(words),
+      "incrementally maintained pair counts diverge from recount")
+    // greedy BPE is prefix-stable: the first 10 merges of the 100-round
+    // run are exactly the rounds=10 run (the q111 oracle-gated result)
+    val ten = Bpe.trainedForSpec(spark, "/root/testdata/sf0.1", 10)._1
+    assert(merges.take(10) == ten)
+  }
 }
