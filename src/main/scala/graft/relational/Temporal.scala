@@ -21,6 +21,48 @@ import graft.util.Det._
   */
 object Temporal {
 
+  /** The MERGE INTO body q131 runs in batch and q141 runs per streaming
+    * micro-batch: one key-partitioned full-outer join applying a
+    * D/U/I changeset to the state table. Untouched rows carry their
+    * prior `action` through — that is what makes sequential per-batch
+    * application over a key-disjoint changeset equal the one-shot merge
+    * (the q141 ≡ q131 streamed-equals-batch contract). */
+  private[graft] def cdcMerge(state: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    state.as("s").join(changes.as("c"),
+        col("s.o_orderkey") === col("c.k"), "full_outer")
+      .filter(col("c.op").isNull || col("c.op") =!= "D")
+      .select(
+        coalesce(col("s.o_orderkey"), col("c.k")).as("o_orderkey"),
+        col("s.o_custkey").as("o_custkey"),
+        when(col("c.op").isNotNull, col("c.new_price"))
+          .otherwise(col("s.o_totalprice")).as("o_totalprice"),
+        col("s.o_orderdate").as("o_orderdate"),
+        when(col("c.op").isNull, col("s.action"))
+          .when(col("c.op") === "U", lit("updated"))
+          .otherwise(lit("inserted")).as("action"))
+
+  /** The deterministic q131/q141 changeset: delete o_orderkey % 10 == 0,
+    * update the price of % 10 == 1 (+100.0, one IEEE op), insert a new
+    * key for % 10 == 2. The three op classes are key-disjoint, so any
+    * partition of the changeset into micro-batches applies to the same
+    * final state. */
+  private[graft] def cdcChangeset(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val snap = Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val del = snap.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("double").as("new_price"))
+    val upd = snap.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        (col("o_totalprice") + lit(100.0)).as("new_price"))
+    val ins = snap.filter(col("o_orderkey") % 10 === 2)
+      .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+        col("o_totalprice").as("new_price"))
+    del.unionByName(upd).unionByName(ins)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------------- q120:
@@ -337,36 +379,17 @@ object Temporal {
     // arithmetic (price + 100.0) is a single IEEE op on the same input
     // double in both engines. At 100 TB the changeset is delta-sized;
     // snapshot and changes bucketed by key make the merge exchange-free,
-    // and the same plan is the foreachBatch body of a streaming CDC sink.
+    // and the same plan IS the foreachBatch body of the streaming CDC
+    // sink — q141 (Windows.scala) drives this exact cdcMerge through a
+    // file-source changeset stream with checkpoint + retry idempotence.
     QueryDef(
       "q131_cdc_apply",
-      (s, d) => {
-        val snap = Tables(s, d, "orders")
-          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-        val del = snap.filter(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey").as("k"), lit("D").as("op"),
-            lit(null).cast("double").as("new_price"))
-        val upd = snap.filter(col("o_orderkey") % 10 === 1)
-          .select(col("o_orderkey").as("k"), lit("U").as("op"),
-            (col("o_totalprice") + lit(100.0)).as("new_price"))
-        val ins = snap.filter(col("o_orderkey") % 10 === 2)
-          .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
-            col("o_totalprice").as("new_price"))
-        val changes = del.unionByName(upd).unionByName(ins)
-        snap.as("s").join(changes.as("c"),
-            col("s.o_orderkey") === col("c.k"), "full_outer")
-          .filter(col("c.op").isNull || col("c.op") =!= "D")
-          .select(
-            coalesce(col("s.o_orderkey"), col("c.k")).as("o_orderkey"),
-            col("s.o_custkey").as("o_custkey"),
-            when(col("c.op").isNotNull, col("c.new_price"))
-              .otherwise(col("s.o_totalprice")).as("o_totalprice"),
-            col("s.o_orderdate").as("o_orderdate"),
-            when(col("c.op").isNull, "kept")
-              .when(col("c.op") === "U", "updated")
-              .otherwise("inserted").as("action"))
-          .orderBy("o_orderkey")
-      },
+      (s, d) => cdcMerge(
+          Tables(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+            .withColumn("action", lit("kept")),
+          cdcChangeset(s, d))
+        .orderBy("o_orderkey"),
       Some("""
         WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
                       FROM orders),

@@ -833,8 +833,123 @@ object Windows {
                CAST(SUM(n_hour) AS BIGINT) AS n_day,
                COUNT(*) AS n_hours
         FROM h GROUP BY 1, 2
-        ORDER BY day_start, event_type"""))
+        ORDER BY day_start, event_type""")),
+
+    // -------------------------------------------------------------- q141:
+    // REAL streaming CDC sink: the q131 MERGE plan run as the
+    // foreachBatch body of a file-source changeset stream. The changeset
+    // (same deterministic D/U/I derivation as q131) is staged as three
+    // files — one per op class — and consumed one file per micro-batch;
+    // each batch full-outer-merges into the CURRENT state version and
+    // overwrites state version id+1. That versioning is the idempotence
+    // contract: a crash-retried batch re-reads version id (untouched)
+    // and rewrites the same version id+1 bytes, so exactly-once holds
+    // across retries (StreamingSpec re-applies a batch and asserts the
+    // state is unchanged). Because the op classes are key-disjoint,
+    // sequential per-batch merges equal the one-shot q131 MERGE — the
+    // oracle is the identical SQL. At 100 TB each batch's merge is the
+    // q131 shape (delta-sized changes, key-partitioned join) and state
+    // versions are what a lakehouse table format calls snapshots.
+    QueryDef(
+      "q141_stream_cdc_merge",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        import graft.relational.Temporal
+        val base = stableDir("q141", d)
+        val srcDir = base.resolve("changes")
+        val stateRoot = base.resolve("state")
+        val ckpt = base.resolve("ckpt").toString
+        if (!Files.exists(srcDir)) {
+          // state version 0 = the snapshot, all rows 'kept'
+          Tables(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+            .withColumn("action", lit("kept"))
+            .write.mode("overwrite").parquet(stateRoot.resolve("ver0").toString)
+          val staging = Files.createTempDirectory("graft_q141_src_")
+          val all = Temporal.cdcChangeset(s, d)
+          Seq("D", "U", "I").zipWithIndex.foreach { case (op, i) =>
+            val tmp = Files.createTempDirectory("graft_q141_part_")
+            all.filter(col("op") === op)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = Files.list(tmp).iterator()
+            while (part.hasNext) {
+              val p = part.next()
+              if (p.getFileName.toString.endsWith(".parquet"))
+                Files.copy(p, staging.resolve(s"change$i.parquet"))
+            }
+          }
+          Files.move(staging, srcDir) // atomic publish: exists => complete
+        }
+        val chSchema = StructType(Seq(
+          StructField("k", LongType), StructField("op", StringType),
+          StructField("new_price", DoubleType)))
+        val q = s.readStream.schema(chSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            applyCdcBatch(stateRoot, batch, id): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(latestStateVersion(stateRoot).toString)
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                      FROM orders),
+        changes AS (
+          SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+          FROM snap WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, 'U', o_totalprice + 100.0
+          FROM snap WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey + 100000000, 'I', o_totalprice
+          FROM snap WHERE o_orderkey % 10 = 2)
+        SELECT COALESCE(s.o_orderkey, c.k) AS o_orderkey,
+               s.o_custkey AS o_custkey,
+               CASE WHEN c.op IS NOT NULL THEN c.new_price
+                    ELSE s.o_totalprice END AS o_totalprice,
+               s.o_orderdate AS o_orderdate,
+               CASE WHEN c.op IS NULL THEN 'kept'
+                    WHEN c.op = 'U' THEN 'updated'
+                    ELSE 'inserted' END AS action
+        FROM snap s FULL OUTER JOIN changes c ON s.o_orderkey = c.k
+        WHERE c.op IS NULL OR c.op <> 'D'
+        ORDER BY o_orderkey"""))
   )
+
+  /** One CDC micro-batch apply: merge `batch` into state version `id`,
+    * (over)write version `id+1`. Exposed for the StreamingSpec
+    * crash-retry test — re-running the SAME (id, batch) must rewrite
+    * identical state. */
+  private[graft] def applyCdcBatch(stateRoot: java.nio.file.Path,
+      batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val ss = batch.sparkSession
+    val cur = ss.read.parquet(stateRoot.resolve(s"ver$id").toString)
+    graft.relational.Temporal.cdcMerge(cur, batch)
+      .write.mode("overwrite")
+      .parquet(stateRoot.resolve(s"ver${id + 1}").toString)
+  }
+
+  /** Spec-only view of the per-(query, corpus) working dir. */
+  private[graft] def stableDirForSpec(name: String, d: String): java.nio.file.Path =
+    stableDir(name, d)
+
+  /** Highest-numbered state version dir under `stateRoot`. */
+  private[graft] def latestStateVersion(
+      stateRoot: java.nio.file.Path): java.nio.file.Path = {
+    val it = Files.list(stateRoot).iterator()
+    var best = -1
+    while (it.hasNext) {
+      val n = it.next().getFileName.toString
+      if (n.startsWith("ver")) best = math.max(best, n.drop(3).toInt)
+    }
+    stateRoot.resolve(s"ver$best")
+  }
 }
 
 /** transformWithState processor for q110: running per-user stats in three

@@ -201,6 +201,32 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().sortBy(_._1)
     assert(got.toSeq == exp.toSeq)
   }
+
+  test("q141 streaming CDC sink: streamed merges == one-shot MERGE; restart and batch retry are idempotent") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // first run: three micro-batches of changes fold into state versions
+    val r1 = canon(SparkEntry.queries("q141_stream_cdc_merge")(spark, sfDir))
+    // streamed-equals-batch: the final state is exactly the q131 MERGE
+    val batch = canon(SparkEntry.queries("q131_cdc_apply")(spark, sfDir))
+    assert(r1 == batch, "streamed CDC final state != one-shot MERGE result")
+    // restart idempotence: AvailableNow over the same checkpoint sees no
+    // new files and must not change state
+    val r2 = canon(SparkEntry.queries("q141_stream_cdc_merge")(spark, sfDir))
+    assert(r2 == r1, "restart from checkpoint changed the state")
+    // crash-retry idempotence: re-apply micro-batch 0 against state
+    // version 0 (exactly what a foreachBatch retry does) and assert the
+    // downstream read-back is unchanged
+    val base = graft.streaming.Windows.stableDirForSpec("q141", sfDir)
+    val stateRoot = base.resolve("state")
+    val change0 = spark.read.parquet(
+      base.resolve("changes").resolve("change0.parquet").toString)
+    graft.streaming.Windows.applyCdcBatch(stateRoot, change0, 0L)
+    val r3 = canon(spark.read
+      .parquet(graft.streaming.Windows.latestStateVersion(stateRoot).toString)
+      .orderBy("o_orderkey"))
+    assert(r3 == r1, "re-applied batch 0 changed the final state")
+  }
 }
 
 /** transformWithState processor: running per-key count + max, held in two
