@@ -10,9 +10,11 @@ import graft.{QueryDef, Tables}
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted via a typed `mapPartitions` pass.
   *
-  * No image/audio libraries exist in this environment, so `decodeStub`
-  * below is a clearly-marked deterministic stand-in for the real decoder —
-  * but everything around it is the real 100 TB-shape pipeline:
+  * The image (q82, PNG) and video-shaped (q81, animated GIF) paths run
+  * REAL `javax.imageio` codecs end-to-end. No other media libraries
+  * exist in this environment, so the generic-byte `decodeStub` below
+  * (q80/q83) is a clearly-marked deterministic stand-in for heavier
+  * codecs — but everything around it is the real 100 TB-shape pipeline:
   *  - payloads travel as `BinaryType` columns (never strings — no charset
   *    corruption, no 4x base64 blowup);
   *  - metadata rides a typed struct next to the payload;
@@ -37,26 +39,97 @@ object Multimodal {
   final case class BinFeatures(
       doc_id: Long, n_bytes: Long, byte_sum: Long, payload_md5: String, lang: String)
 
-  /** Frame-sample features: every `stride`-th byte treated as a "frame"
-    * (the video-pipeline shape: decode container -> sample frames ->
-    * per-frame features, stubbed to byte arithmetic). */
-  final case class FrameFeatures(
-      doc_id: Long, n_frames: Long, frame_checksum: Long, first_frame: Int)
+  // ------------------------------------------------------------------ GIF
+  // Real video-shaped path (NOT a stub): the JDK's javax.imageio GIF
+  // codec reads AND writes multi-frame (animated) images, so container
+  // demux -> keyframe sampling -> per-frame features runs on genuine
+  // bytes. Deterministic animated grayscale GIFs are synthesized per
+  // doc_id (GIF is lossless for <=256 colors; the 251-value gray ramp
+  // round-trips exactly — verified), frames are STRIDE-sampled without
+  // decoding the skipped ones, and the DuckDB oracle recomputes the
+  // pixel arithmetic with no decoder in the loop.
 
-  /** STUB FRAME SAMPLER — stands in for container demux + frame decode.
-    * Strided access over the payload mirrors how a real sampler seeks
-    * keyframes without decoding everything between them. */
-  def frameSampleStub(stride: Int)(rows: Iterator[BinDoc]): Iterator[FrameFeatures] =
-    rows.map { r =>
-      var sum = 0L; var n = 0L; var i = 0
-      var first = -1
-      while (i < r.payload.length) {
-        val b = r.payload(i) & 0xff
-        if (first < 0) first = b
-        sum += b; n += 1; i += stride
+  final case class GifDoc(doc_id: Long, payload: Array[Byte])
+
+  /** Frame-sample features over the decoded container: total frame count
+    * from container metadata, every-stride-th frame decoded and reduced. */
+  final case class FrameFeatures(
+      doc_id: Long, n_frames: Int, n_sampled: Long, sampled_sum: Long,
+      first_pixel: Int)
+
+  /** Deterministic animation geometry/content, shared with the oracle. */
+  def gifWidth(id: Long): Int = 8 + (id % 5).toInt
+  def gifHeight(id: Long): Int = 6 + (id % 4).toInt
+  def gifFrames(id: Long): Int = 3 + (id % 4).toInt
+  def gifPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 17 + x * 7 + y * 13) % 251).toInt
+
+  /** Fixture synthesis: deterministic animated 8-bit grayscale GIF per
+    * doc_id via ImageIO's sequence writer. */
+  def makeGif(rows: Iterator[Long]): Iterator[GifDoc] = {
+    // per-partition writer init (the amortized-context contract)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    rows.map { id =>
+      val w = gifWidth(id); val h = gifHeight(id); val nf = gifFrames(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gifPixel(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        f += 1
       }
-      FrameFeatures(r.doc_id, n, sum, first)
+      writer.endWriteSequence()
+      ios.close()
+      GifDoc(id, bos.toByteArray)
     }
+  }
+
+  /** REAL FRAME SAMPLER: GIF container open -> frame count from metadata
+    * -> decode ONLY every `stride`-th frame (how a real sampler seeks
+    * keyframes without decoding everything between them) -> pixel stats.
+    * Per-partition reader init; grayscale palette means the red channel
+    * IS the gray value. */
+  def frameSampleGif(stride: Int)(rows: Iterator[GifDoc]): Iterator[FrameFeatures] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rows.map { r =>
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload)))
+      val nf = reader.getNumImages(true)
+      var sum = 0L; var nSampled = 0L; var first = -1
+      var f = 0
+      while (f < nf) {
+        val img = reader.read(f)
+        val w = img.getWidth; val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) >> 16) & 0xff
+            if (first < 0) first = v
+            sum += v
+            x += 1
+          }
+          y += 1
+        }
+        nSampled += 1
+        f += stride
+      }
+      FrameFeatures(r.doc_id, nf, nSampled, sum, first)
+    }
+  }
 
   /** STUB DECODER — stands in for a real media decode (e.g. JPEG ->
     * pixels -> embedding). Deterministic pure function of the bytes so the
@@ -176,29 +249,41 @@ object Multimodal {
         ORDER BY lang""")),
 
     // --------------------------------------------------------------- q81:
-    // frame sampling over binary payloads: stride-32 byte "frames" per
-    // document (stub for keyframe extraction), per-doc features. The
-    // oracle recomputes from the ASCII text (byte == char code).
+    // REAL video-shaped decode: deterministic animated grayscale GIFs
+    // (3-6 frames each, synthesized per doc_id — lossless, verified
+    // exact round-trip) are demuxed with the JDK's javax.imageio GIF
+    // codec; the container reports its frame count, every 2nd frame is
+    // decoded (stride sampling — skipped frames are never decoded), and
+    // the sampled frames reduce to pixel stats. The oracle recomputes
+    // the identical sums from the doc_id arithmetic, decoder-free.
     QueryDef(
       "q81_frame_sample",
       (s, d) => {
-        implicit val inEnc = Encoders.product[BinDoc]
+        implicit val idEnc = Encoders.scalaLong
+        implicit val gifEnc = Encoders.product[GifDoc]
         implicit val outEnc = Encoders.product[FrameFeatures]
         Tables(s, d, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("lang"))
-          .as[BinDoc](inEnc)
-          .mapPartitions(frameSampleStub(32) _)(outEnc).toDF()
+          .select(col("doc_id")).as[Long](idEnc)
+          .mapPartitions(makeGif _)(gifEnc)
+          .mapPartitions(frameSampleGif(2) _)(outEnc).toDF()
           .orderBy("doc_id")
       },
       Some("""
-        SELECT doc_id,
-               CAST(len(generate_series(1, length(text), 32)) AS BIGINT) AS n_frames,
-               CASE WHEN length(text) = 0 THEN 0
-                    ELSE CAST(list_sum(list_transform(generate_series(1, length(text), 32),
-                         i -> ord(substr(text, i, 1)))) AS BIGINT) END AS frame_checksum,
-               CASE WHEN length(text) = 0 THEN -1
-                    ELSE CAST(ord(substr(text, 1, 1)) AS INTEGER) END AS first_frame
-        FROM documents
+        WITH t AS (SELECT doc_id,
+                          CAST(8 + doc_id % 5 AS INTEGER) AS width,
+                          CAST(6 + doc_id % 4 AS INTEGER) AS height,
+                          CAST(3 + doc_id % 4 AS INTEGER) AS n_frames
+                   FROM documents)
+        SELECT doc_id, n_frames,
+               CAST(len(generate_series(0, n_frames - 1, 2)) AS BIGINT)
+                 AS n_sampled,
+               CAST(list_sum(list_transform(generate_series(0, n_frames - 1, 2),
+                 f -> list_sum(flatten(list_transform(generate_series(0, height - 1),
+                   y -> list_transform(generate_series(0, width - 1),
+                     x -> (doc_id * 31 + f * 17 + x * 7 + y * 13) % 251))))))
+                 AS BIGINT) AS sampled_sum,
+               CAST(doc_id * 31 % 251 AS INTEGER) AS first_pixel
+        FROM t
         ORDER BY doc_id""")),
 
     // --------------------------------------------------------------- q82:

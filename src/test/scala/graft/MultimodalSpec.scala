@@ -18,6 +18,25 @@ class MultimodalSpec extends SparkSpec {
     assert(f.lang == "en")
   }
 
+  test("animated GIF synth + frame sampler round-trip the pixel arithmetic exactly") {
+    import graft.multimodal.Multimodal._
+    for (id <- Seq(0L, 3L, 17L)) {
+      val doc = makeGif(Iterator(id)).next()
+      // real container: bytes start with the GIF89a magic
+      assert(new String(doc.payload.take(6), "US-ASCII") == "GIF89a")
+      val ff = frameSampleGif(2)(Iterator(doc)).next()
+      val nf = gifFrames(id)
+      val sampled = 0 until nf by 2
+      val expSum = (for {
+        f <- sampled; y <- 0 until gifHeight(id); x <- 0 until gifWidth(id)
+      } yield gifPixel(id, f, x, y).toLong).sum
+      assert(ff.n_frames == nf)
+      assert(ff.n_sampled == sampled.size.toLong)
+      assert(ff.sampled_sum == expSum, s"lossy GIF round-trip for doc $id")
+      assert(ff.first_pixel == gifPixel(id, 0, 0, 0))
+    }
+  }
+
   test("decodeStub handles empty payloads and preserves row count") {
     val rows = Seq(BinDoc(1L, Array.emptyByteArray, "en"),
                    BinDoc(2L, Array[Byte](-1, 0), "de")) // -1 -> unsigned 255
