@@ -66,6 +66,38 @@ object Partitioned {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("event_type")
 
+  /** The q138 z-value frame: orders plus 8-bit dim buckets x (custkey)
+    * and y (order-date decade index) and their 16-bit Morton interleave
+    * z. floor() (not double-div truncation) so pre-epoch dates bucket
+    * the same way the oracle's `//` does; pmod keeps y in the 8-bit
+    * domain so the interleave never sees a negative or >255 index. */
+  private[graft] def zOrderFrame(orders: DataFrame): DataFrame = {
+    val x = col("o_custkey") % 256L
+    val y = pmod(
+      floor(datediff(col("o_orderdate"), lit("1995-01-01")) / 10),
+      lit(256L)).cast("long")
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    orders.withColumn("x", x).withColumn("y", y).withColumn("z", z)
+  }
+
+  /** The materialized OPTIMIZE ZORDER BY write path: range-partition on
+    * the z-value, sort within partitions, cap records per file. Files
+    * (and row groups within them) then cover compact z-ranges = compact
+    * rectangles in BOTH dims, so parquet footer min/max stats prune a
+    * single-dim predicate on EITHER column — the data-skipping property
+    * ZOrderSpec measures against an unclustered control write. At
+    * 100 TB this is the layout job you run once per table/partition, and
+    * every engine reading the files benefits. */
+  private[graft] def zOrderWrite(df: DataFrame, out: String,
+      numRanges: Int = 16, maxRecordsPerFile: Long = 1024): Unit =
+    df.repartitionByRange(numRanges, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(out)
+
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q90:
@@ -94,33 +126,20 @@ object Partitioned {
     // extents + counts. The locality contract — each cell spans ≤ 32
     // consecutive buckets in EACH dim, because the top 6 z-bits fix 3
     // high bits of both dims — is what makes file-level min/max stats
-    // selective for either predicate; ZOrderSpec asserts it. The write
-    // path composes as repartitionByRange(z) + sortWithinPartitions(z)
-    // before .write.parquet: row groups then inherit these rectangles.
+    // selective for either predicate; ZOrderSpec asserts it, and
+    // zOrderWrite below is the materialized write path — ZOrderSpec
+    // proves the clustered layout's footer stats prune files on EITHER
+    // single-dim predicate where an unclustered write cannot.
     // Per-row bit math only — one aggregate shuffle of 64 cells.
     QueryDef(
       "q138_zorder_layout",
-      (s, d) => {
-        val x = col("o_custkey") % 256L
-        // floor() (not double-div truncation) so pre-epoch dates bucket the
-        // same way the oracle's `//` does, then pmod into the 8-bit domain
-        // so the interleave never sees a negative or >255 day index.
-        val y = pmod(
-          floor(datediff(col("o_orderdate"), lit("1995-01-01")) / 10),
-          lit(256L)).cast("long")
-        val z = (0 until 8).map { i =>
-          shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
-            shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i)
-        }.reduce(_ + _)
-        Tables(s, d, "orders")
-          .select(x.as("x"), y.as("y"))
-          .withColumn("z_cell", shiftright(z, 10).cast("long"))
+      (s, d) => zOrderFrame(Tables(s, d, "orders"))
+          .withColumn("z_cell", shiftright(col("z"), 10).cast("long"))
           .groupBy("z_cell")
           .agg(count(lit(1)).as("n"),
             min("x").as("min_ck"), max("x").as("max_ck"),
             min("y").as("min_day"), max("y").as("max_day"))
-          .orderBy("z_cell")
-      },
+          .orderBy("z_cell"),
       Some {
         val zBits = (0 until 8).map(i =>
           s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})")
