@@ -18,6 +18,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet
+    // Cold mode (SPARK_GRAFT_COLD=1): drop the cross-query artifact
+    // caches (dedup pair index / cluster labels, k-means run, BPE
+    // training) before EVERY sample, so each query pays its own build
+    // cost. Default (warm) mode reflects the production shape — those
+    // artifacts are build-once tables — but entangles per-query numbers
+    // with execution order; BASELINE.md records both.
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    def clearArtifacts(): Unit = if (cold) {
+      graft.dedup.Dedup.clearArtifactCache()
+      graft.similarity.Clustering.clearArtifactCache()
+      graft.text.Bpe.clearArtifactCache()
+    }
     // Untimed warm-up: JVM JIT + Catalyst/codegen class-loading otherwise
     // land entirely on the alphabetically-first query (measured ~3 s).
     try SparkEntry.queries("q02_filter_project")(spark, sfDir).count()
@@ -30,6 +42,7 @@ object Bench {
       // the min of two back-to-back runs is the reproducible figure.
       var err: Option[String] = None
       val samples = (1 to 2).map { _ =>
+        clearArtifacts()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }

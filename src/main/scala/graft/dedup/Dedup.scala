@@ -116,6 +116,10 @@ object Dedup {
     * key (the BPE-training-cache precedent). */
   private val dedupCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop all cached artifacts (Bench cold mode — each query then pays
+    * its own build cost instead of riding another query's). */
+  private[graft] def clearArtifactCache(): Unit = dedupCache.clear()
   private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: the labels build re-enters `cached` for the
     // pair index, and a nested computeIfAbsent on the same map throws

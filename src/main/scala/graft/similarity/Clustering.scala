@@ -54,6 +54,9 @@ object Clustering {
     * hazard, a lost race only duplicates work). */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop the cached k-means run (Bench cold mode). */
+  private[graft] def clearArtifactCache(): Unit = cache.clear()
   private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = s"${System.identityHashCode(s)}:$key"
     val existing = cache.get(k)

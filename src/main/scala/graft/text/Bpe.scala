@@ -59,6 +59,9 @@ object Bpe {
   private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Int, String, String, Long)], DataFrame)]()
 
+  /** Drop cached training runs (Bench cold mode). */
+  private[graft] def clearArtifactCache(): Unit = trainedCache.clear()
+
   /** Run the merge-learning loop; returns the merge table AND the word
     * table in its post-merge state (word, freq, syms) — the trained
     * tokenizer q113 applies. */
