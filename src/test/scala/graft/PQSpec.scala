@@ -33,4 +33,33 @@ class PQSpec extends SparkSpec {
     assert(overlaps.sum >= 5,
       s"ADC top-10 vs exact top-10 overlap too low: ${overlaps.mkString(",")}")
   }
+
+  test("q139 plan: every index artifact broadcasts; the corpus never sort-merge joins") {
+    val plan = SparkEntry.queries("q139_ivfpq_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // coarse codebook (x2: assignment + query probe), PQ codebook (x2:
+    // encode + ADC build), and the ADC table itself must all broadcast
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 4,
+      s"expected >=4 broadcast exchanges in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized sort-merge join leaked into the IVF-PQ plan:\n$plan")
+  }
+
+  test("q139/q140 invariants: dense ranks, monotone ADC distance, recall in [0,1]") {
+    val rows = SparkEntry.queries("q139_ivfpq_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      assert(sorted.map(_.getDouble(4)).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    val rec = SparkEntry.queries("q140_ivfpq_recall")(spark, sfDir).collect()
+    assert(rec.length == 5)
+    rec.foreach { r =>
+      assert(r.getLong(1) == 5L) // n_exact
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(2) > 0L, "no candidates scored — probing broken")
+    }
+  }
 }
