@@ -313,5 +313,67 @@ object Bpe {
     QueryDef(
       "q113_bpe_encode",
       (s, d) => encodeCounts(s, d, Rounds),
-      Some(encodeOracleSql(Rounds))))
+      Some(encodeOracleSql(Rounds))),
+
+    // -------------------------------------------------------------- q142:
+    // TOKENIZE to ids — the actual pretraining-pipeline step after q111
+    // trains and q113 budgets: every document becomes its ordered
+    // token-id sequence under the trained vocab (symbol → dense id by
+    // lexicographic rank). Emitted exploded as (doc_id, pos, token_id,
+    // sym) for the first 100 docs — the downstream shape q92's packer
+    // consumes. Scale: the trained word table and the vocab are the
+    // broadcast dimensions (q113's contract); the corpus side is one
+    // explode-join-explode chain with a per-doc window for the global
+    // position — one shuffle on doc_id.
+    QueryDef(
+      "q142_bpe_tokenize_ids",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = broadcast(trained(s, d, Rounds)._2.select("word", "syms"))
+        // vocab-bounded global rank: the single-partition window covers
+        // |symbols| rows (alphabet + merges), never corpus data
+        val vocab = broadcast(
+          trained(s, d, Rounds)._2.select(explode(col("syms")).as("sym"))
+            .distinct()
+            .withColumn("token_id",
+              (row_number().over(Window.orderBy("sym")) - 1).cast("int")))
+        val w = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+        Tables(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            posexplode(expr(TextAnalysis.tokensExpr)).as(Seq("wpos", "word")))
+          .join(words, "word")
+          .select(col("doc_id"), col("wpos"),
+            posexplode(col("syms")).as(Seq("spos", "sym")))
+          .join(vocab, "sym")
+          .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+          .select("doc_id", "pos", "token_id", "sym")
+          .orderBy("doc_id", "pos")
+      },
+      Some(s"""
+        WITH ${duckTrainCtes(Rounds)},
+        wsyms AS (SELECT word, string_split(trim(seq, '|'), '||') AS ss
+                  FROM w$Rounds),
+        vocab AS (SELECT sym,
+                         CAST(row_number() OVER (ORDER BY sym) - 1 AS INTEGER)
+                           AS token_id
+                  FROM (SELECT DISTINCT unnest(ss) AS sym FROM wsyms)),
+        toks AS (SELECT doc_id,
+                        struct_extract(z, 1) AS word,
+                        struct_extract(z, 2) AS wpos
+                 FROM (SELECT doc_id,
+                              unnest(list_zip(arr, generate_series(1, len(arr)))) AS z
+                       FROM (SELECT doc_id, ${TextAnalysis.duckTokens} AS arr
+                             FROM documents WHERE doc_id < 100))),
+        ts AS (SELECT doc_id, wpos,
+                      struct_extract(z2, 1) AS sym,
+                      struct_extract(z2, 2) AS spos
+               FROM (SELECT t.doc_id, t.wpos,
+                            unnest(list_zip(w.ss, generate_series(1, len(w.ss)))) AS z2
+                     FROM toks t JOIN wsyms w USING (word)))
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
+               v.token_id, sym
+        FROM ts JOIN vocab v USING (sym)
+        ORDER BY doc_id, pos""")))
 }
