@@ -412,6 +412,99 @@ object Temporal {
                     ELSE 'inserted' END AS action
         FROM snap s FULL OUTER JOIN changes c ON s.o_orderkey = c.k
         WHERE c.op IS NULL OR c.op <> 'D'
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------- q144:
+    // interval-overlap self-join: for every user session (q125's 30-min
+    // gap islands), how many OTHER users' sessions overlap it in time —
+    // the concurrency / co-presence analysis behind capacity planning and
+    // abuse detection. Two large interval sets with NO equi-key is the
+    // one join shape Catalyst can only plan as a nested-loop cartesian;
+    // the scale device is time bucketing: each session explodes into the
+    // hour buckets it covers (bounded fan-out: sessions are gap-bounded,
+    // so covered hours ≈ duration/1h + 1), pairs meet by bucket EQUI-join,
+    // and each overlapping pair is attributed to exactly ONE bucket — the
+    // hour of the LATER session start, which lies in both coverage ranges
+    // iff the intervals truly overlap — so no distinct-dedup pass is
+    // needed afterwards. Shuffle profile: one exchange on user_id
+    // (sessionize), one on bucket (pair join), one map-side-combined
+    // count on the left session key; pair work is Σ_bucket |a_b|·|b_b|,
+    // linear in data for fixed arrival rate (vs the cartesian's n²), and
+    // a hot bucket is ordinary AQE-visible join skew. The oracle replays
+    // the same semantics as DuckDB's native inequality join — the bucket
+    // decomposition provably changes nothing (hash-match proves it).
+    QueryDef(
+      "q144_interval_overlap_join",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = Tables(s, d, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("is_new",
+            (col("prev_ts").isNull ||
+              col("prev_ts") + expr("INTERVAL 30 MINUTES") < col("ts"))
+              .cast("long"))
+          .withColumn("session_seq",
+            sum("is_new").over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_seq")
+          .agg(min("ts").as("s_start"), max("ts").as("s_end"),
+            count(lit(1)).as("n_events"))
+        val hourUs = 3600L * 1000000L
+        val bucketed = sess.select(col("user_id"), col("session_seq"),
+            col("s_start"), col("s_end"),
+            // integer bucket index: `div`, not `/` (Spark's / is DOUBLE
+            // division — the float quotient would break the exact bucket
+            // equality the pair attribution relies on)
+            explode(sequence(
+              expr(s"unix_micros(s_start) div ${hourUs}L"),
+              expr(s"unix_micros(s_end) div ${hourUs}L")))
+              .as("bucket"))
+        val a = bucketed.select(col("user_id").as("ua"),
+          col("session_seq").as("qa"), col("s_start").as("sa"),
+          col("s_end").as("ea"), col("bucket"))
+        val b = bucketed.select(col("user_id").as("ub"),
+          col("s_start").as("sb"), col("s_end").as("eb"), col("bucket"))
+        val counts = a.join(b, Seq("bucket"))
+          .filter(col("ua") =!= col("ub") &&
+            col("sa") <= col("eb") && col("sb") <= col("ea") &&
+            expr(s"unix_micros(greatest(sa, sb)) div ${hourUs}L") ===
+              col("bucket"))
+          .groupBy(col("ua").as("user_id"), col("qa").as("session_seq"))
+          .agg(count(lit(1)).as("n_concurrent"))
+        sess.join(counts, Seq("user_id", "session_seq"), "left")
+          .select(col("user_id"), col("session_seq"), col("s_start"),
+            col("s_end"), col("n_events"),
+            coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR lag(ts) OVER w + INTERVAL 30 MINUTE < ts
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessioned AS (
+          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_seq
+          FROM flagged),
+        sess AS (
+          SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM sessioned GROUP BY 1, 2),
+        ov AS (
+          SELECT a.user_id, a.session_seq,
+                 CAST(count(*) AS BIGINT) AS n_concurrent
+          FROM sess a JOIN sess b
+            ON a.s_start <= b.s_end AND b.s_start <= a.s_end
+           AND a.user_id <> b.user_id
+          GROUP BY 1, 2)
+        SELECT s.user_id, s.session_seq, s.s_start, s.s_end, s.n_events,
+               coalesce(ov.n_concurrent, 0) AS n_concurrent
+        FROM sess s LEFT JOIN ov USING (user_id, session_seq)
+        ORDER BY user_id, session_seq"""))
   )
 }
