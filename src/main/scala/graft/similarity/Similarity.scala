@@ -46,6 +46,14 @@ object Similarity {
     (0 until 24).map(p => (0 until 64).map(d2 =>
       (md5Long(s"q116:$p:$d2") % 2001) - 1000))
 
+  /** q145 signed-random-projection geometry: 16 output dims x 64 input
+    * dims, seed "q145:j:d", same integer-literal contract as [[planeW]].
+    * 16 doubles instead of 64 floats — a 4x reduction in pairwise-scoring
+    * FLOPs and (at 100 TB) in what the dedup/ANN pair stages shuffle. */
+  private val rpPlanes: IndexedSeq[Seq[Long]] =
+    (0 until 16).map(j => (0 until 64).map(d2 =>
+      (md5Long(s"q145:$j:$d2") % 2001) - 1000))
+
   /** Native codegen'd cosine (graft.functions.CosineSimilarity) — same
     * sequential-fold double semantics as the oracle's list_reduce. */
   private def cosCol = graft.functions.functions.cosine_sim(
@@ -483,6 +491,65 @@ object Similarity {
                COALESCE(n_hit, 0) AS n_hit,
                COALESCE(n_hit, 0) / CAST(n_exact AS DOUBLE) AS recall
         FROM ex LEFT JOIN nc USING (query_id) LEFT JOIN hit USING (query_id)
-        ORDER BY query_id"""))
+        ORDER BY query_id""")),
+
+    // --------------------------------------------------------------- q145:
+    // Signed-random-projection dimensionality reduction (64 floats -> 16
+    // doubles) with a cosine-preservation audit. The projection itself is
+    // MAP-ONLY: the 16x64 weight matrix is a plan-time constant (broadcast
+    // implicitly as literals), so at 100 TB the reduce step adds zero
+    // shuffles — each row folds 16 native codegen'd plane_dots. The audit
+    // pairs each vector with its successor (b.vec_id = a.vec_id + 1 — a
+    // LINEAR equi-join, never all-pairs), computes cosine in both spaces
+    // with identical sequential fold order, and emits the |cos64 - cos16|
+    // error histogram: O(buckets) output regardless of corpus size.
+    // Doubles stay bit-identical cross-engine because Catalyst's
+    // ReorderAssociativeOperator only reassociates integral types — the
+    // unrolled left-assoc double chains below survive optimization as
+    // written, matching DuckDB's left-assoc parse of the same chain.
+    QueryDef(
+      "q145_random_projection_audit",
+      (s, d) => {
+        val v = Tables(s, d, "embeddings")
+        val red = v.select(
+          col("vec_id") +: col("embedding") +:
+            (0 until 16).map(j => graft.functions.PlaneDot
+              .plane_dot(col("embedding"), rpPlanes(j)).as(s"r$j")): _*)
+        val dot16 = (0 until 16).map(j => col(s"a.r$j") * col(s"b.r$j"))
+          .reduce(_ + _)
+        val na16 = (0 until 16).map(j => col(s"a.r$j") * col(s"a.r$j"))
+          .reduce(_ + _)
+        val nb16 = (0 until 16).map(j => col(s"b.r$j") * col(s"b.r$j"))
+          .reduce(_ + _)
+        red.as("a")
+          .join(red.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+          .select(
+            graft.functions.functions
+              .cosine_sim(col("a.embedding"), col("b.embedding"))
+              .as("cos64"),
+            (dot16 / (sqrt(na16) * sqrt(nb16))).as("cos16"))
+          .select(floor(abs(col("cos64") - col("cos16")) * 20)
+            .cast("int").as("err_bucket"))
+          .groupBy("err_bucket").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("err_bucket")
+      },
+      Some(s"""
+        WITH $duckNormed,
+        red AS (SELECT vec_id, embedding, norm,
+                       ${(0 until 16).map(j =>
+                         s"(${duckPlaneDotOf(rpPlanes(j))}) AS r$j")
+                         .mkString(",\n                       ")}
+                FROM v),
+        p AS (SELECT $duckCos cos64,
+                     (${(0 until 16).map(j => s"q.r$j * c.r$j")
+                       .mkString(" + ")}) /
+                     (sqrt(${(0 until 16).map(j => s"q.r$j * q.r$j")
+                       .mkString(" + ")}) *
+                      sqrt(${(0 until 16).map(j => s"c.r$j * c.r$j")
+                       .mkString(" + ")})) AS cos16
+              FROM red q JOIN red c ON c.vec_id = q.vec_id + 1)
+        SELECT CAST(floor(abs(cos64 - cos16) * 20) AS INTEGER) AS err_bucket,
+               count(*) AS n_pairs
+        FROM p GROUP BY 1 ORDER BY 1"""))
   )
 }
