@@ -152,6 +152,93 @@ object Indexing {
                array_to_string(list_slice(toks, chunk_id * 24 + 1,
                  chunk_id * 24 + 32), ' ') AS chunk_text
         FROM c
-        ORDER BY doc_id, chunk_id"""))
+        ORDER BY doc_id, chunk_id""")),
+
+    // -------------------------------------------------------------- q146:
+    // Held-out bigram-LM document scoring — the conditional-probability
+    // sibling of q123's unigram filter, with a real train/score split:
+    // the model (bigram counts B(w1 w2) and prefix counts P(w1)) is
+    // trained on even doc_ids only, then ODD docs are scored against it.
+    // Unseen-bigram rate is the integer-exact stand-in for perplexity
+    // (transcendental logprobs would break cross-engine hash equality —
+    // same rationale as q123): BIGINT sums per doc, IEEE division only in
+    // the final projection.
+    //
+    // Scale shape: bigram formation is map-only (transform over the token
+    // array — no shuffle, no window). Training is one map-side-combined
+    // count per key space (bigram, prefix). Scoring BROADCASTs the model
+    // back against the held-out bigram stream, so the skewed key join
+    // never shuffles the corpus side; a bigram vocab too large to
+    // broadcast splits by frequency exactly as q123 documents (broadcast
+    // the Zipf head, shuffle-join the tail). Docs with < 2 tokens survive
+    // via the final left join (n_bigrams = 0, NULL rates).
+    QueryDef(
+      "q146_bigram_lm_score",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val big = docs.select(col("doc_id"), expr(tokensExpr).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(t) - 1), i -> struct(
+              |  element_at(t, i) AS w1,
+              |  concat(element_at(t, i), ' ', element_at(t, i + 1)) AS bg))"""
+              .stripMargin)).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+        val train = big.filter(col("doc_id") % 2 === 0)
+        val bcnt = train.groupBy("bg").agg(count(lit(1)).as("b_cnt"))
+        val pcnt = train.groupBy("w1").agg(count(lit(1)).as("p_cnt"))
+        val scored = big.filter(col("doc_id") % 2 === 1)
+          .join(broadcast(bcnt), Seq("bg"), "left")
+          .join(broadcast(pcnt), Seq("w1"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("nb"),
+            sum(when(col("b_cnt").isNull, 1L).otherwise(0L)).as("nu"),
+            sum(coalesce(col("b_cnt"), lit(0L))).as("sb"),
+            sum(coalesce(col("p_cnt"), lit(0L))).as("sp"))
+        val nb = coalesce(col("nb"), lit(0L))
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            nb.as("n_bigrams"),
+            coalesce(col("nu"), lit(0L)).as("n_unseen"),
+            coalesce(col("sb"), lit(0L)).as("sum_bigram_freq"),
+            coalesce(col("sp"), lit(0L)).as("sum_prefix_freq"),
+            when(nb > 0, col("nu").cast("double") / nb.cast("double"))
+              .as("unseen_rate"),
+            when(col("sp") > 0,
+              col("sb").cast("double") / col("sp").cast("double"))
+              .as("cond_coverage"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $duckTokens AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+               FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)
+               WHERE len(t) >= 2),
+        bc AS (SELECT bg, count(*) AS b_cnt FROM bg
+               WHERE doc_id % 2 = 0 GROUP BY 1),
+        pc AS (SELECT w1, count(*) AS p_cnt FROM bg
+               WHERE doc_id % 2 = 0 GROUP BY 1),
+        sc AS (SELECT g.doc_id, count(*) AS nb,
+                      CAST(sum(CASE WHEN bc.b_cnt IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nu,
+                      CAST(sum(COALESCE(bc.b_cnt, 0)) AS BIGINT) AS sb,
+                      CAST(sum(COALESCE(pc.p_cnt, 0)) AS BIGINT) AS sp
+               FROM bg g LEFT JOIN bc USING (bg) LEFT JOIN pc USING (w1)
+               WHERE g.doc_id % 2 = 1 GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(sc.nb, 0) AS n_bigrams,
+               COALESCE(sc.nu, 0) AS n_unseen,
+               COALESCE(sc.sb, 0) AS sum_bigram_freq,
+               COALESCE(sc.sp, 0) AS sum_prefix_freq,
+               CASE WHEN sc.nb > 0 THEN
+                 CAST(sc.nu AS DOUBLE) / CAST(sc.nb AS DOUBLE) END
+                 AS unseen_rate,
+               CASE WHEN sc.sp > 0 THEN
+                 CAST(sc.sb AS DOUBLE) / CAST(sc.sp AS DOUBLE) END
+                 AS cond_coverage
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        WHERE d.doc_id % 2 = 1
+        ORDER BY d.doc_id"""))
   )
 }
