@@ -19,6 +19,7 @@ object SparkEntry {
       graft.text.TextAnalysis.defs ++
       graft.text.Indexing.defs ++
       graft.text.Selection.defs ++
+      graft.sketch.Sketches.defs ++
       graft.text.ExactSubstr.defs ++
       graft.text.Packing.defs ++
       graft.text.Bpe.defs ++

@@ -1,0 +1,191 @@
+package graft.sketch
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.text.TextAnalysis.{duckTokens, tokensExpr}
+
+/** Probabilistic-sketch operators, made deterministic enough to
+  * oracle-pair: a HyperLogLog cardinality sketch and a Count-Min
+  * frequency sketch, both with registers derived from md5 (the suite's
+  * cross-engine hash — see [[graft.util.Hashing]]) and folded with
+  * integer-exact arithmetic. Together with q133's Misra–Gries heavy
+  * hitters these form the sketch battery a 100 TB profiler runs instead
+  * of exact aggregation: registers are FIXED-size regardless of input
+  * cardinality, so the shuffle is O(groups × registers), never O(keys).
+  *
+  * Sketch estimates are normally nondeterministic across engines because
+  * the hash differs; here BOTH engines compute the identical md5-derived
+  * registers, so even the ESTIMATES hash-match — the oracle checks the
+  * full sketch math, not just a tolerance band.
+  */
+object Sketches {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------- q147:
+    // HyperLogLog distinct-count per event_type (m = 64 registers).
+    // Register index = 8 md5 bits mod 64; rho = leading-zero rank of the
+    // next 56 bits, extracted by STRING ops on the md5 hex (leading '0'
+    // digits + a 4-way CASE on the first non-zero digit) — no
+    // transcendental log2, so both engines agree bit-for-bit. Register
+    // fold is max(rho) (order-independent); the harmonic sum is the
+    // integer-exact Σ 2^(56 − M[j]) (each term a BIGINT power of two,
+    // 64 · 2^56 < 2^63 — no overflow, no float-order sensitivity); the
+    // only IEEE op is ONE final division. Raw HLL estimate only: the
+    // small-range linear-counting correction needs ln(), which is not
+    // cross-engine stable — v_zero is emitted so a caller can apply it.
+    //
+    // Scale shape: per (event_type, j) max is map-side combined — the
+    // shuffle after the scan carries at most groups × 64 rows no matter
+    // how many events; the dense-register frame is groups × 64 literals.
+    // The exact countDistinct alongside is the AUDIT (it re-shuffles the
+    // key space); a production run at 100 TB ships only the sketch.
+    QueryDef(
+      "q147_hll_cardinality",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val h = ev
+          .select(col("event_type"),
+            md5(concat(lit("q147:"), col("event_id").cast("string")))
+              .as("hex"))
+          .select(col("event_type"),
+            expr("CAST(CAST(conv(substr(hex, 1, 2), 16, 10) AS BIGINT) " +
+              "% 64 AS INT)").as("j"),
+            expr("substr(hex, 3, 14)").as("tail"))
+          .withColumn("nlz", length(regexp_extract(col("tail"), "^(0*)", 1)))
+          .withColumn("d1", expr("substr(tail, nlz + 1, 1)"))
+          .withColumn("rho", expr(
+            """CAST(LEAST(CASE WHEN d1 = '' THEN 57 ELSE nlz * 4 + 1 +
+              |  (CASE WHEN d1 = '1' THEN 3
+              |        WHEN d1 IN ('2', '3') THEN 2
+              |        WHEN d1 IN ('4', '5', '6', '7') THEN 1
+              |        ELSE 0 END) END, 56) AS INT)""".stripMargin))
+        val regs = h.groupBy("event_type", "j").agg(max("rho").as("m"))
+        val dense = ev.select("event_type").distinct()
+          .select(col("event_type"), explode(expr("sequence(0, 63)")).as("j"))
+        val sk = dense.join(regs, Seq("event_type", "j"), "left")
+          .withColumn("m", coalesce(col("m"), lit(0)))
+          .groupBy("event_type").agg(
+            sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - m)")).as("s_reg"),
+            sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct("event_id").as("n_exact"))
+        sk.join(exact, "event_type")
+          .withColumn("est_raw",
+            lit(0.709) * lit(4096.0) * lit(72057594037927936.0) /
+              col("s_reg").cast("double"))
+          .select(col("event_type"), col("n_exact"), col("v_zero"),
+            round(col("est_raw"), 3).as("hll_est"),
+            round(abs(col("est_raw") - col("n_exact").cast("double")) /
+              col("n_exact").cast("double"), 4).as("rel_err"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH h AS (SELECT event_type,
+                     md5('q147:' || CAST(event_id AS VARCHAR)) AS hex
+                   FROM events),
+        x AS (SELECT event_type,
+                CAST(CAST(concat('0x', substr(hex, 1, 2)) AS BIGINT) % 64
+                  AS INTEGER) AS j,
+                substr(hex, 3, 14) AS tail
+              FROM h),
+        r AS (SELECT event_type, j,
+                length(regexp_extract(tail, '^(0*)', 1)) AS nlz,
+                substr(tail,
+                  length(regexp_extract(tail, '^(0*)', 1)) + 1, 1) AS d1
+              FROM x),
+        rr AS (SELECT event_type, j,
+                 CAST(LEAST(CASE WHEN d1 = '' THEN 57 ELSE nlz * 4 + 1 +
+                   (CASE WHEN d1 = '1' THEN 3
+                         WHEN d1 IN ('2', '3') THEN 2
+                         WHEN d1 IN ('4', '5', '6', '7') THEN 1
+                         ELSE 0 END) END, 56) AS INTEGER) AS rho
+               FROM r),
+        regs AS (SELECT event_type, j, max(rho) AS m FROM rr GROUP BY 1, 2),
+        dense AS (SELECT DISTINCT e.event_type, g.j
+                  FROM events e,
+                       (SELECT unnest(generate_series(0, 63)) AS j) g),
+        fl AS (SELECT d.event_type, d.j, COALESCE(regs.m, 0) AS m
+               FROM dense d LEFT JOIN regs USING (event_type, j)),
+        sk AS (SELECT event_type,
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - m)) AS BIGINT) AS s_reg,
+                 CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_zero
+               FROM fl GROUP BY 1),
+        ex AS (SELECT event_type, count(DISTINCT event_id) AS n_exact
+               FROM events GROUP BY 1),
+        est AS (SELECT s.event_type, e.n_exact, s.v_zero,
+                  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+                    CAST(72057594037927936 AS DOUBLE) /
+                    CAST(s.s_reg AS DOUBLE) AS est_raw
+                FROM sk s JOIN ex e USING (event_type))
+        SELECT event_type, n_exact, v_zero,
+               round(est_raw, 3) AS hll_est,
+               round(abs(est_raw - CAST(n_exact AS DOUBLE)) /
+                 CAST(n_exact AS DOUBLE), 4) AS rel_err
+        FROM est ORDER BY event_type""")),
+
+    // -------------------------------------------------------------- q148:
+    // Count-Min frequency sketch over the token stream (depth 4 × width
+    // 256), probed at the exact top-20 terms. The sketch is built from
+    // the AGGREGATED vocab (term, cnt) — cell[r][i] = Σ cnt over terms
+    // hashing to (r, i) — not from raw occurrences: one corpus shuffle
+    // produces the vocab (q123's shape), then the 4 × vocab hash fan-out
+    // and the 1024-cell fold are vocab-sized, trivial at any corpus
+    // scale. Registers are BIGINT sums (order-independent); the probe
+    // joins 20 × 4 cells and takes min — all integer, fully
+    // deterministic. CMS guarantees est ≥ exact; `over_est` shows the
+    // collision inflation directly.
+    QueryDef(
+      "q148_cms_frequency",
+      (s, d) => {
+        import graft.util.Hashing.sparkMd5Long
+        val docs = Tables(s, d, "documents")
+        val vocab = docs
+          .select(explode(expr(tokensExpr)).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val hashed = vocab
+          .select(col("term"), col("cnt"),
+            explode(expr("sequence(0, 3)")).as("r"))
+          .withColumn("idx", expr(
+            s"CAST(${sparkMd5Long("concat('q148:', CAST(r AS STRING), ':', term)")} % 256 AS INT)"))
+        val cells = hashed.groupBy("r", "idx")
+          .agg(sum("cnt").as("cell"))
+        val probe = vocab
+          .orderBy(col("cnt").desc, col("term")).limit(20)
+          .select(col("term"), col("cnt").as("n_exact"),
+            explode(expr("sequence(0, 3)")).as("r"))
+          .withColumn("idx", expr(
+            s"CAST(${sparkMd5Long("concat('q148:', CAST(r AS STRING), ':', term)")} % 256 AS INT)"))
+        probe.join(broadcast(cells), Seq("r", "idx"))
+          .groupBy("term", "n_exact").agg(min("cell").as("cms_est"))
+          .select(col("term"), col("n_exact"), col("cms_est"),
+            (col("cms_est") - col("n_exact")).as("over_est"))
+          .orderBy(col("n_exact").desc, col("term"))
+      },
+      Some(s"""
+        WITH t AS (SELECT unnest($duckTokens) AS term FROM documents),
+        v AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        hx AS (SELECT term, cnt, r,
+                 CAST(CAST(concat('0x', substr(md5(
+                   'q148:' || CAST(r AS VARCHAR) || ':' || term), 1, 15))
+                   AS BIGINT) % 256 AS INTEGER) AS idx
+               FROM v, (SELECT unnest(generate_series(0, 3)) AS r) g),
+        cells AS (SELECT r, idx, CAST(sum(cnt) AS BIGINT) AS cell
+                  FROM hx GROUP BY 1, 2),
+        probe AS (SELECT term, cnt AS n_exact FROM v
+                  ORDER BY cnt DESC, term LIMIT 20),
+        ph AS (SELECT p.term, p.n_exact, g.r,
+                 CAST(CAST(concat('0x', substr(md5(
+                   'q148:' || CAST(g.r AS VARCHAR) || ':' || p.term), 1, 15))
+                   AS BIGINT) % 256 AS INTEGER) AS idx
+               FROM probe p, (SELECT unnest(generate_series(0, 3)) AS r) g)
+        SELECT ph.term, ph.n_exact,
+               min(cells.cell) AS cms_est,
+               min(cells.cell) - ph.n_exact AS over_est
+        FROM ph JOIN cells USING (r, idx)
+        GROUP BY ph.term, ph.n_exact
+        ORDER BY ph.n_exact DESC, ph.term"""))
+  )
+}
