@@ -16,6 +16,7 @@ object SparkEntry {
       graft.relational.Advanced.defs ++
       graft.relational.Temporal.defs ++
       graft.relational.RuntimeFilters.defs ++
+      graft.relational.Timeseries.defs ++
       graft.text.TextAnalysis.defs ++
       graft.text.Indexing.defs ++
       graft.text.Selection.defs ++

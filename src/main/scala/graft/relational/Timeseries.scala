@@ -1,0 +1,145 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Grouped time-series analytics over the event stream: closed-form OLS
+  * trend fitting and z-score anomaly ranking, both built so every
+  * cross-row reduction is an integer sum (order-independent, map-side
+  * combinable) and IEEE arithmetic appears only in per-row final
+  * projections — the suite's determinism contract, applied to the two
+  * statistics a monitoring pipeline computes over every metric.
+  */
+object Timeseries {
+
+  /** Per-(event_type, day) counts with a day index x measured from the
+    * GLOBAL min event date — derived from the data (one 1-row aggregate,
+    * broadcast cross join), never a hard-coded epoch, so x is provably
+    * non-negative at any date range. */
+  private def daily(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = Tables(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val d0 = ev.agg(min("day").as("d0"))
+    ev.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .crossJoin(broadcast(d0))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+  }
+
+  private val duckDaily =
+    """ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |d0 AS (SELECT min(day) AS d0 FROM ev),
+      |daily AS (SELECT event_type, day, count(*) AS y,
+      |                 CAST(date_diff('day', (SELECT d0 FROM d0), day)
+      |                   AS BIGINT) AS x
+      |          FROM ev GROUP BY 1, 2)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------- q149:
+    // Per-group OLS trend over daily counts, closed form:
+    //   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    //   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    // Numerators and denominator are EXACT BIGINT cross-multiplications
+    // of plain integer sums — no float accumulation across rows, so the
+    // result is independent of partitioning and both engines agree
+    // bit-for-bit after the single final division. Overflow bound:
+    // x ≤ days, y ≤ rows/day ⇒ n·Σxy ≤ days²·rows — int64-safe through
+    // ~10^9 daily rows over a decade; past that the sums switch to
+    // DECIMAL(38,0) with the same plan.
+    //
+    // Scale shape: one map-side-combined (group, day) count (the only
+    // corpus-sized shuffle), then one map-side-combined 5-sum fold per
+    // group — at 100 TB the second stage carries groups × 5 longs.
+    QueryDef(
+      "q149_trend_ols",
+      (s, d) => {
+        val agg = daily(s, d).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        agg
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .select(col("event_type"), col("n").as("n_days"),
+            col("sy").as("total_events"),
+            when(col("den") > 0, round(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                col("den").cast("double"), 6)).as("slope"),
+            when(col("den") > 0, round(
+              (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+                col("den").cast("double"), 6)).as("intercept"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH $duckDaily,
+        a AS (SELECT event_type,
+                     count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM daily GROUP BY 1)
+        SELECT event_type, n AS n_days, sy AS total_events,
+               CASE WHEN n * sxx - sx * sx > 0 THEN round(
+                 CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+               CASE WHEN n * sxx - sx * sx > 0 THEN round(
+                 CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+        FROM a ORDER BY event_type""")),
+
+    // -------------------------------------------------------------- q150:
+    // Daily-count anomaly ranking: top-3 most anomalous days per group by
+    // population z-score. The RANKING key is the integer |y·n − S1|
+    // (∝ |z| within a group, since n and σ are per-group constants) with
+    // the day as tiebreaker — float comparisons never decide order. The
+    // reported z itself is computed in ONE final per-row projection:
+    // mean = S1/n, var = (n·S2 − S1²)/n² (exact BIGINT numerator),
+    // z = (y − mean)/sqrt(var) — IEEE sqrt is correctly rounded, so both
+    // engines produce the identical double. Zero-variance groups emit
+    // NULL z (every day identical ⇒ nothing is anomalous).
+    QueryDef(
+      "q150_daily_anomaly",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stats = daily(s, d).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("y").as("s1"),
+          sum(col("y") * col("y")).as("s2"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(abs(col("y") * col("n") - col("s1")).desc, col("day"))
+        daily(s, d).join(broadcast(stats), "event_type")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .withColumn("varnum", col("n") * col("s2") - col("s1") * col("s1"))
+          .select(col("event_type"), col("rank"), col("day"), col("y"),
+            when(col("varnum") > 0, round(
+              (col("y").cast("double") -
+                col("s1").cast("double") / col("n").cast("double")) /
+                sqrt(col("varnum").cast("double") /
+                  (col("n") * col("n")).cast("double")), 4)).as("z_score"))
+          .orderBy("event_type", "rank")
+      },
+      Some(s"""
+        WITH $duckDaily,
+        st AS (SELECT event_type,
+                      count(*) AS n,
+                      CAST(sum(y) AS BIGINT) AS s1,
+                      CAST(sum(y * y) AS BIGINT) AS s2
+               FROM daily GROUP BY 1),
+        r AS (SELECT d.event_type, d.day, d.y, st.n, st.s1, st.s2,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+                       ORDER BY abs(d.y * st.n - st.s1) DESC, d.day)
+                       AS INTEGER) AS rank
+              FROM daily d JOIN st USING (event_type))
+        SELECT event_type, rank, day, y,
+               CASE WHEN n * s2 - s1 * s1 > 0 THEN round(
+                 (CAST(y AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+                        CAST(n * n AS DOUBLE)), 4) END AS z_score
+        FROM r WHERE rank <= 3
+        ORDER BY event_type, rank"""))
+  )
+}
