@@ -4,12 +4,13 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 
-/** Grouped time-series analytics over the event stream: closed-form OLS
-  * trend fitting and z-score anomaly ranking, both built so every
-  * cross-row reduction is an integer sum (order-independent, map-side
-  * combinable) and IEEE arithmetic appears only in per-row final
-  * projections — the suite's determinism contract, applied to the two
-  * statistics a monitoring pipeline computes over every metric.
+/** Event-stream analytics: closed-form OLS trend fitting, z-score
+  * anomaly ranking, Markov next-event transitions, and two-proportion
+  * A/B testing — all built so every cross-row reduction is an integer
+  * sum (order-independent, map-side combinable) and IEEE arithmetic
+  * appears only in per-row final projections — the suite's determinism
+  * contract, applied to the statistics a monitoring / experimentation
+  * pipeline computes over every metric.
   */
 object Timeseries {
 
@@ -140,6 +141,118 @@ object Timeseries {
                  / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
                         CAST(n * n AS DOUBLE)), 4) END AS z_score
         FROM r WHERE rank <= 3
-        ORDER BY event_type, rank"""))
+        ORDER BY event_type, rank""")),
+
+    // -------------------------------------------------------------- q151:
+    // Markov next-event transition matrix: per-user event sequences
+    // (total order: ts, then event_id — duplicate timestamps never make
+    // the lag nondeterministic, the q125 advisor lesson), consecutive
+    // (src → dst) pairs counted, conditional p(dst|src) as integer counts
+    // with one final division. The |types|² matrix and the |types| row
+    // totals are broadcast-sized at ANY event volume — the only
+    // corpus-sized operation is the one shuffle on user_id for the
+    // sequence window.
+    QueryDef(
+      "q151_markov_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+        val trans = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead("src", 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("n_trans"))
+        val totals = trans.groupBy("src")
+          .agg(sum("n_trans").as("n_src"))
+        trans.join(broadcast(totals), "src")
+          .select(col("src"), col("dst"), col("n_trans"),
+            round(col("n_trans").cast("double") /
+              col("n_src").cast("double"), 6).as("p_cond"))
+          .orderBy("src", "dst")
+      },
+      Some("""
+        WITH seq AS (SELECT user_id, event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS dst
+                     FROM events),
+        tr AS (SELECT src, dst, count(*) AS n_trans
+               FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT src, CAST(sum(n_trans) AS BIGINT) AS n_src
+                FROM tr GROUP BY 1)
+        SELECT tr.src, tr.dst, tr.n_trans,
+               round(CAST(tr.n_trans AS DOUBLE) /
+                 CAST(tot.n_src AS DOUBLE), 6) AS p_cond
+        FROM tr JOIN tot USING (src)
+        ORDER BY tr.src, tr.dst""")),
+
+    // -------------------------------------------------------------- q152:
+    // Two-proportion A/B test: arms by user_id parity (the deterministic
+    // hash-split an experimentation system does), conversion = any
+    // purchase with value > 180. Everything reduces to four integers
+    // (n, k per arm) — the rates, lift, pooled rate, and z statistic are
+    // ONE final row of IEEE arithmetic written identically in both
+    // engines (sqrt is correctly rounded, so the doubles agree
+    // bit-for-bit). At 100 TB the corpus shuffles once on user_id to
+    // decide per-user conversion; the rest is a 2-row fold.
+    QueryDef(
+      "q152_ab_test",
+      (s, d) => {
+        val users = Tables(s, d, "events")
+          .groupBy("user_id").agg(
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 180.0, 1L).otherwise(0L)).as("converted"))
+          .withColumn("arm", (col("user_id") % 2).cast("int"))
+        val arms = users.groupBy("arm").agg(
+          count(lit(1)).as("n"),
+          sum("converted").as("k"))
+        val c = arms.filter(col("arm") === 0)
+          .select(col("n").as("n_c"), col("k").as("k_c"))
+        val t = arms.filter(col("arm") === 1)
+          .select(col("n").as("n_t"), col("k").as("k_t"))
+        c.crossJoin(t) // 1 row x 1 row
+          .withColumn("rate_c",
+            col("k_c").cast("double") / col("n_c").cast("double"))
+          .withColumn("rate_t",
+            col("k_t").cast("double") / col("n_t").cast("double"))
+          .withColumn("p_pool",
+            (col("k_c") + col("k_t")).cast("double") /
+              (col("n_c") + col("n_t")).cast("double"))
+          .select(col("n_c"), col("k_c"), col("n_t"), col("k_t"),
+            round(col("rate_c"), 6).as("rate_c"),
+            round(col("rate_t"), 6).as("rate_t"),
+            round(col("rate_t") / col("rate_c"), 6).as("lift"),
+            round((col("rate_t") - col("rate_c")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_c").cast("double") +
+                  lit(1.0) / col("n_t").cast("double"))), 4).as("z_stat"))
+      },
+      Some("""
+        WITH u AS (SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase' AND value > 180
+                       THEN 1 ELSE 0 END) AS converted
+                   FROM events GROUP BY 1),
+        arms AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                        count(*) AS n,
+                        CAST(sum(converted) AS BIGINT) AS k
+                 FROM u GROUP BY 1),
+        c AS (SELECT n AS n_c, k AS k_c FROM arms WHERE arm = 0),
+        t AS (SELECT n AS n_t, k AS k_t FROM arms WHERE arm = 1),
+        x AS (SELECT n_c, k_c, n_t, k_t,
+                     CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS rate_c,
+                     CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS rate_t,
+                     CAST(k_c + k_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
+                       AS p_pool
+              FROM c, t)
+        SELECT n_c, k_c, n_t, k_t,
+               round(rate_c, 6) AS rate_c,
+               round(rate_t, 6) AS rate_t,
+               round(rate_t / rate_c, 6) AS lift,
+               round((rate_t - rate_c) /
+                 sqrt(p_pool * (1.0 - p_pool) *
+                   (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))),
+                 4) AS z_stat
+        FROM x"""))
   )
 }
