@@ -17,6 +17,7 @@ object SparkEntry {
       graft.relational.Temporal.defs ++
       graft.relational.RuntimeFilters.defs ++
       graft.relational.Timeseries.defs ++
+      graft.relational.Frontier.defs ++
       graft.text.TextAnalysis.defs ++
       graft.text.Indexing.defs ++
       graft.text.Selection.defs ++
