@@ -18,6 +18,7 @@ object SparkEntry {
       graft.relational.RuntimeFilters.defs ++
       graft.relational.Timeseries.defs ++
       graft.relational.Frontier.defs ++
+      graft.relational.Graph.defs ++
       graft.text.TextAnalysis.defs ++
       graft.text.Indexing.defs ++
       graft.text.Selection.defs ++
