@@ -13,10 +13,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NTZ fixture timestamps normalize via a session-tz-dependent cast;
+      // pin UTC so bench results match Verify's regardless of host tz.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same loud pre-flight as Verify: a drifted fixture encoding must
+    // fail the run, not time 156 garbage-input queries (round-7 lesson).
+    Tables.preflight(spark, sfDir)
     val only = args.toSet
     // Cold mode (SPARK_GRAFT_COLD=1): drop the cross-query artifact
     // caches (dedup pair index / cluster labels, k-means run, BPE
@@ -29,6 +35,7 @@ object Bench {
       graft.dedup.Dedup.clearArtifactCache()
       graft.similarity.Clustering.clearArtifactCache()
       graft.text.Bpe.clearArtifactCache()
+      graft.relational.Graph.clearArtifactCache()
     }
     // Untimed warm-up: JVM JIT + Catalyst/codegen class-loading otherwise
     // land entirely on the alphabetically-first query (measured ~3 s).

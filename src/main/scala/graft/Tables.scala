@@ -20,17 +20,18 @@ object Tables {
     // caller without spark.sql.extensions=GraftExtensions still resolves
     // graft_tokens / cosine_sim / plane_dot and plans TopKPerGroup.
     graft.functions.GraftExtensions.ensureRegistered(spark)
-    // The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
-    // vectorized reader rejects. Read nanos as raw long and truncate to a
-    // microsecond timestamp — the same truncation DuckDB applies, so
-    // oracle comparisons see identical values.
+    // Fixture generators have shipped events.ts under several parquet
+    // encodings over time (TIMESTAMP(NANOS), TIMESTAMP_NTZ(µs)); the
+    // legacy conf lets the nanos variant load as a raw long instead of
+    // being rejected by the vectorized reader. normalizeEventsTs below is
+    // the single seam that maps every recognized encoding onto one
+    // engine-facing type (TIMESTAMP, session tz pinned UTC) — and fails
+    // LOUDLY on an unrecognized one, because decoding a mystery encoding
+    // as if it were a known one produces silently-wrong rows, the worst
+    // failure mode an engine can ship.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    if (name == "events") normalizeEventsTs(df)
     // documents/embeddings feed signature computation + pairwise
     // self-joins (minhash, simhash, jaccard, cosine) whose per-row cost
     // dwarfs the scan. The fixtures are single small parquet files = 1-2
@@ -41,6 +42,81 @@ object Tables {
     else if (name == "documents" || name == "embeddings")
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
+  }
+
+  /** Map whatever physical encoding the events fixture stores `ts` under
+    * onto the one type the engine computes with: TIMESTAMP (µs precision,
+    * session timezone pinned UTC, so NTZ wall-clock values and UTC
+    * instants are the same numbers). Recognized encodings:
+    *   - LongType       — legacy TIMESTAMP(NANOS) read via nanosAsLong
+    *   - TimestampNTZType — parquet timestamp[us] without tz (pandas default)
+    *   - TimestampType  — already normalized
+    * Anything else throws: an unrecognized encoding decoded by guesswork
+    * yields wrong-but-plausible rows (see FixtureContractSpec).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unrecognized parquet encoding $other; " +
+          "refusing to guess (add a normalization case in Tables.normalizeEventsTs)")
+    }
+  }
+
+  /** Fixture pre-flight, run by Verify and Bench before any query: assert
+    * every table's footer schema carries the columns the engine assumes,
+    * and that events.ts — after normalization — holds PLAUSIBLE instants.
+    * The value-range check is what catches an encoding the type check
+    * can't: a seconds- or millis-encoded INT64 column is
+    * indistinguishable from the legacy nanos encoding at the type level,
+    * but decodes to ~1970 instants; round 7 shipped five silently-wrong
+    * streaming results (q76: 10 rows where 600 were right, rc=0) for
+    * exactly this class of drift. Throws IllegalStateException with the
+    * offending table/column — loud, before any result is dumped. */
+  def preflight(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.types._
+    val expected: Map[String, Map[String, DataType => Boolean]] = Map(
+      "events" -> Map(
+        "event_id" -> (_ == LongType), "user_id" -> (_ == LongType),
+        "event_type" -> (_ == StringType), "value" -> (_ == DoubleType),
+        "props" -> (_ == StringType),
+        "ts" -> (t => t == LongType || t == TimestampNTZType || t == TimestampType)),
+      "lineitem" -> Map("l_orderkey" -> (_ == LongType),
+        "l_quantity" -> (_ == DoubleType),
+        "l_shipdate" ->
+          (t => t == DateType || t == TimestampNTZType || t == TimestampType)),
+      "orders" -> Map("o_orderkey" -> (_ == LongType),
+        "o_orderdate" ->
+          (t => t == DateType || t == TimestampNTZType || t == TimestampType)),
+      "documents" -> Map("doc_id" -> (_ == LongType),
+        "text" -> (_ == StringType), "lang" -> (_ == StringType)),
+      "embeddings" -> Map("vec_id" -> (_ == LongType),
+        "embedding" ->
+          (t => t == ArrayType(FloatType, false) || t == ArrayType(FloatType, true))))
+    expected.foreach { case (table, cols) =>
+      val sch = apply(spark, dir, table).schema
+      cols.foreach { case (c, ok) =>
+        val f = sch.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
+          s"fixture contract: $dir/$table.parquet is missing column $c (schema: ${sch.simpleString})"))
+        // `apply` already normalized events.ts; the raw-encoding check
+        // lives in normalizeEventsTs, which throws on unrecognized types.
+        if (!(table == "events" && c == "ts") && !ok(f.dataType))
+          throw new IllegalStateException(
+            s"fixture contract: $dir/$table.parquet column $c has unexpected type ${f.dataType.simpleString}")
+      }
+    }
+    val r = apply(spark, dir, "events")
+      .agg(min("ts").cast("date"), max("ts").cast("date")).head()
+    val (lo, hi) = (r.getDate(0).toLocalDate.getYear, r.getDate(1).toLocalDate.getYear)
+    if (lo < 1990 || hi > 2100) throw new IllegalStateException(
+      s"fixture contract: $dir/events.parquet ts decodes to implausible years [$lo, $hi] " +
+        "— the physical encoding likely drifted (seconds/millis stored where the reader expects another unit)")
   }
 
   /** `binaryFile` source — the ingest path for multimodal payloads (one

@@ -20,6 +20,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail LOUDLY before dumping anything if the fixture's physical
+    // schema drifted to an encoding the engine doesn't recognize —
+    // rc != 0 beats 156 silently-garbage results (the round-7 lesson).
+    Tables.preflight(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

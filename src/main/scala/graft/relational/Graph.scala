@@ -29,6 +29,40 @@ import graft.{QueryDef, Tables}
   */
 object Graph {
 
+  /** Per-(session, sfDir) graph artifacts, built once and
+    * localCheckpointed — the same artifact-cache pattern as the dedup
+    * pair index (`Dedup.cached`) and k-means centroids. Round 7 measured
+    * the four graph queries independently rebuilding the baskets →
+    * pairCounts → knnEdges chain (~2.5 s each: a corpus join + orderkey
+    * shuffle + window); a production graph pipeline derives the basket /
+    * edge tables ONCE and every downstream kernel reads them. Three
+    * artifacts, in derivation order:
+    *   - arr:   per-order sorted distinct-brand array (the materialized
+    *            basket table; |orders|-sized, the ONLY corpus shuffle)
+    *   - pairs: co-occurrence counts (|brands|²-bounded)
+    *   - edges: undirected kNN edge set (≤ 3·|brands|)
+    * Checkpointed ⇒ session-bound ⇒ session identity in the key. NOT
+    * computeIfAbsent: pairs/edges builds re-enter `cached` for their
+    * upstream artifact, and a nested computeIfAbsent on the same map can
+    * throw "Recursive update" when keys share a bin (the Dedup lesson). */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop the cached graph artifacts (Bench cold mode — each query then
+    * pays its own graph-build cost instead of riding another query's). */
+  private[graft] def clearArtifactCache(): Unit = graphCache.clear()
+
+  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = s"${System.identityHashCode(s)}:$key"
+    val existing = graphCache.get(k)
+    if (existing != null) existing
+    else {
+      val df = build.localCheckpoint(true)
+      val prev = graphCache.putIfAbsent(k, df)
+      if (prev != null) prev else df
+    }
+  }
+
   /** (ok, b): distinct order→brand incidences. One broadcast join; the
     * distinct folds into the downstream groupBy(ok) shuffle. */
   private def baskets(s: SparkSession, d: String): DataFrame = {
@@ -40,19 +74,35 @@ object Graph {
       .select(col("ok"), col("b"))
   }
 
-  /** Unordered co-occurring brand pairs with counts: ONE shuffle on ok,
-    * per-basket pair fan-out bounded by basket size (never a self-join
-    * of the incidence table), then a map-side-combined count on the
-    * |brands|²-bounded pair key. */
-  private def pairCounts(bk: DataFrame): DataFrame =
-    bk.groupBy("ok").agg(sort_array(collect_set(col("b"))).as("arr"))
-      .select(explode(expr(
-        """flatten(transform(arr, (x, i) ->
-          |  transform(slice(arr, i + 2, size(arr)),
-          |            y -> struct(x AS ba, y AS bb))))""".stripMargin))
-        .as("p"))
-      .select(col("p.ba"), col("p.bb"))
-      .groupBy("ba", "bb").agg(count(lit(1)).as("n_ab"))
+  /** Materialized basket table: (ok, arr) with arr = sorted distinct
+    * brands per order. ONE shuffle on ok, cached — marginals, order
+    * counts, and pair counts all derive from it without another corpus
+    * pass. */
+  private def basketArr(s: SparkSession, d: String): DataFrame =
+    cached(s, s"graph:arr:$d") {
+      baskets(s, d).groupBy("ok")
+        .agg(sort_array(collect_set(col("b"))).as("arr"))
+    }
+
+  /** Unordered co-occurring brand pairs with counts: per-basket pair
+    * fan-out bounded by basket size (never a self-join of the incidence
+    * table), then a map-side-combined count on the |brands|²-bounded
+    * pair key. */
+  private def pairCounts(s: SparkSession, d: String): DataFrame =
+    cached(s, s"graph:pairs:$d") {
+      basketArr(s, d)
+        .select(explode(expr(
+          """flatten(transform(arr, (x, i) ->
+            |  transform(slice(arr, i + 2, size(arr)),
+            |            y -> struct(x AS ba, y AS bb))))""".stripMargin))
+          .as("p"))
+        .select(col("p.ba"), col("p.bb"))
+        .groupBy("ba", "bb").agg(count(lit(1)).as("n_ab"))
+    }
+
+  /** Cached kNN edge set (see knnEdges). */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    cached(s, s"graph:edges:$d") { knnEdges(pairCounts(s, d)) }
 
   /** Undirected kNN edge set (k = 3 by weight, deterministic neighbor
     * tiebreak): directed top-3 per node on the pair frame, symmetrized
@@ -101,10 +151,14 @@ object Graph {
     QueryDef(
       "q155_brand_affinity",
       (s, d) => {
-        val bk = baskets(s, d)
-        val pairs = pairCounts(bk)
-        val nOrders = bk.agg(countDistinct(col("ok")).as("n_orders"))
-        val marg = bk.distinct().groupBy("b").agg(count(lit(1)).as("n_b"))
+        // all three inputs derive from the cached basket table — zero
+        // additional corpus passes (arr already holds the per-order
+        // distinct brand set, so exploding it IS the distinct incidence)
+        val arr = basketArr(s, d)
+        val pairs = pairCounts(s, d)
+        val nOrders = arr.agg(count(lit(1)).as("n_orders"))
+        val marg = arr.select(explode(col("arr")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n_b"))
         pairs
           .join(broadcast(marg.select(col("b").as("ba"),
             col("n_b").as("n_a"))), "ba")
@@ -161,7 +215,7 @@ object Graph {
     QueryDef(
       "q156_triangle_count",
       (s, d) => {
-        val e = knnEdges(pairCounts(baskets(s, d)))
+        val e = edges(s, d)
         val e1 = e.select(col("a").as("x"), col("b").as("y"))
         val e2 = e.select(col("a").as("y"), col("b").as("z"))
         val e3 = e.select(col("a").as("x"), col("b").as("z"))
@@ -195,11 +249,19 @@ object Graph {
     QueryDef(
       "q157_pagerank",
       (s, d) => {
-        val e = knnEdges(pairCounts(baskets(s, d)))
+        // sym/deg/nodes are tiny (≤ 6·|brands| rows) but feed EVERY
+        // iteration: checkpoint them once so the loop's terminal action
+        // doesn't re-derive the edge pipeline per level, and checkpoint
+        // each round's scores so plan depth stays O(1) in iterations
+        // (the q84 connected-components lesson — see Dedup.scala).
+        val e = edges(s, d)
         val sym = e.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
         val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
         val nodes = sym.select(col("src").as("node")).distinct()
+          .localCheckpoint(true)
         var scores = nodes.withColumn("score", lit(1000000000000L))
         for (_ <- 1 to 3) {
           val inflow = sym
@@ -212,6 +274,7 @@ object Graph {
             .select(col("node"),
               (lit(150000000000L) + coalesce(col("inflow"), lit(0L)))
                 .as("score"))
+            .localCheckpoint(true)
         }
         scores.orderBy(col("score").desc, col("node"))
       },
@@ -260,7 +323,7 @@ object Graph {
     QueryDef(
       "q158_khop_reach",
       (s, d) => {
-        val e = knnEdges(pairCounts(baskets(s, d)))
+        val e = edges(s, d)
         val sym = e.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
         val seed = sym.agg(min(least(col("src"), col("dst"))).as("node"))

@@ -28,12 +28,31 @@ import graft.util.Det._
   */
 object Windows {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) -> read as long,
-    * truncated to micros by Tables; streaming read mirrors that). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events schema AS STORED, derived from the parquet footer once per
+    * (JVM, fixture dir). Streaming sources must declare a schema up front,
+    * and hard-coding one is exactly the drift that broke round 7: the
+    * fixture's ts encoding changed (TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs))
+    * and a hard-coded `ts: LongType` schema decoded the new µs values as
+    * raw longs — wrong by 1000×, silently. Reading the footer makes the
+    * stream see whatever the batch reader sees; normalizeEventsTs (the
+    * same seam Tables uses) then maps any recognized encoding onto
+    * TIMESTAMP and throws on an unrecognized one. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def eventsSchema(s: SparkSession, d: String): StructType =
+    schemaCache.computeIfAbsent(d,
+      _ => s.read.parquet(s"$d/events.parquet").schema)
+
+  /** Streaming mirror of `Tables(s, d, "events")`: footer-derived schema,
+    * ts normalized to TIMESTAMP. `path`/`glob` differ from the fixture dir
+    * when a query reads a staged source (sentinel dirs). */
+  private def eventsStream(s: SparkSession, d: String, path: String,
+      glob: String, opts: (String, String)*): org.apache.spark.sql.DataFrame = {
+    var r = s.readStream.schema(eventsSchema(s, d))
+      .option("pathGlobFilter", glob)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    Tables.normalizeEventsTs(r.parquet(path))
+  }
 
   /** Run a streaming query with state sized to 8 shuffle partitions and
     * the nanos-timestamp read shim on, restoring BOTH on exit.
@@ -97,13 +116,40 @@ object Windows {
       base: java.nio.file.Path, nSentinels: Int = 1): java.nio.file.Path = {
     val srcDir = base.resolve("src")
     if (!Files.exists(srcDir)) {
+      val sch = eventsSchema(s, d)
       val kAgg = "spark.sql.parquet.aggregatePushDown"
       val prevAgg = s.conf.getOption(kAgg)
       s.conf.set(kAgg, "true")
-      val maxTsNanos =
-        try s.read.parquet(s"$d/events.parquet").agg(max("ts"))
-          .collect()(0).getLong(0)
-        finally prevAgg.fold(s.conf.unset(kAgg))(v => s.conf.set(kAgg, v))
+      // max() on the RAW column (no cast above it) keeps the aggregate
+      // answerable from footer stats; the external value's Java type then
+      // depends on the fixture's encoding, so match rather than getLong.
+      val maxTsSec: Long = {
+        val v =
+          try s.read.parquet(s"$d/events.parquet").agg(max("ts"))
+            .collect()(0).get(0)
+          finally prevAgg.fold(s.conf.unset(kAgg))(v => s.conf.set(kAgg, v))
+        v match {
+          case l: java.lang.Long => l / 1000000000L // legacy nanos-as-long
+          case ldt: java.time.LocalDateTime => // TIMESTAMP_NTZ, wall-clock UTC
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+          case t: java.sql.Timestamp => t.getTime / 1000L
+          case i: java.time.Instant => i.getEpochSecond
+          case other => throw new IllegalStateException(
+            s"max(events.ts) returned unrecognized type ${other.getClass}")
+        }
+      }
+      // The sentinel file must be byte-compatible with the fixture under
+      // ONE stream schema, so its ts is written in the fixture's native
+      // encoding (nanos long / NTZ LocalDateTime / UTC timestamp).
+      def tsValue(sec: Long): Any = sch("ts").dataType match {
+        case LongType => sec * 1000000000L
+        case TimestampNTZType =>
+          java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        case TimestampType =>
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+        case other => throw new IllegalStateException(
+          s"events.ts has unrecognized encoding $other")
+      }
       val staging = Files.createTempDirectory("graft_sess_src_")
       Files.createSymbolicLink(staging.resolve("events.parquet"),
         java.nio.file.Paths.get(d, "events.parquet"))
@@ -116,11 +162,19 @@ object Windows {
       // sentinel).
       (1 to nSentinels).foreach { i =>
         val tmpOut = Files.createTempDirectory("graft_sentinel_")
-        s.createDataFrame(
-            java.util.List.of(org.apache.spark.sql.Row(
-              -i.toLong, (maxTsNanos / 1000000000L + 3L * 3600 * i) * 1000000000L,
-              1000000L, "flush", 0.0, "")),
-            rawSchema)
+        val row = org.apache.spark.sql.Row.fromSeq(sch.fields.toSeq.map { f =>
+          f.name match {
+            case "event_id" => -i.toLong
+            case "ts" => tsValue(maxTsSec + 3L * 3600 * i)
+            case "user_id" => 1000000L
+            case "event_type" => "flush"
+            case "value" => 0.0
+            case "props" => ""
+            case other => throw new IllegalStateException(
+              s"unexpected events column $other")
+          }
+        })
+        s.createDataFrame(java.util.List.of(row), sch)
           .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
         val part = Files.list(tmpOut).iterator()
         var sentinelFile: java.nio.file.Path = null
@@ -225,10 +279,7 @@ object Windows {
         val base = stableDir("q73", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, d, d, "events.parquet")
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "6 hours"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -268,10 +319,7 @@ object Windows {
         val base = stableDir("q74", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, d, d, "events.parquet")
           .withColumn("hr", date_trunc("hour", col("ts")))
           .withWatermark("ts", "1 hour")
           .dropDuplicates("hr", "user_id", "event_type")
@@ -311,10 +359,7 @@ object Windows {
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
         def side(tpe: String, prefix: String) =
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          eventsStream(s, d, d, "events.parquet")
             .filter(col("event_type") === tpe)
             .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
               col("ts").as(s"${prefix}_ts"))
@@ -372,11 +417,8 @@ object Windows {
         val base = stableDir("q76", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .option("maxFilesPerTrigger", "1")
-          .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, d, d, "events.parquet",
+            "maxFilesPerTrigger" -> "1")
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -431,9 +473,7 @@ object Windows {
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
         val srcDir = sentinelSrc(s, d, base)
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, d, srcDir.toString, "*.parquet")
           .withWatermark("ts", "1 hour")
           // state bound: only tracked users + the sentinel reach the agg
           // (the sentinel must pass the watermark node above, so the user
@@ -503,9 +543,7 @@ object Windows {
           .product[(Long, Set[String])]
         implicit val outEnc = org.apache.spark.sql.Encoders
           .product[(Long, Long, Int)]
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val stream = eventsStream(s, d, d, "events.parquet")
           .filter(col("user_id") < 50)
           .select(col("user_id"), col("event_type"))
           .as[(Long, String)](rowEnc)
@@ -564,10 +602,7 @@ object Windows {
         val nations = Tables(s, d, "nation")
           .select(col("n_nationkey").cast("long").as("nation_key"),
             col("n_name"))
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, d, d, "events.parquet")
           .withWatermark("ts", "1 hour")
           .withColumn("nation_key", col("user_id") % 25)
           .join(broadcast(nations), "nation_key")
@@ -614,10 +649,7 @@ object Windows {
         val base = stableDir("q103", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, d, d, "events.parquet")
           .withColumn("copy", explode(array(lit(1), lit(2)))).drop("copy")
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
@@ -667,9 +699,7 @@ object Windows {
         val out = base.resolve("out").toString
         val srcDir = sentinelSrc(s, d, base, nSentinels = 2)
         def side(tpe: String, prefix: String) =
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          eventsStream(s, d, srcDir.toString, "*.parquet")
             .select(col("event_id").as(s"${prefix}_id"),
               col("user_id").as(s"${prefix}_user"),
               col("ts").as(s"${prefix}_ts"),
@@ -737,9 +767,7 @@ object Windows {
             org.apache.spark.sql.Encoders.product[(Long, String, Double)]
           implicit val outEnc =
             org.apache.spark.sql.Encoders.product[(Long, Long, Int, Double)]
-          val stream = s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
+          val stream = eventsStream(s, d, d, "events.parquet")
             .filter(col("user_id") < 50)
             .select(col("user_id"), col("event_type"), col("value"))
             .as[(Long, String, Double)](rowEnc)
@@ -798,9 +826,7 @@ object Windows {
         // advance reaches the second stateful operator only in the batch
         // that processes sentinel #2.
         val srcDir = sentinelSrc(s, d, base, nSentinels = 2)
-        val hourly = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val hourly = eventsStream(s, d, srcDir.toString, "*.parquet")
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_hour"))

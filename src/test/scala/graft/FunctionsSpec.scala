@@ -148,4 +148,24 @@ class FunctionsSpec extends SparkSpec {
     // Mismatched lengths null out, matching zip_with's null-padding.
     assert(r.isNullAt(5))
   }
+
+  test("sq_dist nulls on ragged lengths through the CODEGEN path too") {
+    // The literal case above constant-folds on the driver (interpreted
+    // nullSafeEval); ragged arrays coming from a scanned column run the
+    // doGenCode loop instead — both paths must null out, never fold the
+    // shorter prefix (uniform fixture dims would mask a divergence).
+    import org.apache.spark.sql.functions._
+    import graft.functions.SqDist.sq_dist
+    val df = spark.range(4)
+      .withColumn("a", expr(
+        "transform(sequence(1, 3 + CAST(id % 2 AS INT)), x -> CAST(x AS FLOAT))"))
+      .withColumn("b", expr("transform(sequence(1, 4), x -> CAST(x AS FLOAT))"))
+      .withColumn("d", sq_dist(col("a"), col("b")))
+    val rows = df.select("id", "d").collect().sortBy(_.getLong(0))
+    // even ids: length 3 vs 4 -> null; odd ids: length 4 vs 4 -> 0.0
+    rows.foreach { r =>
+      if (r.getLong(0) % 2 == 0) assert(r.isNullAt(1), s"id ${r.getLong(0)}")
+      else assert(r.getDouble(1) == 0.0, s"id ${r.getLong(0)}")
+    }
+  }
 }

@@ -22,6 +22,32 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("pre-1995 dates bucket by FLOOR division, matching the oracle's //") {
+    // The fixture's date range sits entirely after the 1995-01-01 epoch,
+    // which is exactly why a truncate-toward-zero bug would pass every
+    // oracle run: truncation and floor only disagree on negative day
+    // indices. Feed synthetic pre-epoch dates and assert the floor + pmod
+    // semantics DuckDB's // and % would produce.
+    import org.apache.spark.sql.functions._
+    import graft.sources.Partitioned
+    val df = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(1L, java.sql.Date.valueOf("1994-12-31")), // day -1  -> floor -1  -> 255
+        org.apache.spark.sql.Row(2L, java.sql.Date.valueOf("1994-12-22")), // day -10 -> floor -1  -> 255
+        org.apache.spark.sql.Row(3L, java.sql.Date.valueOf("1994-12-21")), // day -11 -> floor -2  -> 254
+        org.apache.spark.sql.Row(4L, java.sql.Date.valueOf("1995-01-01")), // day 0   -> 0
+        org.apache.spark.sql.Row(5L, java.sql.Date.valueOf("1987-12-28"))), // day -2561 -> floor -257 -> pmod 255
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderdate",
+          org.apache.spark.sql.types.DateType))))
+    val y = Partitioned.zOrderFrame(df)
+      .select("o_custkey", "y").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(y == Map(1L -> 255L, 2L -> 255L, 3L -> 254L, 4L -> 0L, 5L -> 255L),
+      s"pre-epoch day buckets diverge from floor-division oracle: $y")
+  }
+
   test("zOrderWrite: footer stats prune single-dim predicates on BOTH dims; unclustered write cannot") {
     import org.apache.spark.sql.functions._
     import graft.sources.Partitioned
