@@ -92,5 +92,14 @@ object Bench {
       json.getBytes("UTF-8")): Unit
     catch { case _: Throwable => () }
     spark.stop()
+    // A bench with crashed queries is not a green bench: exit non-zero so
+    // any rc-consuming gate sees the failure instead of a flattering
+    // 149-query total wearing a 156-query label (round-7 lesson — the
+    // wrapper recorded rc:0 while 7 queries threw).
+    val nErrs = results.count(_._3.isDefined)
+    if (nErrs > 0) {
+      System.err.println(s"[bench] $nErrs queries errored — failing the run")
+      sys.exit(1)
+    }
   }
 }

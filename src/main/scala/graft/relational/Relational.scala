@@ -621,6 +621,70 @@ object Relational {
                '{"event_id":' || event_id || ',"k":' || JSON_EXTRACT_STRING(props, '$.k') || '}' AS json
         FROM events
         WHERE event_id < 500
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // --------------------------------------------------------------- Q61:
+    // conditional-aggregate battery (FILTER-clause family): count_if,
+    // filtered decimal-exact sums, bool_or/bool_and. Fills the historical
+    // q61 numbering gap. Same shuffle shape as q01 — partial aggregation
+    // makes the shuffle |groups| wide regardless of predicate mix, which
+    // is why conditional aggregates beat self-joins-per-predicate at
+    // 100 TB (one scan, one shuffle, any number of conditions).
+    QueryDef(
+      "q61_conditional_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count_if(col("l_quantity") > 25).as("n_bulk"),
+            count_if(col("l_discount") > 0.05).as("n_disc"),
+            dsum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+              .otherwise(lit(0.0))).as("disc_rev"),
+            bool_or(col("l_quantity") === 50.0).as("any_max_qty"),
+            bool_and(col("l_quantity") >= 1.0).as("all_positive"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+               CAST(SUM(CASE WHEN l_discount > 0.05
+                             THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                             ELSE CAST(0.0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                 AS disc_rev,
+               BOOL_OR(l_quantity = 50.0) AS any_max_qty,
+               BOOL_AND(l_quantity >= 1.0) AS all_positive
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------------- Q62:
+    // row-generator expansion (date spine): sequence + explode turns each
+    // order into its 3-month activity spine — the backfill/densify
+    // pattern every reporting pipeline needs (calendar spines, gap
+    // filling). Fills the historical q62 numbering gap. The generator is
+    // a per-row codegen'd expand (no join against a calendar table, no
+    // driver-side range materialization); output is |rows|·3, aggregated
+    // back down map-side.
+    QueryDef(
+      "q62_date_spine_expand",
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(col("o_orderkey") < 500)
+          .select(explode(expr(
+            """sequence(date_trunc('MONTH', o_orderdate),
+              |         date_trunc('MONTH', o_orderdate) + interval 2 month,
+              |         interval 1 month)""".stripMargin)).as("spine_month"))
+          .groupBy("spine_month")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("spine_month"),
+      Some("""
+        SELECT spine_month, COUNT(*) AS n_orders
+        FROM (SELECT unnest(generate_series(
+                       DATE_TRUNC('month', o_orderdate),
+                       DATE_TRUNC('month', o_orderdate) + INTERVAL 2 MONTH,
+                       INTERVAL 1 MONTH)) AS spine_month
+              FROM orders WHERE o_orderkey < 500)
+        GROUP BY spine_month
+        ORDER BY spine_month"""))
   )
 }

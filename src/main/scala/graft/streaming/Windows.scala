@@ -102,6 +102,30 @@ object Windows {
     stableDirs.computeIfAbsent(name + ":" + d,
       _ => Files.createTempDirectory(s"graft_${name}_"))
 
+  /** Sink/checkpoint consistency guard for the append-semantics sinks
+    * (per-batch_id partitions and update-mode appends): an out dir is
+    * only valid TOGETHER WITH the checkpoint that produced it. A fresh
+    * checkpoint reprocesses the source from offset zero, so any surviving
+    * out dir from a previous (killed, or differently-batched) run would
+    * double-count or orphan rows — q141 versions its state for exactly
+    * this reason. Called before every start: if the checkpoint is absent
+    * but the sink exists, the sink is stale — sweep it. (Re-runs WITH the
+    * checkpoint replay no batches and append nothing, so the pair stays
+    * consistent; StreamingSpec's kill/rerun case drives both paths.) */
+  private[graft] def sweepStaleSink(ckpt: String, out: String): Unit = {
+    val (c, o) = (java.nio.file.Paths.get(ckpt), java.nio.file.Paths.get(out))
+    if (!Files.exists(c) && Files.exists(o)) {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val it = Files.list(p).iterator()
+          while (it.hasNext) rm(it.next())
+        }
+        Files.delete(p)
+      }
+      rm(o)
+    }
+  }
+
   /** One source dir = symlinked fixture + a far-future SENTINEL file (a
     * single file source keeps watermark bookkeeping trivially global).
     * The sentinel (user_id 1000000, event_type "flush", max(ts) + 3 h)
@@ -279,6 +303,7 @@ object Windows {
         val base = stableDir("q73", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         val stream = eventsStream(s, d, d, "events.parquet")
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "6 hours"))
@@ -319,6 +344,7 @@ object Windows {
         val base = stableDir("q74", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         val stream = eventsStream(s, d, d, "events.parquet")
           .withColumn("hr", date_trunc("hour", col("ts")))
           .withWatermark("ts", "1 hour")
@@ -358,6 +384,7 @@ object Windows {
         val base = stableDir("q75", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         def side(tpe: String, prefix: String) =
           eventsStream(s, d, d, "events.parquet")
             .filter(col("event_type") === tpe)
@@ -417,6 +444,7 @@ object Windows {
         val base = stableDir("q76", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         val stream = eventsStream(s, d, d, "events.parquet",
             "maxFilesPerTrigger" -> "1")
           .withWatermark("ts", "1 hour")
@@ -472,6 +500,7 @@ object Windows {
         val base = stableDir("q77", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         val srcDir = sentinelSrc(s, d, base)
         val stream = eventsStream(s, d, srcDir.toString, "*.parquet")
           .withWatermark("ts", "1 hour")
@@ -536,6 +565,7 @@ object Windows {
         val base = stableDir("q78", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
         implicit val rowEnc = org.apache.spark.sql.Encoders
           .product[(Long, String)]
@@ -599,6 +629,7 @@ object Windows {
         val base = stableDir("q98", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         val nations = Tables(s, d, "nation")
           .select(col("n_nationkey").cast("long").as("nation_key"),
             col("n_name"))
@@ -649,6 +680,7 @@ object Windows {
         val base = stableDir("q103", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         val stream = eventsStream(s, d, d, "events.parquet")
           .withColumn("copy", explode(array(lit(1), lit(2)))).drop("copy")
           .withWatermark("ts", "1 hour")
@@ -697,6 +729,7 @@ object Windows {
         val base = stableDir("q117", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         val srcDir = sentinelSrc(s, d, base, nSentinels = 2)
         def side(tpe: String, prefix: String) =
           eventsStream(s, d, srcDir.toString, "*.parquet")
@@ -757,6 +790,7 @@ object Windows {
         val base = stableDir("q110", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         val kProv = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(kProv)
         s.conf.set(kProv,
@@ -821,6 +855,7 @@ object Windows {
         val base = stableDir("q135", d)
         val ckpt = base.resolve("ckpt").toString
         val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
         // 2 sentinels: the daily agg evicts with the watermark computed
         // from PRIOR batches (same lag q117 measured), so sentinel #1's
         // advance reaches the second stateful operator only in the batch

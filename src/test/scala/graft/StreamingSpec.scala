@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -226,6 +228,56 @@ class StreamingSpec extends SparkSpec {
       .parquet(graft.streaming.Windows.latestStateVersion(stateRoot).toString)
       .orderBy("o_orderkey"))
     assert(r3 == r1, "re-applied batch 0 changed the final state")
+  }
+
+  test("killed-run sink partitions cannot leak into a fresh run (q75/q76 sweep)") {
+    // The nightmare mode: a run is killed (or its checkpoint discarded),
+    // its per-batch_id sink partitions survive, and the NEXT run — which
+    // reprocesses from offset zero, possibly with a different batch cut —
+    // reads the orphans back alongside its own output. q141 versions its
+    // state against this; the plain foreachBatch sinks sweep a sink
+    // whose checkpoint is gone. Drive both queries through kill/rerun
+    // with a planted orphan and assert the rerun result is unchanged.
+    import org.apache.spark.sql.functions._
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val it = java.nio.file.Files.list(p).iterator()
+        while (it.hasNext) rm(it.next())
+      }
+      java.nio.file.Files.delete(p)
+    }
+    def killRerun(name: String, dirName: String)(
+        plantOrphan: java.nio.file.Path => Unit): Unit = {
+      val r1 = canon(SparkEntry.queries(name)(spark, sfDir))
+      val base = graft.streaming.Windows.stableDirForSpec(dirName, sfDir)
+      plantOrphan(base.resolve("out"))
+      // kill: discard the checkpoint, keep the (now stale) sink
+      rm(base.resolve("ckpt"))
+      val r2 = canon(SparkEntry.queries(name)(spark, sfDir))
+      assert(r2 == r1,
+        s"$name rerun after kill read back orphan sink data: " +
+          s"${r2.size} rows vs ${r1.size}")
+    }
+    // q75: per-batch_id PARTITION dirs — plant a full copy of the first
+    // partition under an id no rerun produces (duplicates every row)
+    killRerun("q75_stream_stream_join", "q75") { out =>
+      val first = java.nio.file.Files.list(out).iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("batch_id="))
+        .getOrElse(fail(s"no batch partitions under $out"))
+      spark.read.parquet(first.toString)
+        .write.mode("overwrite").parquet(out.resolve("batch_id=99").toString)
+    }
+    // q76: flat append files with a batch_id COLUMN and last-writer-wins
+    // read-back — plant corrupted totals under the highest batch id, so
+    // without the sweep the rerun would prefer the orphan's values
+    killRerun("q76_foreachbatch_upsert", "q76") { out =>
+      spark.read.parquet(out.toString)
+        .withColumn("batch_id", lit(99L))
+        .withColumn("n", col("n") + 1000L)
+        .write.mode("append").parquet(out.toString)
+    }
   }
 }
 
