@@ -253,6 +253,66 @@ object Timeseries {
                  sqrt(p_pool * (1.0 - p_pool) *
                    (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))),
                  4) AS z_stat
-        FROM x"""))
+        FROM x""")),
+
+    // -------------------------------------------------------------- q161:
+    // Time-weighted average value (TWAP) per user: each observation's
+    // value is weighted by how long it remained current (the gap to the
+    // user's next event; the final observation carries zero weight —
+    // the standard right-open convention). The arithmetic mean
+    // overweights bursts; TWAP is what billing / monitoring actually
+    // wants from an irregular event stream.
+    //
+    // Determinism: weights are INTEGER microsecond gaps (lead over the
+    // per-user order, unique ts tiebreak on event_id); value is scaled
+    // to integer 1e4-units (the fixture's 4-decimal domain), so every
+    // cross-row sum is a BIGINT fold — wt_us < 2^40, value_u < 2^24,
+    // products < 2^63 overflow-safe — and ONE final IEEE division per
+    // user produces the average. No float ever folds across rows.
+    //
+    // Scale shape: one shuffle on user_id for the window, then the
+    // aggregation reuses the same partitioning (no second exchange —
+    // Catalyst sees the groupBy key equal to the window partition key).
+    QueryDef(
+      "q161_time_weighted_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .filter(col("user_id") < 100)
+          .withColumn("next_us",
+            lead(unix_micros(col("ts")), 1).over(w))
+          .withColumn("wt_us",
+            coalesce(col("next_us") - unix_micros(col("ts")), lit(0L)))
+          .withColumn("value_u",
+            expr("CAST(round(value * 1e4) AS BIGINT)"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum("wt_us").as("span_us"),
+            sum(expr("wt_us * value_u")).as("wsum"))
+          .filter(col("span_us") > 0)
+          .select(col("user_id"), col("n_events"), col("span_us"),
+            round(col("wsum").cast("double") /
+              (col("span_us").cast("double") * 1e4), 6).as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, ts, value,
+                     CAST(epoch_us(lead(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id))
+                          - epoch_us(ts) AS BIGINT) AS wt_us
+                   FROM events WHERE user_id < 100),
+        g AS (SELECT user_id,
+                COUNT(*) AS n_events,
+                CAST(SUM(COALESCE(wt_us, 0)) AS BIGINT) AS span_us,
+                CAST(SUM(COALESCE(wt_us, 0) *
+                     CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS wsum
+              FROM e GROUP BY 1)
+        SELECT user_id, n_events, span_us,
+               round(CAST(wsum AS DOUBLE) /
+                     (CAST(span_us AS DOUBLE) * 1e4), 6) AS twap
+        FROM g WHERE span_us > 0
+        ORDER BY user_id"""))
   )
 }

@@ -186,6 +186,119 @@ object Sketches {
                min(cells.cell) - ph.n_exact AS over_est
         FROM ph JOIN cells USING (r, idx)
         GROUP BY ph.term, ph.n_exact
-        ORDER BY ph.n_exact DESC, ph.term"""))
+        ORDER BY ph.n_exact DESC, ph.term""")),
+
+    // -------------------------------------------------------------- q160:
+    // HLL MERGEABILITY — the property that makes sketches the 100 TB
+    // answer: registers built independently over two ingest halves
+    // (event_id parity = two arrival batches) and max-merged per
+    // register must equal the registers built over the whole corpus in
+    // one pass. That is what lets a warehouse keep per-partition/per-day
+    // sketch columns and answer "distinct over any date range" by
+    // folding registers (the materialized-view merge contract, sketch
+    // edition — q130's incremental-agg sibling). max is associative and
+    // commutative, so max(max(A), max(B)) ≡ max(A ∪ B); the query
+    // PROVES it numerically per event_type: merged register sum, direct
+    // register sum, their HLL estimates, and an is_equal flag the oracle
+    // must also derive as true.
+    //
+    // Scale shape: identical to q147 (register shuffles are
+    // groups × 64 regardless of corpus size), run three times (half A,
+    // half B, direct) — in production the halves are per-partition
+    // sketch columns already materialized, and only the 64-register
+    // folds run at query time.
+    QueryDef(
+      "q160_hll_merge",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        // md5-derived (j, rho) per event — the q147 register pipeline
+        def rhoRows(src: org.apache.spark.sql.DataFrame) = src
+          .select(col("event_type"),
+            md5(concat(lit("q147:"), col("event_id").cast("string")))
+              .as("hex"))
+          .select(col("event_type"),
+            expr("CAST(CAST(conv(substr(hex, 1, 2), 16, 10) AS BIGINT) " +
+              "% 64 AS INT)").as("j"),
+            expr("substr(hex, 3, 14)").as("tail"))
+          .withColumn("nlz", length(regexp_extract(col("tail"), "^(0*)", 1)))
+          .withColumn("d1", expr("substr(tail, nlz + 1, 1)"))
+          .withColumn("rho", expr(
+            """CAST(LEAST(CASE WHEN d1 = '' THEN 57 ELSE nlz * 4 + 1 +
+              |  (CASE WHEN d1 = '1' THEN 3
+              |        WHEN d1 IN ('2', '3') THEN 2
+              |        WHEN d1 IN ('4', '5', '6', '7') THEN 1
+              |        ELSE 0 END) END, 56) AS INT)""".stripMargin))
+          .select("event_type", "j", "rho")
+        def regs(src: org.apache.spark.sql.DataFrame) =
+          rhoRows(src).groupBy("event_type", "j").agg(max("rho").as("m"))
+        val halfA = regs(ev.filter(col("event_id") % 2 === 0))
+        val halfB = regs(ev.filter(col("event_id") % 2 === 1))
+        val merged = halfA.unionAll(halfB)
+          .groupBy("event_type", "j").agg(max("m").as("m"))
+        val direct = regs(ev)
+        def fold(r: org.apache.spark.sql.DataFrame, pfx: String) = {
+          val dense = ev.select("event_type").distinct()
+            .select(col("event_type"), explode(expr("sequence(0, 63)")).as("j"))
+          dense.join(r, Seq("event_type", "j"), "left")
+            .withColumn("m", coalesce(col("m"), lit(0)))
+            .groupBy("event_type").agg(
+              sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - m)"))
+                .as(s"${pfx}_reg_sum"))
+        }
+        fold(merged, "merged").join(fold(direct, "direct"), "event_type")
+          .select(col("event_type"),
+            col("merged_reg_sum"), col("direct_reg_sum"),
+            (col("merged_reg_sum") === col("direct_reg_sum")).as("is_equal"),
+            round(lit(0.709) * lit(4096.0) * lit(72057594037927936.0) /
+              col("merged_reg_sum").cast("double"), 3).as("hll_est"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH h AS (SELECT event_type, event_id,
+                     md5('q147:' || CAST(event_id AS VARCHAR)) AS hex
+                   FROM events),
+        x AS (SELECT event_type, event_id,
+                CAST(CAST(concat('0x', substr(hex, 1, 2)) AS BIGINT) % 64
+                  AS INTEGER) AS j,
+                substr(hex, 3, 14) AS tail
+              FROM h),
+        r AS (SELECT event_type, event_id, j,
+                length(regexp_extract(tail, '^(0*)', 1)) AS nlz,
+                substr(tail,
+                  length(regexp_extract(tail, '^(0*)', 1)) + 1, 1) AS d1
+              FROM x),
+        rr AS (SELECT event_type, event_id, j,
+                 CAST(LEAST(CASE WHEN d1 = '' THEN 57 ELSE nlz * 4 + 1 +
+                   (CASE WHEN d1 = '1' THEN 3
+                         WHEN d1 IN ('2', '3') THEN 2
+                         WHEN d1 IN ('4', '5', '6', '7') THEN 1
+                         ELSE 0 END) END, 56) AS INTEGER) AS rho
+               FROM r),
+        ra AS (SELECT event_type, j, max(rho) AS m FROM rr
+               WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        rb AS (SELECT event_type, j, max(rho) AS m FROM rr
+               WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        mg AS (SELECT event_type, j, max(m) AS m
+               FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+               GROUP BY 1, 2),
+        dr AS (SELECT event_type, j, max(rho) AS m FROM rr GROUP BY 1, 2),
+        dense AS (SELECT DISTINCT e.event_type, g.j
+                  FROM events e,
+                       (SELECT unnest(generate_series(0, 63)) AS j) g),
+        fm AS (SELECT d.event_type,
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - COALESCE(mg.m, 0)))
+                   AS BIGINT) AS merged_reg_sum
+               FROM dense d LEFT JOIN mg USING (event_type, j) GROUP BY 1),
+        fd AS (SELECT d.event_type,
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - COALESCE(dr.m, 0)))
+                   AS BIGINT) AS direct_reg_sum
+               FROM dense d LEFT JOIN dr USING (event_type, j) GROUP BY 1)
+        SELECT fm.event_type, fm.merged_reg_sum, fd.direct_reg_sum,
+               fm.merged_reg_sum = fd.direct_reg_sum AS is_equal,
+               round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+                 CAST(72057594037927936 AS DOUBLE) /
+                 CAST(fm.merged_reg_sum AS DOUBLE), 3) AS hll_est
+        FROM fm JOIN fd USING (event_type)
+        ORDER BY event_type"""))
   )
 }

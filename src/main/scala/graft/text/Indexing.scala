@@ -239,6 +239,94 @@ object Indexing {
                  AS cond_coverage
         FROM documents d LEFT JOIN sc USING (doc_id)
         WHERE d.doc_id % 2 = 1
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // -------------------------------------------------------------- q159:
+    // BM25 top-10 retrieval — the ranking function that turns q124's
+    // inverted index into a search engine (k1 = 1.2, b = 0.75). The
+    // query's term set is itself DERIVED in-plan (document-frequency
+    // ranks 5-7 by (df DESC, term)) so both engines score the identical
+    // query without a literal term list going stale when fixtures
+    // regenerate.
+    //
+    // Determinism: the only transcendental is ln() inside idf; per-term
+    // partial scores are rounded to 1e-6 and summed as INTEGER
+    // micro-units (round(x·1e6) as BIGINT), so the per-document fold is
+    // order-free — an ulp of libm divergence cannot survive the
+    // rounding, and no float addition order can differ (the q63/q123
+    // lesson applied to a multi-term score). All divisions are written
+    // with identical association in both engines.
+    //
+    // Scale shape: tf/dl/df are the q63 pipeline (explode → map-side-
+    // combined counts, shuffles are key-sized, never corpus-sized); the
+    // 3-term query and the 2-value corpus stats broadcast against the
+    // posting rows, so scoring touches ONLY the query terms' postings —
+    // exactly what serving from an inverted index means (the corpus
+    // never re-shuffles per query).
+    QueryDef(
+      "q159_bm25_topk",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val tok = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // corpus stats over docs that HAVE tokens (dl rows) — same
+        // population both engines
+        val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tot_dl"))
+        val qterms = dfreq
+          .withColumn("dfrk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("df").desc, col("term"))))
+          .filter(col("dfrk").between(5, 7))
+          .select("term", "df")
+        tf.join(broadcast(qterms), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("score_u", expr(
+            """cast(round(
+              |  ln((cast(nd AS DOUBLE) - cast(df AS DOUBLE) + 0.5) /
+              |     (cast(df AS DOUBLE) + 0.5) + 1.0) *
+              |  ((cast(tf AS DOUBLE) * 2.2) /
+              |   (cast(tf AS DOUBLE) + 1.2 *
+              |    (0.25 + 0.75 * (cast(dl AS DOUBLE) /
+              |     (cast(tot_dl AS DOUBLE) / cast(nd AS DOUBLE)))))) * 1e6)
+              |AS BIGINT)""".stripMargin))
+          .groupBy("doc_id")
+          .agg((sum("score_u").cast("double") / 1e6).as("bm25"),
+            count(lit(1)).as("n_query_terms"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($duckTokens) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        stats AS (SELECT count(*) AS nd, sum(dl) AS tot_dl FROM dl),
+        qterms AS (SELECT term, df FROM (
+                     SELECT term, df, ROW_NUMBER() OVER
+                       (ORDER BY df DESC, term) AS dfrk
+                     FROM dfreq)
+                   WHERE dfrk BETWEEN 5 AND 7),
+        scored AS (SELECT tf.doc_id,
+                          CAST(round(
+                            ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                               (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+                            ((CAST(tf AS DOUBLE) * 2.2) /
+                             (CAST(tf AS DOUBLE) + 1.2 *
+                              (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+                               (CAST(tot_dl AS DOUBLE) / CAST(nd AS DOUBLE)))))) * 1e6)
+                          AS BIGINT) AS score_u
+                   FROM tf JOIN qterms USING (term)
+                   JOIN dl USING (doc_id)
+                   CROSS JOIN stats)
+        SELECT doc_id,
+               CAST(SUM(score_u) AS DOUBLE) / 1e6 AS bm25,
+               COUNT(*) AS n_query_terms
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10"""))
   )
 }
