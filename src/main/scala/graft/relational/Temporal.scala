@@ -505,6 +505,69 @@ object Temporal {
         SELECT s.user_id, s.session_seq, s.s_start, s.s_end, s.n_events,
                coalesce(ov.n_concurrent, 0) AS n_concurrent
         FROM sess s LEFT JOIN ov USING (user_id, session_seq)
-        ORDER BY user_id, session_seq"""))
+        ORDER BY user_id, session_seq""")),
+
+    // -------------------------------------------------------------- q163:
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click within the preceding 7 days — the marketing-
+    // attribution primitive. Expressed NOT as a range join (q55/q144's
+    // shape) but as ONE window over the unioned click+purchase stream:
+    // last_value(click_id) IGNORE NULLS over (user, ts) order carries
+    // the latest click forward to every later row, and the 7-day
+    // tolerance is a per-row filter afterwards. At 100 TB this is the
+    // cheaper plan whenever both sides live in the same stream: one
+    // user_id shuffle total, no join state, no per-row range probe —
+    // the window IS the as-of join. Deterministic: (ts, event_id)
+    // window order, integer-µs gap arithmetic.
+    QueryDef(
+      "q163_lasttouch_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+        Tables(s, d, "events")
+          .filter(col("user_id") < 200 &&
+            col("event_type").isin("click", "purchase"))
+          .withColumn("c_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .withColumn("c_us",
+            last(when(col("event_type") === "click", unix_micros(col("ts"))),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("gap_us", unix_micros(col("ts")) - col("c_us"))
+          .select(col("event_id").as("p_id"), col("user_id"),
+            when(col("gap_us") <= sevenDaysUs, col("c_id")).as("click_id"),
+            when(col("gap_us") <= sevenDaysUs,
+              expr("gap_us div 60000000")).as("gap_min"))
+          .orderBy("p_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, ts, event_type
+                   FROM events
+                   WHERE user_id < 200
+                     AND event_type IN ('click', 'purchase')),
+        w AS (SELECT user_id, event_id, ts, event_type,
+                LAST_VALUE(CASE WHEN event_type = 'click'
+                                THEN event_id END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS c_id,
+                LAST_VALUE(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS c_us
+              FROM e)
+        SELECT event_id AS p_id, user_id,
+               CASE WHEN epoch_us(ts) - c_us <= 604800000000
+                    THEN c_id END AS click_id,
+               CASE WHEN epoch_us(ts) - c_us <= 604800000000
+                    THEN (epoch_us(ts) - c_us) // 60000000 END AS gap_min
+        FROM w
+        WHERE event_type = 'purchase'
+        ORDER BY p_id"""))
   )
 }

@@ -980,7 +980,85 @@ object Windows {
                     ELSE 'inserted' END AS action
         FROM snap s FULL OUTER JOIN changes c ON s.o_orderkey = c.k
         WHERE c.op IS NULL OR c.op <> 'D'
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------- q162:
+    // EVENT-TIME TIMERS — the transformWithState API surface q110 doesn't
+    // touch: per-user stats are accumulated in state and emitted ONLY
+    // when the user's inactivity timer fires (registerTimer at
+    // last-seen + 1 h event time; handleExpiredTimer emits and clears).
+    // This is the session-timeout / abandoned-cart primitive: nothing is
+    // emitted while a key is active, state evicts itself on expiry, so
+    // state size tracks ACTIVE keys — not keys-ever — at any stream
+    // volume. Timer firing needs the watermark to pass the deadline in a
+    // LATER batch (timers are evaluated against the watermark computed
+    // from prior batches — the q117/q135 two-sentinel lesson), so the
+    // source is the two-sentinel staging dir consumed one file per
+    // micro-batch. Emitted stats are ORDER-FREE (count + integer
+    // 1e4-unit value sum + max event-time µs), so the drained result is
+    // deterministic and the batch aggregate is an exact oracle.
+    QueryDef(
+      "q162_timer_timeout_stats",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val base = stableDir("q162", d)
+        val ckpt = base.resolve("ckpt").toString
+        val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
+        val srcDir = sentinelSrc(s, d, base, nSentinels = 2)
+        // transformWithState requires the RocksDB provider (multiple
+        // column families: one per state variable + the timer registry)
+        val kProv = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(kProv)
+        s.conf.set(kProv,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+          implicit val rowEnc =
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long)]
+          implicit val outEnc =
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)]
+          val stream = eventsStream(s, d, srcDir.toString, "*.parquet",
+              "maxFilesPerTrigger" -> "1")
+            .withWatermark("ts", "1 hour")
+            // sentinel user must reach the watermark op; its own timer
+            // output is dropped at read-back
+            .filter(col("user_id") < 50 || col("user_id") === 1000000L)
+            .select(col("user_id"),
+              expr("CAST(round(value * 1e4) AS BIGINT)").as("value_u"),
+              unix_micros(col("ts")).as("ts_us"))
+            .as[(Long, Long, Long)](rowEnc)
+          val emitted = stream.groupByKey(_._1)(longEnc)
+            .transformWithState(new TimeoutStatsProcessor,
+              TimeMode.EventTime(), OutputMode.Append())(outEnc)
+          val q = emitted.toDF("user_id", "n_events", "sum_u", "max_ts_us")
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              batch.write.mode("overwrite").parquet(s"$out/batch_id=$id"): Unit
+            }
+            .start()
+          q.awaitTermination()
+        } finally prev.fold(s.conf.unset(kProv))(v => s.conf.set(kProv, v))
+        s.read.parquet(out)
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("n_events"),
+            round(col("sum_u").cast("double") / 1e4, 4).as("sum_value"),
+            timestamp_micros(col("max_ts_us")).as("last_seen"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               round(CAST(SUM(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
+                 / 1e4, 4) AS sum_value,
+               MAX(ts) AS last_seen
+        FROM events
+        WHERE user_id < 50
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
 
   /** One CDC micro-batch apply: merge `batch` into state version `id`,
@@ -1010,6 +1088,49 @@ object Windows {
       if (n.startsWith("ver")) best = math.max(best, n.drop(3).toInt)
     }
     stateRoot.resolve(s"ver$best")
+  }
+}
+
+/** transformWithState processor for q162: accumulate per-user stats
+  * silently; REGISTER an event-time timer at last-seen + 1 h on every
+  * input batch (replacing any prior deadline — the rolling inactivity
+  * window), and emit + clear ONLY from handleExpiredTimer. All state
+  * fields are order-free (count, integer-unit sum, max), so emission
+  * content is arrival-order-independent. Top-level class: shipped to
+  * executors, must not capture the query builder. */
+private[streaming] class TimeoutStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var n: ValueState[Long] = _
+  @transient private var sumU: ValueState[Long] = _
+  @transient private var maxTs: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    sumU = getHandle.getValueState[Long]("sumU", Encoders.scalaLong, TTLConfig.NONE)
+    maxTs = getHandle.getValueState[Long]("maxTs", Encoders.scalaLong, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    var cnt = if (n.exists()) n.get() else 0L
+    var su = if (sumU.exists()) sumU.get() else 0L
+    var mx = if (maxTs.exists()) maxTs.get() else Long.MinValue
+    rows.foreach { case (_, vu, tsUs) =>
+      cnt += 1; su += vu; mx = math.max(mx, tsUs)
+    }
+    n.update(cnt); sumU.update(su); maxTs.update(mx)
+    // roll the inactivity deadline: clear any prior timer, arm at
+    // last-seen + 1 h (timer units are MILLISECONDS of event time)
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(mx / 1000L + 3600L * 1000)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+    val out = (key, n.get(), sumU.get(), maxTs.get())
+    n.clear(); sumU.clear(); maxTs.clear()
+    Iterator.single(out)
   }
 }
 

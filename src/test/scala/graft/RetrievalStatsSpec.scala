@@ -25,6 +25,42 @@ class RetrievalStatsSpec extends SparkSpec {
     }
   }
 
+  test("q162 timers: every tracked user emits exactly once, and a restart emits nothing new") {
+    val r1 = SparkEntry.queries("q162_timer_timeout_stats")(spark, sfDir).collect()
+    val users = r1.map(_.getLong(0))
+    assert(users.distinct.length == users.length,
+      "a user's inactivity timer fired more than once at drain")
+    val expected = Tables(spark, sfDir, "events")
+      .filter(col("user_id") < 50).select("user_id").distinct().count()
+    assert(users.length == expected,
+      s"${users.length} emissions for $expected tracked users")
+    // restart over the same checkpoint: no new batches, no new timers,
+    // identical read-back
+    val r2 = SparkEntry.queries("q162_timer_timeout_stats")(spark, sfDir).collect()
+    assert(r2.map(_.toString).toSeq == r1.map(_.toString).toSeq)
+  }
+
+  test("q163 attribution: credited click precedes the purchase within 7 days, same user") {
+    val attr = SparkEntry.queries("q163_lasttouch_attribution")(spark, sfDir)
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("event_type"))
+    val joined = attr.filter(col("click_id").isNotNull)
+      .join(ev, attr("click_id") === ev("event_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("event_type") == "click")
+      assert(r.getAs[Long]("user_id") == r.getAs[Long]("c_user"),
+        "credited click belongs to a different user")
+      val gap = r.getAs[Long]("gap_min")
+      assert(gap >= 0 && gap <= 7L * 24 * 60, s"gap $gap outside window")
+    }
+    // unattributed purchases carry no gap
+    assert(attr.filter(col("click_id").isNull && col("gap_min").isNotNull)
+      .count() == 0)
+  }
+
   test("q161 TWAP: weighted mean lies within each user's value range") {
     val twap = SparkEntry.queries("q161_time_weighted_avg")(spark, sfDir)
       .select(col("user_id"), col("twap"))
