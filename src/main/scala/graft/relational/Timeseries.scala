@@ -313,6 +313,58 @@ object Timeseries {
                round(CAST(wsum AS DOUBLE) /
                      (CAST(span_us AS DOUBLE) * 1e4), 6) AS twap
         FROM g WHERE span_us > 0
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------- q165:
+    // Daily EXACT percentile bands per event_type (P50/P95 of value) —
+    // the latency-dashboard primitive. Percentile = the value at sorted
+    // position floor((n−1)·p) (0-based), selected by RANK, not
+    // interpolated: picking an order statistic is engine-exact (the
+    // value at a sorted position is a multiset property — tie order
+    // can't change it), where interpolation would add cross-engine IEEE
+    // arithmetic for nothing a dashboard needs.
+    //
+    // Scale shape: one shuffle on (event_type, day); the window sorts
+    // WITHIN each group, so per-group volume is a day×type slice —
+    // bounded for monitoring workloads. For a group too large to sort
+    // in one task, q154's two-phase stripe-rank method computes the
+    // same exact rank with no global sort; this query is the
+    // small-group fast path.
+    QueryDef(
+      "q165_daily_percentiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type", "day")
+          .orderBy(col("value"), col("event_id"))
+        val wn = Window.partitionBy("event_type", "day")
+        Tables(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("value"), col("event_id"))
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type", "day")
+          .agg(max("n").as("n"),
+            max(when(col("r") === expr("(n - 1) * 50 DIV 100 + 1"),
+              col("value"))).as("p50"),
+            max(when(col("r") === expr("(n - 1) * 95 DIV 100 + 1"),
+              col("value"))).as("p95"))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          value, event_id
+                   FROM events),
+        r AS (SELECT event_type, day, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                   ORDER BY value, event_id) AS r,
+                COUNT(*) OVER (PARTITION BY event_type, day) AS n
+              FROM e)
+        SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN r = ((n - 1) * 50) // 100 + 1
+                        THEN value END) AS p50,
+               MAX(CASE WHEN r = ((n - 1) * 95) // 100 + 1
+                        THEN value END) AS p95
+        FROM r GROUP BY 1, 2
+        ORDER BY event_type, day"""))
   )
 }

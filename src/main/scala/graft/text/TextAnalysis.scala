@@ -734,6 +734,69 @@ object TextAnalysis {
               FROM c2)
         SELECT doc_id, n_tokens_raw, n_tokens_clean, clean_text
         FROM r WHERE rn = 1
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------- q164:
+    // Pairwise source-overlap (contamination) matrix: trigram-shingle
+    // Jaccard between every pair of document sources — the dataset-
+    // quality report that answers "how much does slice A leak into
+    // slice B" before mixing corpora (q97 checks docs against ONE
+    // benchmark; this is the all-pairs slice audit). All counts are
+    // exact integers; jaccard is ONE final division.
+    //
+    // Scale shape: shingles shuffle as 32-char md5 fingerprints (never
+    // span text — q101's lesson); after the per-source distinct the
+    // self-join fan-out per fingerprint is bounded by |sources| (each fp
+    // occurs at most once per source), so the pair stage is
+    // |distinct fps| × |sources|²-bounded, never corpus × corpus. The
+    // |sources|-sized size frame broadcasts; zero-overlap pairs are
+    // preserved via the size-frame cross (a 10-row cross at 5 sources).
+    QueryDef(
+      "q164_source_overlap_matrix",
+      (s, d) => {
+        val g = Tables(s, d, "documents")
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("tri", expr(trigramsExpr))
+          .select(col("source"), explode(col("tri")).as("gram"))
+          .select(col("source"), md5(col("gram")).as("fp"))
+          .distinct()
+        val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = g.select(col("source").as("source_a"), col("fp"))
+          .join(g.select(col("source").as("source_b"), col("fp")), "fp")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_inter"))
+        val pairs = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+          .crossJoin(sizes.select(col("source").as("source_b"), col("n").as("n_b")))
+          .filter(col("source_a") < col("source_b"))
+        broadcast(pairs).join(inter, Seq("source_a", "source_b"), "left")
+          .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+          .select(col("source_a"), col("source_b"),
+            col("n_a"), col("n_b"), col("n_inter"),
+            round(col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""
+        WITH t AS (SELECT source, $duckTokens toks FROM documents),
+        g0 AS (SELECT source, unnest($duckTrigrams) AS gram FROM t),
+        g AS (SELECT DISTINCT source, md5(gram) AS fp FROM g0),
+        sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        it AS (SELECT a.source AS source_a, b.source AS source_b,
+                      count(*) AS n_inter
+               FROM g a JOIN g b USING (fp)
+               WHERE a.source < b.source
+               GROUP BY 1, 2),
+        pr AS (SELECT za.source AS source_a, zb.source AS source_b,
+                      za.n AS n_a, zb.n AS n_b
+               FROM sz za, sz zb WHERE za.source < zb.source)
+        SELECT pr.source_a, pr.source_b, pr.n_a, pr.n_b,
+               COALESCE(it.n_inter, 0) AS n_inter,
+               round(CAST(COALESCE(it.n_inter, 0) AS DOUBLE) /
+                     CAST(pr.n_a + pr.n_b - COALESCE(it.n_inter, 0)
+                       AS DOUBLE), 6) AS jaccard
+        FROM pr LEFT JOIN it USING (source_a, source_b)
+        ORDER BY source_a, source_b"""))
   )
 }

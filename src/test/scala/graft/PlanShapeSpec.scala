@@ -239,4 +239,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("bloom_filter_agg"),
       s"no bloom build over the filtered orders keys:\n$plan")
   }
+
+  test("q159 BM25: query terms and corpus stats broadcast; postings never sort-merge join") {
+    val plan = finalPlan("q159_bm25_topk")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"qterms/stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"posting scoring shuffled the corpus side:\n$plan")
+  }
+
+  test("q161 TWAP: window and aggregation share ONE user_id exchange") {
+    val plan = finalPlan("q161_time_weighted_avg")
+    // one shuffle for the window; the groupBy on the same key reuses the
+    // partitioning (no second hashpartitioning exchange on user_id)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one user_id exchange, saw $exchanges:\n$plan")
+  }
+
+  test("q163 attribution: the as-of window adds no join operator at all") {
+    val plan = finalPlan("q163_lasttouch_attribution")
+    assert(!plan.contains("Join"),
+      s"attribution planned a join where one window suffices:\n$plan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"more than one user_id exchange:\n$plan")
+  }
 }
