@@ -1323,7 +1323,82 @@ object Advanced {
           UNION ALL SELECT 'l_returnflag', n_rows, n_rows - c5, d5, NULL, NULL, lo5, hi5 FROM a
           UNION ALL SELECT 'l_linestatus', n_rows, n_rows - c6, d6, NULL, NULL, lo6, hi6 FROM a
           UNION ALL SELECT 'l_shipdate', n_rows, n_rows - c7, d7, NULL, NULL, lo7, hi7 FROM a)
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    // -------------------------------------------------------------- q167:
+    // Referential-integrity audit — the FK orphan report a warehouse
+    // runs after every load (q109 profiles columns; this checks EDGES).
+    // Four real FK edges plus one deliberately-broken probe (parent
+    // filtered to c_custkey % 3 = 0, simulating a partial dimension
+    // load) so the report provably detects orphans, not just vacuously
+    // passes. Each edge is one LEFT ANTI join aggregated to a single
+    // row; small parents broadcast, the lineitem→orders edge shuffles
+    // on the join key only. countDistinct(orphan key) bounds the
+    // repair-list size a data engineer actually works from.
+    QueryDef(
+      "q167_fk_integrity",
+      (s, d) => {
+        def edge(fk: String, child: org.apache.spark.sql.DataFrame,
+            ck: String, parent: org.apache.spark.sql.DataFrame,
+            pk: String): org.apache.spark.sql.DataFrame = {
+          val orphans = child.select(col(ck).as("k"))
+            .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"),
+              countDistinct(col("k")).as("n_orphan_keys"))
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans)
+            .select(lit(fk).as("fk"), col("n_child"),
+              col("n_orphans"), col("n_orphan_keys"))
+        }
+        val li = Tables(s, d, "lineitem")
+        val od = Tables(s, d, "orders")
+        val cu = Tables(s, d, "customer")
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", od, "o_orderkey")
+          .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+            Tables(s, d, "part"), "p_partkey"))
+          .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            Tables(s, d, "supplier"), "s_suppkey"))
+          .unionAll(edge("orders.o_custkey->customer", od, "o_custkey",
+            cu, "c_custkey"))
+          .unionAll(edge("orders.o_custkey->customer_third", od, "o_custkey",
+            cu.filter(col("c_custkey") % 3 === 0), "c_custkey"))
+          .orderBy("fk")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'lineitem.l_orderkey->orders' AS fk,
+                 (SELECT count(*) FROM lineitem) AS n_child,
+                 count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans,
+                 count(DISTINCT l.l_orderkey)
+                   FILTER (WHERE o.o_orderkey IS NULL) AS n_orphan_keys
+          FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part',
+                 (SELECT count(*) FROM lineitem),
+                 count(*) FILTER (WHERE p.p_partkey IS NULL),
+                 count(DISTINCT l.l_partkey) FILTER (WHERE p.p_partkey IS NULL)
+          FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier',
+                 (SELECT count(*) FROM lineitem),
+                 count(*) FILTER (WHERE su.s_suppkey IS NULL),
+                 count(DISTINCT l.l_suppkey) FILTER (WHERE su.s_suppkey IS NULL)
+          FROM lineitem l LEFT JOIN supplier su ON l.l_suppkey = su.s_suppkey
+          UNION ALL
+          SELECT 'orders.o_custkey->customer',
+                 (SELECT count(*) FROM orders),
+                 count(*) FILTER (WHERE c.c_custkey IS NULL),
+                 count(DISTINCT o.o_custkey) FILTER (WHERE c.c_custkey IS NULL)
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          UNION ALL
+          SELECT 'orders.o_custkey->customer_third',
+                 (SELECT count(*) FROM orders),
+                 count(*) FILTER (WHERE c.c_custkey IS NULL),
+                 count(DISTINCT o.o_custkey) FILTER (WHERE c.c_custkey IS NULL)
+          FROM orders o LEFT JOIN
+               (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+            ON o.o_custkey = c.c_custkey)
+        ORDER BY fk"""))
   )
 
   /** SCD2 interval build over an (user_id, event_id, ts, event_type) frame

@@ -365,6 +365,72 @@ object Timeseries {
                MAX(CASE WHEN r = ((n - 1) * 95) // 100 + 1
                         THEN value END) AS p95
         FROM r GROUP BY 1, 2
-        ORDER BY event_type, day"""))
+        ORDER BY event_type, day""")),
+
+    // -------------------------------------------------------------- q166:
+    // LOCF densification (last observation carried forward): sparse
+    // per-user observations become a DENSE daily series — each user's
+    // calendar spine runs from their first to their last event day
+    // (q62's generator, per key), and days without an observation carry
+    // the previous day's closing value. The daily-balance / position
+    // snapshot every ledger pipeline materializes.
+    //
+    // Determinism: the day's closing value is the LAST event by
+    // (ts, event_id) — an order-statistic pick, no arithmetic. Scale
+    // shape: closing values are one (user, day) aggregate; the spine
+    // explode fans out |users|·|days-active| rows (bounded by the
+    // calendar, not the event volume — a user with 1M events in a day
+    // still yields one spine row); the carry-forward window rides the
+    // same user_id partitioning the aggregate produced.
+    QueryDef(
+      "q166_locf_daily_balance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wPick = Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val closing = Tables(s, d, "events")
+          .filter(col("user_id") < 30)
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("value").as("close_value"))
+        val spine = closing.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val wFill = Window.partitionBy("user_id")
+          .orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(closing, Seq("user_id", "day"), "left")
+          .withColumn("balance",
+            last(col("close_value"), ignoreNulls = true).over(wFill))
+          .withColumn("is_carried", col("close_value").isNull)
+          .select("user_id", "day", "balance", "is_carried")
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+                          value
+                   FROM events WHERE user_id < 30),
+        pick AS (SELECT user_id, day, value AS close_value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM e),
+        closing AS (SELECT user_id, day, close_value FROM pick WHERE rn = 1),
+        spine AS (SELECT user_id,
+                    unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS day
+                  FROM closing GROUP BY user_id),
+        j AS (SELECT s.user_id, CAST(s.day AS DATE) AS day, c.close_value
+              FROM spine s LEFT JOIN closing c
+                ON c.user_id = s.user_id AND c.day = CAST(s.day AS DATE))
+        SELECT user_id, day,
+               LAST_VALUE(close_value IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS balance,
+               close_value IS NULL AS is_carried
+        FROM j
+        ORDER BY user_id, day"""))
   )
 }
