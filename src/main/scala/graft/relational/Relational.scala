@@ -685,6 +685,48 @@ object Relational {
                        INTERVAL 1 MONTH)) AS spine_month
               FROM orders WHERE o_orderkey < 500)
         GROUP BY spine_month
-        ORDER BY spine_month"""))
+        ORDER BY spine_month""")),
+
+    // --------------------------------------------------------------- Q168:
+    // ranking-function battery: rank / dense_rank / percent_rank /
+    // cume_dist / ntile — the analytic-ranking family q09/q57 don't
+    // touch. The tie-INSENSITIVE functions (rank, dense_rank,
+    // percent_rank, cume_dist) order by the tied l_quantity alone —
+    // their results are peer-group properties, deterministic under any
+    // tie order; ntile is row-position-based, so its window adds the
+    // unique (orderkey, linenumber) tiebreak. percent_rank/cume_dist
+    // are single divisions of integers — identical IEEE in both
+    // engines. One shuffle on the partition key, as every window query.
+    QueryDef(
+      "q168_ranking_battery",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byQty = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        val unique = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") < 400)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+          .withColumn("rk", rank().over(byQty))
+          .withColumn("drk", dense_rank().over(byQty))
+          .withColumn("prk", round(percent_rank().over(byQty), 6))
+          .withColumn("cd", round(cume_dist().over(byQty), 6))
+          .withColumn("quartile", ntile(4).over(unique))
+          .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+               CAST(RANK() OVER wq AS INTEGER) AS rk,
+               CAST(DENSE_RANK() OVER wq AS INTEGER) AS drk,
+               round(PERCENT_RANK() OVER wq, 6) AS prk,
+               round(CUME_DIST() OVER wq, 6) AS cd,
+               CAST(NTILE(4) OVER wu AS INTEGER) AS quartile
+        FROM lineitem
+        WHERE l_orderkey < 400
+        WINDOW wq AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+               wu AS (PARTITION BY l_returnflag
+                      ORDER BY l_quantity, l_orderkey, l_linenumber)
+        ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber"""))
   )
 }

