@@ -156,6 +156,74 @@ object Partitioned {
                min(y) AS min_day, max(y) AS max_day
         FROM zc GROUP BY 1
         ORDER BY z_cell"""
-      })
+      }),
+
+    // -------------------------------------------------------------- q169:
+    // Small-file COMPACTION — the OPTIMIZE/maintenance job every
+    // streaming or micro-batch ingest needs: a table accumulated as many
+    // small files (here: events deliberately fragmented into 64) is
+    // rewritten into size-targeted files (~4 MiB here), and the query
+    // returns a content-equality proof over the COMPACTED copy — the
+    // batch aggregate of the original is the oracle, so a hash match
+    // proves the rewrite lost and duplicated nothing. At 100 TB small
+    // files are a planning-and-NameNode tax (one task + one footer per
+    // file); the compactor sizes output as ceil(bytes / target) and
+    // coalesce()s — a NARROW repack, no shuffle: each output file
+    // concatenates whole input files, the cheapest lossless layout fix.
+    // PartitionedSpec asserts the file-count arithmetic.
+    QueryDef(
+      "q169_compact_files",
+      (s, d) => {
+        val root = java.nio.file.Paths.get(
+          s"/tmp/graft_compact/ev_${fixtureKey(d)}")
+        val small = root.resolve("small")
+        val compacted = root.resolve("compacted")
+        if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+          // fragment: the ingest-accumulated state (build once per
+          // fixture version, like eventsByDay)
+          Tables(s, d, "events").repartition(64)
+            .write.mode("overwrite").parquet(small.toString)
+          val bytes = java.nio.file.Files.list(small).toArray.map(
+            p => p.asInstanceOf[java.nio.file.Path])
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size).sum
+          val target = 4L * 1024 * 1024
+          val n = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+          s.read.parquet(small.toString).coalesce(n)
+            .write.mode("overwrite").parquet(compacted.toString)
+          java.nio.file.Files.createFile(root.resolve("_DONE"))
+        }
+        import graft.util.Det._
+        s.read.parquet(compacted.toString)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            countDistinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT event_id) AS n_ids
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
+
+  /** Spec probe: (smallFileCount, compactedFileCount, expectedMax) for
+    * the q169 staging dirs of `d` — built by running the query first. */
+  private[graft] def compactionCounts(d: String): (Int, Int, Int) = {
+    val root = java.nio.file.Paths.get(s"/tmp/graft_compact/ev_${fixtureKey(d)}")
+    def count(p: java.nio.file.Path): Int =
+      java.nio.file.Files.list(p).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    val small = count(root.resolve("small"))
+    val bytes = java.nio.file.Files.list(root.resolve("small")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    val expected = math.max(1,
+      math.ceil(bytes.toDouble / (4L * 1024 * 1024)).toInt)
+    (small, count(root.resolve("compacted")), expected)
+  }
 }

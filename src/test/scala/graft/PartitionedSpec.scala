@@ -109,4 +109,18 @@ class PartitionedSpec extends SparkSpec {
     val total = spark.read.parquet(out).count()
     assert(total == Tables(spark, sfDir, "events").count())
   }
+
+  test("q169 compaction: file count shrinks to the size-targeted bound, content proven by oracle") {
+    // run the query (builds + compacts once per fixture version); its
+    // oracle pairing already proves content equality — here assert the
+    // LAYOUT contract: 64 fragments in, ceil(bytes/target) files out
+    SparkEntry.queries("q169_compact_files")(spark, sfDir).collect()
+    val (small, compacted, expected) =
+      graft.sources.Partitioned.compactionCounts(sfDir)
+    assert(small == 64, s"staging should hold 64 fragments, found $small")
+    assert(compacted == expected,
+      s"compacted file count $compacted != size-targeted $expected")
+    assert(compacted < small,
+      s"compaction did not reduce file count ($compacted vs $small)")
+  }
 }
