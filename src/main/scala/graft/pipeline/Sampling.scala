@@ -187,6 +187,56 @@ object Sampling {
         SELECT r.lang, r.doc_id, r.rn
         FROM r JOIN w ON r.lang = w.lang
         WHERE rn <= LEAST(w.quota, n_class)
-        ORDER BY r.lang, rn"""))
+        ORDER BY r.lang, rn""")),
+
+    // -------------------------------------------------------------- q171:
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES),
+    // deterministic: each document draws u from the TOP 52 md5 bits
+    // (u = (v + 0.5) / 2^52 ∈ (0,1), exactly representable), and the
+    // sample is the k smallest keys −ln(u)/w with w = n_chars — longer
+    // documents are proportionally likelier, the data-mixing primitive
+    // a corpus-weighted training run uses. Keys are ROUNDED to 9dp
+    // before ranking (the q63 ln-ulp guard) with doc_id as tiebreak.
+    //
+    // Scale shape: per-row key computation, then ONE global top-k
+    // (TakeOrderedAndProject — never a full sort); at any corpus size
+    // the shuffle carries k rows per partition.
+    QueryDef(
+      "q171_weighted_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // top-k FIRST (orderBy+limit plans TakeOrderedAndProject — k rows
+        // per partition cross the wire, never a global sort); the rank
+        // window then runs over the 20 survivors only. A bare global
+        // row_number window here would single-partition the corpus.
+        val top = Tables(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            expr("""round(-ln((CAST(conv(substr(md5(concat('q171:',
+                   |  CAST(doc_id AS STRING))), 1, 13), 16, 10) AS DOUBLE)
+                   |  + 0.5) / 4503599627370496.0)
+                   |  / CAST(n_chars AS DOUBLE), 9)""".stripMargin)
+              .as("key"))
+          .orderBy(col("key"), col("doc_id"))
+          .limit(20)
+        top
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("key"), col("doc_id"))))
+          .select(col("rk"), col("doc_id"), col("n_chars"), col("key"))
+          .orderBy("rk")
+      },
+      Some("""
+        WITH k AS (SELECT doc_id, n_chars,
+                     round(-ln((CAST(concat('0x', substr(md5(concat('q171:',
+                           CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT)
+                           + 0.5) / 4503599627370496.0)
+                           / CAST(n_chars AS DOUBLE), 9) AS key
+                   FROM documents),
+        r AS (SELECT doc_id, n_chars, key,
+                CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) AS INTEGER)
+                  AS rk
+              FROM k)
+        SELECT rk, doc_id, n_chars, key
+        FROM r WHERE rk <= 20
+        ORDER BY rk"""))
   )
 }

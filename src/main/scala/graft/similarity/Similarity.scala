@@ -550,6 +550,55 @@ object Similarity {
               FROM red q JOIN red c ON c.vec_id = q.vec_id + 1)
         SELECT CAST(floor(abs(cos64 - cos16) * 20) AS INTEGER) AS err_bucket,
                count(*) AS n_pairs
-        FROM p GROUP BY 1 ORDER BY 1"""))
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // -------------------------------------------------------------- q170:
+    // Per-dimension embedding health check — the profile an embedding
+    // pipeline runs before trusting a new encoder drop: per dim, count,
+    // min/max (raw float comparisons — exact), zero-fraction, and mean
+    // via integer 1e6-units of the 6dp-rounded values (float32→double
+    // widening is identical in both engines, so the rounded units
+    // match; the cross-row fold is a BIGINT sum — order-free). A dead
+    // dimension (all zeros) or an exploded one (|mean| ≫ 0) is the
+    // classic silent encoder bug this surfaces.
+    //
+    // Scale shape: posexplode fans corpus × dims rows, then ONE
+    // map-side-combined aggregate on the |dims|-sized key — shuffle
+    // carries dims × partials, never the corpus.
+    QueryDef(
+      "q170_embedding_dim_stats",
+      (s, d) => {
+        Tables(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim"),
+            col("v").cast("double").as("vd"),
+            expr("CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)").as("vu"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            min("vd").as("min_v"), max("vd").as("max_v"),
+            sum(when(col("vu") === 0L, 1L).otherwise(0L)).as("n_zero"),
+            round(sum(col("vu")).cast("double") /
+              (count(lit(1)).cast("double") * 1e6), 6).as("mean_v"))
+          .orderBy("dim")
+      },
+      Some("""
+        WITH ix AS (SELECT e.embedding,
+                           unnest(generate_series(0, len(e.embedding) - 1))
+                             AS dim
+                    FROM embeddings e),
+        x AS (SELECT CAST(dim AS INTEGER) AS dim,
+                     CAST(embedding[CAST(dim AS INTEGER) + 1] AS DOUBLE)
+                       AS vd,
+                     CAST(round(CAST(embedding[CAST(dim AS INTEGER) + 1]
+                       AS DOUBLE) * 1e6) AS BIGINT) AS vu
+              FROM ix)
+        SELECT dim, COUNT(*) AS n,
+               MIN(vd) AS min_v, MAX(vd) AS max_v,
+               CAST(SUM(CASE WHEN vu = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero,
+               round(CAST(SUM(vu) AS DOUBLE) /
+                     (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_v
+        FROM x GROUP BY dim
+        ORDER BY dim"""))
   )
 }

@@ -259,6 +259,12 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one user_id exchange, saw $exchanges:\n$plan")
   }
 
+  test("q171 weighted sample plans a TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan("q171_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not planned as TakeOrderedAndProject:\n$plan")
+  }
+
   test("q163 attribution: the as-of window adds no join operator at all") {
     val plan = finalPlan("q163_lasttouch_attribution")
     assert(!plan.contains("Join"),
