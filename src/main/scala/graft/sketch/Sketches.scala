@@ -299,6 +299,130 @@ object Sketches {
                  CAST(72057594037927936 AS DOUBLE) /
                  CAST(fm.merged_reg_sum AS DOUBLE), 3) AS hll_est
         FROM fm JOIN fd USING (event_type)
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // -------------------------------------------------------------- q173:
+    // HLL set-INTERSECTION estimate by inclusion-exclusion: |A∩B| ≈
+    // est(A) + est(B) − est(A∪B), where the union estimate folds the
+    // max-merged registers (the q160 property — HLLs union for free,
+    // they never intersect directly). A = users who click, B = users
+    // who purchase; the exact intersection runs alongside as the audit.
+    // This is the sketch-scale sibling of q164's exact overlap matrix:
+    // at 100 TB you keep per-slice user sketches (64 registers each)
+    // and answer any pairwise audience overlap from register folds —
+    // zero re-scans, zero joins — accepting the inclusion-exclusion
+    // error the audit column measures. Deterministic end-to-end: same
+    // md5 registers both engines, estimates and error included in the
+    // hash compare.
+    QueryDef(
+      "q173_hll_intersection",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        def rhoOf(tpe: String) = ev
+          .filter(col("event_type") === tpe)
+          .select(md5(concat(lit("q173:"), col("user_id").cast("string")))
+            .as("hex"))
+          .select(
+            expr("CAST(CAST(conv(substr(hex, 1, 2), 16, 10) AS BIGINT) " +
+              "% 64 AS INT)").as("j"),
+            expr("substr(hex, 3, 14)").as("tail"))
+          .withColumn("nlz", length(regexp_extract(col("tail"), "^(0*)", 1)))
+          .withColumn("d1", expr("substr(tail, nlz + 1, 1)"))
+          .withColumn("rho", expr(
+            """CAST(LEAST(CASE WHEN d1 = '' THEN 57 ELSE nlz * 4 + 1 +
+              |  (CASE WHEN d1 = '1' THEN 3
+              |        WHEN d1 IN ('2', '3') THEN 2
+              |        WHEN d1 IN ('4', '5', '6', '7') THEN 1
+              |        ELSE 0 END) END, 56) AS INT)""".stripMargin))
+          .groupBy("j").agg(max("rho").as("m"))
+        val ra = rhoOf("click")
+        val rb = rhoOf("purchase")
+        val dense = ev.sparkSession.range(0, 64)
+          .select(col("id").cast("int").as("j"))
+        def est(regs: org.apache.spark.sql.DataFrame, name: String) =
+          dense.join(regs, Seq("j"), "left")
+            .withColumn("m", coalesce(col("m"), lit(0)))
+            .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - m)")).as("sr"))
+            .select((lit(0.709) * lit(4096.0) * lit(72057594037927936.0) /
+              col("sr").cast("double")).as(name))
+        val merged = ra.unionAll(rb).groupBy("j").agg(max("m").as("m"))
+        val exact = ev.filter(col("event_type") === "click")
+          .select(col("user_id")).intersect(
+            ev.filter(col("event_type") === "purchase").select(col("user_id")))
+          .agg(count(lit(1)).as("n_exact"))
+        est(ra, "est_a").crossJoin(est(rb, "est_b"))
+          .crossJoin(est(merged, "est_union"))
+          .crossJoin(exact)
+          .select(
+            round(col("est_a"), 3).as("est_clickers"),
+            round(col("est_b"), 3).as("est_buyers"),
+            round(col("est_union"), 3).as("est_union"),
+            round(col("est_a") + col("est_b") - col("est_union"), 3)
+              .as("est_intersection"),
+            col("n_exact"),
+            round(abs(col("est_a") + col("est_b") - col("est_union") -
+              col("n_exact").cast("double")) /
+              col("n_exact").cast("double"), 4).as("rel_err"))
+      },
+      Some("""
+        WITH h AS (SELECT event_type, user_id,
+                     md5('q173:' || CAST(user_id AS VARCHAR)) AS hex
+                   FROM events WHERE event_type IN ('click', 'purchase')),
+        x AS (SELECT event_type,
+                CAST(CAST(concat('0x', substr(hex, 1, 2)) AS BIGINT) % 64
+                  AS INTEGER) AS j,
+                substr(hex, 3, 14) AS tail
+              FROM h),
+        rr AS (SELECT event_type, j,
+                 CAST(LEAST(CASE WHEN substr(tail,
+                       length(regexp_extract(tail, '^(0*)', 1)) + 1, 1) = ''
+                     THEN 57
+                     ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4 + 1 +
+                       (CASE WHEN substr(tail,
+                          length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+                            = '1' THEN 3
+                        WHEN substr(tail,
+                          length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+                            IN ('2', '3') THEN 2
+                        WHEN substr(tail,
+                          length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+                            IN ('4', '5', '6', '7') THEN 1
+                        ELSE 0 END) END, 56) AS INTEGER) AS rho
+               FROM x),
+        ra AS (SELECT j, max(rho) AS m FROM rr
+               WHERE event_type = 'click' GROUP BY 1),
+        rb AS (SELECT j, max(rho) AS m FROM rr
+               WHERE event_type = 'purchase' GROUP BY 1),
+        mg AS (SELECT j, max(m) AS m
+               FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+               GROUP BY 1),
+        dense AS (SELECT unnest(generate_series(0, 63)) AS j),
+        ea AS (SELECT CAST(0.709 * 4096 * 72057594037927936 AS DOUBLE) /
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - COALESCE(ra.m, 0)))
+                   AS DOUBLE) AS est_a
+               FROM dense d LEFT JOIN ra ON ra.j = d.j),
+        eb AS (SELECT CAST(0.709 * 4096 * 72057594037927936 AS DOUBLE) /
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - COALESCE(rb.m, 0)))
+                   AS DOUBLE) AS est_b
+               FROM dense d LEFT JOIN rb ON rb.j = d.j),
+        eu AS (SELECT CAST(0.709 * 4096 * 72057594037927936 AS DOUBLE) /
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - COALESCE(mg.m, 0)))
+                   AS DOUBLE) AS est_union
+               FROM dense d LEFT JOIN mg ON mg.j = d.j),
+        ex AS (SELECT count(*) AS n_exact FROM (
+                 SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'purchase'))
+        SELECT round(est_a, 3) AS est_clickers,
+               round(est_b, 3) AS est_buyers,
+               round(est_union, 3) AS est_union,
+               round(est_a + est_b - est_union, 3) AS est_intersection,
+               n_exact,
+               round(abs(est_a + est_b - est_union -
+                 CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4)
+                 AS rel_err
+        FROM ea, eb, eu, ex"""))
   )
 }

@@ -289,6 +289,59 @@ object Windows {
         FROM s2 GROUP BY user_id, sid
         ORDER BY user_id, session_start""")),
 
+    // -------------------------------------------------------------- q172:
+    // DYNAMIC-gap session windows — the gap is an EXPRESSION per event
+    // (purchases close their session after 5 minutes, everything else
+    // after 10): the "checkout ends the visit faster" semantics a fixed
+    // gap can't express. Spark's session_window(ts, gapExpr) merges each
+    // event's [ts, ts+gap) window with any overlap; the oracle replays
+    // that as gaps-and-islands over the RUNNING MAX window end (an event
+    // opens a new session iff its ts is >= every previous window's end
+    // — plain lag(end) under-merges when an early long-gap event
+    // outlives its successor). All interval arithmetic in exact integer
+    // microseconds. Same one-user_id-shuffle shape as q72.
+    QueryDef(
+      "q172_dynamic_gap_sessions",
+      (s, d) =>
+        Tables(s, d, "events")
+          .filter(col("user_id") < 20)
+          .groupBy(
+            session_window(col("ts"),
+              when(col("event_type") === "purchase", "5 minutes")
+                .otherwise("10 minutes")),
+            col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n"), col("sum_value"))
+          .orderBy("user_id", "session_start"),
+      Some("""
+        WITH e AS (SELECT user_id, ts, event_id, value,
+                     epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                       THEN 300000000 ELSE 600000000 END AS end_us
+                   FROM events WHERE user_id < 20),
+        r AS (SELECT user_id, ts, value, end_us,
+                CASE WHEN MAX(end_us) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                  OR epoch_us(ts) >= MAX(end_us) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        s2 AS (SELECT user_id, ts, value, end_us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, end_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM r)
+        SELECT user_id, MIN(ts) AS session_start,
+               make_timestamp(MAX(end_us)) AS session_end,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM s2 GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
     // --------------------------------------------------------------- q73:
     // REAL Structured Streaming: file stream source -> event-time
     // watermark -> tumbling 6h window -> complete-mode foreachBatch
