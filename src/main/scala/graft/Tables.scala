@@ -95,10 +95,20 @@ object Tables {
         "o_orderdate" ->
           (t => t == DateType || t == TimestampNTZType || t == TimestampType)),
       "documents" -> Map("doc_id" -> (_ == LongType),
-        "text" -> (_ == StringType), "lang" -> (_ == StringType)),
+        "text" -> (_ == StringType), "lang" -> (_ == StringType),
+        "source" -> (_ == StringType), "n_chars" -> (_ == LongType)),
       "embeddings" -> Map("vec_id" -> (_ == LongType),
         "embedding" ->
-          (t => t == ArrayType(FloatType, false) || t == ArrayType(FloatType, true))))
+          (t => t == ArrayType(FloatType, false) || t == ArrayType(FloatType, true))),
+      "region" -> Map("r_regionkey" ->
+        (t => t == IntegerType || t == LongType)),
+      "nation" -> Map("n_nationkey" ->
+        (t => t == IntegerType || t == LongType),
+        "n_name" -> (_ == StringType)),
+      "customer" -> Map("c_custkey" -> (_ == LongType)),
+      "supplier" -> Map("s_suppkey" -> (_ == LongType)),
+      "part" -> Map("p_partkey" -> (_ == LongType),
+        "p_brand" -> (_ == StringType)))
     expected.foreach { case (table, cols) =>
       val sch = apply(spark, dir, table).schema
       cols.foreach { case (c, ok) =>

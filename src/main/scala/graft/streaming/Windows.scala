@@ -259,8 +259,11 @@ object Windows {
     // --------------------------------------------------------------- q72:
     // session windows (10-minute gap) per user — Spark's session_window
     // vs. the classic gaps-and-islands formulation in the oracle.
-    // Spark's session end = last event + gap; a new session starts when
-    // the gap is >= 10 minutes (windows are half-open).
+    // Spark's session end = last event + gap; a new session starts only
+    // when the gap is STRICTLY greater than 10 minutes — an event landing
+    // exactly at the previous session's end MERGES (verified empirically
+    // and pinned by DynamicSessionPropertySpec; the fixture's µs-random
+    // timestamps never hit the boundary, which hid this for 7 rounds).
     QueryDef(
       "q72_session_window",
       (s, d) =>
@@ -274,7 +277,7 @@ object Windows {
       Some("""
         WITH e AS (SELECT user_id, ts, value,
                           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                    >= INTERVAL 10 MINUTE
+                                    > INTERVAL 10 MINUTE
                                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                                THEN 1 ELSE 0 END AS new_session
                    FROM events WHERE user_id < 20),
@@ -296,10 +299,12 @@ object Windows {
     // gap can't express. Spark's session_window(ts, gapExpr) merges each
     // event's [ts, ts+gap) window with any overlap; the oracle replays
     // that as gaps-and-islands over the RUNNING MAX window end (an event
-    // opens a new session iff its ts is >= every previous window's end
-    // — plain lag(end) under-merges when an early long-gap event
-    // outlives its successor). All interval arithmetic in exact integer
-    // microseconds. Same one-user_id-shuffle shape as q72.
+    // opens a new session iff its ts is STRICTLY past every previous
+    // window's end — boundary contact merges, per the empirical rule
+    // DynamicSessionPropertySpec pins — and plain lag(end) under-merges
+    // when an early long-gap event outlives its successor). All interval
+    // arithmetic in exact integer microseconds. Same one-user_id-shuffle
+    // shape as q72.
     QueryDef(
       "q172_dynamic_gap_sessions",
       (s, d) =>
@@ -326,7 +331,7 @@ object Windows {
                        ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                      IS NULL
-                  OR epoch_us(ts) >= MAX(end_us) OVER (PARTITION BY user_id
+                  OR epoch_us(ts) > MAX(end_us) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 THEN 1 ELSE 0 END AS new_s
@@ -586,7 +591,7 @@ object Windows {
       Some("""
         WITH e AS (SELECT user_id, ts, value,
                           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                    >= INTERVAL 10 MINUTE
+                                    > INTERVAL 10 MINUTE
                                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                                THEN 1 ELSE 0 END AS new_session
                    FROM events WHERE user_id < 20),

@@ -50,7 +50,8 @@ class FixtureContractSpec extends SparkSpec {
     src.withColumn("ts", encode)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     // the other tables preflight reads — symlink the real ones
-    Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
+    Seq("lineitem", "orders", "documents", "embeddings",
+        "region", "nation", "customer", "supplier", "part").foreach { t =>
       Files.createSymbolicLink(
         java.nio.file.Paths.get(dir, s"$t.parquet"),
         java.nio.file.Paths.get(sfDir, s"$t.parquet"))
