@@ -67,4 +67,37 @@ class DynamicSessionPropertySpec extends SparkSpec {
     val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("tumbling/sliding window() assignment == integer floor arithmetic, incl. exact-boundary events") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // second-granularity events BIASED onto exact window edges (0/60/300)
+    // — the boundary cases a µs-random fixture never produces
+    val tsGen = Gen.frequency(
+      (3, Gen.choose(0L, 1800L).map(_ * 60)), // exact minute marks
+      (2, Gen.choose(0L, 108000L)))
+    val prop = Prop.forAll(Gen.listOfN(50, tsGen)) { tss =>
+      val df = tss.map(t => Tuple1(new java.sql.Timestamp(t * 1000L)))
+        .toDF("ts")
+      // tumbling 5 minutes: window start == floor(ts / 300) * 300
+      val tGot = df.groupBy(window(col("ts"), "5 minutes"))
+        .count()
+        .select(unix_micros(col("window.start")).as("st"), col("count"))
+        .collect().map(r => (r.getLong(0) / 1000000L, r.getLong(1))).toMap
+      val tWant = tss.groupBy(t => t / 300 * 300)
+        .map { case (k, v) => k -> v.size.toLong }
+      // sliding 10m/5m: each event lands in exactly the two slides
+      // covering it: floor(ts/300)*300 and that minus 300
+      val sGot = df.groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .count()
+        .select(unix_micros(col("window.start")).as("st"), col("count"))
+        .collect().map(r => (r.getLong(0) / 1000000L, r.getLong(1))).toMap
+      val sWant = tss.flatMap(t => Seq(t / 300 * 300, t / 300 * 300 - 300))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      tGot == tWant && sGot == sWant
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
