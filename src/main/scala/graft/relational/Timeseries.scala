@@ -431,6 +431,66 @@ object Timeseries {
                  AS balance,
                close_value IS NULL AS is_carried
         FROM j
-        ORDER BY user_id, day"""))
+        ORDER BY user_id, day""")),
+
+    // -------------------------------------------------------------- q175:
+    // Pointwise mutual information between event types co-occurring in
+    // the same (user, hour) basket — "which behaviors actually go
+    // together beyond chance" (PMI > 0) vs "which repel" (PMI < 0), the
+    // association measure q155's lift is the ratio form of. Every input
+    // to the formula is an exact integer (basket counts via the q155
+    // explode-pairs trick — never a basket self-join); PMI itself is
+    // ONE ln() per output row, rounded to 6dp (the q63 guard). The
+    // |types|² output is broadcast-sized at ANY event volume.
+    QueryDef(
+      "q175_event_pmi",
+      (s, d) => {
+        val bk = Tables(s, d, "events")
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+            col("event_type"))
+          .groupBy("user_id", "hr")
+          .agg(sort_array(collect_set(col("event_type"))).as("arr"))
+        val nB = bk.agg(count(lit(1)).as("n_baskets"))
+        val marg = bk.select(explode(col("arr")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("n_t"))
+        val pairs = bk
+          .select(explode(expr(
+            """flatten(transform(arr, (x, i) ->
+              |  transform(slice(arr, i + 2, size(arr)),
+              |            y -> struct(x AS ta, y AS tb))))""".stripMargin))
+            .as("p"))
+          .select(col("p.ta"), col("p.tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(marg.select(col("t").as("ta"),
+            col("n_t").as("n_a"))), "ta")
+          .join(broadcast(marg.select(col("t").as("tb"),
+            col("n_t").as("n_b"))), "tb")
+          .crossJoin(broadcast(nB))
+          .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+            round(log((col("n_ab") * col("n_baskets")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
+          .orderBy("ta", "tb")
+      },
+      Some("""
+        WITH bk AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+                           list_sort(list_distinct(list(event_type))) AS arr
+                    FROM events GROUP BY 1, 2),
+        n AS (SELECT count(*) AS n_baskets FROM bk),
+        m AS (SELECT t, count(*) AS n_t
+              FROM (SELECT unnest(arr) AS t FROM bk) GROUP BY 1),
+        pr AS (SELECT x.t AS ta, y.t AS tb, count(*) AS n_ab FROM (
+                 SELECT user_id, hr, unnest(arr) AS t FROM bk) x
+               JOIN (SELECT user_id, hr, unnest(arr) AS t FROM bk) y
+                 ON x.user_id = y.user_id AND x.hr = y.hr AND x.t < y.t
+               GROUP BY 1, 2)
+        SELECT pr.ta, pr.tb, pr.n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+               round(ln(CAST(pr.n_ab * n.n_baskets AS DOUBLE) /
+                        CAST(ma.n_t * mb.n_t AS DOUBLE)), 6) AS pmi
+        FROM pr
+        JOIN m ma ON ma.t = pr.ta
+        JOIN m mb ON mb.t = pr.tb
+        CROSS JOIN n
+        ORDER BY ta, tb"""))
   )
 }

@@ -826,6 +826,64 @@ object Windows {
         WHERE c.event_type = 'click'
         ORDER BY c_id, e_id NULLS FIRST""")),
 
+    // -------------------------------------------------------------- q174:
+    // stream-stream FULL OUTER interval join — completes the streaming
+    // join matrix (q75 inner, q117 left-outer): unmatched CLICKS emit
+    // null error columns AND unmatched ERRORS emit null click columns,
+    // each only once the watermark proves no partner can still arrive.
+    // Same state bound (both sides watermarked + the time-range
+    // condition), same two-sentinel drain and pushdown-proof sentinel
+    // admission as q117; the oracle is the batch FULL JOIN over the two
+    // typed slices. Null-emission rows for BOTH sides double the q117
+    // read-back care: sentinel pairs filter on coalesce(c_user, e_user).
+    QueryDef(
+      "q174_stream_stream_full_outer",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        val base = stableDir("q174", d)
+        val ckpt = base.resolve("ckpt").toString
+        val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
+        val srcDir = sentinelSrc(s, d, base, nSentinels = 2)
+        def side(tpe: String, prefix: String) =
+          eventsStream(s, d, srcDir.toString, "*.parquet")
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              col("ts").as(s"${prefix}_ts"),
+              col("event_type").as(s"${prefix}_type"))
+            .withWatermark(s"${prefix}_ts", "1 hour")
+            .filter(col(s"${prefix}_type") === tpe ||
+              col(s"${prefix}_user") === 1000000L)
+            .drop(s"${prefix}_type")
+        val joined = side("click", "c").join(
+          side("error", "e"),
+          expr("""c_user = e_user AND
+                  e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 30 MINUTES"""),
+          "full_outer")
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$out/batch_id=$id"): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .filter(coalesce(col("c_user"), col("e_user")) =!= 1000000L)
+          .select(col("c_id"), col("e_id"),
+            coalesce(col("c_user"), col("e_user")).as("user_id"))
+          .orderBy(col("c_id").asc_nulls_first, col("e_id").asc_nulls_first)
+      },
+      Some("""
+        SELECT c.event_id AS c_id, e.event_id AS e_id,
+               COALESCE(c.user_id, e.user_id) AS user_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id
+         AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY c_id NULLS FIRST, e_id NULLS FIRST""")),
+
     // -------------------------------------------------------------- q110:
     // transformWithState on RocksDB — Spark 4's arbitrary-state successor
     // to map/flatMapGroupsWithState: named, typed state variables on an
