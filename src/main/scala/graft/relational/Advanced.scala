@@ -1398,7 +1398,58 @@ object Advanced {
           FROM orders o LEFT JOIN
                (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
             ON o.o_custkey = c.c_custkey)
-        ORDER BY fk"""))
+        ORDER BY fk""")),
+
+    // -------------------------------------------------------------- q176:
+    // Benford first-digit audit over o_totalprice — the classic
+    // fabricated-numbers screen (expenses, invoices, vote counts):
+    // naturally-occurring multiplicative amounts put ~30.1% of first
+    // digits at 1; uniform or hand-picked numbers don't. Per digit:
+    // observed count (exact integer, from string ops — no float log10
+    // in the digit extraction), Benford's expected share ln(1 + 1/d) /
+    // ln(10) as a literal-free formula both engines compute identically,
+    // and the per-digit chi-square contribution rounded at 6dp. One
+    // 9-row aggregate; the corpus never shuffles more than its partials.
+    QueryDef(
+      "q176_benford_audit",
+      (s, d) => {
+        val digits = Tables(s, d, "orders")
+          .select(expr(
+            "CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,4)) " +
+              "AS STRING), 1, 1) AS INT)").as("digit"))
+          .filter(col("digit").between(1, 9))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val total = digits.agg(sum("n_obs").as("n_total"))
+        digits.crossJoin(broadcast(total))
+          .select(col("digit"), col("n_obs"),
+            round(col("n_obs").cast("double") /
+              col("n_total").cast("double"), 6).as("p_obs"),
+            round(expr("ln(1.0 + 1.0 / digit) / ln(10.0)"), 6)
+              .as("p_benford"),
+            round(
+              expr("""pow(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                     |  - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                     |/ (ln(1.0 + 1.0 / digit) / ln(10.0))""".stripMargin),
+              6).as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH dg AS (SELECT CAST(substring(CAST(CAST(o_totalprice AS
+                      DECIMAL(18,4)) AS VARCHAR), 1, 1) AS INTEGER)
+                      AS digit
+                    FROM orders),
+        c AS (SELECT digit, count(*) AS n_obs FROM dg
+              WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c)
+        SELECT digit, n_obs,
+               round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                 AS p_obs,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS p_benford,
+               round(pow(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                     - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                     / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS chi2_term
+        FROM c CROSS JOIN t
+        ORDER BY digit"""))
   )
 
   /** SCD2 interval build over an (user_id, event_id, ts, event_type) frame

@@ -491,6 +491,46 @@ object Timeseries {
         JOIN m ma ON ma.t = pr.ta
         JOIN m mb ON mb.t = pr.tb
         CROSS JOIN n
-        ORDER BY ta, tb"""))
+        ORDER BY ta, tb""")),
+
+    // -------------------------------------------------------------- q177:
+    // Day-of-week seasonality profile per event_type: each type's share
+    // of events by weekday and its seasonality index (share × 7 — 1.0 =
+    // flat, >1 = overrepresented day), the weekly fingerprint an ops
+    // dashboard draws and an anomaly detector normalizes by before
+    // alerting (a Monday spike is only a spike relative to Mondays).
+    // Counts are exact integers on a 7×|types| key; the two divisions
+    // are the only IEEE ops, rounded at 6dp. Weekday = Spark weekday()
+    // == DuckDB isodow − 1 (the q20 equivalence, Monday = 0).
+    QueryDef(
+      "q177_weekday_seasonality",
+      (s, d) => {
+        val byDow = Tables(s, d, "events")
+          .select(col("event_type"), weekday(col("ts")).cast("int").as("wd"))
+          .groupBy("event_type", "wd").agg(count(lit(1)).as("n"))
+        val totals = byDow.groupBy("event_type")
+          .agg(sum("n").as("n_type"))
+        byDow.join(broadcast(totals), "event_type")
+          .select(col("event_type"), col("wd"), col("n"),
+            round(col("n").cast("double") /
+              col("n_type").cast("double"), 6).as("share"),
+            round(col("n").cast("double") * 7.0 /
+              col("n_type").cast("double"), 6).as("seasonality_idx"))
+          .orderBy("event_type", "wd")
+      },
+      Some("""
+        WITH b AS (SELECT event_type,
+                          CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+              FROM b GROUP BY 1)
+        SELECT b.event_type, b.wd, b.n,
+               round(CAST(b.n AS DOUBLE) / CAST(t.n_type AS DOUBLE), 6)
+                 AS share,
+               round(CAST(b.n AS DOUBLE) * 7.0 / CAST(t.n_type AS DOUBLE), 6)
+                 AS seasonality_idx
+        FROM b JOIN t USING (event_type)
+        ORDER BY event_type, wd"""))
   )
 }
