@@ -357,5 +357,67 @@ object Graph {
         SELECT node, min(dist) AS dist FROM lv
         GROUP BY node ORDER BY dist, node"""),
     ),
+
+    // -------------------------------------------------------------- q178:
+    // Item-item cosine recommendations ("customers also bought"): the
+    // similarity form of q155's association rules — sim(a,b) =
+    // n_ab / sqrt(n_a · n_b) over basket co-occurrence, top-3 neighbors
+    // per brand. sqrt is IEEE-correctly-rounded, so the single float
+    // expression is bit-stable cross-engine; ranking still orders by the
+    // ROUNDED sim with a neighbor tiebreak (q63 discipline). Rides the
+    // SAME cached basket/pair artifacts as q155–q158 — marginal cost of
+    // a new recommender kernel on the materialized graph is one
+    // |brands|²-sized window, no corpus work at all.
+    QueryDef(
+      "q178_item_item_recs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val arr = basketArr(s, d)
+        val pairs = pairCounts(s, d)
+        val marg = arr.select(explode(col("arr")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n_b"))
+        val sym = pairs.select(col("ba").as("brand"), col("bb").as("rec"),
+            col("n_ab"))
+          .unionAll(pairs.select(col("bb").as("brand"), col("ba").as("rec"),
+            col("n_ab")))
+        val w = Window.partitionBy("brand")
+          .orderBy(col("sim").desc, col("rec"))
+        sym
+          .join(broadcast(marg.select(col("b").as("brand"),
+            col("n_b").as("n_brand"))), "brand")
+          .join(broadcast(marg.select(col("b").as("rec"),
+            col("n_b").as("n_rec"))), "rec")
+          .withColumn("sim", round(col("n_ab").cast("double") /
+            sqrt((col("n_brand") * col("n_rec")).cast("double")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("brand"), col("rk"), col("rec"), col("n_ab"),
+            col("sim"))
+          .orderBy("brand", "rk")
+      },
+      Some("""
+        WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                         FROM lineitem JOIN part ON l_partkey = p_partkey),
+        pairs AS (SELECT x.b AS ba, y.b AS bb, count(*) AS n_ab
+                  FROM baskets x JOIN baskets y
+                    ON x.ok = y.ok AND x.b < y.b
+                  GROUP BY 1, 2),
+        marg AS (SELECT b, count(*) AS n_b FROM baskets GROUP BY 1),
+        sym AS (SELECT ba AS brand, bb AS rec, n_ab FROM pairs
+                UNION ALL SELECT bb, ba, n_ab FROM pairs),
+        sc AS (SELECT s.brand, s.rec, s.n_ab,
+                      round(CAST(s.n_ab AS DOUBLE) /
+                        sqrt(CAST(mb.n_b * mr.n_b AS DOUBLE)), 6) AS sim
+               FROM sym s
+               JOIN marg mb ON mb.b = s.brand
+               JOIN marg mr ON mr.b = s.rec),
+        r AS (SELECT brand, rec, n_ab, sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY brand
+                     ORDER BY sim DESC, rec) AS INTEGER) AS rk
+              FROM sc)
+        SELECT brand, rk, rec, n_ab, sim
+        FROM r WHERE rk <= 3
+        ORDER BY brand, rk"""),
+    ),
   )
 }

@@ -531,6 +531,72 @@ object Timeseries {
                round(CAST(b.n AS DOUBLE) * 7.0 / CAST(t.n_type AS DOUBLE), 6)
                  AS seasonality_idx
         FROM b JOIN t USING (event_type)
+        ORDER BY event_type, wd""")),
+
+    // -------------------------------------------------------------- q179:
+    // Chi-square INDEPENDENCE test on the event_type × weekday
+    // contingency table — "is behavior mix actually day-dependent?",
+    // the inferential complement of q177's descriptive profile (and a
+    // different test from q176's goodness-of-fit and q152's z-test:
+    // this one has no assumed distribution, expectations come from the
+    // margins). Observed counts and all three margins are exact
+    // integers; each cell's expected value and χ² term is one IEEE
+    // expression rounded at 6dp, and the table-level χ² folds the
+    // ROUNDED terms as BIGINT 1e6-units so the 35-cell sum is
+    // order-free. Contingency tables are |types|×7 at any volume.
+    QueryDef(
+      "q179_chi2_independence",
+      (s, d) => {
+        val cells = Tables(s, d, "events")
+          .select(col("event_type"), weekday(col("ts")).cast("int").as("wd"))
+          .groupBy("event_type", "wd").agg(count(lit(1)).as("n_obs"))
+        val rowT = cells.groupBy("event_type").agg(sum("n_obs").as("n_row"))
+        val colT = cells.groupBy("wd").agg(sum("n_obs").as("n_col"))
+        val grand = cells.agg(sum("n_obs").as("n_all"))
+        val scored = cells
+          .join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "wd")
+          .crossJoin(broadcast(grand))
+          .withColumn("expected", round(
+            (col("n_row") * col("n_col")).cast("double") /
+              col("n_all").cast("double"), 6))
+          .withColumn("chi2_term", round(
+            expr("""pow(CAST(n_obs AS DOUBLE) -
+                   |  CAST(n_row * n_col AS DOUBLE) / CAST(n_all AS DOUBLE), 2)
+                   |/ (CAST(n_row * n_col AS DOUBLE) / CAST(n_all AS DOUBLE))"""
+              .stripMargin), 6))
+        val total = scored
+          .agg((sum(expr("CAST(round(chi2_term * 1e6) AS BIGINT)"))
+            .cast("double") / 1e6).as("chi2_total"))
+        scored.crossJoin(broadcast(total))
+          .select(col("event_type"), col("wd"), col("n_obs"),
+            col("expected"), col("chi2_term"), col("chi2_total"))
+          .orderBy("event_type", "wd")
+      },
+      Some("""
+        WITH c AS (SELECT event_type,
+                          CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+                          count(*) AS n_obs
+                   FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_row
+               FROM c GROUP BY 1),
+        ct AS (SELECT wd, CAST(sum(n_obs) AS BIGINT) AS n_col
+               FROM c GROUP BY 1),
+        g AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_all FROM c),
+        sc AS (SELECT c.event_type, c.wd, c.n_obs,
+                 round(CAST(rt.n_row * ct.n_col AS DOUBLE) /
+                   CAST(g.n_all AS DOUBLE), 6) AS expected,
+                 round(pow(CAST(c.n_obs AS DOUBLE) -
+                     CAST(rt.n_row * ct.n_col AS DOUBLE) /
+                     CAST(g.n_all AS DOUBLE), 2)
+                   / (CAST(rt.n_row * ct.n_col AS DOUBLE) /
+                      CAST(g.n_all AS DOUBLE)), 6) AS chi2_term
+               FROM c JOIN rt USING (event_type) JOIN ct USING (wd)
+               CROSS JOIN g),
+        tot AS (SELECT CAST(sum(CAST(round(chi2_term * 1e6) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS chi2_total FROM sc)
+        SELECT event_type, wd, n_obs, expected, chi2_term, chi2_total
+        FROM sc CROSS JOIN tot
         ORDER BY event_type, wd"""))
   )
 }
