@@ -597,6 +597,44 @@ object Timeseries {
                   AS DOUBLE) / 1e6 AS chi2_total FROM sc)
         SELECT event_type, wd, n_obs, expected, chi2_term, chi2_total
         FROM sc CROSS JOIN tot
-        ORDER BY event_type, wd"""))
+        ORDER BY event_type, wd""")),
+
+    // -------------------------------------------------------------- q180:
+    // Rolling 7-day active users (the WAU curve) — the growth metric
+    // every product dashboard leads with, computed the SCALABLE way:
+    // each distinct (user, day) incidence fans out to the ≤7 window-end
+    // days it contributes to (a bounded ×7 expand of the |user-days|
+    // frame), then one distinct count per end day. The naive
+    // formulation re-scans the corpus per day (365 scans/year) or
+    // range-joins days × activity; this is one scan + one bounded
+    // expand + one exact distinct aggregate, at any event volume.
+    QueryDef(
+      "q180_rolling_wau",
+      (s, d) => {
+        val ud = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val dmax = ud.agg(max("day").as("dmax"))
+        ud.select(col("user_id"),
+            explode(expr("sequence(0, 6)")).as("g"), col("day"))
+          .select(col("user_id"), expr("date_add(day, g)").as("wday"))
+          .crossJoin(broadcast(dmax))
+          .filter(col("wday") <= col("dmax"))
+          .groupBy("wday")
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .orderBy("wday")
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events),
+        mx AS (SELECT max(day) AS dmax FROM ud),
+        ex AS (SELECT user_id, day + CAST(g AS INTEGER) AS wday
+               FROM ud, (SELECT unnest(generate_series(0, 6)) AS g))
+        SELECT CAST(wday AS DATE) AS wday,
+               count(DISTINCT user_id) AS wau
+        FROM ex, mx
+        WHERE wday <= dmax
+        GROUP BY 1
+        ORDER BY wday"""))
   )
 }
