@@ -126,7 +126,7 @@ object Dedup {
     // "Recursive update" whenever the two keys share a bin (bin choice
     // varies per run via identityHashCode). A lost race merely costs a
     // duplicate build.
-    val k = s"${System.identityHashCode(s)}:$key"
+    val k = s"${graft.util.SessionToken(s)}:$key"
     val existing = dedupCache.get(k)
     if (existing != null) existing
     else {

@@ -53,7 +53,7 @@ object Graph {
   private[graft] def clearArtifactCache(): Unit = graphCache.clear()
 
   private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = s"${System.identityHashCode(s)}:$key"
+    val k = s"${graft.util.SessionToken(s)}:$key"
     val existing = graphCache.get(k)
     if (existing != null) existing
     else {

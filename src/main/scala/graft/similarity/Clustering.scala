@@ -58,7 +58,7 @@ object Clustering {
   /** Drop the cached k-means run (Bench cold mode). */
   private[graft] def clearArtifactCache(): Unit = cache.clear()
   private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = s"${System.identityHashCode(s)}:$key"
+    val k = s"${graft.util.SessionToken(s)}:$key"
     val existing = cache.get(k)
     if (existing != null) existing
     else {
@@ -127,7 +127,7 @@ object Clustering {
       for (_ <- 1 to Rounds) {
         cents = centroids(pts, assign(pts, cents)).localCheckpoint(true)
       }
-      cache.putIfAbsent(s"${System.identityHashCode(s)}:kmeans-cents:$d", cents)
+      cache.putIfAbsent(s"${graft.util.SessionToken(s)}:kmeans-cents:$d", cents)
       assign(pts, cents)
     }
 
@@ -145,7 +145,7 @@ object Clustering {
     * spec-only surface (Voronoi-optimality check). */
   private[graft] def finalCentroids(s: SparkSession, d: String): DataFrame = {
     finalAssign(s, d)
-    cache.get(s"${System.identityHashCode(s)}:kmeans-cents:$d")
+    cache.get(s"${graft.util.SessionToken(s)}:kmeans-cents:$d")
   }
 
   /** The k-means replay as DuckDB CTEs (terminal CTE: `a2`), shared by

@@ -35,6 +35,16 @@ object Bpe {
 
   val Rounds = 10
 
+  /** Hard cap on word-TYPE rows collected to the trainer. The floor
+    * derivation guarantees it by Markov's inequality: every kept type
+    * has freq ≥ floor = ceil(totalTokens / MaxDriverTypes), and type
+    * frequencies sum to totalTokens, so kept rows ≤ totalTokens / floor
+    * ≤ MaxDriverTypes — a bound that holds BY CONSTRUCTION at any corpus
+    * size (4M rows ≈ a few hundred MB driver heap, the same order as the
+    * vocab artifact q113 broadcasts). At fixture scale totalTokens ≪
+    * MaxDriverTypes, so floor = 1 and nothing is pruned. */
+  val MaxDriverTypes = 4000000L
+
   /** One greedy merge of (l, r) over the symbol array, as a codegen-side
     * fold: acc.last == l && x == r -> replace last with l+r, else append.
     * The merged symbol (l+r != l) can never immediately re-match as a
@@ -67,7 +77,7 @@ object Bpe {
     * tokenizer q113 applies. */
   private def trained(s: SparkSession, d: String, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val key = s"${System.identityHashCode(s)}:$d:$rounds"
+    val key = s"${graft.util.SessionToken(s)}:$d:$rounds"
     val existing = trainedCache.get(key)
     if (existing != null) existing
     else {
@@ -114,16 +124,82 @@ object Bpe {
     * Exactness: identical merges and tie order to the previous
     * recount-per-round formulation — the q111/q113 oracles are unchanged
     * and BpeSpec additionally pins maintained counts == a from-scratch
-    * Spark recount of the final word table after 100 rounds. */
+    * Spark recount of the final word table after 100 rounds.
+    *
+    * Driver-residency bound (the 100 TB seam, closed): the collect is
+    * gated by a frequency floor derived so at most [[MaxDriverTypes]]
+    * rows ever reach the driver (see the constant's Markov argument).
+    * Pruning is NOT approximate: every round's argmax is CERTIFIED
+    * against `slack` — an upper bound on what the pruned tail could add
+    * to ANY pair count at ANY round (a pruned word of length n
+    * contributes ≤ freq·(n−1) to all pairs combined, and merges only
+    * shrink symbol counts, so Σ freq·(len−1) over pruned types bounds
+    * the tail's contribution to every pair forever). If the winning
+    * margin ever fails to clear the slack, training falls back to the
+    * exact floor=1 path — so the result is ALWAYS the exact BPE merge
+    * sequence; the floor is a fast path that Zipfian corpora satisfy
+    * for production round counts (head-pair margins dwarf the hapax
+    * tail). Emitted pair_counts are exact whenever floor = 1 (always at
+    * fixture scale) and within `slack` of exact otherwise. */
   private def trainUncached(s: SparkSession, d: String, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    // the one corpus-sized pass: collapse to word types + frequencies
-    val typeRows = Tables(s, d, "documents")
+    // the one corpus-sized pass: collapse to word types + frequencies;
+    // localCheckpoint pins it for the gated collect AND the distributed
+    // re-encode below without recomputing the corpus scan
+    val full = Tables(s, d, "documents")
       .select(explode(expr(TextAnalysis.tokensExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .collect()
-    val words = typeRows.map(_.getString(0))
-    val freqs = typeRows.map(_.getLong(1))
+      .localCheckpoint()
+    val total = full.agg(coalesce(sum("freq"), lit(0L))).head.getLong(0)
+    val autoFloor = math.max(1L, (total + MaxDriverTypes - 1L) / MaxDriverTypes)
+    val merges = trainAtFloor(full, rounds, autoFloor)
+    // trained word table: the FULL type table with the learned merges
+    // applied distributively — rare types never visit the driver, yet
+    // q113/q142 see every word (a pruned trainer table must not leak
+    // into the encoder's vocabulary coverage)
+    val mergePairs = merges.map { case (_, l, r, _) => (l, r) }
+    val bcMerges = s.sparkContext.broadcast(mergePairs)
+    import s.implicits._
+    val trainedWords = full.map { row =>
+      var ss: IndexedSeq[String] = row.getString(0).map(_.toString)
+      for ((l, r) <- bcMerges.value) ss = mergeLocal(ss, l, r)
+      (row.getString(0), row.getLong(1), ss: Seq[String])
+    }.toDF("word", "freq", "syms")
+    (merges, trainedWords)
+  }
+
+  /** Collect the floor-gated type table and train; falls back to the
+    * exact floor=1 path if any round's argmax cannot be certified
+    * against the pruned tail's slack. Records the introspection fields
+    * BpeSpec pins the bound with. */
+  private[text] def trainAtFloor(full: DataFrame, rounds: Int, floor: Long)
+      : Seq[(Int, String, String, Long)] = {
+    val kept = if (floor <= 1L) full else full.filter(col("freq") >= floor)
+    val slack =
+      if (floor <= 1L) 0L
+      else full.filter(col("freq") < floor)
+        .agg(coalesce(sum(expr("freq * (length(word) - 1)")), lit(0L)))
+        .head.getLong(0)
+    val typeRows = kept.collect()
+    lastFloor = floor
+    lastSlack = slack
+    lastCollectedTypes = typeRows.length.toLong
+    trainCore(typeRows.map(_.getString(0)), typeRows.map(_.getLong(1)),
+      rounds, slack) match {
+      case Some(m) => m
+      case None =>
+        // certification failed: a pruned-tail contribution could have
+        // flipped an argmax — retrain exactly (cannot recurse: slack=0
+        // always certifies)
+        trainAtFloor(full, rounds, 1L)
+    }
+  }
+
+  /** The incremental merge loop on a collected type table. Returns None
+    * iff slack > 0 and some round's winning margin does not strictly
+    * clear it (i.e. exactness cannot be certified under pruning). */
+  private def trainCore(words: Array[String], freqs: Array[Long],
+      rounds: Int, slack: Long): Option[Seq[(Int, String, String, Long)]] = {
     val syms: Array[IndexedSeq[String]] =
       words.map(w => w.map(_.toString): IndexedSeq[String])
     // pair counts + inverted pair→word-index — both vocab-bounded
@@ -157,10 +233,20 @@ object Bpe {
     var i = 0
     while (i < syms.length) { addWord(i); i += 1 }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (round <- 1 to rounds if pairCounts.nonEmpty) {
+    var round = 1
+    while (round <= rounds && pairCounts.nonEmpty) {
       // argmax with the exact (cnt DESC, l ASC, r ASC) tie order the
       // recount's orderBy used
       val ((l, r), cnt) = pairCounts.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+      if (slack > 0L) {
+        // certify the argmax against the pruned tail: the winner must
+        // strictly out-margin both the runner-up (whose true count may
+        // gain ≤ slack) and any pair living ONLY in pruned words (true
+        // count ≤ slack). Strict margins make the tie order irrelevant.
+        var second = 0L
+        for ((k, c) <- pairCounts) if (k != ((l, r)) && c > second) second = c
+        if (cnt - second <= slack || cnt <= slack) return None
+      }
       merges += ((round, l, r, cnt))
       val affected = pairWords.getOrElse((l, r), Set.empty).toArray.sorted
       for (w <- affected) {
@@ -168,17 +254,18 @@ object Bpe {
         syms(w) = mergeLocal(syms(w), l, r)
         addWord(w)
       }
+      round += 1
     }
     lastPairCounts = pairCounts.toMap
-    // the trained word table goes back to Spark for q113's broadcast join
-    import scala.jdk.CollectionConverters._
-    val trainedWords = s.createDataFrame(
-      words.indices.map(j => org.apache.spark.sql.Row(
-        words(j), freqs(j), syms(j))).asJava,
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "word STRING, freq BIGINT, syms ARRAY<STRING>"))
-    (merges.result(), trainedWords)
+    Some(merges.result())
   }
+
+  /** Introspection of the most recent [[trainAtFloor]] run — BpeSpec pins
+    * the driver bound with these (rows collected ≤ MaxDriverTypes holds
+    * structurally; these make it assertable). Never read by query paths. */
+  @volatile private[graft] var lastFloor: Long = 1L
+  @volatile private[graft] var lastSlack: Long = 0L
+  @volatile private[graft] var lastCollectedTypes: Long = 0L
 
   /** Final maintained pair map of the most recent training run — spec
     * introspection only (BpeSpec proves it equals a from-scratch recount
@@ -330,11 +417,18 @@ object Bpe {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val words = broadcast(trained(s, d, Rounds)._2.select("word", "syms"))
-        // vocab-bounded global rank: the single-partition window covers
-        // |symbols| rows (alphabet + merges), never corpus data
+        // vocab-id assignment via the q171 top-k pattern: orderBy+limit
+        // plans TakeOrderedAndProject (k rows per partition cross the
+        // wire), then the rank window runs over the ≤cap survivors only
+        // — no vocab-sized single-partition WindowExec. The cap provably
+        // never truncates: base symbols are single chars of [a-z0-9]+
+        // tokens (≤ 36) and each merge round mints exactly one new
+        // symbol, so |vocab| ≤ 36 + rounds.
+        val vocabCap = 36 + Rounds
         val vocab = broadcast(
           trained(s, d, Rounds)._2.select(explode(col("syms")).as("sym"))
             .distinct()
+            .orderBy("sym").limit(vocabCap)
             .withColumn("token_id",
               (row_number().over(Window.orderBy("sym")) - 1).cast("int")))
         val w = Window.partitionBy("doc_id").orderBy("wpos", "spos")

@@ -274,7 +274,13 @@ object Indexing {
         // corpus stats over docs that HAVE tokens (dl rows) — same
         // population both engines
         val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tot_dl"))
+        // df-ranks 5-7 via the q171 top-k pattern: orderBy+limit plans
+        // TakeOrderedAndProject (7 rows per partition cross the wire, at
+        // any vocab size), and the rank window then runs over the 7
+        // survivors only — a bare global row_number here would pull the
+        // whole vocab through one partition.
         val qterms = dfreq
+          .orderBy(col("df").desc, col("term")).limit(7)
           .withColumn("dfrk", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(col("df").desc, col("term"))))

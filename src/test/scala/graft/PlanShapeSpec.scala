@@ -249,6 +249,43 @@ class PlanShapeSpec extends SparkSpec {
       s"posting scoring shuffled the corpus side:\n$plan")
   }
 
+  test("q03 flagship: dims broadcast, no cartesian, top-10 is TakeOrderedAndProject") {
+    val plan = finalPlan("q03_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in the 3-way star:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a join degenerated to a cartesian/nested-loop:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 planned as a global sort:\n$plan")
+  }
+
+  test("q144 interval overlap: bucket decomposition keeps every join an equi-join") {
+    val plan = finalPlan("q144_interval_overlap_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join planned as nested-loop/cartesian:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(plan).isDefined,
+      s"no hash-based equi-join in the plan:\n$plan")
+  }
+
+  test("q159 df-ranks derive via TakeOrderedAndProject, never a vocab-wide window") {
+    val plan = finalPlan("q159_bm25_topk")
+    // two top-k sites: the qterms df-rank derivation (limit 7) and the
+    // final top-10 — both must plan as TakeOrderedAndProject so only k
+    // rows per partition ever cross the wire; any Window in the plan
+    // runs over the ≤7 survivors, not the vocabulary
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"df-rank window not reduced to a top-k plan:\n$plan")
+  }
+
+  test("q142 vocab-id assignment rides a TakeOrderedAndProject capped at |alphabet|+rounds") {
+    val plan = finalPlan("q142_bpe_tokenize_ids")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab-id rank not planned as top-k:\n$plan")
+  }
+
   test("q161 TWAP: window and aggregation share ONE user_id exchange") {
     val plan = finalPlan("q161_time_weighted_avg")
     // one shuffle for the window; the groupBy on the same key reuses the
