@@ -40,7 +40,7 @@ object DatasetFetch {
   }
 
   private def listFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    graft.util.Fs.children(dir).filter(Files.isRegularFile(_))
       .sortBy(_.getFileName.toString)
 
   private def manifestPath(slot: Path): Path = slot.resolve("_MANIFEST")

@@ -27,7 +27,7 @@ object Partitioned {
     * changes the key, so the warehouse is rebuilt instead of silently
     * serving stale data (the failure mode of keying by `d.hashCode` alone).
     */
-  private def fixtureKey(d: String): String = {
+  private[graft] def fixtureKey(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
@@ -183,8 +183,7 @@ object Partitioned {
           // fixture version, like eventsByDay)
           Tables(s, d, "events").repartition(64)
             .write.mode("overwrite").parquet(small.toString)
-          val bytes = java.nio.file.Files.list(small).toArray.map(
-            p => p.asInstanceOf[java.nio.file.Path])
+          val bytes = graft.util.Fs.children(small)
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .map(java.nio.file.Files.size).sum
           val target = 4L * 1024 * 1024
@@ -214,12 +213,10 @@ object Partitioned {
   private[graft] def compactionCounts(d: String): (Int, Int, Int) = {
     val root = java.nio.file.Paths.get(s"/tmp/graft_compact/ev_${fixtureKey(d)}")
     def count(p: java.nio.file.Path): Int =
-      java.nio.file.Files.list(p).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
+      graft.util.Fs.children(p)
         .count(_.getFileName.toString.endsWith(".parquet"))
     val small = count(root.resolve("small"))
-    val bytes = java.nio.file.Files.list(root.resolve("small")).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
+    val bytes = graft.util.Fs.children(root.resolve("small"))
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(java.nio.file.Files.size).sum
     val expected = math.max(1,

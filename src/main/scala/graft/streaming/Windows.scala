@@ -36,11 +36,19 @@ object Windows {
     * raw longs — wrong by 1000×, silently. Reading the footer makes the
     * stream see whatever the batch reader sees; normalizeEventsTs (the
     * same seam Tables uses) then maps any recognized encoding onto
-    * TIMESTAMP and throws on an unrecognized one. */
+    * TIMESTAMP and throws on an unrecognized one.
+    *
+    * Keyed by content fingerprint (every file's name:mtime:size, the same
+    * [[Partitioned.fixtureKey]] the warehouse uses), NOT by path: an
+    * in-place fixture regeneration under a different encoding would
+    * otherwise leave a long-lived JVM streaming with the stale footer
+    * schema while the batch path re-reads the new one — the exact drift
+    * class normalizeEventsTs defends against, reintroduced within one
+    * session. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
   private def eventsSchema(s: SparkSession, d: String): StructType =
-    schemaCache.computeIfAbsent(d,
+    schemaCache.computeIfAbsent(graft.sources.Partitioned.fixtureKey(d),
       _ => s.read.parquet(s"$d/events.parquet").schema)
 
   /** Streaming mirror of `Tables(s, d, "events")`: footer-derived schema,
@@ -114,16 +122,7 @@ object Windows {
     * consistent; StreamingSpec's kill/rerun case drives both paths.) */
   private[graft] def sweepStaleSink(ckpt: String, out: String): Unit = {
     val (c, o) = (java.nio.file.Paths.get(ckpt), java.nio.file.Paths.get(out))
-    if (!Files.exists(c) && Files.exists(o)) {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-          val it = Files.list(p).iterator()
-          while (it.hasNext) rm(it.next())
-        }
-        Files.delete(p)
-      }
-      rm(o)
-    }
+    if (!Files.exists(c) && Files.exists(o)) graft.util.Fs.rmTree(o)
   }
 
   /** One source dir = symlinked fixture + a far-future SENTINEL file (a
@@ -200,12 +199,8 @@ object Windows {
         })
         s.createDataFrame(java.util.List.of(row), sch)
           .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = Files.list(tmpOut).iterator()
-        var sentinelFile: java.nio.file.Path = null
-        while (part.hasNext) {
-          val p = part.next()
-          if (p.getFileName.toString.endsWith(".parquet")) sentinelFile = p
-        }
+        val sentinelFile = graft.util.Fs.children(tmpOut)
+          .find(_.getFileName.toString.endsWith(".parquet")).get
         Files.copy(sentinelFile, staging.resolve(s"zz_sentinel$i.parquet"))
       }
       Files.move(staging, srcDir) // atomic publish: exists => complete
@@ -326,7 +321,7 @@ object Windows {
                      epoch_us(ts) + CASE WHEN event_type = 'purchase'
                        THEN 300000000 ELSE 600000000 END AS end_us
                    FROM events WHERE user_id < 20),
-        r AS (SELECT user_id, ts, value, end_us,
+        r AS (SELECT user_id, ts, event_id, value, end_us,
                 CASE WHEN MAX(end_us) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -336,8 +331,12 @@ object Windows {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 THEN 1 ELSE 0 END AS new_s
               FROM e),
+        -- the s2 window MUST use the same (ts, event_id) tiebreak as r:
+        -- ordering by (ts, end_us) here could assign an exact-µs-tied row
+        -- to the wrong session when the cumulative SUM visits ties in a
+        -- different order than the running-max frame did.
         s2 AS (SELECT user_id, ts, value, end_us,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, end_us
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
                FROM r)
         SELECT user_id, MIN(ts) AS session_start,
@@ -1048,12 +1047,9 @@ object Windows {
             val tmp = Files.createTempDirectory("graft_q141_part_")
             all.filter(col("op") === op)
               .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            val part = Files.list(tmp).iterator()
-            while (part.hasNext) {
-              val p = part.next()
-              if (p.getFileName.toString.endsWith(".parquet"))
-                Files.copy(p, staging.resolve(s"change$i.parquet"))
-            }
+            graft.util.Fs.children(tmp)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .foreach(p => Files.copy(p, staging.resolve(s"change$i.parquet")))
           }
           Files.move(staging, srcDir) // atomic publish: exists => complete
         }
@@ -1197,12 +1193,11 @@ object Windows {
   /** Highest-numbered state version dir under `stateRoot`. */
   private[graft] def latestStateVersion(
       stateRoot: java.nio.file.Path): java.nio.file.Path = {
-    val it = Files.list(stateRoot).iterator()
-    var best = -1
-    while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      if (n.startsWith("ver")) best = math.max(best, n.drop(3).toInt)
-    }
+    val best = graft.util.Fs.children(stateRoot)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("ver"))
+      .map(_.drop(3).toInt)
+      .max
     stateRoot.resolve(s"ver$best")
   }
 }

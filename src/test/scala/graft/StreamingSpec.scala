@@ -230,6 +230,82 @@ class StreamingSpec extends SparkSpec {
     assert(r3 == r1, "re-applied batch 0 changed the final state")
   }
 
+  test("q141 mid-batch crash: kill between version write and checkpoint " +
+      "commit; the restarted run re-applies the batch identically") {
+    // The ugliest exactly-once timing: foreachBatch has WRITTEN state
+    // version id+1, then the process dies before Spark commits batch id
+    // to the checkpoint. On restart the batch re-runs from the offset
+    // log (same id, same file), re-reads the UNTOUCHED version id, and
+    // must rewrite version id+1 with identical content — q141's
+    // versioning contract under a real injected crash, not a simulated
+    // re-apply. Own dirs (not the declared query's stableDir): this test
+    // deliberately corrupts mid-run state.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val base = java.nio.file.Files.createTempDirectory("graft_q141crash_")
+    val stateRoot = base.resolve("state")
+    val srcDir = base.resolve("changes")
+    val ckpt = base.resolve("ckpt").toString
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .withColumn("action", lit("kept"))
+      .write.mode("overwrite").parquet(stateRoot.resolve("ver0").toString)
+    val all = graft.relational.Temporal.cdcChangeset(spark, sfDir)
+    val staging = java.nio.file.Files.createTempDirectory("graft_q141crash_src_")
+    Seq("D", "U", "I").zipWithIndex.foreach { case (op, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q141crash_part_")
+      all.filter(col("op") === op)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      graft.util.Fs.children(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(
+          p, staging.resolve(s"change$i.parquet")))
+    }
+    java.nio.file.Files.move(staging, srcDir)
+    val chSchema = StructType(Seq(
+      StructField("k", LongType), StructField("op", StringType),
+      StructField("new_price", DoubleType)))
+    def run(crashAfterBatch: Option[Long]): Unit = {
+      val q = spark.readStream.schema(chSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.Windows.applyCdcBatch(stateRoot, batch, id)
+          // crash AFTER the version write, BEFORE returning — Spark never
+          // commits this batch's epoch, exactly the kill window
+          if (crashAfterBatch.contains(id))
+            throw new RuntimeException("injected mid-batch crash")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def stateRows(v: String): Seq[String] =
+      spark.read.parquet(stateRoot.resolve(v).toString)
+        .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    intercept[StreamingQueryException] { run(crashAfterBatch = Some(1L)) }
+    // the doomed attempt DID write ver2 — capture it pre-retry
+    val ver2FromCrashedAttempt = stateRows("ver2")
+    assert(ver2FromCrashedAttempt.nonEmpty, "crash injected before the write")
+    // restart: batch 1 re-runs from the offset log, then batch 2 drains
+    run(crashAfterBatch = None)
+    assert(stateRows("ver2") == ver2FromCrashedAttempt,
+      "retried batch 1 produced a DIFFERENT ver2 than the crashed attempt")
+    // version ledger is exactly ver0..ver3 — no duplicate, no gap
+    val vers = graft.util.Fs.children(stateRoot)
+      .map(_.getFileName.toString).sorted
+    assert(vers == Seq("ver0", "ver1", "ver2", "ver3"),
+      s"state version ledger corrupted: $vers")
+    // and the crash-retried end state is byte-equal to the one-shot MERGE
+    val fin = stateRows("ver3")
+    val oneShot = SparkEntry.queries("q131_cdc_apply")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(fin == oneShot,
+      "crash-retried streamed CDC final state != one-shot MERGE result")
+  }
+
   test("killed-run sink partitions cannot leak into a fresh run (q75/q76 sweep)") {
     // The nightmare mode: a run is killed (or its checkpoint discarded),
     // its per-batch_id sink partitions survive, and the NEXT run — which
@@ -241,13 +317,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).toSeq
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val it = java.nio.file.Files.list(p).iterator()
-        while (it.hasNext) rm(it.next())
-      }
-      java.nio.file.Files.delete(p)
-    }
+    def rm(p: java.nio.file.Path): Unit = graft.util.Fs.rmTree(p)
     def killRerun(name: String, dirName: String)(
         plantOrphan: java.nio.file.Path => Unit): Unit = {
       val r1 = canon(SparkEntry.queries(name)(spark, sfDir))
@@ -263,7 +333,7 @@ class StreamingSpec extends SparkSpec {
     // q75: per-batch_id PARTITION dirs — plant a full copy of the first
     // partition under an id no rerun produces (duplicates every row)
     killRerun("q75_stream_stream_join", "q75") { out =>
-      val first = java.nio.file.Files.list(out).iterator().asScala
+      val first = graft.util.Fs.children(out)
         .find(p => p.getFileName.toString.startsWith("batch_id="))
         .getOrElse(fail(s"no batch partitions under $out"))
       spark.read.parquet(first.toString)
