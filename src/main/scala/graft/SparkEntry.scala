@@ -18,6 +18,8 @@ object SparkEntry {
       graft.relational.RuntimeFilters.defs ++
       graft.relational.Timeseries.defs ++
       graft.relational.Frontier.defs ++
+      graft.relational.Observability.defs ++
+      graft.catalog.CatalogQueries.defs ++
       graft.relational.Graph.defs ++
       graft.text.TextAnalysis.defs ++
       graft.text.Indexing.defs ++

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DSv2 managed-table catalog: DDL + the full row-level DML surface.
+  * q182 drives MERGE through the declared-query gate; this spec covers
+  * the rest of the seam — UPDATE, DELETE, INSERT, truncate-overwrite,
+  * rename, multi-partition writes — and the snapshot-isolation contract.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def setup(): Unit = {
+    spark.conf.set("spark.sql.catalog.gtest",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gtest.default.t")
+  }
+
+  test("CREATE TABLE + INSERT + SELECT roundtrip, multi-partition write") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING, x DOUBLE)")
+    // 8-partition source: writers commit per partition, commit() folds
+    // the messages — the distributed-write path, not a coalesce(1)
+    spark.range(100).repartition(8)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"),
+        (col("id") * 1.5).as("x"))
+      .createOrReplaceTempView("src100")
+    sql("INSERT INTO gtest.default.t SELECT * FROM src100")
+    assert(sql("SELECT count(*) FROM gtest.default.t").head().getLong(0) == 100)
+    assert(sql("SELECT v FROM gtest.default.t WHERE k = 42").head()
+      .getString(0) == "v42")
+    // append accumulates; INSERT OVERWRITE truncates first
+    sql("INSERT INTO gtest.default.t VALUES (1000, 'extra', 0.0)")
+    assert(sql("SELECT count(*) FROM gtest.default.t").head().getLong(0) == 101)
+    sql("INSERT OVERWRITE gtest.default.t VALUES (1, 'only', 2.0)")
+    assert(sql("SELECT k, v FROM gtest.default.t").collect().map(_.toString)
+      .toSeq == Seq("[1,only]"))
+  }
+
+  test("SQL UPDATE and DELETE rewrite through the row-level operation") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING, x DOUBLE)")
+    spark.range(10).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"), col("id").cast("double").as("x"))
+      .createOrReplaceTempView("src10")
+    sql("INSERT INTO gtest.default.t SELECT * FROM src10")
+    sql("UPDATE gtest.default.t SET v = 'updated', x = x * 10 WHERE k % 2 = 0")
+    sql("DELETE FROM gtest.default.t WHERE k >= 8")
+    val got = sql("SELECT k, v, x FROM gtest.default.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val exp = (0L until 8L).map(k =>
+      if (k % 2 == 0) (k, "updated", k * 10.0) else (k, s"v$k", k.toDouble))
+    assert(got == exp)
+  }
+
+  test("MERGE INTO end state equals the DataFrame cdcMerge (q182 ≡ q131)") {
+    val a = SparkEntry.queries("q182_merge_into_sql")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("q131_cdc_apply")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(a == b, s"MERGE SQL end state diverges: ${a.size} vs ${b.size} rows")
+  }
+
+  test("row-level rewrite plan shape: leading __row_operation marker " +
+      "(the layout GraftWriterFactory strips by offset)") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING, x DOUBLE)")
+    sql("INSERT INTO gtest.default.t VALUES (1, 'a', 1.0)")
+    val plan = sql(
+      "EXPLAIN EXTENDED UPDATE gtest.default.t SET v = 'u' WHERE k = 1")
+      .head().getString(0)
+    val optimized = plan.split("== Optimized Logical Plan ==")(1)
+      .split("== Physical")(0)
+    // the contract the writer's offset-strip relies on: ReplaceData's
+    // query projects the marker FIRST, then the data columns in table
+    // order. A Spark upgrade changing this must fail here, not corrupt.
+    assert(optimized.contains("ReplaceData"),
+      s"UPDATE no longer plans ReplaceData:\n$optimized")
+    val projLine = optimized.linesIterator
+      .find(_.contains("__row_operation")).getOrElse(
+        fail(s"no __row_operation marker in:\n$optimized"))
+    assert(projLine.matches(""".*Project \[\d+ AS __row_operation#\d+, k#.*"""),
+      s"marker no longer leads the data columns: $projLine")
+  }
+
+  test("scans are snapshot-isolated from later commits") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING, x DOUBLE)")
+    sql("INSERT INTO gtest.default.t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    // plan (and capture the snapshot) BEFORE the delete commits
+    val before = sql("SELECT k FROM gtest.default.t ORDER BY k")
+    val planned = before.collect() // force with snapshot 1
+    sql("DELETE FROM gtest.default.t WHERE k = 1")
+    assert(planned.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(sql("SELECT k FROM gtest.default.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("rename preserves content; drop removes it") {
+    setup()
+    sql("DROP TABLE IF EXISTS gtest.default.t2")
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING, x DOUBLE)")
+    sql("INSERT INTO gtest.default.t VALUES (7, 'seven', 7.0)")
+    // rename target is resolved in the SOURCE table's catalog — spell it
+    // catalog-relative (a catalog-qualified target keeps the qualifier in
+    // the Identifier namespace and would address a different table)
+    sql("ALTER TABLE gtest.default.t RENAME TO default.t2")
+    assert(sql("SELECT v FROM gtest.default.t2").head().getString(0) == "seven")
+    intercept[Exception] { sql("SELECT * FROM gtest.default.t").collect() }
+    sql("DROP TABLE gtest.default.t2")
+    intercept[Exception] { sql("SELECT * FROM gtest.default.t2").collect() }
+  }
+}
