@@ -55,33 +55,243 @@ object CatalogQueries {
     QueryDef(
       "q182_merge_into_sql",
       (s, d) => {
-        s.conf.set("spark.sql.catalog.graft_cat",
-          classOf[GraftCatalog].getName)
-        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_state")
-        Tables(s, d, "orders")
-          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-          .withColumn("action", lit("kept"))
-          .createOrReplaceTempView("q182_snap")
-        graft.relational.Temporal.cdcChangeset(s, d)
-          .createOrReplaceTempView("q182_changes")
-        s.sql("""CREATE TABLE graft_cat.default.orders_state
-                 AS SELECT * FROM q182_snap""")
-        s.sql("""
-          MERGE INTO graft_cat.default.orders_state t
-          USING q182_changes c
-          ON t.o_orderkey = c.k
-          WHEN MATCHED AND c.op = 'D' THEN DELETE
-          WHEN MATCHED AND c.op = 'U' THEN
-            UPDATE SET o_totalprice = c.new_price, action = 'updated'
-          WHEN NOT MATCHED THEN
-            INSERT (o_orderkey, o_custkey, o_totalprice, o_orderdate, action)
-            VALUES (c.k, CAST(NULL AS BIGINT), c.new_price,
-                    CAST(NULL AS TIMESTAMP), 'inserted')""")
+        seedAndMerge(s, d)
         s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
                         action
                  FROM graft_cat.default.orders_state
                  ORDER BY o_orderkey""")
       },
+      Some(cdcOracle)),
+
+    // -------------------------------------------------------------- q183:
+    // SQL SCRIPTING (BEGIN/DECLARE/WHILE/SET) driving the managed
+    // catalog: the classic incremental-backfill loop every warehouse
+    // runs — one INSERT INTO per month partition, loop variable in the
+    // predicate. Control flow lives in the SCRIPT interpreter; each
+    // INSERT is still a full Catalyst-planned query, so nothing about
+    // per-statement optimization or distribution changes — which is
+    // exactly the point: the script is orchestration, not execution.
+    // At 100 TB each iteration scans one month's partitions (partition
+    // pruning on the predicate) and appends its aggregate — bounded
+    // work per step, checkpointable between steps.
+    QueryDef(
+      "q183_scripted_backfill",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.backfill")
+        s.sql("""CREATE TABLE graft_cat.default.backfill
+                 (mon INT, o_orderpriority STRING, n BIGINT,
+                  sum_total DOUBLE)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q183_orders")
+        s.sql("""
+          BEGIN
+            DECLARE m INT DEFAULT 1;
+            WHILE m <= 6 DO
+              INSERT INTO graft_cat.default.backfill
+                SELECT m, o_orderpriority, COUNT(*),
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                         AS DOUBLE)
+                FROM q183_orders
+                WHERE YEAR(o_orderdate) = 1995 AND MONTH(o_orderdate) = m
+                GROUP BY o_orderpriority;
+              SET m = m + 1;
+            END WHILE;
+            SELECT 1;
+          END""")
+        s.sql("""SELECT mon, o_orderpriority, n, sum_total
+                 FROM graft_cat.default.backfill
+                 ORDER BY mon, o_orderpriority""")
+      },
+      Some("""
+        SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+               o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                 AS sum_total
+        FROM orders
+        WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 6
+        GROUP BY 1, 2
+        ORDER BY mon, o_orderpriority""")),
+
+    // -------------------------------------------------------------- q184:
+    // TIME TRAVEL: `VERSION AS OF` over the managed table's commit
+    // history — version 0 is the CTAS seed, version 1 the post-MERGE
+    // state, and both remain queryable side by side (the lakehouse
+    // snapshot contract; a versioned read resolves to a read-only
+    // pinned table, so writing to the past is an analysis error). The
+    // result is the per-version audit summary a CDC reviewer actually
+    // runs: row count and action breakdown before and after the merge,
+    // which doubles as the proof that the merge mutated exactly the
+    // intended classes. All aggregates decimal-exact.
+    QueryDef(
+      "q184_time_travel",
+      (s, d) => {
+        seedAndMerge(s, d)
+        def summary(v: Int) = s"""
+          SELECT $v AS version, COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN action = 'kept' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN action = 'updated' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_updated,
+                 CAST(SUM(CASE WHEN action = 'inserted' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_inserted,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                   AS sum_price
+          FROM graft_cat.default.orders_state VERSION AS OF $v"""
+        s.sql(s"${summary(0)} UNION ALL ${summary(1)} ORDER BY version")
+      },
+      Some("""
+        WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                             o_orderdate, 'kept' AS action
+                      FROM orders),
+        changes AS (
+          SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+          FROM snap WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, 'U', o_totalprice + 100.0
+          FROM snap WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey + 100000000, 'I', o_totalprice
+          FROM snap WHERE o_orderkey % 10 = 2),
+        merged AS (
+          SELECT COALESCE(s.o_orderkey, c.k) AS o_orderkey,
+                 CASE WHEN c.op IS NOT NULL THEN c.new_price
+                      ELSE s.o_totalprice END AS o_totalprice,
+                 CASE WHEN c.op IS NULL THEN 'kept'
+                      WHEN c.op = 'U' THEN 'updated'
+                      ELSE 'inserted' END AS action
+          FROM snap s FULL OUTER JOIN changes c ON s.o_orderkey = c.k
+          WHERE c.op IS NULL OR c.op <> 'D'),
+        v0 AS (SELECT 0 AS version, COUNT(*) AS n_rows,
+                 COUNT(*) AS n_kept, CAST(0 AS BIGINT) AS n_updated,
+                 CAST(0 AS BIGINT) AS n_inserted,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                   AS sum_price
+               FROM snap),
+        v1 AS (SELECT 1 AS version, COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN action = 'kept' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN action = 'updated' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_updated,
+                 CAST(SUM(CASE WHEN action = 'inserted' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_inserted,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                   AS sum_price
+               FROM merged)
+        SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version"""))
+  ) ++ q186Defs
+
+  // lazy: referenced from `defs` above its definition point
+  private lazy val q186Defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------- q186:
+    // the SAME MERGE statement against a MERGE-ON-READ table
+    // ([[GraftDeltaTable]]): Catalyst plans WriteDelta instead of
+    // ReplaceData, the write records only the |changeset| delta entries
+    // (base untouched — GraftCatalogSpec pins base-row-count and
+    // log-size), and the scan pays the log fold. Identical statement,
+    // identical end state (same oracle as q182/q131), opposite
+    // write/read amplification trade — which is the entire
+    // copy-on-write vs merge-on-read decision a lakehouse table format
+    // asks its users to make.
+    QueryDef(
+      "q186_merge_on_read",
+      (s, d) => {
+        seedAndMergeMor(s, d)
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                        action
+                 FROM graft_cat.default.orders_mor
+                 ORDER BY o_orderkey""")
+      },
+      Some(cdcOracle)),
+
+    // -------------------------------------------------------------- q187:
+    // MOR COMPACTION: after the q186 merge, fold the delta log into the
+    // base (Iceberg rewrite_data_files / Delta OPTIMIZE) and return the
+    // table content — which must be IDENTICAL to the pre-compaction
+    // read (same oracle again: three queries, three storage states, one
+    // answer). GraftCatalogSpec pins what actually changed: the log is
+    // empty and the base holds the folded row count, so subsequent
+    // reads stop paying the log fold. At 100 TB this is the scheduled
+    // maintenance job that bounds MOR read amplification between
+    // merges.
+    QueryDef(
+      "q187_mor_compaction",
+      (s, d) => {
+        seedAndMergeMor(s, d)
+        morTable(s).compact()
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                        action
+                 FROM graft_cat.default.orders_mor
+                 ORDER BY o_orderkey""")
+      },
       Some(cdcOracle))
   )
+
+  /** The q186/q187 MOR table handle, post-setup. */
+  private[graft] def morTable(
+      s: org.apache.spark.sql.SparkSession): GraftDeltaTable =
+    s.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), "orders_mor"))
+      .asInstanceOf[GraftDeltaTable]
+
+  /** q186 setup: like [[seedAndMerge]] but against a merge-on-read
+    * table (TBLPROPERTIES graft.mode=mor, row id o_orderkey). */
+  private[graft] def seedAndMergeMor(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_mor")
+    Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .withColumn("action", lit("kept"))
+      .createOrReplaceTempView("q186_snap")
+    graft.relational.Temporal.cdcChangeset(s, d)
+      .createOrReplaceTempView("q186_changes")
+    s.sql("""CREATE TABLE graft_cat.default.orders_mor
+             TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='o_orderkey')
+             AS SELECT * FROM q186_snap""")
+    s.sql("""
+      MERGE INTO graft_cat.default.orders_mor t
+      USING q186_changes c
+      ON t.o_orderkey = c.k
+      WHEN MATCHED AND c.op = 'D' THEN DELETE
+      WHEN MATCHED AND c.op = 'U' THEN
+        UPDATE SET o_totalprice = c.new_price, action = 'updated'
+      WHEN NOT MATCHED THEN
+        INSERT (o_orderkey, o_custkey, o_totalprice, o_orderdate, action)
+        VALUES (c.k, CAST(NULL AS BIGINT), c.new_price,
+                CAST(NULL AS TIMESTAMP), 'inserted')""")
+  }
+
+  /** Shared q182/q184 setup: drop, CTAS-seed (commit -> version 0), and
+    * MERGE the deterministic changeset (commit -> version 1). Re-runs
+    * rebuild from scratch, so the commit history is always exactly
+    * [seed, merged] regardless of how many times queries ran. */
+  private def seedAndMerge(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_state")
+    Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .withColumn("action", lit("kept"))
+      .createOrReplaceTempView("q182_snap")
+    graft.relational.Temporal.cdcChangeset(s, d)
+      .createOrReplaceTempView("q182_changes")
+    s.sql("""CREATE TABLE graft_cat.default.orders_state
+             AS SELECT * FROM q182_snap""")
+    s.sql("""
+      MERGE INTO graft_cat.default.orders_state t
+      USING q182_changes c
+      ON t.o_orderkey = c.k
+      WHEN MATCHED AND c.op = 'D' THEN DELETE
+      WHEN MATCHED AND c.op = 'U' THEN
+        UPDATE SET o_totalprice = c.new_price, action = 'updated'
+      WHEN NOT MATCHED THEN
+        INSERT (o_orderkey, o_custkey, o_totalprice, o_orderdate, action)
+        VALUES (c.k, CAST(NULL AS BIGINT), c.new_price,
+                CAST(NULL AS TIMESTAMP), 'inserted')""")
+  }
 }

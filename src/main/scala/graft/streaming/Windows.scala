@@ -1170,7 +1170,78 @@ object Windows {
         FROM events
         WHERE user_id < 50
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------- q185:
+    // LIST STATE — the transformWithState surface q110 (value/map state)
+    // and q162 (timers) don't touch: per-user "last 3 events", kept as a
+    // BOUNDED ListState and emitted on the q162 inactivity timer. The
+    // bound is the scale contract: each batch merges new rows with the
+    // retained list and re-puts only the top-3 by (ts, event_id), so
+    // state per key is O(N) — a recent-activity cache that never grows
+    // with stream length, which is precisely what ListState is for
+    // (ValueState of a Seq would rewrite the whole blob per append;
+    // unbounded event logs are the anti-pattern). Selection by
+    // (ts, event_id) is a total order, so the retained set is a multiset
+    // property of the inputs — arrival-order-independent, hence exactly
+    // oracle-pairable against the batch window rank.
+    QueryDef(
+      "q185_liststate_lastn",
+      (s, d) => withStreamConf(s) {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val base = stableDir("q185", d)
+        val ckpt = base.resolve("ckpt").toString
+        val out = base.resolve("out").toString
+        sweepStaleSink(ckpt, out)
+        val srcDir = sentinelSrc(s, d, base, nSentinels = 2)
+        val kProv = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(kProv)
+        s.conf.set(kProv,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+          implicit val rowEnc =
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)]
+          val stream = eventsStream(s, d, srcDir.toString, "*.parquet",
+              "maxFilesPerTrigger" -> "1")
+            .withWatermark("ts", "1 hour")
+            .filter(col("user_id") < 50 || col("user_id") === 1000000L)
+            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_id"),
+              expr("CAST(round(value * 1e4) AS BIGINT)").as("value_u"))
+            .as[(Long, Long, Long, Long)](rowEnc)
+          val emitted = stream.groupByKey(_._1)(longEnc)
+            .transformWithState(new LastNEventsProcessor(3),
+              TimeMode.EventTime(), OutputMode.Append())(rowEnc)
+          val q = emitted.toDF("user_id", "ts_us", "event_id", "value_u")
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              batch.write.mode("overwrite").parquet(s"$out/batch_id=$id"): Unit
+            }
+            .start()
+          q.awaitTermination()
+        } finally prev.fold(s.conf.unset(kProv))(v => s.conf.set(kProv, v))
+        s.read.parquet(out)
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+            col("event_id"),
+            round(col("value_u").cast("double") / 1e4, 4).as("value"))
+          .orderBy(col("user_id"), col("ts").desc, col("event_id").desc)
+      },
+      Some("""
+        WITH r AS (
+          SELECT user_id, ts, event_id,
+                 round(CAST(round(value * 1e4) AS BIGINT) / 1e4, 4) AS value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE user_id < 50)
+        SELECT user_id, ts, event_id, value
+        FROM r WHERE rn <= 3
+        ORDER BY user_id, ts DESC, event_id DESC"""))
   )
 
   /** One CDC micro-batch apply: merge `batch` into state version `id`,
@@ -1279,5 +1350,45 @@ private[streaming] class UserStatsProcessor
     val it = types.keys()
     while (it.hasNext) { it.next(); nTypes += 1 }
     Iterator.single((key, cnt, nTypes, m))
+  }
+}
+
+/** transformWithState processor for q185: a BOUNDED ListState holding
+  * each user's latest `n` events as (ts_us, event_id, value_u). Every
+  * input batch merges new rows into the retained list and re-puts only
+  * the top-n by (ts, event_id) — state per key is O(n) no matter the
+  * stream length. Emission rides the q162 rolling inactivity timer
+  * (last-seen + 1 h event time): the retained list is emitted and
+  * cleared when the user goes quiet. Top-level class: shipped to
+  * executors, must not capture the query builder. */
+private[streaming] class LastNEventsProcessor(n: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  @transient private var recent: ListState[(Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[(Long, Long, Long)]("recent",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val prior = if (recent.exists()) recent.get().toSeq else Seq.empty
+    val merged = (prior ++ rows.map { case (_, ts, eid, vu) => (ts, eid, vu) })
+      .sortBy { case (ts, eid, _) => (-ts, -eid) }
+      .take(n)
+    recent.put(merged.toArray)
+    // roll the inactivity deadline to newest-retained + 1 h (timer units
+    // are MILLISECONDS of event time)
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(merged.head._1 / 1000L + 3600L * 1000)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+    val out = (if (recent.exists()) recent.get().toSeq else Seq.empty)
+      .map { case (ts, eid, vu) => (key, ts, eid, vu) }
+    recent.clear()
+    out.iterator
   }
 }

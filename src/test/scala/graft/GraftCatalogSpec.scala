@@ -97,6 +97,84 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("merge-on-read: same MERGE, delta-sized writes, base untouched") {
+    // run the MOR merge, then pin the trade's observable: the base
+    // still holds every seeded row, the delta log holds exactly the
+    // |changeset| entries, and the read-back equals the one-shot MERGE
+    graft.catalog.CatalogQueries.seedAndMergeMor(spark, sfDir)
+    val got = spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, action
+         FROM graft_cat.default.orders_mor ORDER BY o_orderkey""")
+      .collect().map(_.toString).toSeq
+    val oneShot = SparkEntry.queries("q131_cdc_apply")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got == oneShot, "MOR merge end state != one-shot MERGE")
+    val nOrders = Tables(spark, sfDir, "orders").count()
+    val nChanges = graft.relational.Temporal.cdcChangeset(spark, sfDir).count()
+    val t = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), "orders_mor"))
+      .asInstanceOf[graft.catalog.GraftDeltaTable]
+    assert(t.baseRowCount == nOrders,
+      s"MOR base was rewritten: ${t.baseRowCount} != $nOrders")
+    assert(t.deltaLogSize == nChanges,
+      s"MOR log ${t.deltaLogSize} != changeset size $nChanges")
+  }
+
+  test("merge-on-read: UPDATE and DELETE also plan as delta writes") {
+    setup()
+    sql("DROP TABLE IF EXISTS gtest.default.mor")
+    sql("""CREATE TABLE gtest.default.mor (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""")
+    sql("INSERT INTO gtest.default.mor VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("UPDATE gtest.default.mor SET v = 'B' WHERE k = 2")
+    sql("DELETE FROM gtest.default.mor WHERE k = 3")
+    assert(sql("SELECT k, v FROM gtest.default.mor ORDER BY k").collect()
+      .map(_.toString).toSeq == Seq("[1,a]", "[2,B]"))
+    // delta path: 2 log entries, base still 3 rows
+    val t = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), "mor"))
+      .asInstanceOf[graft.catalog.GraftDeltaTable]
+    assert(t.baseRowCount == 3 && t.deltaLogSize == 2,
+      s"expected base=3/log=2, got base=${t.baseRowCount}/log=${t.deltaLogSize}")
+  }
+
+  test("MOR compaction folds the log into the base; content unchanged, " +
+      "second compaction is a no-op") {
+    graft.catalog.CatalogQueries.seedAndMergeMor(spark, sfDir)
+    def content() = spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, action
+         FROM graft_cat.default.orders_mor ORDER BY o_orderkey""")
+      .collect().map(_.toString).toSeq
+    val before = content()
+    val t = graft.catalog.CatalogQueries.morTable(spark)
+    assert(t.deltaLogSize > 0, "setup produced an empty delta log")
+    t.compact()
+    assert(content() == before, "compaction changed table content")
+    assert(t.deltaLogSize == 0, "compaction left log entries behind")
+    assert(t.baseRowCount == before.size.toLong,
+      s"compacted base ${t.baseRowCount} != content ${before.size}")
+    t.compact() // idempotent
+    assert(content() == before && t.deltaLogSize == 0)
+  }
+
+  test("column pruning reaches the catalog scan (ReadSchema narrows)") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING, x DOUBLE)")
+    sql("INSERT INTO gtest.default.t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    val narrow = sql("SELECT v FROM gtest.default.t")
+    val scanDesc = narrow.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadSchema: struct<v:string>"),
+      s"projection did not prune the scan:\n$scanDesc")
+    assert(narrow.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // full-width read still intact
+    assert(sql("SELECT k, v, x FROM gtest.default.t ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,a,1.0]", "[2,b,2.0]"))
+  }
+
   test("rename preserves content; drop removes it") {
     setup()
     sql("DROP TABLE IF EXISTS gtest.default.t2")
