@@ -20,6 +20,7 @@ object SparkEntry {
       graft.relational.Frontier.defs ++
       graft.relational.Observability.defs ++
       graft.catalog.CatalogQueries.defs ++
+      graft.relational.SqlSurface.defs ++
       graft.relational.Graph.defs ++
       graft.text.TextAnalysis.defs ++
       graft.text.Indexing.defs ++

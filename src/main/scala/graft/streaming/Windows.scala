@@ -1241,8 +1241,66 @@ object Windows {
           FROM events WHERE user_id < 50)
         SELECT user_id, ts, event_id, value
         FROM r WHERE rn <= 3
-        ORDER BY user_id, ts DESC, event_id DESC"""))
+        ORDER BY user_id, ts DESC, event_id DESC""")),
+
+    // -------------------------------------------------------------- q190:
+    // STREAMING WRITE INTO THE MANAGED CATALOG: `writeStream.toTable`
+    // against a GraftCatalog table — the DSv2 streaming-sink seam
+    // (TableCapability.STREAMING_WRITE → StreamingWrite with per-epoch
+    // commits). Exactly-once is the sink's responsibility at this seam:
+    // Spark re-runs any epoch whose commit raced a crash, and the
+    // table's epoch-id high-water mark drops the replay whole
+    // (GraftCatalogSpec re-drives the same checkpoint and proves the
+    // content is unchanged). The read-back aggregate is the oracle
+    // surface; batch/stream equivalence is the contract, as everywhere
+    // in this family.
+    QueryDef(
+      "q190_stream_to_table",
+      (s, d) => withStreamConf(s) {
+        streamToTable(s, d, fresh = true)
+        s.sql("""SELECT user_id, event_type, COUNT(*) AS n,
+                        CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                          AS sum_value
+                 FROM graft_cat.default.events_live
+                 GROUP BY user_id, event_type
+                 ORDER BY user_id, event_type""")
+      },
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                 AS sum_value
+        FROM events
+        WHERE user_id < 100
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type"""))
   )
+
+  /** q190 body. `fresh = true` drops table + checkpoint (the declared
+    * deterministic run); `fresh = false` re-drives the SAME checkpoint
+    * against the existing table — the restart path the spec uses to
+    * prove epoch-replay idempotence. */
+  private[graft] def streamToTable(s: SparkSession, d: String,
+      fresh: Boolean): Unit = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val base = stableDir("q190", d)
+    val ckpt = base.resolve("ckpt")
+    if (fresh) {
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.events_live")
+      graft.util.Fs.rmTree(ckpt)
+      s.sql("""CREATE TABLE graft_cat.default.events_live
+               (user_id BIGINT, event_type STRING, value DOUBLE)""")
+    }
+    val q = eventsStream(s, d, d, "events.parquet")
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft_cat.default.events_live")
+    q.awaitTermination()
+  }
 
   /** One CDC micro-batch apply: merge `batch` into state version `id`,
     * (over)write version `id+1`. Exposed for the StreamingSpec

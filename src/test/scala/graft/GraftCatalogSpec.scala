@@ -175,6 +175,23 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.toString).toSeq == Seq("[1,a,1.0]", "[2,b,2.0]"))
   }
 
+  test("streaming toTable: restart over the same checkpoint appends " +
+      "nothing (epoch-id dedup)") {
+    def content() = spark.sql(
+      """SELECT user_id, event_type, value
+         FROM graft_cat.default.events_live
+         ORDER BY user_id, event_type, value""")
+      .collect().map(_.toString).toSeq
+    graft.streaming.Windows.streamToTable(spark, sfDir, fresh = true)
+    val first = content()
+    assert(first.nonEmpty, "stream landed no rows")
+    // restart: same checkpoint, existing table — AvailableNow sees no
+    // new files; any epoch Spark still re-runs must dedup by epoch id
+    graft.streaming.Windows.streamToTable(spark, sfDir, fresh = false)
+    assert(content() == first,
+      "restart over the same checkpoint changed table content")
+  }
+
   test("rename preserves content; drop removes it") {
     setup()
     sql("DROP TABLE IF EXISTS gtest.default.t2")

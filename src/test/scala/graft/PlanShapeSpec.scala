@@ -309,4 +309,50 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
       s"more than one user_id exchange:\n$plan")
   }
+
+  test("AQE splits a skewed join partition at runtime (the unsalted path)") {
+    // q47 handles skew by SALTING — the write-side fix you apply when
+    // you know the hot keys. This pins the complementary RUNTIME fix the
+    // engine leans on everywhere else: AQE detecting a skewed shuffle
+    // partition after the map stage and splitting it into sub-reads.
+    // Thresholds are lowered so the fixture-scale hot key (90% of rows
+    // on one join key) crosses them; the assertion is on the FINAL
+    // adaptive plan ("n skewed partitions" in the AQEShuffleRead) plus
+    // the join's row-level correctness under the split.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val n = 300000L
+      // 90% of rows land on key 0 — one shuffle partition dwarfs the rest
+      val fact = spark.range(n).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload_payload_payload_"), col("id")).as("pay"))
+      val dim = spark.range(200).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("dv"))
+      val joined = fact.join(dim, "k")
+      // collect() (not count()) so the inspected DataFrame's OWN plan is
+      // the one that executed — count() wraps it in a fresh execution
+      // and the original never finalizes under AQE
+      val got = joined.collect().length.toLong
+      // key 0 matches dim row 0; every other fact key k>0 (k%10==0) too
+      val expected = fact.filter(col("k") < 200).count()
+      assert(got == expected, s"skew-join row count $got != $expected")
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin(skew=true)") &&
+          plan.contains("AQEShuffleRead skewed"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
