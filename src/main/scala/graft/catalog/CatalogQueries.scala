@@ -79,13 +79,18 @@ object CatalogQueries {
       (s, d) => {
         s.conf.set("spark.sql.catalog.graft_cat",
           classOf[GraftCatalog].getName)
-        s.conf.set("spark.sql.scripting.enabled", "true")
         s.sql("DROP TABLE IF EXISTS graft_cat.default.backfill")
         s.sql("""CREATE TABLE graft_cat.default.backfill
                  (mon INT, o_orderpriority STRING, n BIGINT,
                   sum_total DOUBLE)""")
         Tables(s, d, "orders").createOrReplaceTempView("q183_orders")
-        s.sql("""
+        // scripting flag scoped to the script, restored on exit — the
+        // declared-query contract: no side effects on shared session
+        // state (withStreamConf discipline)
+        val kScript = "spark.sql.scripting.enabled"
+        val prev = s.conf.getOption(kScript)
+        s.conf.set(kScript, "true")
+        try s.sql("""
           BEGIN
             DECLARE m INT DEFAULT 1;
             WHILE m <= 6 DO
@@ -100,6 +105,7 @@ object CatalogQueries {
             END WHILE;
             SELECT 1;
           END""")
+        finally prev.fold(s.conf.unset(kScript))(s.conf.set(kScript, _))
         s.sql("""SELECT mon, o_orderpriority, n, sum_total
                  FROM graft_cat.default.backfill
                  ORDER BY mon, o_orderpriority""")
@@ -238,24 +244,28 @@ object CatalogQueries {
         Array("default"), "orders_mor"))
       .asInstanceOf[GraftDeltaTable]
 
-  /** q186 setup: like [[seedAndMerge]] but against a merge-on-read
-    * table (TBLPROPERTIES graft.mode=mor, row id o_orderkey). */
-  private[graft] def seedAndMergeMor(s: org.apache.spark.sql.SparkSession,
-      d: String): Unit = {
+  /** Shared setup: drop, CTAS-seed (commit -> version 0), and MERGE the
+    * deterministic changeset (commit -> version 1). ONE body for the
+    * copy-on-write (q182/q184) and merge-on-read (q186/q187) tables —
+    * the two variants are asserted to share an oracle, so they must
+    * share the statement text; only the table name and TBLPROPERTIES
+    * differ. Re-runs rebuild from scratch, so the commit history is
+    * always exactly [seed, merged] no matter how often queries ran. */
+  private def seedAndMergeInto(s: org.apache.spark.sql.SparkSession,
+      d: String, table: String, tblProps: String, prefix: String): Unit = {
     s.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
-    s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_mor")
+    s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$table")
     Tables(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       .withColumn("action", lit("kept"))
-      .createOrReplaceTempView("q186_snap")
+      .createOrReplaceTempView(s"${prefix}_snap")
     graft.relational.Temporal.cdcChangeset(s, d)
-      .createOrReplaceTempView("q186_changes")
-    s.sql("""CREATE TABLE graft_cat.default.orders_mor
-             TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='o_orderkey')
-             AS SELECT * FROM q186_snap""")
-    s.sql("""
-      MERGE INTO graft_cat.default.orders_mor t
-      USING q186_changes c
+      .createOrReplaceTempView(s"${prefix}_changes")
+    s.sql(s"""CREATE TABLE graft_cat.default.$table $tblProps
+              AS SELECT * FROM ${prefix}_snap""")
+    s.sql(s"""
+      MERGE INTO graft_cat.default.$table t
+      USING ${prefix}_changes c
       ON t.o_orderkey = c.k
       WHEN MATCHED AND c.op = 'D' THEN DELETE
       WHEN MATCHED AND c.op = 'U' THEN
@@ -266,32 +276,13 @@ object CatalogQueries {
                 CAST(NULL AS TIMESTAMP), 'inserted')""")
   }
 
-  /** Shared q182/q184 setup: drop, CTAS-seed (commit -> version 0), and
-    * MERGE the deterministic changeset (commit -> version 1). Re-runs
-    * rebuild from scratch, so the commit history is always exactly
-    * [seed, merged] regardless of how many times queries ran. */
   private def seedAndMerge(s: org.apache.spark.sql.SparkSession,
-      d: String): Unit = {
-    s.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
-    s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_state")
-    Tables(s, d, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-      .withColumn("action", lit("kept"))
-      .createOrReplaceTempView("q182_snap")
-    graft.relational.Temporal.cdcChangeset(s, d)
-      .createOrReplaceTempView("q182_changes")
-    s.sql("""CREATE TABLE graft_cat.default.orders_state
-             AS SELECT * FROM q182_snap""")
-    s.sql("""
-      MERGE INTO graft_cat.default.orders_state t
-      USING q182_changes c
-      ON t.o_orderkey = c.k
-      WHEN MATCHED AND c.op = 'D' THEN DELETE
-      WHEN MATCHED AND c.op = 'U' THEN
-        UPDATE SET o_totalprice = c.new_price, action = 'updated'
-      WHEN NOT MATCHED THEN
-        INSERT (o_orderkey, o_custkey, o_totalprice, o_orderdate, action)
-        VALUES (c.k, CAST(NULL AS BIGINT), c.new_price,
-                CAST(NULL AS TIMESTAMP), 'inserted')""")
-  }
+      d: String): Unit =
+    seedAndMergeInto(s, d, "orders_state", "", "q182")
+
+  private[graft] def seedAndMergeMor(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit =
+    seedAndMergeInto(s, d, "orders_mor",
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='o_orderkey')",
+      "q186")
 }

@@ -57,6 +57,13 @@ class GraftDeltaTable(storeKey0: String, ident: String,
       case other => other
     }
 
+  /** A base REPLACE (INSERT OVERWRITE / compaction) supersedes the
+    * log: stale delete/update entries replaying over the new base would
+    * silently drop or rewrite fresh rows, so every replace clears the
+    * log first. Appends keep it — they don't invalidate logged ops. */
+  override private[catalog] def replaceRows(r: Array[Array[UnsafeRow]]): Unit =
+    synchronized { log.clear(); super.replaceRows(r) }
+
   /** Effective rows = base folded with the delta log (the MOR read). */
   private def effectiveRows(): Array[Array[UnsafeRow]] = synchronized {
     val m = new java.util.LinkedHashMap[Any, UnsafeRow]()
@@ -84,9 +91,7 @@ class GraftDeltaTable(storeKey0: String, ident: String,
     * maintenance idea one level down (file layout instead of logical
     * log). Content-idempotent: compacting twice is a no-op. */
   private[graft] def compact(): Unit = synchronized {
-    val folded = effectiveRows()
-    log.clear()
-    replaceRows(folded)
+    replaceRows(effectiveRows()) // replaceRows clears the log
   }
 
   // GraftTable's history tracks only BASE commits — a versioned read of

@@ -169,7 +169,9 @@ object RecallProbe {
   def bandedLshRecall(corpus: DataFrame, nQueries: Int, bands: Int,
       bits: Int, topK: Int, seed: String = "probe"): DataFrame = {
     val n = corpus.count()
-    val dims = 64
+    // plane length must match the corpus dimensionality — derive it,
+    // don't assume 64 (a mismatch dots only a prefix, silently)
+    val dims = corpus.select(size(col("embedding"))).head().getInt(0)
     val planes: IndexedSeq[Seq[Long]] =
       (0 until bands * bits).map(p => (0 until dims).map(d =>
         (md5Long(s"$seed:$p:$d") % 2001) - 1000))

@@ -1326,7 +1326,9 @@ object Windows {
       .map(_.getFileName.toString)
       .filter(_.startsWith("ver"))
       .map(_.drop(3).toInt)
-      .max
+      .maxOption
+      .getOrElse(throw new IllegalStateException(
+        s"no ver* state directories under $stateRoot"))
     stateRoot.resolve(s"ver$best")
   }
 }

@@ -111,11 +111,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got == oneShot, "MOR merge end state != one-shot MERGE")
     val nOrders = Tables(spark, sfDir, "orders").count()
     val nChanges = graft.relational.Temporal.cdcChangeset(spark, sfDir).count()
-    val t = spark.sessionState.catalogManager.catalog("graft_cat")
-      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
-        Array("default"), "orders_mor"))
-      .asInstanceOf[graft.catalog.GraftDeltaTable]
+    val t = graft.catalog.CatalogQueries.morTable(spark)
     assert(t.baseRowCount == nOrders,
       s"MOR base was rewritten: ${t.baseRowCount} != $nOrders")
     assert(t.deltaLogSize == nChanges,
@@ -140,6 +136,24 @@ class GraftCatalogSpec extends SparkSpec {
       .asInstanceOf[graft.catalog.GraftDeltaTable]
     assert(t.baseRowCount == 3 && t.deltaLogSize == 2,
       s"expected base=3/log=2, got base=${t.baseRowCount}/log=${t.deltaLogSize}")
+    // INSERT OVERWRITE replaces the base AND clears the log — a stale
+    // logged delete (k=3) must not replay over the fresh data
+    sql("INSERT OVERWRITE gtest.default.mor VALUES (2, 'fresh2'), (3, 'fresh3')")
+    assert(sql("SELECT k, v FROM gtest.default.mor ORDER BY k").collect()
+      .map(_.toString).toSeq == Seq("[2,fresh2]", "[3,fresh3]"),
+      "stale delta entries replayed over the overwritten base")
+    assert(t.deltaLogSize == 0, "overwrite left delta entries behind")
+    // rename moves the SAME table instance: the un-compacted log and the
+    // merge-on-read kind both survive
+    sql("UPDATE gtest.default.mor SET v = 'F3' WHERE k = 3")
+    assert(t.deltaLogSize == 1)
+    sql("DROP TABLE IF EXISTS gtest.default.mor2")
+    sql("ALTER TABLE gtest.default.mor RENAME TO default.mor2")
+    assert(sql("SELECT v FROM gtest.default.mor2 WHERE k = 3").head()
+      .getString(0) == "F3", "rename dropped the delta log")
+    sql("UPDATE gtest.default.mor2 SET v = 'f3b' WHERE k = 3")
+    assert(t.deltaLogSize == 2, "renamed table no longer plans delta writes")
+    sql("DROP TABLE gtest.default.mor2")
   }
 
   test("MOR compaction folds the log into the base; content unchanged, " +
