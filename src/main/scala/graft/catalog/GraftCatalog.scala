@@ -194,8 +194,14 @@ class GraftTable(val storeKey: String, ident: String, tableSchema: StructType)
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
+      // PRUNING-ONLY builder — never the filtering one: a copy-on-write
+      // rewrite must read EVERY row of the replaced groups (the
+      // non-matching rows are the carry-over that survives the DML), but
+      // Spark pushes the DML condition into this scan for GROUP pruning.
+      // A scan that row-filters on it silently deletes the carry-over —
+      // UPDATE would drop every untouched row (spec-pinned).
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftScanBuilder(tableSchema, rows)
+        new GraftPruningScanBuilder(tableSchema, rows)
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
         new GraftWriteBuilder(GraftTable.this, winfo.schema(), replace = true)
       override def description(): String =
@@ -215,27 +221,113 @@ class GraftSnapshotTable(ident: String, tableSchema: StructType,
     new GraftScanBuilder(tableSchema, snapshot)
 }
 
-/** Scan builder with COLUMN PRUNING: Catalyst pushes the required
-  * schema down, the reader projects each stored row to just those
-  * columns before handing it to the query — a `SELECT k FROM t` over a
-  * wide table ships k-only rows out of the scan, the same contract a
-  * parquet reader honors with its ReadSchema. Pruning happens in the
-  * READER (per task), not at plan time on the driver: the stored
-  * batches ship whole, one projection per row where the data already
-  * is. */
-class GraftScanBuilder(tableSchema: StructType,
+/** Scan builder with COLUMN PRUNING and FILTER PUSHDOWN: Catalyst
+  * pushes the required schema and the scan predicates down; the reader
+  * applies accepted filters and projects each surviving row to just the
+  * required columns before handing it to the query — a
+  * `SELECT k FROM t WHERE x > 5` over a wide table ships only matching,
+  * k-only rows out of the scan, the same contract a parquet reader
+  * honors with PushedFilters/ReadSchema. Both happen in the READER (per
+  * task), not at plan time on the driver: the stored batches ship
+  * whole, one predicate walk + projection per row where the data
+  * already is.
+  *
+  * Pushdown correctness rule: a filter is ACCEPTED only if the reader
+  * evaluates it with exactly Spark's semantics — the conservative set
+  * here is null-safe comparisons and null tests on top-level
+  * primitive-typed columns. Everything else is returned as
+  * unsupported, and Spark keeps it as a post-scan Filter (the safe
+  * default: rejecting a pushable filter costs performance, accepting
+  * an unevaluatable one corrupts results). */
+class GraftPruningScanBuilder(tableSchema: StructType,
     snapshot: Array[Array[UnsafeRow]])
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
+  protected var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
   override def build(): Scan = {
     val ordinals =
       if (required.fieldNames.sameElements(tableSchema.fieldNames)) None
       else Some(required.fieldNames.map(n =>
         tableSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))))
-    new GraftScan(tableSchema, required, ordinals, snapshot)
+    new GraftScan(tableSchema, required, ordinals, pushed, snapshot)
+  }
+}
+
+class GraftScanBuilder(tableSchema: StructType,
+    snapshot: Array[Array[UnsafeRow]])
+    extends GraftPruningScanBuilder(tableSchema, snapshot)
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, rest) = filters.partition(GraftFilterEval.supports(tableSchema, _))
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+}
+
+/** Driver/executor-shared evaluation of the pushed-down filter subset.
+  * Supported: =, <, <=, >, >=, IS NULL, IS NOT NULL on a top-level
+  * column of long/int/double/string type with a literal of matching
+  * type. Comparison NULL semantics match SQL: a comparison on a null
+  * cell is NOT satisfied. */
+object GraftFilterEval {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  private def ordinalOf(schema: StructType, col: String): Int =
+    schema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
+
+  private def comparable(schema: StructType, col: String, v: Any): Boolean = {
+    val o = ordinalOf(schema, col)
+    o >= 0 && ((schema.fields(o).dataType, v) match {
+      case (LongType, _: Long) | (IntegerType, _: Int) |
+           (DoubleType, _: Double) | (StringType, _: String) => true
+      case _ => false
+    })
+  }
+
+  def supports(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(c, v) => comparable(schema, c, v)
+    case GreaterThan(c, v) => comparable(schema, c, v)
+    case GreaterThanOrEqual(c, v) => comparable(schema, c, v)
+    case LessThan(c, v) => comparable(schema, c, v)
+    case LessThanOrEqual(c, v) => comparable(schema, c, v)
+    case IsNull(c) => ordinalOf(schema, c) >= 0
+    case IsNotNull(c) => ordinalOf(schema, c) >= 0
+    case _ => false
+  }
+
+  /** cmp sign of row(col) vs literal, None when the cell is null. */
+  private def cmp(schema: StructType, row: InternalRow, col: String,
+      v: Any): Option[Int] = {
+    val o = ordinalOf(schema, col)
+    if (row.isNullAt(o)) None
+    else Some(schema.fields(o).dataType match {
+      case LongType => java.lang.Long.compare(row.getLong(o), v.asInstanceOf[Long])
+      case IntegerType => Integer.compare(row.getInt(o), v.asInstanceOf[Int])
+      case DoubleType => java.lang.Double.compare(row.getDouble(o), v.asInstanceOf[Double])
+      case StringType => row.getUTF8String(o).toString.compareTo(v.asInstanceOf[String])
+      case other => throw new IllegalStateException(s"unsupported pushdown type $other")
+    })
+  }
+
+  def eval(schema: StructType, row: InternalRow, f: Filter): Boolean = f match {
+    case EqualTo(c, v) => cmp(schema, row, c, v).contains(0)
+    case GreaterThan(c, v) => cmp(schema, row, c, v).exists(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmp(schema, row, c, v).exists(_ >= 0)
+    case LessThan(c, v) => cmp(schema, row, c, v).exists(_ < 0)
+    case LessThanOrEqual(c, v) => cmp(schema, row, c, v).exists(_ <= 0)
+    case IsNull(c) => row.isNullAt(ordinalOf(schema, c))
+    case IsNotNull(c) => !row.isNullAt(ordinalOf(schema, c))
+    case other => throw new IllegalStateException(s"unaccepted filter $other")
   }
 }
 
@@ -245,26 +337,31 @@ class GraftScanBuilder(tableSchema: StructType,
   * Externalizable, so the transport is exact. `pruneTo` carries the
   * pushed-column ordinals into the readers. */
 class GraftScan(tableSchema: StructType, requiredSchema: StructType,
-    pruneTo: Option[Array[Int]], snapshot: Array[Array[UnsafeRow]])
+    pruneTo: Option[Array[Int]],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    snapshot: Array[Array[UnsafeRow]])
     extends Scan with Batch {
   def this(schema: StructType, snapshot: Array[Array[UnsafeRow]]) =
-    this(schema, schema, None, snapshot)
+    this(schema, schema, None, Array.empty, snapshot)
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     if (snapshot.isEmpty) Array(GraftInputPartition(Array.empty))
     else snapshot.map(b => GraftInputPartition(b): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(tableSchema, pruneTo)
+    new GraftReaderFactory(tableSchema, pruneTo, filters)
   override def description(): String =
     s"GraftScan(${snapshot.map(_.length).sum} rows, " +
+      s"PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${requiredSchema.catalogString})"
 }
 
 case class GraftInputPartition(rows: Array[UnsafeRow]) extends InputPartition
 
 class GraftReaderFactory(tableSchema: StructType,
-    pruneTo: Option[Array[Int]]) extends PartitionReaderFactory {
+    pruneTo: Option[Array[Int]],
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val proj: InternalRow => InternalRow = pruneTo match {
@@ -276,12 +373,16 @@ class GraftReaderFactory(tableSchema: StructType,
           val u = UnsafeProjection.create(exprs.toIndexedSeq)
           r => u(r)
       }
+      private def keep(r: InternalRow): Boolean =
+        filters.forall(GraftFilterEval.eval(tableSchema, r, _))
       private val it = p.asInstanceOf[GraftInputPartition].rows.iterator
       private var cur: InternalRow = _
       override def next(): Boolean = {
-        val h = it.hasNext
-        if (h) cur = proj(it.next())
-        h
+        while (it.hasNext) {
+          val raw = it.next()
+          if (keep(raw)) { cur = proj(raw); return true }
+        }
+        false
       }
       override def get(): InternalRow = cur
       override def close(): Unit = ()

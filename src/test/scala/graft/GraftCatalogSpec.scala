@@ -206,6 +206,28 @@ class GraftCatalogSpec extends SparkSpec {
       "restart over the same checkpoint changed table content")
   }
 
+  test("filter pushdown reaches the catalog scan; null semantics exact") {
+    // accepted filters are TRUSTED (Spark drops the post-scan residual
+    // for them), so the reader's evaluation must match SQL exactly —
+    // especially comparisons over NULL cells, which must not satisfy
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING, x DOUBLE)")
+    sql("""INSERT INTO gtest.default.t VALUES
+           (1, 'a', 1.0), (2, NULL, 2.0), (3, 'c', NULL), (4, 'd', 4.0)""")
+    val q = sql(
+      "SELECT k FROM gtest.default.t WHERE x > 1.5 AND v IS NOT NULL")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(4L),
+      "pushed filters evaluated differently than SQL")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+        plan.contains("GreaterThan(x,1.5)"),
+      s"filters not pushed to the catalog scan:\n$plan")
+    // unsupported shapes stay as post-scan residuals (and still work)
+    assert(sql(
+        "SELECT k FROM gtest.default.t WHERE v LIKE '%a%' OR x IS NULL")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("rename preserves content; drop removes it") {
     setup()
     sql("DROP TABLE IF EXISTS gtest.default.t2")
