@@ -50,12 +50,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
   override def name(): String = catalogName
 
+  private def nsPrefix(namespace: Array[String]): String =
+    catalogName + "\u0000" + namespace.mkString(".") + "\u0000"
   private def key(ident: Identifier): String =
-    catalogName + "\u0000" + ident.namespace().mkString(".") + "\u0000" + ident.name()
+    nsPrefix(ident.namespace()) + ident.name()
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftCatalog.tables.keySet().asScala.toArray
-      .filter(_.startsWith(catalogName + "\u0000" + namespace.mkString(".") + "\u0000"))
+      .filter(_.startsWith(nsPrefix(namespace)))
       .map(k => Identifier.of(namespace, k.split("\u0000").last))
 
   override def loadTable(ident: Identifier): Table = {
@@ -87,8 +89,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // in the stored schema (uniqueness stays the creator's contract)
         val pinned = StructType(schema.fields.map(f =>
           if (f.name.equalsIgnoreCase(idCol)) f.copy(nullable = false) else f))
-        new GraftDeltaTable(key(ident), ident.toString, pinned, idCol)
-      } else new GraftTable(key(ident), ident.toString, schema)
+        new GraftDeltaTable(ident.toString, pinned, idCol)
+      } else new GraftTable(ident.toString, schema)
     val prev = GraftCatalog.tables.putIfAbsent(key(ident), t)
     if (prev != null) throw new TableAlreadyExistsException(ident)
     t
@@ -143,7 +145,7 @@ object GraftCatalog {
   * row-level-operation target (MERGE/UPDATE/DELETE). Content is an
   * immutable snapshot (`@volatile` swap on commit), so readers planned
   * against one snapshot never observe a concurrent commit mid-scan. */
-class GraftTable(val storeKey: String, ident: String, tableSchema: StructType)
+class GraftTable(ident: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   @volatile private var rows: Array[Array[UnsafeRow]] = Array.empty
@@ -305,28 +307,42 @@ object GraftFilterEval {
     case _ => false
   }
 
-  /** cmp sign of row(col) vs literal, None when the cell is null. */
-  private def cmp(schema: StructType, row: InternalRow, col: String,
-      v: Any): Option[Int] = {
+  /** Comparison predicate with the ordinal and literal resolved ONCE —
+    * the reader calls the returned closure per row, so no per-row name
+    * lookup or boxing. A null cell never satisfies a comparison. */
+  private def cmpPred(schema: StructType, col: String, v: Any,
+      test: Int => Boolean): InternalRow => Boolean = {
     val o = ordinalOf(schema, col)
-    if (row.isNullAt(o)) None
-    else Some(schema.fields(o).dataType match {
-      case LongType => java.lang.Long.compare(row.getLong(o), v.asInstanceOf[Long])
-      case IntegerType => Integer.compare(row.getInt(o), v.asInstanceOf[Int])
-      case DoubleType => java.lang.Double.compare(row.getDouble(o), v.asInstanceOf[Double])
-      case StringType => row.getUTF8String(o).toString.compareTo(v.asInstanceOf[String])
-      case other => throw new IllegalStateException(s"unsupported pushdown type $other")
-    })
+    schema.fields(o).dataType match {
+      case LongType =>
+        val lv = v.asInstanceOf[Long]
+        r => !r.isNullAt(o) && test(java.lang.Long.compare(r.getLong(o), lv))
+      case IntegerType =>
+        val iv = v.asInstanceOf[Int]
+        r => !r.isNullAt(o) && test(Integer.compare(r.getInt(o), iv))
+      case DoubleType =>
+        val dv = v.asInstanceOf[Double]
+        r => !r.isNullAt(o) && test(java.lang.Double.compare(r.getDouble(o), dv))
+      case StringType =>
+        val sv = org.apache.spark.unsafe.types.UTF8String.fromString(
+          v.asInstanceOf[String])
+        r => !r.isNullAt(o) && test(r.getUTF8String(o).compareTo(sv))
+      case other =>
+        throw new IllegalStateException(s"unsupported pushdown type $other")
+    }
   }
 
-  def eval(schema: StructType, row: InternalRow, f: Filter): Boolean = f match {
-    case EqualTo(c, v) => cmp(schema, row, c, v).contains(0)
-    case GreaterThan(c, v) => cmp(schema, row, c, v).exists(_ > 0)
-    case GreaterThanOrEqual(c, v) => cmp(schema, row, c, v).exists(_ >= 0)
-    case LessThan(c, v) => cmp(schema, row, c, v).exists(_ < 0)
-    case LessThanOrEqual(c, v) => cmp(schema, row, c, v).exists(_ <= 0)
-    case IsNull(c) => row.isNullAt(ordinalOf(schema, c))
-    case IsNotNull(c) => !row.isNullAt(ordinalOf(schema, c))
+  /** Compile an ACCEPTED filter to a per-row predicate. */
+  def compile(schema: StructType, f: Filter): InternalRow => Boolean = f match {
+    case EqualTo(c, v) => cmpPred(schema, c, v, _ == 0)
+    case GreaterThan(c, v) => cmpPred(schema, c, v, _ > 0)
+    case GreaterThanOrEqual(c, v) => cmpPred(schema, c, v, _ >= 0)
+    case LessThan(c, v) => cmpPred(schema, c, v, _ < 0)
+    case LessThanOrEqual(c, v) => cmpPred(schema, c, v, _ <= 0)
+    case IsNull(c) =>
+      val o = ordinalOf(schema, c); r => r.isNullAt(o)
+    case IsNotNull(c) =>
+      val o = ordinalOf(schema, c); r => !r.isNullAt(o)
     case other => throw new IllegalStateException(s"unaccepted filter $other")
   }
 }
@@ -373,8 +389,8 @@ class GraftReaderFactory(tableSchema: StructType,
           val u = UnsafeProjection.create(exprs.toIndexedSeq)
           r => u(r)
       }
-      private def keep(r: InternalRow): Boolean =
-        filters.forall(GraftFilterEval.eval(tableSchema, r, _))
+      private val preds = filters.map(GraftFilterEval.compile(tableSchema, _))
+      private def keep(r: InternalRow): Boolean = preds.forall(_(r))
       private val it = p.asInstanceOf[GraftInputPartition].rows.iterator
       private var cur: InternalRow = _
       override def next(): Boolean = {

@@ -33,9 +33,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * 'graft.row_id'='<col>')`; the row id must be a single existing
   * column, unique per row — the analyzer keys matched actions on it.
   */
-class GraftDeltaTable(storeKey0: String, ident: String,
+class GraftDeltaTable(ident: String,
     tableSchema: StructType, rowIdCol: String)
-    extends GraftTable(storeKey0, ident, tableSchema) {
+    extends GraftTable(ident, tableSchema) {
 
   private val idOrdinal = tableSchema.fieldNames.indexWhere(
     _.equalsIgnoreCase(rowIdCol))
