@@ -213,6 +213,108 @@ object Multimodal {
       thumb.map(_.toLong).sum)
   }
 
+  // ------------------------------------------------------------------ WAV
+  // Real audio path (NOT a stub): PCM WAV is a plain RIFF container the
+  // JVM needs no codec library for — the header is 44 bytes of
+  // little-endian fields, the payload interleaved 16-bit samples. Audio
+  // is synthesized per doc_id from modular arithmetic (the q81/q82
+  // recipe: lossless by construction, so the oracle recomputes every
+  // feature from the formula with no decoder in the loop), and the
+  // decoder genuinely PARSES: it walks the RIFF chunk list, reads the
+  // format fields from the bytes (never from the generator), and
+  // decodes the PCM frames.
+
+  final case class WavDoc(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded audio features: format fields from the parsed header,
+    * duration from frames/rate, amplitude stats from the PCM samples. */
+  final case class WavFeatures(
+      doc_id: Long, sample_rate: Int, n_channels: Int, n_frames: Long,
+      duration_ms: Long, sum_abs: Long, max_abs: Int, first_sample: Int)
+
+  /** Deterministic audio geometry/content, shared with the oracle. */
+  def wavRate(id: Long): Int = 8000 + (id % 4).toInt * 4000
+  def wavChannels(id: Long): Int = 1 + (id % 2).toInt
+  def wavFrames(id: Long): Int = 256 + (id % 7).toInt * 32
+  def wavSample(id: Long, c: Int, n: Int): Int =
+    (((id * 31 + n * 7 + c * 13) % 4001) - 2000).toInt
+
+  /** Synthesize a canonical 44-byte-header PCM16LE WAV per doc_id. */
+  def makeWav(rows: Iterator[Long]): Iterator[WavDoc] = rows.map { id =>
+    val (rate, ch, nf) = (wavRate(id), wavChannels(id), wavFrames(id))
+    val dataBytes = nf * ch * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2) // byte rate
+      .putShort((ch * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var n = 0
+    while (n < nf) {
+      var c = 0
+      while (c < ch) { bb.putShort(wavSample(id, c, n).toShort); c += 1 }
+      n += 1
+    }
+    WavDoc(id, bb.array())
+  }
+
+  /** REAL RIFF/PCM parse: chunk-walk to `fmt ` and `data`, read every
+    * format field from the BYTES, decode the interleaved PCM16LE
+    * frames. Throws on anything that is not canonical PCM WAV — a
+    * corrupt payload must fail loudly, not feature-extract garbage. */
+  def decodeWav(rows: Iterator[WavDoc]): Iterator[WavFeatures] = rows.map { r =>
+    val bb = java.nio.ByteBuffer.wrap(r.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"doc ${r.doc_id}: not a RIFF file")
+    bb.getInt // riff size
+    require(fourcc() == "WAVE", s"doc ${r.doc_id}: not a WAVE form")
+    var rate, ch, bits = -1
+    var feats: WavFeatures = null
+    while (feats == null) {
+      val id = fourcc()
+      val size = bb.getInt
+      id match {
+        case "fmt " =>
+          require(bb.getShort == 1, s"doc ${r.doc_id}: not PCM")
+          ch = bb.getShort.toInt
+          rate = bb.getInt
+          bb.getInt // byte rate
+          bb.getShort // block align
+          bits = bb.getShort.toInt
+          require(bits == 16, s"doc ${r.doc_id}: not 16-bit")
+          bb.position(bb.position() + size - 16)
+        case "data" =>
+          require(rate > 0, s"doc ${r.doc_id}: data chunk before fmt")
+          val nSamples = size / 2
+          val nFrames = nSamples / ch
+          var sumAbs = 0L
+          var maxAbs = 0
+          var first = Int.MinValue
+          var i = 0
+          while (i < nSamples) {
+            val s2 = bb.getShort.toInt
+            if (i == 0) first = s2
+            val a = math.abs(s2)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          feats = WavFeatures(r.doc_id, rate, ch, nFrames,
+            nFrames * 1000L / rate, sumAbs, maxAbs, first)
+        case _ => bb.position(bb.position() + size) // skip unknown chunk
+      }
+    }
+    feats
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q80:
@@ -380,6 +482,53 @@ object Multimodal {
                CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum,
                COUNT(DISTINCT payload_md5) AS n_distinct_payloads
         FROM f GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // -------------------------------------------------------------- q192:
+    // REAL audio decode: deterministic PCM16LE WAVs (synthesized per
+    // doc_id — PCM is lossless, so content is known arithmetic) are
+    // parsed by a genuine RIFF chunk-walker that reads sample rate /
+    // channels / bit depth FROM THE BYTES and decodes the interleaved
+    // frames into amplitude stats. Completes the multimodal trio
+    // (image q82, video-shaped q81, audio here) with zero external
+    // codec dependencies — canonical WAV needs none. The oracle
+    // recomputes every feature from the doc_id arithmetic, decoder-free;
+    // scale shape identical to q81/q82: per-row codec work inside
+    // mapPartitions, embarrassingly parallel, features become plain
+    // columns for the rest of the plan.
+    QueryDef(
+      "q192_wav_decode",
+      (s, d) => {
+        implicit val idEnc = Encoders.scalaLong
+        implicit val wavEnc = Encoders.product[WavDoc]
+        implicit val outEnc = Encoders.product[WavFeatures]
+        Tables(s, d, "documents")
+          .select(col("doc_id")).as[Long](idEnc)
+          .mapPartitions(makeWav _)(wavEnc)
+          .mapPartitions(decodeWav _)(outEnc).toDF()
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          CAST(8000 + (doc_id % 4) * 4000 AS INTEGER)
+                            AS sample_rate,
+                          CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+                          CAST(256 + (doc_id % 7) * 32 AS BIGINT) AS n_frames
+                   FROM documents),
+        s2 AS (SELECT doc_id, sample_rate, n_channels, n_frames,
+                      flatten(list_transform(
+                        generate_series(0, n_channels - 1),
+                        c -> list_transform(
+                          generate_series(0, CAST(n_frames AS INTEGER) - 1),
+                          n -> abs(((doc_id * 31 + n * 7 + c * 13) % 4001)
+                                   - 2000)))) AS amps
+               FROM t)
+        SELECT doc_id, sample_rate, n_channels, n_frames,
+               n_frames * 1000 // sample_rate AS duration_ms,
+               CAST(list_sum(amps) AS BIGINT) AS sum_abs,
+               CAST(list_max(amps) AS INTEGER) AS max_abs,
+               CAST((doc_id * 31) % 4001 - 2000 AS INTEGER) AS first_sample
+        FROM s2
+        ORDER BY doc_id"""))
   )
 }

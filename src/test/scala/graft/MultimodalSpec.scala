@@ -70,4 +70,27 @@ class MultimodalSpec extends SparkSpec {
     assert(png.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte))
   }
+
+  test("WAV decode parses the bytes (not the generator) and rejects " +
+      "corrupt payloads loudly") {
+    import graft.multimodal.Multimodal._
+    val doc = makeWav(Iterator(7L)).next()
+    // real container: RIFF magic + canonical 44-byte PCM header
+    assert(new String(doc.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(doc.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = decodeWav(Iterator(doc)).next()
+    assert(f.sample_rate == wavRate(7) && f.n_channels == wavChannels(7) &&
+      f.n_frames == wavFrames(7))
+    assert(f.first_sample == wavSample(7, 0, 0))
+    // a corrupted magic must throw, not feature-extract garbage
+    val bad = doc.payload.clone(); bad(1) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      decodeWav(Iterator(WavDoc(7L, bad))).next()
+    }
+    // a non-PCM format tag must throw too (byte 20 = audio format LE)
+    val nonPcm = doc.payload.clone(); nonPcm(20) = 3 // IEEE float
+    intercept[IllegalArgumentException] {
+      decodeWav(Iterator(WavDoc(7L, nonPcm))).next()
+    }
+  }
 }
