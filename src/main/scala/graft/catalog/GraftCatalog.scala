@@ -284,8 +284,14 @@ object GraftFilterEval {
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.types._
 
+  // EXACT name match only: Spark pushes filters with the column name as
+  // the analyzer resolved it against this very schema, so exact always
+  // hits for legitimate pushes — and under spark.sql.caseSensitive=true
+  // a case-insensitive fallback could bind a TRUSTED predicate to the
+  // wrong column of a case-colliding schema (silent wrong results; a
+  // rejected push merely stays a residual filter, which is safe).
   private def ordinalOf(schema: StructType, col: String): Int =
-    schema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
+    schema.fieldNames.indexOf(col)
 
   private def comparable(schema: StructType, col: String, v: Any): Boolean = {
     val o = ordinalOf(schema, col)
@@ -322,7 +328,13 @@ object GraftFilterEval {
         r => !r.isNullAt(o) && test(Integer.compare(r.getInt(o), iv))
       case DoubleType =>
         val dv = v.asInstanceOf[Double]
-        r => !r.isNullAt(o) && test(java.lang.Double.compare(r.getDouble(o), dv))
+        // Spark's double ordering (SQLOrderingUtil): primitive == first,
+        // so -0.0 = 0.0 holds — java.lang.Double.compare alone would
+        // order them and silently drop rows from trusted filters
+        r => !r.isNullAt(o) && {
+          val x = r.getDouble(o)
+          test(if (x == dv) 0 else java.lang.Double.compare(x, dv))
+        }
       case StringType =>
         val sv = org.apache.spark.unsafe.types.UTF8String.fromString(
           v.asInstanceOf[String])

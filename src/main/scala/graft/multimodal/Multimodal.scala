@@ -290,7 +290,9 @@ object Multimodal {
           bb.getShort // block align
           bits = bb.getShort.toInt
           require(bits == 16, s"doc ${r.doc_id}: not 16-bit")
-          bb.position(bb.position() + size - 16)
+          // RIFF chunks are word-aligned: odd-sized chunks carry one
+          // pad byte not counted in `size`
+          bb.position(bb.position() + (size - 16) + (size & 1))
         case "data" =>
           require(rate > 0, s"doc ${r.doc_id}: data chunk before fmt")
           val nSamples = size / 2
@@ -309,7 +311,8 @@ object Multimodal {
           }
           feats = WavFeatures(r.doc_id, rate, ch, nFrames,
             nFrames * 1000L / rate, sumAbs, maxAbs, first)
-        case _ => bb.position(bb.position() + size) // skip unknown chunk
+        case _ => // skip unknown chunk incl. its word-alignment pad byte
+          bb.position(bb.position() + size + (size & 1))
       }
     }
     feats

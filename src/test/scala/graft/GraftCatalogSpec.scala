@@ -226,6 +226,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql(
         "SELECT k FROM gtest.default.t WHERE v LIKE '%a%' OR x IS NULL")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // -0.0 under Spark's double ordering: equal to 0.0 — a trusted
+    // pushed filter must agree (Double.compare alone would drop the row)
+    sql("INSERT INTO gtest.default.t VALUES (5, 'z', CAST('-0.0' AS DOUBLE))")
+    assert(sql("SELECT k FROM gtest.default.t WHERE x = 0.0").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L), "-0.0 = 0.0 violated by pushdown")
+    assert(sql("SELECT k FROM gtest.default.t WHERE x < 0.0").collect()
+      .isEmpty, "-0.0 < 0.0 wrongly satisfied by pushdown")
   }
 
   test("rename preserves content; drop removes it") {

@@ -93,4 +93,25 @@ class MultimodalSpec extends SparkSpec {
       decodeWav(Iterator(WavDoc(7L, nonPcm))).next()
     }
   }
+
+  test("WAV chunk walker honors RIFF word alignment (odd-sized chunk)") {
+    import graft.multimodal.Multimodal._
+    val doc = makeWav(Iterator(9L)).next()
+    val clean = decodeWav(Iterator(doc)).next()
+    // splice a spec-valid odd-sized LIST chunk between WAVE and fmt :
+    // 8-byte header + 5 payload bytes + 1 UNCOUNTED pad byte = 14 bytes
+    val chunk = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("INFOx".getBytes("US-ASCII")).put(0.toByte)
+    val out = java.nio.ByteBuffer
+      .allocate(doc.payload.length + 14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(doc.payload, 0, 12).put(chunk.array())
+      .put(doc.payload, 12, doc.payload.length - 12)
+    out.putInt(4, doc.payload.length + 14 - 8) // patch RIFF size
+    val padded = decodeWav(Iterator(WavDoc(9L, out.array()))).next()
+    assert(padded == clean,
+      "odd-sized chunk shifted the parse: pad byte not honored")
+  }
 }
