@@ -263,60 +263,104 @@ object Multimodal {
     WavDoc(id, bb.array())
   }
 
+  /** Parsed PCM audio: format fields from the header bytes, samples
+    * interleaved channel-major per frame (the wire order). */
+  final case class PcmAudio(rate: Int, channels: Int, samples: Array[Short]) {
+    def nFrames: Int = samples.length / channels
+  }
+
   /** REAL RIFF/PCM parse: chunk-walk to `fmt ` and `data`, read every
     * format field from the BYTES, decode the interleaved PCM16LE
     * frames. Throws on anything that is not canonical PCM WAV — a
     * corrupt payload must fail loudly, not feature-extract garbage. */
-  def decodeWav(rows: Iterator[WavDoc]): Iterator[WavFeatures] = rows.map { r =>
-    val bb = java.nio.ByteBuffer.wrap(r.payload)
+  def parseWav(docId: Long, payload: Array[Byte]): PcmAudio = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
       val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
     }
-    require(fourcc() == "RIFF", s"doc ${r.doc_id}: not a RIFF file")
+    require(fourcc() == "RIFF", s"doc $docId: not a RIFF file")
     bb.getInt // riff size
-    require(fourcc() == "WAVE", s"doc ${r.doc_id}: not a WAVE form")
-    var rate, ch, bits = -1
-    var feats: WavFeatures = null
-    while (feats == null) {
+    require(fourcc() == "WAVE", s"doc $docId: not a WAVE form")
+    var rate, ch = -1
+    var audio: PcmAudio = null
+    while (audio == null) {
       val id = fourcc()
       val size = bb.getInt
       id match {
         case "fmt " =>
-          require(bb.getShort == 1, s"doc ${r.doc_id}: not PCM")
+          require(bb.getShort == 1, s"doc $docId: not PCM")
           ch = bb.getShort.toInt
           rate = bb.getInt
           bb.getInt // byte rate
           bb.getShort // block align
-          bits = bb.getShort.toInt
-          require(bits == 16, s"doc ${r.doc_id}: not 16-bit")
+          require(bb.getShort.toInt == 16, s"doc $docId: not 16-bit")
           // RIFF chunks are word-aligned: odd-sized chunks carry one
           // pad byte not counted in `size`
           bb.position(bb.position() + (size - 16) + (size & 1))
         case "data" =>
-          require(rate > 0, s"doc ${r.doc_id}: data chunk before fmt")
-          val nSamples = size / 2
-          val nFrames = nSamples / ch
-          var sumAbs = 0L
-          var maxAbs = 0
-          var first = Int.MinValue
+          require(rate > 0, s"doc $docId: data chunk before fmt")
+          val samples = new Array[Short](size / 2)
           var i = 0
-          while (i < nSamples) {
-            val s2 = bb.getShort.toInt
-            if (i == 0) first = s2
-            val a = math.abs(s2)
-            sumAbs += a
-            if (a > maxAbs) maxAbs = a
-            i += 1
-          }
-          feats = WavFeatures(r.doc_id, rate, ch, nFrames,
-            nFrames * 1000L / rate, sumAbs, maxAbs, first)
+          while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+          audio = PcmAudio(rate, ch, samples)
         case _ => // skip unknown chunk incl. its word-alignment pad byte
           bb.position(bb.position() + size + (size & 1))
       }
     }
-    feats
+    audio
   }
+
+  /** Amplitude-stat features over the parsed audio. */
+  def decodeWav(rows: Iterator[WavDoc]): Iterator[WavFeatures] = rows.map { r =>
+    val a = parseWav(r.doc_id, r.payload)
+    var sumAbs = 0L
+    var maxAbs = 0
+    var i = 0
+    while (i < a.samples.length) {
+      val v = math.abs(a.samples(i).toInt)
+      sumAbs += v
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val first = if (a.samples.nonEmpty) a.samples(0).toInt else Int.MinValue
+    WavFeatures(r.doc_id, a.rate, a.channels, a.nFrames,
+      a.nFrames * 1000L / a.rate, sumAbs, maxAbs, first)
+  }
+
+  /** Resampled-channel features (q193). */
+  final case class ResampleFeatures(
+      doc_id: Long, src_rate: Int, stride: Int, n_out: Long,
+      out_sum_abs: Long, out_first: Int, out_last: Int)
+
+  /** Sample-rate normalization by integer DECIMATION: keep channel 0 at
+    * every `src_rate / targetRate`-th frame. The fixture rates (8/12/
+    * 16/20 kHz) are exact multiples of the 4 kHz target, so decimation
+    * is lossless sample selection — integer-exact, hence oracle-able —
+    * where a fractional ratio would need interpolation (a float design
+    * the oracle gate would reject; real pipelines low-pass first, which
+    * is a convolution this op deliberately stays below). */
+  def resampleWav(targetRate: Int)(rows: Iterator[WavDoc]): Iterator[ResampleFeatures] =
+    rows.map { r =>
+      val a = parseWav(r.doc_id, r.payload)
+      require(a.rate % targetRate == 0,
+        s"doc ${r.doc_id}: rate ${a.rate} not an integer multiple of $targetRate")
+      val stride = a.rate / targetRate
+      var sumAbs = 0L
+      var nOut = 0L
+      var first = Int.MinValue
+      var last = Int.MinValue
+      var f = 0
+      while (f < a.nFrames) {
+        val v = a.samples(f * a.channels).toInt // channel 0 of frame f
+        if (nOut == 0) first = v
+        last = v
+        sumAbs += math.abs(v)
+        nOut += 1
+        f += stride
+      }
+      ResampleFeatures(r.doc_id, a.rate, stride, nOut, sumAbs, first, last)
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -531,6 +575,47 @@ object Multimodal {
                CAST(list_sum(amps) AS BIGINT) AS sum_abs,
                CAST(list_max(amps) AS INTEGER) AS max_abs,
                CAST((doc_id * 31) % 4001 - 2000 AS INTEGER) AS first_sample
+        FROM s2
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------- q193:
+    // Audio RESAMPLING: every corpus file decimated to a common 4 kHz —
+    // the sample-rate normalization step every audio-training pipeline
+    // runs before feature extraction, here as lossless integer
+    // decimation of the parsed PCM (see resampleWav's scaladoc for why
+    // not interpolation). The four fixture rates (8/12/16/20 kHz) give
+    // strides 2/3/4/5, so the selected-frame arithmetic varies per
+    // document and the oracle replays it with stepped generate_series. Scale shape: same per-row mapPartitions codec
+    // work as q81/q82/q192.
+    QueryDef(
+      "q193_wav_resample",
+      (s, d) => {
+        implicit val idEnc = Encoders.scalaLong
+        implicit val wavEnc = Encoders.product[WavDoc]
+        implicit val outEnc = Encoders.product[ResampleFeatures]
+        Tables(s, d, "documents")
+          .select(col("doc_id")).as[Long](idEnc)
+          .mapPartitions(makeWav _)(wavEnc)
+          .mapPartitions(resampleWav(4000) _)(outEnc).toDF()
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          CAST(8000 + (doc_id % 4) * 4000 AS INTEGER)
+                            AS src_rate,
+                          CAST(256 + (doc_id % 7) * 32 AS INTEGER) AS nf
+                   FROM documents),
+        s2 AS (SELECT doc_id, src_rate, src_rate // 4000 AS stride, nf,
+                      list_transform(
+                        generate_series(0, nf - 1, src_rate // 4000),
+                        n -> ((doc_id * 31 + n * 7) % 4001) - 2000) AS sel
+               FROM t)
+        SELECT doc_id, src_rate, CAST(stride AS INTEGER) AS stride,
+               CAST(len(sel) AS BIGINT) AS n_out,
+               CAST(list_sum(list_transform(sel, v -> abs(v))) AS BIGINT)
+                 AS out_sum_abs,
+               CAST(sel[1] AS INTEGER) AS out_first,
+               CAST(sel[len(sel)] AS INTEGER) AS out_last
         FROM s2
         ORDER BY doc_id"""))
   )
