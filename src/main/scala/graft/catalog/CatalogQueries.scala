@@ -226,7 +226,7 @@ object CatalogQueries {
       "q187_mor_compaction",
       (s, d) => {
         seedAndMergeMor(s, d)
-        morTable(s).compact()
+        morTable(s).compact(s, "graft_cat.default.orders_mor")
         s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
                         action
                  FROM graft_cat.default.orders_mor

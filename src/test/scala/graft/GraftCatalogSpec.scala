@@ -166,12 +166,12 @@ class GraftCatalogSpec extends SparkSpec {
     val before = content()
     val t = graft.catalog.CatalogQueries.morTable(spark)
     assert(t.deltaLogSize > 0, "setup produced an empty delta log")
-    t.compact()
+    t.compact(spark, "graft_cat.default.orders_mor")
     assert(content() == before, "compaction changed table content")
     assert(t.deltaLogSize == 0, "compaction left log entries behind")
     assert(t.baseRowCount == before.size.toLong,
       s"compacted base ${t.baseRowCount} != content ${before.size}")
-    t.compact() // idempotent
+    t.compact(spark, "graft_cat.default.orders_mor") // idempotent
     assert(content() == before && t.deltaLogSize == 0)
   }
 
