@@ -34,6 +34,7 @@ object SparkEntry {
       graft.similarity.Clustering.defs ++
       graft.similarity.ProductQuant.defs ++
       graft.similarity.IvfPq.defs ++
+      graft.similarity.RecallProbe.defs ++
       graft.pipeline.Sampling.defs ++
       graft.sources.Roundtrip.defs ++
       graft.sources.Partitioned.defs ++

@@ -233,7 +233,118 @@ object CatalogQueries {
                  ORDER BY o_orderkey""")
       },
       Some(cdcOracle))
+  ) ++ q194Defs
+
+  // lazy: referenced from `defs` above its definition point
+  private lazy val q194Defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------- q194:
+    // ALTER TABLE ADD COLUMN — schema evolution over the parquet-backed
+    // catalog. Half the rows are written BEFORE the ALTER (their files
+    // physically lack the column; the scan backfills null), half after
+    // (their files carry it). The read-back COALESCEs the backfill, so
+    // the result proves both populations coexist in one table under one
+    // schema. At 100 TB this is the everyday lakehouse operation:
+    // adding a column must be a metadata commit, never a table rewrite
+    // — and here it is exactly one snapshot append, zero data I/O
+    // (GraftStorageSpec pins old-snapshot schema isolation).
+    QueryDef(
+      "q194_alter_add_column",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_alter")
+        s.sql("""CREATE TABLE graft_cat.default.orders_alter
+                 (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q194_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_alter
+                 SELECT o_orderkey, o_totalprice FROM q194_orders
+                 WHERE o_orderkey % 10 < 5""")
+        s.sql("""ALTER TABLE graft_cat.default.orders_alter
+                 ADD COLUMN price_band STRING""")
+        s.sql("""INSERT INTO graft_cat.default.orders_alter
+                 SELECT o_orderkey, o_totalprice,
+                        CASE WHEN o_totalprice >= 100000 THEN 'high'
+                             ELSE 'low' END
+                 FROM q194_orders WHERE o_orderkey % 10 >= 5""")
+        s.sql("""SELECT o_orderkey, o_totalprice,
+                        COALESCE(price_band, 'unclassified') AS price_band
+                 FROM graft_cat.default.orders_alter
+                 ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 10 >= 5 THEN
+                      (CASE WHEN o_totalprice >= 100000 THEN 'high'
+                            ELSE 'low' END)
+                    ELSE 'unclassified' END AS price_band
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------- q195:
+    // SQL UPDATE through the MERGE-ON-READ delta seam as a DECLARED
+    // query (GraftCatalogSpec proved the plan shape in r9; the oracle
+    // gate now owns the semantics too). The write is delta-sized — only
+    // the |matched| rows enter the log, the base files are untouched —
+    // and the read folds the log per partition. Same statement against
+    // the copy-on-write table would rewrite every matched FILE; this is
+    // the other half of the lakehouse write/read-amplification trade.
+    QueryDef(
+      "q195_mor_update_sql",
+      (s, d) => {
+        seedMorPlain(s, d, "orders_mupd", "q195")
+        s.sql("""UPDATE graft_cat.default.orders_mupd
+                 SET o_totalprice = o_totalprice + 50.0
+                 WHERE o_orderkey % 7 = 0""")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM graft_cat.default.orders_mupd
+                 ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------- q196:
+    // SQL DELETE through the same delta seam: the log records only
+    // |deleted| tombstones; the fold drops them at read. The predicate
+    // keys on a NON-id column deliberately — the rewrite must read the
+    // table (no metadata-only shortcut), dispatch per-row deletes by
+    // row id, and the fold must still prune its id-set shipping by the
+    // base files' id-range stats.
+    QueryDef(
+      "q196_mor_delete_sql",
+      (s, d) => {
+        seedMorPlain(s, d, "orders_mdel", "q196")
+        s.sql("""DELETE FROM graft_cat.default.orders_mdel
+                 WHERE o_custkey % 10 = 3""")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM graft_cat.default.orders_mdel
+                 ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey % 10 <> 3
+        ORDER BY o_orderkey"""))
   )
+
+  /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —
+    * q195/q196 apply their own single-statement DML on top). */
+  private def seedMorPlain(s: org.apache.spark.sql.SparkSession,
+      d: String, table: String, prefix: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$table")
+    Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView(s"${prefix}_seed")
+    s.sql(s"""CREATE TABLE graft_cat.default.$table
+              TBLPROPERTIES ('graft.mode'='mor',
+                             'graft.row_id'='o_orderkey')
+              AS SELECT * FROM ${prefix}_seed""")
+  }
 
   /** The q186/q187 MOR table handle, post-setup. */
   private[graft] def morTable(

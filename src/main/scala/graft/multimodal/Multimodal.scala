@@ -362,6 +362,80 @@ object Multimodal {
       ResampleFeatures(r.doc_id, a.rate, stride, nOut, sumAbs, first, last)
     }
 
+  /** 44.1 kHz fixture variant: same deterministic content/geometry as
+    * [[makeWav]], with the sample rate pinned to the most common rate
+    * in the wild — which is NOT an integer multiple of the 4 kHz
+    * target, the case q193's decimation refuses (VERDICT r9 item 6). */
+  def makeWavAt(rate: Int)(rows: Iterator[Long]): Iterator[WavDoc] =
+    rows.map { id =>
+      val (ch, nf) = (wavChannels(id), wavFrames(id))
+      val dataBytes = nf * ch * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)
+        .putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * 2)
+        .putShort((ch * 2).toShort)
+        .putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      var n = 0
+      while (n < nf) {
+        var c = 0
+        while (c < ch) { bb.putShort(wavSample(id, c, n).toShort); c += 1 }
+        n += 1
+      }
+      WavDoc(id, bb.array())
+    }
+
+  /** Linear-interpolation resample features (q199). Values carry the
+    * denominator SCALE so everything stays integer-exact. */
+  final case class ResampleInterpFeatures(
+      doc_id: Long, src_rate: Int, n_out: Long, scale: Int,
+      out_sum_abs: Long, out_first: Int, out_last: Int)
+
+  /** Fractional-ratio resampling by LINEAR INTERPOLATION — the general
+    * case decimation (q193) can't express: output sample j sits at
+    * source position j * src/target = j * up / dn (the ratio reduced by
+    * gcd, e.g. 44100/4000 = 441/40), between source frames i0 and
+    * i0 + 1 with fractional weight frac/dn. Instead of evaluating the
+    * blend in floating point (which the oracle gate would reject), the
+    * emitted value is SCALED by dn:
+    *   out_scaled = s[i0] * (dn - frac) + s[i0 + 1] * frac
+    * — pure int64 arithmetic, bit-replayable in SQL. A real pipeline
+    * divides by dn (and low-passes first); the engine op deliberately
+    * stops at the exact numerator, the same honesty contract as q193.
+    * Outputs stop at the last j whose i0 + 1 still exists — no
+    * zero-padded tail sample. */
+  def resampleWavInterp(targetRate: Int)(rows: Iterator[WavDoc]): Iterator[ResampleInterpFeatures] =
+    rows.map { r =>
+      val a = parseWav(r.doc_id, r.payload)
+      val g = java.math.BigInteger.valueOf(a.rate)
+        .gcd(java.math.BigInteger.valueOf(targetRate)).intValueExact()
+      val up = a.rate / g
+      val dn = targetRate / g
+      var j = 0L
+      var sumAbs = 0L
+      var first = Int.MinValue
+      var last = Int.MinValue
+      var n = 0L
+      while (((j * up) / dn + 1) <= a.nFrames - 1) {
+        val i0 = ((j * up) / dn).toInt
+        val frac = ((j * up) % dn).toInt
+        val s0 = a.samples(i0 * a.channels).toInt // channel 0
+        val s1 = a.samples((i0 + 1) * a.channels).toInt
+        val v = s0 * (dn - frac) + s1 * frac
+        if (n == 0) first = v
+        last = v
+        sumAbs += math.abs(v)
+        n += 1
+        j += 1
+      }
+      ResampleInterpFeatures(r.doc_id, a.rate, n, dn, sumAbs, first, last)
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // --------------------------------------------------------------- q80:
@@ -616,6 +690,51 @@ object Multimodal {
                  AS out_sum_abs,
                CAST(sel[1] AS INTEGER) AS out_first,
                CAST(sel[len(sel)] AS INTEGER) AS out_last
+        FROM s2
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------- q199:
+    // FRACTIONAL-RATIO audio resampling: the corpus re-synthesized at
+    // 44.1 kHz (the rate q193's decimation refuses — 44100/4000 reduces
+    // to 441/40, not an integer) and interpolated down to 4 kHz. The
+    // decoder still genuinely parses the RIFF bytes; the interpolation
+    // is integer-exact at scale dn = 40 (see resampleWavInterp), so the
+    // oracle replays every blended sample — weights included — in SQL.
+    // Scale shape: identical to q192/q193, embarrassingly parallel
+    // per-row codec work, no shuffle before the output sort.
+    QueryDef(
+      "q199_wav_resample_interp",
+      (s, d) => {
+        implicit val idEnc = Encoders.scalaLong
+        implicit val wavEnc = Encoders.product[WavDoc]
+        implicit val outEnc = Encoders.product[ResampleInterpFeatures]
+        Tables(s, d, "documents")
+          .select(col("doc_id")).as[Long](idEnc)
+          .mapPartitions(makeWavAt(44100) _)(wavEnc)
+          .mapPartitions(resampleWavInterp(4000) _)(outEnc).toDF()
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          CAST(256 + (doc_id % 7) * 32 AS INTEGER) AS nf
+                   FROM documents),
+        s2 AS (SELECT doc_id, nf,
+                      list_transform(
+                        list_filter(
+                          generate_series(0, (nf * 40) // 441 + 2),
+                          j -> (j * 441) // 40 + 1 <= nf - 1),
+                        j -> ((doc_id * 31 + ((j * 441) // 40) * 7) % 4001
+                                - 2000) * (40 - (j * 441) % 40)
+                           + ((doc_id * 31 + ((j * 441) // 40 + 1) * 7)
+                                % 4001 - 2000) * ((j * 441) % 40)) AS outs
+               FROM t)
+        SELECT doc_id, CAST(44100 AS INTEGER) AS src_rate,
+               CAST(len(outs) AS BIGINT) AS n_out,
+               CAST(40 AS INTEGER) AS scale,
+               CAST(list_sum(list_transform(outs, v -> abs(v))) AS BIGINT)
+                 AS out_sum_abs,
+               CAST(outs[1] AS INTEGER) AS out_first,
+               CAST(outs[len(outs)] AS INTEGER) AS out_last
         FROM s2
         ORDER BY doc_id"""))
   )

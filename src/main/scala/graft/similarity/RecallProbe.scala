@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.QueryDef
 import graft.util.Hashing.md5Long
 
 /** ANN recall measurement on a CLUSTERED corpus.
@@ -194,4 +195,190 @@ object RecallProbe {
       .select("query_id", "cand_id").distinct()
     score(corpus, cand, nQueries, topK, n)
   }
+
+  // ------------------------------------------------------------------ q198
+  // The probe's headline finding — high ANN recall at a small scanned
+  // fraction on a CLUSTERABLE corpus — promoted from spec/BASELINE
+  // evidence into the driver's correctness channel (VERDICT r9 item 5).
+  // To make the whole measurement ORACLE-PAIRED (the spec corpus uses
+  // xxhash64, Spark-only), the declared variant is built on an integer
+  // lattice: center coordinates and per-point noise are md5-derived
+  // integers (byte-identical in DuckDB), embeddings are ARRAY<BIGINT>,
+  // and neighbors rank by squared L2 distance — pure int64 arithmetic,
+  // so both arms, the rerank, and the recall itself hash-match exactly.
+
+  private val QN = 2000 // corpus size
+  private val QK = 8 // clusters = IVF cells
+  private val QD = 16 // dimensions
+  private val QQ = 16 // audited queries
+  private val QPROBE = 2 // cells probed per query
+  private val QTOP = 5 // recall@K
+
+  /** Cluster centers on the integer lattice, scaled by 1000 so the
+    * (±1000-range) noise perturbs at 15% of the coordinate scale —
+    * same literals interpolated into the Spark plan and the oracle. */
+  private val latCenters: IndexedSeq[IndexedSeq[Long]] =
+    (0 until QK).map(c => (0 until QD).map(d =>
+      ((md5Long(s"lat:$c:$d") % 2001) - 1000) * 1000L))
+
+  private def duckCenters: String =
+    latCenters.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q198_ivf_recall_clustered",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ctrs: Column =
+          array(latCenters.map(ca => array(ca.map(lit): _*)): _*)
+        // corpus: map-only over spark.range — point i near center i % K,
+        // md5 noise per (point, dim). Nothing originates on the driver
+        // beyond the K x D literal centers (codebook-sized).
+        val corpus = s.range(QN.toLong).toDF("vec_id")
+          .withColumn("ctrs", ctrs)
+          .withColumn("embedding", expr(
+            s"""transform(sequence(0, ${QD - 1}), dd ->
+               |  element_at(element_at(ctrs, CAST(vec_id % $QK AS INT) + 1),
+               |             dd + 1)
+               |  + 150 * (CAST(conv(substr(md5(concat(
+               |      CAST(vec_id AS STRING), ':', CAST(dd AS STRING))),
+               |      1, 15), 16, 10) AS BIGINT) % 2001 - 1000))"""
+              .stripMargin))
+          // IVF assignment with the KNOWN codebook: distances to all K
+          // cells per point (map-side, no shuffle), argmin with
+          // first-index tiebreak
+          .withColumn("dists", expr(
+            """transform(ctrs, ctr ->
+              |  aggregate(zip_with(embedding, ctr,
+              |    (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"""
+              .stripMargin))
+          .withColumn("cell", expr("array_position(dists, array_min(dists))"))
+          .drop("ctrs")
+        val l2 = expr(
+          """aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
+            |          0L, (acc, v) -> acc + v)""".stripMargin)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("cand_id"))
+        val emb = corpus.select(col("vec_id"), col("embedding"))
+        // queries probe their QPROBE nearest cells
+        val probes = corpus.filter(col("vec_id") < QQ)
+          .select(col("vec_id").as("query_id"),
+            posexplode(col("dists")).as(Seq("cpos", "cdist")))
+          .withColumn("rnk", row_number().over(Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cdist"), col("cpos"))))
+          .filter(col("rnk") <= QPROBE)
+          .select(col("query_id"), (col("cpos") + 1).cast("long").as("cell"))
+        // candidates = corpus members of the probed cells (equi-join on
+        // cell — candidate-sized work, never corpus x corpus)
+        val cand = broadcast(probes)
+          .join(corpus.select(col("vec_id").as("cand_id"), col("cell")),
+            "cell")
+          .filter(col("query_id") =!= col("cand_id"))
+          .select("query_id", "cand_id")
+        val approxTop = broadcast(broadcast(cand)
+            .join(emb.select(col("vec_id").as("query_id"),
+              col("embedding").as("qe")), "query_id"))
+          .join(emb.select(col("vec_id").as("cand_id"),
+            col("embedding").as("ce")), "cand_id")
+          .withColumn("dist", l2)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= QTOP)
+          .select("query_id", "cand_id")
+        // ground truth: brute-force top-K (broadcast the query arm)
+        val exact = broadcast(emb.filter(col("vec_id") < QQ)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+          .join(emb.select(col("vec_id").as("cand_id"),
+            col("embedding").as("ce")),
+            col("query_id") =!= col("cand_id"))
+          .withColumn("dist", l2)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= QTOP)
+          .select("query_id", "cand_id")
+        val nScan = cand.groupBy("query_id").agg(count(lit(1)).as("n_scanned"))
+        val hit = exact.join(approxTop, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(broadcast(nScan), Seq("query_id"), "left")
+          .join(broadcast(hit), Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)) /
+              col("n_exact").cast("double")).as("recall"),
+            (coalesce(col("n_scanned"), lit(0L)) / lit(QN.toDouble))
+              .as("scanned_frac"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH ctr AS (SELECT $duckCenters AS cs),
+        ids AS (SELECT CAST(r.range AS BIGINT) AS vec_id FROM range(0, $QN) r),
+        emb AS (SELECT vec_id,
+                  list_transform(range(0, $QD), dd ->
+                    cs[CAST(vec_id % $QK AS INTEGER) + 1][dd + 1]
+                    + 150 * (CAST(concat('0x', substr(md5(
+                        CAST(vec_id AS VARCHAR) || ':' ||
+                        CAST(dd AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 2001 - 1000)) AS e
+                FROM ids, ctr),
+        cl AS (SELECT vec_id, e,
+                 list_transform(cs, c2 ->
+                   list_sum(list_transform(range(0, $QD), dd ->
+                     (e[dd + 1] - c2[dd + 1]) * (e[dd + 1] - c2[dd + 1]))))
+                   AS dists
+               FROM emb, ctr),
+        cell1 AS (SELECT vec_id, e, dists,
+                    CAST(list_position(dists, list_min(dists)) AS BIGINT)
+                      AS cell
+                  FROM cl),
+        pr AS (SELECT vec_id AS query_id,
+                      unnest(range(0, $QK)) AS j, unnest(dists) AS cdist
+               FROM cell1 WHERE vec_id < $QQ),
+        prr AS (SELECT query_id, j,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cdist, j) AS rnk
+                FROM pr),
+        probes AS (SELECT query_id, j + 1 AS cell FROM prr
+                   WHERE rnk <= $QPROBE),
+        cand AS (SELECT p.query_id, c.vec_id AS cand_id
+                 FROM probes p JOIN cell1 c ON c.cell = p.cell
+                 WHERE c.vec_id <> p.query_id),
+        qv AS (SELECT vec_id AS query_id, e AS qe FROM cell1
+               WHERE vec_id < $QQ),
+        ap AS (SELECT cand.query_id, cand.cand_id,
+                 list_sum(list_transform(range(0, $QD), dd ->
+                   (qv.qe[dd + 1] - ce.e[dd + 1]) *
+                   (qv.qe[dd + 1] - ce.e[dd + 1]))) AS dist
+               FROM cand JOIN qv USING (query_id)
+               JOIN cell1 ce ON ce.vec_id = cand.cand_id),
+        apr AS (SELECT query_id, cand_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist, cand_id) AS rn
+                FROM ap),
+        atop AS (SELECT query_id, cand_id FROM apr WHERE rn <= $QTOP),
+        ep AS (SELECT q.query_id, c.vec_id AS cand_id,
+                 list_sum(list_transform(range(0, $QD), dd ->
+                   (q.qe[dd + 1] - c.e[dd + 1]) *
+                   (q.qe[dd + 1] - c.e[dd + 1]))) AS dist
+               FROM qv q JOIN cell1 c ON c.vec_id <> q.query_id),
+        er AS (SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY dist, cand_id) AS rn
+               FROM ep),
+        exact AS (SELECT query_id, cand_id FROM er WHERE rn <= $QTOP),
+        ns AS (SELECT query_id, COUNT(*) AS n_scanned FROM cand
+               GROUP BY query_id),
+        nh AS (SELECT e2.query_id, COUNT(*) AS n_hit
+               FROM exact e2 JOIN atop USING (query_id, cand_id)
+               GROUP BY e2.query_id),
+        ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact
+               GROUP BY query_id)
+        SELECT ne.query_id, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(COALESCE(n_scanned, 0) AS BIGINT) AS n_scanned,
+               CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+               COALESCE(n_hit, 0) / CAST(n_exact AS DOUBLE) AS recall,
+               COALESCE(n_scanned, 0) / CAST($QN AS DOUBLE) AS scanned_frac
+        FROM ne LEFT JOIN ns USING (query_id) LEFT JOIN nh USING (query_id)
+        ORDER BY query_id"""))
+  )
 }

@@ -1272,6 +1272,52 @@ object Windows {
         FROM events
         WHERE user_id < 100
         GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")),
+
+    // -------------------------------------------------------------- q197:
+    // STREAMING READ FROM THE MANAGED CATALOG — the half q190 left
+    // open, closing the CDC loop entirely inside the engine's own
+    // table format: a producer streams events INTO
+    // graft_cat.default.events_live (q190's path), then a downstream
+    // consumer `readStream.table(...)`s it back out — the catalog's
+    // MICRO_BATCH_READ seam, offsets indexing the table's append log
+    // (every committed file, in commit order, like FileStreamSource's
+    // ledger) — and lands it in a second managed table via the same
+    // exactly-once epoch sink. The read-back aggregate shares q190's
+    // oracle: whatever the loop's transport, content must equal the
+    // batch answer. At 100 TB this is the standard lakehouse CDC
+    // relay: each micro-batch reads only the newly committed files
+    // (offset delta), never rescans the table.
+    QueryDef(
+      "q197_stream_read_catalog",
+      (s, d) => withStreamConf(s) {
+        streamToTable(s, d, fresh = true)
+        val ckpt = stableDir("q197", d).resolve("ckpt")
+        graft.util.Fs.rmTree(ckpt)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.events_mirror")
+        s.sql("""CREATE TABLE graft_cat.default.events_mirror
+                 (user_id BIGINT, event_type STRING, value DOUBLE)""")
+        val q = s.readStream.table("graft_cat.default.events_live")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .toTable("graft_cat.default.events_mirror")
+        q.awaitTermination()
+        s.sql("""SELECT user_id, event_type, COUNT(*) AS n,
+                        CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                          AS sum_value
+                 FROM graft_cat.default.events_mirror
+                 GROUP BY user_id, event_type
+                 ORDER BY user_id, event_type""")
+      },
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                 AS sum_value
+        FROM events
+        WHERE user_id < 100
+        GROUP BY user_id, event_type
         ORDER BY user_id, event_type"""))
   )
 

@@ -1,0 +1,257 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Parquet-backed catalog storage contracts (the round-10 rewrite):
+  * file-granularity group pruning, snapshot retention, session
+  * persistence (cold load), ALTER schema evolution, per-query streaming
+  * epoch dedup, MOR row-id immutability, and orphan-file GC. The DML
+  * SEMANTICS are pinned in GraftCatalogSpec; this spec pins the
+  * STORAGE behavior underneath them. */
+class GraftStorageSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def setup(): Unit = {
+    spark.conf.set("spark.sql.catalog.gstore",
+      classOf[graft.catalog.GraftCatalog].getName)
+  }
+
+  private def tbl(name: String): graft.catalog.GraftTable =
+    spark.sessionState.catalogManager.catalog("gstore")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), name))
+      .asInstanceOf[graft.catalog.GraftTable]
+
+  test("row-level DML rewrites only the files whose stats admit matches; " +
+      "all other base files stay byte-identical") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.fp")
+    sql("CREATE TABLE gstore.default.fp (k BIGINT, v STRING)")
+    // three commits; each VALUES row lands in its own task file, so the
+    // table holds 9 single-row files with exact per-file key stats
+    sql("INSERT INTO gstore.default.fp VALUES (1,'a'),(5,'b'),(9,'c')")
+    sql("INSERT INTO gstore.default.fp VALUES (11,'d'),(15,'e'),(19,'f')")
+    sql("INSERT INTO gstore.default.fp VALUES (21,'g'),(25,'h'),(29,'i')")
+    val before = tbl("fp").currentFilePaths
+    assert(before.size == 9, s"expected 9 files, got ${before.size}")
+    val bytes = before.map(p => p -> Files.readAllBytes(Paths.get(p))).toMap
+
+    sql("UPDATE gstore.default.fp SET v = 'U' WHERE k = 15")
+
+    val after = tbl("fp").currentFilePaths
+    // the single file holding k=15 was replaced; the other 8 are the
+    // SAME paths with the SAME bytes — group pruning kept them out of
+    // the rewrite entirely
+    val kept = before.filter(after.contains)
+    val replaced = before.filterNot(after.contains)
+    assert(replaced.size == 1,
+      s"expected exactly 1 file rewritten, got ${replaced.size} " +
+        s"(before=$before after=$after)")
+    kept.foreach { p =>
+      assert(Files.readAllBytes(Paths.get(p)).sameElements(bytes(p)),
+        s"unmatched base file $p was rewritten")
+    }
+    // and the data is correct: carry-over intact, one row updated
+    assert(sql("SELECT k, v FROM gstore.default.fp ORDER BY k").collect()
+      .map(_.toString).toSeq ==
+      Seq("[1,a]", "[5,b]", "[9,c]", "[11,d]", "[15,U]", "[19,f]",
+        "[21,g]", "[25,h]", "[29,i]"))
+    // a DELETE whose range matches nothing rewrites nothing
+    val pre = tbl("fp").currentFilePaths
+    sql("DELETE FROM gstore.default.fp WHERE k > 1000")
+    assert(tbl("fp").currentFilePaths == pre,
+      "no-match DELETE still rewrote files")
+  }
+
+  test("snapshot retention: expired VERSION AS OF fails loudly, " +
+      "retained versions stay green") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.ret")
+    sql("""CREATE TABLE gstore.default.ret (k BIGINT)
+           TBLPROPERTIES ('graft.retain'='3')""")
+    (0 until 5).foreach(i =>
+      sql(s"INSERT INTO gstore.default.ret VALUES ($i)"))
+    // 5 commits -> versions 0..4; window keeps 2..4
+    assert(tbl("ret").retainedVersions == Seq(2, 3, 4))
+    assert(sql("SELECT count(*) FROM gstore.default.ret VERSION AS OF 4")
+      .head().getLong(0) == 5)
+    assert(sql("SELECT count(*) FROM gstore.default.ret VERSION AS OF 2")
+      .head().getLong(0) == 3)
+    val expired = intercept[Exception] {
+      sql("SELECT * FROM gstore.default.ret VERSION AS OF 0").collect()
+    }
+    assert(chain(expired).exists(_.getMessage != null) &&
+      chain(expired).exists(m => Option(m.getMessage).exists(
+        _.contains("expired"))),
+      s"expired version error not loud: ${expired.getMessage}")
+    val future = intercept[Exception] {
+      sql("SELECT * FROM gstore.default.ret VERSION AS OF 9").collect()
+    }
+    assert(chain(future).exists(m => Option(m.getMessage).exists(
+      _.contains("out of range"))))
+  }
+
+  test("catalog persistence: tables cold-load from the on-disk log " +
+      "(CREATE TABLE survives the JVM)") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.persist")
+    sql("CREATE TABLE gstore.default.persist (k BIGINT, v STRING)")
+    sql("INSERT INTO gstore.default.persist VALUES (1,'one'),(2,'two')")
+    sql("DROP TABLE IF EXISTS gstore.default.persist_mor")
+    sql("""CREATE TABLE gstore.default.persist_mor (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.persist_mor VALUES (1,'a'),(2,'b')")
+    sql("UPDATE gstore.default.persist_mor SET v = 'B' WHERE k = 2")
+
+    // simulate a fresh JVM's first touch: every in-memory handle gone,
+    // the JSON logs on disk are all that remains
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+
+    assert(sql("SELECT k, v FROM gstore.default.persist ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,one]", "[2,two]"))
+    // the MOR table reloads as MOR, WITH its un-compacted delta log
+    assert(sql("SELECT k, v FROM gstore.default.persist_mor ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,a]", "[2,B]"))
+    val mor = tbl("persist_mor").asInstanceOf[graft.catalog.GraftDeltaTable]
+    assert(mor.deltaLogSize == 1, "cold load dropped the delta log")
+    // and it still plans delta writes after reload
+    sql("DELETE FROM gstore.default.persist_mor WHERE k = 1")
+    assert(mor.deltaLogSize == 2)
+    sql("DROP TABLE gstore.default.persist_mor")
+  }
+
+  test("ALTER TABLE ADD COLUMN: null backfill on old files, old schema " +
+      "preserved under time travel, MOR refuses") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.alt")
+    sql("CREATE TABLE gstore.default.alt (k BIGINT, v STRING)")
+    sql("INSERT INTO gstore.default.alt VALUES (1,'a'),(2,'b')")
+    sql("ALTER TABLE gstore.default.alt ADD COLUMN note STRING")
+    sql("INSERT INTO gstore.default.alt VALUES (3,'c','fresh')")
+    assert(sql("SELECT k, v, note FROM gstore.default.alt ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,a,null]", "[2,b,null]", "[3,c,fresh]"))
+    // pruning to ONLY the backfilled column still works (zero file cols)
+    assert(sql("SELECT note FROM gstore.default.alt WHERE k = 1").collect()
+      .map(_.isNullAt(0)).toSeq == Seq(true))
+    // version 0 (pre-ALTER commit) keeps the 2-column schema
+    val v0 = sql("SELECT * FROM gstore.default.alt VERSION AS OF 0")
+    assert(v0.schema.fieldNames.toSeq == Seq("k", "v"),
+      s"time travel leaked the new schema: ${v0.schema.catalogString}")
+    assert(v0.collect().map(_.toString).toSeq == Seq("[1,a]", "[2,b]"))
+    // filters on the added column evaluate correctly over old files
+    assert(sql(
+      "SELECT k FROM gstore.default.alt WHERE note IS NULL ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    sql("DROP TABLE IF EXISTS gstore.default.alt_mor")
+    sql("""CREATE TABLE gstore.default.alt_mor (k BIGINT)
+           TBLPROPERTIES ('graft.mode'='mor')""")
+    val e = intercept[Exception] {
+      sql("ALTER TABLE gstore.default.alt_mor ADD COLUMN x BIGINT")
+    }
+    assert(chain(e).exists(m => Option(m.getMessage).exists(
+      _.contains("merge-on-read"))))
+    sql("DROP TABLE gstore.default.alt_mor")
+  }
+
+  test("streaming epoch dedup is keyed by (queryId, epochId): a second " +
+      "query's low epoch ids are not swallowed") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.eps")
+    sql("CREATE TABLE gstore.default.eps (k BIGINT)")
+    val t = tbl("eps")
+    def versions = t.retainedVersions.size
+    val v0 = versions
+    t.commitStreamEpoch("queryA", 0, Nil, truncate = false)
+    t.commitStreamEpoch("queryA", 1, Nil, truncate = false)
+    assert(versions == v0 + 2)
+    // crash-replay of an epoch: dropped whole
+    t.commitStreamEpoch("queryA", 1, Nil, truncate = false)
+    assert(versions == v0 + 2, "replayed epoch was re-committed")
+    // a DIFFERENT query restarting at epoch 0 must NOT be deduped
+    // against queryA's high-water mark (silent data loss otherwise)
+    t.commitStreamEpoch("queryB", 0, Nil, truncate = false)
+    assert(versions == v0 + 3,
+      "second query's epoch 0 was swallowed by the first query's mark")
+  }
+
+  test("Complete-mode streaming toTable truncates per epoch instead of " +
+      "accumulating duplicates") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.evagg")
+    val ckpt = Files.createTempDirectory("gstore-complete-").toString
+    val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def run(): Unit = {
+      // events.parquet is a single file: stream the parent dir with a
+      // glob (the same shape the engine's event streams use)
+      val q = spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .groupBy("event_type").count()
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gstore.default.evagg")
+      q.awaitTermination()
+    }
+    run()
+    val expected = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("event_type").count()
+      .collect().map(_.toString).sorted.toSeq
+    def got() = sql("SELECT event_type, count FROM gstore.default.evagg")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got() == expected, "complete-mode content != batch aggregate")
+    // restart over the same checkpoint: no new input, content unchanged
+    run()
+    assert(got() == expected, "restart duplicated complete-mode output")
+  }
+
+  test("MOR UPDATE that mutates the row-id column is rejected loudly") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.idmut")
+    sql("""CREATE TABLE gstore.default.idmut (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.idmut VALUES (1,'a'),(2,'b')")
+    val e = intercept[Exception] {
+      sql("UPDATE gstore.default.idmut SET k = k + 10 WHERE k = 1")
+    }
+    assert(chain(e).exists(m => Option(m.getMessage).exists(
+      _.contains("row-id"))),
+      s"row-id mutation not rejected loudly: ${e.getMessage}")
+    // table content unchanged (the write aborted)
+    assert(sql("SELECT k, v FROM gstore.default.idmut ORDER BY k").collect()
+      .map(_.toString).toSeq == Seq("[1,a]", "[2,b]"))
+    sql("DROP TABLE gstore.default.idmut")
+  }
+
+  test("expireOrphanFiles deletes only rewrite-superseded files outside " +
+      "the retention window") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.gc")
+    sql("""CREATE TABLE gstore.default.gc (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.retain'='1')""")
+    sql("INSERT INTO gstore.default.gc VALUES (1,'a')") // file A (appendLog)
+    sql("UPDATE gstore.default.gc SET v = 'b'") // file B replaces A
+    val b = tbl("gc").currentFilePaths.head
+    sql("UPDATE gstore.default.gc SET v = 'c'") // file C replaces B
+    // A stays (append log = streaming history); B is referenced by no
+    // retained snapshot and no append entry -> the one orphan
+    assert(Files.exists(Paths.get(b)))
+    val n = tbl("gc").expireOrphanFiles()
+    assert(n == 1, s"expected 1 orphan deleted, got $n")
+    assert(!Files.exists(Paths.get(b)), "orphan survived GC")
+    assert(sql("SELECT v FROM gstore.default.gc").head().getString(0) == "c")
+    sql("DROP TABLE gstore.default.gc")
+  }
+
+  /** Exception cause chain (Spark wraps task failures). */
+  private def chain(e: Throwable): Seq[Throwable] = {
+    val b = Seq.newBuilder[Throwable]
+    var cur: Throwable = e
+    while (cur != null) { b += cur; cur = cur.getCause }
+    b.result()
+  }
+}
