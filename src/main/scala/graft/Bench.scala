@@ -31,6 +31,14 @@ object Bench {
     // artifacts are build-once tables — but entangles per-query numbers
     // with execution order; BASELINE.md records both.
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    // Host-load self-description (VERDICT r9 item 9): rounds 6-9 all
+    // needed prose disclaimers about contended captures; recording the
+    // 1-minute load average at start and end makes the artifact say for
+    // itself whether the host was quiet.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
     def clearArtifacts(): Unit = if (cold) {
       graft.dedup.Dedup.clearArtifactCache()
       graft.similarity.Clustering.clearArtifactCache()
@@ -82,7 +90,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,""" +
+        s""""load_avg":{"start":${num(loadStart)},"end":${num(loadAvg())}},""" +
+        s""""sf":"$sfDir"}"""
     // Belt and braces against tail-capture truncation: stdout line (the
     // driver's channel), a stderr copy, and an on-disk artifact.
     println(json)

@@ -328,6 +328,43 @@ object CatalogQueries {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
         WHERE o_custkey % 10 <> 3
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------- q200:
+    // PARTITIONED managed table — `PARTITIONED BY` (identity) on the
+    // parquet-backed catalog, Iceberg-hidden-partitioning style: the
+    // writers split output so each data file carries ONE partition
+    // value, pinning its min/max stats to min == max, and the ordinary
+    // stats-based file skipping becomes EXACT partition pruning (the
+    // scan description reports skipped files; GraftStorageSpec pins
+    // per-file single-valuedness and the skip count). At 100 TB this
+    // is the layout that turns a priority-sliced read from a full
+    // table scan into touching 1/5 of the files — with no hive
+    // directory convention and no second pruning code path to keep
+    // correct.
+    QueryDef(
+      "q200_partitioned_table",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_part")
+        s.sql("""CREATE TABLE graft_cat.default.orders_part
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)
+                 PARTITIONED BY (o_orderpriority)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q200_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_part
+                 SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q200_orders""")
+        s.sql("""SELECT o_orderkey, o_totalprice
+                 FROM graft_cat.default.orders_part
+                 WHERE o_orderpriority = '1-URGENT'
+                 ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
         ORDER BY o_orderkey"""))
   )
 

@@ -138,13 +138,13 @@ class GraftDeltaTable(ident: String, dir: NioPath,
                 new GraftDeltaWriterFactory(deltaDir, deltaSchema,
                   schema(), idType, idOrdinal)
               override def commit(messages: Array[WriterCommitMessage]): Unit =
-                commitDelta(messages.toSeq.collect {
-                  case GraftFileCommitMsg(Some(ref)) => ref
+                commitDelta(messages.toSeq.flatMap {
+                  case GraftFileCommitMsg(refs) => refs
                 })
               override def abort(messages: Array[WriterCommitMessage]): Unit =
                 messages.foreach {
-                  case GraftFileCommitMsg(Some(ref)) =>
-                    Files.deleteIfExists(Paths.get(ref.path)): Unit
+                  case GraftFileCommitMsg(refs) => refs.foreach(ref =>
+                    Files.deleteIfExists(Paths.get(ref.path)): Unit)
                   case _ => ()
                 }
             }
@@ -412,7 +412,7 @@ class GraftDeltaWriterFactory(deltaDir: String, deltaSchema: StructType,
         emit(2, GraftDeltaTable.idValue(id, 0, idType), null)
 
       override def commit(): WriterCommitMessage =
-        GraftFileCommitMsg(Option(out).map(_.closeAndRef()))
+        GraftFileCommitMsg(Option(out).map(_.closeAndRef()).toSeq)
       override def abort(): Unit = if (out != null) out.closeAndDelete()
       override def close(): Unit = ()
     }

@@ -373,9 +373,15 @@ object GraftStorage {
             case Some(st) if st.min.isDefined && st.max.isDefined =>
               try {
                 val dt = fld.dataType
+                // pushed string literals arrive as java.lang.String;
+                // stats decode to UTF8String — normalize before compare
+                val lv = dt match {
+                  case StringType => UTF8String.fromString(v.asInstanceOf[String])
+                  case _ => v
+                }
                 val lo = statFromString(dt, st.min.get)
                 val hi = statFromString(dt, st.max.get)
-                test(typedCompare(dt, lo, v), typedCompare(dt, hi, v))
+                test(typedCompare(dt, lo, lv), typedCompare(dt, hi, lv))
               } catch { case _: Exception => true } // type surprise: keep
             case Some(st) if st.min.isEmpty => false // all-null column
             case _ => true // no stats: keep
@@ -446,6 +452,7 @@ object GraftStorage {
       ): JValue).toList),
       "nextVersion" -> JInt(st.nextVersion),
       "appendLog" -> JArray(st.appendLog.map(fileRefToJson).toList),
+      "appendBase" -> JInt(st.appendBase),
       "epochHW" -> JObject(st.epochHW.toList.map { case (q, e) =>
         q -> (JLong(e): JValue) }))
     JsonMethods.compact(JsonMethods.render(j))
@@ -466,6 +473,9 @@ object GraftStorage {
       }.toVector,
       num(o("nextVersion")).toInt,
       o("appendLog").asInstanceOf[JArray].arr.map(fileRefFromJson).toVector,
+      // absent in logs written before append-log retention existed —
+      // an untrimmed ledger's base is 0 by definition
+      o.get("appendBase").map(num(_).toInt).getOrElse(0),
       o("epochHW").asInstanceOf[JObject].obj.map { case (q, e) =>
         q -> num(e) }.toMap)
   }
@@ -515,14 +525,19 @@ final case class GraftSnapshot(version: Int, schemaJson: String,
   *
   * `snapshots` is the RETAINED window (oldest expired versions are
   * dropped by retention GC; `nextVersion` keeps the numbering
-  * monotonic). `appendLog` records every appended data file in commit
-  * order — the offset axis for MICRO_BATCH_READ streaming. `epochHW`
-  * is the per-queryId streaming high-water mark (exactly-once keyed by
-  * (queryId, epochId) — a SECOND streaming query restarting epochs at 0
-  * must not be deduped against the first one's epochs). */
+  * monotonic). `appendLog` records appended data files in commit
+  * order — the offset axis for MICRO_BATCH_READ streaming — bounded by
+  * its own retention window: `appendBase` counts the trimmed-off
+  * prefix, so global offsets stay monotonic and a stream resuming
+  * before the window fails loudly instead of silently skipping.
+  * `epochHW` is the per-queryId streaming high-water mark
+  * (exactly-once keyed by (queryId, epochId) — a SECOND streaming
+  * query restarting epochs at 0 must not be deduped against the first
+  * one's epochs). */
 final case class GraftTableState(schemaJson: String,
     snapshots: Vector[GraftSnapshot],
     nextVersion: Int, appendLog: Vector[GraftFileRef],
+    appendBase: Int,
     epochHW: Map[String, Long]) {
   def current: Option[GraftSnapshot] = snapshots.lastOption
   def schema: StructType =

@@ -52,6 +52,33 @@ object TextAnalysis {
   private def docsWithTokens(df: DataFrame): DataFrame =
     df.withColumn("toks", expr(tokensExpr))
 
+  /** q164's fp -> source-set shingle index, pre-checkpoint. Extracted so
+    * PlanShapeSpec can pin the SINGLE-TOKENIZE contract on its optimized
+    * plan (the checkpoint in the query body truncates lineage): fp is a
+    * BIGINT (top 60 md5 bits, the q148 idiom) — an 8-byte shuffle key
+    * instead of a 32-char string, and the SAME function in both engines
+    * so even collisions agree. The (fp, source) dedup runs as a codegen
+    * hash aggregate BEFORE the per-fp collect_set, so the object-hash
+    * aggregate only ever sees the deduped frame, not raw occurrences. */
+  private[graft] def q164ShingleIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .withColumn("toks", expr(tokensExpr))
+      .withColumn("tri", expr(trigramsExpr))
+      // explode_OUTER + post-filter, not plain explode: for the latter,
+      // InferFiltersFromGenerate synthesizes `size(tri) > 0 AND
+      // isnotnull(tri)` below the Generate and predicate pushdown
+      // substitutes the FULL trigram expression (tokenizer included)
+      // into both conjuncts — re-tokenizing every row 3x (the plan-pin
+      // in PlanShapeSpec caught exactly this). The outer explode emits
+      // one null per empty array instead, dropped right after.
+      .select(col("source"), explode_outer(col("tri")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(expr("CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)")
+        .as("fp"), col("source"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("cnt"))
+      .groupBy("fp").agg(sort_array(collect_set(col("source"))).as("srcs"))
+
   /** Per-language stopword lists (distinct-match heuristics — intersect
     * semantics so Spark/DuckDB agree exactly). */
   private val stop = Map(
@@ -82,7 +109,13 @@ object TextAnalysis {
     * fixed-width key — never span text. */
   private def boilerCounts(withSpans: DataFrame): DataFrame = {
     val spans = withSpans
-      .select(col("doc_id"), explode(col("spans")).as("span"))
+      // explode_OUTER + post-filter (q164's lesson, pinned in
+      // PlanShapeSpec): plain explode of a projected expensive array
+      // lets InferFiltersFromGenerate + pushdown substitute the whole
+      // span pipeline (tokenizer included) into two inferred filter
+      // conjuncts — 3x the per-row cost.
+      .select(col("doc_id"), explode_outer(col("spans")).as("span"))
+      .filter(col("span").isNotNull)
       .select(col("doc_id"), md5(col("span")).as("h"))
     val boiler = spans.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -769,21 +802,7 @@ object TextAnalysis {
     QueryDef(
       "q164_source_overlap_matrix",
       (s, d) => {
-        // fp is a BIGINT (top 60 md5 bits, the q148 idiom): an 8-byte
-        // shuffle key instead of a 32-char string, and the SAME function
-        // in both engines so even collisions agree. The (fp, source)
-        // dedup runs as a codegen hash aggregate BEFORE the per-fp
-        // collect_set, so the object-hash aggregate only ever sees the
-        // deduped frame, not raw occurrences.
-        val srcSets = Tables(s, d, "documents")
-          .withColumn("toks", expr(tokensExpr))
-          .withColumn("tri", expr(trigramsExpr))
-          .select(col("source"), explode(col("tri")).as("gram"))
-          .select(expr("CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)")
-            .as("fp"), col("source"))
-          .groupBy("fp", "source").agg(count(lit(1)).as("cnt"))
-          .groupBy("fp").agg(sort_array(collect_set(col("source"))).as("srcs"))
-          .localCheckpoint(true)
+        val srcSets = q164ShingleIndex(s, d).localCheckpoint(true)
         val sizes = srcSets.select(explode(col("srcs")).as("source"))
           .groupBy("source").agg(count(lit(1)).as("n"))
         val inter = srcSets

@@ -247,6 +247,88 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.gc")
   }
 
+  test("identity PARTITIONED BY: single-valued files, exact pruning, " +
+      "loud reject of non-identity transforms and MOR") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.pt")
+    sql("""CREATE TABLE gstore.default.pt (k BIGINT, pr STRING)
+           PARTITIONED BY (pr)""")
+    // one multi-partition insert mixing three partition values: writers
+    // must split so every file is single-valued in pr
+    spark.range(30).selectExpr("id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+          "ELSE 'c' END AS pr")
+      .repartition(4)
+      .createOrReplaceTempView("pt_src")
+    sql("INSERT INTO gstore.default.pt SELECT * FROM pt_src")
+    val t = tbl("pt")
+    val snap = t.stateNow.current.get
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { f =>
+      val st = f.stats("pr")
+      assert(st.min == st.max,
+        s"partitioned file ${f.path} holds multiple pr values: $st")
+    }
+    // exact pruning: the pr='b' read must skip every a/c file
+    val q = sql("SELECT k FROM gstore.default.pt WHERE pr = 'b' ORDER BY k")
+    assert(q.collect().map(_.getLong(0)).toSeq ==
+      (0L until 30L).filter(_ % 3 == 1))
+    val nB = snap.files.count(f => f.stats("pr").min.contains("b"))
+    val desc = q.queryExecution.executedPlan.toString
+    val skipLine = s"(${snap.files.size - nB} skipped)"
+    assert(desc.contains(skipLine),
+      s"expected '$skipLine' in scan description:\n$desc")
+    // the table reports its partitioning
+    assert(t.partitioning().map(_.toString).toSeq == Seq("identity(pr)"))
+    // non-identity transforms and MOR partitioning are loud errors
+    sql("DROP TABLE IF EXISTS gstore.default.ptbad")
+    val e1 = intercept[Exception] {
+      sql("""CREATE TABLE gstore.default.ptbad (k BIGINT)
+             PARTITIONED BY (bucket(4, k))""")
+    }
+    assert(chain(e1).exists(m => Option(m.getMessage).exists(
+      _.contains("identity"))))
+    val e2 = intercept[Exception] {
+      sql("""CREATE TABLE gstore.default.ptbad (k BIGINT, pr STRING)
+             PARTITIONED BY (pr)
+             TBLPROPERTIES ('graft.mode'='mor')""")
+    }
+    assert(chain(e2).exists(m => Option(m.getMessage).exists(
+      _.contains("merge-on-read"))))
+    sql("DROP TABLE gstore.default.pt")
+  }
+
+  test("append-log retention: offsets stay global, fresh streams start " +
+      "at the window edge, expired checkpoints fail loudly") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.alr")
+    sql("""CREATE TABLE gstore.default.alr (k BIGINT)
+           TBLPROPERTIES ('graft.append_retain'='2')""")
+    (0 until 4).foreach(i =>
+      sql(s"INSERT INTO gstore.default.alr VALUES ($i)"))
+    val t = tbl("alr")
+    val st = t.stateNow
+    assert(st.appendLog.size == 2 && st.appendBase == 2,
+      s"retention did not trim: ${st.appendLog.size} entries, " +
+        s"base ${st.appendBase}")
+    // table content is unaffected (retention bounds the STREAM ledger,
+    // not the data)
+    assert(sql("SELECT count(*) FROM gstore.default.alr").head()
+      .getLong(0) == 4)
+    // a fresh stream reads only the retained window
+    val ckpt = java.nio.file.Files.createTempDirectory("alr-").toString
+    val q = spark.readStream.table("gstore.default.alr")
+      .writeStream.format("memory").queryName("alr_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(sql("SELECT k FROM alr_sink ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L),
+      "fresh stream did not start at the retained window edge")
+    sql("DROP TABLE gstore.default.alr")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]

@@ -114,4 +114,41 @@ class MultimodalSpec extends SparkSpec {
     assert(padded == clean,
       "odd-sized chunk shifted the parse: pad byte not honored")
   }
+
+  test("interpolation resample degenerates to scaled decimation on an " +
+      "integer-ratio rate, and blends exactly on 44.1 kHz") {
+    import graft.multimodal.Multimodal._
+    // 8000 -> 4000: up/dn = 2/1, every frac = 0 — the interpolated
+    // outputs must be the decimated samples scaled by dn = 1
+    val dec = resampleWav(4000)(makeWav(Iterator(4L))).next() // rate 8000
+    val itp8 = resampleWavInterp(4000)(Iterator(
+      makeWav(Iterator(4L)).next())).next()
+    assert(itp8.scale == 1 && itp8.out_first == dec.out_first,
+      s"integer-ratio interp diverged from decimation: $itp8 vs $dec")
+    assert(itp8.out_sum_abs == dec.out_sum_abs)
+    // interp output count drops the tail sample decimation keeps when
+    // i0+1 would run past the last frame — never more outputs
+    assert(itp8.n_out == dec.n_out || itp8.n_out == dec.n_out - 1)
+    // 44100 -> 4000 reduces to 441/40: spot-check j=1 against the
+    // closed-form blend (i0 = 11, frac = 1)
+    val doc = makeWavAt(44100)(Iterator(5L)).next()
+    val f = resampleWavInterp(4000)(Iterator(doc)).next()
+    assert(f.src_rate == 44100 && f.scale == 40)
+    assert(f.out_first == wavSample(5, 0, 0) * 40, "j=0 must be s[0]*dn")
+    val expectedN = {
+      var j = 0L; val nf = wavFrames(5)
+      while ((j * 441) / 40 + 1 <= nf - 1) j += 1
+      j
+    }
+    assert(f.n_out == expectedN)
+    // closed-form blend at the LAST output: j = n_out - 1,
+    // i0 = (j*441)/40, frac = (j*441)%40 -> s[i0]*(40-frac)+s[i0+1]*frac
+    val jl = expectedN - 1
+    val i0 = ((jl * 441) / 40).toInt
+    val frac = ((jl * 441) % 40).toInt
+    val expectedLast =
+      wavSample(5, 0, i0) * (40 - frac) + wavSample(5, 0, i0 + 1) * frac
+    assert(f.out_last == expectedLast,
+      s"last blended sample ${f.out_last} != closed form $expectedLast")
+  }
 }

@@ -355,4 +355,35 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("q35/q164 tokenize exactly once: CollapseProject must not inline " +
+      "graft_tokens into every trigram reference") {
+    // the round-8 regression class: `toks` referenced naively lets
+    // CollapseProject substitute graft_tokens(text) into each of its ~6
+    // uses, re-tokenizing every row per use (measured 6.3 s -> 0.9 s
+    // after the lambda-binding fix). The optimized plan is the contract:
+    // exactly ONE graft_tokens call per document scan.
+    def tokenizeCalls(df: org.apache.spark.sql.DataFrame): Int =
+      "graft_tokens".r
+        .findAllIn(df.queryExecution.optimizedPlan.toString).length
+    val q35 = SparkEntry.queries("q35_top_trigrams")(spark, sfDir)
+    assert(tokenizeCalls(q35) == 1,
+      s"q35 tokenizes ${tokenizeCalls(q35)}x:\n" +
+        q35.queryExecution.optimizedPlan.toString)
+    // q164's tokenize feeds the checkpointed shingle index; pin the
+    // pre-checkpoint plan (the one that actually runs the tokenizer)
+    val idx = graft.text.TextAnalysis.q164ShingleIndex(spark, sfDir)
+    assert(tokenizeCalls(idx) == 1,
+      s"q164 shingle index tokenizes ${tokenizeCalls(idx)}x:\n" +
+        idx.queryExecution.optimizedPlan.toString)
+    // q101's contract is THREE corpus passes (the size(spans) branch
+    // plus boilerCounts consuming its spans frame twice: doc-frequency
+    // side and re-join side) — one tokenize each. The explode
+    // substitution bug would push this to 7 (each exploding pass pays
+    // 3x); pin the per-pass budget.
+    val q101 = SparkEntry.queries("q101_span_dedup")(spark, sfDir)
+    assert(tokenizeCalls(q101) <= 3,
+      s"q101 tokenizes ${tokenizeCalls(q101)}x:\n" +
+        q101.queryExecution.optimizedPlan.toString)
+  }
 }
