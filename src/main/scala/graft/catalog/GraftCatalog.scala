@@ -760,7 +760,22 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     rowFilters: Array[org.apache.spark.sql.sources.Filter],
     files: Vector[GraftFileRef], skipped: Int,
     streamTable: Option[GraftTable])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** Post-pruning size estimate from the surviving files' recorded
+    * bytes/rows — what lets Catalyst BROADCAST a small catalog table
+    * in a join instead of defaulting it to "unknown, assume huge".
+    * Refs from pre-stats logs carry bytes = 0; report unknown rather
+    * than a flattering zero (a false broadcast OOMs, a missed one
+    * merely shuffles). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val b = files.map(_.bytes).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (b > 0 || files.isEmpty) java.util.OptionalLong.of(b)
+      else java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.rows).sum)
+  }
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this

@@ -265,10 +265,25 @@ class GraftMorScan(tableSchema: StructType, requiredSchema: StructType,
     rowFilters: Array[org.apache.spark.sql.sources.Filter],
     files: Vector[GraftFileRef], skipped: Int,
     fold: GraftDeltaTable.DeltaFold, idCol: String)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Effective-size estimate: base bytes plus a per-row guess for the
+    * shipped replacements (deletes only shrink the result — an upper
+    * bound is the safe direction for join sizing). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val b = files.map(_.bytes).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (b > 0 || files.isEmpty)
+        java.util.OptionalLong.of(
+          b + fold.replacements.map(_.getSizeInBytes.toLong).sum)
+      else java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(
+        files.map(_.rows).sum + fold.replacements.length)
+  }
 
   /** Ship each base file only the superseded ids its row-id range can
     * contain (the file's min/max stats for the id column). */

@@ -258,7 +258,8 @@ object GraftStorage {
 
     def closeAndRef(): GraftFileRef = {
       writer.close()
-      GraftFileRef(path, n, schema.fieldNames.toVector, stats.result(n))
+      GraftFileRef(path, n, Files.size(java.nio.file.Paths.get(path)),
+        schema.fieldNames.toVector, stats.result(n))
     }
 
     /** Abort: close and remove the partial file. */
@@ -410,6 +411,7 @@ object GraftStorage {
   private def fileRefToJson(r: GraftFileRef): JValue = JObject(
     "path" -> JString(r.path),
     "rows" -> JLong(r.rows),
+    "bytes" -> JLong(r.bytes),
     "cols" -> JArray(r.cols.map(JString(_)).toList),
     "stats" -> JObject(r.stats.toList.map { case (c, st) =>
       c -> JObject(
@@ -423,6 +425,7 @@ object GraftStorage {
     GraftFileRef(
       o("path").asInstanceOf[JString].s,
       num(o("rows")),
+      o.get("bytes").map(num).getOrElse(0L), // absent in pre-stats logs
       o("cols").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s).toVector,
       o("stats").asInstanceOf[JObject].obj.map { case (c, sv) =>
         val so = sv.asInstanceOf[JObject].obj.toMap
@@ -499,8 +502,10 @@ object GraftStorage {
 
 /** One committed data file: the unit of scan parallelism, group-based
   * replacement, and pruning. `cols` is the schema the file was written
-  * with (columns ALTERed in later are absent and read as null). */
-final case class GraftFileRef(path: String, rows: Long,
+  * with (columns ALTERed in later are absent and read as null);
+  * `bytes` feeds scan-level statistics so Catalyst can size catalog
+  * tables for join planning (broadcast decisions). */
+final case class GraftFileRef(path: String, rows: Long, bytes: Long,
     cols: Vector[String], stats: Map[String, GraftColStats])
 
 /** Per-column file statistics. min/max are exact string encodings

@@ -329,6 +329,26 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.alr")
   }
 
+  test("scan-reported statistics drive broadcast join planning for " +
+      "small catalog tables") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.dim")
+    sql("CREATE TABLE gstore.default.dim (k BIGINT, label STRING)")
+    sql("""INSERT INTO gstore.default.dim VALUES
+           (0,'zero'), (1,'one'), (2,'two')""")
+    val fact = spark.range(10000).selectExpr("id AS fk", "id % 3 AS k")
+    val joined = fact.join(spark.table("gstore.default.dim"), "k")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // without SupportsReportStatistics the DSv2 relation defaults to
+    // "unknown = huge" and this joins as SMJ; the recorded file bytes
+    // make the 3-row dim broadcastable
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small catalog table was not broadcast:\n$plan")
+    sql("DROP TABLE gstore.default.dim")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
