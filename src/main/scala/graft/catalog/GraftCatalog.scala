@@ -59,7 +59,8 @@ import org.json4s.jackson.JsonMethods
   * multi-executor-ready — on local[32] it exercises the identical
   * code paths.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: NioPath =
@@ -227,6 +228,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       ((idx - idxKey(from)) + (idxKey(to) -> entry), ())
     }
 
+  // -- ProcedureCatalog: CALL graft_cat.system.<proc>('ns.table') --------
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
+
   // -- SupportsNamespaces (flat: the default namespace always exists) ----
   override def listNamespaces(): Array[Array[String]] =
     Array(Array("default"))
@@ -356,6 +364,8 @@ class GraftTable(ident: String, val dir: NioPath,
     partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c):
         Transform).toArray
+
+  private[catalog] def partitionCols: Seq[String] = partCols
 
   /** Partition-column ordinals in the table schema (resolved fresh:
     * ALTER can append columns behind them). */
@@ -552,6 +562,7 @@ class GraftRowLevelOp(table: GraftTable, info: RowLevelOperationInfo)
   private[catalog] val snapshot = table.stateNow
   @volatile private[catalog] var selected: Vector[GraftFileRef] =
     snapshot.current.map(_.files).getOrElse(Vector.empty)
+  private[catalog] def partitionCols: Seq[String] = table.partitionCols
 
   override def command(): RowLevelOperation.Command = info.command()
 
@@ -663,8 +674,86 @@ class GraftGroupScanBuilder(tableSchema: StructType,
     val surviving = files.filter(f =>
       groupFilters.forall(GraftStorage.mayMatch(tableSchema, f, _)))
     op.selected = surviving
-    new GraftScan(tableSchema, required, Array.empty, surviving,
-      skipped = files.size - surviving.size, None)
+    new GraftGroupScan(tableSchema, required, surviving,
+      skipped = files.size - surviving.size, op)
+  }
+}
+
+/** The group-scan of a row-level rewrite, with RUNTIME group filtering
+  * on partitioned tables (`SupportsRuntimeV2Filtering`): for a MERGE
+  * whose static condition can't prune (the keys live in the SOURCE),
+  * Spark's RowLevelOperationRuntimeGroupFiltering runs the
+  * target-source join first as a dynamic-pruning subquery, collects
+  * the DISTINCT partition values of the matching rows, and hands them
+  * here as IN predicates — the scan then drops every file whose
+  * partition value can't match, and narrows the operation's
+  * replacement set identically, so the rewrite touches only the
+  * partitions the source actually hits (Iceberg's dynamic file
+  * filtering, at this catalog's file granularity).
+  *
+  * Soundness: `filter` only ever NARROWS — a file dropped here had no
+  * matching rows, so its content is carry-over by definition and
+  * keeping it out of the replacement set preserves it bit-for-bit.
+  * Unpartitioned tables advertise no filter attributes, which
+  * disables the rule (per-row ids are not group keys). */
+class GraftGroupScan(tableSchema: StructType, requiredSchema: StructType,
+    files0: Vector[GraftFileRef], skipped: Int, op: GraftRowLevelOp)
+    extends GraftScan(tableSchema, requiredSchema, Array.empty, files0,
+      skipped, None)
+    with SupportsRuntimeV2Filtering {
+
+  @volatile private var surviving: Vector[GraftFileRef] = files0
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    op.partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val next = surviving.filter(f =>
+      predicates.forall(GraftGroupScan.mayMatchV2(tableSchema, f, _)))
+    surviving = next
+    val keep = next.map(_.path).toSet
+    op.selected = op.selected.filter(f => keep.contains(f.path))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    surviving.map(f =>
+      GraftFilePartition(f.path, f.cols, f.rows): InputPartition).toArray
+}
+
+object GraftGroupScan {
+  import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private def javaValue(l: Literal[_]): Any = l.value() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => other
+  }
+
+  /** Conservative v2-predicate test against file stats: IN / = on a
+    * named column prune via the EqualTo stats rule; anything else
+    * keeps the file. */
+  private[catalog] def mayMatchV2(schema: StructType, f: GraftFileRef,
+      p: Predicate): Boolean = p.name() match {
+    case "IN" => p.children().toList match {
+      case (col: NamedReference) :: values
+          if col.fieldNames().length == 1 &&
+            values.forall(_.isInstanceOf[Literal[_]]) =>
+        values.exists(v => GraftStorage.mayMatch(schema, f,
+          org.apache.spark.sql.sources.EqualTo(col.fieldNames()(0),
+            javaValue(v.asInstanceOf[Literal[_]]))))
+      case _ => true
+    }
+    case "=" => p.children().toList match {
+      case (col: NamedReference) :: (v: Literal[_]) :: Nil
+          if col.fieldNames().length == 1 =>
+        GraftStorage.mayMatch(schema, f,
+          org.apache.spark.sql.sources.EqualTo(col.fieldNames()(0),
+            javaValue(v)))
+      case _ => true
+    }
+    case _ => true
   }
 }
 

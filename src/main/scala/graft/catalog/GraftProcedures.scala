@@ -1,0 +1,118 @@
+package graft.catalog
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` maintenance procedures for the managed catalog — the
+  * lakehouse operations a table format exposes as stored procedures
+  * (Iceberg's `CALL cat.system.rewrite_data_files` /
+  * `expire_snapshots`), on Spark 4.1's public `ProcedureCatalog` seam:
+  *
+  *   CALL graft_cat.system.compact('default.orders_mor')
+  *   CALL graft_cat.system.expire_snapshots('default.orders_state')
+  *
+  * `compact` folds a MOR table's delta log into its base AND rewrites
+  * a copy-on-write table's accumulated small files into one pass —
+  * both run as the DISTRIBUTED self-overwrite (`INSERT OVERWRITE t
+  * SELECT * FROM t`; the scan is snapshot-isolated from the replacing
+  * commit), so the driver only coordinates. `expire_snapshots` deletes
+  * data files referenced by no retained snapshot and no append-log
+  * entry (see [[GraftTable.expireOrphanFiles]]).
+  *
+  * Each call returns a one-row summary through a [[LocalScan]] — the
+  * driver-visible audit record (files/ops before and after), which is
+  * exactly the payload a scheduled maintenance job logs. */
+object GraftProcedures {
+
+  private def tableParam: Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType)
+      .comment("namespace-qualified table name, e.g. 'default.events'")
+      .build())
+
+  /** Resolve "ns.table" inside `cat` (the procedure's own catalog). */
+  private def resolve(cat: GraftCatalog, qualified: String): (Identifier, GraftTable) = {
+    val parts = qualified.split('.')
+    require(parts.length >= 2,
+      s"expected namespace-qualified table name, got '$qualified'")
+    val ident = Identifier.of(parts.init, parts.last)
+    (ident, cat.loadTable(ident).asInstanceOf[GraftTable])
+  }
+
+  private def summaryScan(fields: Seq[(String, Long)]): Scan = {
+    val schema = StructType(fields.map { case (n, _) =>
+      StructField(n, LongType, nullable = false) })
+    val row = new GenericInternalRow(fields.map(_._2: Any).toArray)
+    new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+      override def description(): String =
+        s"GraftProcedureResult(${schema.catalogString})"
+    }
+  }
+
+  private abstract class GraftProcedure(procName: String, descr: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = descr
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = tableParam
+    override def isDeterministic: Boolean = false
+    protected def run(qualified: String): Scan
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      Collections.singletonList(
+        run(input.getUTF8String(0).toString)).iterator()
+  }
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "compact" => new GraftProcedure("compact",
+        "fold the MOR delta log / rewrite accumulated files via a " +
+          "distributed self-overwrite") {
+        override protected def run(qualified: String): Scan = {
+          val (_, t) = resolve(cat, qualified)
+          val filesBefore = t.currentFilePaths.size.toLong
+          val opsBefore = t.stateNow.current
+            .map(_.deltaFiles.map(_.rows).sum).getOrElse(0L)
+          val fqn = s"${cat.name()}.$qualified"
+          SparkSession.active
+            .sql(s"INSERT OVERWRITE $fqn SELECT * FROM $fqn")
+          summaryScan(Seq(
+            "files_before" -> filesBefore,
+            "delta_ops_folded" -> opsBefore,
+            "files_after" -> t.currentFilePaths.size.toLong,
+            "rows" -> t.baseRowCount))
+        }
+      }
+      case "expire_snapshots" => new GraftProcedure("expire_snapshots",
+        "delete data files referenced by no retained snapshot and no " +
+          "append-log entry") {
+        override protected def run(qualified: String): Scan = {
+          val (_, t) = resolve(cat, qualified)
+          val deleted = t.expireOrphanFiles().toLong
+          summaryScan(Seq(
+            "orphan_files_deleted" -> deleted,
+            "retained_snapshots" -> t.retainedVersions.size.toLong))
+        }
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure ${cat.name()}.system.$other " +
+          "(available: compact, expire_snapshots)")
+    }
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "expire_snapshots"))
+    else Array.empty
+}

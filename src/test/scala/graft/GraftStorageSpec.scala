@@ -349,6 +349,91 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.dim")
   }
 
+  test("CALL procedures: system.compact folds the MOR log, " +
+      "system.expire_snapshots GCs orphans, unknown names fail loudly") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.pc")
+    sql("""CREATE TABLE gstore.default.pc (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.pc VALUES (1,'a'),(2,'b')")
+    sql("UPDATE gstore.default.pc SET v = 'B' WHERE k = 2")
+    val mor = tbl("pc").asInstanceOf[graft.catalog.GraftDeltaTable]
+    assert(mor.deltaLogSize == 1)
+    val res = sql("CALL gstore.system.compact('default.pc')").collect()
+    assert(res.length == 1, "compact returned no summary row")
+    val byName = res(0).schema.fieldNames.zip(res(0).toSeq).toMap
+    assert(byName("delta_ops_folded") == 1L, s"summary: $byName")
+    assert(byName("rows") == 2L)
+    assert(mor.deltaLogSize == 0, "CALL compact left delta entries")
+    assert(sql("SELECT k, v FROM gstore.default.pc ORDER BY k").collect()
+      .map(_.toString).toSeq == Seq("[1,a]", "[2,B]"))
+    // expire_snapshots on a retain-1 CoW table with a rewrite-orphan
+    sql("DROP TABLE IF EXISTS gstore.default.pc2")
+    sql("""CREATE TABLE gstore.default.pc2 (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.retain'='1')""")
+    sql("INSERT INTO gstore.default.pc2 VALUES (1,'a')")
+    sql("UPDATE gstore.default.pc2 SET v = 'b'")
+    sql("UPDATE gstore.default.pc2 SET v = 'c'")
+    val res2 = sql("CALL gstore.system.expire_snapshots('default.pc2')")
+      .collect()
+    assert(res2(0).getLong(0) == 1L,
+      s"expected 1 orphan deleted, got ${res2(0)}")
+    assert(sql("SELECT v FROM gstore.default.pc2").head().getString(0) == "c")
+    val e = intercept[Exception] {
+      sql("CALL gstore.system.nonexistent('x')").collect()
+    }
+    assert(chain(e).exists(m => Option(m.getMessage).exists(
+      _.contains("unknown procedure"))))
+    sql("DROP TABLE gstore.default.pc")
+    sql("DROP TABLE gstore.default.pc2")
+  }
+
+  test("runtime group filtering: MERGE on a partitioned table rewrites " +
+      "only the partitions the source hits") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.rgf")
+    sql("""CREATE TABLE gstore.default.rgf (k BIGINT, pr STRING, v STRING)
+           PARTITIONED BY (pr)""")
+    spark.range(30).selectExpr("id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+          "ELSE 'c' END AS pr", "concat('v', id) AS v")
+      .createOrReplaceTempView("rgf_src")
+    sql("INSERT INTO gstore.default.rgf SELECT * FROM rgf_src")
+    val beforeRefs = tbl("rgf").stateNow.current.get.files
+    val before = beforeRefs.map(_.path)
+    val bytes = before.map(p =>
+      p -> java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p))).toMap
+    // partition of each pre-merge file by its pinned stats value
+    def prOf(path: String): String =
+      beforeRefs.find(_.path == path).get.stats("pr").min.get
+    // the MERGE source touches keys 1 and 4 — both pr = 'b'; the static
+    // condition (t.k = s.k) cannot prune, only the runtime filter can
+    spark.sql("SELECT * FROM VALUES (1L,'B1'), (4L,'B4') AS s(k, nv)")
+      .createOrReplaceTempView("rgf_changes")
+    sql("""MERGE INTO gstore.default.rgf t USING rgf_changes s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    val after = tbl("rgf").currentFilePaths
+    val replaced = before.filterNot(after.contains)
+    assert(replaced.nonEmpty, "MERGE rewrote nothing")
+    assert(replaced.forall(prOf(_) == "b"),
+      s"runtime filter failed: non-b partitions rewritten: " +
+        s"${replaced.map(prOf)}")
+    before.filter(after.contains).foreach { p =>
+      assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        .sameElements(bytes(p)), s"carry-over file $p was rewritten")
+    }
+    // and the data is right: 1 and 4 updated, everything else intact
+    assert(sql("SELECT v FROM gstore.default.rgf WHERE k IN (1, 4) " +
+      "ORDER BY k").collect().map(_.getString(0)).toSeq == Seq("B1", "B4"))
+    assert(sql("SELECT count(*) FROM gstore.default.rgf").head()
+      .getLong(0) == 30)
+    assert(sql("SELECT v FROM gstore.default.rgf WHERE k = 2").head()
+      .getString(0) == "v2")
+    sql("DROP TABLE gstore.default.rgf")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
