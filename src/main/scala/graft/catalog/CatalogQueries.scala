@@ -365,7 +365,41 @@ object CatalogQueries {
         SELECT o_orderkey, o_totalprice
         FROM orders
         WHERE o_orderpriority = '1-URGENT'
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------- q201:
+    // SQL CALL surface: the MOR maintenance op as a stored procedure
+    // (`CALL graft_cat.system.compact(...)` — Spark 4.1's public
+    // ProcedureCatalog seam, the Iceberg `rewrite_data_files` shape).
+    // The audited columns are the DETERMINISTIC summary half: the
+    // folded delta-op count (exactly the q186 changeset size) and the
+    // post-compaction row count (the q182/q186 end-state cardinality);
+    // physical file counts vary with write parallelism and stay out of
+    // the oracle surface. The compaction itself runs distributed
+    // (self-overwrite), and q187 separately proves content is
+    // unchanged — this query proves the PROCEDURE surface reports the
+    // operation faithfully.
+    QueryDef(
+      "q201_call_compact",
+      (s, d) => {
+        seedAndMergeMor(s, d)
+        s.sql("CALL graft_cat.system.compact('default.orders_mor')")
+          .select("delta_ops_folded", "rows")
+      },
+      Some("""
+        WITH snap AS (SELECT o_orderkey FROM orders),
+        changes AS (
+          SELECT o_orderkey AS k, 'D' AS op FROM snap
+          WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, 'U' FROM snap WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey + 100000000, 'I' FROM snap
+          WHERE o_orderkey % 10 = 2)
+        SELECT (SELECT COUNT(*) FROM changes) AS delta_ops_folded,
+               (SELECT COUNT(*) FROM snap)
+                 - (SELECT COUNT(*) FROM changes WHERE op = 'D')
+                 + (SELECT COUNT(*) FROM changes WHERE op = 'I') AS rows"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —
