@@ -332,7 +332,8 @@ object GraftCatalog {
 class GraftTable(ident: String, val dir: NioPath,
     initState: GraftTableState, retain: Int,
     partCols: Seq[String] = Nil, appendRetain: Int = 65536)
-    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsDeleteV2 {
 
   @volatile private var state: GraftTableState = initState
 
@@ -352,7 +353,8 @@ class GraftTable(ident: String, val dir: NioPath,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** Identity partitioning, Iceberg-hidden-partitioning style: writers
     * split their output so every data file holds ONE value per
@@ -540,6 +542,86 @@ class GraftTable(ident: String, val dir: NioPath,
     new GraftWriteBuilder(this, info.schema(), info.queryId(),
       GraftWriteBuilder.Append)
 
+  // ---- metadata-only DELETE (SupportsDeleteV2) -------------------------
+  // Iceberg's metadata-delete fast path: when the DELETE condition is
+  // DECIDABLE per file from stats — every current file either provably
+  // full-matches (partition files pin min == max, no nulls) or provably
+  // cannot match — Spark's OptimizeMetadataOnlyDeleteFromTable swaps
+  // the whole copy-on-write rewrite for a commit that drops the
+  // matching files from the snapshot. Zero data I/O: a
+  // partition-sliced DELETE over 100 TB becomes an O(files) metadata
+  // operation. Any undecidable file makes canDeleteWhere answer false
+  // and the row-level rewrite runs instead (correct, just not free).
+
+  private def decidable(files: Vector[GraftFileRef],
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    files.forall(f =>
+      predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)) ||
+        predicates.exists(!GraftV2Preds.mayMatch(state.schema, f, _)))
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    decidable(curFiles, predicates)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    synchronized {
+      val files = curFiles
+      require(decidable(files, predicates),
+        "deleteWhere called with an undecidable predicate set")
+      val victims = files.filter(f =>
+        predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
+      commitReplaceFiles(victims.map(_.path).toSet, Nil)
+    }
+
+  override def truncateTable(): Boolean = { commitReplaceAll(Nil); true }
+
+  /** Can a predicate-scoped overwrite/delete run at METADATA level?
+    * (Same decidability test; MOR overrides to require an empty delta
+    * log — see [[GraftDeltaTable.canDeleteWhere]].) */
+  private[catalog] def canMetaReplace(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    canDeleteWhere(predicates)
+
+  /** Predicate-scoped overwrite (INSERT OVERWRITE ... PARTITION (...)):
+    * drop the files the predicate provably covers, append the new
+    * content. Decidability was checked at plan time and is re-verified
+    * under the lock (a concurrent append could land a mixed file). */
+  private[catalog] def commitOverwriteMatching(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      files: Seq[GraftFileRef]): Unit = synchronized {
+    require(decidable(curFiles, predicates),
+      "overwrite predicate became undecidable at commit time")
+    val kept = curFiles.filterNot(f =>
+      predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
+    val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
+      kept ++ files, curDelta)
+    persist(trimAppend(state.copy(
+      snapshots = retainWindow(state.snapshots :+ snap),
+      nextVersion = state.nextVersion + 1,
+      appendLog = state.appendLog ++ files)))
+  }
+
+  /** Dynamic-partition overwrite: replace exactly the partitions the
+    * written data touches (each new file's partition values are pinned
+    * by its stats — the writer's single-value-per-file split makes the
+    * partition key recoverable from metadata alone). Unpartitioned
+    * tables degrade to a full replace, matching the file sources. */
+  private[catalog] def commitOverwriteDynamic(files: Seq[GraftFileRef]): Unit =
+    if (partCols.isEmpty) commitReplaceAll(files)
+    else synchronized {
+      def key(f: GraftFileRef): Seq[Option[String]] =
+        partCols.map(c => f.stats.get(c).flatMap(_.min))
+      val newKeys = files.map(key).toSet
+      val kept = curFiles.filterNot(f => newKeys.contains(key(f)))
+      val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
+        kept ++ files, curDelta)
+      persist(trimAppend(state.copy(
+        snapshots = retainWindow(state.snapshots :+ snap),
+        nextVersion = state.nextVersion + 1,
+        appendLog = state.appendLog ++ files)))
+    }
+
   // ---- row-level DML (MERGE / UPDATE / DELETE) -------------------------
   // Group-based (no SupportsDelta): Catalyst rewrites the DML into a
   // ReplaceData plan — scan the affected groups, compute the replacement
@@ -711,7 +793,7 @@ class GraftGroupScan(tableSchema: StructType, requiredSchema: StructType,
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val next = surviving.filter(f =>
-      predicates.forall(GraftGroupScan.mayMatchV2(tableSchema, f, _)))
+      predicates.forall(GraftV2Preds.mayMatch(tableSchema, f, _)))
     surviving = next
     val keep = next.map(_.path).toSet
     op.selected = op.selected.filter(f => keep.contains(f.path))
@@ -722,38 +804,100 @@ class GraftGroupScan(tableSchema: StructType, requiredSchema: StructType,
       GraftFilePartition(f.path, f.cols, f.rows): InputPartition).toArray
 }
 
-object GraftGroupScan {
+/** Conservative DSv2-`Predicate` tests against file stats. Two duals:
+  * [[mayMatch]] is sound for PRUNING (false only when provably no row
+  * matches); [[mustMatchAll]] is sound for METADATA DELETION (true
+  * only when provably EVERY row matches). Anything unprovable answers
+  * the safe direction. */
+object GraftV2Preds {
   import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.types.{DataType, StringType}
 
   private def javaValue(l: Literal[_]): Any = l.value() match {
     case s: org.apache.spark.unsafe.types.UTF8String => s.toString
     case other => other
   }
 
-  /** Conservative v2-predicate test against file stats: IN / = on a
-    * named column prune via the EqualTo stats rule; anything else
-    * keeps the file. */
-  private[catalog] def mayMatchV2(schema: StructType, f: GraftFileRef,
-      p: Predicate): Boolean = p.name() match {
-    case "IN" => p.children().toList match {
+  private def singleCol(p: Predicate): Option[(String, List[Any])] =
+    p.children().toList match {
       case (col: NamedReference) :: values
           if col.fieldNames().length == 1 &&
             values.forall(_.isInstanceOf[Literal[_]]) =>
-        values.exists(v => GraftStorage.mayMatch(schema, f,
-          org.apache.spark.sql.sources.EqualTo(col.fieldNames()(0),
-            javaValue(v.asInstanceOf[Literal[_]]))))
-      case _ => true
+        Some((col.fieldNames()(0),
+          values.map(v => javaValue(v.asInstanceOf[Literal[_]]))))
+      case _ => None
     }
-    case "=" => p.children().toList match {
-      case (col: NamedReference) :: (v: Literal[_]) :: Nil
-          if col.fieldNames().length == 1 =>
+
+  private[catalog] def mayMatch(schema: StructType, f: GraftFileRef,
+      p: Predicate): Boolean = p.name() match {
+    case "ALWAYS_TRUE" => true
+    case "ALWAYS_FALSE" => false
+    case "IN" => singleCol(p) match {
+      case Some((c, values)) => values.exists(v =>
         GraftStorage.mayMatch(schema, f,
-          org.apache.spark.sql.sources.EqualTo(col.fieldNames()(0),
-            javaValue(v)))
+          org.apache.spark.sql.sources.EqualTo(c, v)))
+      case None => true
+    }
+    case "=" | "<=>" => singleCol(p) match {
+      // a null-safe-equal with a NULL literal stays conservative
+      // (falls to the non-None guard in singleCol value extraction)
+      case Some((c, v :: Nil)) if v != null =>
+        GraftStorage.mayMatch(schema, f,
+          org.apache.spark.sql.sources.EqualTo(c, v))
       case _ => true
     }
     case _ => true
+  }
+
+  /** Does EVERY row of `f` provably satisfy `p`? Decidable only where
+    * the file's stats pin the whole column: min == max with no nulls
+    * (exactly what partition-split files guarantee for their partition
+    * columns). */
+  private[catalog] def mustMatchAll(schema: StructType, f: GraftFileRef,
+      p: Predicate): Boolean = {
+    def pinned(c: String): Option[String] = {
+      if (GraftStorage.ordinalByName(f.cols, c) < 0) return None
+      f.stats.get(c).filter(st =>
+        st.nulls == 0 && st.min.isDefined && st.min == st.max)
+        .flatMap(_.min)
+    }
+    def colType(c: String): Option[DataType] = {
+      val o = GraftStorage.ordinalByName(
+        schema.fieldNames.toIndexedSeq, c)
+      if (o < 0) None else Some(schema.fields(o).dataType)
+    }
+    def equalsPinned(c: String, v: Any): Boolean =
+      (pinned(c), colType(c)) match {
+        case (Some(s), Some(dt)) =>
+          try {
+            val lv = dt match {
+              case StringType => org.apache.spark.unsafe.types.UTF8String
+                .fromString(v.asInstanceOf[String])
+              case _ => v
+            }
+            GraftStorage.typedCompare(dt,
+              GraftStorage.statFromString(dt, s), lv) == 0
+          } catch { case _: Exception => false }
+        case _ => false
+      }
+    p.name() match {
+      case "ALWAYS_TRUE" => true
+      case "IN" => singleCol(p).exists { case (c, values) =>
+        values.exists(v => v != null && equalsPinned(c, v)) }
+      case "=" | "<=>" => singleCol(p).exists {
+        case (c, v :: Nil) => v != null && equalsPinned(c, v)
+        case _ => false
+      }
+      case "IS_NOT_NULL" => p.children().toList match {
+        case (col: NamedReference) :: Nil if col.fieldNames().length == 1 =>
+          val c = col.fieldNames()(0)
+          GraftStorage.ordinalByName(f.cols, c) >= 0 &&
+            f.stats.get(c).exists(_.nulls == 0)
+        case _ => false
+      }
+      case _ => false
+    }
   }
 }
 
@@ -1016,15 +1160,32 @@ object GraftWriteBuilder {
   case object Append extends Mode
   case object ReplaceAll extends Mode
   final case class ReplaceGroups(op: GraftRowLevelOp) extends Mode
+  final case class ReplaceMatching(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    extends Mode
+  case object ReplaceDynamic extends Mode
 }
 
 class GraftWriteBuilder(table: GraftTable, incoming: StructType,
     queryId: String, mode0: GraftWriteBuilder.Mode)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwriteV2 with SupportsDynamicOverwrite {
   import GraftWriteBuilder._
 
   private var mode: Mode = mode0
   override def truncate(): WriteBuilder = { mode = ReplaceAll; this }
+  // INSERT OVERWRITE ... PARTITION (p = v): accepted only when the
+  // predicate is file-decidable (partition columns), else Spark falls
+  // back loudly rather than this builder truncating too much
+  override def canOverwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    table.canMetaReplace(predicates)
+  override def overwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): WriteBuilder = {
+    mode = ReplaceMatching(predicates); this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = ReplaceDynamic; this
+  }
 
   private def collectRefs(messages: Array[WriterCommitMessage]): Seq[GraftFileRef] =
     messages.toSeq.flatMap { case GraftFileCommitMsg(refs) => refs }
@@ -1045,6 +1206,9 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
           case ReplaceAll => table.commitReplaceAll(refs)
           case ReplaceGroups(op) =>
             table.commitReplaceFiles(op.selected.map(_.path).toSet, refs)
+          case ReplaceMatching(preds) =>
+            table.commitOverwriteMatching(preds, refs)
+          case ReplaceDynamic => table.commitOverwriteDynamic(refs)
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -79,6 +79,14 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
+  // Metadata-only DELETE drops BASE files; with a live delta log the
+  // effective rows diverge from the base (updates/inserts in the log
+  // may also satisfy the predicate), so the fast path is sound only
+  // when the log is empty — otherwise fall back to the delta rewrite.
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    deltaLogSize == 0 && super.canDeleteWhere(predicates)
+
   // GraftTable's history tracks only BASE commits — a versioned read of
   // a MOR table would silently ignore the delta log, so refuse loudly.
   override private[catalog] def snapshotAt(v: Int): Table =

@@ -434,6 +434,87 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.rgf")
   }
 
+  test("metadata-only DELETE: a partition-decidable predicate drops " +
+      "files with zero data I/O; undecidable falls back to rewrite") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.md")
+    sql("""CREATE TABLE gstore.default.md (k BIGINT, pr STRING)
+           PARTITIONED BY (pr)""")
+    spark.range(30).selectExpr("id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+          "ELSE 'c' END AS pr")
+      .repartition(4).createOrReplaceTempView("md_src")
+    sql("INSERT INTO gstore.default.md SELECT * FROM md_src")
+    val beforeRefs = tbl("md").stateNow.current.get.files
+    val before = beforeRefs.map(_.path)
+    // partition-sliced DELETE: decidable per file (min == max == pr)
+    sql("DELETE FROM gstore.default.md WHERE pr = 'b'")
+    val after = tbl("md").currentFilePaths
+    assert(after.toSet.subsetOf(before.toSet),
+      s"metadata delete wrote new files: ${after.filterNot(before.contains)}")
+    val dropped = before.filterNot(after.contains)
+    assert(dropped.nonEmpty && dropped.forall(p =>
+      beforeRefs.find(_.path == p).get.stats("pr").min.contains("b")),
+      s"wrong files dropped: $dropped")
+    // dropped files still exist on disk (snapshot history references
+    // them); only the metadata changed
+    dropped.foreach(p =>
+      assert(Files.exists(Paths.get(p)), s"metadata delete erased $p"))
+    assert(sql("SELECT k FROM gstore.default.md ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == (0L until 30L).filterNot(_ % 3 == 1))
+    // a row-undecidable predicate must take the rewrite path: content
+    // right AND rewrite output appears (new files)
+    val pre = tbl("md").currentFilePaths
+    sql("DELETE FROM gstore.default.md WHERE k < 3")
+    assert(sql("SELECT k FROM gstore.default.md ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq ==
+      (3L until 30L).filterNot(_ % 3 == 1))
+    val post = tbl("md").currentFilePaths
+    assert(post.exists(p => !pre.contains(p)),
+      "expected the undecidable DELETE to run the rewrite")
+    // unconditional DELETE truncates by metadata
+    sql("DELETE FROM gstore.default.md")
+    assert(sql("SELECT count(*) FROM gstore.default.md").head()
+      .getLong(0) == 0)
+    assert(tbl("md").currentFilePaths.isEmpty)
+    sql("DROP TABLE gstore.default.md")
+  }
+
+  test("partition-scoped INSERT OVERWRITE: static PARTITION clause and " +
+      "dynamic mode replace only their partitions") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.po")
+    sql("""CREATE TABLE gstore.default.po (k BIGINT, pr STRING)
+           PARTITIONED BY (pr)""")
+    sql("""INSERT INTO gstore.default.po VALUES
+           (1,'a'), (2,'b'), (3,'c'), (4,'b')""")
+    def paths = tbl("po").currentFilePaths
+    def content = sql("SELECT k, pr FROM gstore.default.po ORDER BY k")
+      .collect().map(_.toString).toSeq
+    // STATIC: only partition b is replaced
+    val pre = paths
+    sql("""INSERT OVERWRITE gstore.default.po PARTITION (pr = 'b')
+           VALUES (20L), (40L)""")
+    assert(content == Seq("[1,a]", "[3,c]", "[20,b]", "[40,b]"))
+    val statKept = pre.filter(paths.contains)
+    assert(statKept.size == 2, // the a and c files survived untouched
+      s"static partition overwrite touched other partitions: kept " +
+        s"${statKept.size} of ${pre.size}")
+    // DYNAMIC: only the partitions present in the written data replace
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "dynamic")
+    try {
+      val pre2 = paths
+      sql("""INSERT OVERWRITE gstore.default.po VALUES (300L, 'c')""")
+      assert(content == Seq("[1,a]", "[20,b]", "[40,b]", "[300,c]"),
+        s"dynamic overwrite produced $content")
+      assert(pre2.filter(paths.contains).nonEmpty,
+        "dynamic overwrite replaced unrelated partitions")
+    } finally prev.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+    sql("DROP TABLE gstore.default.po")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
