@@ -399,7 +399,55 @@ object CatalogQueries {
         SELECT (SELECT COUNT(*) FROM changes) AS delta_ops_folded,
                (SELECT COUNT(*) FROM snap)
                  - (SELECT COUNT(*) FROM changes WHERE op = 'D')
-                 + (SELECT COUNT(*) FROM changes WHERE op = 'I') AS rows"""))
+                 + (SELECT COUNT(*) FROM changes WHERE op = 'I') AS rows""")),
+
+    // -------------------------------------------------------------- q202:
+    // PARTITION LIFECYCLE over the partitioned catalog: a
+    // partition-sliced DELETE (decidable from pinned stats → Spark's
+    // OptimizeMetadataOnlyDeleteFromTable swaps the rewrite for an
+    // O(files) metadata commit — zero data I/O) followed by a STATIC
+    // `INSERT OVERWRITE ... PARTITION (...)` (SupportsOverwriteV2 —
+    // only that partition's files swap; GraftStorageSpec pins that the
+    // other partitions' files never move). The read-back aggregate
+    // proves all three populations coexist correctly: dropped, rebuilt
+    // with reweighted prices, and untouched.
+    QueryDef(
+      "q202_partition_lifecycle",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_po")
+        s.sql("""CREATE TABLE graft_cat.default.orders_po
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)
+                 PARTITIONED BY (o_orderpriority)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q202_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_po
+                 SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q202_orders""")
+        s.sql("""DELETE FROM graft_cat.default.orders_po
+                 WHERE o_orderpriority = '5-LOW'""")
+        s.sql("""INSERT OVERWRITE graft_cat.default.orders_po
+                 PARTITION (o_orderpriority = '1-URGENT')
+                 SELECT o_orderkey, o_totalprice + 1000.0
+                 FROM q202_orders WHERE o_orderpriority = '1-URGENT'""")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4)))
+                          AS DOUBLE) AS sum_total
+                 FROM graft_cat.default.orders_po
+                 GROUP BY o_orderpriority
+                 ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN o_totalprice + 1000.0
+                                  ELSE o_totalprice END
+                        AS DECIMAL(14,4))) AS DOUBLE) AS sum_total
+        FROM orders
+        WHERE o_orderpriority <> '5-LOW'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -119,6 +119,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table =
     loadTable(ident).asInstanceOf[GraftTable].snapshotAt(version.toInt)
 
+  /** `TIMESTAMP AS OF t`: the newest retained snapshot committed at or
+    * before `t` (Spark hands micros since epoch). A timestamp OLDER
+    * than the retained history errors loudly — serving the oldest
+    * retained snapshot instead would silently misrepresent history. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadTable(ident).asInstanceOf[GraftTable]
+      .snapshotAsOfTime(timestampMicros / 1000L)
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     GraftStorage.validate(schema)
@@ -333,7 +341,21 @@ class GraftTable(ident: String, val dir: NioPath,
     initState: GraftTableState, retain: Int,
     partCols: Seq[String] = Nil, appendRetain: Int = 65536)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsDeleteV2 {
+    with SupportsRowLevelOperations with SupportsDeleteV2
+    with SupportsMetadataColumns {
+
+  /** `_file` metadata column (Iceberg's debugging staple): which data
+    * file produced each row — resolvable in any SELECT, materialized
+    * per partition as a constant (no per-row cost). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "path of the data file this row was read from"
+    })
 
   @volatile private var state: GraftTableState = initState
 
@@ -397,8 +419,15 @@ class GraftTable(ident: String, val dir: NioPath,
     }
 
   private def persist(ns: GraftTableState): Unit = {
-    state = ns
-    GraftStorage.writeLog(dir, ns)
+    // stamp the commit this state introduces (every commit path appends
+    // exactly one unstamped snapshot) — the TIMESTAMP AS OF axis
+    val stamped = ns.snapshots.lastOption.filter(_.tsMillis == 0L) match {
+      case Some(s) => ns.copy(snapshots =
+        ns.snapshots.init :+ s.copy(tsMillis = System.currentTimeMillis()))
+      case None => ns
+    }
+    state = stamped
+    GraftStorage.writeLog(dir, stamped)
   }
 
   private def curFiles: Vector[GraftFileRef] =
@@ -505,6 +534,20 @@ class GraftTable(ident: String, val dir: NioPath,
         s"version $v of $ident has expired (retained: " +
           s"[${win.headOption.map(_.version).getOrElse(-1)}, " +
           s"${win.lastOption.map(_.version).getOrElse(-1)}]; " +
+          s"retention keeps the last $retain commits)")
+    }
+  }
+
+  /** `TIMESTAMP AS OF` resolution — see the catalog-side scaladoc. */
+  private[catalog] def snapshotAsOfTime(tMillis: Long): Table = synchronized {
+    val win = state.snapshots
+    require(win.nonEmpty, s"$ident has no commits to time-travel to")
+    win.filter(_.tsMillis <= tMillis).lastOption match {
+      case Some(snap) =>
+        new GraftSnapshotTable(s"$ident@t$tMillis", snap.schema, snap.files)
+      case None => throw new IllegalStateException(
+        s"timestamp $tMillis predates the retained history of $ident " +
+          s"(earliest retained commit: ${win.head.tsMillis}; " +
           s"retention keeps the last $retain commits)")
     }
   }
@@ -1057,7 +1100,9 @@ class GraftReaderFactory(tableSchema: StructType,
     val fp = p.asInstanceOf[GraftFilePartition]
     val it = new GraftStorage.FileIterator(fp.path, fp.cols, neededSchema,
       fp.rows)
-    new GraftRowPipeline(neededSchema, requiredSchema, filters, it, it)
+    new GraftRowPipeline(neededSchema, requiredSchema, filters, it, it,
+      Map("_file" ->
+        org.apache.spark.unsafe.types.UTF8String.fromString(fp.path)))
   }
 }
 
@@ -1066,7 +1111,8 @@ class GraftReaderFactory(tableSchema: StructType,
   * resource must close with the task. */
 class GraftRowPipeline(neededSchema: StructType, requiredSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    it: Iterator[InternalRow], closeable: AutoCloseable)
+    it: Iterator[InternalRow], closeable: AutoCloseable,
+    consts: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val preds = filters.map(GraftFilterEval.compile(neededSchema, _))
@@ -1076,10 +1122,18 @@ class GraftRowPipeline(neededSchema: StructType, requiredSchema: StructType,
     else {
       val needNames = neededSchema.fieldNames.toIndexedSeq
       val exprs = requiredSchema.fields.map { f =>
-        val o = GraftStorage.ordinalByName(needNames, f.name)
-        require(o >= 0, s"required column ${f.name} missing from " +
-          s"${neededSchema.catalogString}")
-        BoundReference(o, neededSchema.fields(o).dataType, nullable = true)
+        // metadata columns (_file) are partition-level CONSTANTS, not
+        // stored fields — bind them as literals in the projection
+        if (consts.contains(f.name))
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            consts(f.name), f.dataType)
+        else {
+          val o = GraftStorage.ordinalByName(needNames, f.name)
+          require(o >= 0, s"required column ${f.name} missing from " +
+            s"${neededSchema.catalogString}")
+          BoundReference(o, neededSchema.fields(o).dataType,
+            nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+        }
       }
       val u = UnsafeProjection.create(exprs.toIndexedSeq)
       r => u(r)

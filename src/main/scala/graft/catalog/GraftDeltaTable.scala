@@ -93,6 +93,8 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     throw new UnsupportedOperationException(
       "time travel is not supported on merge-on-read tables " +
         "(the delta log is not versioned in this implementation)")
+  override private[catalog] def snapshotAsOfTime(tMillis: Long): Table =
+    snapshotAt(0) // same refusal, same reason
 
   // Delta files pin the schema they were written with; evolving the
   // table schema under a live log would mis-shape the fold.
@@ -367,10 +369,13 @@ class GraftMorReaderFactory(tableSchema: StructType,
           if (drop.isEmpty) it
           else it.filter(r =>
             !drop.contains(GraftDeltaTable.idValue(r, idOrd, idDt)))
-        new GraftRowPipeline(needed, requiredSchema, filters, surviving, it)
+        new GraftRowPipeline(needed, requiredSchema, filters, surviving, it,
+          Map("_file" ->
+            org.apache.spark.unsafe.types.UTF8String.fromString(fp.path)))
       case rp: GraftMorRowsPartition =>
+        // replacement rows come from the delta log, not a data file
         new GraftRowPipeline(tableSchema, requiredSchema, filters,
-          rp.rows.iterator, () => ())
+          rp.rows.iterator, () => (), Map("_file" -> null))
       case other =>
         throw new IllegalStateException(s"unexpected partition $other")
     }

@@ -451,7 +451,8 @@ object GraftStorage {
         "version" -> JInt(s.version),
         "schema" -> JString(s.schemaJson),
         "files" -> JArray(s.files.map(fileRefToJson).toList),
-        "deltaFiles" -> JArray(s.deltaFiles.map(fileRefToJson).toList)
+        "deltaFiles" -> JArray(s.deltaFiles.map(fileRefToJson).toList),
+        "ts" -> JLong(s.tsMillis)
       ): JValue).toList),
       "nextVersion" -> JInt(st.nextVersion),
       "appendLog" -> JArray(st.appendLog.map(fileRefToJson).toList),
@@ -472,7 +473,8 @@ object GraftStorage {
           so("schema").asInstanceOf[JString].s,
           so("files").asInstanceOf[JArray].arr.map(fileRefFromJson).toVector,
           so("deltaFiles").asInstanceOf[JArray].arr.map(fileRefFromJson)
-            .toVector)
+            .toVector,
+          so.get("ts").map(num).getOrElse(0L))
       }.toVector,
       num(o("nextVersion")).toInt,
       o("appendLog").asInstanceOf[JArray].arr.map(fileRefFromJson).toVector,
@@ -518,9 +520,11 @@ final case class GraftColStats(min: Option[String], max: Option[String],
   * plain [[GraftFileRef]]s over the delta schema, whose `__id` stats
   * drive fold-relevance pruning) plus the schema AT THAT VERSION —
   * ALTER TABLE is a commit, and time travel must replay the old
-  * schema, not the current one. */
+  * schema, not the current one. `tsMillis` is the commit wall-clock
+  * time, the axis `TIMESTAMP AS OF` resolves against. */
 final case class GraftSnapshot(version: Int, schemaJson: String,
-    files: Vector[GraftFileRef], deltaFiles: Vector[GraftFileRef]) {
+    files: Vector[GraftFileRef], deltaFiles: Vector[GraftFileRef],
+    tsMillis: Long = 0L) {
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }

@@ -515,6 +515,58 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.po")
   }
 
+  test("TIMESTAMP AS OF resolves the newest commit at-or-before; " +
+      "pre-history timestamps fail loudly") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.tt")
+    sql("CREATE TABLE gstore.default.tt (k BIGINT)")
+    sql("INSERT INTO gstore.default.tt VALUES (1)")
+    Thread.sleep(30) // commit timestamps are wall-clock millis
+    val mid = java.time.Instant.now()
+    Thread.sleep(30)
+    sql("INSERT INTO gstore.default.tt VALUES (2)")
+    def at(i: java.time.Instant) = sql(
+      s"SELECT count(*) FROM gstore.default.tt TIMESTAMP AS OF " +
+        s"'${java.sql.Timestamp.from(i)}'").head().getLong(0)
+    assert(at(mid) == 1, "mid-point timestamp did not resolve to commit 0")
+    assert(at(java.time.Instant.now()) == 2)
+    val e = intercept[Exception] {
+      at(mid.minus(java.time.Duration.ofDays(1)))
+    }
+    assert(chain(e).exists(m => Option(m.getMessage).exists(
+      _.contains("predates"))), s"pre-history not loud: ${e.getMessage}")
+    sql("DROP TABLE gstore.default.tt")
+  }
+
+  test("_file metadata column: rows attribute to their data files; MOR " +
+      "replacement rows carry null") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.mf")
+    sql("CREATE TABLE gstore.default.mf (k BIGINT)")
+    sql("INSERT INTO gstore.default.mf VALUES (1), (2)")
+    sql("INSERT INTO gstore.default.mf VALUES (3)")
+    val byFile = sql(
+      "SELECT _file, count(*) AS n FROM gstore.default.mf GROUP BY _file")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val paths = tbl("mf").currentFilePaths.toSet
+    assert(byFile.keySet == paths,
+      s"_file values ${byFile.keySet} != table files $paths")
+    assert(byFile.values.sum == 3)
+    // MOR: base rows attribute to base files, folded replacements don't
+    sql("DROP TABLE IF EXISTS gstore.default.mfm")
+    sql("""CREATE TABLE gstore.default.mfm (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.mfm VALUES (1,'a'), (2,'b')")
+    sql("UPDATE gstore.default.mfm SET v = 'B' WHERE k = 2")
+    val rows = sql("SELECT k, _file FROM gstore.default.mfm ORDER BY k")
+      .collect()
+    assert(rows(0).getString(1) != null, "base row lost its _file")
+    assert(rows(1).isNullAt(1),
+      "delta-log replacement row claimed a data file")
+    sql("DROP TABLE gstore.default.mf")
+    sql("DROP TABLE gstore.default.mfm")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
