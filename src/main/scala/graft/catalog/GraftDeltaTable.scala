@@ -87,14 +87,37 @@ class GraftDeltaTable(ident: String, dir: NioPath,
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
     deltaLogSize == 0 && super.canDeleteWhere(predicates)
 
-  // GraftTable's history tracks only BASE commits — a versioned read of
-  // a MOR table would silently ignore the delta log, so refuse loudly.
-  override private[catalog] def snapshotAt(v: Int): Table =
-    throw new UnsupportedOperationException(
-      "time travel is not supported on merge-on-read tables " +
-        "(the delta log is not versioned in this implementation)")
-  override private[catalog] def snapshotAsOfTime(tMillis: Long): Table =
-    snapshotAt(0) // same refusal, same reason
+  /** MOR time travel: every snapshot versions BOTH the base file list
+    * AND the delta-file list (the round-10 storage made the log part
+    * of the commit), so a versioned read is simply the fold AT THAT
+    * SNAPSHOT — delta writes after it are invisible, compactions after
+    * it don't collapse it. (Rounds 8-9 refused here because the
+    * in-memory log was unversioned; that reason is gone.) */
+  override private[catalog] def snapshotAt(v: Int): Table = synchronized {
+    val st = stateNow
+    require(v >= 0 && v < st.nextVersion,
+      s"version $v out of range [0, ${st.nextVersion})")
+    st.snapshots.find(_.version == v) match {
+      case Some(snap) =>
+        new GraftMorSnapshotTable(s"${name()}@v$v", snap.schema,
+          snap.files, snap.deltaFiles, idType, rowIdCol)
+      case None => throw new IllegalStateException(
+        s"version $v of ${name()} has expired (retained: " +
+          s"[${st.snapshots.headOption.map(_.version).getOrElse(-1)}, " +
+          s"${st.snapshots.lastOption.map(_.version).getOrElse(-1)}])")
+    }
+  }
+  override private[catalog] def snapshotAsOfTime(tMillis: Long): Table = {
+    val st = stateNow
+    require(st.snapshots.nonEmpty, s"${name()} has no commits")
+    st.snapshots.filter(_.tsMillis <= tMillis).lastOption match {
+      case Some(snap) =>
+        new GraftMorSnapshotTable(s"${name()}@t$tMillis", snap.schema,
+          snap.files, snap.deltaFiles, idType, rowIdCol)
+      case None => throw new IllegalStateException(
+        s"timestamp $tMillis predates the retained history of ${name()}")
+    }
+  }
 
   // Delta files pin the schema they were written with; evolving the
   // table schema under a live log would mis-shape the fold.
@@ -233,6 +256,23 @@ object GraftDeltaTable {
     }
     DeltaFold(drop, repl.toArray, idType, ops)
   }
+}
+
+/** Read-only MOR table pinned to one historical snapshot — what
+  * `VERSION AS OF` / `TIMESTAMP AS OF` resolve to for merge-on-read:
+  * the fold of THAT snapshot's delta files over THAT snapshot's base.
+  * Deliberately NOT SupportsWrite. */
+class GraftMorSnapshotTable(ident: String, tableSchema: StructType,
+    files: Vector[GraftFileRef], delta: Vector[GraftFileRef],
+    idType: DataType, idCol: String) extends Table with SupportsRead {
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (delta.isEmpty) new GraftScanBuilder(tableSchema, files, None)
+    else new GraftMorScanBuilder(tableSchema, files,
+      GraftDeltaTable.foldDelta(delta, tableSchema, idType), idCol)
 }
 
 /** MOR scan builder: column pruning and filter pushdown both apply —

@@ -567,6 +567,30 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.mfm")
   }
 
+  test("MOR time travel: each version folds exactly its own delta log") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.mtt")
+    sql("""CREATE TABLE gstore.default.mtt (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.mtt VALUES (1,'a'),(2,'b'),(3,'c')") // v0
+    sql("UPDATE gstore.default.mtt SET v = 'B' WHERE k = 2") // v1 (delta)
+    sql("DELETE FROM gstore.default.mtt WHERE k = 3") // v2 (delta)
+    sql("CALL gstore.system.compact('default.mtt')") // v3 (replace)
+    def at(v: Int) = sql(
+      s"SELECT k, v FROM gstore.default.mtt VERSION AS OF $v ORDER BY k")
+      .collect().map(_.toString).toSeq
+    assert(at(0) == Seq("[1,a]", "[2,b]", "[3,c]"),
+      "version 0 is not the pristine seed")
+    assert(at(1) == Seq("[1,a]", "[2,B]", "[3,c]"),
+      "version 1 must fold only the first delta entry")
+    assert(at(2) == Seq("[1,a]", "[2,B]"),
+      "version 2 must fold both delta entries")
+    assert(at(3) == at(2), "compaction changed time-travel content")
+    assert(sql("SELECT k, v FROM gstore.default.mtt ORDER BY k").collect()
+      .map(_.toString).toSeq == at(2))
+    sql("DROP TABLE gstore.default.mtt")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
