@@ -1248,7 +1248,33 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
       refs.foreach(ref => Files.deleteIfExists(Paths.get(ref.path)): Unit)
     }
 
-  override def build(): Write = new Write {
+  /** Partitioned tables demand CLUSTERED input (shuffle by partition
+    * columns before the write): without it every task that sees k
+    * partition values opens k files — the tasks × values small-file
+    * explosion that murders lakehouse read performance at scale. With
+    * it each partition value lands in one task = one file per value
+    * per write (spec-pinned). Unpartitioned writes stay shuffle-free. */
+  private trait GraftDistribution extends RequiresDistributionAndOrdering {
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        table.partitionCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.column(c):
+            org.apache.spark.sql.connector.expressions.Expression).toArray)
+    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
+    override def distributionStrictlyRequired(): Boolean = false
+  }
+
+  override def build(): Write = if (table.partitionCols.isEmpty) buildWrite
+  else new Write with GraftDistribution {
+    private val inner = buildWrite
+    override def toBatch: BatchWrite = inner.toBatch
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      inner.toStreaming
+    override def description(): String = inner.description()
+  }
+
+  private def buildWrite: Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new GraftWriterFactory(table.dataDir, incoming, table.schema(),

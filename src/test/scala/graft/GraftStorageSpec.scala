@@ -269,6 +269,12 @@ class GraftStorageSpec extends SparkSpec {
       assert(st.min == st.max,
         s"partitioned file ${f.path} holds multiple pr values: $st")
     }
+    // the write demanded CLUSTERED distribution, so ONE file per
+    // partition value — not one per (task x value); a 4-task write of
+    // 3 values would otherwise land up to 12 files
+    assert(snap.files.size == 3,
+      s"expected 3 clustered files, got ${snap.files.size} " +
+        "(tasks x values small-file explosion?)")
     // exact pruning: the pr='b' read must skip every a/c file
     val q = sql("SELECT k FROM gstore.default.pt WHERE pr = 'b' ORDER BY k")
     assert(q.collect().map(_.getLong(0)).toSeq ==
