@@ -462,9 +462,26 @@ class GraftTable(ident: String, val dir: NioPath,
 
   /** Group-replacement commit (row-level DML): swap exactly the scanned
     * files for the rewrite output; every other file is carried over
-    * UNTOUCHED — the file-granularity copy-on-write contract. */
+    * UNTOUCHED — the file-granularity copy-on-write contract.
+    *
+    * CONFLICT VALIDATION (review find): every replaced file must still
+    * be current. If a concurrent DML/overwrite already replaced one,
+    * committing this rewrite would RE-ADD its carry-over rows next to
+    * the concurrent writer's — a silent lost-update that duplicates
+    * data. Optimistic concurrency fails the loser loudly instead
+    * (Iceberg's validation semantics; the statement can be retried
+    * against the new snapshot). */
   private[catalog] def commitReplaceFiles(removed: Set[String],
       files: Seq[GraftFileRef]): Unit = synchronized {
+    val cur = curFiles.map(_.path).toSet
+    val gone = removed.diff(cur)
+    if (gone.nonEmpty) {
+      files.foreach(f => Files.deleteIfExists(Paths.get(f.path)): Unit)
+      throw new IllegalStateException(
+        s"concurrent commit conflict on $ident: ${gone.size} of the " +
+          s"${removed.size} files this rewrite replaces are no longer " +
+          "current (another write committed first) — retry the statement")
+    }
     val kept = curFiles.filterNot(f => removed.contains(f.path))
     val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
       kept ++ files, curDelta)
@@ -474,8 +491,12 @@ class GraftTable(ident: String, val dir: NioPath,
 
   private[catalog] def commitDelta(delta: Seq[GraftFileRef]): Unit =
     synchronized {
+      // fence each delta file at the CURRENT base-file count: its
+      // tombstones/updates supersede only base rows that existed when
+      // it committed — later-appended base files are exempt at fold
+      val fenced = delta.map(_.copy(fence = curFiles.length))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
-        curFiles, curDelta ++ delta)
+        curFiles, curDelta ++ fenced)
       persist(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1))
     }
@@ -521,6 +542,13 @@ class GraftTable(ident: String, val dir: NioPath,
       nextVersion = state.nextVersion + 1))
   }
 
+  /** How a pinned historical snapshot materializes as a read-only
+    * table — the ONE hook the merge-on-read subclass overrides (its
+    * views must fold the snapshot's delta list); the lookup logic and
+    * error wording live only here. */
+  protected def snapshotView(label: String, snap: GraftSnapshot): Table =
+    new GraftSnapshotTable(label, snap.schema, snap.files)
+
   /** Read-only view pinned to commit `v` (time travel). Expired and
     * future versions are LOUD errors. */
   private[catalog] def snapshotAt(v: Int): Table = synchronized {
@@ -528,8 +556,7 @@ class GraftTable(ident: String, val dir: NioPath,
     require(v >= 0 && v < state.nextVersion,
       s"version $v out of range [0, ${state.nextVersion})")
     win.find(_.version == v) match {
-      case Some(snap) =>
-        new GraftSnapshotTable(s"$ident@v$v", snap.schema, snap.files)
+      case Some(snap) => snapshotView(s"$ident@v$v", snap)
       case None => throw new IllegalStateException(
         s"version $v of $ident has expired (retained: " +
           s"[${win.headOption.map(_.version).getOrElse(-1)}, " +
@@ -543,8 +570,7 @@ class GraftTable(ident: String, val dir: NioPath,
     val win = state.snapshots
     require(win.nonEmpty, s"$ident has no commits to time-travel to")
     win.filter(_.tsMillis <= tMillis).lastOption match {
-      case Some(snap) =>
-        new GraftSnapshotTable(s"$ident@t$tMillis", snap.schema, snap.files)
+      case Some(snap) => snapshotView(s"$ident@t$tMillis", snap)
       case None => throw new IllegalStateException(
         s"timestamp $tMillis predates the retained history of $ident " +
           s"(earliest retained commit: ${win.head.tsMillis}; " +
@@ -1045,9 +1071,12 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     * than a flattering zero (a false broadcast OOMs, a missed one
     * merely shuffles). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val b = files.map(_.bytes).sum
+    // EVERY surviving ref must carry a real size, or the sum
+    // understates the table (refs from pre-stats logs read bytes = 0)
+    // and invites a false broadcast — report unknown instead
+    private val known = files.forall(_.bytes > 0)
     override def sizeInBytes(): java.util.OptionalLong =
-      if (b > 0 || files.isEmpty) java.util.OptionalLong.of(b)
+      if (known) java.util.OptionalLong.of(files.map(_.bytes).sum)
       else java.util.OptionalLong.empty()
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(files.map(_.rows).sum)
@@ -1087,14 +1116,9 @@ class GraftReaderFactory(tableSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
 
-  // needed = required ∪ filter references, in TABLE-schema order, so
-  // filter compilation and the final projection bind stably
-  private val neededSchema: StructType = {
-    val filterCols = filters.flatMap(_.references).toSet
-    val requiredNames = requiredSchema.fieldNames.toSet
-    StructType(tableSchema.fields.filter(f =>
-      requiredNames.contains(f.name) || filterCols.contains(f.name)))
-  }
+  private val neededSchema: StructType =
+    GraftStorage.projectionSchema(tableSchema, requiredSchema, filters,
+      Set.empty)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftFilePartition]

@@ -49,14 +49,20 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     initState: GraftTableState, retain: Int, rowIdCol: String)
     extends GraftTable(ident, dir, initState, retain) {
 
-  private def idOrdinal: Int = {
+  // resolved ONCE against the stored schema (MOR schema is immutable —
+  // ALTER is refused below): the user-typed graft.row_id spelling may
+  // differ in case from the schema field, and every downstream binding
+  // (delta schema, scan extra-column set, rowId reference) must use
+  // the SCHEMA's spelling or exact-match lookups crash in executors
+  private val idOrdinal: Int = {
     val o = GraftStorage.ordinalByName(schema().fieldNames.toIndexedSeq,
       rowIdCol)
     require(o >= 0,
       s"graft.row_id column $rowIdCol not in ${schema().catalogString}")
     o
   }
-  private def idType: DataType = schema().fields(idOrdinal).dataType
+  private val resolvedIdCol: String = schema().fieldNames(idOrdinal)
+  private val idType: DataType = schema().fields(idOrdinal).dataType
   GraftDeltaTable.requireIdType(idType, rowIdCol)
 
   private[catalog] def deltaDir: String =
@@ -92,32 +98,12 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     * of the commit), so a versioned read is simply the fold AT THAT
     * SNAPSHOT — delta writes after it are invisible, compactions after
     * it don't collapse it. (Rounds 8-9 refused here because the
-    * in-memory log was unversioned; that reason is gone.) */
-  override private[catalog] def snapshotAt(v: Int): Table = synchronized {
-    val st = stateNow
-    require(v >= 0 && v < st.nextVersion,
-      s"version $v out of range [0, ${st.nextVersion})")
-    st.snapshots.find(_.version == v) match {
-      case Some(snap) =>
-        new GraftMorSnapshotTable(s"${name()}@v$v", snap.schema,
-          snap.files, snap.deltaFiles, idType, rowIdCol)
-      case None => throw new IllegalStateException(
-        s"version $v of ${name()} has expired (retained: " +
-          s"[${st.snapshots.headOption.map(_.version).getOrElse(-1)}, " +
-          s"${st.snapshots.lastOption.map(_.version).getOrElse(-1)}])")
-    }
-  }
-  override private[catalog] def snapshotAsOfTime(tMillis: Long): Table = {
-    val st = stateNow
-    require(st.snapshots.nonEmpty, s"${name()} has no commits")
-    st.snapshots.filter(_.tsMillis <= tMillis).lastOption match {
-      case Some(snap) =>
-        new GraftMorSnapshotTable(s"${name()}@t$tMillis", snap.schema,
-          snap.files, snap.deltaFiles, idType, rowIdCol)
-      case None => throw new IllegalStateException(
-        s"timestamp $tMillis predates the retained history of ${name()}")
-    }
-  }
+    * in-memory log was unversioned; that reason is gone.) Lookup and
+    * error behavior are inherited; only the VIEW differs. */
+  override protected def snapshotView(label: String,
+      snap: GraftSnapshot): Table =
+    new GraftMorSnapshotTable(label, snap.schema, snap.files,
+      snap.deltaFiles, idType, resolvedIdCol)
 
   // Delta files pin the schema they were written with; evolving the
   // table schema under a live log would mis-shape the fold.
@@ -137,7 +123,7 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     if (delta.isEmpty) new GraftScanBuilder(st.schema, files, None)
     else {
       val fold = GraftDeltaTable.foldDelta(delta, st.schema, idType)
-      new GraftMorScanBuilder(st.schema, files, fold, rowIdCol)
+      new GraftMorScanBuilder(st.schema, files, fold, resolvedIdCol)
     }
   }
 
@@ -159,7 +145,7 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     () => new SupportsDelta {
       override def command(): RowLevelOperation.Command = info.command()
       override def rowId(): Array[NamedReference] =
-        Array(Expressions.column(rowIdCol))
+        Array(Expressions.column(resolvedIdCol))
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         GraftDeltaTable.this.newScanBuilder(options)
       override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
@@ -199,11 +185,13 @@ object GraftDeltaTable {
     }
 
   /** The folded delta log: per-id FINAL action, last op wins. An id in
-    * `dropIds` is superseded — its base row (if any) must not be
-    * emitted; `replacements` holds the surviving final rows (updates
-    * and inserts), in table-schema layout. */
+    * `dropIds` is superseded — its base row must not be emitted, but
+    * only in base files BELOW the op's fence (files that existed when
+    * the delta committed; later appends are exempt — review find);
+    * `replacements` holds the surviving final rows (updates and
+    * inserts), in table-schema layout. */
   private[catalog] final case class DeltaFold(
-      dropIds: Array[AnyRef], replacements: Array[UnsafeRow],
+      dropIds: Array[(AnyRef, Int)], replacements: Array[UnsafeRow],
       idType: DataType, ops: Long)
 
   /** Extract a row-id as a plain JVM value (stable equals/hashCode,
@@ -229,7 +217,7 @@ object GraftDeltaTable {
       tableSchema.fields.zipWithIndex.map { case (f, i) =>
         BoundReference(2 + i, f.dataType, nullable = true)
       }.toIndexedSeq)
-    val m = new java.util.LinkedHashMap[AnyRef, UnsafeRow]()
+    val m = new java.util.LinkedHashMap[AnyRef, (UnsafeRow, Int)]()
     var ops = 0L
     delta.foreach { f =>
       val it = new GraftStorage.FileIterator(f.path, f.cols, ds, f.rows)
@@ -237,21 +225,22 @@ object GraftDeltaTable {
         ops += 1
         val id = idValue(r, 1, idType)
         r.getInt(0) match {
-          case 0 | 1 => m.put(id, dataProj(r).copy()): Unit // insert/update
-          case 2 => m.put(id, null): Unit // delete tombstone
+          case 0 | 1 => // insert/update
+            m.put(id, (dataProj(r).copy(), f.fence)): Unit
+          case 2 => m.put(id, (null, f.fence)): Unit // delete tombstone
           case other =>
             throw new IllegalStateException(s"corrupt delta op $other")
         }
       } finally it.close()
     }
-    val drop = new Array[AnyRef](m.size())
+    val drop = new Array[(AnyRef, Int)](m.size())
     val repl = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
     val it = m.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
       val e = it.next()
-      drop(i) = e.getKey
-      if (e.getValue != null) repl += e.getValue
+      drop(i) = (e.getKey, e.getValue._2)
+      if (e.getValue._1 != null) repl += e.getValue._1
       i += 1
     }
     DeltaFold(drop, repl.toArray, idType, ops)
@@ -304,8 +293,10 @@ class GraftMorScanBuilder(tableSchema: StructType,
     accepted
 
   override def build(): Scan = {
-    val surviving = files.filter(f =>
-      all.forall(GraftStorage.mayMatch(tableSchema, f, _)))
+    // keep each file's ORIGINAL snapshot index through the skip filter:
+    // delta fences reference positions in the full base-file vector
+    val surviving = files.zipWithIndex.filter { case (f, _) =>
+      all.forall(GraftStorage.mayMatch(tableSchema, f, _)) }
     new GraftMorScan(tableSchema, required, accepted, surviving,
       files.size - surviving.size, fold, idCol)
   }
@@ -313,31 +304,39 @@ class GraftMorScanBuilder(tableSchema: StructType,
 
 class GraftMorScan(tableSchema: StructType, requiredSchema: StructType,
     rowFilters: Array[org.apache.spark.sql.sources.Filter],
-    files: Vector[GraftFileRef], skipped: Int,
+    indexedFiles: Vector[(GraftFileRef, Int)], skipped: Int,
     fold: GraftDeltaTable.DeltaFold, idCol: String)
     extends Scan with Batch with SupportsReportStatistics {
+
+  private def files: Vector[GraftFileRef] = indexedFiles.map(_._1)
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
   /** Effective-size estimate: base bytes plus a per-row guess for the
     * shipped replacements (deletes only shrink the result — an upper
-    * bound is the safe direction for join sizing). */
+    * bound is the safe direction for join sizing). Unknown unless
+    * EVERY base ref carries a real size (pre-stats refs read 0 and a
+    * partial sum would invite a false broadcast). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val b = files.map(_.bytes).sum
+    private val known = files.forall(_.bytes > 0)
     override def sizeInBytes(): java.util.OptionalLong =
-      if (b > 0 || files.isEmpty)
-        java.util.OptionalLong.of(
-          b + fold.replacements.map(_.getSizeInBytes.toLong).sum)
+      if (known)
+        java.util.OptionalLong.of(files.map(_.bytes).sum +
+          fold.replacements.map(_.getSizeInBytes.toLong).sum)
       else java.util.OptionalLong.empty()
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(
         files.map(_.rows).sum + fold.replacements.length)
   }
 
-  /** Ship each base file only the superseded ids its row-id range can
-    * contain (the file's min/max stats for the id column). */
-  private def idsFor(f: GraftFileRef): Array[AnyRef] =
+  /** Ship each base file only the superseded ids that (a) its row-id
+    * range can contain (min/max stats) and (b) whose final op's FENCE
+    * covers this file's snapshot position — a tombstone never reaches
+    * a base file appended after it committed. */
+  private def idsFor(f: GraftFileRef, fileIdx: Int): Array[AnyRef] = {
+    val fenced = fold.dropIds.filter { case (_, fence) =>
+      fence < 0 || fileIdx < fence }
     f.stats.get(idCol) match {
       case Some(st) if st.min.isDefined && st.max.isDefined =>
         val dt = fold.idType
@@ -347,17 +346,17 @@ class GraftMorScan(tableSchema: StructType, requiredSchema: StructType,
         }
         val lo = GraftStorage.statFromString(dt, st.min.get)
         val hi = GraftStorage.statFromString(dt, st.max.get)
-        fold.dropIds.filter { id =>
-          val v = cmpVal(id)
-          GraftStorage.typedCompare(dt, v, lo) >= 0 &&
-            GraftStorage.typedCompare(dt, v, hi) <= 0
-        }
-      case _ => fold.dropIds
+        fenced.collect { case (id, _)
+            if GraftStorage.typedCompare(dt, cmpVal(id), lo) >= 0 &&
+              GraftStorage.typedCompare(dt, cmpVal(id), hi) <= 0 => id }
+      case _ => fenced.map(_._1)
     }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val base = files.map(f =>
-      GraftMorFilePartition(f.path, f.cols, f.rows, idsFor(f)): InputPartition)
+    val base = indexedFiles.map { case (f, i) =>
+      GraftMorFilePartition(f.path, f.cols, f.rows,
+        idsFor(f, i)): InputPartition }
     if (fold.replacements.isEmpty) base.toArray
     else (base :+ (GraftMorRowsPartition(fold.replacements): InputPartition))
       .toArray
@@ -386,18 +385,11 @@ class GraftMorReaderFactory(tableSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter], idCol: String)
     extends PartitionReaderFactory {
 
-  private def neededPlus(extra: Set[String]): StructType = {
-    val filterCols = filters.flatMap(_.references).toSet
-    val requiredNames = requiredSchema.fieldNames.toSet
-    StructType(tableSchema.fields.filter(f =>
-      requiredNames.contains(f.name) || filterCols.contains(f.name) ||
-        extra.contains(f.name)))
-  }
-
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case fp: GraftMorFilePartition =>
-        val needed = neededPlus(Set(idCol))
+        val needed = GraftStorage.projectionSchema(tableSchema,
+          requiredSchema, filters, Set(idCol))
         val idOrd = GraftStorage.ordinalByName(
           needed.fieldNames.toIndexedSeq, idCol)
         val idDt = needed.fields(idOrd).dataType

@@ -346,6 +346,20 @@ object GraftStorage {
     override def close(): Unit = if (reader != null) reader.close()
   }
 
+  /** The columns a reader must materialize: required output ∪ filter
+    * references ∪ any extra (e.g. the MOR row-id), in TABLE-schema
+    * order so filter compilation and the final projection bind stably.
+    * Shared by the batch and MOR reader factories. */
+  def projectionSchema(tableSchema: StructType, required: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      extra: Set[String]): StructType = {
+    val filterCols = filters.flatMap(_.references).toSet
+    val requiredNames = required.fieldNames.toSet
+    StructType(tableSchema.fields.filter(f =>
+      requiredNames.contains(f.name) || filterCols.contains(f.name) ||
+        extra.contains(f.name)))
+  }
+
   // ---- file-level pruning ----------------------------------------------
 
   /** May `f` contain a row satisfying `filter`? Sound (never prunes a
@@ -384,7 +398,10 @@ object GraftStorage {
                 val hi = statFromString(dt, st.max.get)
                 test(typedCompare(dt, lo, lv), typedCompare(dt, hi, lv))
               } catch { case _: Exception => true } // type surprise: keep
-            case Some(st) if st.min.isEmpty => false // all-null column
+            // min absent means ALL-NULL only when the null count says
+            // so — a NaN-poisoned float column also has no min/max but
+            // carries real values and must never prune (review find)
+            case Some(st) if st.min.isEmpty => st.nulls < f.rows
             case _ => true // no stats: keep
           }
       }
@@ -412,6 +429,7 @@ object GraftStorage {
     "path" -> JString(r.path),
     "rows" -> JLong(r.rows),
     "bytes" -> JLong(r.bytes),
+    "fence" -> JInt(r.fence),
     "cols" -> JArray(r.cols.map(JString(_)).toList),
     "stats" -> JObject(r.stats.toList.map { case (c, st) =>
       c -> JObject(
@@ -431,7 +449,8 @@ object GraftStorage {
         val so = sv.asInstanceOf[JObject].obj.toMap
         c -> GraftColStats(optStr(so("min")), optStr(so("max")),
           num(so("nulls")))
-      }.toMap)
+      }.toMap,
+      o.get("fence").map(num(_).toInt).getOrElse(-1))
   }
 
   private def num(j: JValue): Long = j match {
@@ -506,9 +525,14 @@ object GraftStorage {
   * replacement, and pruning. `cols` is the schema the file was written
   * with (columns ALTERed in later are absent and read as null);
   * `bytes` feeds scan-level statistics so Catalyst can size catalog
-  * tables for join planning (broadcast decisions). */
+  * tables for join planning (broadcast decisions). `fence` is set only
+  * on MOR DELTA refs: the base-file count at the delta's commit, so
+  * its tombstones apply only to base files that EXISTED then — a base
+  * row appended after a delete of the same id must survive the fold
+  * (review find; -1 = unfenced legacy ref, applies everywhere). */
 final case class GraftFileRef(path: String, rows: Long, bytes: Long,
-    cols: Vector[String], stats: Map[String, GraftColStats])
+    cols: Vector[String], stats: Map[String, GraftColStats],
+    fence: Int = -1)
 
 /** Per-column file statistics. min/max are exact string encodings
   * (typed by the table schema); None = column entirely null (or stats

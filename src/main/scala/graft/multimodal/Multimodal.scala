@@ -239,9 +239,11 @@ object Multimodal {
   def wavSample(id: Long, c: Int, n: Int): Int =
     (((id * 31 + n * 7 + c * 13) % 4001) - 2000).toInt
 
-  /** Synthesize a canonical 44-byte-header PCM16LE WAV per doc_id. */
-  def makeWav(rows: Iterator[Long]): Iterator[WavDoc] = rows.map { id =>
-    val (rate, ch, nf) = (wavRate(id), wavChannels(id), wavFrames(id))
+  /** Synthesize one canonical 44-byte-header PCM16LE WAV — the single
+    * RIFF-writing body behind [[makeWav]] (per-id fixture rates) and
+    * [[makeWavAt]] (pinned rate), so container fixes land once. */
+  private def synthWav(id: Long, rate: Int): WavDoc = {
+    val (ch, nf) = (wavChannels(id), wavFrames(id))
     val dataBytes = nf * ch * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -262,6 +264,10 @@ object Multimodal {
     }
     WavDoc(id, bb.array())
   }
+
+  /** Canonical PCM16LE WAVs at the per-id fixture rates. */
+  def makeWav(rows: Iterator[Long]): Iterator[WavDoc] =
+    rows.map(id => synthWav(id, wavRate(id)))
 
   /** Parsed PCM audio: format fields from the header bytes, samples
     * interleaved channel-major per frame (the wire order). */
@@ -362,33 +368,12 @@ object Multimodal {
       ResampleFeatures(r.doc_id, a.rate, stride, nOut, sumAbs, first, last)
     }
 
-  /** 44.1 kHz fixture variant: same deterministic content/geometry as
-    * [[makeWav]], with the sample rate pinned to the most common rate
-    * in the wild — which is NOT an integer multiple of the 4 kHz
-    * target, the case q193's decimation refuses (VERDICT r9 item 6). */
+  /** Pinned-rate fixture variant: same deterministic content/geometry
+    * as [[makeWav]], with the sample rate forced (q199 uses 44 100 Hz —
+    * NOT an integer multiple of the 4 kHz target, the case q193's
+    * decimation refuses; VERDICT r9 item 6). */
   def makeWavAt(rate: Int)(rows: Iterator[Long]): Iterator[WavDoc] =
-    rows.map { id =>
-      val (ch, nf) = (wavChannels(id), wavFrames(id))
-      val dataBytes = nf * ch * 2
-      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
-        .put("WAVE".getBytes("US-ASCII"))
-      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1)
-        .putShort(ch.toShort).putInt(rate)
-        .putInt(rate * ch * 2)
-        .putShort((ch * 2).toShort)
-        .putShort(16)
-      bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
-      var n = 0
-      while (n < nf) {
-        var c = 0
-        while (c < ch) { bb.putShort(wavSample(id, c, n).toShort); c += 1 }
-        n += 1
-      }
-      WavDoc(id, bb.array())
-    }
+    rows.map(id => synthWav(id, rate))
 
   /** Linear-interpolation resample features (q199). Values carry the
     * denominator SCALE so everything stays integer-exact. */

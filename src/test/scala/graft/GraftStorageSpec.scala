@@ -597,6 +597,57 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.mtt")
   }
 
+  test("MOR fold fences tombstones: a base row appended after a DELETE " +
+      "of the same id survives the fold") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.fence")
+    sql("""CREATE TABLE gstore.default.fence (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.fence VALUES (1,'old'),(2,'keep')")
+    sql("DELETE FROM gstore.default.fence WHERE k = 1") // delta tombstone
+    assert(sql("SELECT k FROM gstore.default.fence ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // re-insert id 1 as a BASE append (plain INSERT INTO): the delta
+    // tombstone predates this file and must not swallow it
+    sql("INSERT INTO gstore.default.fence VALUES (1,'fresh')")
+    assert(sql("SELECT k, v FROM gstore.default.fence ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,fresh]", "[2,keep]"),
+      "tombstone leaked past its fence onto a later base append")
+    // the tombstone still applies to its own era under time travel
+    assert(sql(
+      "SELECT k FROM gstore.default.fence VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // and compaction preserves the fenced result
+    sql("CALL gstore.system.compact('default.fence')")
+    assert(sql("SELECT k, v FROM gstore.default.fence ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,fresh]", "[2,keep]"))
+    sql("DROP TABLE gstore.default.fence")
+  }
+
+  test("NaN-poisoned double stats never prune: real values in the same " +
+      "file stay reachable by scans and DML") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.nan")
+    sql("CREATE TABLE gstore.default.nan (k BIGINT, x DOUBLE)")
+    // one task -> ONE file holding both the NaN and a real value: the
+    // file's x-stats are poisoned (no min/max) but NOT all-null
+    spark.sql("SELECT * FROM VALUES (1L, CAST('NaN' AS DOUBLE)), " +
+        "(2L, 5.0D) AS t(k, x)")
+      .coalesce(1).createOrReplaceTempView("nan_src")
+    sql("INSERT INTO gstore.default.nan SELECT * FROM nan_src")
+    val f = tbl("nan").stateNow.current.get.files
+    assert(f.size == 1 && f.head.stats("x").min.isEmpty,
+      s"fixture did not poison the stats: ${f.map(_.stats("x"))}")
+    assert(sql("SELECT k FROM gstore.default.nan WHERE x = 5.0").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "poisoned stats pruned a file holding a matching row")
+    sql("DELETE FROM gstore.default.nan WHERE x = 5.0")
+    assert(sql("SELECT k FROM gstore.default.nan ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L),
+      "poisoned stats group-pruned the DML target file")
+    sql("DROP TABLE gstore.default.nan")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
