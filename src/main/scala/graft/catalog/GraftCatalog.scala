@@ -586,17 +586,23 @@ class GraftTable(ident: String, val dir: NioPath,
     * against a still-retained snapshot must never lose files. */
   private[graft] def expireOrphanFiles(): Int = synchronized {
     val live: Set[String] =
-      (state.snapshots.flatMap(_.files.map(_.path)) ++
+      (state.snapshots.flatMap(s =>
+        s.files.map(_.path) ++ s.deltaFiles.map(_.path)) ++
         state.appendLog.map(_.path)).toSet
-    val dd = dir.resolve("data")
-    if (!Files.exists(dd)) 0
-    else {
-      val victims = graft.util.Fs.children(dd)
-        .filter(p => p.toString.endsWith(".parquet") &&
-          !live.contains(p.toAbsolutePath.toString))
-      victims.foreach(p => Files.deleteIfExists(p): Unit)
-      victims.size
+    def sweep(sub: String): Int = {
+      val d = dir.resolve(sub)
+      if (!Files.exists(d)) 0
+      else {
+        val victims = graft.util.Fs.children(d)
+          .filter(p => p.toString.endsWith(".parquet") &&
+            !live.contains(p.toAbsolutePath.toString))
+        victims.foreach(p => Files.deleteIfExists(p): Unit)
+        victims.size
+      }
     }
+    // data files AND delta files: a compaction clears the logical log,
+    // and once its snapshots expire the delta parquet is unreferenced
+    sweep("data") + sweep("delta")
   }
 
   // ---- read path -------------------------------------------------------

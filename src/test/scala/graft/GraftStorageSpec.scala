@@ -245,6 +245,21 @@ class GraftStorageSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(b)), "orphan survived GC")
     assert(sql("SELECT v FROM gstore.default.gc").head().getString(0) == "c")
     sql("DROP TABLE gstore.default.gc")
+    // MOR: compaction clears the logical log; once its snapshots expire
+    // the delta parquet is unreferenced and GC reclaims it too
+    sql("DROP TABLE IF EXISTS gstore.default.gcm")
+    sql("""CREATE TABLE gstore.default.gcm (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k',
+                          'graft.retain'='1')""")
+    sql("INSERT INTO gstore.default.gcm VALUES (1,'a')")
+    sql("UPDATE gstore.default.gcm SET v = 'b' WHERE k = 1") // delta file
+    sql("CALL gstore.system.compact('default.gcm')") // log cleared
+    sql("INSERT INTO gstore.default.gcm VALUES (2,'c')") // expire compact snap
+    val nm = tbl("gcm").expireOrphanFiles()
+    assert(nm >= 1, s"expected the compacted delta file GC'd, got $nm")
+    assert(sql("SELECT k, v FROM gstore.default.gcm ORDER BY k").collect()
+      .map(_.toString).toSeq == Seq("[1,b]", "[2,c]"))
+    sql("DROP TABLE gstore.default.gcm")
   }
 
   test("identity PARTITIONED BY: single-valued files, exact pruning, " +
