@@ -471,7 +471,7 @@ class GraftTable(ident: String, val dir: NioPath,
     * data. Optimistic concurrency fails the loser loudly instead
     * (Iceberg's validation semantics; the statement can be retried
     * against the new snapshot). */
-  private[catalog] def commitReplaceFiles(removed: Set[String],
+  private[graft] def commitReplaceFiles(removed: Set[String],
       files: Seq[GraftFileRef]): Unit = synchronized {
     val cur = curFiles.map(_.path).toSet
     val gone = removed.diff(cur)

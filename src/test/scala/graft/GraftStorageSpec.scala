@@ -663,6 +663,28 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.nan")
   }
 
+  test("group-replace commit validates its files are still current " +
+      "(optimistic concurrency: the losing writer fails loudly)") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.occ")
+    sql("CREATE TABLE gstore.default.occ (k BIGINT, v STRING)")
+    sql("INSERT INTO gstore.default.occ VALUES (1,'a')")
+    val t = tbl("occ")
+    val stale = t.currentFilePaths.toSet
+    // a concurrent writer truncate-replaces the table between this
+    // "rewrite"'s scan and its commit
+    sql("INSERT OVERWRITE gstore.default.occ VALUES (2,'b')")
+    val e = intercept[IllegalStateException] {
+      t.commitReplaceFiles(stale, Nil)
+    }
+    assert(e.getMessage.contains("concurrent commit conflict"),
+      s"stale replace did not fail loudly: ${e.getMessage}")
+    // the table still holds the concurrent writer's content
+    assert(sql("SELECT k, v FROM gstore.default.occ").collect()
+      .map(_.toString).toSeq == Seq("[2,b]"))
+    sql("DROP TABLE gstore.default.occ")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
