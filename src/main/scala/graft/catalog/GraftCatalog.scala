@@ -134,6 +134,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if ("mor".equalsIgnoreCase(properties.getOrDefault("graft.mode", "cow")))
         "mor"
       else "cow"
+    // reserved names (ADVICE r10): `_file` is the metadata column every
+    // scan can resolve, and MOR delta files prepend `__op`/`__id` to
+    // the data columns — a user column with one of those names would
+    // duplicate a name in the delta schema and mis-bind ordinalByName
+    // lookups in the fold. Loud at CREATE, never corrupt at read.
+    val reserved =
+      if (mode == "mor") Seq("_file", "__op", "__id") else Seq("_file")
+    schema.fieldNames.foreach { n =>
+      require(!reserved.exists(_.equalsIgnoreCase(n)),
+        s"column name $n is reserved by the graft catalog " +
+          s"(reserved for ${if (mode == "mor") "merge-on-read" else "this"} " +
+          s"tables: ${reserved.mkString(", ")})")
+    }
     val retain = properties.getOrDefault("graft.retain", "64").toInt
     require(retain >= 1, s"graft.retain must be >= 1, got $retain")
     val appendRetain =
@@ -185,7 +198,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (new GraftTable(idxKey(ident), dir, st, retain, partCols,
             appendRetain), "")
         }
-      GraftStorage.writeLog(dir, t.stateNow)
+      require(GraftStorage.casWriteLog(dir, t.stateNow, 0),
+        s"table directory $dir already holds a log — concurrent CREATE?")
       GraftCatalog.tables.put(regKey(ident), t)
       (idx + (idxKey(ident) -> GraftCatalog.IndexEntry(
         dir.toString, mode, rowId, retain, partCols, appendRetain)), t)
@@ -337,6 +351,16 @@ object GraftCatalog {
   * mid-scan — and committed files are never mutated, so a planned scan
   * stays valid even across later DML (physical deletion happens only at
   * DROP TABLE or explicit orphan GC). */
+object GraftTable {
+  /** Default orphan-GC grace: files younger than this are never swept,
+    * so an in-flight writer task's not-yet-committed parquet survives a
+    * concurrent `CALL expire_snapshots` (ADVICE r10). Overridable per
+    * call (`older_than_ms`); Iceberg's equivalent default is 3 days —
+    * ours is shorter because writer tasks here are minutes, not
+    * multi-hour jobs. */
+  val GcGraceMs: Long = 10L * 60 * 1000
+}
+
 class GraftTable(ident: String, val dir: NioPath,
     initState: GraftTableState, retain: Int,
     partCols: Seq[String] = Nil, appendRetain: Int = 65536)
@@ -399,12 +423,61 @@ class GraftTable(ident: String, val dir: NioPath,
   }
 
   // ---- commit protocol -------------------------------------------------
-  // Every mutation: build the next state, swap, persist. Retention trims
-  // the snapshot WINDOW (metadata); nextVersion keeps numbering
-  // monotonic so expired versions error by name instead of aliasing.
+  // Every mutation is an OPTIMISTIC round under [[commitLoop]]: refresh
+  // the in-memory state from the newest on-disk log (another PROCESS may
+  // have committed — the JVM lock only serializes writers in this one),
+  // build + validate the next state against the refreshed view, and
+  // CAS-publish it as `_graft_log.v{N}.json`. A lost CAS re-enters the
+  // loop, so losers re-validate and retry; conflicts surface as the
+  // builder's own loud validation errors, never as silent lost updates.
+  // Retention trims the snapshot WINDOW (metadata); nextVersion keeps
+  // numbering monotonic so expired versions error by name instead of
+  // aliasing.
 
   private def retainWindow(v: Vector[GraftSnapshot]): Vector[GraftSnapshot] =
     if (v.size > retain) v.drop(v.size - retain) else v
+
+  /** Adopt the newest on-disk state if a concurrent PROCESS committed
+    * past this handle's view. Called at the top of every commit round
+    * and at scan planning, so both writers and readers observe foreign
+    * commits; same-process writers are already serialized by the JVM
+    * lock and see `state` directly. */
+  private[catalog] def refreshFromDisk(): Unit = synchronized {
+    val latest = GraftStorage.latestLogVersion(dir)
+    if (latest > state.nextVersion)
+      state = GraftStorage.readLogVersion(dir, latest)
+  }
+
+  /** One optimistic commit: refresh, build (validating against the
+    * refreshed state — builders throw their own loud conflict errors),
+    * CAS-publish. `build` returning None means the round decided to
+    * commit nothing (deduped stream epoch replay). */
+  private def commitLoop(build: () => Option[GraftTableState]): Unit =
+    synchronized {
+      while (true) {
+        refreshFromDisk()
+        build() match {
+          case None => return
+          case Some(ns) =>
+            // stamp the commit this state introduces (every commit path
+            // appends exactly one unstamped snapshot) — TIMESTAMP AS OF
+            val stamped = ns.snapshots.lastOption
+              .filter(_.tsMillis == 0L) match {
+              case Some(s) => ns.copy(snapshots =
+                ns.snapshots.init :+
+                  s.copy(tsMillis = System.currentTimeMillis()))
+              case None => ns
+            }
+            if (GraftStorage.casWriteLog(dir, stamped, stamped.nextVersion)) {
+              state = stamped
+              GraftStorage.pruneLogs(dir, stamped.nextVersion - 4)
+              return
+            }
+          // CAS lost to a foreign commit: loop — refresh adopts the
+          // winner and the builder revalidates from scratch
+        }
+      }
+    }
 
   /** Append-log retention: the stream-offset ledger keeps the last
     * `graft.append_retain` file entries; `appendBase` preserves global
@@ -418,28 +491,16 @@ class GraftTable(ident: String, val dir: NioPath,
       st.copy(appendLog = st.appendLog.drop(d), appendBase = st.appendBase + d)
     }
 
-  private def persist(ns: GraftTableState): Unit = {
-    // stamp the commit this state introduces (every commit path appends
-    // exactly one unstamped snapshot) — the TIMESTAMP AS OF axis
-    val stamped = ns.snapshots.lastOption.filter(_.tsMillis == 0L) match {
-      case Some(s) => ns.copy(snapshots =
-        ns.snapshots.init :+ s.copy(tsMillis = System.currentTimeMillis()))
-      case None => ns
-    }
-    state = stamped
-    GraftStorage.writeLog(dir, stamped)
-  }
-
   private def curFiles: Vector[GraftFileRef] =
     state.current.map(_.files).getOrElse(Vector.empty)
   private def curDelta: Vector[GraftFileRef] =
     state.current.map(_.deltaFiles).getOrElse(Vector.empty)
 
-  private[catalog] def commitAppend(files: Seq[GraftFileRef]): Unit =
-    synchronized {
+  private[graft] def commitAppend(files: Seq[GraftFileRef]): Unit =
+    commitLoop { () =>
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         curFiles ++ files, curDelta)
-      persist(trimAppend(state.copy(
+      Some(trimAppend(state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
         appendLog = state.appendLog ++ files)))
@@ -451,10 +512,10 @@ class GraftTable(ident: String, val dir: NioPath,
     * rows. The new content still enters the append log — the stream
     * axis is append-ordered file arrival. */
   private[catalog] def commitReplaceAll(files: Seq[GraftFileRef]): Unit =
-    synchronized {
+    commitLoop { () =>
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         files.toVector, Vector.empty)
-      persist(trimAppend(state.copy(
+      Some(trimAppend(state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
         appendLog = state.appendLog ++ files)))
@@ -472,7 +533,7 @@ class GraftTable(ident: String, val dir: NioPath,
     * (Iceberg's validation semantics; the statement can be retried
     * against the new snapshot). */
   private[graft] def commitReplaceFiles(removed: Set[String],
-      files: Seq[GraftFileRef]): Unit = synchronized {
+      files: Seq[GraftFileRef]): Unit = commitLoop { () =>
     val cur = curFiles.map(_.path).toSet
     val gone = removed.diff(cur)
     if (gone.nonEmpty) {
@@ -485,19 +546,19 @@ class GraftTable(ident: String, val dir: NioPath,
     val kept = curFiles.filterNot(f => removed.contains(f.path))
     val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
       kept ++ files, curDelta)
-    persist(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
+    Some(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
       nextVersion = state.nextVersion + 1))
   }
 
   private[catalog] def commitDelta(delta: Seq[GraftFileRef]): Unit =
-    synchronized {
+    commitLoop { () =>
       // fence each delta file at the CURRENT base-file count: its
       // tombstones/updates supersede only base rows that existed when
       // it committed — later-appended base files are exempt at fold
       val fenced = delta.map(_.copy(fence = curFiles.length))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         curFiles, curDelta ++ fenced)
-      persist(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
+      Some(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1))
     }
 
@@ -509,7 +570,7 @@ class GraftTable(ident: String, val dir: NioPath,
     * mode (`truncate`) replaces the table content each epoch instead of
     * appending — accumulating duplicate result rows would corrupt. */
   private[graft] def commitStreamEpoch(queryId: String, epochId: Long,
-      files: Seq[GraftFileRef], truncate: Boolean): Unit = synchronized {
+      files: Seq[GraftFileRef], truncate: Boolean): Unit = commitLoop { () =>
     if (epochId > state.epochHW.getOrElse(queryId, Long.MinValue)) {
       val snap =
         if (truncate)
@@ -518,26 +579,31 @@ class GraftTable(ident: String, val dir: NioPath,
         else
           GraftSnapshot(state.nextVersion, state.schemaJson,
             curFiles ++ files, curDelta)
-      persist(trimAppend(state.copy(
+      Some(trimAppend(state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
         appendLog = state.appendLog ++ files,
         epochHW = state.epochHW + (queryId -> epochId))))
-    } else files.foreach(f =>
-      Files.deleteIfExists(Paths.get(f.path)): Unit) // deduped replay
+    } else {
+      files.foreach(f =>
+        Files.deleteIfExists(Paths.get(f.path)): Unit) // deduped replay
+      None
+    }
   }
 
   /** ALTER TABLE ADD COLUMN: a schema commit. Existing files simply
     * predate the column (their `cols` list lacks it) and backfill null
     * at read; older snapshots keep their own schema for time travel. */
-  private[catalog] def alterAddColumn(f: StructField): Unit = synchronized {
+  private[catalog] def alterAddColumn(f: StructField): Unit = commitLoop { () =>
     GraftStorage.validate(StructType(Array(f)))
+    require(!f.name.equalsIgnoreCase("_file"),
+      "column name _file is reserved by the graft catalog")
     val cur = state.schema
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
       s"column ${f.name} already exists in ${cur.catalogString}")
     val ns = StructType(cur.fields :+ f)
     val snap = GraftSnapshot(state.nextVersion, ns.json, curFiles, curDelta)
-    persist(state.copy(schemaJson = ns.json,
+    Some(state.copy(schemaJson = ns.json,
       snapshots = retainWindow(state.snapshots :+ snap),
       nextVersion = state.nextVersion + 1))
   }
@@ -552,6 +618,7 @@ class GraftTable(ident: String, val dir: NioPath,
   /** Read-only view pinned to commit `v` (time travel). Expired and
     * future versions are LOUD errors. */
   private[catalog] def snapshotAt(v: Int): Table = synchronized {
+    refreshFromDisk()
     val win = state.snapshots
     require(v >= 0 && v < state.nextVersion,
       s"version $v out of range [0, ${state.nextVersion})")
@@ -567,6 +634,7 @@ class GraftTable(ident: String, val dir: NioPath,
 
   /** `TIMESTAMP AS OF` resolution — see the catalog-side scaladoc. */
   private[catalog] def snapshotAsOfTime(tMillis: Long): Table = synchronized {
+    refreshFromDisk()
     val win = state.snapshots
     require(win.nonEmpty, s"$ident has no commits to time-travel to")
     win.filter(_.tsMillis <= tMillis).lastOption match {
@@ -584,18 +652,28 @@ class GraftTable(ident: String, val dir: NioPath,
     * Iceberg's `expire_snapshots`, reclaiming space is an explicit
     * operation with a retention contract, because a scan planned
     * against a still-retained snapshot must never lose files. */
-  private[graft] def expireOrphanFiles(): Int = synchronized {
+  private[graft] def expireOrphanFiles(
+      graceMs: Long = GraftTable.GcGraceMs): Int = synchronized {
+    refreshFromDisk()
     val live: Set[String] =
       (state.snapshots.flatMap(s =>
         s.files.map(_.path) ++ s.deltaFiles.map(_.path)) ++
         state.appendLog.map(_.path)).toSet
+    // grace window (ADVICE r10; Iceberg's remove_orphan_files
+    // older-than cutoff): a writer TASK's in-flight file is on disk
+    // before its commit references it — sweeping by reference alone
+    // would delete it mid-write and fail or corrupt that commit. Files
+    // younger than the grace window are never swept; 0 means "I know
+    // no write is in flight" (tests, single-writer maintenance).
+    val cutoff = System.currentTimeMillis() - graceMs
     def sweep(sub: String): Int = {
       val d = dir.resolve(sub)
       if (!Files.exists(d)) 0
       else {
         val victims = graft.util.Fs.children(d)
           .filter(p => p.toString.endsWith(".parquet") &&
-            !live.contains(p.toAbsolutePath.toString))
+            !live.contains(p.toAbsolutePath.toString) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff)
         victims.foreach(p => Files.deleteIfExists(p): Unit)
         victims.size
       }
@@ -607,6 +685,7 @@ class GraftTable(ident: String, val dir: NioPath,
 
   // ---- read path -------------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    refreshFromDisk() // observe foreign-process commits at plan time
     val s = state
     new GraftScanBuilder(s.schema,
       s.current.map(_.files).getOrElse(Vector.empty), Some(this))
@@ -638,13 +717,20 @@ class GraftTable(ident: String, val dir: NioPath,
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
     decidable(curFiles, predicates)
 
+  // Re-checks the OVERRIDABLE canDeleteWhere under the lock (ADVICE
+  // r10): the MOR subclass additionally requires an empty delta log,
+  // and a delta commit landing between plan time and here must flip
+  // this call back to the row-level rewrite, not drop base files while
+  // live delta entries resurrect superseded rows.
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     synchronized {
-      val files = curFiles
-      require(decidable(files, predicates),
-        "deleteWhere called with an undecidable predicate set")
-      val victims = files.filter(f =>
+      refreshFromDisk()
+      require(canDeleteWhere(predicates),
+        "deleteWhere precondition no longer holds (undecidable predicate " +
+          "set, or a concurrent commit changed the table) — retry the " +
+          "statement")
+      val victims = curFiles.filter(f =>
         predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
       commitReplaceFiles(victims.map(_.path).toSet, Nil)
     }
@@ -664,14 +750,14 @@ class GraftTable(ident: String, val dir: NioPath,
     * under the lock (a concurrent append could land a mixed file). */
   private[catalog] def commitOverwriteMatching(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
-      files: Seq[GraftFileRef]): Unit = synchronized {
+      files: Seq[GraftFileRef]): Unit = commitLoop { () =>
     require(decidable(curFiles, predicates),
       "overwrite predicate became undecidable at commit time")
     val kept = curFiles.filterNot(f =>
       predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
     val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
       kept ++ files, curDelta)
-    persist(trimAppend(state.copy(
+    Some(trimAppend(state.copy(
       snapshots = retainWindow(state.snapshots :+ snap),
       nextVersion = state.nextVersion + 1,
       appendLog = state.appendLog ++ files)))
@@ -684,14 +770,14 @@ class GraftTable(ident: String, val dir: NioPath,
     * tables degrade to a full replace, matching the file sources. */
   private[catalog] def commitOverwriteDynamic(files: Seq[GraftFileRef]): Unit =
     if (partCols.isEmpty) commitReplaceAll(files)
-    else synchronized {
+    else commitLoop { () =>
       def key(f: GraftFileRef): Seq[Option[String]] =
         partCols.map(c => f.stats.get(c).flatMap(_.min))
       val newKeys = files.map(key).toSet
       val kept = curFiles.filterNot(f => newKeys.contains(key(f)))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         kept ++ files, curDelta)
-      persist(trimAppend(state.copy(
+      Some(trimAppend(state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
         appendLog = state.appendLog ++ files)))

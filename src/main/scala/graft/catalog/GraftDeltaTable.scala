@@ -117,6 +117,7 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     * replacement rows. A log-free table takes the plain file-scan
     * path unchanged. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    refreshFromDisk() // observe foreign-process commits at plan time
     val st = stateNow
     val files = st.current.map(_.files).getOrElse(Vector.empty)
     val delta = st.current.map(_.deltaFiles).getOrElse(Vector.empty)

@@ -58,17 +58,19 @@ object GraftProcedures {
     }
   }
 
-  private abstract class GraftProcedure(procName: String, descr: String)
+  private abstract class GraftProcedure(procName: String, descr: String,
+      params: Array[ProcedureParameter])
       extends UnboundProcedure with BoundProcedure {
+    def this(procName: String, descr: String) =
+      this(procName, descr, GraftProcedures.tableParam)
     override def name(): String = procName
     override def description(): String = descr
     override def bind(inputType: StructType): BoundProcedure = this
-    override def parameters(): Array[ProcedureParameter] = tableParam
+    override def parameters(): Array[ProcedureParameter] = params
     override def isDeterministic: Boolean = false
-    protected def run(qualified: String): Scan
+    protected def run(input: InternalRow): Scan
     override def call(input: InternalRow): java.util.Iterator[Scan] =
-      Collections.singletonList(
-        run(input.getUTF8String(0).toString)).iterator()
+      Collections.singletonList(run(input)).iterator()
   }
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -78,7 +80,8 @@ object GraftProcedures {
       case "compact" => new GraftProcedure("compact",
         "fold the MOR delta log / rewrite accumulated files via a " +
           "distributed self-overwrite") {
-        override protected def run(qualified: String): Scan = {
+        override protected def run(input: InternalRow): Scan = {
+          val qualified = input.getUTF8String(0).toString
           val (_, t) = resolve(cat, qualified)
           val filesBefore = t.currentFilePaths.size.toLong
           val opsBefore = t.stateNow.current
@@ -95,10 +98,18 @@ object GraftProcedures {
       }
       case "expire_snapshots" => new GraftProcedure("expire_snapshots",
         "delete data files referenced by no retained snapshot and no " +
-          "append-log entry") {
-        override protected def run(qualified: String): Scan = {
-          val (_, t) = resolve(cat, qualified)
-          val deleted = t.expireOrphanFiles().toLong
+          "append-log entry, skipping files younger than older_than_ms " +
+          "(in-flight-writer grace, ADVICE r10)",
+        tableParam :+ ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue(GraftTable.GcGraceMs.toString)
+          .comment("only files at least this old (ms) are swept; " +
+            "0 = no grace (single-writer maintenance)")
+          .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val (_, t) = resolve(cat, input.getUTF8String(0).toString)
+          val grace = if (input.isNullAt(1)) GraftTable.GcGraceMs
+            else input.getLong(1)
+          val deleted = t.expireOrphanFiles(grace).toLong
           summaryScan(Seq(
             "orphan_files_deleted" -> deleted,
             "retained_snapshots" -> t.retainedVersions.size.toLong))

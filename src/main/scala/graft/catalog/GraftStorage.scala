@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path => NioPath, StandardCopyOption}
+import java.nio.file.{Files, Path => NioPath}
 
 import scala.jdk.CollectionConverters._
 
@@ -504,21 +504,80 @@ object GraftStorage {
         q -> num(e) }.toMap)
   }
 
-  /** Atomic write: tmp file + rename, so a crash mid-write never leaves
-    * a torn log (the previous log version stays in place). */
-  def writeLog(dir: NioPath, st: GraftTableState): Unit = {
+  // ---- versioned log with compare-and-swap commit ----------------------
+  // Cross-process commit safety (VERDICT r10 item 2): each commit
+  // publishes the FULL table state as `_graft_log.v{N}.json` where N is
+  // the state's nextVersion — unique and monotonic per commit. The
+  // publish is a hard-link CAS: content is fully written to a tmp file
+  // first, then `Files.createLink` makes it visible under the versioned
+  // name — link creation is atomic and FAILS if the name exists, so of
+  // two drivers racing the same version exactly one wins and the loser
+  // re-validates against the winner's state and retries (or surfaces
+  // the conflict error). A linked file is never torn: the content was
+  // complete before the name existed (unlike create-then-write, which
+  // has a visible half-written window).
+
+  private def logName(v: Int): String = s"_graft_log.v$v.json"
+  private def versionOf(fileName: String): Option[Int] =
+    if (fileName.startsWith("_graft_log.v") && fileName.endsWith(".json"))
+      fileName.stripPrefix("_graft_log.v").stripSuffix(".json").toIntOption
+    else None
+
+  /** Highest committed log version on disk, -1 if none (legacy
+    * single-file logs report -1 too — they predate versioning). */
+  def latestLogVersion(dir: NioPath): Int =
+    if (!Files.exists(dir)) -1
+    else graft.util.Fs.children(dir)
+      .flatMap(p => versionOf(p.getFileName.toString))
+      .maxOption.getOrElse(-1)
+
+  /** CAS publish of `st` as log version `version`. Returns false when
+    * that version already exists — another process committed it first;
+    * the caller must re-read, re-validate, and retry. */
+  def casWriteLog(dir: NioPath, st: GraftTableState, version: Int): Boolean = {
     Files.createDirectories(dir)
-    val tmp = dir.resolve("_graft_log.json.tmp")
+    val tmp = dir.resolve(
+      "_graft_log.tmp-" + java.util.UUID.randomUUID().toString)
     Files.write(tmp, stateToJson(st).getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve("_graft_log.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    try {
+      Files.createLink(dir.resolve(logName(version)), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp): Unit
   }
 
+  /** Drop log versions below `keepFrom` (history is fully contained in
+    * every snapshot file, so only the latest is ever needed — a few are
+    * kept so concurrent cold-loaders scanning for the max never see the
+    * floor move under them) plus any orphaned tmp from a crashed
+    * publish. */
+  def pruneLogs(dir: NioPath, keepFrom: Int): Unit =
+    graft.util.Fs.children(dir).foreach { p =>
+      val n = p.getFileName.toString
+      val stale = versionOf(n).exists(_ < keepFrom) ||
+        (n.startsWith("_graft_log.tmp-") &&
+          Files.getLastModifiedTime(p).toMillis <
+            System.currentTimeMillis() - 600000L)
+      if (stale) Files.deleteIfExists(p): Unit
+    }
+
+  /** Read the newest committed state: the highest versioned log, falling
+    * back to the legacy single-file `_graft_log.json` for pre-CAS
+    * tables. */
   def readLog(dir: NioPath): Option[GraftTableState] = {
-    val f = dir.resolve("_graft_log.json")
-    if (!Files.exists(f)) None
-    else Some(stateFromJson(new String(Files.readAllBytes(f), "UTF-8")))
+    val v = latestLogVersion(dir)
+    if (v >= 0) Some(readLogVersion(dir, v))
+    else {
+      val f = dir.resolve("_graft_log.json")
+      if (!Files.exists(f)) None
+      else Some(stateFromJson(new String(Files.readAllBytes(f), "UTF-8")))
+    }
   }
+
+  def readLogVersion(dir: NioPath, v: Int): GraftTableState =
+    stateFromJson(new String(
+      Files.readAllBytes(dir.resolve(logName(v))), "UTF-8"))
 }
 
 /** One committed data file: the unit of scan parallelism, group-based

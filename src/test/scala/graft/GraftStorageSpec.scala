@@ -240,7 +240,13 @@ class GraftStorageSpec extends SparkSpec {
     // A stays (append log = streaming history); B is referenced by no
     // retained snapshot and no append entry -> the one orphan
     assert(Files.exists(Paths.get(b)))
-    val n = tbl("gc").expireOrphanFiles()
+    // DEFAULT grace window spares it — B is seconds old, and a file
+    // this fresh could be a concurrent writer's in-flight output
+    // (ADVICE r10); only an explicit 0-grace sweep reclaims it
+    assert(tbl("gc").expireOrphanFiles() == 0,
+      "default grace swept a freshly written file")
+    assert(Files.exists(Paths.get(b)))
+    val n = tbl("gc").expireOrphanFiles(0L)
     assert(n == 1, s"expected 1 orphan deleted, got $n")
     assert(!Files.exists(Paths.get(b)), "orphan survived GC")
     assert(sql("SELECT v FROM gstore.default.gc").head().getString(0) == "c")
@@ -255,7 +261,7 @@ class GraftStorageSpec extends SparkSpec {
     sql("UPDATE gstore.default.gcm SET v = 'b' WHERE k = 1") // delta file
     sql("CALL gstore.system.compact('default.gcm')") // log cleared
     sql("INSERT INTO gstore.default.gcm VALUES (2,'c')") // expire compact snap
-    val nm = tbl("gcm").expireOrphanFiles()
+    val nm = tbl("gcm").expireOrphanFiles(0L)
     assert(nm >= 1, s"expected the compacted delta file GC'd, got $nm")
     assert(sql("SELECT k, v FROM gstore.default.gcm ORDER BY k").collect()
       .map(_.toString).toSeq == Seq("[1,b]", "[2,c]"))
@@ -395,7 +401,8 @@ class GraftStorageSpec extends SparkSpec {
     sql("INSERT INTO gstore.default.pc2 VALUES (1,'a')")
     sql("UPDATE gstore.default.pc2 SET v = 'b'")
     sql("UPDATE gstore.default.pc2 SET v = 'c'")
-    val res2 = sql("CALL gstore.system.expire_snapshots('default.pc2')")
+    val res2 = sql(
+      "CALL gstore.system.expire_snapshots('default.pc2', 0)")
       .collect()
     assert(res2(0).getLong(0) == 1L,
       s"expected 1 orphan deleted, got ${res2(0)}")
@@ -683,6 +690,75 @@ class GraftStorageSpec extends SparkSpec {
     assert(sql("SELECT k, v FROM gstore.default.occ").collect()
       .map(_.toString).toSeq == Seq("[2,b]"))
     sql("DROP TABLE gstore.default.occ")
+  }
+
+  test("cross-process commit safety: log-version CAS admits exactly one " +
+      "writer per version; stale handles refresh and rebase or conflict") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.cas")
+    sql("CREATE TABLE gstore.default.cas (k BIGINT, v STRING)")
+    sql("INSERT INTO gstore.default.cas VALUES (1,'a')")
+    val t1 = tbl("cas")
+    // the CAS primitive itself: two writers racing the same log version
+    // — the second publish must lose, not clobber
+    val st = t1.stateNow
+    assert(!graft.catalog.GraftStorage.casWriteLog(t1.dir, st,
+      st.nextVersion - 1),
+      "casWriteLog overwrote an existing log version")
+    // simulate a SECOND DRIVER: drop every cached handle so the next
+    // SQL reference cold-loads a fresh instance (own lock, own state)
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    sql("INSERT INTO gstore.default.cas VALUES (2,'b')") // driver 2 commits
+    // driver 1's handle is stale; an append REBASES onto the foreign
+    // commit (refresh inside the commit loop) instead of losing it
+    t1.commitAppend(Nil)
+    assert(t1.stateNow.current.get.files.size == 2,
+      "stale handle's append lost the foreign commit (last-writer-wins)")
+    // and the other driver's handle observes driver 1's commit at scan
+    // planning (refreshFromDisk) — both histories visible to SQL
+    assert(sql("SELECT k FROM gstore.default.cas ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a stale GROUP-REPLACE (row-level rewrite) must NOT rebase — its
+    // carry-over rows were computed against dead files; loud conflict
+    val stale = t1.currentFilePaths.toSet
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    sql("INSERT OVERWRITE gstore.default.cas VALUES (9,'z')") // driver 2
+    val e = intercept[IllegalStateException] {
+      t1.commitReplaceFiles(stale, Nil)
+    }
+    assert(e.getMessage.contains("concurrent commit conflict"),
+      s"stale cross-driver replace not loud: ${e.getMessage}")
+    assert(sql("SELECT k, v FROM gstore.default.cas").collect()
+      .map(_.toString).toSeq == Seq("[9,z]"))
+    sql("DROP TABLE gstore.default.cas")
+  }
+
+  test("reserved column names are rejected at CREATE TABLE: _file " +
+      "everywhere, __op/__id on merge-on-read") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.resv")
+    val e1 = intercept[Exception] {
+      sql("CREATE TABLE gstore.default.resv (k BIGINT, `_file` STRING)")
+    }
+    assert(chain(e1).exists(m => Option(m.getMessage).exists(
+      _.contains("reserved"))), s"_file not rejected: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      sql("""CREATE TABLE gstore.default.resv (k BIGINT, `__op` INT)
+             TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    }
+    assert(chain(e2).exists(m => Option(m.getMessage).exists(
+      _.contains("reserved"))), s"__op not rejected: ${e2.getMessage}")
+    val e3 = intercept[Exception] {
+      sql("""CREATE TABLE gstore.default.resv (k BIGINT, `__id` BIGINT)
+             TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    }
+    assert(chain(e3).exists(m => Option(m.getMessage).exists(
+      _.contains("reserved"))))
+    // a COW table may use __op (only MOR prepends the delta marker)
+    sql("CREATE TABLE gstore.default.resv (k BIGINT, `__op` INT)")
+    sql("INSERT INTO gstore.default.resv VALUES (1, 7)")
+    assert(sql("SELECT `__op` FROM gstore.default.resv").head().getInt(0) == 7)
+    sql("DROP TABLE gstore.default.resv")
   }
 
   /** Exception cause chain (Spark wraps task failures). */
