@@ -447,6 +447,95 @@ object CatalogQueries {
         FROM orders
         WHERE o_orderpriority <> '5-LOW'
         GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q203:
+    // DECIMAL in the managed catalog (VERDICT r10 item 1) — the
+    // canonical money type, stored as unscaled INT64 parquet decimal
+    // (p <= 18; p > 18 takes the unscaled-BINARY mapping), with
+    // per-file min/max stats driving decimal-predicate pruning and
+    // group-based DML. The full warehouse cycle in one declared query:
+    // CREATE partitioned with DECIMAL(12,4), seed, MERGE (decimal
+    // update arithmetic, deletes, cross-partition inserts), then a
+    // static partition overwrite resetting 1-URGENT to pristine. Every
+    // price mutation is exact decimal arithmetic, so the oracle replays
+    // it digit-for-digit — no float tolerance anywhere. At 100 TB this
+    // is the table a finance pipeline actually creates, and the plan
+    // shapes are the same as q200/q202: partition-clustered writes,
+    // stats-pruned scans, file-granularity rewrites.
+    QueryDef(
+      "q203_decimal_catalog",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_dec")
+        s.sql("""CREATE TABLE graft_cat.default.orders_dec
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DECIMAL(12,4))
+                 PARTITIONED BY (o_orderpriority)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q203_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_dec
+                 SELECT o_orderkey, o_orderpriority,
+                        CAST(o_totalprice AS DECIMAL(12,4))
+                 FROM q203_orders""")
+        s.sql("""
+          MERGE INTO graft_cat.default.orders_dec t
+          USING (
+            SELECT o_orderkey AS k, 'D' AS op,
+                   CAST(NULL AS DECIMAL(12,4)) AS p,
+                   CAST(NULL AS STRING) AS pr
+            FROM q203_orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, 'U',
+                   CAST(o_totalprice AS DECIMAL(12,4))
+                     + CAST(100.0000 AS DECIMAL(12,4)),
+                   CAST(NULL AS STRING)
+            FROM q203_orders WHERE o_orderkey % 10 = 1
+            UNION ALL
+            SELECT o_orderkey + 100000000, 'I',
+                   CAST(o_totalprice AS DECIMAL(12,4)), o_orderpriority
+            FROM q203_orders WHERE o_orderkey % 10 = 2) c
+          ON t.o_orderkey = c.k
+          WHEN MATCHED AND c.op = 'D' THEN DELETE
+          WHEN MATCHED AND c.op = 'U' THEN UPDATE SET o_totalprice = c.p
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, o_orderpriority, o_totalprice)
+            VALUES (c.k, c.pr, c.p)""")
+        s.sql("""INSERT OVERWRITE graft_cat.default.orders_dec
+                 PARTITION (o_orderpriority = '1-URGENT')
+                 SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,4))
+                 FROM q203_orders WHERE o_orderpriority = '1-URGENT'""")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+                        CAST(SUM(o_totalprice) AS DOUBLE) AS sum_total,
+                        CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+                 FROM graft_cat.default.orders_dec
+                 GROUP BY o_orderpriority
+                 ORDER BY o_orderpriority""")
+      },
+      Some("""
+        WITH seeded AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(o_totalprice AS DECIMAL(12,4)) AS p
+          FROM orders),
+        merged AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CASE WHEN o_orderkey % 10 = 1
+                      THEN p + CAST(100.0000 AS DECIMAL(12,4)) ELSE p END AS p
+          FROM seeded WHERE o_orderkey % 10 <> 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_orderpriority, p
+          FROM seeded WHERE o_orderkey % 10 = 2),
+        final AS (
+          SELECT o_orderpriority, p FROM seeded
+          WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT o_orderpriority, p FROM merged
+          WHERE o_orderpriority <> '1-URGENT')
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(p) AS DOUBLE) AS sum_total,
+               CAST(MIN(p) AS DOUBLE) AS min_price
+        FROM final
+        GROUP BY o_orderpriority
         ORDER BY o_orderpriority"""))
   )
 

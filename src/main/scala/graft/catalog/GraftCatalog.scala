@@ -977,6 +977,9 @@ object GraftV2Preds {
 
   private def javaValue(l: Literal[_]): Any = l.value() match {
     case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    // V2 literals carry catalyst-internal values; normalize decimals to
+    // the java type the V1 filter path uses so one mayMatch serves both
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
     case other => other
   }
 
@@ -1035,6 +1038,9 @@ object GraftV2Preds {
             val lv = dt match {
               case StringType => org.apache.spark.unsafe.types.UTF8String
                 .fromString(v.asInstanceOf[String])
+              case _: org.apache.spark.sql.types.DecimalType =>
+                org.apache.spark.sql.types.Decimal(
+                  v.asInstanceOf[java.math.BigDecimal])
               case _ => v
             }
             GraftStorage.typedCompare(dt,
@@ -1084,7 +1090,8 @@ object GraftFilterEval {
     val o = ordinalOf(schema, col)
     o >= 0 && ((schema.fields(o).dataType, v) match {
       case (LongType, _: Long) | (IntegerType, _: Int) |
-           (DoubleType, _: Double) | (StringType, _: String) => true
+           (DoubleType, _: Double) | (StringType, _: String) |
+           (_: DecimalType, _: java.math.BigDecimal) => true
       case _ => false
     })
   }
@@ -1126,6 +1133,12 @@ object GraftFilterEval {
         val sv = org.apache.spark.unsafe.types.UTF8String.fromString(
           v.asInstanceOf[String])
         r => !r.isNullAt(o) && test(r.getUTF8String(o).compareTo(sv))
+      case d: DecimalType =>
+        // numeric (scale-insensitive) compare — Spark's Decimal ordering
+        val dv = org.apache.spark.sql.types.Decimal(
+          v.asInstanceOf[java.math.BigDecimal])
+        r => !r.isNullAt(o) &&
+          test(r.getDecimal(o, d.precision, d.scale).compare(dv))
       case other =>
         throw new IllegalStateException(s"unsupported pushdown type $other")
     }
@@ -1507,6 +1520,7 @@ class GraftWriterFactory(dataDir: String, incoming: StructType,
           if (r.isNullAt(o)) null
           else r.get(o, target.fields(o).dataType) match {
             case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
             case other => other
           }
         }

@@ -56,6 +56,8 @@ object GraftStorage {
       case LongType | IntegerType | DoubleType | FloatType | StringType |
            BooleanType | TimestampType | TimestampNTZType | DateType |
            BinaryType => ()
+      case d: DecimalType if d.precision >= 1 &&
+          d.precision <= DecimalType.MAX_PRECISION => ()
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported column type ${other.catalogString} " +
@@ -106,6 +108,16 @@ object GraftStorage {
             LogicalTypeAnnotation.TimeUnit.MICROS))
         case DateType => Types.optional(PrimitiveTypeName.INT32)
           .as(LogicalTypeAnnotation.dateType())
+        // DECIMAL (VERDICT r10 item 1): unscaled INT64 up to the
+        // long-safe precision 18 (compact, comparable), unscaled
+        // big-endian BINARY beyond — both standard parquet decimal
+        // physical mappings, readable by every engine incl. DuckDB
+        case d: DecimalType if d.precision <= 18 =>
+          Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType =>
+          Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case other => throw new UnsupportedOperationException(
           s"unsupported parquet mapping for ${other.catalogString}")
       }
@@ -133,6 +145,10 @@ object GraftStorage {
       if (x == y) 0 else java.lang.Float.compare(x, y)
     case StringType =>
       a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case _: DecimalType =>
+      // numeric compare (scale-insensitive), exactly Spark's Decimal
+      // ordering — required so stats pruning agrees with row filters
+      a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal])
     case other =>
       throw new IllegalStateException(s"no ordering for ${other.catalogString}")
   }
@@ -141,6 +157,10 @@ object GraftStorage {
     * Doubles/floats round-trip exactly through Java's toString/parse. */
   def statToString(dt: DataType, v: Any): String = dt match {
     case StringType => v.asInstanceOf[UTF8String].toString
+    case _: DecimalType =>
+      // plain (non-scientific) notation round-trips through BigDecimal
+      // with the exact scale preserved
+      v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
     case _ => v.toString
   }
   def statFromString(dt: DataType, s: String): Any = dt match {
@@ -149,13 +169,14 @@ object GraftStorage {
     case DoubleType => java.lang.Double.parseDouble(s)
     case FloatType => java.lang.Float.parseFloat(s)
     case StringType => UTF8String.fromString(s)
+    case _: DecimalType => Decimal(new java.math.BigDecimal(s))
     case other =>
       throw new IllegalStateException(s"no stats for ${other.catalogString}")
   }
 
   private def statsEligible(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         TimestampType | TimestampNTZType | DateType => true
+         TimestampType | TimestampNTZType | DateType | _: DecimalType => true
     case _ => false
   }
 
@@ -184,6 +205,7 @@ object GraftStorage {
             case DoubleType => row.getDouble(i)
             case FloatType => row.getFloat(i)
             case StringType => row.getUTF8String(i).clone()
+            case d: DecimalType => row.getDecimal(i, d.precision, d.scale)
             case _ => null
           }
           val isNaN = v match {
@@ -243,6 +265,12 @@ object GraftStorage {
               g.add(i, Binary.fromString(row.getUTF8String(i).toString))
             case BinaryType =>
               g.add(i, Binary.fromConstantByteArray(row.getBinary(i)))
+            case d: DecimalType if d.precision <= 18 =>
+              g.add(i, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+            case d: DecimalType =>
+              g.add(i, Binary.fromConstantByteArray(
+                row.getDecimal(i, d.precision, d.scale)
+                  .toJavaBigDecimal.unscaledValue().toByteArray))
             case other => throw new IllegalStateException(
               s"unsupported write type ${other.catalogString}")
           }
@@ -333,6 +361,12 @@ object GraftStorage {
             case BooleanType => g.getBoolean(src, 0)
             case StringType => UTF8String.fromString(g.getString(src, 0))
             case BinaryType => g.getBinary(src, 0).getBytes
+            case d: DecimalType if d.precision <= 18 =>
+              Decimal(g.getLong(src, 0), d.precision, d.scale)
+            case d: DecimalType =>
+              Decimal(new java.math.BigDecimal(
+                new java.math.BigInteger(g.getBinary(src, 0).getBytes),
+                d.scale), d.precision, d.scale)
             case other => throw new IllegalStateException(
               s"unsupported read type ${other.catalogString}")
           }
@@ -388,10 +422,17 @@ object GraftStorage {
             case Some(st) if st.min.isDefined && st.max.isDefined =>
               try {
                 val dt = fld.dataType
-                // pushed string literals arrive as java.lang.String;
-                // stats decode to UTF8String — normalize before compare
+                // pushed string literals arrive as java.lang.String and
+                // decimal literals as java.math.BigDecimal; stats decode
+                // to UTF8String / Decimal — normalize before compare
                 val lv = dt match {
                   case StringType => UTF8String.fromString(v.asInstanceOf[String])
+                  case _: DecimalType => v match {
+                    case b: java.math.BigDecimal => Decimal(b)
+                    case b: scala.math.BigDecimal => Decimal(b)
+                    case d: Decimal => d
+                    case other => other
+                  }
                   case _ => v
                 }
                 val lo = statFromString(dt, st.min.get)

@@ -761,6 +761,52 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.resv")
   }
 
+  test("DECIMAL columns: exact round-trip on both physical mappings, " +
+      "stats pruning exact on decimal predicates, DML cycle") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.dec")
+    // price: INT64-backed (p <= 18); big: BINARY-backed (p > 18),
+    // including a negative value to pin the sign handling of the
+    // unscaled-bytes mapping
+    sql("""CREATE TABLE gstore.default.dec
+           (k BIGINT, price DECIMAL(12,4), big DECIMAL(30,10))""")
+    sql("""INSERT INTO gstore.default.dec VALUES
+           (1, 10.5000, 12345678901234567890.1234567890),
+           (2, 20.2500, -98765432109876543210.0000000001)""")
+    sql("INSERT INTO gstore.default.dec VALUES (3, 99.9999, 0.0000000001)")
+    assert(sql("SELECT k, price, big FROM gstore.default.dec ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq(
+        "[1,10.5000,12345678901234567890.1234567890]",
+        "[2,20.2500,-98765432109876543210.0000000001]",
+        "[3,99.9999,1E-10]"), // BigDecimal.toString scientific notation
+      "decimal round-trip not exact")
+    // single-row files pin min == max; the price = 99.9999 read must
+    // skip both first-insert files on stats alone
+    val q = sql(
+      "SELECT k FROM gstore.default.dec WHERE price = 99.9999 ORDER BY k")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("(2 skipped)"),
+      s"decimal stats did not prune: expected '(2 skipped)' in:\n$desc")
+    // range predicate on the BINARY-backed column (no pushdown, but
+    // the residual filter must evaluate exactly)
+    assert(sql("SELECT k FROM gstore.default.dec WHERE big < 0").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // DML over decimal predicates: group pruning + rewrite correctness
+    val before = tbl("dec").currentFilePaths
+    sql("""UPDATE gstore.default.dec SET price = price + 0.0001
+           WHERE price = 20.2500""")
+    val after = tbl("dec").currentFilePaths
+    assert(before.filterNot(after.contains).size == 1,
+      "decimal-keyed UPDATE rewrote more than the matching file")
+    assert(sql("SELECT price FROM gstore.default.dec WHERE k = 2").head()
+      .getDecimal(0).toPlainString == "20.2501")
+    sql("DELETE FROM gstore.default.dec WHERE price < 15.0")
+    assert(sql("SELECT k FROM gstore.default.dec ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    sql("DROP TABLE gstore.default.dec")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
