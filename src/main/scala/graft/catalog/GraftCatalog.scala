@@ -384,7 +384,7 @@ class GraftTable(ident: String, val dir: NioPath,
   @volatile private var state: GraftTableState = initState
 
   private[graft] def stateNow: GraftTableState = state
-  private[catalog] def dataDir: String =
+  private[graft] def dataDir: String =
     dir.resolve("data").toAbsolutePath.toString
 
   private[graft] def baseRowCount: Long =
@@ -961,8 +961,7 @@ class GraftGroupScan(tableSchema: StructType, requiredSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    surviving.map(f =>
-      GraftFilePartition(f.path, f.cols, f.rows): InputPartition).toArray
+    GraftScan.partitionsFor(surviving)
 }
 
 /** Conservative DSv2-`Predicate` tests against file stats. Two duals:
@@ -1190,8 +1189,7 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f =>
-      GraftFilePartition(f.path, f.cols, f.rows): InputPartition).toArray
+    GraftScan.partitionsFor(files)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(tableSchema, requiredSchema, rowFilters)
   override def description(): String =
@@ -1209,8 +1207,42 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     }
 }
 
+/** One scan task: a data file, or a row-group byte range of one (large
+  * files split at plan time — see [[GraftScan.partitionsFor]]). `rows`
+  * is the count within the range (exact, from the footer), feeding the
+  * zero-column count-only path. */
 case class GraftFilePartition(path: String, cols: Vector[String],
-    rows: Long) extends InputPartition
+    rows: Long, rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
+    extends InputPartition
+
+object GraftScan {
+  /** Default split granularity — matches Spark's
+    * files.maxPartitionBytes default, overridable via the runtime conf
+    * `graft.scan.split_target_bytes` (tests set it tiny). */
+  private val DefaultSplitBytes = 128L * 1024 * 1024
+
+  private def splitTargetBytes: Long =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("graft.scan.split_target_bytes", DefaultSplitBytes.toString).toLong
+    catch { case _: Exception => DefaultSplitBytes }
+
+  /** One input partition per file — the commit unit — EXCEPT files
+    * larger than the split target (compaction output): those split by
+    * parquet row-group ranges so a 10 GB compacted file fans out to
+    * ~80 tasks instead of one straggler (VERDICT r10 item 8). One
+    * footer read per oversized file, on the driver, at plan time. */
+  private[catalog] def partitionsFor(
+      files: Vector[GraftFileRef]): Array[InputPartition] = {
+    val target = splitTargetBytes
+    files.flatMap { f =>
+      if (f.bytes <= target || f.bytes <= 0)
+        Seq(GraftFilePartition(f.path, f.cols, f.rows))
+      else GraftStorage.splitRanges(f.path, target).map { case (s, e, r) =>
+        GraftFilePartition(f.path, f.cols, r, s, e)
+      }
+    }.map(p => p: InputPartition).toArray
+  }
+}
 
 /** Builds the per-task reader pipeline: parquet-project to the columns
   * needed (required + filter references; ALTER-added columns the file
@@ -1228,7 +1260,7 @@ class GraftReaderFactory(tableSchema: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftFilePartition]
     val it = new GraftStorage.FileIterator(fp.path, fp.cols, neededSchema,
-      fp.rows)
+      fp.rows, fp.rangeStart, fp.rangeEnd)
     new GraftRowPipeline(neededSchema, requiredSchema, filters, it, it,
       Map("_file" ->
         org.apache.spark.unsafe.types.UTF8String.fromString(fp.path)))

@@ -354,6 +354,11 @@ class GraftMorScan(tableSchema: StructType, requiredSchema: StructType,
     }
   }
 
+  // base files stay one-per-task here (no row-group splitting): MOR
+  // base files are written per task by appends and by the compaction
+  // self-overwrite, so their sizes are writer-bounded — unlike a CoW
+  // compaction artifact, nothing concentrates a MOR base into one
+  // multi-GB file
   override def planInputPartitions(): Array[InputPartition] = {
     val base = indexedFiles.map { case (f, i) =>
       GraftMorFilePartition(f.path, f.cols, f.rows,

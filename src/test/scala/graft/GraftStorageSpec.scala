@@ -807,6 +807,60 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.dec")
   }
 
+  test("row-group-granular splits: a multi-row-group file scans as " +
+      "multiple input partitions with identical content") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.rg")
+    sql("CREATE TABLE gstore.default.rg (k BIGINT, v STRING)")
+    val t = tbl("rg")
+    // write ONE file with many small row groups straight through the
+    // storage writer (what a compactor's large output looks like) and
+    // commit it as a table append
+    val schema = t.schema()
+    val path = t.dataDir + "/big-rowgroups.parquet"
+    val w = new graft.catalog.GraftStorage.FileWriter(path, schema,
+      rowGroupBytes = 16 * 1024)
+    (0 until 50000).foreach { i =>
+      val r = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      r.update(0, i.toLong)
+      r.update(1, org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"value-$i-${"x" * 32}"))
+      w.write(r)
+    }
+    t.commitAppend(Seq(w.closeAndRef()))
+    val ranges = graft.catalog.GraftStorage.splitRanges(path, 64 * 1024)
+    assert(ranges.size > 1, s"fixture produced only ${ranges.size} ranges")
+    assert(ranges.map(_._3).sum == 50000, s"split ranges lost rows: $ranges")
+    val expected = (0 until 50000).map(i => s"[$i,value-$i-${"x" * 32}]")
+    // drive the REAL scan with the split target the ranges used: the
+    // single file must fan out to one task per range, same content
+    val conf = "graft.scan.split_target_bytes"
+    spark.conf.set(conf, (64 * 1024).toString)
+    try {
+      val q = sql("SELECT k, v FROM gstore.default.rg ORDER BY k")
+      assert(q.collect().map(_.toString).toSeq == expected,
+        "split scan content differs")
+      // partition probe on an unsorted scan (an AQE sort plan's leaves
+      // don't expose the scan RDD directly)
+      val parts = sql("SELECT k, v FROM gstore.default.rg")
+        .queryExecution.executedPlan.collectLeaves()
+        .head.execute().getNumPartitions
+      assert(parts == ranges.size,
+        s"expected ${ranges.size} split partitions, got $parts")
+      assert(sql("SELECT count(*) FROM gstore.default.rg").head()
+        .getLong(0) == 50000, "count-only path wrong under splits")
+      // pushed filters still evaluate per split
+      assert(sql("SELECT count(*) FROM gstore.default.rg WHERE k < 100")
+        .head().getLong(0) == 100)
+    } finally spark.conf.unset(conf)
+    // and WITHOUT the tiny target the small file stays one partition
+    val q2 = sql("SELECT k FROM gstore.default.rg")
+    assert(q2.queryExecution.executedPlan.collectLeaves()
+      .head.execute().getNumPartitions == 1)
+    sql("DROP TABLE gstore.default.rg")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
