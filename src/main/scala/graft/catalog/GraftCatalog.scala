@@ -87,6 +87,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   override def loadTable(ident: Identifier): Table = {
+    // `<table>$changes`: the MOR change-feed companion (Iceberg-style
+    // metadata-table naming) — a read-only view over the base table's
+    // change ledger, never cached (it wraps the cached base handle)
+    if (ident.name().endsWith("$changes")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$changes"))
+      return loadTable(base) match {
+        case mor: GraftDeltaTable =>
+          new GraftChangeFeedTable(idxKey(ident), mor)
+        case _ => throw new UnsupportedOperationException(
+          s"$$changes is only available on merge-on-read tables " +
+            s"(${idxKey(base)} is copy-on-write)")
+      }
+    }
     val cached = GraftCatalog.tables.get(regKey(ident))
     if (cached != null) cached
     else GraftCatalog.withIndex(warehouse) { idx =>
@@ -101,7 +115,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"table ${ident} registered but log missing at ${e.dir}"))
           val t =
             if (e.mode == "mor")
-              new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId)
+              new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
+                e.parts, e.appendRetain)
             else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
               e.appendRetain)
           val prev = GraftCatalog.tables.putIfAbsent(regKey(ident), t)
@@ -129,6 +144,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(!ident.name().endsWith("$changes"),
+      "table names ending in $changes are reserved for change-feed views")
     GraftStorage.validate(schema)
     val mode =
       if ("mor".equalsIgnoreCase(properties.getOrDefault("graft.mode", "cow")))
@@ -169,8 +186,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"not in ${schema.catalogString}")
       schema.fieldNames(o)
     }
-    require(mode != "mor" || partCols.isEmpty,
-      "PARTITIONED BY is not supported on merge-on-read tables")
     GraftCatalog.withIndex(warehouse) { idx =>
       if (idx.contains(idxKey(ident)) ||
           GraftCatalog.tables.containsKey(regKey(ident)))
@@ -190,11 +205,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (f.name.equalsIgnoreCase(idCol)) f.copy(nullable = false)
             else f))
           val st = GraftTableState(pinned.json, Vector.empty, 0,
-            Vector.empty, 0, Map.empty)
-          (new GraftDeltaTable(idxKey(ident), dir, st, retain, idCol), idCol)
+            Vector.empty, 0, Vector.empty, 0, Map.empty)
+          (new GraftDeltaTable(idxKey(ident), dir, st, retain, idCol,
+            partCols, appendRetain), idCol)
         } else {
           val st = GraftTableState(schema.json, Vector.empty, 0,
-            Vector.empty, 0, Map.empty)
+            Vector.empty, 0, Vector.empty, 0, Map.empty)
           (new GraftTable(idxKey(ident), dir, st, retain, partCols,
             appendRetain), "")
         }
@@ -550,6 +566,17 @@ class GraftTable(ident: String, val dir: NioPath,
       nextVersion = state.nextVersion + 1))
   }
 
+  /** Change-feed ledger retention — same discipline as the append log:
+    * keep the last `appendRetain` delta-file entries, `changeBase`
+    * preserves global offset numbering so a lagging stream checkpoint
+    * fails loudly instead of silently skipping changes. */
+  private def trimChange(st: GraftTableState): GraftTableState =
+    if (st.changeLog.size <= appendRetain) st
+    else {
+      val d = st.changeLog.size - appendRetain
+      st.copy(changeLog = st.changeLog.drop(d), changeBase = st.changeBase + d)
+    }
+
   private[catalog] def commitDelta(delta: Seq[GraftFileRef]): Unit =
     commitLoop { () =>
       // fence each delta file at the CURRENT base-file count: its
@@ -558,8 +585,10 @@ class GraftTable(ident: String, val dir: NioPath,
       val fenced = delta.map(_.copy(fence = curFiles.length))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         curFiles, curDelta ++ fenced)
-      Some(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
-        nextVersion = state.nextVersion + 1))
+      Some(trimChange(state.copy(
+        snapshots = retainWindow(state.snapshots :+ snap),
+        nextVersion = state.nextVersion + 1,
+        changeLog = state.changeLog ++ fenced)))
     }
 
   /** Streaming epoch commit with exactly-once keyed by (queryId,
@@ -658,7 +687,8 @@ class GraftTable(ident: String, val dir: NioPath,
     val live: Set[String] =
       (state.snapshots.flatMap(s =>
         s.files.map(_.path) ++ s.deltaFiles.map(_.path)) ++
-        state.appendLog.map(_.path)).toSet
+        state.appendLog.map(_.path) ++
+        state.changeLog.map(_.path)).toSet // feed history stays readable
     // grace window (ADVICE r10; Iceberg's remove_orphan_files
     // older-than cutoff): a writer TASK's in-flight file is on disk
     // before its commit references it — sweeping by reference alone
@@ -751,8 +781,13 @@ class GraftTable(ident: String, val dir: NioPath,
   private[catalog] def commitOverwriteMatching(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
       files: Seq[GraftFileRef]): Unit = commitLoop { () =>
-    require(decidable(curFiles, predicates),
-      "overwrite predicate became undecidable at commit time")
+    // the OVERRIDABLE gate, re-checked inside the commit round: MOR
+    // additionally requires an empty delta log (stale delta entries
+    // replaying over swapped partition files would corrupt)
+    require(canMetaReplace(predicates),
+      "overwrite precondition no longer holds at commit time " +
+        "(undecidable predicate, or a concurrent delta commit) — " +
+        "retry the statement")
     val kept = curFiles.filterNot(f =>
       predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
     val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
@@ -768,9 +803,16 @@ class GraftTable(ident: String, val dir: NioPath,
     * by its stats — the writer's single-value-per-file split makes the
     * partition key recoverable from metadata alone). Unpartitioned
     * tables degrade to a full replace, matching the file sources. */
+  /** Validation hook for partition-scoped dynamic overwrite, re-run
+    * inside each commit round; MOR overrides to demand an empty delta
+    * log (a full-table dynamic overwrite degrades to replace-all, which
+    * clears the log and needs no gate). */
+  protected def validateDynamicOverwrite(): Unit = ()
+
   private[catalog] def commitOverwriteDynamic(files: Seq[GraftFileRef]): Unit =
     if (partCols.isEmpty) commitReplaceAll(files)
     else commitLoop { () =>
+      validateDynamicOverwrite()
       def key(f: GraftFileRef): Seq[Option[String]] =
         partCols.map(c => f.stats.get(c).flatMap(_.min))
       val newKeys = files.map(key).toSet
@@ -1364,6 +1406,16 @@ class GraftMicroBatchStream(table: GraftTable, tableSchema: StructType,
 
 case class GraftStreamOffset(i: Int) extends Offset {
   override def json(): String = s"""{"i":$i}"""
+}
+
+object GraftStreamOffset {
+  def parse(json: String): GraftStreamOffset =
+    GraftStreamOffset(JsonMethods.parse(json).asInstanceOf[JObject]
+      .obj.toMap.apply("i") match {
+        case JInt(n) => n.toInt
+        case JLong(n) => n.toInt
+        case other => throw new IllegalStateException(s"bad offset $other")
+      })
 }
 
 /** Writers stream rows into per-task parquet files and return FILE REFS

@@ -647,6 +647,8 @@ object GraftStorage {
       "nextVersion" -> JInt(st.nextVersion),
       "appendLog" -> JArray(st.appendLog.map(fileRefToJson).toList),
       "appendBase" -> JInt(st.appendBase),
+      "changeLog" -> JArray(st.changeLog.map(fileRefToJson).toList),
+      "changeBase" -> JInt(st.changeBase),
       "epochHW" -> JObject(st.epochHW.toList.map { case (q, e) =>
         q -> (JLong(e): JValue) }))
     JsonMethods.compact(JsonMethods.render(j))
@@ -671,6 +673,10 @@ object GraftStorage {
       // absent in logs written before append-log retention existed —
       // an untrimmed ledger's base is 0 by definition
       o.get("appendBase").map(num(_).toInt).getOrElse(0),
+      // absent in pre-change-feed logs: an empty ledger
+      o.get("changeLog").map(_.asInstanceOf[JArray].arr
+        .map(fileRefFromJson).toVector).getOrElse(Vector.empty),
+      o.get("changeBase").map(num(_).toInt).getOrElse(0),
       o("epochHW").asInstanceOf[JObject].obj.map { case (q, e) =>
         q -> num(e) }.toMap)
   }
@@ -796,11 +802,20 @@ final case class GraftSnapshot(version: Int, schemaJson: String,
   * `epochHW` is the per-queryId streaming high-water mark
   * (exactly-once keyed by (queryId, epochId) — a SECOND streaming
   * query restarting epochs at 0 must not be deduped against the first
-  * one's epochs). */
+  * one's epochs).
+  *
+  * `changeLog`/`changeBase` (MOR only): the CHANGE-FEED ledger — every
+  * committed delta file in commit order, the offset axis the
+  * `$changes` companion table streams. Unlike the snapshot's live
+  * delta list it survives compaction (a compaction changes storage,
+  * not history), bounded by the same retention discipline as
+  * `appendLog`. */
 final case class GraftTableState(schemaJson: String,
     snapshots: Vector[GraftSnapshot],
     nextVersion: Int, appendLog: Vector[GraftFileRef],
     appendBase: Int,
+    changeLog: Vector[GraftFileRef],
+    changeBase: Int,
     epochHW: Map[String, Long]) {
   def current: Option[GraftSnapshot] = snapshots.lastOption
   def schema: StructType =

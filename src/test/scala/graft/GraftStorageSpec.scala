@@ -145,14 +145,38 @@ class GraftStorageSpec extends SparkSpec {
     assert(sql(
       "SELECT k FROM gstore.default.alt WHERE note IS NULL ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // MOR: ADD COLUMN works across a LIVE delta log — pre-ALTER delta
+    // entries backfill null through the fold, post-ALTER ops carry the
+    // column, and the delta-marker names stay reserved
     sql("DROP TABLE IF EXISTS gstore.default.alt_mor")
-    sql("""CREATE TABLE gstore.default.alt_mor (k BIGINT)
-           TBLPROPERTIES ('graft.mode'='mor')""")
-    val e = intercept[Exception] {
-      sql("ALTER TABLE gstore.default.alt_mor ADD COLUMN x BIGINT")
+    sql("""CREATE TABLE gstore.default.alt_mor (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.alt_mor VALUES (1,'a'),(2,'b')")
+    sql("UPDATE gstore.default.alt_mor SET v = 'B' WHERE k = 2") // pre-ALTER delta
+    sql("ALTER TABLE gstore.default.alt_mor ADD COLUMN note STRING")
+    sql("INSERT INTO gstore.default.alt_mor VALUES (3,'c','fresh')")
+    sql("UPDATE gstore.default.alt_mor SET note = 'tagged' WHERE k = 1")
+    assert(sql(
+      "SELECT k, v, note FROM gstore.default.alt_mor ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,a,tagged]", "[2,B,null]", "[3,c,fresh]"),
+      "MOR fold across ALTER produced wrong rows")
+    // pre-ALTER versions keep the 2-column schema
+    val mv1 = sql("SELECT * FROM gstore.default.alt_mor VERSION AS OF 1")
+    assert(mv1.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(mv1.collect().map(_.toString).sorted.toSeq ==
+      Seq("[1,a]", "[2,B]"))
+    // compaction folds the mixed-schema log into current-schema base
+    sql("CALL gstore.system.compact('default.alt_mor')")
+    assert(sql(
+      "SELECT k, v, note FROM gstore.default.alt_mor ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,a,tagged]", "[2,B,null]", "[3,c,fresh]"))
+    val er = intercept[Exception] {
+      sql("ALTER TABLE gstore.default.alt_mor ADD COLUMN `__id` BIGINT")
     }
-    assert(chain(e).exists(m => Option(m.getMessage).exists(
-      _.contains("merge-on-read"))))
+    assert(chain(er).exists(m => Option(m.getMessage).exists(
+      _.contains("reserved"))))
     sql("DROP TABLE gstore.default.alt_mor")
   }
 
@@ -251,20 +275,31 @@ class GraftStorageSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(b)), "orphan survived GC")
     assert(sql("SELECT v FROM gstore.default.gc").head().getString(0) == "c")
     sql("DROP TABLE gstore.default.gc")
-    // MOR: compaction clears the logical log; once its snapshots expire
-    // the delta parquet is unreferenced and GC reclaims it too
+    // MOR: a delta file stays live while the CHANGE-FEED ledger
+    // references it (compaction alone must not erase feed history);
+    // once it ages out of the ledger window AND its snapshots expire,
+    // GC reclaims it
     sql("DROP TABLE IF EXISTS gstore.default.gcm")
     sql("""CREATE TABLE gstore.default.gcm (k BIGINT, v STRING)
            TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k',
-                          'graft.retain'='1')""")
+                          'graft.retain'='1','graft.append_retain'='1')""")
     sql("INSERT INTO gstore.default.gcm VALUES (1,'a')")
-    sql("UPDATE gstore.default.gcm SET v = 'b' WHERE k = 1") // delta file
-    sql("CALL gstore.system.compact('default.gcm')") // log cleared
+    sql("UPDATE gstore.default.gcm SET v = 'b' WHERE k = 1") // delta d1
+    val d1 = tbl("gcm").stateNow.current.get.deltaFiles.head.path
+    sql("CALL gstore.system.compact('default.gcm')") // live log cleared
     sql("INSERT INTO gstore.default.gcm VALUES (2,'c')") // expire compact snap
+    // d1 still referenced by the 1-entry change ledger: GC must spare
+    // it (the superseded SEED data file is collected, nothing else)
+    tbl("gcm").expireOrphanFiles(0L): Unit
+    assert(Files.exists(Paths.get(d1)),
+      "GC deleted a delta file the change ledger still references")
+    sql("UPDATE gstore.default.gcm SET v = 'B2' WHERE k = 1") // d2 evicts d1
+    sql("CALL gstore.system.compact('default.gcm')")
+    sql("INSERT INTO gstore.default.gcm VALUES (3,'d')") // expire compact snap
     val nm = tbl("gcm").expireOrphanFiles(0L)
-    assert(nm >= 1, s"expected the compacted delta file GC'd, got $nm")
+    assert(nm >= 1, s"expected the ledger-evicted delta file GC'd, got $nm")
     assert(sql("SELECT k, v FROM gstore.default.gcm ORDER BY k").collect()
-      .map(_.toString).toSeq == Seq("[1,b]", "[2,c]"))
+      .map(_.toString).toSeq == Seq("[1,B2]", "[2,c]", "[3,d]"))
     sql("DROP TABLE gstore.default.gcm")
   }
 
@@ -307,7 +342,7 @@ class GraftStorageSpec extends SparkSpec {
       s"expected '$skipLine' in scan description:\n$desc")
     // the table reports its partitioning
     assert(t.partitioning().map(_.toString).toSeq == Seq("identity(pr)"))
-    // non-identity transforms and MOR partitioning are loud errors
+    // non-identity transforms are loud errors
     sql("DROP TABLE IF EXISTS gstore.default.ptbad")
     val e1 = intercept[Exception] {
       sql("""CREATE TABLE gstore.default.ptbad (k BIGINT)
@@ -315,14 +350,65 @@ class GraftStorageSpec extends SparkSpec {
     }
     assert(chain(e1).exists(m => Option(m.getMessage).exists(
       _.contains("identity"))))
-    val e2 = intercept[Exception] {
-      sql("""CREATE TABLE gstore.default.ptbad (k BIGINT, pr STRING)
-             PARTITIONED BY (pr)
-             TBLPROPERTIES ('graft.mode'='mor')""")
-    }
-    assert(chain(e2).exists(m => Option(m.getMessage).exists(
-      _.contains("merge-on-read"))))
     sql("DROP TABLE gstore.default.pt")
+  }
+
+  test("partitioned merge-on-read: partition-split base, delta DML, " +
+      "pruned reads; partition swaps gated on an empty delta log") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.pmor")
+    sql("""CREATE TABLE gstore.default.pmor (k BIGINT, pr STRING, v STRING)
+           PARTITIONED BY (pr)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    spark.range(30).selectExpr("id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+          "ELSE 'c' END AS pr", "concat('v', id) AS v")
+      .repartition(4).createOrReplaceTempView("pmor_src")
+    sql("INSERT INTO gstore.default.pmor SELECT * FROM pmor_src")
+    val t = tbl("pmor").asInstanceOf[graft.catalog.GraftDeltaTable]
+    // clustered, single-valued base files: one per partition value
+    val snap = t.stateNow.current.get
+    assert(snap.files.size == 3 &&
+      snap.files.forall(f => f.stats("pr").min == f.stats("pr").max),
+      s"partitioned MOR base not partition-split: ${snap.files.map(_.stats("pr"))}")
+    // row-level DML stays delta-sized (base untouched)
+    sql("UPDATE gstore.default.pmor SET v = 'U' WHERE k = 4") // pr='b'
+    assert(t.deltaLogSize == 1 &&
+      t.stateNow.current.get.files.map(_.path) == snap.files.map(_.path),
+      "MOR UPDATE rewrote partitioned base files")
+    // pruned read folds correctly: only the b-partition file + the
+    // replacements partition are scanned
+    val q = sql("SELECT k, v FROM gstore.default.pmor WHERE pr = 'b' " +
+      "ORDER BY k")
+    assert(q.collect().map(_.toString).toSeq ==
+      (0L until 30L).filter(_ % 3 == 1).map(k =>
+        if (k == 4) s"[$k,U]" else s"[$k,v$k]"))
+    assert(q.queryExecution.executedPlan.toString.contains("(2 skipped)"),
+      "partition pruning lost on MOR read")
+    // partition swaps with a LIVE log are refused loudly...
+    val e = intercept[Exception] {
+      sql("""INSERT OVERWRITE gstore.default.pmor PARTITION (pr = 'b')
+             VALUES (100L, 'x')""")
+    }
+    assert(chain(e).exists(m => Option(m.getMessage).exists(m2 =>
+      m2.contains("delta") || m2.contains("dynamic") ||
+        m2.contains("TRUNCATE") || m2.contains("overwrite"))),
+      s"live-log partition overwrite not refused: ${e.getMessage}")
+    // ...compaction clears the log, after which the partition
+    // lifecycle works: metadata DELETE + static overwrite
+    sql("CALL gstore.system.compact('default.pmor')")
+    assert(t.deltaLogSize == 0)
+    sql("DELETE FROM gstore.default.pmor WHERE pr = 'a'")
+    sql("""INSERT OVERWRITE gstore.default.pmor PARTITION (pr = 'b')
+           VALUES (100L, 'x')""")
+    assert(sql("SELECT pr, count(*) AS n FROM gstore.default.pmor " +
+      "GROUP BY pr ORDER BY pr").collect().map(_.toString).toSeq ==
+      Seq("[b,1]", "[c,10]"))
+    // and MOR DML still works on the partition-swapped table
+    sql("DELETE FROM gstore.default.pmor WHERE k = 100")
+    assert(sql("SELECT count(*) FROM gstore.default.pmor").head()
+      .getLong(0) == 10)
+    sql("DROP TABLE gstore.default.pmor")
   }
 
   test("append-log retention: offsets stay global, fresh streams start " +
@@ -859,6 +945,67 @@ class GraftStorageSpec extends SparkSpec {
     assert(q2.queryExecution.executedPlan.collectLeaves()
       .head.execute().getNumPartitions == 1)
     sql("DROP TABLE gstore.default.rg")
+  }
+
+  test("MOR change feed: $changes streams (op, id, row) over delta-file " +
+      "arrival, survives compaction, refuses CoW tables") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.cf")
+    sql("""CREATE TABLE gstore.default.cf (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.cf VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("UPDATE gstore.default.cf SET v = 'B' WHERE k = 2")
+    sql("DELETE FROM gstore.default.cf WHERE k = 3")
+    // batch read of the feed: the full retained window, op-coded
+    def feed() = sql(
+      "SELECT `__op`, `__id`, k, v FROM gstore.default.`cf$changes` " +
+        "ORDER BY `__op`, `__id`")
+      .collect().map(_.toString).toSeq
+    assert(feed() == Seq("[1,2,2,B]", "[2,3,null,null]"),
+      s"unexpected feed content: ${feed()}")
+    // streaming read with AvailableNow: same content, offset-sliced
+    // (parquet sink — checkpoint-recoverable, unlike memory sinks)
+    val base = Files.createTempDirectory("cf-")
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    def relay(): Unit = {
+      val q = spark.readStream.table("gstore.default.`cf$changes`")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    relay()
+    assert(spark.read.parquet(sink).selectExpr("`__op`", "`__id`")
+      .collect().map(_.toString).sorted.toSeq == Seq("[1,2]", "[2,3]"))
+    // compaction clears the LIVE delta log but not the feed HISTORY —
+    // and new DML keeps appending to the ledger
+    sql("CALL gstore.system.compact('default.cf')")
+    assert(tbl("cf").asInstanceOf[graft.catalog.GraftDeltaTable]
+      .deltaLogSize == 0)
+    assert(feed() == Seq("[1,2,2,B]", "[2,3,null,null]"),
+      "compaction erased the change-feed history")
+    sql("UPDATE gstore.default.cf SET v = 'A2' WHERE k = 1")
+    assert(feed() == Seq("[1,1,1,A2]", "[1,2,2,B]", "[2,3,null,null]"))
+    // a resumed stream picks up ONLY the post-checkpoint change
+    relay()
+    assert(spark.read.parquet(sink).selectExpr("`__id`")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "resumed feed stream re-read or missed changes")
+    // CoW tables have no change feed
+    sql("DROP TABLE IF EXISTS gstore.default.cfc")
+    sql("CREATE TABLE gstore.default.cfc (k BIGINT)")
+    val e = intercept[Exception] {
+      sql("SELECT * FROM gstore.default.`cfc$changes`").collect()
+    }
+    assert(chain(e).exists(m => Option(m.getMessage).exists(
+      _.contains("merge-on-read"))) ||
+      chain(e).exists(m => Option(m.getMessage).exists(
+        _.contains("copy-on-write"))))
+    sql("DROP TABLE gstore.default.cf")
+    sql("DROP TABLE gstore.default.cfc")
   }
 
   /** Exception cause chain (Spark wraps task failures). */
