@@ -184,6 +184,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         refs(0).fieldNames()(0))
       require(o >= 0, s"partition column ${refs(0).fieldNames()(0)} " +
         s"not in ${schema.catalogString}")
+      // identity partitioning pins each file's min == max on the
+      // column — only atomic types have stats/stable value identity
+      schema.fields(o).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: StructType =>
+          throw new UnsupportedOperationException(
+            s"partition column ${schema.fieldNames(o)} must be an " +
+              "atomic type")
+        case _ => ()
+      }
       schema.fieldNames(o)
     }
     GraftCatalog.withIndex(warehouse) { idx =>

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.column.Dictionary
+import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
@@ -53,18 +54,29 @@ object GraftStorage {
   /** Column types the managed catalog stores. Anything else is rejected
     * loudly at CREATE TABLE time — silent coercion at write time would
     * corrupt round-trips. */
+  private def atomicSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | StringType |
+         BooleanType | TimestampType | TimestampNTZType | DateType |
+         BinaryType => true
+    case d: DecimalType =>
+      d.precision >= 1 && d.precision <= DecimalType.MAX_PRECISION
+    case _ => false
+  }
+
+  /** Supported column types: the atomic set, ARRAY of an atomic
+    * (embedding vectors — the training-data warehouse staple), and
+    * STRUCT of atomics (typed metadata). Deeper nesting is a loud
+    * error — silent coercion at write time would corrupt round-trips. */
   def validate(schema: StructType): Unit = schema.fields.foreach { f =>
-    f.dataType match {
-      case LongType | IntegerType | DoubleType | FloatType | StringType |
-           BooleanType | TimestampType | TimestampNTZType | DateType |
-           BinaryType => ()
-      case d: DecimalType if d.precision >= 1 &&
-          d.precision <= DecimalType.MAX_PRECISION => ()
-      case other =>
-        throw new UnsupportedOperationException(
-          s"graft catalog: unsupported column type ${other.catalogString} " +
-            s"for column ${f.name}")
+    val ok = f.dataType match {
+      case dt if atomicSupported(dt) => true
+      case ArrayType(elem, _) => atomicSupported(elem)
+      case st: StructType => st.fields.forall(g => atomicSupported(g.dataType))
+      case _ => false
     }
+    if (!ok) throw new UnsupportedOperationException(
+      s"graft catalog: unsupported column type " +
+        s"${f.dataType.catalogString} for column ${f.name}")
   }
 
   /** Exact-first name binding (ADVICE r9): exact match wins; fall back
@@ -90,40 +102,55 @@ object GraftStorage {
 
   // ---- schema conversion ------------------------------------------------
 
+  /** Optional-repetition parquet type for one ATOMIC Spark type. */
+  private def primitiveType(dt: DataType, name: String): org.apache.parquet.schema.Type =
+    (dt match {
+      case LongType => Types.optional(PrimitiveTypeName.INT64)
+      case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+      case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
+      case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+      case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+      case StringType => Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType())
+      case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
+      case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case DateType => Types.optional(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.dateType())
+      // DECIMAL (VERDICT r10 item 1): unscaled INT64 up to the
+      // long-safe precision 18 (compact, comparable), unscaled
+      // big-endian BINARY beyond — both standard parquet decimal
+      // physical mappings, readable by every engine incl. DuckDB
+      case d: DecimalType if d.precision <= 18 =>
+        Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+      case d: DecimalType =>
+        Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported parquet mapping for ${other.catalogString}")
+    }).named(name)
+
   def toParquetType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val pt = f.dataType match {
-        case LongType => Types.optional(PrimitiveTypeName.INT64)
-        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
-        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
-        case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
-        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
-        case StringType => Types.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
-        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case DateType => Types.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        // DECIMAL (VERDICT r10 item 1): unscaled INT64 up to the
-        // long-safe precision 18 (compact, comparable), unscaled
-        // big-endian BINARY beyond — both standard parquet decimal
-        // physical mappings, readable by every engine incl. DuckDB
-        case d: DecimalType if d.precision <= 18 =>
-          Types.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        case d: DecimalType =>
-          Types.optional(PrimitiveTypeName.BINARY)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        case other => throw new UnsupportedOperationException(
-          s"unsupported parquet mapping for ${other.catalogString}")
+      val t = f.dataType match {
+        // standard 3-level list: optional group (LIST) {
+        //   repeated group list { optional <elem> element } }
+        case ArrayType(elem, _) =>
+          Types.optionalList().element(primitiveType(elem, "element"))
+            .named(f.name)
+        case st: StructType =>
+          st.fields.foldLeft(Types.optionalGroup()) { (g, sf) =>
+            g.addField(primitiveType(sf.dataType, sf.name))
+          }.named(f.name)
+        case dt => primitiveType(dt, f.name)
       }
-      b.addField(pt.named(f.name))
+      b.addField(t)
     }
     b.named("graft")
   }
@@ -257,30 +284,58 @@ object GraftStorage {
     private val stats = new StatsCollector(schema)
     private var n = 0L
 
+    /** One atomic value from any row-shaped source (top-level row,
+      * array elements, struct fields all expose SpecializedGetters). */
+    private def addAtomic(g: Group, idx: Int, dt: DataType,
+        src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+        ord: Int): Unit = dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        g.add(idx, src.getLong(ord))
+      case IntegerType | DateType => g.add(idx, src.getInt(ord))
+      case DoubleType => g.add(idx, src.getDouble(ord))
+      case FloatType => g.add(idx, src.getFloat(ord))
+      case BooleanType => g.add(idx, src.getBoolean(ord))
+      case StringType =>
+        g.add(idx, Binary.fromString(src.getUTF8String(ord).toString))
+      case BinaryType =>
+        g.add(idx, Binary.fromConstantByteArray(src.getBinary(ord)))
+      case d: DecimalType if d.precision <= 18 =>
+        g.add(idx, src.getDecimal(ord, d.precision, d.scale).toUnscaledLong)
+      case d: DecimalType =>
+        g.add(idx, Binary.fromConstantByteArray(
+          src.getDecimal(ord, d.precision, d.scale)
+            .toJavaBigDecimal.unscaledValue().toByteArray))
+      case other => throw new IllegalStateException(
+        s"unsupported write type ${other.catalogString}")
+    }
+
     def write(row: InternalRow): Unit = {
       val g = factory.newGroup()
       var i = 0
       while (i < schema.length) {
         if (!row.isNullAt(i)) {
           schema.fields(i).dataType match {
-            case LongType | TimestampType | TimestampNTZType =>
-              g.add(i, row.getLong(i))
-            case IntegerType | DateType => g.add(i, row.getInt(i))
-            case DoubleType => g.add(i, row.getDouble(i))
-            case FloatType => g.add(i, row.getFloat(i))
-            case BooleanType => g.add(i, row.getBoolean(i))
-            case StringType =>
-              g.add(i, Binary.fromString(row.getUTF8String(i).toString))
-            case BinaryType =>
-              g.add(i, Binary.fromConstantByteArray(row.getBinary(i)))
-            case d: DecimalType if d.precision <= 18 =>
-              g.add(i, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-            case d: DecimalType =>
-              g.add(i, Binary.fromConstantByteArray(
-                row.getDecimal(i, d.precision, d.scale)
-                  .toJavaBigDecimal.unscaledValue().toByteArray))
-            case other => throw new IllegalStateException(
-              s"unsupported write type ${other.catalogString}")
+            case ArrayType(elem, _) =>
+              // 3-level list shape: one "list" entry group per element,
+              // a null element simply leaves its entry's slot unset
+              val ad = row.getArray(i)
+              val outer = g.addGroup(i)
+              var j = 0
+              while (j < ad.numElements()) {
+                val entry = outer.addGroup(0)
+                if (!ad.isNullAt(j)) addAtomic(entry, 0, elem, ad, j)
+                j += 1
+              }
+            case st: StructType =>
+              val sr = row.getStruct(i, st.length)
+              val sg = g.addGroup(i)
+              var j = 0
+              while (j < st.length) {
+                if (!sr.isNullAt(j))
+                  addAtomic(sg, j, st.fields(j).dataType, sr, j)
+                j += 1
+              }
+            case dt => addAtomic(g, i, dt, row, i)
           }
         }
         i += 1
@@ -335,14 +390,17 @@ object GraftStorage {
       new RecordMaterializer[InternalRow] {
         private var values: Array[Any] = new Array[Any](width)
 
-        private def conv(dt: DataType, t: Int): PrimitiveConverter = {
+        /** Atomic-value converter delivering through `set` — one shape
+          * for top-level columns, list elements, and struct fields. */
+        private def atomicConv(dt: DataType,
+            set: Any => Unit): PrimitiveConverter = {
           // dictionary entries convert once; ids then index the table —
           // also pre-boxes numerics, so hot loops skip re-boxing
           abstract class DictConverter extends PrimitiveConverter {
             protected var dict: Array[AnyRef] = _
             override def hasDictionarySupport: Boolean = true
             override def addValueFromDictionary(id: Int): Unit =
-              values(t) = dict(id)
+              set(dict(id))
             protected def decode(d: Dictionary, id: Int): AnyRef
             override def setDictionary(d: Dictionary): Unit =
               dict = Array.tabulate[AnyRef](d.getMaxId + 1)(decode(d, _))
@@ -350,45 +408,45 @@ object GraftStorage {
           dt match {
             case LongType | TimestampType | TimestampNTZType =>
               new DictConverter {
-                override def addLong(v: Long): Unit = values(t) = v
+                override def addLong(v: Long): Unit = set(v)
                 override protected def decode(d: Dictionary, id: Int) =
                   java.lang.Long.valueOf(d.decodeToLong(id))
               }
             case IntegerType | DateType => new DictConverter {
-              override def addInt(v: Int): Unit = values(t) = v
+              override def addInt(v: Int): Unit = set(v)
               override protected def decode(d: Dictionary, id: Int) =
                 Integer.valueOf(d.decodeToInt(id))
             }
             case DoubleType => new DictConverter {
-              override def addDouble(v: Double): Unit = values(t) = v
+              override def addDouble(v: Double): Unit = set(v)
               override protected def decode(d: Dictionary, id: Int) =
                 java.lang.Double.valueOf(d.decodeToDouble(id))
             }
             case FloatType => new DictConverter {
-              override def addFloat(v: Float): Unit = values(t) = v
+              override def addFloat(v: Float): Unit = set(v)
               override protected def decode(d: Dictionary, id: Int) =
                 java.lang.Float.valueOf(d.decodeToFloat(id))
             }
             case BooleanType => new PrimitiveConverter {
-              override def addBoolean(v: Boolean): Unit = values(t) = v
+              override def addBoolean(v: Boolean): Unit = set(v)
             }
             case StringType => new DictConverter {
               // copy() guards reused page-backed binaries (delta
               // encodings hand out shared buffers)
               override def addBinary(b: Binary): Unit =
-                values(t) = UTF8String.fromBytes(b.copy().getBytes)
+                set(UTF8String.fromBytes(b.copy().getBytes))
               override protected def decode(d: Dictionary, id: Int) =
                 UTF8String.fromBytes(d.decodeToBinary(id).getBytes)
             }
             case BinaryType => new DictConverter {
               override def addBinary(b: Binary): Unit =
-                values(t) = b.copy().getBytes
+                set(b.copy().getBytes)
               override protected def decode(d: Dictionary, id: Int) =
                 d.decodeToBinary(id).getBytes
             }
             case d: DecimalType if d.precision <= 18 => new DictConverter {
               override def addLong(v: Long): Unit =
-                values(t) = Decimal(v, d.precision, d.scale)
+                set(Decimal(v, d.precision, d.scale))
               override protected def decode(dict: Dictionary, id: Int) =
                 Decimal(dict.decodeToLong(id), d.precision, d.scale)
             }
@@ -398,13 +456,42 @@ object GraftStorage {
                   new java.math.BigInteger(bytes), d.scale),
                   d.precision, d.scale)
               override def addBinary(b: Binary): Unit =
-                values(t) = toDec(b.copy().getBytes)
+                set(toDec(b.copy().getBytes))
               override protected def decode(dict: Dictionary, id: Int) =
                 toDec(dict.decodeToBinary(id).getBytes)
             }
             case other => throw new IllegalStateException(
               s"unsupported read type ${other.catalogString}")
           }
+        }
+
+        private def conv(dt: DataType, t: Int): Converter = dt match {
+          case ArrayType(elem, _) => new GroupConverter { // LIST wrapper
+            private val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+            private var pending: Any = null
+            private val entry: GroupConverter = new GroupConverter {
+              private val ec = atomicConv(elem, v => pending = v)
+              override def getConverter(i: Int): Converter = ec
+              override def start(): Unit = pending = null
+              override def end(): Unit = buf += pending
+            }
+            override def getConverter(i: Int): Converter = entry
+            override def start(): Unit = buf.clear()
+            override def end(): Unit = values(t) =
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                buf.toArray)
+          }
+          case st: StructType => new GroupConverter {
+            private var inner = new Array[Any](st.length)
+            private val cs: Array[Converter] = st.fields.zipWithIndex.map {
+              case (f, j) =>
+                atomicConv(f.dataType, v => inner(j) = v): Converter
+            }
+            override def getConverter(i: Int): Converter = cs(i)
+            override def start(): Unit = inner = new Array[Any](st.length)
+            override def end(): Unit = values(t) = new GenericInternalRow(inner)
+          }
+          case _ => atomicConv(dt, v => values(t) = v)
         }
 
         private val root: GroupConverter = new GroupConverter {

@@ -1008,6 +1008,56 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.cfc")
   }
 
+  test("ARRAY and STRUCT columns: exact round-trip incl. null elements, " +
+      "DML carry-over, loud reject of deeper nesting") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.nest")
+    sql("""CREATE TABLE gstore.default.nest
+           (k BIGINT, emb ARRAY<FLOAT>,
+            meta STRUCT<dim: INT, tag: STRING>)""")
+    sql("""INSERT INTO gstore.default.nest VALUES
+           (1, array(CAST(1.5 AS FLOAT), CAST(-2.25 AS FLOAT)),
+            named_struct('dim', 2, 'tag', 'a')),
+           (2, array(CAST(0.5 AS FLOAT), NULL, CAST(3.0 AS FLOAT)),
+            named_struct('dim', 3, 'tag', CAST(NULL AS STRING))),
+           (3, NULL, NULL)""")
+    assert(sql("""SELECT k, emb, meta FROM gstore.default.nest
+                  ORDER BY k""").collect().map(_.toString).toSeq ==
+      Seq("[1,ArraySeq(1.5, -2.25),[2,a]]",
+        "[2,ArraySeq(0.5, null, 3.0),[3,null]]",
+        "[3,null,null]"),
+      "array/struct round-trip not exact")
+    // struct field access and array lambdas work over the catalog scan
+    assert(sql("""SELECT k, meta.dim,
+                         aggregate(emb, CAST(0 AS DOUBLE),
+                                   (a, x) -> a + coalesce(x, CAST(0 AS FLOAT)))
+                  FROM gstore.default.nest WHERE emb IS NOT NULL
+                  ORDER BY k""").collect().map(_.toString).toSeq ==
+      Seq("[1,2,-0.75]", "[2,3,3.5]"))
+    // row-level DML carries nested values through the rewrite untouched
+    sql("UPDATE gstore.default.nest SET k = k + 10 WHERE k = 2")
+    assert(sql("SELECT k, emb, meta FROM gstore.default.nest ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,ArraySeq(1.5, -2.25),[2,a]]",
+        "[3,null,null]",
+        "[12,ArraySeq(0.5, null, 3.0),[3,null]]"),
+      "DML rewrite corrupted nested values")
+    // deeper nesting and nested partition columns fail loudly
+    sql("DROP TABLE IF EXISTS gstore.default.nestbad")
+    val e1 = intercept[Exception] {
+      sql("CREATE TABLE gstore.default.nestbad (k BIGINT, x ARRAY<ARRAY<INT>>)")
+    }
+    assert(chain(e1).exists(m => Option(m.getMessage).exists(
+      _.contains("unsupported column type"))))
+    val e2 = intercept[Exception] {
+      sql("""CREATE TABLE gstore.default.nestbad
+             (k BIGINT, m STRUCT<a: INT>) PARTITIONED BY (m)""")
+    }
+    assert(chain(e2).exists(m => Option(m.getMessage).exists(
+      _.contains("atomic"))))
+    sql("DROP TABLE gstore.default.nest")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
