@@ -801,7 +801,42 @@ object CatalogQueries {
                  (a2, b2) -> a2 + b2)), 6) AS norm
         FROM embeddings
         WHERE vec_id % 10 <> 7
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // -------------------------------------------------------------- q209:
+    // WRITE-SIDE CLUSTERING (`graft.sort_by`): the insert range-
+    // distributes and sorts on o_orderkey, so every data file covers a
+    // DISJOINT key range and the stats-based file skipping turns the
+    // BETWEEN read into touching only the files whose span intersects
+    // (GraftStorageSpec pins pairwise-disjoint spans and the
+    // files-minus-one skip count on a point lookup). At 100 TB this is
+    // the knob that makes key-range scans O(files-in-range) instead of
+    // O(all files) — Iceberg's write sort order, with no extra read
+    // path: the ordinary min/max pruning does the work.
+    QueryDef(
+      "q209_sorted_table",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_sorted")
+        s.sql("""CREATE TABLE graft_cat.default.orders_sorted
+                 (o_orderkey BIGINT, o_custkey BIGINT,
+                  o_totalprice DOUBLE)
+                 TBLPROPERTIES ('graft.sort_by'='o_orderkey')""")
+        Tables(s, d, "orders").createOrReplaceTempView("q209_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_sorted
+                 SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM q209_orders""")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM graft_cat.default.orders_sorted
+                 WHERE o_orderkey BETWEEN 100 AND 3000
+                 ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey BETWEEN 100 AND 3000
+        ORDER BY o_orderkey"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -116,9 +116,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val t =
             if (e.mode == "mor")
               new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
-                e.parts, e.appendRetain)
+                e.parts, e.appendRetain, e.sortBy)
             else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
-              e.appendRetain)
+              e.appendRetain, e.sortBy)
           val prev = GraftCatalog.tables.putIfAbsent(regKey(ident), t)
           if (prev != null) prev else t
       })
@@ -196,6 +196,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       schema.fieldNames(o)
     }
+    // graft.sort_by: writes range-distribute + sort on these columns,
+    // so each data file covers a DISJOINT value range and its min/max
+    // stats turn range predicates into file skips (Iceberg's write
+    // sort order / Delta OPTIMIZE ZORDER's simpler cousin). Atomic
+    // columns only — sorting needs the stats machinery.
+    val sortCols: List[String] = properties.getOrDefault("graft.sort_by", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toList.map { c =>
+      val o = GraftStorage.ordinalByName(schema.fieldNames.toIndexedSeq, c)
+      require(o >= 0, s"graft.sort_by column $c not in ${schema.catalogString}")
+      schema.fields(o).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType | _: StructType =>
+          throw new UnsupportedOperationException(
+            s"graft.sort_by column $c must be an atomic type")
+        case _ => ()
+      }
+      schema.fieldNames(o)
+    }
     GraftCatalog.withIndex(warehouse) { idx =>
       if (idx.contains(idxKey(ident)) ||
           GraftCatalog.tables.containsKey(regKey(ident)))
@@ -217,18 +234,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val st = GraftTableState(pinned.json, Vector.empty, 0,
             Vector.empty, 0, Vector.empty, 0, Map.empty)
           (new GraftDeltaTable(idxKey(ident), dir, st, retain, idCol,
-            partCols, appendRetain), idCol)
+            partCols, appendRetain, sortCols), idCol)
         } else {
           val st = GraftTableState(schema.json, Vector.empty, 0,
             Vector.empty, 0, Vector.empty, 0, Map.empty)
           (new GraftTable(idxKey(ident), dir, st, retain, partCols,
-            appendRetain), "")
+            appendRetain, sortCols), "")
         }
       require(GraftStorage.casWriteLog(dir, t.stateNow, 0),
         s"table directory $dir already holds a log — concurrent CREATE?")
       GraftCatalog.tables.put(regKey(ident), t)
       (idx + (idxKey(ident) -> GraftCatalog.IndexEntry(
-        dir.toString, mode, rowId, retain, partCols, appendRetain)), t)
+        dir.toString, mode, rowId, retain, partCols, appendRetain,
+        sortCols)), t)
     }
   }
 
@@ -315,7 +333,7 @@ object GraftCatalog {
 
   private[catalog] final case class IndexEntry(dir: String, mode: String,
       rowId: String, retain: Int, parts: List[String] = Nil,
-      appendRetain: Int = 65536)
+      appendRetain: Int = 65536, sortBy: List[String] = Nil)
 
   private val indexLock = new Object
 
@@ -344,7 +362,9 @@ object GraftCatalog {
               int(e("retain"), 64),
               e.get("parts").collect { case JArray(a) =>
                 a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
-              e.get("appendRetain").map(int(_, 65536)).getOrElse(65536))
+              e.get("appendRetain").map(int(_, 65536)).getOrElse(65536),
+              e.get("sortBy").collect { case JArray(a) =>
+                a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil))
           }
         } else Map.empty
       val (after, result) = f(before)
@@ -355,7 +375,8 @@ object GraftCatalog {
             "rowId" -> JString(e.rowId),
             "retain" -> JInt(e.retain),
             "parts" -> JArray(e.parts.map(JString(_): JValue)),
-            "appendRetain" -> JInt(e.appendRetain)): JValue)
+            "appendRetain" -> JInt(e.appendRetain),
+            "sortBy" -> JArray(e.sortBy.map(JString(_): JValue))): JValue)
         })
         val tmp = wh.resolve("_tables.json.tmp")
         Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
@@ -389,7 +410,8 @@ object GraftTable {
 
 class GraftTable(ident: String, val dir: NioPath,
     initState: GraftTableState, retain: Int,
-    partCols: Seq[String] = Nil, appendRetain: Int = 65536)
+    partCols: Seq[String] = Nil, appendRetain: Int = 65536,
+    sortCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2
     with SupportsMetadataColumns {
@@ -440,6 +462,7 @@ class GraftTable(ident: String, val dir: NioPath,
         Transform).toArray
 
   private[catalog] def partitionCols: Seq[String] = partCols
+  private[catalog] def sortColumns: Seq[String] = sortCols
 
   /** Partition-column ordinals in the table schema (resolved fresh:
     * ALTER can append columns behind them). */
@@ -468,10 +491,19 @@ class GraftTable(ident: String, val dir: NioPath,
     * and at scan planning, so both writers and readers observe foreign
     * commits; same-process writers are already serialized by the JVM
     * lock and see `state` directly. */
-  private[catalog] def refreshFromDisk(): Unit = synchronized {
-    val latest = GraftStorage.latestLogVersion(dir)
-    if (latest > state.nextVersion)
-      state = GraftStorage.readLogVersion(dir, latest)
+  private[graft] def refreshFromDisk(): Unit = synchronized {
+    var done = false
+    while (!done) {
+      val latest = GraftStorage.latestLogVersion(dir)
+      if (latest <= state.nextVersion) done = true
+      else {
+        // between listing and read a fast concurrent writer can commit
+        // 4+ more versions and prune the one we chose — re-list rather
+        // than fail the caller (stress-spec find)
+        try { state = GraftStorage.readLogVersion(dir, latest); done = true }
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
   }
 
   /** One optimistic commit: refresh, build (validating against the
@@ -1476,19 +1508,40 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
     * partition values opens k files — the tasks × values small-file
     * explosion that murders lakehouse read performance at scale. With
     * it each partition value lands in one task = one file per value
-    * per write (spec-pinned). Unpartitioned writes stay shuffle-free. */
+    * per write (spec-pinned).
+    *
+    * `graft.sort_by` tables additionally demand SORTED input — and
+    * when unpartitioned, an ORDERED (range) distribution, so each
+    * write task owns a DISJOINT sort-key range and every data file's
+    * min/max span is narrow and non-overlapping: range predicates on
+    * the sort key then prune to the few files whose span intersects
+    * (spec-pinned files-minus-one skip counts). This is the write-side
+    * clustering knob (Iceberg's sort order); at 100 TB it is the
+    * difference between a key-range scan touching 1/N of the files
+    * and touching all of them. Plain unpartitioned unsorted writes
+    * stay shuffle-free. */
   private trait GraftDistribution extends RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+    private def sortOrders: Array[SortOrder] =
+      (table.partitionCols ++ table.sortColumns).map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+        .toArray
     override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-      org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        table.partitionCols.map(c =>
-          org.apache.spark.sql.connector.expressions.Expressions.column(c):
-            org.apache.spark.sql.connector.expressions.Expression).toArray)
-    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
+      if (table.partitionCols.nonEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          table.partitionCols.map(c =>
+            Expressions.column(c):
+              org.apache.spark.sql.connector.expressions.Expression).toArray)
+      else
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(
+          sortOrders)
+    override def requiredOrdering(): Array[SortOrder] =
+      if (table.sortColumns.nonEmpty) sortOrders else Array.empty
     override def distributionStrictlyRequired(): Boolean = false
   }
 
-  override def build(): Write = if (table.partitionCols.isEmpty) buildWrite
+  override def build(): Write =
+    if (table.partitionCols.isEmpty && table.sortColumns.isEmpty) buildWrite
   else new Write with GraftDistribution {
     private val inner = buildWrite
     override def toBatch: BatchWrite = inner.toBatch

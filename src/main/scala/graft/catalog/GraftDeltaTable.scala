@@ -47,9 +47,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * r9). */
 class GraftDeltaTable(ident: String, dir: NioPath,
     initState: GraftTableState, retain: Int, rowIdCol: String,
-    morPartCols: Seq[String] = Nil, appendRetain: Int = 65536)
+    morPartCols: Seq[String] = Nil, appendRetain: Int = 65536,
+    morSortCols: Seq[String] = Nil)
     extends GraftTable(ident, dir, initState, retain, morPartCols,
-      appendRetain) {
+      appendRetain, morSortCols) {
 
   // resolved ONCE against the stored schema (safe under ALTER: columns
   // only ever APPEND, so this ordinal never moves): the user-typed

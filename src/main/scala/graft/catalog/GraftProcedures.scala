@@ -115,15 +115,40 @@ object GraftProcedures {
             "retained_snapshots" -> t.retainedVersions.size.toLong))
         }
       }
+      case "history" => new GraftProcedure("history",
+        "retained snapshot history: version, commit time, file/delta " +
+          "counts and row totals per retained commit (the audit view a " +
+          "reviewer reads before time-traveling)") {
+        override protected def run(input: InternalRow): Scan = {
+          val (_, t) = resolve(cat, input.getUTF8String(0).toString)
+          val hist = StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("ts_millis", LongType, nullable = false),
+            StructField("n_files", LongType, nullable = false),
+            StructField("n_delta_files", LongType, nullable = false),
+            StructField("base_rows", LongType, nullable = false)))
+          val out = t.stateNow.snapshots.map(s =>
+            new GenericInternalRow(Array[Any](s.version.toLong, s.tsMillis,
+              s.files.size.toLong, s.deltaFiles.size.toLong,
+              s.files.map(_.rows).sum)): InternalRow).toArray
+          new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = hist
+            override def description(): String =
+              s"GraftHistory(${out.length} retained snapshots)"
+          }
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
-          "(available: compact, expire_snapshots)")
+          "(available: compact, expire_snapshots, history)")
     }
   }
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "compact"),
-        Identifier.of(Array("system"), "expire_snapshots"))
+        Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "history"))
     else Array.empty
 }

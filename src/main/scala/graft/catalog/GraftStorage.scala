@@ -818,12 +818,17 @@ object GraftStorage {
     * publish. */
   def pruneLogs(dir: NioPath, keepFrom: Int): Unit =
     graft.util.Fs.children(dir).foreach { p =>
-      val n = p.getFileName.toString
-      val stale = versionOf(n).exists(_ < keepFrom) ||
-        (n.startsWith("_graft_log.tmp-") &&
-          Files.getLastModifiedTime(p).toMillis <
-            System.currentTimeMillis() - 600000L)
-      if (stale) Files.deleteIfExists(p): Unit
+      // a concurrent writer may delete (its own tmp) or prune files
+      // between our listing and the stat — losing that race is fine,
+      // failing the COMMIT over it is not (stress-spec find)
+      try {
+        val n = p.getFileName.toString
+        val stale = versionOf(n).exists(_ < keepFrom) ||
+          (n.startsWith("_graft_log.tmp-") &&
+            Files.getLastModifiedTime(p).toMillis <
+              System.currentTimeMillis() - 600000L)
+        if (stale) Files.deleteIfExists(p): Unit
+      } catch { case _: java.io.IOException => () }
     }
 
   /** Read the newest committed state: the highest versioned log, falling

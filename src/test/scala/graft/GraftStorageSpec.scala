@@ -498,6 +498,15 @@ class GraftStorageSpec extends SparkSpec {
     }
     assert(chain(e).exists(m => Option(m.getMessage).exists(
       _.contains("unknown procedure"))))
+    // history: one row per retained commit, version-ordered, with the
+    // file/row census a reviewer audits before time travel
+    val hist = sql("CALL gstore.system.history('default.pc2')").collect()
+    assert(hist.map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq
+      .nonEmpty)
+    val last = hist.last
+    assert(last.getLong(4) == 1L, // 1 row in pc2's final state
+      s"history base_rows wrong: ${hist.mkString(", ")}")
+    assert(last.getLong(1) > 0L, "history lost the commit timestamp")
     sql("DROP TABLE gstore.default.pc")
     sql("DROP TABLE gstore.default.pc2")
   }
@@ -1056,6 +1065,76 @@ class GraftStorageSpec extends SparkSpec {
     assert(chain(e2).exists(m => Option(m.getMessage).exists(
       _.contains("atomic"))))
     sql("DROP TABLE gstore.default.nest")
+  }
+
+  test("graft.sort_by: range-distributed writes give disjoint per-file " +
+      "key ranges, so range predicates prune to intersecting files") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.srt")
+    sql("""CREATE TABLE gstore.default.srt (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.sort_by'='k')""")
+    // shuffle the input so only the WRITE's ordered distribution can
+    // produce clustered files
+    spark.range(10000).selectExpr(
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT) % 100000 AS k",
+        "CAST(id AS STRING) AS v")
+      .repartition(8).createOrReplaceTempView("srt_src")
+    // AQE would coalesce this tiny range exchange to one partition and
+    // defeat the multi-file fixture (at real scale the ranges stay wide)
+    val coal = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoal = spark.conf.getOption(coal)
+    spark.conf.set(coal, "false")
+    try sql("INSERT INTO gstore.default.srt SELECT * FROM srt_src")
+    finally prevCoal.fold(spark.conf.unset(coal))(spark.conf.set(coal, _))
+    val files = tbl("srt").stateNow.current.get.files
+    assert(files.size > 1, "fixture wanted multiple files")
+    // per-file [min, max] spans must be pairwise disjoint
+    val spans = files.map { f =>
+      val st = f.stats("k")
+      (st.min.get.toLong, st.max.get.toLong)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping sorted-file spans: $spans")
+      case _ => ()
+    }
+    // a point lookup touches exactly ONE file
+    val probe = spans.head._2 // an existing key (max of first span)
+    val q = sql(s"SELECT v FROM gstore.default.srt WHERE k = $probe")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .contains(s"(${files.size - 1} skipped)"),
+      s"point lookup did not skip ${files.size - 1} of ${files.size} files")
+    // and total content is intact
+    assert(sql("SELECT count(*) FROM gstore.default.srt").head()
+      .getLong(0) == 10000)
+    sql("DROP TABLE gstore.default.srt")
+  }
+
+  test("CAS commit stress: two handles' interleaved appends all survive " +
+      "under contention") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.stress")
+    sql("CREATE TABLE gstore.default.stress (k BIGINT)")
+    val t1 = tbl("stress")
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    sql("SELECT count(*) FROM gstore.default.stress").collect()
+    val t2 = tbl("stress")
+    assert(!(t1 eq t2), "fixture needs two distinct handles")
+    // interleave empty appends through both handles from two threads —
+    // every commit must land (CAS losers refresh and rebase)
+    val n = 20
+    val th1 = new Thread(() => (1 to n).foreach(_ => t1.commitAppend(Nil)))
+    val th2 = new Thread(() => (1 to n).foreach(_ => t2.commitAppend(Nil)))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    t1.refreshFromDisk()
+    // CREATE publishes v0 carrying nextVersion = 0; each append then
+    // increments — 2n appends must land exactly 2n versions
+    assert(t1.stateNow.nextVersion == 2 * n,
+      s"lost commits: expected ${2 * n} versions, " +
+        s"got ${t1.stateNow.nextVersion}")
+    sql("DROP TABLE gstore.default.stress")
   }
 
   /** Exception cause chain (Spark wraps task failures). */
