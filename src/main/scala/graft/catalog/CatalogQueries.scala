@@ -836,7 +836,65 @@ object CatalogQueries {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
         WHERE o_orderkey BETWEEN 100 AND 3000
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------- q210:
+    // CONTINUOUS CDC APPLY — the textbook lakehouse replication loop,
+    // entirely inside the engine: `readStream` over the MOR change feed,
+    // each micro-batch applied to a managed MIRROR table with a real
+    // `MERGE INTO` keyed on the change id (op 2 deletes, op 1 updates,
+    // op 0 inserts). foreachBatch is at-least-once; the id-keyed MERGE
+    // makes replays idempotent — the standard exactly-once-by-
+    // idempotence CDC consumer. The mirror seeds from `VERSION AS OF 0`
+    // (snapshot + changes), and its final content shares the
+    // q182/q186/q206 oracle: FIVE independent paths to the same answer.
+    // At 100 TB each batch's MERGE is group-pruned to the files whose
+    // key ranges the batch touches — the apply cost scales with change
+    // volume, not table size.
+    QueryDef(
+      "q210_cdc_merge_apply",
+      (s, d) => {
+        seedAndMergeInto(s, d, "orders_cdc2",
+          "TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='o_orderkey')",
+          "q210")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.cdc_mirror")
+        s.sql("""CREATE TABLE graft_cat.default.cdc_mirror AS
+                 SELECT * FROM graft_cat.default.orders_cdc2
+                 VERSION AS OF 0""")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q210-ckpt-").toString
+        val q = s.readStream
+          .table("graft_cat.default.`orders_cdc2$changes`")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.createOrReplaceTempView("q210_batch")
+              batch.sparkSession.sql("""
+                MERGE INTO graft_cat.default.cdc_mirror t
+                USING q210_batch c
+                ON t.o_orderkey = c.`__id`
+                WHEN MATCHED AND c.`__op` = 2 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET
+                  o_custkey = c.o_custkey,
+                  o_totalprice = c.o_totalprice,
+                  o_orderdate = c.o_orderdate,
+                  action = c.action
+                WHEN NOT MATCHED AND c.`__op` <> 2 THEN
+                  INSERT (o_orderkey, o_custkey, o_totalprice,
+                          o_orderdate, action)
+                  VALUES (c.`__id`, c.o_custkey, c.o_totalprice,
+                          c.o_orderdate, c.action)"""): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                        action
+                 FROM graft_cat.default.cdc_mirror
+                 ORDER BY o_orderkey""")
+      },
+      Some(cdcOracle))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

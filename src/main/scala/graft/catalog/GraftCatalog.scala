@@ -1344,7 +1344,7 @@ class GraftReaderFactory(tableSchema: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftFilePartition]
     val it = new GraftStorage.FileIterator(fp.path, fp.cols, neededSchema,
-      fp.rows, fp.rangeStart, fp.rangeEnd)
+      fp.rows, fp.rangeStart, fp.rangeEnd, filters)
     new GraftRowPipeline(neededSchema, requiredSchema, filters, it, it,
       Map("_file" ->
         org.apache.spark.unsafe.types.UTF8String.fromString(fp.path)))

@@ -430,8 +430,11 @@ class GraftMorReaderFactory(tableSchema: StructType,
         val idDt = needed.fields(idOrd).dataType
         val drop = new java.util.HashSet[AnyRef]()
         fp.dropIds.foreach(drop.add)
+        // accepted filters also run inside parquet: filter-then-fold
+        // equals fold-then-filter for row-level predicates, so skipping
+        // row groups early is sound
         val it = new GraftStorage.FileIterator(fp.path, fp.cols, needed,
-          fp.rows)
+          fp.rows, pushFilters = filters)
         val surviving =
           if (drop.isEmpty) it
           else it.filter(r =>

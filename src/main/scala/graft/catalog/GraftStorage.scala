@@ -508,6 +508,76 @@ object GraftStorage {
       }
   }
 
+  /** Accepted-filter subset that can ALSO run inside parquet itself
+    * (row-group stats, dictionary pages, record assembly): integer and
+    * string comparisons — byte-for-byte the same semantics in parquet
+    * and Spark. Doubles/floats/decimals stay OUT (parquet's ordering
+    * of -0.0/NaN differs from Spark's pushdown semantics); null tests
+    * map to eq/notEq against null per the FilterApi contract. Only
+    * conjuncts whose column exists in THIS file (exact spelling) are
+    * pushed — the rest stay in the post-scan pipeline, which always
+    * re-applies every accepted filter anyway (partial push is safe,
+    * double-filtering is exact). */
+  private def toParquetFilter(wanted: StructType, fileCols: Vector[String],
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.spark.sql.sources._
+
+    def typeOf(c: String): Option[DataType] =
+      if (!fileCols.contains(c)) None // exact spelling only
+      else {
+        val o = ordinalByName(wanted.fieldNames.toIndexedSeq, c)
+        if (o < 0) None else Some(wanted.fields(o).dataType)
+      }
+    type FP = org.apache.parquet.filter2.predicate.FilterPredicate
+    def cmp(c: String, v: Any,
+        mkL: (org.apache.parquet.filter2.predicate.Operators.LongColumn,
+          java.lang.Long) => FP,
+        mkI: (org.apache.parquet.filter2.predicate.Operators.IntColumn,
+          java.lang.Integer) => FP,
+        mkB: (org.apache.parquet.filter2.predicate.Operators.BinaryColumn,
+          Binary) => FP): Option[FP] =
+      (typeOf(c), v) match {
+        case (Some(LongType), x: Long) =>
+          Some(mkL(FilterApi.longColumn(c), Long.box(x)))
+        case (Some(IntegerType), x: Int) =>
+          Some(mkI(FilterApi.intColumn(c), Int.box(x)))
+        case (Some(StringType), x: String) =>
+          Some(mkB(FilterApi.binaryColumn(c), Binary.fromString(x)))
+        case _ => None
+      }
+    f match {
+      case EqualTo(c, v) => cmp(c, v, FilterApi.eq(_, _),
+        FilterApi.eq(_, _), FilterApi.eq(_, _))
+      case GreaterThan(c, v) => cmp(c, v, FilterApi.gt(_, _),
+        FilterApi.gt(_, _), FilterApi.gt(_, _))
+      case GreaterThanOrEqual(c, v) => cmp(c, v, FilterApi.gtEq(_, _),
+        FilterApi.gtEq(_, _), FilterApi.gtEq(_, _))
+      case LessThan(c, v) => cmp(c, v, FilterApi.lt(_, _),
+        FilterApi.lt(_, _), FilterApi.lt(_, _))
+      case LessThanOrEqual(c, v) => cmp(c, v, FilterApi.ltEq(_, _),
+        FilterApi.ltEq(_, _), FilterApi.ltEq(_, _))
+      case IsNull(c) => typeOf(c).collect {
+        case LongType => FilterApi.eq(FilterApi.longColumn(c),
+          null.asInstanceOf[java.lang.Long])
+        case IntegerType => FilterApi.eq(FilterApi.intColumn(c),
+          null.asInstanceOf[java.lang.Integer])
+        case StringType => FilterApi.eq(FilterApi.binaryColumn(c),
+          null.asInstanceOf[Binary])
+      }
+      case IsNotNull(c) => typeOf(c).collect {
+        case LongType => FilterApi.notEq(FilterApi.longColumn(c),
+          null.asInstanceOf[java.lang.Long])
+        case IntegerType => FilterApi.notEq(FilterApi.intColumn(c),
+          null.asInstanceOf[java.lang.Integer])
+        case StringType => FilterApi.notEq(FilterApi.binaryColumn(c),
+          null.asInstanceOf[Binary])
+      }
+      case _ => None
+    }
+  }
+
   /** Iterator over one parquet file (or one row-group byte range of
     * it), producing rows in `wanted` layout (a subset of the TABLE
     * schema). Columns absent from the file (added by a later ALTER
@@ -515,10 +585,14 @@ object GraftStorage {
     * and the file are requested from parquet, so column pruning reaches
     * the actual page I/O; `rangeStart/rangeEnd` select the row groups
     * whose midpoints fall inside (parquet's split contract — see
-    * [[splitRanges]]). Caller must `close()`. */
+    * [[splitRanges]]); `pushFilters` (the scan's ACCEPTED filters)
+    * additionally run inside parquet where types allow, skipping row
+    * groups and dictionary pages the file-level stats couldn't — see
+    * [[toParquetFilter]]. Caller must `close()`. */
   final class FileIterator(path: String, fileCols: Vector[String],
       wanted: StructType, totalRows: Long,
-      rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue)
+      rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
+      pushFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
       extends Iterator[InternalRow] with AutoCloseable {
 
     // wanted column -> ordinal in the file (-1 = the file predates it)
@@ -533,13 +607,19 @@ object GraftStorage {
 
     private val reader: ParquetReader[InternalRow] =
       if (requested.isEmpty) null
-      else ParquetReader.builder(
-          new RowReadSupport(toParquetType(requested),
-            requested.fields.map(_.dataType), targets, wanted.length),
-          new HPath(path))
-        .withConf(new Configuration())
-        .withFileRange(rangeStart, rangeEnd)
-        .build()
+      else {
+        val b = ParquetReader.builder(
+            new RowReadSupport(toParquetType(requested),
+              requested.fields.map(_.dataType), targets, wanted.length),
+            new HPath(path))
+          .withConf(new Configuration())
+          .withFileRange(rangeStart, rangeEnd)
+        val preds = pushFilters.flatMap(toParquetFilter(wanted, fileCols, _))
+        (if (preds.isEmpty) b
+         else b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+           preds.reduce(org.apache.parquet.filter2.predicate.FilterApi.and))))
+          .build()
+      }
     private var nextRow: InternalRow =
       if (requested.isEmpty) null else reader.read()
     // all-columns-absent projection (count-only scans of pre-ALTER
