@@ -894,7 +894,63 @@ object CatalogQueries {
                  FROM graft_cat.default.cdc_mirror
                  ORDER BY o_orderkey""")
       },
-      Some(cdcOracle))
+      Some(cdcOracle)),
+
+    // -------------------------------------------------------------- q211:
+    // CORPUS CURATION IN THE LAKEHOUSE — the training-data story and
+    // the table format in ONE loop: the documents corpus lives in a
+    // managed merge-on-read table, q40's exact-dedup (md5 of the
+    // sorted distinct token set — bag-of-words identity) runs AGAINST
+    // the catalog table, and the losers are removed with a real
+    // `MERGE INTO ... WHEN MATCHED THEN DELETE` — delta-sized
+    // tombstones, base files untouched, full history retained (the
+    // pre-curation corpus stays one VERSION AS OF away). The census
+    // read-back is integer-exact. At 100 TB this is exactly how a
+    // curation pipeline should mutate a petabyte corpus: the dedup
+    // plan shuffles fingerprints (never text), and the DML writes
+    // |duplicates|, not the table.
+    QueryDef(
+      "q211_corpus_curation",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus")
+        Tables(s, d, "documents").createOrReplaceTempView("q211_docs")
+        s.sql("""CREATE TABLE graft_cat.default.corpus
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='doc_id')
+                 AS SELECT * FROM q211_docs""")
+        s.sql("""
+          MERGE INTO graft_cat.default.corpus t
+          USING (
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                       AS rn
+              FROM (SELECT doc_id,
+                           md5(concat_ws('|', array_sort(array_distinct(
+                             graft_tokens(text))))) AS fp
+                    FROM graft_cat.default.corpus))
+            WHERE rn > 1) dupes
+          ON t.doc_id = dupes.doc_id
+          WHEN MATCHED THEN DELETE""")
+        s.sql("""SELECT lang, source, COUNT(*) AS n_docs,
+                        SUM(n_chars) AS sum_chars
+                 FROM graft_cat.default.corpus
+                 GROUP BY lang, source
+                 ORDER BY lang, source""")
+      },
+      Some(s"""
+        WITH f AS (SELECT doc_id,
+                          md5(array_to_string(list_sort(list_distinct(
+                            ${graft.text.TextAnalysis.duckTokens})), '|')) fp
+                   FROM documents),
+        keep AS (SELECT MIN(doc_id) AS k FROM f GROUP BY fp),
+        c AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.k)
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM c GROUP BY lang, source
+        ORDER BY lang, source"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —
