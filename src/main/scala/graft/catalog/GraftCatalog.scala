@@ -450,6 +450,27 @@ class GraftTable(ident: String, val dir: NioPath,
       TableCapability.MICRO_BATCH_READ, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
 
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the knobs this
+    * table was created with, plus a current-state census — the quick
+    * operational read before any maintenance CALL. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("graft.mode", tableKind)
+    m.put("graft.retain", retain.toString)
+    m.put("graft.append_retain", appendRetain.toString)
+    if (partCols.nonEmpty) m.put("graft.partitioned_by", partCols.mkString(","))
+    if (sortCols.nonEmpty) m.put("graft.sort_by", sortCols.mkString(","))
+    val st = state
+    m.put("graft.current_version",
+      st.current.map(_.version).getOrElse(-1).toString)
+    m.put("graft.data_files",
+      st.current.map(_.files.size).getOrElse(0).toString)
+    m.put("graft.delta_files",
+      st.current.map(_.deltaFiles.size).getOrElse(0).toString)
+    m
+  }
+  protected def tableKind: String = "cow"
+
   /** Identity partitioning, Iceberg-hidden-partitioning style: writers
     * split their output so every data file holds ONE value per
     * partition column, which pins that file's min/max stats to min ==

@@ -72,6 +72,13 @@ class GraftDeltaTable(ident: String, dir: NioPath,
   private[catalog] def deltaDir: String =
     dir.resolve("delta").toAbsolutePath.toString
 
+  override protected def tableKind: String = "mor"
+  override def properties(): java.util.Map[String, String] = {
+    val m = super.properties()
+    m.put("graft.row_id", resolvedIdCol)
+    m
+  }
+
   private[graft] def deltaLogSize: Int =
     stateNow.current.map(_.deltaFiles.map(_.rows).sum.toInt).getOrElse(0)
 

@@ -1137,6 +1137,27 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.stress")
   }
 
+  test("SHOW TBLPROPERTIES surfaces the table's knobs and state census") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.props")
+    sql("""CREATE TABLE gstore.default.props (k BIGINT, pr STRING, v STRING)
+           PARTITIONED BY (pr)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k',
+                          'graft.retain'='7','graft.sort_by'='v')""")
+    sql("INSERT INTO gstore.default.props VALUES (1,'a','x')")
+    sql("UPDATE gstore.default.props SET v = 'y' WHERE k = 1")
+    val props = sql("SHOW TBLPROPERTIES gstore.default.props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.mode") == "mor", s"props: $props")
+    assert(props("graft.row_id") == "k")
+    assert(props("graft.retain") == "7")
+    assert(props("graft.partitioned_by") == "pr")
+    assert(props("graft.sort_by") == "v")
+    assert(props("graft.current_version") == "1") // insert=v0, update=v1
+    assert(props("graft.delta_files") == "1")
+    sql("DROP TABLE gstore.default.props")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
