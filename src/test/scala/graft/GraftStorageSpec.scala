@@ -1158,6 +1158,45 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.props")
   }
 
+  test("MAP columns: exact round-trip incl. null values and empty maps, " +
+      "DML carry-over, map lambdas over the catalog scan") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.mp")
+    sql("""CREATE TABLE gstore.default.mp
+           (k BIGINT, tags MAP<STRING, BIGINT>)""")
+    sql("""INSERT INTO gstore.default.mp VALUES
+           (1, map('a', 1L, 'b', 2L)),
+           (2, map('x', CAST(NULL AS BIGINT))),
+           (3, map()),
+           (4, NULL)""")
+    assert(sql("SELECT k, tags FROM gstore.default.mp ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,Map(a -> 1, b -> 2)]", "[2,Map(x -> null)]",
+        "[3,Map()]", "[4,null]"),
+      "map round-trip not exact")
+    // map functions evaluate over the catalog scan
+    assert(sql("""SELECT k, element_at(tags, 'b'),
+                         aggregate(map_values(tags), 0L,
+                                   (a, v) -> a + coalesce(v, 0L))
+                  FROM gstore.default.mp WHERE tags IS NOT NULL
+                  ORDER BY k""").collect().map(_.toString).toSeq ==
+      Seq("[1,2,3]", "[2,null,0]", "[3,null,0]"))
+    // DML rewrite carries maps through untouched
+    sql("UPDATE gstore.default.mp SET k = k + 10 WHERE k = 1")
+    assert(sql("SELECT k, tags FROM gstore.default.mp WHERE k = 11")
+      .head().toString == "[11,Map(a -> 1, b -> 2)]",
+      "DML rewrite corrupted a map value")
+    // map-of-nested stays a loud error
+    sql("DROP TABLE IF EXISTS gstore.default.mpbad")
+    val e = intercept[Exception] {
+      sql("""CREATE TABLE gstore.default.mpbad
+             (k BIGINT, m MAP<STRING, ARRAY<INT>>)""")
+    }
+    assert(chain(e).exists(m => Option(m.getMessage).exists(
+      _.contains("unsupported column type"))))
+    sql("DROP TABLE gstore.default.mp")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
