@@ -950,7 +950,345 @@ object CatalogQueries {
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM c GROUP BY lang, source
-        ORDER BY lang, source"""))
+        ORDER BY lang, source""")),
+
+    // -------------------------------------------------------------- q212:
+    // STORAGE-PARTITIONED JOIN (VERDICT r11 item 1, Iceberg's
+    // bucket-join): two managed tables PARTITIONED BY the same key join
+    // with ZERO shuffle — each GraftScan reports its identity layout as
+    // KeyGroupedPartitioning (every file pins its partition tuple via
+    // min == max stats) and Spark's SPJ planner aligns same-key file
+    // groups directly, eliding the Exchange on BOTH sides. At 100 TB
+    // the fact-to-fact join shuffle is THE dominant cost a co-clustered
+    // layout can avoid; the no-Exchange contract is pinned in
+    // PlanShapeSpec. The join is materialized under the SPJ confs
+    // (localCheckpoint executes eagerly), which are then restored so no
+    // session-level planning knob leaks into later queries.
+    QueryDef(
+      "q212_storage_partitioned_join",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.nation_cust")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.nation_supp")
+        s.sql("""CREATE TABLE graft_cat.default.nation_cust
+                 (nk INT, customers BIGINT, cust_sum BIGINT)
+                 PARTITIONED BY (nk)""")
+        s.sql("""CREATE TABLE graft_cat.default.nation_supp
+                 (nk INT, suppliers BIGINT, supp_sum BIGINT)
+                 PARTITIONED BY (nk)""")
+        Tables(s, d, "customer").createOrReplaceTempView("q212_cust")
+        Tables(s, d, "supplier").createOrReplaceTempView("q212_supp")
+        s.sql("""INSERT INTO graft_cat.default.nation_cust
+                 SELECT c_nationkey, COUNT(*), SUM(c_custkey)
+                 FROM q212_cust GROUP BY c_nationkey""")
+        s.sql("""INSERT INTO graft_cat.default.nation_supp
+                 SELECT s_nationkey, COUNT(*), SUM(s_suppkey)
+                 FROM q212_supp GROUP BY s_nationkey""")
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          // force the join to actually ride the storage layout (the
+          // aggregates are small enough to broadcast, which would
+          // bypass the seam this query exists to exercise)
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try
+          s.sql("""SELECT a.nk AS nk, a.customers, a.cust_sum,
+                          b.suppliers, b.supp_sum
+                   FROM graft_cat.default.nation_cust a
+                   JOIN graft_cat.default.nation_supp b ON a.nk = b.nk
+                   ORDER BY nk""").localCheckpoint()
+        finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""
+        WITH a AS (SELECT c_nationkey AS nk, COUNT(*) AS customers,
+                          CAST(SUM(c_custkey) AS BIGINT) AS cust_sum
+                   FROM customer GROUP BY 1),
+             b AS (SELECT s_nationkey AS nk, COUNT(*) AS suppliers,
+                          CAST(SUM(s_suppkey) AS BIGINT) AS supp_sum
+                   FROM supplier GROUP BY 1)
+        SELECT a.nk AS nk, a.customers, a.cust_sum, b.suppliers, b.supp_sum
+        FROM a JOIN b ON a.nk = b.nk
+        ORDER BY nk""")),
+
+    // -------------------------------------------------------------- q213:
+    // SCHEMA EVOLUTION VIA FIELD IDS (VERDICT r11 item 3, Iceberg's
+    // model): every column carries a stable integer id stamped at
+    // CREATE; files record the ids they were written with; readers bind
+    // BY ID. That makes RENAME a pure metadata commit (old files still
+    // bind — the 'remarked' phase reads pre-rename data through the new
+    // name), DROP a pure metadata commit (bytes die at the next
+    // compaction), and drop+re-ADD resurrection-proof (the re-added
+    // column gets a FRESH id, so the 'resurrect_check' phase must see
+    // zero non-null values even though the old files physically hold
+    // the column). Time travel replays the old schema ids and all.
+    // At 100 TB schema evolution MUST be O(1) metadata — any rewrite-
+    // the-table fallback is an outage.
+    QueryDef(
+      "q213_schema_evolution",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.evo")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("q213_seed")
+        s.sql("""CREATE TABLE graft_cat.default.evo AS
+                 SELECT * FROM q213_seed""")                        // v0
+        s.sql("ALTER TABLE graft_cat.default.evo ADD COLUMN note STRING")
+        s.sql("""UPDATE graft_cat.default.evo
+                 SET note = concat('n', o_orderkey)
+                 WHERE o_orderkey % 10 = 3""")
+        s.sql("ALTER TABLE graft_cat.default.evo RENAME COLUMN note TO remark")
+        s.sql("ALTER TABLE graft_cat.default.evo DROP COLUMN o_custkey")
+        s.sql("ALTER TABLE graft_cat.default.evo ADD COLUMN o_custkey BIGINT")
+        s.sql("""
+          SELECT 'remarked' AS phase, count(remark) AS n,
+                 CAST(sum(CASE WHEN remark IS NOT NULL
+                               THEN o_orderkey END) AS BIGINT) AS s
+          FROM graft_cat.default.evo
+          UNION ALL
+          SELECT 'resurrect_check', count(o_custkey),
+                 CAST(coalesce(sum(o_custkey), 0) AS BIGINT)
+          FROM graft_cat.default.evo
+          UNION ALL
+          SELECT 'time_travel', count(*), CAST(sum(o_custkey) AS BIGINT)
+          FROM graft_cat.default.evo VERSION AS OF 0
+          ORDER BY phase""")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders)
+        SELECT 'remarked' AS phase,
+               COUNT(CASE WHEN o_orderkey % 10 = 3 THEN 1 END) AS n,
+               CAST(SUM(CASE WHEN o_orderkey % 10 = 3
+                             THEN o_orderkey END) AS BIGINT) AS s
+        FROM o
+        UNION ALL
+        SELECT 'resurrect_check', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'time_travel', COUNT(*), CAST(SUM(o_custkey) AS BIGINT)
+        FROM o
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q214:
+    // ARRAY<STRUCT<...>> catalog columns (VERDICT r11 item 4) — the
+    // chunked-document / spans-with-scores shape one level deeper than
+    // q208's flat vector+struct: each row stores a LIST OF TYPED
+    // RECORDS as a standard parquet 3-level list of groups. The cycle
+    // proves exact round-trip through the recursive writer/converter
+    // (positions integer-exact, floats bit-exact via the q208 L2-norm
+    // idiom), lambda access into the nested structs over the catalog
+    // scan, and a row-level DELETE whose rewrite carries every nested
+    // value through untouched. Map-of-struct and deeper stay loud
+    // rejects (spec-pinned).
+    QueryDef(
+      "q214_chunk_store",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.chunk_store")
+        Tables(s, d, "embeddings").createOrReplaceTempView("q214_emb")
+        s.sql("""CREATE TABLE graft_cat.default.chunk_store
+                 (vec_id BIGINT,
+                  chunks ARRAY<STRUCT<pos: INT, val: FLOAT>>)""")
+        s.sql("""INSERT INTO graft_cat.default.chunk_store
+                 SELECT vec_id,
+                        transform(embedding,
+                          (x, i) -> named_struct('pos', CAST(i AS INT),
+                                                 'val', x))
+                 FROM q214_emb""")
+        s.sql("""DELETE FROM graft_cat.default.chunk_store
+                 WHERE vec_id % 7 = 3""")
+        s.sql("""SELECT vec_id, size(chunks) AS n_chunks,
+                        aggregate(chunks, CAST(0 AS BIGINT),
+                          (a, c) -> a + c.pos) AS pos_sum,
+                        round(sqrt(aggregate(chunks, CAST(0 AS DOUBLE),
+                          (a, c) -> a + CAST(c.val AS DOUBLE)
+                                      * CAST(c.val AS DOUBLE))), 6) AS norm
+                 FROM graft_cat.default.chunk_store
+                 ORDER BY vec_id""")
+      },
+      Some("""
+        SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_chunks,
+               CAST(len(embedding) * (len(embedding) - 1) // 2
+                 AS BIGINT) AS pos_sum,
+               round(sqrt(list_reduce(list_transform(
+                 generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[i] AS DOUBLE)),
+                 (a2, b2) -> a2 + b2)), 6) AS norm
+        FROM embeddings
+        WHERE vec_id % 7 <> 3
+        ORDER BY vec_id""")),
+
+    // -------------------------------------------------------------- q215:
+    // Z-ORDER AS A TABLE PROPERTY (VERDICT r11 item 5): the managed
+    // table clusters its writes on the Morton interleave of TWO columns
+    // — the write builder demands an ordered distribution on the
+    // catalog-resolved `zorder(o_custkey, o_totalprice)` function, so
+    // every data file covers a compact box in BOTH dimensions and a
+    // range predicate on EITHER column prunes files via ordinary
+    // min/max stats (skip counts pinned in GraftStorageSpec; this query
+    // pins content correctness through the z-shuffled write). At 100 TB
+    // this is Delta's OPTIMIZE ZORDER as a standing write property:
+    // multi-dim point-lookup workloads stop scanning the full sort
+    // range of a 1-D clustering.
+    QueryDef(
+      "q215_zorder_table",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_z")
+        s.sql("""CREATE TABLE graft_cat.default.orders_z
+                 (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+                 TBLPROPERTIES ('graft.zorder_by'='o_custkey,o_totalprice')""")
+        Tables(s, d, "orders").createOrReplaceTempView("q215_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_z
+                 SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM q215_orders""")
+        s.sql("""
+          SELECT 'by_cust' AS dim, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS s
+          FROM graft_cat.default.orders_z
+          WHERE o_custkey BETWEEN 100 AND 300
+          UNION ALL
+          SELECT 'by_price', count(*), CAST(sum(o_orderkey) AS BIGINT)
+          FROM graft_cat.default.orders_z
+          WHERE o_totalprice < 50000.0
+          ORDER BY dim""")
+      },
+      Some("""
+        SELECT 'by_cust' AS dim, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS s
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 300
+        UNION ALL
+        SELECT 'by_price', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        WHERE o_totalprice < 50000.0
+        ORDER BY dim""")),
+
+    // -------------------------------------------------------------- q216:
+    // NEAR-DUP CURATION IN THE LAKEHOUSE (VERDICT r11 item 6) — q211
+    // took exact dedup into the managed table; this promotes q99's
+    // INCREMENTAL MinHash pipeline: the corpus lives in a MOR table, a
+    // new batch (doc_id % 10 = 0) is appended, the batch's band keys
+    // are broadcast against the corpus band index COMPUTED FROM THE
+    // CATALOG SCAN, verified >= 0.8-Jaccard losers are removed by
+    // `MERGE ... WHEN MATCHED THEN DELETE` (delta-sized tombstones,
+    // base untouched), and the pre-curation corpus stays one VERSION
+    // AS OF away. Shares q99's oracle family. At 100 TB this is the
+    // daily ingest loop: candidates touch only band-key matches, the
+    // DML writes |losers|, never the table.
+    QueryDef(
+      "q216_neardup_curation",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_nd")
+        Tables(s, d, "documents").createOrReplaceTempView("q216_docs")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_nd
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='doc_id')
+                 AS SELECT * FROM q216_docs WHERE doc_id % 10 <> 0""")
+        s.sql("""INSERT INTO graft_cat.default.corpus_nd
+                 SELECT * FROM q216_docs WHERE doc_id % 10 = 0""")
+        graft.dedup.Dedup.incrementalNearDupLosers(
+            s.table("graft_cat.default.corpus_nd"))
+          .createOrReplaceTempView("q216_losers")
+        s.sql("""
+          MERGE INTO graft_cat.default.corpus_nd t
+          USING q216_losers l
+          ON t.doc_id = l.doc_id
+          WHEN MATCHED THEN DELETE""")
+        s.sql("""SELECT lang, source, COUNT(*) AS n_docs,
+                        SUM(n_chars) AS sum_chars
+                 FROM graft_cat.default.corpus_nd
+                 GROUP BY lang, source
+                 ORDER BY lang, source""")
+      },
+      Some(s"""
+        WITH ${graft.dedup.Dedup.duckIncrementalLosers}
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY lang, source
+        ORDER BY lang, source""")),
+
+    // -------------------------------------------------------------- q217:
+    // WRITE-AUDIT-PUBLISH (VERDICT r11 item 7) — the pattern every
+    // production training-data pipeline runs: readers consume ONLY the
+    // 'published' snapshot tag; a writer stages data into the live
+    // table, an audit (DQ predicate) gates the publish, and only a
+    // passing audit RE-POINTS the tag. The fail path is the contract:
+    // after staging a bad batch, the tag reader provably still sees
+    // the pre-write content (phase 'audit_fail_reader'); after the
+    // remediation DELETE passes the audit, the tag moves and the
+    // reader sees exactly the good batch added. Tags are retention-
+    // pinned commits (`CALL system.tag`), so 'published' survives
+    // unrelated commit churn. At 100 TB this replaces copy-the-table
+    // staging with O(1) metadata.
+    QueryDef(
+      "q217_write_audit_publish",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_wap")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("q217_seed")
+        s.sql("""CREATE TABLE graft_cat.default.orders_wap AS
+                 SELECT * FROM q217_seed""")
+        s.sql("CALL graft_cat.system.tag('default.orders_wap', 'published')")
+        // stage: a good batch and a bad batch land together
+        s.sql("""INSERT INTO graft_cat.default.orders_wap VALUES
+                 (900000001, 1, 10.0), (900000002, 2, 20.0),
+                 (900000003, 3, 30.0), (900000004, 4, 40.0),
+                 (900000005, 5, 50.0),
+                 (910000001, 9, -5.0), (910000002, 9, -6.0)""")
+        // audit: negative prices are a DQ violation -> DO NOT publish
+        val violations = s.sql(
+          """SELECT count(*) FROM graft_cat.default.orders_wap
+             WHERE o_totalprice < 0""").head().getLong(0)
+        val tagRead = """SELECT count(*) AS n,
+                                CAST(sum(o_orderkey) AS BIGINT) AS s
+                         FROM graft_cat.default.orders_wap
+                         VERSION AS OF 'published'"""
+        // the reader mid-flight: staged writes invisible through the tag
+        val midReader = s.sql(tagRead).localCheckpoint()
+        if (violations > 0) {
+          // remediate, re-audit, and only then publish
+          s.sql("""DELETE FROM graft_cat.default.orders_wap
+                   WHERE o_totalprice < 0""")
+          val post = s.sql(
+            """SELECT count(*) FROM graft_cat.default.orders_wap
+               WHERE o_totalprice < 0""").head().getLong(0)
+          require(post == 0, "remediation left DQ violations")
+          s.sql("CALL graft_cat.system.tag('default.orders_wap', 'published')")
+        }
+        val finalReader = s.sql(tagRead).localCheckpoint()
+        import org.apache.spark.sql.functions.lit
+        midReader.select(lit("audit_fail_reader").as("phase"),
+            col("n"), col("s"))
+          .unionAll(finalReader.select(lit("published_reader").as("phase"),
+            col("n"), col("s")))
+          .orderBy("phase")
+      },
+      Some("""
+        SELECT 'audit_fail_reader' AS phase, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS s
+        FROM orders
+        UNION ALL
+        SELECT 'published_reader', COUNT(*) + 5,
+               CAST(SUM(o_orderkey) + 4500000015 AS BIGINT)
+        FROM orders
+        ORDER BY phase"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

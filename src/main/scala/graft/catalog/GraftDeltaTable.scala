@@ -48,26 +48,35 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftDeltaTable(ident: String, dir: NioPath,
     initState: GraftTableState, retain: Int, rowIdCol: String,
     morPartCols: Seq[String] = Nil, appendRetain: Int = 65536,
-    morSortCols: Seq[String] = Nil)
+    morSortCols: Seq[String] = Nil, morZorderCols: Seq[String] = Nil)
     extends GraftTable(ident, dir, initState, retain, morPartCols,
-      appendRetain, morSortCols) {
+      appendRetain, morSortCols, morZorderCols) {
 
-  // resolved ONCE against the stored schema (safe under ALTER: columns
-  // only ever APPEND, so this ordinal never moves): the user-typed
-  // graft.row_id spelling may differ in case from the schema field,
-  // and every downstream binding (delta schema, scan extra-column set,
-  // rowId reference) must use the SCHEMA's spelling or exact-match
-  // lookups crash in executors
-  private val idOrdinal: Int = {
+  // resolved FRESH against the stored schema (DROP COLUMN of an earlier
+  // field shifts this ordinal; renaming/dropping the id column itself
+  // is rejected, so the NAME is stable): the user-typed graft.row_id
+  // spelling may differ in case from the schema field, and every
+  // downstream binding (delta schema, scan extra-column set, rowId
+  // reference) must use the SCHEMA's spelling or exact-match lookups
+  // crash in executors
+  private def idOrdinal: Int = {
     val o = GraftStorage.ordinalByName(schema().fieldNames.toIndexedSeq,
       rowIdCol)
     require(o >= 0,
       s"graft.row_id column $rowIdCol not in ${schema().catalogString}")
     o
   }
-  private val resolvedIdCol: String = schema().fieldNames(idOrdinal)
-  private val idType: DataType = schema().fields(idOrdinal).dataType
-  GraftDeltaTable.requireIdType(idType, rowIdCol)
+  private def resolvedIdCol: String = schema().fieldNames(idOrdinal)
+  private def idType: DataType = schema().fields(idOrdinal).dataType
+  GraftDeltaTable.requireIdType(idType, rowIdCol) // validated at load
+
+  // schema evolution guards: the row-id column anchors the delta log
+  // and every fence — neither droppable nor renamable; the delta
+  // marker names stay reserved as rename targets
+  override protected def evolutionProtected: Seq[String] =
+    super.evolutionProtected :+ resolvedIdCol
+  override protected def evolutionReservedNames: Seq[String] =
+    super.evolutionReservedNames ++ Seq("__op", "__id")
 
   private[catalog] def deltaDir: String =
     dir.resolve("delta").toAbsolutePath.toString
@@ -157,7 +166,10 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     val st = stateNow
     val files = st.current.map(_.files).getOrElse(Vector.empty)
     val delta = st.current.map(_.deltaFiles).getOrElse(Vector.empty)
-    if (delta.isEmpty) new GraftScanBuilder(st.schema, files, None)
+    if (delta.isEmpty)
+      // a compacted MOR table is SPJ-eligible like any CoW table —
+      // pass the partition columns through for the key-grouped report
+      new GraftScanBuilder(st.schema, files, None, partitionCols)
     else {
       val fold = GraftDeltaTable.foldDelta(delta, st.schema, idType)
       new GraftMorScanBuilder(st.schema, files, fold, resolvedIdCol)
@@ -172,11 +184,15 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     * log ([[GraftTable.commitReplaceAll]]). Scans before and after
     * return identical content; what changes is who pays — reads stop
     * folding the log, at the cost of one base rewrite now.
-    * Content-idempotent: compacting twice is a no-op. */
-  private[graft] def compact(spark: org.apache.spark.sql.SparkSession,
-      fqn: String): Unit =
-    spark.sql(s"INSERT OVERWRITE $fqn SELECT * FROM $fqn"): Unit
-
+    * Content-idempotent: compacting twice is a no-op. Lives on
+    * [[GraftTable.compact]] (CoW small-file rewrite uses the identical
+    * self-overwrite), whose lost-update guard (ADVICE r11) conflicts
+    * loudly if a foreign commit lands between the self-overwrite's
+    * scan and its replace-all commit.
+    *
+    * (MOR-specific behavior is entirely in the scan side: the
+    * self-read folds the delta log, so the rewrite lands the EFFECTIVE
+    * rows and the truncate-replace clears the log.) */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new SupportsDelta {
@@ -257,7 +273,8 @@ object GraftDeltaTable {
     val m = new java.util.LinkedHashMap[AnyRef, (UnsafeRow, Int)]()
     var ops = 0L
     delta.foreach { f =>
-      val it = new GraftStorage.FileIterator(f.path, f.cols, ds, f.rows)
+      val it = new GraftStorage.FileIterator(f.path, f.cols, ds, f.rows,
+        fileColIds = f.colIds)
       try it.foreach { r =>
         ops += 1
         val id = idValue(r, 1, idType)
@@ -398,7 +415,7 @@ class GraftMorScan(tableSchema: StructType, requiredSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val base = indexedFiles.map { case (f, i) =>
       GraftMorFilePartition(f.path, f.cols, f.rows,
-        idsFor(f, i)): InputPartition }
+        idsFor(f, i), f.colIds): InputPartition }
     if (fold.replacements.isEmpty) base.toArray
     else (base :+ (GraftMorRowsPartition(fold.replacements): InputPartition))
       .toArray
@@ -415,7 +432,8 @@ class GraftMorScan(tableSchema: StructType, requiredSchema: StructType,
 }
 
 case class GraftMorFilePartition(path: String, cols: Vector[String],
-    rows: Long, dropIds: Array[AnyRef]) extends InputPartition
+    rows: Long, dropIds: Array[AnyRef],
+    colIds: Vector[Int] = Vector.empty) extends InputPartition
 case class GraftMorRowsPartition(rows: Array[UnsafeRow]) extends InputPartition
 
 /** Per-task MOR fold: a base-file partition streams its parquet rows,
@@ -441,7 +459,7 @@ class GraftMorReaderFactory(tableSchema: StructType,
         // equals fold-then-filter for row-level predicates, so skipping
         // row groups early is sound
         val it = new GraftStorage.FileIterator(fp.path, fp.cols, needed,
-          fp.rows, pushFilters = filters)
+          fp.rows, pushFilters = filters, fileColIds = fp.colIds)
         val surviving =
           if (drop.isEmpty) it
           else it.filter(r =>
@@ -496,7 +514,8 @@ class GraftChangeFeedScan(table: GraftDeltaTable, feedSchema: StructType,
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     table.stateNow.changeLog.map(f =>
-      GraftFilePartition(f.path, f.cols, f.rows): InputPartition).toArray
+      GraftFilePartition(f.path, f.cols, f.rows,
+        colIds = f.colIds): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(feedSchema, requiredSchema, Array.empty)
   override def description(): String = {
@@ -519,6 +538,12 @@ class GraftChangeFeedStream(table: GraftDeltaTable, feedSchema: StructType,
   override def initialOffset(): Offset =
     GraftStreamOffset(table.stateNow.changeBase)
   override def latestOffset(): Offset = {
+    // a CDC stream tailing a table WRITTEN BY ANOTHER PROCESS must
+    // observe foreign delta commits at every poll — the handle's cached
+    // state only advances on same-process commits, so without this
+    // refresh the stream silently stalls at its plan-time offset
+    // (ADVICE r11); planInputPartitions then reads the refreshed state
+    table.refreshFromDisk()
     val st = table.stateNow
     GraftStreamOffset(st.changeBase + st.changeLog.size)
   }
@@ -535,7 +560,8 @@ class GraftChangeFeedStream(table: GraftDeltaTable, feedSchema: StructType,
       s"offset $e beyond change ledger " +
         s"(${st.changeBase + st.changeLog.size})")
     st.changeLog.slice(s - st.changeBase, e - st.changeBase)
-      .map(f => GraftFilePartition(f.path, f.cols, f.rows): InputPartition)
+      .map(f => GraftFilePartition(f.path, f.cols, f.rows,
+        colIds = f.colIds): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

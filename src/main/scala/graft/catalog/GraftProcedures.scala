@@ -87,8 +87,10 @@ object GraftProcedures {
           val opsBefore = t.stateNow.current
             .map(_.deltaFiles.map(_.rows).sum).getOrElse(0L)
           val fqn = s"${cat.name()}.$qualified"
-          SparkSession.active
-            .sql(s"INSERT OVERWRITE $fqn SELECT * FROM $fqn")
+          // guarded self-overwrite: a foreign commit landing between
+          // the scan and the replace-all commit conflicts loudly
+          // instead of being erased (ADVICE r11)
+          t.compact(SparkSession.active, fqn)
           summaryScan(Seq(
             "files_before" -> filesBefore,
             "delta_ops_folded" -> opsBefore,
@@ -139,9 +141,25 @@ object GraftProcedures {
           }
         }
       }
+      case "tag" => new GraftProcedure("tag",
+        "pin the table's CURRENT content under a name readable as " +
+          "VERSION AS OF '<name>'; re-tagging MOVES the name — the " +
+          "publish step of write-audit-publish (VERDICT r11 item 7). " +
+          "Tagged snapshots are exempt from retention trimming.",
+        tableParam :+ ProcedureParameter.in("name", StringType)
+          .comment("tag name (must not be a bare integer)")
+          .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val (_, t) = resolve(cat, input.getUTF8String(0).toString)
+          val v = t.tagVersion(input.getUTF8String(1).toString)
+          summaryScan(Seq(
+            "tagged_version" -> v.toLong,
+            "retained_snapshots" -> t.retainedVersions.size.toLong))
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
-          "(available: compact, expire_snapshots, history)")
+          "(available: compact, expire_snapshots, history, tag)")
     }
   }
 
@@ -149,6 +167,7 @@ object GraftProcedures {
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "expire_snapshots"),
-        Identifier.of(Array("system"), "history"))
+        Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "tag"))
     else Array.empty
 }

@@ -64,15 +64,20 @@ object GraftStorage {
   }
 
   /** Supported column types: the atomic set, ARRAY of an atomic
-    * (embedding vectors — the training-data warehouse staple), STRUCT
-    * of atomics (typed metadata), and MAP of atomic to atomic (tag
-    * bags, token counts). Deeper nesting is a loud error — silent
-    * coercion at write time would corrupt round-trips. */
+    * (embedding vectors — the training-data warehouse staple) or of a
+    * STRUCT of atomics (chunked embeddings-with-metadata, span lists —
+    * VERDICT r11 item 4), STRUCT of atomics (typed metadata), and MAP
+    * of atomic to atomic (tag bags, token counts). Deeper nesting
+    * (map-of-struct, struct-of-array, array-of-array) stays a loud
+    * error — silent coercion at write time would corrupt round-trips. */
   def validate(schema: StructType): Unit = schema.fields.foreach { f =>
+    def atomicStruct(st: StructType): Boolean =
+      st.fields.forall(g => atomicSupported(g.dataType))
     val ok = f.dataType match {
       case dt if atomicSupported(dt) => true
-      case ArrayType(elem, _) => atomicSupported(elem)
-      case st: StructType => st.fields.forall(g => atomicSupported(g.dataType))
+      case ArrayType(elem, _) if atomicSupported(elem) => true
+      case ArrayType(st: StructType, _) => atomicStruct(st)
+      case st: StructType => atomicStruct(st)
       case MapType(k, v, _) => atomicSupported(k) && atomicSupported(v)
       case _ => false
     }
@@ -80,6 +85,52 @@ object GraftStorage {
       s"graft catalog: unsupported column type " +
         s"${f.dataType.catalogString} for column ${f.name}")
   }
+
+  // ---- field ids (schema evolution: DROP / RENAME COLUMN) --------------
+  // VERDICT r11 item 3 — name-based column binding makes rename unsound
+  // (an old file's column keeps its write-time name) and drop+re-add
+  // resurrection-prone (the new same-named column would bind to the old
+  // file's data). The fix is Iceberg's: every schema column carries a
+  // STABLE integer id (stamped at CREATE, monotonic from the table
+  // state's nextFieldId counter, NEVER reused), every file ref records
+  // the ids its columns were written with (`colIds`), and readers bind
+  // schema field -> file ordinal BY ID whenever both sides have one —
+  // name binding remains only for id-less fields (the MOR `__op`/`__id`
+  // markers, legacy pre-id tables, which therefore reject DROP/RENAME
+  // loudly).
+
+  /** Metadata key carrying a column's stable field id. */
+  val FieldIdKey = "graft.field_id"
+
+  def fieldId(f: StructField): Option[Int] =
+    if (f.metadata.contains(FieldIdKey))
+      Some(f.metadata.getLong(FieldIdKey).toInt)
+    else None
+
+  def withFieldId(f: StructField, id: Int): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
+
+  /** Stamp ids 1..n onto a CREATE-time schema; returns the stamped
+    * schema and the table's initial nextFieldId. */
+  def stampFieldIds(schema: StructType): (StructType, Int) = {
+    var next = 1
+    val fs = schema.fields.map { f =>
+      val g = withFieldId(f, next); next += 1; g
+    }
+    (StructType(fs), next)
+  }
+
+  /** Bind one schema field to its ordinal in a file ref: by id when both
+    * the field and the ref carry ids (rename-proof, resurrection-proof),
+    * by name otherwise. -1 = the file predates the column (or the
+    * column was dropped and re-added — the id differs by construction,
+    * so old data never resurrects). */
+  def refOrdinal(f: GraftFileRef, field: StructField): Int =
+    fieldId(field) match {
+      case Some(id) if f.colIds.nonEmpty => f.colIds.indexOf(id)
+      case _ => ordinalByName(f.cols, field.name)
+    }
 
   /** Exact-first name binding (ADVICE r9): exact match wins; fall back
     * to case-insensitive only when it is UNIQUE — under
@@ -142,19 +193,27 @@ object GraftStorage {
     }).named(name)
   }
 
+  /** Parquet group for a STRUCT of atomics. */
+  private def structType(st: StructType,
+      name: String): org.apache.parquet.schema.Type =
+    st.fields.foldLeft(Types.optionalGroup()) { (g, sf) =>
+      g.addField(primitiveType(sf.dataType, sf.name))
+    }.named(name)
+
   def toParquetType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val t = f.dataType match {
         // standard 3-level list: optional group (LIST) {
-        //   repeated group list { optional <elem> element } }
+        //   repeated group list { optional <elem> element } } — the
+        // element is an atomic or (item 4) a struct-of-atomics group
+        case ArrayType(st: StructType, _) =>
+          Types.optionalList().element(structType(st, "element"))
+            .named(f.name)
         case ArrayType(elem, _) =>
           Types.optionalList().element(primitiveType(elem, "element"))
             .named(f.name)
-        case st: StructType =>
-          st.fields.foldLeft(Types.optionalGroup()) { (g, sf) =>
-            g.addField(primitiveType(sf.dataType, sf.name))
-          }.named(f.name)
+        case st: StructType => structType(st, f.name)
         // standard map shape: optional group (MAP) {
         //   repeated group key_value { required key; optional value } }
         case MapType(kt, vt, _) =>
@@ -223,18 +282,36 @@ object GraftStorage {
     case _ => false
   }
 
+  /** Public face of stats eligibility: the requirement for partition
+    * and sort columns — both mechanisms work ONLY through per-file
+    * min/max stats, so a column of any other type (MAP/ARRAY/STRUCT,
+    * BOOLEAN, BINARY) must be rejected loudly at CREATE TABLE (ADVICE
+    * r11: a statless partition column made dynamic partition overwrite
+    * key every file to None and drop the whole table). */
+  def statsCapable(dt: DataType): Boolean = statsEligible(dt)
+
   // ---- write path (runs in executor tasks) ------------------------------
 
   /** Streaming per-column min/max/null collector. NaN in a float/double
     * column poisons that column's stats (dropped — NaN's total-order
     * position would make min/max pruning unsound against the == -based
     * comparison above; a statless column simply never prunes). */
+  /** Per-file exact-NDV cap: a distinct set is tracked exactly up to
+    * this many values, then abandoned (ndv = unknown). Files are
+    * task-sized, so the common case stays under the cap; the memory
+    * bound is cap x eligible columns per open writer. */
+  private val NdvCap = 1 << 16
+
   private final class StatsCollector(schema: StructType) {
     private val n = schema.length
     private val mins = new Array[Any](n)
     private val maxs = new Array[Any](n)
     private val nulls = new Array[Long](n)
     private val poisoned = new Array[Boolean](n)
+    private val distinct: Array[java.util.HashSet[Any]] =
+      schema.fields.map(f =>
+        if (statsEligible(f.dataType)) new java.util.HashSet[Any]()
+        else null).toArray
 
     def observe(row: InternalRow): Unit = {
       var i = 0
@@ -261,6 +338,10 @@ object GraftStorage {
             if (mins(i) == null || typedCompare(dt, v, mins(i)) < 0) mins(i) = v
             if (maxs(i) == null || typedCompare(dt, v, maxs(i)) > 0) maxs(i) = v
           }
+          if (distinct(i) != null) {
+            if (distinct(i).size >= NdvCap) distinct(i) = null // overflow
+            else distinct(i).add(v): Unit
+          }
         }
         i += 1
       }
@@ -272,7 +353,8 @@ object GraftStorage {
         else Some(f.name -> GraftColStats(
           Option(mins(i)).map(statToString(f.dataType, _)),
           Option(maxs(i)).map(statToString(f.dataType, _)),
-          nulls(i)))
+          nulls(i),
+          if (distinct(i) == null) -1L else distinct(i).size.toLong))
       }.toMap
   }
 
@@ -280,7 +362,8 @@ object GraftStorage {
     * `schema` layout) and closes. Used by both the data writers and the
     * delta writers. */
   final class FileWriter(val path: String, schema: StructType,
-      rowGroupBytes: Long = 0L) {
+      rowGroupBytes: Long = 0L,
+      groupRecordMinBytes: Long = GraftStorage.GroupRecordMinBytes) {
     // executor tasks may land the first file of a fresh table/delta dir
     Files.createDirectories(java.nio.file.Paths.get(path).getParent)
     private val conf = new Configuration()
@@ -331,13 +414,25 @@ object GraftStorage {
           schema.fields(i).dataType match {
             case ArrayType(elem, _) =>
               // 3-level list shape: one "list" entry group per element,
-              // a null element simply leaves its entry's slot unset
+              // a null element simply leaves its entry's slot unset;
+              // struct elements write a nested group per entry (item 4)
               val ad = row.getArray(i)
               val outer = g.addGroup(i)
               var j = 0
               while (j < ad.numElements()) {
                 val entry = outer.addGroup(0)
-                if (!ad.isNullAt(j)) addAtomic(entry, 0, elem, ad, j)
+                if (!ad.isNullAt(j)) elem match {
+                  case st: StructType =>
+                    val sr = ad.getStruct(j, st.length)
+                    val sg = entry.addGroup(0)
+                    var m = 0
+                    while (m < st.length) {
+                      if (!sr.isNullAt(m))
+                        addAtomic(sg, m, st.fields(m).dataType, sr, m)
+                      m += 1
+                    }
+                  case _ => addAtomic(entry, 0, elem, ad, j)
+                }
                 j += 1
               }
             case st: StructType =>
@@ -377,8 +472,27 @@ object GraftStorage {
 
     def closeAndRef(): GraftFileRef = {
       writer.close()
-      GraftFileRef(path, n, Files.size(java.nio.file.Paths.get(path)),
-        schema.fieldNames.toVector, stats.result(n))
+      val size = Files.size(java.nio.file.Paths.get(path))
+      // commit-time split offsets (VERDICT r11 item 2): record the
+      // row-group layout in the ref so scan PLANNING never opens a
+      // file — at 100 TB a driver doing one serial footer read per
+      // compacted multi-GB file per query is real latency. The footer
+      // read happens HERE, in the executor task that just wrote the
+      // file (page-cache hot, embarrassingly parallel), and only for
+      // files big enough to ever split (or explicitly small-grouped —
+      // test fixtures); single-group small files skip the read and
+      // plan as one task from `bytes` alone.
+      val groups =
+        if (size >= groupRecordMinBytes || rowGroupBytes > 0)
+          readRowGroups(path)
+        else Vector.empty
+      // record the schema's field ids alongside the names — the
+      // rename/drop-proof binding axis (empty when the schema carries
+      // no ids at all: legacy tables stay name-bound)
+      val ids = schema.fields.map(f => fieldId(f).getOrElse(-1)).toVector
+      GraftFileRef(path, n, size,
+        schema.fieldNames.toVector, stats.result(n), groups = groups,
+        colIds = if (ids.exists(_ >= 0)) ids else Vector.empty)
     }
 
     /** Abort: close and remove the partial file. */
@@ -493,12 +607,30 @@ object GraftStorage {
           }
         }
 
+        /** Struct-of-atomics group converter delivering a fresh
+          * GenericInternalRow through `set` — one shape for top-level
+          * struct columns AND struct list elements (item 4). */
+        private def structConv(st: StructType,
+            set: Any => Unit): GroupConverter = new GroupConverter {
+          private var inner = new Array[Any](st.length)
+          private val cs: Array[Converter] = st.fields.zipWithIndex.map {
+            case (f, j) =>
+              atomicConv(f.dataType, v => inner(j) = v): Converter
+          }
+          override def getConverter(i: Int): Converter = cs(i)
+          override def start(): Unit = inner = new Array[Any](st.length)
+          override def end(): Unit = set(new GenericInternalRow(inner))
+        }
+
         private def conv(dt: DataType, t: Int): Converter = dt match {
           case ArrayType(elem, _) => new GroupConverter { // LIST wrapper
             private val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
             private var pending: Any = null
             private val entry: GroupConverter = new GroupConverter {
-              private val ec = atomicConv(elem, v => pending = v)
+              private val ec: Converter = elem match {
+                case st: StructType => structConv(st, v => pending = v)
+                case _ => atomicConv(elem, v => pending = v)
+              }
               override def getConverter(i: Int): Converter = ec
               override def start(): Unit = pending = null
               override def end(): Unit = buf += pending
@@ -509,16 +641,7 @@ object GraftStorage {
               new org.apache.spark.sql.catalyst.util.GenericArrayData(
                 buf.toArray)
           }
-          case st: StructType => new GroupConverter {
-            private var inner = new Array[Any](st.length)
-            private val cs: Array[Converter] = st.fields.zipWithIndex.map {
-              case (f, j) =>
-                atomicConv(f.dataType, v => inner(j) = v): Converter
-            }
-            override def getConverter(i: Int): Converter = cs(i)
-            override def start(): Unit = inner = new Array[Any](st.length)
-            override def end(): Unit = values(t) = new GenericInternalRow(inner)
-          }
+          case st: StructType => structConv(st, v => values(t) = v)
           case MapType(kt, vt, _) => new GroupConverter { // MAP wrapper
             private val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
             private val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -568,18 +691,17 @@ object GraftStorage {
     * pushed — the rest stay in the post-scan pipeline, which always
     * re-applies every accepted filter anyway (partial push is safe,
     * double-filtering is exact). */
-  private def toParquetFilter(wanted: StructType, fileCols: Vector[String],
+  private def toParquetFilter(
+      resolve: String => Option[(String, DataType)],
       f: org.apache.spark.sql.sources.Filter)
       : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
     import org.apache.parquet.filter2.predicate.FilterApi
     import org.apache.spark.sql.sources._
 
-    def typeOf(c: String): Option[DataType] =
-      if (!fileCols.contains(c)) None // exact spelling only
-      else {
-        val o = ordinalByName(wanted.fieldNames.toIndexedSeq, c)
-        if (o < 0) None else Some(wanted.fields(o).dataType)
-      }
+    // `resolve` maps a SCHEMA column name to the FILE's spelling of the
+    // same field (id-aware: after a RENAME the file's name differs, and
+    // a name-coincidence with a different current column must never
+    // push the predicate onto the wrong physical column) plus its type
     type FP = org.apache.parquet.filter2.predicate.FilterPredicate
     def cmp(c: String, v: Any,
         mkL: (org.apache.parquet.filter2.predicate.Operators.LongColumn,
@@ -588,13 +710,13 @@ object GraftStorage {
           java.lang.Integer) => FP,
         mkB: (org.apache.parquet.filter2.predicate.Operators.BinaryColumn,
           Binary) => FP): Option[FP] =
-      (typeOf(c), v) match {
-        case (Some(LongType), x: Long) =>
-          Some(mkL(FilterApi.longColumn(c), Long.box(x)))
-        case (Some(IntegerType), x: Int) =>
-          Some(mkI(FilterApi.intColumn(c), Int.box(x)))
-        case (Some(StringType), x: String) =>
-          Some(mkB(FilterApi.binaryColumn(c), Binary.fromString(x)))
+      (resolve(c), v) match {
+        case (Some((fc, LongType)), x: Long) =>
+          Some(mkL(FilterApi.longColumn(fc), Long.box(x)))
+        case (Some((fc, IntegerType)), x: Int) =>
+          Some(mkI(FilterApi.intColumn(fc), Int.box(x)))
+        case (Some((fc, StringType)), x: String) =>
+          Some(mkB(FilterApi.binaryColumn(fc), Binary.fromString(x)))
         case _ => None
       }
     f match {
@@ -608,20 +730,20 @@ object GraftStorage {
         FilterApi.lt(_, _), FilterApi.lt(_, _))
       case LessThanOrEqual(c, v) => cmp(c, v, FilterApi.ltEq(_, _),
         FilterApi.ltEq(_, _), FilterApi.ltEq(_, _))
-      case IsNull(c) => typeOf(c).collect {
-        case LongType => FilterApi.eq(FilterApi.longColumn(c),
+      case IsNull(c) => resolve(c).collect {
+        case (fc, LongType) => FilterApi.eq(FilterApi.longColumn(fc),
           null.asInstanceOf[java.lang.Long])
-        case IntegerType => FilterApi.eq(FilterApi.intColumn(c),
+        case (fc, IntegerType) => FilterApi.eq(FilterApi.intColumn(fc),
           null.asInstanceOf[java.lang.Integer])
-        case StringType => FilterApi.eq(FilterApi.binaryColumn(c),
+        case (fc, StringType) => FilterApi.eq(FilterApi.binaryColumn(fc),
           null.asInstanceOf[Binary])
       }
-      case IsNotNull(c) => typeOf(c).collect {
-        case LongType => FilterApi.notEq(FilterApi.longColumn(c),
+      case IsNotNull(c) => resolve(c).collect {
+        case (fc, LongType) => FilterApi.notEq(FilterApi.longColumn(fc),
           null.asInstanceOf[java.lang.Long])
-        case IntegerType => FilterApi.notEq(FilterApi.intColumn(c),
+        case (fc, IntegerType) => FilterApi.notEq(FilterApi.intColumn(fc),
           null.asInstanceOf[java.lang.Integer])
-        case StringType => FilterApi.notEq(FilterApi.binaryColumn(c),
+        case (fc, StringType) => FilterApi.notEq(FilterApi.binaryColumn(fc),
           null.asInstanceOf[Binary])
       }
       case _ => None
@@ -642,11 +764,20 @@ object GraftStorage {
   final class FileIterator(path: String, fileCols: Vector[String],
       wanted: StructType, totalRows: Long,
       rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
-      pushFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      pushFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      fileColIds: Vector[Int] = Vector.empty)
       extends Iterator[InternalRow] with AutoCloseable {
 
-    // wanted column -> ordinal in the file (-1 = the file predates it)
-    private val ords = wanted.fields.map(f => ordinalByName(fileCols, f.name))
+    // wanted column -> ordinal in the file (-1 = the file predates it,
+    // or the column was dropped and re-added under a new id). Binds by
+    // FIELD ID when both sides carry one — rename-proof; by name for
+    // id-less fields (markers, legacy tables).
+    private val ords = wanted.fields.map { f =>
+      fieldId(f) match {
+        case Some(id) if fileColIds.nonEmpty => fileColIds.indexOf(id)
+        case _ => ordinalByName(fileCols, f.name)
+      }
+    }
     // request the FILE's exact spelling of each column — parquet
     // projection matches names case-sensitively
     private val requested = StructType(wanted.fields.zip(ords).collect {
@@ -664,7 +795,12 @@ object GraftStorage {
             new HPath(path))
           .withConf(new Configuration())
           .withFileRange(rangeStart, rangeEnd)
-        val preds = pushFilters.flatMap(toParquetFilter(wanted, fileCols, _))
+        // schema name -> (file spelling, type) via the id-aware ords
+        val preds = pushFilters.flatMap(toParquetFilter(c => {
+          val wi = ordinalByName(wanted.fieldNames.toIndexedSeq, c)
+          if (wi < 0 || ords(wi) < 0) None
+          else Some((fileCols(ords(wi)), wanted.fields(wi).dataType))
+        }, _))
         (if (preds.isEmpty) b
          else b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
            preds.reduce(org.apache.parquet.filter2.predicate.FilterApi.and))))
@@ -703,23 +839,41 @@ object GraftStorage {
     * the range containing its midpoint (startingPos + compressedSize/2),
     * so contiguous ranges cut at starting positions partition the
     * groups exactly. One footer read on the driver, data untouched. */
-  def splitRanges(path: String, targetBytes: Long): Seq[(Long, Long, Long)] = {
+  def splitRanges(path: String, targetBytes: Long): Seq[(Long, Long, Long)] =
+    rangesFromGroups(readRowGroups(path), targetBytes)
+
+  /** Write/plan threshold for recording row-group offsets in the ref:
+    * files below this can never be worth splitting (the read-time split
+    * target defaults to 128 MB), so their writers skip the footer
+    * re-read entirely. */
+  val GroupRecordMinBytes: Long = 4L * 1024 * 1024
+
+  /** One footer read -> the file's row-group layout. Used at WRITE time
+    * by the task that produced the file (and as the plan-time fallback
+    * for legacy refs that predate recorded offsets). */
+  def readRowGroups(path: String): Vector[GraftRowGroup] = {
     val in = HadoopInputFile.fromPath(new HPath(path), new Configuration())
-    val blocks = {
-      val r = ParquetFileReader.open(in)
-      try r.getRowGroups.asScala.toVector finally r.close()
-    }
-    if (blocks.size <= 1) return Seq((0L, Long.MaxValue, blocks.map(_.getRowCount).sum))
+    val r = ParquetFileReader.open(in)
+    try r.getRowGroups.asScala.toVector.map(b =>
+      GraftRowGroup(b.getStartingPos, b.getRowCount, b.getCompressedSize))
+    finally r.close()
+  }
+
+  /** Pure split plan over a recorded row-group layout — zero I/O. */
+  def rangesFromGroups(blocks: Vector[GraftRowGroup],
+      targetBytes: Long): Seq[(Long, Long, Long)] = {
+    if (blocks.size <= 1)
+      return Seq((0L, Long.MaxValue, blocks.map(_.rows).sum))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var start = 0L // first range starts at 0: covers the leading block
     var rows = 0L
     var bytes = 0L
     blocks.zipWithIndex.foreach { case (b, i) =>
-      rows += b.getRowCount
-      bytes += b.getCompressedSize
+      rows += b.rows
+      bytes += b.bytes
       val last = i == blocks.size - 1
       if (bytes >= targetBytes || last) {
-        val end = if (last) Long.MaxValue else blocks(i + 1).getStartingPos
+        val end = if (last) Long.MaxValue else blocks(i + 1).start
         out += ((start, end, rows))
         start = end; rows = 0L; bytes = 0L
       }
@@ -756,16 +910,23 @@ object GraftStorage {
       val o = ordinalByName(schema.fieldNames.toIndexedSeq, c)
       if (o < 0) None else Some(schema.fields(o))
     }
-    // a column the file predates (ALTER-added) is all-null in this file
-    def absent(c: String): Boolean =
-      ordinalByName(f.cols, c) < 0
+    // id-aware file binding: a column the file predates (ALTER-added,
+    // or dropped-and-re-added under a new id) is all-null in this
+    // file; a RENAMED column still binds (by id) to its write-time
+    // name, under which its stats are keyed
+    def fileOrd(c: String): Int =
+      field(c).map(refOrdinal(f, _)).getOrElse(-1)
+    def statsOf(c: String): Option[GraftColStats] = {
+      val o = fileOrd(c)
+      if (o < 0) None else f.stats.get(f.cols(o))
+    }
 
     def cmp(c: String, v: Any)(test: (Int, Int) => Boolean): Boolean =
       field(c) match {
         case None => true
         case Some(fld) =>
-          if (absent(c)) false // all null -> comparison never satisfied
-          else f.stats.get(c) match {
+          if (fileOrd(c) < 0) false // all null -> comparison never satisfied
+          else statsOf(c) match {
             case Some(st) if st.min.isDefined && st.max.isDefined =>
               try {
                 val dt = fld.dataType
@@ -801,10 +962,10 @@ object GraftStorage {
       case LessThan(c, v) => cmp(c, v)((lo, _) => lo < 0)
       case LessThanOrEqual(c, v) => cmp(c, v)((lo, _) => lo <= 0)
       case IsNull(c) =>
-        field(c).isEmpty || absent(c) || f.stats.get(c).forall(_.nulls > 0)
+        field(c).isEmpty || fileOrd(c) < 0 || statsOf(c).forall(_.nulls > 0)
       case IsNotNull(c) =>
         field(c).isEmpty ||
-          (!absent(c) && f.stats.get(c).forall(_.nulls < f.rows))
+          (fileOrd(c) >= 0 && statsOf(c).forall(_.nulls < f.rows))
       case And(l, r) => mayMatch(schema, f, l) && mayMatch(schema, f, r)
       case Or(l, r) => mayMatch(schema, f, l) || mayMatch(schema, f, r)
       case _ => true
@@ -819,11 +980,18 @@ object GraftStorage {
     "bytes" -> JLong(r.bytes),
     "fence" -> JInt(r.fence),
     "cols" -> JArray(r.cols.map(JString(_)).toList),
+    // row-group offsets, compact triple form; omitted when empty
+    "groups" -> JArray(r.groups.map(g =>
+      JArray(List(JLong(g.start), JLong(g.rows), JLong(g.bytes)))
+        : JValue).toList),
+    // per-column field ids, parallel to cols (-1 = id-less marker)
+    "colIds" -> JArray(r.colIds.map(JInt(_): JValue).toList),
     "stats" -> JObject(r.stats.toList.map { case (c, st) =>
       c -> JObject(
         "min" -> st.min.map(JString(_)).getOrElse(JNull),
         "max" -> st.max.map(JString(_)).getOrElse(JNull),
-        "nulls" -> JLong(st.nulls))
+        "nulls" -> JLong(st.nulls),
+        "ndv" -> JLong(st.ndv))
     }))
 
   private def fileRefFromJson(j: JValue): GraftFileRef = {
@@ -836,9 +1004,18 @@ object GraftStorage {
       o("stats").asInstanceOf[JObject].obj.map { case (c, sv) =>
         val so = sv.asInstanceOf[JObject].obj.toMap
         c -> GraftColStats(optStr(so("min")), optStr(so("max")),
-          num(so("nulls")))
+          num(so("nulls")),
+          so.get("ndv").map(num).getOrElse(-1L)) // -1 = legacy/unknown
       }.toMap,
-      o.get("fence").map(num(_).toInt).getOrElse(-1))
+      o.get("fence").map(num(_).toInt).getOrElse(-1),
+      // absent in pre-offset logs: planning falls back to the footer
+      o.get("groups").collect { case JArray(a) => a.map { gv =>
+        val t = gv.asInstanceOf[JArray].arr
+        GraftRowGroup(num(t(0)), num(t(1)), num(t(2)))
+      }.toVector }.getOrElse(Vector.empty),
+      // absent in pre-field-id logs: name binding
+      o.get("colIds").collect { case JArray(a) =>
+        a.map(num(_).toInt).toVector }.getOrElse(Vector.empty))
   }
 
   private def num(j: JValue): Long = j match {
@@ -867,7 +1044,14 @@ object GraftStorage {
       "changeLog" -> JArray(st.changeLog.map(fileRefToJson).toList),
       "changeBase" -> JInt(st.changeBase),
       "epochHW" -> JObject(st.epochHW.toList.map { case (q, e) =>
-        q -> (JLong(e): JValue) }))
+        q -> (JLong(e): JValue) }),
+      // field-id high-water mark — NEVER reused (a dropped column's id
+      // recycled onto a new column would resurrect the old data)
+      "nextFieldId" -> JInt(st.nextFieldId),
+      // named snapshot pins (write-audit-publish): tag -> version;
+      // tagged snapshots are exempt from retention trimming
+      "tags" -> JObject(st.tags.toList.map { case (n, v) =>
+        n -> (JInt(v): JValue) }))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -895,7 +1079,12 @@ object GraftStorage {
         .map(fileRefFromJson).toVector).getOrElse(Vector.empty),
       o.get("changeBase").map(num(_).toInt).getOrElse(0),
       o("epochHW").asInstanceOf[JObject].obj.map { case (q, e) =>
-        q -> num(e) }.toMap)
+        q -> num(e) }.toMap,
+      // 0 = table predates field ids (DROP/RENAME reject loudly)
+      o.get("nextFieldId").map(num(_).toInt).getOrElse(0),
+      o.get("tags").collect { case tj: JObject =>
+        tj.obj.map { case (n, v) => n -> num(v).toInt }.toMap
+      }.getOrElse(Map.empty))
   }
 
   // ---- versioned log with compare-and-swap commit ----------------------
@@ -963,15 +1152,24 @@ object GraftStorage {
 
   /** Read the newest committed state: the highest versioned log, falling
     * back to the legacy single-file `_graft_log.json` for pre-CAS
-    * tables. */
+    * tables. Same re-list-and-retry discipline as refreshFromDisk
+    * (ADVICE r11): between the listing and the read a fast concurrent
+    * writer can commit 5+ versions and prune the chosen one — a cold
+    * load must retry with the newer listing, not fail with
+    * NoSuchFileException. */
   def readLog(dir: NioPath): Option[GraftTableState] = {
-    val v = latestLogVersion(dir)
-    if (v >= 0) Some(readLogVersion(dir, v))
-    else {
-      val f = dir.resolve("_graft_log.json")
-      if (!Files.exists(f)) None
-      else Some(stateFromJson(new String(Files.readAllBytes(f), "UTF-8")))
+    while (true) {
+      val v = latestLogVersion(dir)
+      if (v >= 0) {
+        try return Some(readLogVersion(dir, v))
+        catch { case _: java.nio.file.NoSuchFileException => () } // pruned: re-list
+      } else {
+        val f = dir.resolve("_graft_log.json")
+        return if (!Files.exists(f)) None
+        else Some(stateFromJson(new String(Files.readAllBytes(f), "UTF-8")))
+      }
     }
+    None // unreachable
   }
 
   def readLogVersion(dir: NioPath, v: Int): GraftTableState =
@@ -990,13 +1188,27 @@ object GraftStorage {
   * (review find; -1 = unfenced legacy ref, applies everywhere). */
 final case class GraftFileRef(path: String, rows: Long, bytes: Long,
     cols: Vector[String], stats: Map[String, GraftColStats],
-    fence: Int = -1)
+    fence: Int = -1, groups: Vector[GraftRowGroup] = Vector.empty,
+    colIds: Vector[Int] = Vector.empty)
+
+/** One parquet row group of a committed file, recorded at WRITE time
+  * (VERDICT r11 item 2) so scan planning computes split ranges from
+  * metadata alone — no plan-time footer reads on the driver. `start`
+  * is the group's starting byte position (parquet's split-assignment
+  * axis), `bytes` its compressed size. Empty `groups` on a ref means
+  * it predates recording (legacy) or the file was too small to ever
+  * split; planning falls back accordingly. */
+final case class GraftRowGroup(start: Long, rows: Long, bytes: Long)
 
 /** Per-column file statistics. min/max are exact string encodings
   * (typed by the table schema); None = column entirely null (or stats
-  * poisoned by NaN, in which case nulls alone stays meaningful). */
+  * poisoned by NaN, in which case nulls alone stays meaningful).
+  * `ndv` is the file's EXACT distinct-value count up to the collector
+  * cap, -1 beyond it (and on legacy refs) — summed across files it is
+  * a documented UPPER bound on table NDV, the conservative direction
+  * for CBO join-cardinality estimates (VERDICT r11 item 9). */
 final case class GraftColStats(min: Option[String], max: Option[String],
-    nulls: Long)
+    nulls: Long, ndv: Long = -1L)
 
 /** One table version: the files (and, for MOR, the live delta files —
   * plain [[GraftFileRef]]s over the delta schema, whose `__id` stats
@@ -1038,7 +1250,9 @@ final case class GraftTableState(schemaJson: String,
     appendBase: Int,
     changeLog: Vector[GraftFileRef],
     changeBase: Int,
-    epochHW: Map[String, Long]) {
+    epochHW: Map[String, Long],
+    nextFieldId: Int = 0,
+    tags: Map[String, Int] = Map.empty) {
   def current: Option[GraftSnapshot] = snapshots.lastOption
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]

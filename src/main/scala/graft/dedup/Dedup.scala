@@ -35,14 +35,17 @@ object Dedup {
     * from many sibling expressions (Catalyst's project-collapse would
     * inline and re-evaluate the whole tokenize+shingle pipeline per
     * reference; at 60 references that 60×'d the scan cost). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr(tokensExpr))
       // equivalent to size(g) > 0, but the predicate the optimizer pushes
       // to the scan then inlines ONE tokenize, not the full trigram build
       .filter(size(col("toks")) >= 3)
       .withColumn("g", expr(trigramsExpr))
       .select("doc_id", "g")
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingledOf(Tables(s, d, "documents"))
 
   /** One row per (doc, shingle-hash): the signature computations below are
     * plain codegen'd aggregates over this — each hash computed exactly
@@ -51,11 +54,14 @@ object Dedup {
     * non-empty filter whose pushed-down condition inlines the whole
     * shingle pipeline below the repartition — the single scan task then
     * re-tokenizes every row several times (measured 30s/query at sf0.1). */
-  private def exploded(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
+  private def explodedOf(docs: DataFrame): DataFrame =
+    shingledOf(docs)
       .select(col("doc_id"), explode_outer(col("g")).as("sh"))
       .filter(col("sh").isNotNull)
       .withColumn("h", expr(sparkMd5Long("sh")))
+
+  private def exploded(s: SparkSession, d: String): DataFrame =
+    explodedOf(Tables(s, d, "documents"))
 
   private val duckShingled =
     s"""t AS (SELECT doc_id, $duckTokens toks FROM documents),
@@ -67,13 +73,16 @@ object Dedup {
 
   /** MinHash signature: k=16 permutations min((h%P)*a_i + b_i mod P) as 16
     * min-aggregates -> assembled into an array column. */
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
-    exploded(s, d).groupBy("doc_id")
+  private def minhashSigOf(docs: DataFrame): DataFrame =
+    explodedOf(docs).groupBy("doc_id")
       .agg(min(expr(s"((h % $P) * ${A(0)} + ${B(0)}) % $P")).as("m_0"),
         (1 until K).map(i =>
           min(expr(s"((h % $P) * ${A(i)} + ${B(i)}) % $P")).as(s"m_$i")): _*)
       .select(col("doc_id"),
         array((0 until K).map(i => col(s"m_$i")): _*).as("sig"))
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(Tables(s, d, "documents"))
   private val duckSig =
     s"""sig AS (SELECT doc_id,
        |  ${(0 until K).map(i => s"MIN(((h % $P) * ${A(i)} + ${B(i)}) % $P)").mkString("[", ", ", "]")} sig
@@ -195,6 +204,57 @@ object Dedup {
        |dup_pairs AS (SELECT doc_a, doc_b,
        |                     CAST(inter AS DOUBLE) / uni AS jaccard
        |              FROM j WHERE inter * 10000000 >= uni * 7999995)""".stripMargin
+
+  /** q216's curation core — q99's incremental new-batch-vs-corpus
+    * near-dup detection over an ARBITRARY documents frame (the managed
+    * catalog scan), reduced to the set of batch docs to remove: every
+    * new doc (doc_id % 10 = 0) with a verified >= 0.8-Jaccard partner
+    * in the pre-existing corpus. Same band-broadcast / exact-verify
+    * plan shape as q99; the frame parameter is what lets the SAME
+    * pipeline run against `graft_cat.default.<table>` instead of the
+    * raw parquet. */
+  private[graft] def incrementalNearDupLosers(docs: DataFrame): DataFrame = {
+    val sig = minhashSigOf(docs)
+    val bands = sig.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 3), j -> struct(j AS band, array_join(transform(slice(sig, j*4+1, 4), x -> CAST(x AS STRING)), ',') AS key))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val newBands = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_doc"), col("band"), col("key"))
+    val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("key"))
+    val cand = corpusBands.join(broadcast(newBands), Seq("band", "key"))
+      .select("new_doc", "corpus_doc").distinct()
+    val g = shingledOf(docs).select(col("doc_id"), col("g"))
+    cand
+      .join(g.as("ga"), col("new_doc") === col("ga.doc_id"))
+      .join(g.as("gb"), col("corpus_doc") === col("gb.doc_id"))
+      .withColumn("inter",
+        expr("CAST(size(array_intersect(ga.g, gb.g)) AS BIGINT)"))
+      .withColumn("uni",
+        expr("CAST(size(array_union(ga.g, gb.g)) AS BIGINT)"))
+      .filter(col("inter") * 10000000L >= col("uni") * 7999995L)
+      .select(col("new_doc").as("doc_id")).distinct()
+  }
+
+  /** The same loser set as DuckDB CTEs over raw `documents` (terminal
+    * CTE: `losers`) — q216 shares q99's oracle family. */
+  private[graft] val duckIncrementalLosers: String =
+    s"""$duckShingled,
+       |$duckSig,
+       |bands AS (SELECT doc_id, j AS band,
+       |                 array_to_string(sig[j*4+1 : j*4+4], ',') AS key
+       |          FROM sig, generate_series(0, 3) AS t2(j)),
+       |cand AS (SELECT DISTINCT n.doc_id new_doc, c.doc_id corpus_doc
+       |         FROM bands n JOIN bands c
+       |           ON n.band = c.band AND n.key = c.key
+       |        WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+       |jj AS (SELECT new_doc,
+       |              CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) inter,
+       |              CAST(len(list_distinct(ga.g || gb.g)) AS BIGINT) uni
+       |       FROM cand JOIN sh ga ON new_doc = ga.doc_id
+       |                 JOIN sh gb ON corpus_doc = gb.doc_id),
+       |losers AS (SELECT DISTINCT new_doc AS doc_id FROM jj
+       |           WHERE inter * 10000000 >= uni * 7999995)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -386,4 +386,68 @@ class PlanShapeSpec extends SparkSpec {
       s"q101 tokenizes ${tokenizeCalls(q101)}x:\n" +
         q101.queryExecution.optimizedPlan.toString)
   }
+
+  test("storage-partitioned join: two co-partitioned catalog tables " +
+      "join AND aggregate with zero Exchange (VERDICT r11 item 1)") {
+    // the single biggest remaining scale lever: a 100-TB fact-to-fact
+    // join between tables clustered on the same key must NOT pay a
+    // full-corpus shuffle — the scans report KeyGroupedPartitioning
+    // and Spark's SPJ planner aligns same-key file groups directly
+    spark.conf.set("spark.sql.catalog.gstore",
+      classOf[graft.catalog.GraftCatalog].getName)
+    def sql(q: String) = spark.sql(q)
+    sql("DROP TABLE IF EXISTS gstore.default.spj_a")
+    sql("DROP TABLE IF EXISTS gstore.default.spj_b")
+    sql("CREATE TABLE gstore.default.spj_a (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    sql("CREATE TABLE gstore.default.spj_b (k BIGINT, w BIGINT) PARTITIONED BY (k)")
+    sql("INSERT INTO gstore.default.spj_a SELECT id % 5, id FROM range(100)")
+    sql("INSERT INTO gstore.default.spj_b SELECT id % 5, id * 10 FROM range(40)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = sql(
+        """SELECT a.k, count(*) AS pairs, sum(a.v + b.w) AS s
+           FROM gstore.default.spj_a a
+           JOIN gstore.default.spj_b b ON a.k = b.k
+           GROUP BY a.k""")
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"),
+        s"co-partitioned join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join riding the storage partitioning:\n$plan")
+      // correctness: per key, 20 a-rows x 8 b-rows = 160 pairs
+      assert(rows.length == 5 && rows.forall(_.getLong(1) == 160L),
+        s"SPJ result wrong: ${rows.mkString(", ")}")
+      // exact sums per key: sum over (v,w) pairs of v+w
+      val expect = (0L until 5L).map { k =>
+        val vs = (0L until 100L).filter(_ % 5 == k)
+        val ws = (0L until 40L).filter(_ % 5 == k).map(_ * 10)
+        k -> (vs.sum * ws.size + ws.sum * vs.size)
+      }.toMap
+      rows.foreach(r => assert(r.getLong(2) == expect(r.getLong(0)),
+        s"sum mismatch at k=${r.getLong(0)}"))
+      // and with the switch OFF the same query falls back to per-file
+      // partitions + ordinary exchanges — the report never lies about
+      // a layout the planner isn't honoring
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = sql(
+        """SELECT a.k, count(*) AS pairs
+           FROM gstore.default.spj_a a
+           JOIN gstore.default.spj_b b ON a.k = b.k GROUP BY a.k""")
+      assert(off.collect().forall(_.getLong(1) == 160L))
+      assert(off.queryExecution.executedPlan.toString.contains("Exchange"),
+        "conf-off path unexpectedly claimed key-grouped layout")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    sql("DROP TABLE gstore.default.spj_a")
+    sql("DROP TABLE gstore.default.spj_b")
+  }
 }
