@@ -1288,7 +1288,68 @@ object CatalogQueries {
         SELECT 'published_reader', COUNT(*) + 5,
                CAST(SUM(o_orderkey) + 4500000015 AS BIGINT)
         FROM orders
-        ORDER BY phase"""))
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q218:
+    // BUCKETED STORAGE-PARTITIONED JOIN — the HIGH-CARDINALITY
+    // companion to q212: an orders-to-lineitem join can never
+    // identity-partition on the order key (one partition per key), but
+    // both tables CAN be written into the same 16 hash buckets
+    // (`graft.bucket_by`, clustered through the catalog-resolved
+    // bucket(n, col) function), and the two scans then report
+    // provably-identical KeyGroupedPartitioning layouts — the join
+    // runs with ZERO Exchange on either side (spec-pinned, with
+    // single-bucket point-lookup pruning). At 100 TB this is THE
+    // production fact-to-fact shape: the join shuffle, the dominant
+    // cost, is paid once at write time and amortized over every join.
+    QueryDef(
+      "q218_bucketed_join",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_bkt")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.lineitem_bkt")
+        s.sql("""CREATE TABLE graft_cat.default.orders_bkt
+                 (o_orderkey BIGINT, o_orderpriority STRING)
+                 TBLPROPERTIES ('graft.bucket_by'='o_orderkey,16')""")
+        s.sql("""CREATE TABLE graft_cat.default.lineitem_bkt
+                 (l_orderkey BIGINT, l_linenumber INT)
+                 TBLPROPERTIES ('graft.bucket_by'='l_orderkey,16')""")
+        Tables(s, d, "orders").createOrReplaceTempView("q218_orders")
+        Tables(s, d, "lineitem").createOrReplaceTempView("q218_lineitem")
+        s.sql("""INSERT INTO graft_cat.default.orders_bkt
+                 SELECT o_orderkey, o_orderpriority FROM q218_orders""")
+        s.sql("""INSERT INTO graft_cat.default.lineitem_bkt
+                 SELECT l_orderkey, l_linenumber FROM q218_lineitem""")
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          // documented prerequisite for transform-partitioned SPJ: the
+          // bucket expression matches the join key via its leaves
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try
+          s.sql("""SELECT o.o_orderpriority AS priority,
+                          count(*) AS n_lines,
+                          CAST(sum(l.l_linenumber) AS BIGINT) AS line_sum
+                   FROM graft_cat.default.orders_bkt o
+                   JOIN graft_cat.default.lineitem_bkt l
+                     ON o.o_orderkey = l.l_orderkey
+                   GROUP BY o.o_orderpriority
+                   ORDER BY priority""").localCheckpoint()
+        finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""
+        SELECT o.o_orderpriority AS priority, COUNT(*) AS n_lines,
+               CAST(SUM(l.l_linenumber) AS BIGINT) AS line_sum
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY priority"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

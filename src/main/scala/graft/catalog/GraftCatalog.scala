@@ -114,12 +114,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val st = GraftStorage.readLog(dir).getOrElse(
             throw new IllegalStateException(
               s"table ${ident} registered but log missing at ${e.dir}"))
+          val eBucket = e.bucketBy match {
+            case c :: n :: Nil => Some((c, n.toInt))
+            case _ => None
+          }
           val t =
             if (e.mode == "mor")
               new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
-                e.parts, e.appendRetain, e.sortBy, e.zorderBy)
+                e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket)
             else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
-              e.appendRetain, e.sortBy, e.zorderBy)
+              e.appendRetain, e.sortBy, e.zorderBy, eBucket)
           val prev = GraftCatalog.tables.putIfAbsent(regKey(ident), t)
           if (prev != null) prev else t
       })
@@ -245,6 +249,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft.zorder_by needs at least 2 columns (use graft.sort_by for 1)")
     require(zorderCols.isEmpty || sortCols.isEmpty,
       "graft.zorder_by and graft.sort_by are mutually exclusive")
+    // graft.bucket_by = '<col>,<n>': hash-bucket clustering for
+    // HIGH-CARDINALITY join keys — identity PARTITIONED BY would make
+    // one file per key. Two tables bucketed (col, n) storage-partition-
+    // join with zero shuffle ([[GraftBucket]]); equality predicates on
+    // the key prune to 1/n of the files. Orthogonal layout axes are
+    // kept mutually exclusive with identity partitioning (one physical
+    // clustering per table).
+    val bucketSpec: Option[(String, Int)] = {
+      val raw = properties.getOrDefault("graft.bucket_by", "").trim
+      if (raw.isEmpty) None
+      else {
+        val parts = raw.split(',').map(_.trim)
+        require(parts.length == 2 && parts(1).toIntOption.exists(_ >= 2),
+          s"graft.bucket_by must be '<col>,<numBuckets>=2+', got '$raw'")
+        val o = GraftStorage.ordinalByName(schema.fieldNames.toIndexedSeq,
+          parts(0))
+        require(o >= 0,
+          s"graft.bucket_by column ${parts(0)} not in ${schema.catalogString}")
+        require(GraftBucket.supported(schema.fields(o).dataType),
+          s"graft.bucket_by column ${parts(0)} must be an integral/" +
+            s"string/date/timestamp/decimal type, got " +
+            schema.fields(o).dataType.catalogString)
+        require(partCols.isEmpty,
+          "graft.bucket_by and PARTITIONED BY are mutually exclusive")
+        Some((schema.fieldNames(o), parts(1).toInt))
+      }
+    }
     GraftCatalog.withIndex(warehouse) { idx =>
       if (idx.contains(idxKey(ident)) ||
           GraftCatalog.tables.containsKey(regKey(ident)))
@@ -267,20 +298,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val st = GraftTableState(stamped.json, Vector.empty, 0,
             Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
           (new GraftDeltaTable(idxKey(ident), dir, st, retain, idCol,
-            partCols, appendRetain, sortCols, zorderCols), idCol)
+            partCols, appendRetain, sortCols, zorderCols, bucketSpec),
+            idCol)
         } else {
           val (stamped, nextId) = GraftStorage.stampFieldIds(schema)
           val st = GraftTableState(stamped.json, Vector.empty, 0,
             Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
           (new GraftTable(idxKey(ident), dir, st, retain, partCols,
-            appendRetain, sortCols, zorderCols), "")
+            appendRetain, sortCols, zorderCols, bucketSpec), "")
         }
       require(GraftStorage.casWriteLog(dir, t.stateNow, 0),
         s"table directory $dir already holds a log — concurrent CREATE?")
       GraftCatalog.tables.put(regKey(ident), t)
       (idx + (idxKey(ident) -> GraftCatalog.IndexEntry(
         dir.toString, mode, rowId, retain, partCols, appendRetain,
-        sortCols, zorderCols)), t)
+        sortCols, zorderCols,
+        bucketSpec.map(b => List(b._1, b._2.toString)).getOrElse(Nil))),
+        t)
     }
   }
 
@@ -349,11 +383,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("zorder")) GraftZOrder
+    else if (ident.name().equalsIgnoreCase("bucket")) GraftBucket
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespaceExists(namespace))
-      Array(Identifier.of(namespace, "zorder"))
+      Array(Identifier.of(namespace, "zorder"),
+        Identifier.of(namespace, "bucket"))
     else throw new NoSuchNamespaceException(namespace)
 
   // -- ProcedureCatalog: CALL graft_cat.system.<proc>('ns.table') --------
@@ -396,7 +432,7 @@ object GraftCatalog {
   private[catalog] final case class IndexEntry(dir: String, mode: String,
       rowId: String, retain: Int, parts: List[String] = Nil,
       appendRetain: Int = 65536, sortBy: List[String] = Nil,
-      zorderBy: List[String] = Nil)
+      zorderBy: List[String] = Nil, bucketBy: List[String] = Nil)
 
   private val indexLock = new Object
 
@@ -429,6 +465,8 @@ object GraftCatalog {
               e.get("sortBy").collect { case JArray(a) =>
                 a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
               e.get("zorderBy").collect { case JArray(a) =>
+                a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
+              e.get("bucketBy").collect { case JArray(a) =>
                 a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil))
           }
         } else Map.empty
@@ -442,7 +480,8 @@ object GraftCatalog {
             "parts" -> JArray(e.parts.map(JString(_): JValue)),
             "appendRetain" -> JInt(e.appendRetain),
             "sortBy" -> JArray(e.sortBy.map(JString(_): JValue)),
-            "zorderBy" -> JArray(e.zorderBy.map(JString(_): JValue))): JValue)
+            "zorderBy" -> JArray(e.zorderBy.map(JString(_): JValue)),
+            "bucketBy" -> JArray(e.bucketBy.map(JString(_): JValue))): JValue)
         })
         val tmp = wh.resolve("_tables.json.tmp")
         Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
@@ -477,7 +516,8 @@ object GraftTable {
 class GraftTable(ident: String, val dir: NioPath,
     initState: GraftTableState, retain: Int,
     partCols: Seq[String] = Nil, appendRetain: Int = 65536,
-    sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil)
+    sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil,
+    bucketBy: Option[(String, Int)] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2
     with SupportsMetadataColumns {
@@ -528,6 +568,8 @@ class GraftTable(ident: String, val dir: NioPath,
     if (sortCols.nonEmpty) m.put("graft.sort_by", sortCols.mkString(","))
     if (zorderCols.nonEmpty)
       m.put("graft.zorder_by", zorderCols.mkString(","))
+    bucketBy.foreach { case (c, n) =>
+      m.put("graft.bucket_by", s"$c,$n") }
     val st = state
     m.put("graft.current_version",
       st.current.map(_.version).getOrElse(-1).toString)
@@ -553,6 +595,7 @@ class GraftTable(ident: String, val dir: NioPath,
   private[catalog] def partitionCols: Seq[String] = partCols
   private[catalog] def sortColumns: Seq[String] = sortCols
   private[catalog] def zorderColumns: Seq[String] = zorderCols
+  private[catalog] def bucketSpec: Option[(String, Int)] = bucketBy
 
   /** Partition-column ordinals in the table schema (resolved fresh:
     * ALTER can append columns behind them). */
@@ -830,7 +873,7 @@ class GraftTable(ident: String, val dir: NioPath,
     * need a rewrite, not a metadata commit); the MOR subclass adds the
     * row-id column. */
   protected def evolutionProtected: Seq[String] =
-    partCols ++ sortCols ++ zorderCols
+    partCols ++ sortCols ++ zorderCols ++ bucketBy.map(_._1).toSeq
 
   /** Reserved names a RENAME target must avoid; MOR adds its markers. */
   protected def evolutionReservedNames: Seq[String] = Seq("_file")
@@ -1007,7 +1050,8 @@ class GraftTable(ident: String, val dir: NioPath,
     refreshFromDisk() // observe foreign-process commits at plan time
     val s = state
     new GraftScanBuilder(s.schema,
-      s.current.map(_.files).getOrElse(Vector.empty), Some(this), partCols)
+      s.current.map(_.files).getOrElse(Vector.empty), Some(this), partCols,
+      bucketBy)
   }
 
   // ---- plain write path (INSERT INTO / INSERT OVERWRITE) ---------------
@@ -1196,7 +1240,8 @@ class GraftSnapshotTable(ident: String, tableSchema: StructType,
   * [[GraftStorage.mayMatch]] is conservative, so an unevaluatable
   * filter can still prune a file whose stats exclude it. */
 class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
-    streamTable: Option[GraftTable], partCols: Seq[String] = Nil)
+    streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
+    bucketSpec: Option[(String, Int)] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -1218,11 +1263,36 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
 
+  /** Bucket pruning: an equality predicate on the bucket column keeps
+    * only the ONE bucket the literal hashes to — a point lookup on a
+    * bucketed 100-TB table opens 1/n of the files before any stats are
+    * consulted. Sound: every row of a bucketed file hashes to the
+    * file's recorded bucket, so a file in a different bucket cannot
+    * contain the value (unbucketed legacy refs, bucket -1, never
+    * prune). Null literals stay conservative. */
+  private def bucketSurvives(f: GraftFileRef): Boolean =
+    bucketSpec match {
+      case Some((c, n)) if f.bucket >= 0 =>
+        val o = GraftStorage.ordinalByName(
+          tableSchema.fieldNames.toIndexedSeq, c)
+        val dt = tableSchema.fields(o).dataType
+        all.forall {
+          case org.apache.spark.sql.sources.EqualTo(col, v)
+              if col == c && v != null =>
+            try GraftBucket.bucketId(dt, v, n) == f.bucket
+            catch { case _: Exception => true }
+          case _ => true
+        }
+      case _ => true
+    }
+
   override def build(): Scan = {
     val surviving = files.filter(f =>
-      all.forall(GraftStorage.mayMatch(tableSchema, f, _)))
+      bucketSurvives(f) &&
+        all.forall(GraftStorage.mayMatch(tableSchema, f, _)))
     new GraftScan(tableSchema, required, accepted, surviving,
-      skipped = files.size - surviving.size, streamTable, partCols)
+      skipped = files.size - surviving.size, streamTable, partCols,
+      bucketSpec)
   }
 }
 
@@ -1511,7 +1581,8 @@ object GraftFilterEval {
 class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     rowFilters: Array[org.apache.spark.sql.sources.Filter],
     files: Vector[GraftFileRef], skipped: Int,
-    streamTable: Option[GraftTable], partCols: Seq[String] = Nil)
+    streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
+    bucketSpec: Option[(String, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -1531,13 +1602,25 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     * for an embarrassingly parallel scan. Any unpinnable file (null
     * partition values, pre-stats refs) falls back to per-file
     * partitions: correctness never depends on the report. */
-  private lazy val spjKeyed: Option[Vector[(GraftFileRef, Array[Any])]] = {
+  private lazy val spjKeyed: Option[(Vector[(GraftFileRef, Array[Any])],
+      Array[org.apache.spark.sql.connector.expressions.Expression])] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
     val enabled =
       try org.apache.spark.sql.SparkSession.active.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
       catch { case _: Exception => false }
-    if (partCols.isEmpty || files.isEmpty || !enabled) None
-    else {
+    if (files.isEmpty || !enabled) None
+    else if (bucketSpec.isDefined) {
+      // hash-bucket layout: every file carries its recorded bucket id;
+      // the clustering expression is the catalog-resolved bucket(n, c)
+      // transform, so two graft tables bucketed (c, n) report provably
+      // identical layouts and join with zero shuffle
+      val (c, n) = bucketSpec.get
+      if (files.forall(_.bucket >= 0))
+        Some((files.map(f => (f, Array[Any](f.bucket))),
+          Array(Expressions.bucket(n, c): Expression)))
+      else None // legacy unbucketed refs present: report nothing
+    } else if (partCols.nonEmpty) {
       val names = tableSchema.fieldNames.toIndexedSeq
       val ords = partCols.map(GraftStorage.ordinalByName(names, _))
       if (ords.exists(_ < 0)) None
@@ -1559,20 +1642,19 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
           }
           if (ok) out += ((f, vals))
         }
-        if (ok) Some(out.result()) else None
+        if (ok) Some((out.result(),
+          partCols.map(c => Expressions.identity(c): Expression).toArray))
+        else None
       }
-    }
+    } else None
   }
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjKeyed match {
-      case Some(keyed) =>
+      case Some((keyed, exprs)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          partCols.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c):
-              org.apache.spark.sql.connector.expressions.Expression).toArray,
-          keyed.map(_._2.toSeq).distinct.size)
+          exprs, keyed.map(_._2.toSeq).distinct.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           files.size)
@@ -1677,7 +1759,7 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
   // work. Non-SPJ scans keep the straggler-taming splits.
   override def planInputPartitions(): Array[InputPartition] =
     spjKeyed match {
-      case Some(keyed) => keyed.map { case (f, vals) =>
+      case Some((keyed, _)) => keyed.map { case (f, vals) =>
         GraftKeyedFilePartition(f.path, f.cols, f.rows, vals,
           f.colIds): InputPartition
       }.toArray
@@ -1963,6 +2045,15 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
     * difference between a key-range scan touching 1/N of the files
     * and touching all of them. Plain unpartitioned unsorted writes
     * stay shuffle-free. */
+  /** (bucket ordinal in the TABLE schema, numBuckets) for the writer
+    * factories; (-1, 0) when unbucketed. */
+  private def bucketArgs: (Int, Int) = table.bucketSpec match {
+    case Some((c, n)) =>
+      (GraftStorage.ordinalByName(
+        table.schema().fieldNames.toIndexedSeq, c), n)
+    case None => (-1, 0)
+  }
+
   private trait GraftDistribution extends RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
     // graft.zorder_by: order by the Morton interleave of the clustered
@@ -1986,9 +2077,18 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
           table.partitionCols.map(c =>
             Expressions.column(c):
               org.apache.spark.sql.connector.expressions.Expression).toArray)
-      else
-        org.apache.spark.sql.connector.distributions.Distributions.ordered(
-          sortOrders)
+      else table.bucketSpec match {
+        // cluster by the catalog-resolved bucket(n, col) transform so
+        // each write task owns whole buckets — one file per bucket per
+        // write, the layout SPJ groups on
+        case Some((c, n)) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.bucket(n, c):
+              org.apache.spark.sql.connector.expressions.Expression))
+        case None =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .ordered(sortOrders)
+      }
     override def requiredOrdering(): Array[SortOrder] =
       if (table.sortColumns.nonEmpty || table.zorderColumns.nonEmpty)
         sortOrders
@@ -1998,7 +2098,7 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
 
   override def build(): Write =
     if (table.partitionCols.isEmpty && table.sortColumns.isEmpty &&
-        table.zorderColumns.isEmpty) buildWrite
+        table.zorderColumns.isEmpty && table.bucketSpec.isEmpty) buildWrite
   else new Write with GraftDistribution {
     private val inner = buildWrite
     override def toBatch: BatchWrite = inner.toBatch
@@ -2011,7 +2111,7 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new GraftWriterFactory(table.dataDir, incoming, table.schema(),
-          table.partOrdinals)
+          table.partOrdinals, bucketArgs._1, bucketArgs._2)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val refs = collectRefs(messages)
         mode match {
@@ -2037,7 +2137,7 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
             info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
           new GraftStreamingWriterFactory(
             new GraftWriterFactory(table.dataDir, incoming, table.schema(),
-              table.partOrdinals))
+              table.partOrdinals, bucketArgs._1, bucketArgs._2))
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit =
           table.commitStreamEpoch(queryId, epochId, collectRefs(messages),
@@ -2084,7 +2184,8 @@ class GraftStreamingWriterFactory(inner: GraftWriterFactory)
   * that changes the contract fails loudly instead of corrupting
   * storage. */
 class GraftWriterFactory(dataDir: String, incoming: StructType,
-    target: StructType, partOrds: Array[Int] = Array.empty)
+    target: StructType, partOrds: Array[Int] = Array.empty,
+    bucketOrd: Int = -1, bucketN: Int = 0)
     extends DataWriterFactory {
   // resolved on the DRIVER (factories serialize to executors, where no
   // session exists): files at least this big record their row-group
@@ -2129,7 +2230,14 @@ class GraftWriterFactory(dataDir: String, incoming: StructType,
       }
 
       private def partKey(r: InternalRow): List[Any] =
-        partOrds.toList.map { o =>
+        if (bucketOrd >= 0) {
+          // hash-bucket clustering: every file holds exactly ONE bucket,
+          // recorded on its commit ref for SPJ grouping + bucket pruning
+          val dt = target.fields(bucketOrd).dataType
+          val v = if (r.isNullAt(bucketOrd)) null
+            else r.get(bucketOrd, dt)
+          List(GraftBucket.bucketId(dt, v, bucketN))
+        } else partOrds.toList.map { o =>
           if (r.isNullAt(o)) null
           else r.get(o, target.fields(o).dataType) match {
             case s: org.apache.spark.unsafe.types.UTF8String => s.toString
@@ -2147,7 +2255,11 @@ class GraftWriterFactory(dataDir: String, incoming: StructType,
         out.write(projected)
       }
       override def commit(): WriterCommitMessage =
-        GraftFileCommitMsg(outs.values.toSeq.map(_.closeAndRef()))
+        GraftFileCommitMsg(outs.toSeq.map { case (key, w) =>
+          val r = w.closeAndRef()
+          if (bucketOrd >= 0) r.copy(bucket = key.head.asInstanceOf[Int])
+          else r
+        })
       override def abort(): Unit =
         outs.values.foreach(_.closeAndDelete())
       override def close(): Unit = ()

@@ -48,9 +48,10 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftDeltaTable(ident: String, dir: NioPath,
     initState: GraftTableState, retain: Int, rowIdCol: String,
     morPartCols: Seq[String] = Nil, appendRetain: Int = 65536,
-    morSortCols: Seq[String] = Nil, morZorderCols: Seq[String] = Nil)
+    morSortCols: Seq[String] = Nil, morZorderCols: Seq[String] = Nil,
+    morBucketBy: Option[(String, Int)] = None)
     extends GraftTable(ident, dir, initState, retain, morPartCols,
-      appendRetain, morSortCols, morZorderCols) {
+      appendRetain, morSortCols, morZorderCols, morBucketBy) {
 
   // resolved FRESH against the stored schema (DROP COLUMN of an earlier
   // field shifts this ordinal; renaming/dropping the id column itself
@@ -168,8 +169,10 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     val delta = st.current.map(_.deltaFiles).getOrElse(Vector.empty)
     if (delta.isEmpty)
       // a compacted MOR table is SPJ-eligible like any CoW table —
-      // pass the partition columns through for the key-grouped report
-      new GraftScanBuilder(st.schema, files, None, partitionCols)
+      // pass the partition/bucket layout through for the key-grouped
+      // report and bucket pruning
+      new GraftScanBuilder(st.schema, files, None, partitionCols,
+        bucketSpec)
     else {
       val fold = GraftDeltaTable.foldDelta(delta, st.schema, idType)
       new GraftMorScanBuilder(st.schema, files, fold, resolvedIdCol)

@@ -986,6 +986,8 @@ object GraftStorage {
         : JValue).toList),
     // per-column field ids, parallel to cols (-1 = id-less marker)
     "colIds" -> JArray(r.colIds.map(JInt(_): JValue).toList),
+    // hash-bucket id on graft.bucket_by tables (-1 = unbucketed)
+    "bucket" -> JInt(r.bucket),
     "stats" -> JObject(r.stats.toList.map { case (c, st) =>
       c -> JObject(
         "min" -> st.min.map(JString(_)).getOrElse(JNull),
@@ -1015,7 +1017,8 @@ object GraftStorage {
       }.toVector }.getOrElse(Vector.empty),
       // absent in pre-field-id logs: name binding
       o.get("colIds").collect { case JArray(a) =>
-        a.map(num(_).toInt).toVector }.getOrElse(Vector.empty))
+        a.map(num(_).toInt).toVector }.getOrElse(Vector.empty),
+      o.get("bucket").map(num(_).toInt).getOrElse(-1))
   }
 
   private def num(j: JValue): Long = j match {
@@ -1189,7 +1192,7 @@ object GraftStorage {
 final case class GraftFileRef(path: String, rows: Long, bytes: Long,
     cols: Vector[String], stats: Map[String, GraftColStats],
     fence: Int = -1, groups: Vector[GraftRowGroup] = Vector.empty,
-    colIds: Vector[Int] = Vector.empty)
+    colIds: Vector[Int] = Vector.empty, bucket: Int = -1)
 
 /** One parquet row group of a committed file, recorded at WRITE time
   * (VERDICT r11 item 2) so scan planning computes split ranges from

@@ -1462,6 +1462,76 @@ class GraftStorageSpec extends SparkSpec {
       sql(s"DROP TABLE gstore.default.$t")
   }
 
+  test("graft.bucket_by: co-bucketed tables join with zero Exchange on " +
+      "a HIGH-CARDINALITY key; equality lookups prune to one bucket") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.bkt_a")
+    sql("DROP TABLE IF EXISTS gstore.default.bkt_b")
+    sql("""CREATE TABLE gstore.default.bkt_a (k BIGINT, v BIGINT)
+           TBLPROPERTIES ('graft.bucket_by'='k,8')""")
+    sql("""CREATE TABLE gstore.default.bkt_b (k BIGINT, w BIGINT)
+           TBLPROPERTIES ('graft.bucket_by'='k,8')""")
+    sql("INSERT INTO gstore.default.bkt_a SELECT id, id * 2 FROM range(10000)")
+    sql("INSERT INTO gstore.default.bkt_b SELECT id, id * 3 FROM range(10000)")
+    // every file holds exactly ONE bucket, recorded on its ref
+    val refs = tbl("bkt_a").stateNow.current.get.files
+    assert(refs.forall(_.bucket >= 0), "bucket ids not recorded")
+    assert(refs.map(_.bucket).distinct.size == refs.size,
+      s"tasks split buckets across files: ${refs.map(_.bucket)}")
+    // bucket pruning: a point lookup opens ONE bucket's files
+    val point = sql("SELECT v FROM gstore.default.bkt_a WHERE k = 123")
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(246L))
+    val skipped = "\\((\\d+) skipped\\)".r
+      .findFirstMatchIn(point.queryExecution.executedPlan.toString)
+      .map(_.group(1).toInt).getOrElse(-1)
+    assert(skipped == refs.size - 1,
+      s"point lookup skipped $skipped of ${refs.size} files")
+    // SPJ: a fact-to-fact join on the bucketed key — zero Exchange.
+    // requireAllClusterKeysForCoPartition=false is the documented
+    // prerequisite for TRANSFORM-partitioned joins (Iceberg's bucket
+    // join needs the same): the bucket(8, k) expression matches the
+    // join key through its leaves, not syntactically.
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (kk, _) => kk -> spark.conf.getOption(kk) }
+    confs.foreach { case (kk, vv) => spark.conf.set(kk, vv) }
+    try {
+      val df = sql(
+        """SELECT count(*) AS n, sum(a.v + b.w) AS s
+           FROM gstore.default.bkt_a a
+           JOIN gstore.default.bkt_b b ON a.k = b.k""")
+      val row = df.collect().head
+      assert(row.getLong(0) == 10000L, s"join lost rows: ${row.getLong(0)}")
+      assert(row.getLong(1) == (0L until 10000L).map(i => i * 5).sum)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the scalar-aggregate SinglePartition exchange is inherent to a
+      // 1-row result; the JOIN must ride the storage buckets unshuffled
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join riding the buckets:\n$plan")
+    } finally saved.foreach {
+      case (kk, Some(vv)) => spark.conf.set(kk, vv)
+      case (kk, None) => spark.conf.unset(kk)
+    }
+    // guards: bucket_by + PARTITIONED BY rejects; bad spec rejects
+    sql("DROP TABLE IF EXISTS gstore.default.bktbad")
+    assert(intercept[Exception](sql(
+      """CREATE TABLE gstore.default.bktbad (k BIGINT, p BIGINT)
+         PARTITIONED BY (p) TBLPROPERTIES ('graft.bucket_by'='k,8')"""))
+      != null)
+    assert(intercept[Exception](sql(
+      """CREATE TABLE gstore.default.bktbad (k BIGINT)
+         TBLPROPERTIES ('graft.bucket_by'='k,1')""")) != null)
+    sql("DROP TABLE gstore.default.bkt_a")
+    sql("DROP TABLE gstore.default.bkt_b")
+  }
+
   test("graft.zorder_by: z-written files prune on EACH single-dimension " +
       "predicate; guards reject 1-column and sort_by overlap " +
       "(VERDICT r11 item 5)") {
