@@ -1349,7 +1349,63 @@ object CatalogQueries {
                CAST(SUM(l.l_linenumber) AS BIGINT) AS line_sum
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
-        ORDER BY priority"""))
+        ORDER BY priority""")),
+
+    // -------------------------------------------------------------- q219:
+    // ALTER COLUMN TYPE WIDENING — the schema-evolution tail of q213
+    // (rename/drop): INT -> BIGINT and DECIMAL(12,4) -> DECIMAL(20,4)
+    // as PURE METADATA commits over live data. Files written before
+    // the widen keep their narrow physical type (INT32 / INT64
+    // decimal); the reader decodes each file at its own type and
+    // upcasts, so the post-widen insert — values that genuinely
+    // overflow the narrow types — aggregates exactly next to the old
+    // files. At 100 TB this is the difference between an ALTER that
+    // finishes in milliseconds and a full-table rewrite.
+    QueryDef(
+      "q219_type_widening",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_wide")
+        s.sql("""CREATE TABLE graft_cat.default.orders_wide
+                 (o_orderkey BIGINT, lnum INT, price DECIMAL(12,4))""")
+        Tables(s, d, "orders").createOrReplaceTempView("q219_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_wide
+                 SELECT o_orderkey, CAST(o_orderkey % 100000 AS INT),
+                        CAST(o_totalprice AS DECIMAL(12,4))
+                 FROM q219_orders WHERE o_orderkey % 4 != 0""")
+        s.sql("""ALTER TABLE graft_cat.default.orders_wide
+                 ALTER COLUMN lnum TYPE BIGINT""")
+        s.sql("""ALTER TABLE graft_cat.default.orders_wide
+                 ALTER COLUMN price TYPE DECIMAL(20,4)""")
+        // wide-only values: a BIGINT beyond Int.MaxValue, a decimal
+        // beyond precision 18 (BINARY physical vs the old INT64)
+        s.sql("""INSERT INTO graft_cat.default.orders_wide
+                 SELECT o_orderkey, o_orderkey % 100000 + 4000000000,
+                        CAST(o_totalprice AS DECIMAL(20,4))
+                          + 1000000000000000.0000
+                 FROM q219_orders WHERE o_orderkey % 4 = 0""")
+        s.sql("""
+          SELECT CASE WHEN lnum >= 4000000000 THEN 'wide'
+                      ELSE 'narrow' END AS phase,
+                 COUNT(*) AS n, CAST(SUM(lnum) AS BIGINT) AS lnum_sum,
+                 CAST(SUM(price) AS DECIMAL(38,4)) AS price_sum
+          FROM graft_cat.default.orders_wide
+          GROUP BY 1 ORDER BY phase""")
+      },
+      Some("""
+        SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'wide'
+                    ELSE 'narrow' END AS phase,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_orderkey % 4 = 0
+                    THEN o_orderkey % 100000 + 4000000000
+                    ELSE o_orderkey % 100000 END) AS BIGINT) AS lnum_sum,
+               CAST(SUM(CASE WHEN o_orderkey % 4 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(20,4))
+                         + 1000000000000000.0000
+                    ELSE CAST(o_totalprice AS DECIMAL(12,4)) END)
+                    AS DECIMAL(38,4)) AS price_sum
+        FROM orders GROUP BY 1 ORDER BY phase"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -325,9 +325,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * readers bind columns by STABLE FIELD ID (VERDICT r11 item 3):
     * a renamed column still binds to its write-time name inside old
     * files, and a dropped-then-re-added name gets a FRESH id so the
-    * old data never resurrects. Property changes are accepted as
-    * no-ops; type changes stay a loud error — silent narrowing would
-    * corrupt readers. */
+    * old data never resurrects. ALTER COLUMN TYPE is widening-only
+    * (see [[GraftTable.alterWidenColumn]]); property changes are
+    * accepted as no-ops; anything else stays a loud error — silent
+    * narrowing would corrupt readers. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadTable(ident).asInstanceOf[GraftTable]
     changes.foreach {
@@ -344,6 +345,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(ren.fieldNames().length == 1,
           s"nested RENAME COLUMN not supported: ${ren.fieldNames().mkString(".")}")
         t.alterRenameColumn(ren.fieldNames().head, ren.newName())
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          s"nested ALTER COLUMN TYPE not supported: " +
+            upd.fieldNames().mkString("."))
+        t.alterWidenColumn(upd.fieldNames().head, upd.newDataType())
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported: $other")
@@ -930,6 +936,57 @@ class GraftTable(ident: String, val dir: NioPath,
     Some(state.copy(schemaJson = ns.json,
       snapshots = retainWindow(state.snapshots :+ snap),
       nextVersion = state.nextVersion + 1))
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE: WIDENING only (INT->BIGINT,
+    * FLOAT->DOUBLE, DECIMAL(p,s)->DECIMAL(p+,s)) — a pure metadata
+    * commit. Existing files keep their narrow physical type; the
+    * reader decodes each file at ITS OWN type and upcasts (see
+    * RowReadSupport), so old and new files mix freely in one scan,
+    * the MOR fold, the change feed, and time travel (pre-widen
+    * versions replay the narrow schema). Anything non-widening is a
+    * loud reject — silent narrowing or scale changes would corrupt
+    * readers. The FLOAT case additionally re-encodes live refs'
+    * min/max strings through the exact numeric conversion: pruning a
+    * DOUBLE predicate against a float-printed string could otherwise
+    * drop a file that contains the value. */
+  private[catalog] def alterWidenColumn(name: String,
+      to: org.apache.spark.sql.types.DataType): Unit = commitLoop { () =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType,
+      IntegerType, LongType}
+    val cur = state.schema
+    val o = GraftStorage.ordinalByName(cur.fieldNames.toIndexedSeq, name)
+    require(o >= 0, s"column $name not found in ${cur.catalogString}")
+    val resolved = cur.fieldNames(o)
+    requireFieldIds(cur, o, "ALTER COLUMN TYPE")
+    require(!evolutionProtected.exists(_.equalsIgnoreCase(resolved)),
+      s"cannot change the type of $resolved: it is a partition/sort/" +
+        "bucket/row-id column — the physical layout is keyed on it")
+    val from = cur.fields(o).dataType
+    val legal = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision &&
+          b.precision <= DecimalType.MAX_PRECISION
+      case _ => false
+    }
+    require(legal, "ALTER COLUMN TYPE supports widening only " +
+      "(INT->BIGINT, FLOAT->DOUBLE, DECIMAL(p,s)->DECIMAL(p+,s)): " +
+      s"$resolved is ${from.catalogString}, requested ${to.catalogString}")
+    val fid = GraftStorage.fieldId(cur.fields(o)).getOrElse(-1)
+    val fix: GraftFileRef => GraftFileRef =
+      if (from == FloatType) GraftStorage.refloatStats(_, fid, resolved)
+      else identity
+    val ns = StructType(cur.fields.updated(o,
+      cur.fields(o).copy(dataType = to)))
+    val snap = GraftSnapshot(state.nextVersion, ns.json,
+      curFiles.map(fix), curDelta.map(fix))
+    Some(state.copy(schemaJson = ns.json,
+      snapshots = retainWindow(state.snapshots :+ snap),
+      nextVersion = state.nextVersion + 1,
+      appendLog = state.appendLog.map(fix),
+      changeLog = state.changeLog.map(fix)))
   }
 
   /** Tag the CURRENT content under `name` (VERDICT r11 item 7,

@@ -132,6 +132,31 @@ object GraftStorage {
       case _ => ordinalByName(f.cols, field.name)
     }
 
+  /** FLOAT->DOUBLE stat re-encode for ALTER COLUMN TYPE: a float's
+    * shortest-round-trip min/max string ("0.1") parsed as DOUBLE is
+    * NOT the double the upcast reader produces ((double)0.1f =
+    * 0.10000000149…) — pruning a wide-typed predicate against the
+    * stale narrow string could drop a file that CONTAINS the value.
+    * The widen commit maps every live ref through the exact numeric
+    * conversion (parse as float, widen, print as double). Binds the
+    * column by field id (rename-proof), name fallback; refs without
+    * the column (or without stats) pass through untouched. */
+  def refloatStats(r: GraftFileRef, fid: Int, curName: String)
+      : GraftFileRef = {
+    val o =
+      if (fid > 0 && r.colIds.nonEmpty) r.colIds.indexOf(fid)
+      else ordinalByName(r.cols, curName)
+    if (o < 0) r
+    else r.stats.get(r.cols(o)) match {
+      case Some(st) if st.min.isDefined || st.max.isDefined =>
+        def conv(s: String): String =
+          java.lang.Float.parseFloat(s).toDouble.toString
+        r.copy(stats = r.stats.updated(r.cols(o),
+          st.copy(min = st.min.map(conv), max = st.max.map(conv))))
+      case _ => r
+    }
+  }
+
   /** Exact-first name binding (ADVICE r9): exact match wins; fall back
     * to case-insensitive only when it is UNIQUE — under
     * spark.sql.caseSensitive=true a case-colliding schema ("A" and "a")
@@ -523,8 +548,27 @@ object GraftStorage {
       types: Array[DataType], target: Array[Int], width: Int)
       extends ReadSupport[InternalRow] {
 
-    override def init(ctx: InitContext): ReadSupport.ReadContext =
-      new ReadSupport.ReadContext(requested)
+    /** Type-widening reconcile (ALTER COLUMN TYPE): a file written
+      * before an INT->BIGINT / FLOAT->DOUBLE / DECIMAL-precision widen
+      * stores the NARROW physical type — requesting the wide one would
+      * fail parquet's projection check. Ask parquet for the FILE's own
+      * primitive wherever a top-level requested field differs; the
+      * materializer then decodes at the file type and upcasts into the
+      * output slot. Nested fields stay exact (nested evolution is
+      * unsupported — a mismatch there errors loudly, as designed). */
+    override def init(ctx: InitContext): ReadSupport.ReadContext = {
+      val fs = ctx.getFileSchema
+      val fields = requested.getFields.asScala.map { f =>
+        if (f.isPrimitive && fs.containsField(f.getName)) {
+          val ff = fs.getFields.get(fs.getFieldIndex(f.getName))
+          if (ff.isPrimitive &&
+              ff.asPrimitiveType.getPrimitiveTypeName !=
+                f.asPrimitiveType.getPrimitiveTypeName) ff else f
+        } else f
+      }
+      new ReadSupport.ReadContext(
+        new MessageType(requested.getName, fields.toSeq: _*))
+    }
 
     override def prepareForRead(conf: Configuration,
         meta: java.util.Map[String, String], fileSchema: MessageType,
@@ -667,9 +711,49 @@ object GraftStorage {
           case _ => atomicConv(dt, v => values(t) = v)
         }
 
+        /** Widened-column decode plan for the j-th requested field:
+          * (type to DECODE at, boxed upcast into the wanted type).
+          * Identity when the file already stores the wanted physical
+          * type. The decimal case is the cross-INT64-boundary one —
+          * a <=18-precision decimal widened past 18 stays INT64 in old
+          * files but BINARY in the wanted schema; same-representation
+          * precision growth (e.g. 10,2 -> 14,2) needs no wrapper: the
+          * wanted-type converter reads the INT64 natively and stamps
+          * the wider precision. */
+        private def decodePlan(wanted: DataType, j: Int)
+            : (DataType, Any => Any) = {
+          val name = requested.getFields.get(j).getName
+          if (!fileSchema.containsField(name)) return (wanted, identity)
+          val ft = fileSchema.getFields.get(fileSchema.getFieldIndex(name))
+          if (!ft.isPrimitive) return (wanted, identity)
+          val pn = ft.asPrimitiveType.getPrimitiveTypeName
+          wanted match {
+            case LongType if pn == PrimitiveTypeName.INT32 =>
+              (IntegerType, v => Long.box(v.asInstanceOf[Int].toLong))
+            case DoubleType if pn == PrimitiveTypeName.FLOAT =>
+              (FloatType, v => Double.box(v.asInstanceOf[Float].toDouble))
+            case d: DecimalType
+                if d.precision > 18 && pn == PrimitiveTypeName.INT64 =>
+              (DecimalType(18, d.scale), v => Decimal(
+                v.asInstanceOf[Decimal].toJavaBigDecimal,
+                d.precision, d.scale))
+            case _ => (wanted, identity)
+          }
+        }
+
         private val root: GroupConverter = new GroupConverter {
           private val converters: Array[Converter] =
-            types.zipWithIndex.map { case (dt, j) => conv(dt, target(j)) }
+            types.zipWithIndex.map { case (dt, j) =>
+              dt match {
+                case _: ArrayType | _: StructType | _: MapType =>
+                  conv(dt, target(j))
+                case _ =>
+                  val (decodeDt, up) = decodePlan(dt, j)
+                  val t = target(j)
+                  if (decodeDt eq dt) atomicConv(dt, v => values(t) = v)
+                  else atomicConv(decodeDt, v => values(t) = up(v))
+              }
+            }
           override def getConverter(i: Int): Converter = converters(i)
           override def start(): Unit = values = new Array[Any](width)
           override def end(): Unit = ()
@@ -786,28 +870,45 @@ object GraftStorage {
     private val targets: Array[Int] =
       wanted.fields.indices.filter(i => ords(i) >= 0).toArray
 
-    private val reader: ParquetReader[InternalRow] =
-      if (requested.isEmpty) null
-      else {
-        val b = ParquetReader.builder(
-            new RowReadSupport(toParquetType(requested),
-              requested.fields.map(_.dataType), targets, wanted.length),
-            new HPath(path))
-          .withConf(new Configuration())
-          .withFileRange(rangeStart, rangeEnd)
-        // schema name -> (file spelling, type) via the id-aware ords
-        val preds = pushFilters.flatMap(toParquetFilter(c => {
+    private def mkReader(withPreds: Boolean): ParquetReader[InternalRow] = {
+      val b = ParquetReader.builder(
+          new RowReadSupport(toParquetType(requested),
+            requested.fields.map(_.dataType), targets, wanted.length),
+          new HPath(path))
+        .withConf(new Configuration())
+        .withFileRange(rangeStart, rangeEnd)
+      // schema name -> (file spelling, type) via the id-aware ords
+      val preds =
+        if (!withPreds) Array.empty[org.apache.parquet.filter2.predicate.FilterPredicate]
+        else pushFilters.flatMap(toParquetFilter(c => {
           val wi = ordinalByName(wanted.fieldNames.toIndexedSeq, c)
           if (wi < 0 || ords(wi) < 0) None
           else Some((fileCols(ords(wi)), wanted.fields(wi).dataType))
         }, _))
-        (if (preds.isEmpty) b
-         else b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
-           preds.reduce(org.apache.parquet.filter2.predicate.FilterApi.and))))
-          .build()
-      }
+      (if (preds.isEmpty) b
+       else b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+         preds.reduce(org.apache.parquet.filter2.predicate.FilterApi.and))))
+        .build()
+    }
+
+    private var reader: ParquetReader[InternalRow] =
+      if (requested.isEmpty) null else mkReader(withPreds = true)
+    // First read also VALIDATES the in-parquet predicates against the
+    // file's own schema. A file written before an ALTER COLUMN TYPE
+    // widen stores the narrow physical type, and a predicate compiled
+    // at the WIDE type fails parquet's SchemaCompatibilityValidator —
+    // retry the file with the in-parquet filter dropped: the pipeline
+    // re-applies every accepted filter post-scan, so correctness is
+    // identical and only the row-group skip bonus is lost (and only on
+    // pre-widen files).
     private var nextRow: InternalRow =
-      if (requested.isEmpty) null else reader.read()
+      if (requested.isEmpty) null
+      else try reader.read() catch {
+        case _: IllegalArgumentException if pushFilters.nonEmpty =>
+          try reader.close() catch { case _: Throwable => () }
+          reader = mkReader(withPreds = false)
+          reader.read()
+      }
     // all-columns-absent projection (count-only scans of pre-ALTER
     // files): parquet can't request zero columns, so emit `totalRows`
     // empty rows from the recorded count (the SPLIT's count when

@@ -1627,6 +1627,108 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.evomor")
   }
 
+  test("ALTER COLUMN TYPE widens INT->BIGINT / FLOAT->DOUBLE / DECIMAL " +
+      "precision: old files upcast in the scan, filters stay exact, " +
+      "non-widening changes reject") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.wid")
+    sql("""CREATE TABLE gstore.default.wid
+           (k BIGINT, i INT, f FLOAT, d DECIMAL(10,2))""")
+    sql("""INSERT INTO gstore.default.wid VALUES
+           (1, 7, CAST(0.1 AS FLOAT), CAST(12345678.90 AS DECIMAL(10,2))),
+           (2, 42, CAST(2.5 AS FLOAT), CAST(-99.25 AS DECIMAL(10,2)))""")
+    val preWiden = tbl("wid").stateNow.current.get.version
+    sql("ALTER TABLE gstore.default.wid ALTER COLUMN i TYPE BIGINT")
+    sql("ALTER TABLE gstore.default.wid ALTER COLUMN f TYPE DOUBLE")
+    sql("ALTER TABLE gstore.default.wid ALTER COLUMN d TYPE DECIMAL(20,2)")
+    assert(tbl("wid").schema().catalogString ==
+      "struct<k:bigint,i:bigint,f:double,d:decimal(20,2)>")
+    // post-widen rows actually NEED the wide types: a long beyond
+    // Int.MaxValue, a decimal beyond precision 18 (BINARY physical)
+    sql("""INSERT INTO gstore.default.wid VALUES
+           (3, 5000000000, CAST(0.25 AS DOUBLE),
+            CAST(123456789012345678.11 AS DECIMAL(20,2)))""")
+    // mixed-file aggregate: INT32 files upcast next to INT64 files
+    assert(sql("SELECT sum(i) FROM gstore.default.wid").head()
+      .getLong(0) == 5000000049L)
+    assert(sql("SELECT sum(d) FROM gstore.default.wid").head()
+      .getDecimal(0).toPlainString == "123456789024691257.76")
+    // equality on the widened column hits a PRE-widen file: the pushed
+    // BIGINT predicate fails parquet's schema validator on the INT32
+    // file and must fall back, not error or miss the row
+    assert(sql("SELECT k FROM gstore.default.wid WHERE i = 42")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(sql("SELECT k FROM gstore.default.wid WHERE i = 5000000000")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // float->double stat re-encode: the upcast of 0.1f is
+    // 0.10000000149…, NOT the 0.1 the stale narrow stat string parses
+    // to — without the re-encode this point lookup would prune the
+    // file that contains the row
+    assert(sql("""SELECT k FROM gstore.default.wid
+                  WHERE f = CAST(CAST(0.1 AS FLOAT) AS DOUBLE)""")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "pre-widen float row lost to stale stats pruning")
+    // decimal filter across the INT64/BINARY physical boundary
+    assert(sql("""SELECT k FROM gstore.default.wid
+                  WHERE d = CAST(-99.25 AS DECIMAL(20,2))""")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // time travel replays the NARROW pre-widen schema
+    val old = sql(
+      s"SELECT * FROM gstore.default.wid VERSION AS OF $preWiden")
+    assert(old.schema.catalogString ==
+      "struct<k:bigint,i:int,f:float,d:decimal(10,2)>",
+      s"time travel lost the narrow schema: ${old.schema.catalogString}")
+    assert(old.count() == 2)
+    // non-widening changes reject loudly, content unharmed
+    for (stmt <- Seq(
+        "ALTER TABLE gstore.default.wid ALTER COLUMN i TYPE INT",
+        "ALTER TABLE gstore.default.wid ALTER COLUMN d TYPE DECIMAL(22,4)",
+        "ALTER TABLE gstore.default.wid ALTER COLUMN k TYPE DOUBLE",
+        "ALTER TABLE gstore.default.wid ALTER COLUMN f TYPE STRING"))
+      assert(intercept[Exception](sql(stmt)) != null, s"$stmt not rejected")
+    assert(sql("SELECT count(*) FROM gstore.default.wid")
+      .head().getLong(0) == 3)
+    sql("DROP TABLE gstore.default.wid")
+  }
+
+  test("ALTER COLUMN TYPE on merge-on-read: the fold upcasts narrow " +
+      "delta files next to wide ones; layout-keyed columns reject") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.widmor")
+    sql("""CREATE TABLE gstore.default.widmor (k BIGINT, n INT)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.widmor VALUES (1, 10), (2, 20)")
+    // delta entry written at the NARROW type
+    sql("UPDATE gstore.default.widmor SET n = 11 WHERE k = 1")
+    sql("ALTER TABLE gstore.default.widmor ALTER COLUMN n TYPE BIGINT")
+    // pre-widen base + pre-widen delta fold under the wide schema
+    assert(sql("SELECT k, n FROM gstore.default.widmor ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,11]", "[2,20]"))
+    // post-widen delta (INT64 values) folds alongside the INT32 one
+    sql("UPDATE gstore.default.widmor SET n = 6000000000 WHERE k = 2")
+    assert(sql("SELECT k, n FROM gstore.default.widmor ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,11]", "[2,6000000000]"))
+    // compaction rewrites everything at the wide physical type
+    sql("CALL gstore.system.compact('default.widmor')")
+    assert(sql("SELECT sum(n) FROM gstore.default.widmor").head()
+      .getLong(0) == 6000000011L)
+    // the row-id column's type is layout-protected
+    assert(intercept[Exception](sql(
+      "ALTER TABLE gstore.default.widmor ALTER COLUMN k TYPE DECIMAL(20,0)"))
+      != null)
+    sql("DROP TABLE gstore.default.widmor")
+
+    // bucket/sort layout columns reject too (hash/spans are keyed on
+    // the physical value)
+    sql("DROP TABLE IF EXISTS gstore.default.widbkt")
+    sql("""CREATE TABLE gstore.default.widbkt (k INT, v BIGINT)
+           TBLPROPERTIES ('graft.bucket_by'='k,4')""")
+    assert(intercept[Exception](sql(
+      "ALTER TABLE gstore.default.widbkt ALTER COLUMN k TYPE BIGINT"))
+      != null)
+    sql("DROP TABLE gstore.default.widbkt")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
