@@ -1405,7 +1405,58 @@ object CatalogQueries {
                          + 1000000000000000.0000
                     ELSE CAST(o_totalprice AS DECIMAL(12,4)) END)
                     AS DECIMAL(38,4)) AS price_sum
-        FROM orders GROUP BY 1 ORDER BY phase"""))
+        FROM orders GROUP BY 1 ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q220:
+    // DEEP-NESTED CATALOG COLUMNS — the full q23/q68 events-props
+    // shape IN the managed table (r11 verdict gap 4 closed): a
+    // STRUCT<ARRAY, STRING> and a MAP<STRING, ARRAY<BIGINT>> column
+    // stored natively (writer/type-mapping/reader all structurally
+    // recursive), carried bit-exactly through a CoW DELETE rewrite,
+    // then aggregated OUT of the nesting with higher-order lambdas —
+    // the whole cycle hash-matched against DuckDB recomputing the
+    // same arithmetic from the flat source. Nesting is columnar all
+    // the way down (standard parquet LIST/MAP groups), so at 100 TB
+    // a projection of one nested field still prunes the rest.
+    QueryDef(
+      "q220_nested_catalog",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_nest")
+        s.sql("""CREATE TABLE graft_cat.default.orders_nest
+                 (o_orderkey BIGINT,
+                  meta STRUCT<tags: ARRAY<BIGINT>, label: STRING>,
+                  buckets MAP<STRING, ARRAY<BIGINT>>)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q220_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_nest
+                 SELECT o_orderkey,
+                        named_struct('tags',
+                          array(o_orderkey % 7, o_orderkey % 11),
+                          'label', o_orderpriority),
+                        map('a', array(o_orderkey % 3),
+                            'b', array(o_orderkey % 5, o_orderkey % 9))
+                 FROM q220_orders""")
+        // CoW DML over the nested columns: carried rows bit-exact
+        s.sql("""DELETE FROM graft_cat.default.orders_nest
+                 WHERE o_orderkey % 10 = 0""")
+        s.sql("""
+          SELECT meta.label AS label, COUNT(*) AS n,
+                 CAST(SUM(aggregate(meta.tags, 0L, (a, x) -> a + x))
+                   AS BIGINT) AS tag_sum,
+                 CAST(SUM(aggregate(flatten(map_values(buckets)), 0L,
+                   (a, x) -> a + x)) AS BIGINT) AS bucket_sum
+          FROM graft_cat.default.orders_nest
+          GROUP BY 1 ORDER BY label""")
+      },
+      Some("""
+        SELECT o_orderpriority AS label, COUNT(*) AS n,
+               CAST(SUM(o_orderkey % 7 + o_orderkey % 11) AS BIGINT)
+                 AS tag_sum,
+               CAST(SUM(o_orderkey % 3 + o_orderkey % 5 + o_orderkey % 9)
+                 AS BIGINT) AS bucket_sum
+        FROM orders WHERE o_orderkey % 10 != 0
+        GROUP BY 1 ORDER BY label"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

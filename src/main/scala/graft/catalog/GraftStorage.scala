@@ -63,27 +63,33 @@ object GraftStorage {
     case _ => false
   }
 
-  /** Supported column types: the atomic set, ARRAY of an atomic
-    * (embedding vectors — the training-data warehouse staple) or of a
-    * STRUCT of atomics (chunked embeddings-with-metadata, span lists —
-    * VERDICT r11 item 4), STRUCT of atomics (typed metadata), and MAP
-    * of atomic to atomic (tag bags, token counts). Deeper nesting
-    * (map-of-struct, struct-of-array, array-of-array) stays a loud
-    * error — silent coercion at write time would corrupt round-trips. */
+  /** Supported column types: the atomic set plus ARBITRARY nesting of
+    * ARRAY / STRUCT / MAP over it (array-of-array, struct-of-array,
+    * map-of-struct, …) — the writer, parquet type mapping, and reader
+    * are all structurally recursive, so the q23/q68 events-props
+    * shapes and chunked-document layouts store natively. The one
+    * restriction: MAP KEYS stay atomic (parquet map keys are REQUIRED
+    * leaves; a group key has no standard equality contract across
+    * engines). Genuinely unsupported leaves stay a loud error —
+    * silent coercion at write time would corrupt round-trips. */
   def validate(schema: StructType): Unit = schema.fields.foreach { f =>
-    def atomicStruct(st: StructType): Boolean =
-      st.fields.forall(g => atomicSupported(g.dataType))
-    val ok = f.dataType match {
-      case dt if atomicSupported(dt) => true
-      case ArrayType(elem, _) if atomicSupported(elem) => true
-      case ArrayType(st: StructType, _) => atomicStruct(st)
-      case st: StructType => atomicStruct(st)
-      case MapType(k, v, _) => atomicSupported(k) && atomicSupported(v)
+    def ok(dt: DataType): Boolean = dt match {
+      case t if atomicSupported(t) => true
+      case ArrayType(elem, _) => ok(elem)
+      case st: StructType => st.fields.forall(g => ok(g.dataType))
+      case MapType(k, v, _) => atomicSupported(k) && ok(v)
       case _ => false
     }
-    if (!ok) throw new UnsupportedOperationException(
+    if (!ok(f.dataType)) throw new UnsupportedOperationException(
       s"graft catalog: unsupported column type " +
-        s"${f.dataType.catalogString} for column ${f.name}")
+        s"${f.dataType.catalogString} for column ${f.name}" +
+        (f.dataType match {
+          case _ if ok(f.dataType) => ""
+          case _: MapType | _: ArrayType | _: StructType =>
+            " (nested types may nest freely, but map keys must be " +
+              "atomic and leaves must be a supported atomic type)"
+          case _ => ""
+        }))
   }
 
   // ---- field ids (schema evolution: DROP / RENAME COLUMN) --------------
@@ -218,38 +224,32 @@ object GraftStorage {
     }).named(name)
   }
 
-  /** Parquet group for a STRUCT of atomics. */
-  private def structType(st: StructType,
-      name: String): org.apache.parquet.schema.Type =
-    st.fields.foldLeft(Types.optionalGroup()) { (g, sf) =>
-      g.addField(primitiveType(sf.dataType, sf.name))
-    }.named(name)
+  /** Recursive Spark-type -> parquet-type mapping: the standard
+    * 3-level LIST shape (`optional group (LIST) { repeated group list
+    * { optional <elem> element } }`), the standard MAP shape
+    * (`repeated group key_value { required key; optional value }`,
+    * keys atomic per [[validate]]), optional groups for STRUCTs —
+    * each element/value/field recursing, so nesting composes to any
+    * depth. */
+  private def anyType(dt: DataType,
+      name: String): org.apache.parquet.schema.Type = dt match {
+    case ArrayType(elem, _) =>
+      Types.optionalList().element(anyType(elem, "element")).named(name)
+    case st: StructType =>
+      st.fields.foldLeft(Types.optionalGroup()) { (g, sf) =>
+        g.addField(anyType(sf.dataType, sf.name))
+      }.named(name)
+    case MapType(kt, vt, _) =>
+      Types.optionalMap()
+        .key(primitiveType(kt, "key", required = true))
+        .value(anyType(vt, "value"))
+        .named(name)
+    case _ => primitiveType(dt, name)
+  }
 
   def toParquetType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val t = f.dataType match {
-        // standard 3-level list: optional group (LIST) {
-        //   repeated group list { optional <elem> element } } — the
-        // element is an atomic or (item 4) a struct-of-atomics group
-        case ArrayType(st: StructType, _) =>
-          Types.optionalList().element(structType(st, "element"))
-            .named(f.name)
-        case ArrayType(elem, _) =>
-          Types.optionalList().element(primitiveType(elem, "element"))
-            .named(f.name)
-        case st: StructType => structType(st, f.name)
-        // standard map shape: optional group (MAP) {
-        //   repeated group key_value { required key; optional value } }
-        case MapType(kt, vt, _) =>
-          Types.optionalMap()
-            .key(primitiveType(kt, "key", required = true))
-            .value(primitiveType(vt, "value"))
-            .named(f.name)
-        case dt => primitiveType(dt, f.name)
-      }
-      b.addField(t)
-    }
+    schema.fields.foreach(f => b.addField(anyType(f.dataType, f.name)))
     b.named("graft")
   }
 
@@ -431,61 +431,55 @@ object GraftStorage {
         s"unsupported write type ${other.catalogString}")
     }
 
+    /** One value of ANY supported type into slot `idx` of `g` —
+      * structurally recursive, mirroring [[anyType]]: a 3-level list
+      * writes one "list" entry group per element (a null element
+      * leaves its entry's slot unset), a map writes one key_value
+      * entry per pair (keys REQUIRED — Spark maps never hold null
+      * keys — values optional), a struct writes a nested group, and
+      * each element/value/field recurses, so nesting composes to any
+      * depth. */
+    private def addValue(g: Group, idx: Int, dt: DataType,
+        src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+        ord: Int): Unit = dt match {
+      case ArrayType(elem, _) =>
+        val ad = src.getArray(ord)
+        val outer = g.addGroup(idx)
+        var j = 0
+        while (j < ad.numElements()) {
+          val entry = outer.addGroup(0)
+          if (!ad.isNullAt(j)) addValue(entry, 0, elem, ad, j)
+          j += 1
+        }
+      case st: StructType =>
+        val sr = src.getStruct(ord, st.length)
+        val sg = g.addGroup(idx)
+        var m = 0
+        while (m < st.length) {
+          if (!sr.isNullAt(m)) addValue(sg, m, st.fields(m).dataType, sr, m)
+          m += 1
+        }
+      case MapType(kt, vt, _) =>
+        val md = src.getMap(ord)
+        val outer = g.addGroup(idx)
+        val ks = md.keyArray()
+        val vs = md.valueArray()
+        var j = 0
+        while (j < md.numElements()) {
+          val entry = outer.addGroup(0)
+          addAtomic(entry, 0, kt, ks, j)
+          if (!vs.isNullAt(j)) addValue(entry, 1, vt, vs, j)
+          j += 1
+        }
+      case _ => addAtomic(g, idx, dt, src, ord)
+    }
+
     def write(row: InternalRow): Unit = {
       val g = factory.newGroup()
       var i = 0
       while (i < schema.length) {
-        if (!row.isNullAt(i)) {
-          schema.fields(i).dataType match {
-            case ArrayType(elem, _) =>
-              // 3-level list shape: one "list" entry group per element,
-              // a null element simply leaves its entry's slot unset;
-              // struct elements write a nested group per entry (item 4)
-              val ad = row.getArray(i)
-              val outer = g.addGroup(i)
-              var j = 0
-              while (j < ad.numElements()) {
-                val entry = outer.addGroup(0)
-                if (!ad.isNullAt(j)) elem match {
-                  case st: StructType =>
-                    val sr = ad.getStruct(j, st.length)
-                    val sg = entry.addGroup(0)
-                    var m = 0
-                    while (m < st.length) {
-                      if (!sr.isNullAt(m))
-                        addAtomic(sg, m, st.fields(m).dataType, sr, m)
-                      m += 1
-                    }
-                  case _ => addAtomic(entry, 0, elem, ad, j)
-                }
-                j += 1
-              }
-            case st: StructType =>
-              val sr = row.getStruct(i, st.length)
-              val sg = g.addGroup(i)
-              var j = 0
-              while (j < st.length) {
-                if (!sr.isNullAt(j))
-                  addAtomic(sg, j, st.fields(j).dataType, sr, j)
-                j += 1
-              }
-            case MapType(kt, vt, _) =>
-              // one key_value entry group per pair; keys are REQUIRED
-              // (Spark maps never hold null keys), values optional
-              val md = row.getMap(i)
-              val outer = g.addGroup(i)
-              val ks = md.keyArray()
-              val vs = md.valueArray()
-              var j = 0
-              while (j < md.numElements()) {
-                val entry = outer.addGroup(0)
-                addAtomic(entry, 0, kt, ks, j)
-                if (!vs.isNullAt(j)) addAtomic(entry, 1, vt, vs, j)
-                j += 1
-              }
-            case dt => addAtomic(g, i, dt, row, i)
-          }
-        }
+        if (!row.isNullAt(i))
+          addValue(g, i, schema.fields(i).dataType, row, i)
         i += 1
       }
       writer.write(g)
@@ -651,65 +645,71 @@ object GraftStorage {
           }
         }
 
-        /** Struct-of-atomics group converter delivering a fresh
-          * GenericInternalRow through `set` — one shape for top-level
-          * struct columns AND struct list elements (item 4). */
-        private def structConv(st: StructType,
-            set: Any => Unit): GroupConverter = new GroupConverter {
-          private var inner = new Array[Any](st.length)
-          private val cs: Array[Converter] = st.fields.zipWithIndex.map {
-            case (f, j) =>
-              atomicConv(f.dataType, v => inner(j) = v): Converter
-          }
-          override def getConverter(i: Int): Converter = cs(i)
-          override def start(): Unit = inner = new Array[Any](st.length)
-          override def end(): Unit = set(new GenericInternalRow(inner))
-        }
-
-        private def conv(dt: DataType, t: Int): Converter = dt match {
-          case ArrayType(elem, _) => new GroupConverter { // LIST wrapper
-            private val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
-            private var pending: Any = null
-            private val entry: GroupConverter = new GroupConverter {
-              private val ec: Converter = elem match {
-                case st: StructType => structConv(st, v => pending = v)
-                case _ => atomicConv(elem, v => pending = v)
+        /** Converter for ANY supported type delivering through `set` —
+          * structurally recursive, mirroring [[anyType]]: a struct
+          * builds a fresh GenericInternalRow, a 3-level list collects
+          * one element per entry group (null elements arrive as
+          * never-set slots), a map collects key/value pairs, and every
+          * element/value/field recurses, so nesting composes to any
+          * depth. */
+        private def anyConv(dt: DataType, set: Any => Unit): Converter =
+          dt match {
+            case st: StructType => new GroupConverter {
+              private var inner = new Array[Any](st.length)
+              private val cs: Array[Converter] =
+                st.fields.zipWithIndex.map { case (f, j) =>
+                  anyConv(f.dataType, v => inner(j) = v)
+                }
+              override def getConverter(i: Int): Converter = cs(i)
+              override def start(): Unit = inner = new Array[Any](st.length)
+              override def end(): Unit = set(new GenericInternalRow(inner))
+            }
+            case ArrayType(elem, _) => new GroupConverter { // LIST wrapper
+              private val buf =
+                scala.collection.mutable.ArrayBuffer.empty[Any]
+              private var pending: Any = null
+              private val entry: GroupConverter = new GroupConverter {
+                private val ec: Converter =
+                  anyConv(elem, v => pending = v)
+                override def getConverter(i: Int): Converter = ec
+                override def start(): Unit = pending = null
+                override def end(): Unit = buf += pending
               }
-              override def getConverter(i: Int): Converter = ec
-              override def start(): Unit = pending = null
-              override def end(): Unit = buf += pending
-            }
-            override def getConverter(i: Int): Converter = entry
-            override def start(): Unit = buf.clear()
-            override def end(): Unit = values(t) =
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                buf.toArray)
-          }
-          case st: StructType => structConv(st, v => values(t) = v)
-          case MapType(kt, vt, _) => new GroupConverter { // MAP wrapper
-            private val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
-            private val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
-            private var pk: Any = null
-            private var pv: Any = null
-            private val entry: GroupConverter = new GroupConverter {
-              private val kc = atomicConv(kt, v => pk = v)
-              private val vc = atomicConv(vt, v => pv = v)
-              override def getConverter(i: Int): Converter =
-                if (i == 0) kc else vc
-              override def start(): Unit = { pk = null; pv = null }
-              override def end(): Unit = { keys += pk; vals += pv }
-            }
-            override def getConverter(i: Int): Converter = entry
-            override def start(): Unit = { keys.clear(); vals.clear() }
-            override def end(): Unit = values(t) =
-              new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              override def getConverter(i: Int): Converter = entry
+              override def start(): Unit = buf.clear()
+              override def end(): Unit = set(
                 new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                  keys.toArray),
-                new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                  vals.toArray))
+                  buf.toArray))
+            }
+            case MapType(kt, vt, _) => new GroupConverter { // MAP wrapper
+              private val keys =
+                scala.collection.mutable.ArrayBuffer.empty[Any]
+              private val vals =
+                scala.collection.mutable.ArrayBuffer.empty[Any]
+              private var pk: Any = null
+              private var pv: Any = null
+              private val entry: GroupConverter = new GroupConverter {
+                private val kc = atomicConv(kt, v => pk = v)
+                private val vc = anyConv(vt, v => pv = v)
+                override def getConverter(i: Int): Converter =
+                  if (i == 0) kc else vc
+                override def start(): Unit = { pk = null; pv = null }
+                override def end(): Unit = { keys += pk; vals += pv }
+              }
+              override def getConverter(i: Int): Converter = entry
+              override def start(): Unit = { keys.clear(); vals.clear() }
+              override def end(): Unit = set(
+                new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    keys.toArray),
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    vals.toArray)))
+            }
+            case _ => atomicConv(dt, set)
           }
-          case _ => atomicConv(dt, v => values(t) = v)
-        }
+
+        private def conv(dt: DataType, t: Int): Converter =
+          anyConv(dt, v => values(t) = v)
 
         /** Widened-column decode plan for the j-th requested field:
           * (type to DECODE at, boxed upcast into the wanted type).
