@@ -1456,7 +1456,104 @@ object CatalogQueries {
                CAST(SUM(o_orderkey % 3 + o_orderkey % 5 + o_orderkey % 9)
                  AS BIGINT) AS bucket_sum
         FROM orders WHERE o_orderkey % 10 != 0
-        GROUP BY 1 ORDER BY label"""))
+        GROUP BY 1 ORDER BY label""")),
+
+    // -------------------------------------------------------------- q221:
+    // COLUMN DEFAULT VALUES — DSv2 SUPPORT_COLUMN_DEFAULT_VALUE end to
+    // end: CREATE with a DEFAULT (INSERT omit-fill by the analyzer),
+    // then ALTER TABLE ADD COLUMN ... DEFAULT as a PURE METADATA
+    // commit where every row in a pre-ADD file reads the frozen
+    // EXISTS_DEFAULT — backfilled by the scan, visible to pruning
+    // (min = max = default for pre-ADD files) — while post-ADD
+    // inserts store real values. At 100 TB this is the other half of
+    // zero-rewrite schema evolution: adding an attribute with a
+    // meaningful fill never touches a data file.
+    QueryDef(
+      "q221_column_defaults",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_dfl")
+        s.sql("""CREATE TABLE graft_cat.default.orders_dfl
+                 (o_orderkey BIGINT, priority STRING,
+                  src STRING DEFAULT 'seed')""")
+        Tables(s, d, "orders").createOrReplaceTempView("q221_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_dfl
+                 (o_orderkey, priority)
+                 SELECT o_orderkey, o_orderpriority FROM q221_orders""")
+        s.sql("""ALTER TABLE graft_cat.default.orders_dfl
+                 ADD COLUMN region STRING DEFAULT 'emea'""")
+        s.sql("""ALTER TABLE graft_cat.default.orders_dfl
+                 ADD COLUMN boost BIGINT DEFAULT 10""")
+        s.sql("""INSERT INTO graft_cat.default.orders_dfl
+                 SELECT o_orderkey + 100000000, o_orderpriority,
+                        'late', 'apac', o_orderkey % 5
+                 FROM q221_orders""")
+        s.sql("""
+          SELECT src, region, COUNT(*) AS n,
+                 CAST(SUM(boost) AS BIGINT) AS boost_sum
+          FROM graft_cat.default.orders_dfl
+          GROUP BY src, region ORDER BY src""")
+      },
+      Some("""
+        SELECT 'late' AS src, 'apac' AS region, COUNT(*) AS n,
+               CAST(SUM(o_orderkey % 5) AS BIGINT) AS boost_sum
+        FROM orders
+        UNION ALL
+        SELECT 'seed', 'emea', COUNT(*), CAST(COUNT(*) * 10 AS BIGINT)
+        FROM orders
+        ORDER BY src""")),
+
+    // -------------------------------------------------------------- q222:
+    // ROLLBACK — the incident-response half of write-audit-publish
+    // (q217 pins BEFORE publishing; this reverts AFTER a bad publish):
+    // tag the good state, corrupt it with a DELETE + a stray INSERT,
+    // `CALL system.rollback(tag)` — a NEW commit restoring the tagged
+    // content, so the bad commits stay inspectable via time travel
+    // while readers are back on clean data. The result proves both
+    // sides: the 'corrupted' phase reads the bad snapshot (history
+    // preserved), the 'restored' phase reads the table after rollback
+    // — both hash-matched against DuckDB recomputing the arithmetic.
+    QueryDef(
+      "q222_rollback",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_rb")
+        s.sql("""CREATE TABLE graft_cat.default.orders_rb
+                 (o_orderkey BIGINT, o_orderpriority STRING)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q222_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_rb
+                 SELECT o_orderkey, o_orderpriority FROM q222_orders""")
+        s.sql("CALL graft_cat.system.tag('default.orders_rb', 'good')")
+        // the bad batch
+        s.sql("""DELETE FROM graft_cat.default.orders_rb
+                 WHERE o_orderkey % 3 = 0""")
+        s.sql("""INSERT INTO graft_cat.default.orders_rb
+                 VALUES (424242424242, 'OOPS')""")
+        val bad = s.sql(
+          "CALL graft_cat.system.history('default.orders_rb')")
+          .agg(org.apache.spark.sql.functions.max("version"))
+          .head().getLong(0)
+        s.sql("CALL graft_cat.system.rollback('default.orders_rb', 'good')")
+        s.sql(s"""
+          SELECT 'corrupted' AS phase, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM graft_cat.default.orders_rb VERSION AS OF $bad
+          UNION ALL
+          SELECT 'restored', COUNT(*),
+                 CAST(SUM(o_orderkey) AS BIGINT)
+          FROM graft_cat.default.orders_rb
+          ORDER BY phase""")
+      },
+      Some("""
+        SELECT 'corrupted' AS phase, COUNT(*) + 1 AS n,
+               CAST(SUM(o_orderkey) + 424242424242 AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey % 3 != 0
+        UNION ALL
+        SELECT 'restored', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        ORDER BY phase"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

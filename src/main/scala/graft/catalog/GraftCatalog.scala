@@ -329,14 +329,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (see [[GraftTable.alterWidenColumn]]); property changes are
     * accepted as no-ops; anything else stays a loud error — silent
     * narrowing would corrupt readers. */
+  /** Column DEFAULT values (SQL `DEFAULT <expr>` at CREATE / ADD
+    * COLUMN): Spark gates the syntax on this capability, folds the
+    * default to a constant at DDL time, and encodes it into the
+    * schema's field metadata (CURRENT_DEFAULT = what future INSERTs
+    * omit-fill with, resolved by the analyzer; EXISTS_DEFAULT = the
+    * frozen value rows that PREDATE the column must read as, resolved
+    * by OUR scan — see [[GraftStorage.FileIterator]] backfill and the
+    * [[GraftStorage.mayMatch]] default-aware pruning). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadTable(ident).asInstanceOf[GraftTable]
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
-        t.alterAddColumn(StructField(add.fieldNames().head, add.dataType(),
-          nullable = true))
+        val base = StructField(add.fieldNames().head, add.dataType(),
+          nullable = true)
+        val f = Option(add.defaultValue()).fold(base) { dv =>
+          // EXISTS_DEFAULT carries the FOLDED literal (rendered back to
+          // exact SQL via the catalyst Literal), so old rows read the
+          // value frozen at ADD time even if later DDL could change
+          // the current default
+          val lit = dv.getValue
+          require(lit != null, "ADD COLUMN DEFAULT must fold to a " +
+            s"constant, got ${dv.getSql}")
+          val sql = org.apache.spark.sql.catalyst.expressions
+            .Literal(lit.value(), lit.dataType()).sql
+          base.copy(metadata = new org.apache.spark.sql.types
+            .MetadataBuilder().withMetadata(base.metadata)
+            .putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        }
+        t.alterAddColumn(f)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           s"nested DROP COLUMN not supported: ${del.fieldNames().mkString(".")}")
@@ -1012,6 +1041,37 @@ class GraftTable(ident: String, val dir: NioPath,
         tags = state.tags + (name -> tagged)))
     }
     tagged
+  }
+
+  /** CALL system.rollback: restore the table's CONTENT to a retained
+    * version (by number or tag) as a NEW commit — history is
+    * preserved, the bad commits stay inspectable, and the operation
+    * is itself revertible (Iceberg's rollback_to_snapshot). The
+    * CURRENT schema is kept (data state reverts, DDL does not —
+    * field-id binding reads the restored files under today's names
+    * and widened types); the restored snapshot's base AND delta file
+    * lists come back verbatim, so a MOR fold replays exactly the
+    * target's row state. Only RETAINED versions are restorable —
+    * their files are provably un-GC'd; anything else errors loudly. */
+  private[graft] def rollbackTo(label: String): Int = {
+    var target = -1
+    commitLoop { () => // commitLoop refreshes from disk per round
+      val v = state.tags.get(label).orElse(label.toIntOption).getOrElse(
+        throw new IllegalStateException(
+          s"rollback target '$label' is neither a tag nor a version " +
+            s"number on $ident"))
+      val snap = state.snapshots.find(_.version == v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v of $ident is not retained " +
+            s"(retained: ${state.snapshots.map(_.version).mkString(", ")})"))
+      target = v
+      val ns = GraftSnapshot(state.nextVersion, state.schemaJson,
+        snap.files, snap.deltaFiles)
+      Some(state.copy(
+        snapshots = retainWindow(state.snapshots :+ ns),
+        nextVersion = state.nextVersion + 1))
+    }
+    target
   }
 
   /** `VERSION AS OF '<tag>'` resolution. Unknown tags error loudly. */

@@ -157,9 +157,27 @@ object GraftProcedures {
             "retained_snapshots" -> t.retainedVersions.size.toLong))
         }
       }
+      case "rollback" => new GraftProcedure("rollback",
+        "restore the table's CONTENT to a retained version (number or " +
+          "tag) as a NEW commit — history preserved, bad commits stay " +
+          "inspectable, the rollback itself revertible; current schema " +
+          "is kept (Iceberg's rollback_to_snapshot)",
+        tableParam :+ ProcedureParameter.in("version", StringType)
+          .comment("retained version number or tag name")
+          .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val (_, t) = resolve(cat, input.getUTF8String(0).toString)
+          val v = t.rollbackTo(input.getUTF8String(1).toString)
+          summaryScan(Seq(
+            "restored_version" -> v.toLong,
+            "current_version" -> t.stateNow.current
+              .map(_.version.toLong).getOrElse(-1L),
+            "rows" -> t.baseRowCount))
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
-          "(available: compact, expire_snapshots, history, tag)")
+          "(available: compact, expire_snapshots, history, rollback, tag)")
     }
   }
 
@@ -168,6 +186,7 @@ object GraftProcedures {
       Array(Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "tag"))
     else Array.empty
 }

@@ -138,6 +138,40 @@ object GraftStorage {
       case _ => ordinalByName(f.cols, field.name)
     }
 
+  /** Metadata key Spark's default-column machinery stores the FROZEN
+    * at-ADD-time default under (the value rows predating the column
+    * must read as). The sibling CURRENT_DEFAULT is analyzer-side only
+    * (INSERT omit-fill) and never consulted by the scan. */
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  private val defaultCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, DataType), Any]()
+
+  /** Evaluate a field's frozen EXISTS_DEFAULT (a folded-literal SQL
+    * text) to the catalyst value the scan backfills — cached per
+    * (text, type) so per-file pruning doesn't re-parse. None when the
+    * field has no default (backfill stays null, the pre-defaults
+    * behavior). A malformed default errors LOUDLY — silently reading
+    * null for a column whose contract says otherwise would corrupt. */
+  def existsDefault(f: StructField): Option[Any] =
+    if (!f.metadata.contains(ExistsDefaultKey)) None
+    else {
+      val txt = f.metadata.getString(ExistsDefaultKey)
+      Some(defaultCache.computeIfAbsent((txt, f.dataType), { _ =>
+        try {
+          val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(txt)
+          org.apache.spark.sql.catalyst.expressions
+            .Cast(e, f.dataType, Some("UTC"))
+            .eval(InternalRow.empty)
+        } catch { case ex: Exception =>
+          throw new IllegalStateException(
+            s"cannot evaluate EXISTS_DEFAULT '$txt' for column " +
+              s"${f.name}: ${ex.getMessage}", ex)
+        }
+      }))
+    }
+
   /** FLOAT->DOUBLE stat re-encode for ALTER COLUMN TYPE: a float's
     * shortest-round-trip min/max string ("0.1") parsed as DOUBLE is
     * NOT the double the upcast reader produces ((double)0.1f =
@@ -869,6 +903,25 @@ object GraftStorage {
     })
     private val targets: Array[Int] =
       wanted.fields.indices.filter(i => ords(i) >= 0).toArray
+    // columns this file PREDATES whose schema carries a frozen
+    // EXISTS_DEFAULT: backfill the constant instead of null — the
+    // contract of ADD COLUMN ... DEFAULT for pre-existing rows
+    private val backfills: Array[(Int, Any)] =
+      wanted.fields.zipWithIndex.collect {
+        case (f, i) if ords(i) < 0 =>
+          (i, existsDefault(f).orNull)
+      }.filter(_._2 != null).toArray
+    private def backfill(r: InternalRow): InternalRow = {
+      if (backfills.nonEmpty) {
+        val g = r.asInstanceOf[GenericInternalRow]
+        var i = 0
+        while (i < backfills.length) {
+          g.update(backfills(i)._1, backfills(i)._2)
+          i += 1
+        }
+      }
+      r
+    }
 
     private def mkReader(withPreds: Boolean): ParquetReader[InternalRow] = {
       val b = ParquetReader.builder(
@@ -922,11 +975,11 @@ object GraftStorage {
     override def next(): InternalRow = {
       if (requested.isEmpty) {
         remainingEmpty -= 1
-        return new GenericInternalRow(wanted.length)
+        return backfill(new GenericInternalRow(wanted.length))
       }
       val r = nextRow
       nextRow = reader.read()
-      r
+      backfill(r)
     }
 
     override def close(): Unit = if (reader != null) reader.close()
@@ -1026,7 +1079,30 @@ object GraftStorage {
       field(c) match {
         case None => true
         case Some(fld) =>
-          if (fileOrd(c) < 0) false // all null -> comparison never satisfied
+          if (fileOrd(c) < 0)
+            // the file predates the column: every row reads the frozen
+            // EXISTS_DEFAULT (min = max = default) — or null when the
+            // column has none, where no comparison can be satisfied
+            existsDefault(fld) match {
+              case Some(d) if d != null =>
+                try {
+                  val lv = fld.dataType match {
+                    case StringType => v match {
+                      case s: String => UTF8String.fromString(s)
+                      case other => other
+                    }
+                    case _: DecimalType => v match {
+                      case b: java.math.BigDecimal => Decimal(b)
+                      case b: scala.math.BigDecimal => Decimal(b)
+                      case other => other
+                    }
+                    case _ => v
+                  }
+                  val x = typedCompare(fld.dataType, d, lv)
+                  test(x, x)
+                } catch { case _: Exception => true }
+              case _ => false
+            }
           else statsOf(c) match {
             case Some(st) if st.min.isDefined && st.max.isDefined =>
               try {
@@ -1063,9 +1139,14 @@ object GraftStorage {
       case LessThan(c, v) => cmp(c, v)((lo, _) => lo < 0)
       case LessThanOrEqual(c, v) => cmp(c, v)((lo, _) => lo <= 0)
       case IsNull(c) =>
-        field(c).isEmpty || fileOrd(c) < 0 || statsOf(c).forall(_.nulls > 0)
+        field(c).isEmpty ||
+          (fileOrd(c) < 0 &&
+            field(c).flatMap(existsDefault).forall(_ == null)) ||
+          (fileOrd(c) >= 0 && statsOf(c).forall(_.nulls > 0))
       case IsNotNull(c) =>
         field(c).isEmpty ||
+          (fileOrd(c) < 0 &&
+            field(c).flatMap(existsDefault).exists(_ != null)) ||
           (fileOrd(c) >= 0 && statsOf(c).forall(_.nulls < f.rows))
       case And(l, r) => mayMatch(schema, f, l) && mayMatch(schema, f, r)
       case Or(l, r) => mayMatch(schema, f, l) || mayMatch(schema, f, r)

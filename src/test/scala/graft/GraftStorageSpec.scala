@@ -1792,6 +1792,113 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.deep")
   }
 
+  test("column DEFAULT values: CREATE + ADD COLUMN defaults, INSERT " +
+      "omit-fill, pre-ADD files read the frozen default, pruning is " +
+      "default-aware") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.dfl")
+    sql("""CREATE TABLE gstore.default.dfl
+           (k BIGINT, status STRING DEFAULT 'new', score BIGINT DEFAULT 100)""")
+    // INSERT omit-fill: the analyzer fills CURRENT_DEFAULT
+    sql("INSERT INTO gstore.default.dfl (k) VALUES (1)")
+    sql("INSERT INTO gstore.default.dfl VALUES (2, 'old', 5)")
+    assert(sql("SELECT k, status, score FROM gstore.default.dfl ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,new,100]", "[2,old,5]"))
+    // ADD COLUMN with DEFAULT: rows in files that PREDATE the column
+    // read the frozen EXISTS_DEFAULT, not null
+    sql("""ALTER TABLE gstore.default.dfl
+           ADD COLUMN region STRING DEFAULT 'emea'""")
+    assert(sql("SELECT k, region FROM gstore.default.dfl ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,emea]", "[2,emea]"),
+      "pre-ADD rows did not read the default")
+    sql("INSERT INTO gstore.default.dfl VALUES (3, 'x', 1, 'apac')")
+    sql("INSERT INTO gstore.default.dfl (k) VALUES (4)")
+    assert(sql("SELECT k, region FROM gstore.default.dfl ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,emea]", "[2,emea]", "[3,apac]", "[4,emea]"))
+    // pruning is default-aware: an equality on the added column must
+    // still FIND rows in pre-ADD files (min = max = default), and a
+    // non-matching literal may prune them
+    assert(sql("SELECT k FROM gstore.default.dfl WHERE region = 'emea'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L),
+      "default-valued pre-ADD rows lost to pruning")
+    assert(sql("SELECT k FROM gstore.default.dfl WHERE region IS NOT NULL")
+      .count() == 4)
+    assert(sql("SELECT k FROM gstore.default.dfl WHERE region IS NULL")
+      .count() == 0)
+    // aggregates see the backfilled constants
+    assert(sql("SELECT sum(score) FROM gstore.default.dfl")
+      .head().getLong(0) == 206L)
+    // DML carry-over: rewriting OTHER rows must not disturb defaults
+    sql("UPDATE gstore.default.dfl SET status = 'done' WHERE k = 2")
+    assert(sql("SELECT k, status, region FROM gstore.default.dfl ORDER BY k")
+      .collect().map(_.toString).toSeq ==
+      Seq("[1,new,emea]", "[2,done,emea]", "[3,x,apac]", "[4,new,emea]"))
+    sql("DROP TABLE gstore.default.dfl")
+
+    // MOR: a delta entry written before the ADD folds with the default
+    sql("DROP TABLE IF EXISTS gstore.default.dflmor")
+    sql("""CREATE TABLE gstore.default.dflmor (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.dflmor VALUES (1,'a'),(2,'b')")
+    sql("UPDATE gstore.default.dflmor SET v = 'A' WHERE k = 1")
+    sql("""ALTER TABLE gstore.default.dflmor
+           ADD COLUMN tier BIGINT DEFAULT 7""")
+    assert(sql("SELECT k, v, tier FROM gstore.default.dflmor ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,A,7]", "[2,b,7]"),
+      "MOR fold lost the default on pre-ADD base/delta files")
+    sql("UPDATE gstore.default.dflmor SET tier = 9 WHERE k = 2")
+    assert(sql("SELECT k, tier FROM gstore.default.dflmor ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,7]", "[2,9]"))
+    sql("DROP TABLE gstore.default.dflmor")
+  }
+
+  test("CALL system.rollback restores content as a NEW commit: history " +
+      "preserved, tags resolve, MOR delta state reverts, unretained " +
+      "targets reject") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.rb")
+    sql("""CREATE TABLE gstore.default.rb (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.rb VALUES (1,'a'),(2,'b')")
+    sql("UPDATE gstore.default.rb SET v = 'A' WHERE k = 1")
+    sql("CALL gstore.system.tag('default.rb', 'good')")
+    val goodState = Seq("[1,A]", "[2,b]")
+    def dump(): Seq[String] =
+      sql("SELECT k, v FROM gstore.default.rb ORDER BY k")
+        .collect().map(_.toString).toSeq
+    assert(dump() == goodState)
+    // the bad batch: a delete, an update, and an insert
+    sql("DELETE FROM gstore.default.rb WHERE k = 2")
+    sql("UPDATE gstore.default.rb SET v = 'Z' WHERE k = 1")
+    sql("INSERT INTO gstore.default.rb VALUES (9,'oops')")
+    assert(dump() == Seq("[1,Z]", "[9,oops]"))
+    val preRollbackVersion = tbl("rb").stateNow.current.get.version
+    // rollback by TAG restores the pinned content as a NEW commit
+    val res = sql("CALL gstore.system.rollback('default.rb', 'good')")
+      .head()
+    assert(dump() == goodState, s"rollback did not restore: ${dump()}")
+    assert(res.getLong(1) > preRollbackVersion,
+      "rollback must append a new version, not rewind the counter")
+    // the bad commits stay inspectable (history preserved)...
+    assert(sql(s"SELECT k, v FROM gstore.default.rb VERSION AS OF $preRollbackVersion ORDER BY k")
+      .collect().map(_.toString).toSeq == Seq("[1,Z]", "[9,oops]"),
+      "rollback erased history")
+    // ...and the rollback is itself revertible, by version NUMBER
+    sql(s"CALL gstore.system.rollback('default.rb', '$preRollbackVersion')")
+    assert(dump() == Seq("[1,Z]", "[9,oops]"))
+    // post-rollback DML works on the restored state
+    sql("CALL gstore.system.rollback('default.rb', 'good')")
+    sql("UPDATE gstore.default.rb SET v = 'B' WHERE k = 2")
+    assert(dump() == Seq("[1,A]", "[2,B]"))
+    // unretained / unknown targets reject loudly
+    for (bad <- Seq("99999", "no_such_tag"))
+      assert(intercept[Exception](sql(
+        s"CALL gstore.system.rollback('default.rb', '$bad')")) != null,
+        s"rollback to $bad not rejected")
+    sql("DROP TABLE gstore.default.rb")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
