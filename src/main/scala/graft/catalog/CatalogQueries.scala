@@ -1553,6 +1553,60 @@ object CatalogQueries {
         UNION ALL
         SELECT 'restored', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
         FROM orders
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q223:
+    // CHECK CONSTRAINTS — DSv2 SUPPORT_TABLE_CONSTRAINT end to end:
+    // an enforced CHECK declared at CREATE compiles into EVERY write
+    // (a violating INSERT or UPDATE fails the job before any file
+    // commits — data-quality contracts move from pipeline code into
+    // the table), and ALTER TABLE ADD CONSTRAINT scans existing rows
+    // before accepting. The result proves enforcement both ways: the
+    // accepted corpus aggregates exactly, and the 'leaked' probe —
+    // rows violating the predicate after two rejected writes — is
+    // provably zero.
+    QueryDef(
+      "q223_check_constraint",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_ck")
+        s.sql("""CREATE TABLE graft_cat.default.orders_ck
+                 (o_orderkey BIGINT, price DECIMAL(12,4),
+                  CONSTRAINT price_pos CHECK (price >= 0))""")
+        Tables(s, d, "orders").createOrReplaceTempView("q223_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_ck
+                 SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,4))
+                 FROM q223_orders""")
+        // both violating writes must fail LOUDLY and commit nothing
+        val rejected =
+          Seq("INSERT INTO graft_cat.default.orders_ck VALUES (1, -1.0)",
+            """UPDATE graft_cat.default.orders_ck SET price = -5.0
+               WHERE o_orderkey % 100 = 0""").count { stmt =>
+            try { s.sql(stmt); false }
+            catch { case _: Exception => true }
+          }
+        require(rejected == 2, s"CHECK enforcement let a write through")
+        // ADD CONSTRAINT validates the existing corpus (full scan)
+        s.sql("""ALTER TABLE graft_cat.default.orders_ck
+                 ADD CONSTRAINT key_pos CHECK (o_orderkey >= 0)""")
+        s.sql("""
+          SELECT 'accepted' AS phase, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM graft_cat.default.orders_ck
+          UNION ALL
+          SELECT 'leaked', COUNT(*), CAST(COALESCE(SUM(o_orderkey), 0)
+            AS BIGINT)
+          FROM graft_cat.default.orders_ck
+          WHERE price < 0 OR o_orderkey < 0
+          ORDER BY phase""")
+      },
+      Some("""
+        SELECT 'accepted' AS phase, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        UNION ALL
+        SELECT 'leaked', 0, 0
         ORDER BY phase"""))
   )
 

@@ -339,8 +339,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[GraftStorage.mayMatch]] default-aware pruning). */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
+  /** Constraint-bearing CREATE (`CREATE TABLE … CONSTRAINT c CHECK
+    * (…)`): only enforced CHECK constraints are accepted — PRIMARY
+    * KEY / UNIQUE / FOREIGN KEY are informational-only claims this
+    * engine cannot enforce, and recording them as if it could would
+    * let `rely` mis-drive optimizer rewrites; they reject loudly.
+    * The CHECKs commit immediately after the table's initial state —
+    * the table only becomes visible in the shared index once this
+    * returns, so no reader can observe the gap. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
+    val checks = info.constraints().map {
+      case c: Check => GraftCheck(c.name(), c.predicateSql(),
+        validated = true) // vacuously valid: the table is empty
+      case other: Constraint => throw new UnsupportedOperationException(
+        s"graft catalog: only CHECK constraints are supported, got " +
+          other.toDDL)
+    }
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties()).asInstanceOf[GraftTable]
+    checks.foreach(t.addCheck)
+    t
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadTable(ident).asInstanceOf[GraftTable]
@@ -380,6 +407,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             upd.fieldNames().mkString("."))
         t.alterWidenColumn(upd.fieldNames().head, upd.newDataType())
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            // Spark's AddCheckConstraintExec scanned existing rows
+            // before calling us iff validatedTableVersion is set
+            t.addCheck(GraftCheck(c.name(), c.predicateSql(),
+              validated = add.validatedTableVersion() != null))
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: only CHECK constraints are supported, " +
+              s"got ${other.toDDL}")
+        }
+      case drop: TableChange.DropConstraint =>
+        t.dropCheck(drop.name(), drop.ifExists())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported: $other")
     }
@@ -1042,6 +1082,56 @@ class GraftTable(ident: String, val dir: NioPath,
     }
     tagged
   }
+
+  // ---- CHECK constraints (DSv2 SUPPORT_TABLE_CONSTRAINT) ---------------
+  // Spark's ResolveTableConstraints compiles every enforced CHECK from
+  // constraints() into each write (CheckInvariant — a violating row
+  // fails the job before any file is committed); ALTER TABLE ADD
+  // CONSTRAINT additionally scans existing rows first
+  // (AddCheckConstraintExec) and hands us validatedTableVersion. The
+  // catalog's job is durable storage and re-exposure.
+
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    state.checks.map { c =>
+      import org.apache.spark.sql.connector.catalog.constraints.Constraint
+      val b = Constraint.check(c.name)
+      b.predicateSql(c.sql)
+      b.enforced(true)
+      b.validationStatus(
+        if (c.validated) Constraint.ValidationStatus.VALID
+        else Constraint.ValidationStatus.UNVALIDATED)
+      b.build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
+  private[catalog] def addCheck(c: GraftCheck): Unit = commitLoop { () =>
+    require(!state.checks.exists(_.name.equalsIgnoreCase(c.name)),
+      s"constraint ${c.name} already exists on $ident")
+    // a constraint change is a commit like any DDL: content-identical
+    // snapshot, nextVersion bumped (the CAS publishes AT nextVersion)
+    val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
+      curFiles, curDelta)
+    Some(state.copy(checks = state.checks :+ c,
+      snapshots = retainWindow(state.snapshots :+ snap),
+      nextVersion = state.nextVersion + 1))
+  }
+
+  private[catalog] def dropCheck(name: String, ifExists: Boolean): Unit =
+    commitLoop { () =>
+      val kept = state.checks.filterNot(_.name.equalsIgnoreCase(name))
+      if (kept.size == state.checks.size) {
+        require(ifExists, s"constraint $name not found on $ident " +
+          s"(defined: ${if (state.checks.isEmpty) "<none>"
+            else state.checks.map(_.name).mkString(", ")})")
+        None
+      } else {
+        val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
+          curFiles, curDelta)
+        Some(state.copy(checks = kept,
+          snapshots = retainWindow(state.snapshots :+ snap),
+          nextVersion = state.nextVersion + 1))
+      }
+    }
 
   /** CALL system.rollback: restore the table's CONTENT to a retained
     * version (by number or tag) as a NEW commit — history is

@@ -1236,7 +1236,11 @@ object GraftStorage {
       // named snapshot pins (write-audit-publish): tag -> version;
       // tagged snapshots are exempt from retention trimming
       "tags" -> JObject(st.tags.toList.map { case (n, v) =>
-        n -> (JInt(v): JValue) }))
+        n -> (JInt(v): JValue) }),
+      // enforced CHECK constraints (name, predicate SQL, validated)
+      "checks" -> JArray(st.checks.toList.map(c => JObject(
+        "name" -> JString(c.name), "sql" -> JString(c.sql),
+        "validated" -> JBool(c.validated)): JValue)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -1269,7 +1273,16 @@ object GraftStorage {
       o.get("nextFieldId").map(num(_).toInt).getOrElse(0),
       o.get("tags").collect { case tj: JObject =>
         tj.obj.map { case (n, v) => n -> num(v).toInt }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // absent in pre-constraints logs: none defined
+      o.get("checks").collect { case ca: JArray =>
+        ca.arr.map { cv =>
+          val co = cv.asInstanceOf[JObject].obj.toMap
+          GraftCheck(co("name").asInstanceOf[JString].s,
+            co("sql").asInstanceOf[JString].s,
+            co("validated").asInstanceOf[JBool].value)
+        }.toVector
+      }.getOrElse(Vector.empty))
   }
 
   // ---- versioned log with compare-and-swap commit ----------------------
@@ -1395,6 +1408,15 @@ final case class GraftRowGroup(start: Long, rows: Long, bytes: Long)
 final case class GraftColStats(min: Option[String], max: Option[String],
     nulls: Long, ndv: Long = -1L)
 
+/** One enforced CHECK constraint (DSv2 SUPPORT_TABLE_CONSTRAINT):
+  * Spark compiles the predicate into every write and fails violating
+  * rows; the catalog's job is durable storage + re-exposure through
+  * `Table.constraints()`. `validated` records whether existing data
+  * was scanned at ADD time (ALTER TABLE ADD CONSTRAINT does; a
+  * CREATE-time constraint is vacuously valid on an empty table). */
+final case class GraftCheck(name: String, sql: String,
+    validated: Boolean)
+
 /** One table version: the files (and, for MOR, the live delta files —
   * plain [[GraftFileRef]]s over the delta schema, whose `__id` stats
   * drive fold-relevance pruning) plus the schema AT THAT VERSION —
@@ -1437,7 +1459,8 @@ final case class GraftTableState(schemaJson: String,
     changeBase: Int,
     epochHW: Map[String, Long],
     nextFieldId: Int = 0,
-    tags: Map[String, Int] = Map.empty) {
+    tags: Map[String, Int] = Map.empty,
+    checks: Vector[GraftCheck] = Vector.empty) {
   def current: Option[GraftSnapshot] = snapshots.lastOption
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]

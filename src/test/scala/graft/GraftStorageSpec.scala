@@ -1899,6 +1899,60 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.rb")
   }
 
+  test("CHECK constraints: enforced on INSERT/UPDATE, ADD CONSTRAINT " +
+      "validates existing rows, DROP lifts enforcement, non-CHECK " +
+      "kinds reject") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.ck")
+    sql("""CREATE TABLE gstore.default.ck
+           (k BIGINT, qty BIGINT,
+            CONSTRAINT qty_pos CHECK (qty > 0))""")
+    sql("INSERT INTO gstore.default.ck VALUES (1, 10), (2, 20)")
+    // a violating INSERT fails the WRITE — nothing commits
+    val e1 = intercept[Exception](sql(
+      "INSERT INTO gstore.default.ck VALUES (3, -5)"))
+    assert(chain(e1).exists(m => Option(m.getMessage).exists(m =>
+      m.contains("qty_pos") || m.toLowerCase.contains("check"))),
+      s"violation not loud: ${e1.getMessage}")
+    assert(sql("SELECT count(*) FROM gstore.default.ck").head()
+      .getLong(0) == 2, "violating insert leaked rows")
+    // a violating UPDATE fails too
+    val e2 = intercept[Exception](sql(
+      "UPDATE gstore.default.ck SET qty = -1 WHERE k = 1"))
+    assert(chain(e2).nonEmpty)
+    assert(sql("SELECT qty FROM gstore.default.ck WHERE k = 1").head()
+      .getLong(0) == 10)
+    // ADD CONSTRAINT scans existing data: a violating row blocks it
+    val e3 = intercept[Exception](sql(
+      "ALTER TABLE gstore.default.ck ADD CONSTRAINT k_small CHECK (k < 2)"))
+    assert(chain(e3).nonEmpty, "ADD CONSTRAINT over violating data passed")
+    assert(tbl("ck").stateNow.checks.map(_.name) == Vector("qty_pos"),
+      "failed ADD CONSTRAINT must not be recorded")
+    // a satisfiable one lands, persists in the log, and enforces
+    sql("ALTER TABLE gstore.default.ck ADD CONSTRAINT k_pos CHECK (k > 0)")
+    assert(tbl("ck").stateNow.checks.map(_.name).sorted ==
+      Vector("k_pos", "qty_pos"))
+    val e4 = intercept[Exception](sql(
+      "INSERT INTO gstore.default.ck VALUES (-9, 1)"))
+    assert(chain(e4).nonEmpty)
+    // DROP CONSTRAINT lifts enforcement for exactly that predicate
+    sql("ALTER TABLE gstore.default.ck DROP CONSTRAINT qty_pos")
+    sql("INSERT INTO gstore.default.ck VALUES (4, -5)")
+    assert(sql("SELECT count(*) FROM gstore.default.ck").head()
+      .getLong(0) == 3)
+    val e5 = intercept[Exception](sql(
+      "ALTER TABLE gstore.default.ck DROP CONSTRAINT nope"))
+    assert(chain(e5).nonEmpty)
+    // non-CHECK constraint kinds are loud rejects, not silent claims
+    sql("DROP TABLE IF EXISTS gstore.default.ckbad")
+    val e6 = intercept[Exception](sql(
+      """CREATE TABLE gstore.default.ckbad
+         (k BIGINT, CONSTRAINT pk PRIMARY KEY (k))"""))
+    assert(chain(e6).exists(m => Option(m.getMessage).exists(
+      _.contains("only CHECK"))))
+    sql("DROP TABLE gstore.default.ck")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
