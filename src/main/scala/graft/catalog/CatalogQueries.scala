@@ -1607,7 +1607,55 @@ object CatalogQueries {
         FROM orders
         UNION ALL
         SELECT 'leaked', 0, 0
-        ORDER BY phase"""))
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q224:
+    // RUNTIME FILE SKIPPING — the star-schema join every warehouse
+    // lives on: the fact table's effective predicate sits in the DIM
+    // (invisible at plan time), so the scan advertises its layout
+    // columns through SupportsRuntimeV2Filtering, Spark runs the dim
+    // side first as a dynamic-pruning subquery, and the distinct join
+    // keys arrive at EXECUTION time as an IN list that drops every
+    // sorted fact file whose key span excludes them all (bucket ids
+    // prune hash-bucketed facts the same way). At 100 TB this turns
+    // "scan the fact table" into "open the files the dim selection
+    // touches" — Iceberg's runtime file filtering (spec-pinned: the
+    // dynamic-pruning subquery in the plan and the post-execution
+    // file narrowing; this query pins the end-to-end result).
+    QueryDef(
+      "q224_runtime_file_skipping",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.lineitem_rt")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_rt")
+        s.sql("""CREATE TABLE graft_cat.default.lineitem_rt
+                 (l_orderkey BIGINT, l_linenumber INT)
+                 TBLPROPERTIES ('graft.sort_by'='l_orderkey')""")
+        s.sql("""CREATE TABLE graft_cat.default.orders_rt
+                 (o_orderkey BIGINT, o_orderpriority STRING)""")
+        Tables(s, d, "lineitem").createOrReplaceTempView("q224_lineitem")
+        Tables(s, d, "orders").createOrReplaceTempView("q224_orders")
+        s.sql("""INSERT INTO graft_cat.default.lineitem_rt
+                 SELECT l_orderkey, l_linenumber FROM q224_lineitem""")
+        s.sql("""INSERT INTO graft_cat.default.orders_rt
+                 SELECT o_orderkey, o_orderpriority FROM q224_orders""")
+        s.sql("""
+          SELECT d.o_orderpriority AS priority, COUNT(*) AS n_lines,
+                 CAST(SUM(f.l_linenumber) AS BIGINT) AS line_sum
+          FROM graft_cat.default.lineitem_rt f
+          JOIN graft_cat.default.orders_rt d
+            ON f.l_orderkey = d.o_orderkey
+          WHERE d.o_orderpriority = '1-URGENT'
+             OR d.o_orderkey % 1000 = 7
+          GROUP BY d.o_orderpriority ORDER BY priority""")
+      },
+      Some("""
+        SELECT o.o_orderpriority AS priority, COUNT(*) AS n_lines,
+               CAST(SUM(l.l_linenumber) AS BIGINT) AS line_sum
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT' OR o.o_orderkey % 1000 = 7
+        GROUP BY o.o_orderpriority ORDER BY priority"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -104,11 +104,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val cached = GraftCatalog.tables.get(regKey(ident))
     if (cached != null) cached
-    else GraftCatalog.withIndex(warehouse) { idx =>
+    else {
+      val loaded = GraftCatalog.withIndex(warehouse) { idx =>
       // cold load: the table was created by an earlier session — its
       // JSON log on disk is the source of truth (catalog persistence)
-      idx -> (idx.get(idxKey(ident)) match {
+      idx.get(idxKey(ident)) match {
         case None => throw new NoSuchTableException(ident)
+        case Some(e) if !java.nio.file.Files.exists(Paths.get(e.dir)) =>
+          // a DROP that crashed between directory removal and index
+          // persist: the physical drop committed, the entry is stale —
+          // finish the drop here and report the table as gone, so the
+          // name is reusable instead of permanently bricked
+          GraftCatalog.tables.remove(regKey(ident))
+          ((idx - idxKey(ident)), null)
         case Some(e) =>
           val dir = Paths.get(e.dir)
           val st = GraftStorage.readLog(dir).getOrElse(
@@ -125,8 +133,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
               e.appendRetain, e.sortBy, e.zorderBy, eBucket)
           val prev = GraftCatalog.tables.putIfAbsent(regKey(ident), t)
-          if (prev != null) prev else t
-      })
+          (idx, if (prev != null) prev else t)
+      }
+      }
+      if (loaded == null) throw new NoSuchTableException(ident)
+      loaded
     }
   }
 
@@ -497,7 +508,7 @@ object GraftCatalog {
     * more than once per session; open tables must resolve to the SAME
     * instance (same lock, same volatile state). Disk is the durable
     * truth; this is just the hot path. */
-  private[catalog] val tables = new ConcurrentHashMap[String, GraftTable]()
+  private[graft] val tables = new ConcurrentHashMap[String, GraftTable]()
 
   /** Test hook: drop every cached table handle so the next reference
     * exercises the cold-load path — what a fresh JVM's first touch of
@@ -512,11 +523,30 @@ object GraftCatalog {
   private val indexLock = new Object
 
   /** Run `f` with the warehouse's name->table index under the global
-    * lock; `f` returns (newIndex, result) and the index is re-persisted
-    * if changed. The index is tiny (one line per table). */
+    * JVM lock AND a cross-process file lock; `f` returns
+    * (newIndex, result) and the index is re-persisted if changed.
+    * The file lock matters: the index update is a read-modify-write,
+    * and two PROCESSES interleaving it would lose updates — e.g. a
+    * concurrent CREATE re-publishing a just-dropped table's entry
+    * (whose directory is gone), bricking the name. The per-table logs
+    * are CAS-safe on their own; this closes the same hole for the
+    * name index. The index is tiny (one line per table). */
   private[catalog] def withIndex[A](wh: NioPath)(
       f: Map[String, IndexEntry] => (Map[String, IndexEntry], A)): A =
     indexLock.synchronized {
+      Files.createDirectories(wh)
+      val lockCh = java.nio.channels.FileChannel.open(
+        wh.resolve("_tables.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val flock = lockCh.lock() // blocking, exclusive, cross-process
+      try withIndexLocked(wh)(f)
+      finally { try flock.release() finally lockCh.close() }
+    }
+
+  private def withIndexLocked[A](wh: NioPath)(
+      f: Map[String, IndexEntry] => (Map[String, IndexEntry], A)): A =
+    {
       val idxFile = wh.resolve("_tables.json")
       val before: Map[String, IndexEntry] =
         if (Files.exists(idxFile)) {
@@ -1258,7 +1288,7 @@ class GraftTable(ident: String, val dir: NioPath,
     val s = state
     new GraftScanBuilder(s.schema,
       s.current.map(_.files).getOrElse(Vector.empty), Some(this), partCols,
-      bucketBy)
+      bucketBy, sortCols ++ zorderCols)
   }
 
   // ---- plain write path (INSERT INTO / INSERT OVERWRITE) ---------------
@@ -1448,7 +1478,8 @@ class GraftSnapshotTable(ident: String, tableSchema: StructType,
   * filter can still prune a file whose stats exclude it. */
 class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    clusterCols: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -1463,9 +1494,17 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
       filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
     all = filters
-    val (ok, rest) = filters.partition(GraftFilterEval.supports(tableSchema, _))
+    val (ok, _) = filters.partition(GraftFilterEval.supports(tableSchema, _))
     accepted = ok
-    rest
+    // hand EVERY filter back as a post-scan residual (the file-source
+    // convention): the accepted ones still drive file pruning and
+    // in-parquet row-group skipping here, but the exact row-level
+    // evaluation stays in Spark's codegen'd Filter node — which is
+    // also what dynamic partition pruning anchors on (a dim-side
+    // selective predicate swallowed into the scan would leave no
+    // Filter in the plan and silently disable runtime file skipping
+    // on the fact side).
+    filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
@@ -1499,7 +1538,7 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
         all.forall(GraftStorage.mayMatch(tableSchema, f, _)))
     new GraftScan(tableSchema, required, accepted, surviving,
       skipped = files.size - surviving.size, streamTable, partCols,
-      bucketSpec)
+      bucketSpec, clusterCols)
   }
 }
 
@@ -1607,6 +1646,29 @@ object GraftV2Preds {
           values.map(v => javaValue(v.asInstanceOf[Literal[_]]))))
       case _ => None
     }
+
+  /** Bucket-id pruning for runtime IN/= predicates on the bucket
+    * column: a hash-bucketed file's VALUE stats span nearly the whole
+    * key range (hashing destroys value locality), but the bucket id
+    * is exact — a file whose bucket none of the probed values hash to
+    * provably holds no match. Conservative for anything else. */
+  private[catalog] def bucketMayMatch(schema: StructType,
+      bucketSpec: Option[(String, Int)], f: GraftFileRef,
+      p: Predicate): Boolean = bucketSpec match {
+    case Some((c, n)) if f.bucket >= 0 &&
+        (p.name() == "IN" || p.name() == "=") =>
+      singleCol(p) match {
+        case Some((col, values)) if col == c && values.nonEmpty &&
+            values.forall(_ != null) =>
+          val o = GraftStorage.ordinalByName(
+            schema.fieldNames.toIndexedSeq, c)
+          val dt = schema.fields(o).dataType
+          try values.exists(v => GraftBucket.bucketId(dt, v, n) == f.bucket)
+          catch { case _: Exception => true }
+        case _ => true
+      }
+    case _ => true
+  }
 
   private[catalog] def mayMatch(schema: StructType, f: GraftFileRef,
       p: Predicate): Boolean = p.name() match {
@@ -1789,9 +1851,55 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     rowFilters: Array[org.apache.spark.sql.sources.Filter],
     files: Vector[GraftFileRef], skipped: Int,
     streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    clusterCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+
+  // ---- runtime file skipping (dynamic pruning on the READ scan) --------
+  // A star-schema join's fact-side predicate usually lives in the DIM
+  // table, invisible at plan time. Advertising the table's LAYOUT
+  // columns (partition / bucket / sort / z-order — the axes files are
+  // clustered on, where per-file stats actually bite) lets Spark run
+  // the dim side first as a dynamic-pruning subquery and hand the
+  // distinct join-key values here as IN predicates at EXECUTION time;
+  // the scan then drops every fact file whose stats (or bucket id)
+  // exclude all of them — Iceberg's runtime file filtering. At 100 TB
+  // this turns "scan the whole fact table" into "open the handful of
+  // files the dim selection touches". Sound: filter() only narrows,
+  // via the same conservative mayMatch used at plan time; correctness
+  // never depends on it. Disabled under SPJ (narrowing keyed
+  // partitions would desync the reported key grouping) and for
+  // streaming scans (each micro-batch re-plans anyway).
+  @volatile private var runtimeFiles: Vector[GraftFileRef] = files
+
+  // NOTE: streamTable being set does NOT mean streaming execution —
+  // it is the toMicroBatchStream capability hook, present on every
+  // table scan; a streaming read plans through GraftMicroBatchStream,
+  // which never consults runtimeFiles, so advertising here is safe.
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (spjKeyed.isDefined) Array.empty
+    else {
+      val names = tableSchema.fieldNames.toSet
+      (partCols ++ bucketSpec.map(_._1) ++ clusterCols).distinct
+        .filter(names.contains)
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .column(c): org.apache.spark.sql.connector.expressions.NamedReference)
+        .toArray
+    }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimeFiles = runtimeFiles.filter(f =>
+      predicates.forall(p =>
+        GraftV2Preds.bucketMayMatch(tableSchema, bucketSpec, f, p) &&
+          GraftV2Preds.mayMatch(tableSchema, f, p)))
+
+  /** Spec probes: files surviving plan-time pruning vs after runtime
+    * (dynamic-pruning) narrowing. */
+  private[graft] def plannedFileCount: Int = files.size
+  private[graft] def runtimeFileCount: Int = runtimeFiles.size
 
   /** Storage-partitioned-join seam (VERDICT r11 item 1, Iceberg's
     * bucket-join): when the table is identity-partitioned and EVERY
@@ -1970,7 +2078,8 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
         GraftKeyedFilePartition(f.path, f.cols, f.rows, vals,
           f.colIds): InputPartition
       }.toArray
-      case None => GraftScan.partitionsFor(files)
+      // runtimeFiles == files unless a dynamic-pruning filter narrowed
+      case None => GraftScan.partitionsFor(runtimeFiles)
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(tableSchema, requiredSchema, rowFilters)

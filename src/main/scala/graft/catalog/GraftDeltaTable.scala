@@ -172,7 +172,7 @@ class GraftDeltaTable(ident: String, dir: NioPath,
       // pass the partition/bucket layout through for the key-grouped
       // report and bucket pruning
       new GraftScanBuilder(st.schema, files, None, partitionCols,
-        bucketSpec)
+        bucketSpec, sortColumns ++ zorderColumns)
     else {
       val fold = GraftDeltaTable.foldDelta(delta, st.schema, idType)
       new GraftMorScanBuilder(st.schema, files, fold, resolvedIdCol)

@@ -1953,6 +1953,117 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.ck")
   }
 
+  test("runtime file skipping: a dim-side predicate prunes sorted fact " +
+      "files at EXECUTION time through dynamic pruning; bucket ids " +
+      "prune bucketed facts the stats can't") {
+    setup()
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // SPJ mode (bucketing.enabled, possibly left on by another spec)
+    // rightly disables runtime filtering on key-grouped scans — this
+    // test exercises the NON-SPJ bucket-id prune, so pin it off
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      sql("DROP TABLE IF EXISTS gstore.default.rtfact")
+      sql("DROP TABLE IF EXISTS gstore.default.rtdim")
+      sql("""CREATE TABLE gstore.default.rtfact (k BIGINT, v BIGINT)
+             TBLPROPERTIES ('graft.sort_by'='k')""")
+      sql("""INSERT INTO gstore.default.rtfact
+             SELECT id, id * 7 FROM range(4096)""")
+      val factFiles = tbl("rtfact").currentFilePaths.size
+      assert(factFiles >= 4, s"sorted insert made only $factFiles files")
+      sql("CREATE TABLE gstore.default.rtdim (k BIGINT, tag STRING)")
+      sql("""INSERT INTO gstore.default.rtdim VALUES
+             (5, 'pick'), (9, 'pick'), (4000, 'other')""")
+      val df = sql(
+        """SELECT f.k, f.v FROM gstore.default.rtfact f
+           JOIN gstore.default.rtdim d ON f.k = d.k
+           WHERE d.tag = 'pick' ORDER BY f.k""")
+      assert(df.collect().map(_.toString).toSeq == Seq("[5,35]", "[9,63]"))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("dynamicpruning"),
+        s"no dynamic-pruning subquery injected:\n$plan")
+      val scan = plan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.catalog.GraftScan] &&
+              b.scan.description().contains("rows") => b.scan
+      }.collectFirst {
+        case s: graft.catalog.GraftScan if s.plannedFileCount == factFiles => s
+      }.getOrElse(fail("fact GraftScan not found in plan"))
+      // keys 5 and 9 both sit in the FIRST sorted span: one survivor
+      assert(scan.runtimeFileCount < scan.plannedFileCount,
+        s"runtime filter pruned nothing " +
+          s"(${scan.runtimeFileCount}/${scan.plannedFileCount})")
+      assert(scan.runtimeFileCount == 1,
+        s"expected 1 surviving sorted file, got ${scan.runtimeFileCount}")
+
+      // bucketed fact: value stats are useless (hashing destroys
+      // locality) — the recorded bucket id prunes instead
+      sql("DROP TABLE IF EXISTS gstore.default.rtbkt")
+      sql("""CREATE TABLE gstore.default.rtbkt (k BIGINT, v BIGINT)
+             TBLPROPERTIES ('graft.bucket_by'='k,8')""")
+      sql("""INSERT INTO gstore.default.rtbkt
+             SELECT id, id * 3 FROM range(4096)""")
+      val bktFiles = tbl("rtbkt").currentFilePaths.size
+      val df2 = sql(
+        """SELECT f.k, f.v FROM gstore.default.rtbkt f
+           JOIN gstore.default.rtdim d ON f.k = d.k
+           WHERE d.tag = 'pick' ORDER BY f.k""")
+      assert(df2.collect().map(_.toString).toSeq == Seq("[5,15]", "[9,27]"))
+      val scan2 = df2.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.catalog.GraftScan] => b.scan
+      }.collectFirst {
+        case s: graft.catalog.GraftScan if s.plannedFileCount == bktFiles => s
+      }.getOrElse(fail("bucketed GraftScan not found in plan"))
+      assert(scan2.runtimeFileCount <= 2 &&
+        scan2.runtimeFileCount < bktFiles,
+        s"bucket-id runtime pruning kept ${scan2.runtimeFileCount} of " +
+          s"$bktFiles files for 2 probe keys")
+      sql("DROP TABLE gstore.default.rtfact")
+      sql("DROP TABLE gstore.default.rtdim")
+      sql("DROP TABLE gstore.default.rtbkt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("crashed-DROP self-heal: a stale index entry whose directory is " +
+      "gone resolves as table-not-found and frees the name") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.heal")
+    sql("CREATE TABLE gstore.default.heal (k BIGINT)")
+    sql("INSERT INTO gstore.default.heal VALUES (1)")
+    val dir = tbl("heal").dir
+    // simulate a DROP that crashed between rmTree and the index
+    // persist: remove the directory, leave the entry (and evict the
+    // in-JVM handle, as a fresh process would start)
+    graft.util.Fs.rmTree(dir)
+    val evicted = graft.catalog.GraftCatalog.tables.remove(
+      dir.getParent.toString + "\u0000" + "default/heal")
+    assert(evicted != null, "cache eviction missed - key drifted")
+    // the name must resolve as GONE (self-heal), not brick the catalog
+    sql("DROP TABLE IF EXISTS gstore.default.heal") // no throw
+    sql("CREATE TABLE gstore.default.heal (k BIGINT, v STRING)")
+    sql("INSERT INTO gstore.default.heal VALUES (2, 'b')")
+    assert(sql("SELECT k, v FROM gstore.default.heal").head()
+      .toString == "[2,b]")
+    sql("DROP TABLE gstore.default.heal")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
