@@ -1655,7 +1655,46 @@ object CatalogQueries {
                CAST(SUM(l.l_linenumber) AS BIGINT) AS line_sum
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT' OR o.o_orderkey % 1000 = 7
-        GROUP BY o.o_orderpriority ORDER BY priority"""))
+        GROUP BY o.o_orderpriority ORDER BY priority""")),
+
+    // -------------------------------------------------------------- q225:
+    // $files METADATA TABLE — Iceberg's `files` companion: the live
+    // file census (exact per-file rows/bytes, bucket ids, the full
+    // stats map) queryable in plain SQL, driver-local by construction
+    // (it IS driver metadata — a LocalScan, zero executor work). The
+    // operator questions at 100 TB — small-file pressure, skew, stats
+    // coverage — become one-line queries instead of log spelunking.
+    // The oracle cross-checks the census against the DATA: summed
+    // file rows and the stats-map key min/max must equal what DuckDB
+    // computes from the rows themselves.
+    QueryDef(
+      "q225_files_census",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_census")
+        s.sql("""CREATE TABLE graft_cat.default.orders_census
+                 (o_orderkey BIGINT, o_orderpriority STRING)
+                 TBLPROPERTIES ('graft.sort_by'='o_orderkey')""")
+        Tables(s, d, "orders").createOrReplaceTempView("q225_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_census
+                 SELECT o_orderkey, o_orderpriority FROM q225_orders""")
+        s.sql("""
+          SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+                 CAST(MIN(CAST(stats['o_orderkey'].min AS BIGINT))
+                   AS BIGINT) AS key_min,
+                 CAST(MAX(CAST(stats['o_orderkey'].max AS BIGINT))
+                   AS BIGINT) AS key_max,
+                 CAST(SUM(stats['o_orderkey'].nulls) AS BIGINT)
+                   AS null_count
+          FROM graft_cat.default.`orders_census$files`""")
+      },
+      Some("""
+        SELECT COUNT(*) AS total_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
+               CAST(MAX(o_orderkey) AS BIGINT) AS key_max,
+               CAST(0 AS BIGINT) AS null_count
+        FROM orders"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

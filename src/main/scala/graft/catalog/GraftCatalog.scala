@@ -102,6 +102,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"(${idxKey(base)} is copy-on-write)")
       }
     }
+    // `<table>$files`: the file-census metadata companion (works on
+    // both CoW and MOR tables)
+    if (ident.name().endsWith("$files")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$files"))
+      return new GraftFilesTable(idxKey(ident),
+        loadTable(base).asInstanceOf[GraftTable])
+    }
     val cached = GraftCatalog.tables.get(regKey(ident))
     if (cached != null) cached
     else {
@@ -166,8 +174,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(!ident.name().endsWith("$changes"),
-      "table names ending in $changes are reserved for change-feed views")
+    require(!ident.name().endsWith("$changes") &&
+        !ident.name().endsWith("$files"),
+      "table names ending in $changes/$files are reserved for " +
+        "metadata companion views")
     GraftStorage.validate(schema)
     val mode =
       if ("mor".equalsIgnoreCase(properties.getOrDefault("graft.mode", "cow")))
@@ -1457,6 +1467,79 @@ class GraftSnapshotTable(ident: String, tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, files, None)
+}
+
+/** `<table>$files` — the file-census metadata companion (Iceberg's
+  * `files` table): one row per live data/delta file with its exact
+  * row/byte counts, bucket id, recorded row-group count, and the full
+  * per-column stats map — the table an operator joins or aggregates
+  * to answer "is this table healthy?" (small-file counts, skew, stats
+  * coverage) in plain SQL instead of spelunking the log. Driver-local
+  * by construction (it IS driver metadata): a [[LocalScan]], so no
+  * executor work is scheduled. Re-reads the base table's on-disk
+  * state at scan build, so foreign commits are visible. */
+class GraftFilesTable(ident: String, base: GraftTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.LocalScan
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+
+  override def name(): String = ident
+  override def schema(): StructType = GraftFilesTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      base.refreshFromDisk()
+      private val snap = base.stateNow.current
+      private def row(f: GraftFileRef, kind: String): InternalRow = {
+        val keys = f.stats.keys.toArray
+        new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(f.path),
+          org.apache.spark.unsafe.types.UTF8String.fromString(kind),
+          f.rows, f.bytes,
+          if (f.bucket >= 0) f.bucket else null,
+          f.groups.size,
+          new ArrayBasedMapData(
+            new GenericArrayData(keys.map(k =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(k): Any)),
+            new GenericArrayData(keys.map { k =>
+              val st = f.stats(k)
+              new GenericInternalRow(Array[Any](
+                st.min.map(org.apache.spark.unsafe.types.UTF8String
+                  .fromString).orNull,
+                st.max.map(org.apache.spark.unsafe.types.UTF8String
+                  .fromString).orNull,
+                st.nulls, st.ndv)): Any
+            }))))
+      }
+      private val data: Array[InternalRow] =
+        (snap.map(_.files).getOrElse(Vector.empty).map(row(_, "base")) ++
+          snap.map(_.deltaFiles).getOrElse(Vector.empty)
+            .map(row(_, "delta"))).toArray
+      override def rows(): Array[InternalRow] = data
+      override def readSchema(): StructType = GraftFilesTable.Schema
+      override def description(): String =
+        s"GraftFilesTable($ident, ${data.length} live files)"
+    }
+}
+
+object GraftFilesTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = true),
+    StructField("n_row_groups", IntegerType, nullable = false),
+    StructField("stats", MapType(StringType, StructType(Seq(
+      StructField("min", StringType, nullable = true),
+      StructField("max", StringType, nullable = true),
+      StructField("nulls", LongType, nullable = false),
+      StructField("ndv", LongType, nullable = false))), valueContainsNull = false),
+      nullable = false)))
 }
 
 /** Scan builder with COLUMN PRUNING, FILTER PUSHDOWN, and FILE

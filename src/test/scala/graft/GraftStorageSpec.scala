@@ -2064,6 +2064,54 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.heal")
   }
 
+  test("$files metadata table: one row per live file with exact counts, " +
+      "bucket ids, and the stats map; MOR delta files appear as kind=" +
+      "delta; reserved name rejects") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.fm")
+    sql("""CREATE TABLE gstore.default.fm (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.bucket_by'='k,4')""")
+    sql("INSERT INTO gstore.default.fm SELECT id, concat('r', id) FROM range(400)")
+    val live = tbl("fm").currentFilePaths.toSet
+    val rows = sql("""SELECT path, kind, n_rows, bucket,
+                             stats['k'].min AS kmin, stats['k'].max AS kmax,
+                             stats['k'].nulls AS knulls
+                      FROM gstore.default.`fm$files`""").collect()
+    assert(rows.map(_.getString(0)).toSet == live,
+      "$files paths drifted from the live snapshot")
+    assert(rows.map(_.getLong(2)).sum == 400L)
+    assert(rows.forall(r => !r.isNullAt(3) && r.getInt(3) >= 0 &&
+      r.getInt(3) < 4), "bucket ids missing on a bucketed table")
+    assert(rows.forall(_.getLong(6) == 0L))
+    assert(rows.map(r =>
+      (r.getString(4).toLong, r.getString(5).toLong)).forall {
+        case (lo, hi) => lo >= 0 && hi <= 399 && lo <= hi })
+    // the census is SQL-composable: small-file count in one query
+    assert(sql("""SELECT count(*) FROM gstore.default.`fm$files`
+                  WHERE n_bytes < 1024 * 1024""").head().getLong(0)
+      == live.size)
+    // MOR: live delta files surface with kind='delta'
+    sql("DROP TABLE IF EXISTS gstore.default.fmm")
+    sql("""CREATE TABLE gstore.default.fmm (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')""")
+    sql("INSERT INTO gstore.default.fmm VALUES (1,'a'),(2,'b')")
+    sql("UPDATE gstore.default.fmm SET v = 'A' WHERE k = 1")
+    val kinds = sql("SELECT kind, count(*) FROM gstore.default.`fmm$files` GROUP BY kind")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.getOrElse("delta", 0L) >= 1,
+      s"MOR delta files missing from the census: $kinds")
+    assert(kinds.getOrElse("base", 0L) >= 1)
+    // compaction folds the delta census away
+    sql("CALL gstore.system.compact('default.fmm')")
+    assert(sql("""SELECT count(*) FROM gstore.default.`fmm$files`
+                  WHERE kind = 'delta'""").head().getLong(0) == 0)
+    // reserved suffix rejects at CREATE
+    assert(intercept[Exception](sql(
+      "CREATE TABLE gstore.default.`bad$files` (k BIGINT)")) != null)
+    sql("DROP TABLE gstore.default.fm")
+    sql("DROP TABLE gstore.default.fmm")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
