@@ -1694,7 +1694,123 @@ object CatalogQueries {
                CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
                CAST(MAX(o_orderkey) AS BIGINT) AS key_max,
                CAST(0 AS BIGINT) AS null_count
-        FROM orders"""))
+        FROM orders""")),
+
+    // -------------------------------------------------------------- q226:
+    // MANIFEST-SERVED AGGREGATE PUSHDOWN — an unfiltered COUNT(*)/
+    // COUNT(col)/MIN/MAX over a managed table answers from the commit
+    // refs' exact per-file stats: ZERO data files opened, zero tasks
+    // (a LocalScan — the spec pins the reader-open census at 0). At
+    // 100 TB the commonest operational queries stop costing a corpus
+    // scan. The oracle recomputes the same aggregates from the actual
+    // rows in DuckDB, proving metadata == data. The nullable clerk
+    // column exercises the exact null-count path; the DOUBLE price and
+    // STRING priority exercise min/max decoding across types.
+    QueryDef(
+      "q226_agg_pushdown",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_agg")
+        Tables(s, d, "orders").createOrReplaceTempView("q226_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_agg
+                 AS SELECT o_orderkey, o_totalprice, o_orderpriority,
+                           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                                ELSE o_orderstatus END AS clerk
+                    FROM q226_orders""")
+        s.sql("""
+          SELECT COUNT(*) AS n_rows,
+                 COUNT(clerk) AS n_clerk,
+                 MIN(o_totalprice) AS min_price,
+                 MAX(o_totalprice) AS max_price,
+                 MIN(o_orderpriority) AS min_pri,
+                 CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+          FROM graft_cat.default.orders_agg""")
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                          ELSE o_orderstatus END) AS n_clerk,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               MIN(o_orderpriority) AS min_pri,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders""")),
+
+    // -------------------------------------------------------------- q227:
+    // TopN / LIMIT PUSHDOWN — `ORDER BY key LIMIT k` on a
+    // sort_by-clustered managed table reads ONLY the file span(s) that
+    // can contribute to the top k (per-file exact min/max bound the
+    // k-th key; files provably beyond the bound never open). The
+    // "latest 10 events on a 100 TB clustered log" query stops costing
+    // a corpus-wide TakeOrdered. Spec pins the 1-file narrowing; this
+    // query proves end-to-end equality with DuckDB's full sort on both
+    // directions plus a bare LIMIT row-count contract.
+    QueryDef(
+      "q227_topn_pushdown",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_topn")
+        Tables(s, d, "orders").createOrReplaceTempView("q227_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_topn
+                 TBLPROPERTIES ('graft.sort_by'='o_orderkey')
+                 AS SELECT o_orderkey, o_totalprice, o_orderpriority
+                    FROM q227_orders""")
+        s.sql("""
+          SELECT * FROM (
+            SELECT o_orderkey, o_totalprice, 'first' AS side
+            FROM graft_cat.default.orders_topn
+            ORDER BY o_orderkey LIMIT 5)
+          UNION ALL
+          SELECT * FROM (
+            SELECT o_orderkey, o_totalprice, 'last' AS side
+            FROM graft_cat.default.orders_topn
+            ORDER BY o_orderkey DESC LIMIT 5)
+          ORDER BY side, o_orderkey""")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT o_orderkey, o_totalprice, 'first' AS side
+          FROM orders ORDER BY o_orderkey LIMIT 5)
+        UNION ALL
+        SELECT * FROM (
+          SELECT o_orderkey, o_totalprice, 'last' AS side
+          FROM orders ORDER BY o_orderkey DESC LIMIT 5)
+        ORDER BY side, o_orderkey""")),
+
+    // -------------------------------------------------------------- q228:
+    // PER-FILE BLOOM FILTERS (`graft.bloom_by`) — point-lookup file
+    // skipping on a high-cardinality UNSORTED column, the axis min/max
+    // stats can't serve (every unsorted file's span admits every key).
+    // The writing task commits a 4 KB bloom per (file, column) into
+    // the ref; `WHERE k = v` / IN-lists (static or runtime-DPP) open
+    // only the files whose bloom admits the probe. Spec pins the
+    // 1-of-2 and 0-of-2 skip counts on provably-overlapping spans plus
+    // cold-reload persistence; this query proves end-to-end equality
+    // with DuckDB on a mixed present/absent IN probe.
+    QueryDef(
+      "q228_bloom_skipping",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_bloom")
+        Tables(s, d, "orders").createOrReplaceTempView("q228_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_bloom
+                 TBLPROPERTIES ('graft.bloom_by'='o_orderkey')
+                 AS SELECT o_orderkey, o_totalprice, o_orderpriority
+                    FROM q228_orders""")
+        s.sql("""
+          SELECT o_orderkey, o_totalprice, o_orderpriority
+          FROM graft_cat.default.orders_bloom
+          WHERE o_orderkey IN (1, 7, 32, 33, 4000, 999999999)
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderkey IN (1, 7, 32, 33, 4000, 999999999)
+        ORDER BY o_orderkey"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -56,27 +56,31 @@ object GraftBucket extends UnboundFunction {
     h
   }
 
-  /** Bucket id in [0, n) for a NON-NULL value. Accepts both catalyst
-    * (UTF8String, Decimal) and external (String, java BigDecimal)
-    * spellings — the writer and the pruner arrive with different
-    * ones. Null keys go to bucket 0 by convention. */
-  def bucketId(dt: DataType, value: Any, n: Int): Int = {
-    val h = (dt, value) match {
-      case (_, null) => 0L
-      case (LongType | TimestampType | TimestampNTZType, v: Long) =>
-        fnv1aLong(v)
-      case (IntegerType | DateType, v: Int) => fnv1aLong(v.toLong)
-      case (StringType, s: UTF8String) => fnv1a(s.getBytes)
-      case (StringType, s: String) =>
-        fnv1a(UTF8String.fromString(s).getBytes)
-      case (_: DecimalType, d: Decimal) => fnv1aLong(d.toUnscaledLong)
-      case (_: DecimalType, d: java.math.BigDecimal) =>
-        fnv1aLong(d.unscaledValue().longValueExact())
-      case (t, v) => throw new IllegalStateException(
-        s"bucket: unsupported value ${v.getClass.getName} for ${t.catalogString}")
-    }
-    java.lang.Math.floorMod(h, n.toLong).toInt
+  /** The engine-pinned 64-bit value hash (FNV-1a over the value's
+    * canonical byte pattern) — shared by bucket assignment AND the
+    * per-file bloom filters ([[GraftBloom]]), so a write-side hash and
+    * a prune-side hash of the same value always agree. Accepts both
+    * catalyst (UTF8String, Decimal) and external (String, java
+    * BigDecimal) spellings — writers and pruners arrive with different
+    * ones. Nulls hash to 0 by convention. */
+  def hash64(dt: DataType, value: Any): Long = (dt, value) match {
+    case (_, null) => 0L
+    case (LongType | TimestampType | TimestampNTZType, v: Long) =>
+      fnv1aLong(v)
+    case (IntegerType | DateType, v: Int) => fnv1aLong(v.toLong)
+    case (StringType, s: UTF8String) => fnv1a(s.getBytes)
+    case (StringType, s: String) =>
+      fnv1a(UTF8String.fromString(s).getBytes)
+    case (_: DecimalType, d: Decimal) => fnv1aLong(d.toUnscaledLong)
+    case (_: DecimalType, d: java.math.BigDecimal) =>
+      fnv1aLong(d.unscaledValue().longValueExact())
+    case (t, v) => throw new IllegalStateException(
+      s"bucket: unsupported value ${v.getClass.getName} for ${t.catalogString}")
   }
+
+  /** Bucket id in [0, n) for a value (null keys go to bucket 0). */
+  def bucketId(dt: DataType, value: Any, n: Int): Int =
+    java.lang.Math.floorMod(hash64(dt, value), n.toLong).toInt
 
   override def name(): String = "bucket"
   override def description(): String =

@@ -137,9 +137,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val t =
             if (e.mode == "mor")
               new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
-                e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket)
+                e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
+                e.bloomBy)
             else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
-              e.appendRetain, e.sortBy, e.zorderBy, eBucket)
+              e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy)
           val prev = GraftCatalog.tables.putIfAbsent(regKey(ident), t)
           (idx, if (prev != null) prev else t)
       }
@@ -297,6 +298,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some((schema.fieldNames(o), parts(1).toInt))
       }
     }
+    // graft.bloom_by = 'c1[,c2...]': per-file BLOOM FILTERS on these
+    // columns ([[GraftBloom]]) — point-lookup file skipping on
+    // high-cardinality UNSORTED keys, the axis min/max stats can't
+    // serve. Orthogonal to the physical-clustering properties (a bloom
+    // changes what a ref RECORDS, not where rows land), so it composes
+    // with partitioning / sort_by / zorder / bucket_by freely.
+    val bloomCols: List[String] = properties.getOrDefault("graft.bloom_by", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toList.map { c =>
+      val o = GraftStorage.ordinalByName(schema.fieldNames.toIndexedSeq, c)
+      require(o >= 0,
+        s"graft.bloom_by column $c not in ${schema.catalogString}")
+      if (!GraftBloom.supported(schema.fields(o).dataType))
+        throw new UnsupportedOperationException(
+          s"graft.bloom_by column $c must be an integral/string/date/" +
+            s"timestamp/decimal(<=18) type, got " +
+            schema.fields(o).dataType.catalogString)
+      schema.fieldNames(o)
+    }
     GraftCatalog.withIndex(warehouse) { idx =>
       if (idx.contains(idxKey(ident)) ||
           GraftCatalog.tables.containsKey(regKey(ident)))
@@ -319,14 +338,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val st = GraftTableState(stamped.json, Vector.empty, 0,
             Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
           (new GraftDeltaTable(idxKey(ident), dir, st, retain, idCol,
-            partCols, appendRetain, sortCols, zorderCols, bucketSpec),
-            idCol)
+            partCols, appendRetain, sortCols, zorderCols, bucketSpec,
+            bloomCols), idCol)
         } else {
           val (stamped, nextId) = GraftStorage.stampFieldIds(schema)
           val st = GraftTableState(stamped.json, Vector.empty, 0,
             Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
           (new GraftTable(idxKey(ident), dir, st, retain, partCols,
-            appendRetain, sortCols, zorderCols, bucketSpec), "")
+            appendRetain, sortCols, zorderCols, bucketSpec, bloomCols),
+            "")
         }
       require(GraftStorage.casWriteLog(dir, t.stateNow, 0),
         s"table directory $dir already holds a log — concurrent CREATE?")
@@ -334,7 +354,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (idx + (idxKey(ident) -> GraftCatalog.IndexEntry(
         dir.toString, mode, rowId, retain, partCols, appendRetain,
         sortCols, zorderCols,
-        bucketSpec.map(b => List(b._1, b._2.toString)).getOrElse(Nil))),
+        bucketSpec.map(b => List(b._1, b._2.toString)).getOrElse(Nil),
+        bloomCols)),
         t)
     }
   }
@@ -528,7 +549,8 @@ object GraftCatalog {
   private[catalog] final case class IndexEntry(dir: String, mode: String,
       rowId: String, retain: Int, parts: List[String] = Nil,
       appendRetain: Int = 65536, sortBy: List[String] = Nil,
-      zorderBy: List[String] = Nil, bucketBy: List[String] = Nil)
+      zorderBy: List[String] = Nil, bucketBy: List[String] = Nil,
+      bloomBy: List[String] = Nil)
 
   private val indexLock = new Object
 
@@ -582,6 +604,8 @@ object GraftCatalog {
               e.get("zorderBy").collect { case JArray(a) =>
                 a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
               e.get("bucketBy").collect { case JArray(a) =>
+                a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
+              e.get("bloomBy").collect { case JArray(a) =>
                 a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil))
           }
         } else Map.empty
@@ -596,7 +620,8 @@ object GraftCatalog {
             "appendRetain" -> JInt(e.appendRetain),
             "sortBy" -> JArray(e.sortBy.map(JString(_): JValue)),
             "zorderBy" -> JArray(e.zorderBy.map(JString(_): JValue)),
-            "bucketBy" -> JArray(e.bucketBy.map(JString(_): JValue))): JValue)
+            "bucketBy" -> JArray(e.bucketBy.map(JString(_): JValue)),
+            "bloomBy" -> JArray(e.bloomBy.map(JString(_): JValue))): JValue)
         })
         val tmp = wh.resolve("_tables.json.tmp")
         Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
@@ -632,7 +657,8 @@ class GraftTable(ident: String, val dir: NioPath,
     initState: GraftTableState, retain: Int,
     partCols: Seq[String] = Nil, appendRetain: Int = 65536,
     sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil,
-    bucketBy: Option[(String, Int)] = None)
+    bucketBy: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2
     with SupportsMetadataColumns {
@@ -685,6 +711,8 @@ class GraftTable(ident: String, val dir: NioPath,
       m.put("graft.zorder_by", zorderCols.mkString(","))
     bucketBy.foreach { case (c, n) =>
       m.put("graft.bucket_by", s"$c,$n") }
+    if (bloomCols.nonEmpty)
+      m.put("graft.bloom_by", bloomCols.mkString(","))
     val st = state
     m.put("graft.current_version",
       st.current.map(_.version).getOrElse(-1).toString)
@@ -711,6 +739,7 @@ class GraftTable(ident: String, val dir: NioPath,
   private[catalog] def sortColumns: Seq[String] = sortCols
   private[catalog] def zorderColumns: Seq[String] = zorderCols
   private[catalog] def bucketSpec: Option[(String, Int)] = bucketBy
+  private[catalog] def bloomColumns: Seq[String] = bloomCols
 
   /** Partition-column ordinals in the table schema (resolved fresh:
     * ALTER can append columns behind them). */
@@ -988,7 +1017,8 @@ class GraftTable(ident: String, val dir: NioPath,
     * need a rewrite, not a metadata commit); the MOR subclass adds the
     * row-id column. */
   protected def evolutionProtected: Seq[String] =
-    partCols ++ sortCols ++ zorderCols ++ bucketBy.map(_._1).toSeq
+    partCols ++ sortCols ++ zorderCols ++ bucketBy.map(_._1).toSeq ++
+      bloomCols
 
   /** Reserved names a RENAME target must avoid; MOR adds its markers. */
   protected def evolutionReservedNames: Seq[String] = Seq("_file")
@@ -1542,6 +1572,151 @@ object GraftFilesTable {
       nullable = false)))
 }
 
+/** MANIFEST-SERVED AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`):
+  * an unfiltered, ungrouped COUNT(*) / COUNT(col) / MIN(col) / MAX(col)
+  * over a managed table is answered from the commit refs' EXACT
+  * per-file statistics — zero data files opened, zero tasks scheduled.
+  * At 100 TB this turns the most common operational queries ("how many
+  * rows?", "what's the key range?") from a full-corpus scan into a
+  * driver-side metadata fold, the same trick Iceberg/Delta play with
+  * their manifests.
+  *
+  * Soundness rules — an Aggregation is served ONLY when every part is
+  * provably exact from metadata; anything else refuses and Spark plans
+  * the normal scan (correctness never depends on this path):
+  *   - no pushed filters, no GROUP BY, no DISTINCT;
+  *   - COUNT(*): file `rows` are exact by construction (the writer
+  *     counts them);
+  *   - COUNT(col): `rows - nulls` per file — the null count stays exact
+  *     even when NaN poisoned the min/max, and a file that PREDATES the
+  *     column contributes `rows` when the column has a non-null
+  *     EXISTS_DEFAULT (the scan backfills the constant) and 0 otherwise;
+  *     a file with no stats entry for the column (stats-ineligible type,
+  *     legacy ref) refuses;
+  *   - MIN/MAX(col): the per-file min/max strings are EXACT encodings
+  *     (no parquet-style truncation — [[GraftStorage.statToString]])
+  *     decoded with the CURRENT schema type (type widening re-encodes
+  *     float stats at ALTER time). A NaN-poisoned file (min absent,
+  *     nulls < rows) refuses the whole pushdown — Spark's NaN-is-largest
+  *     semantics can't be recovered from poisoned stats. All-null files
+  *     and empty tables contribute nothing (SQL MIN/MAX over no values
+  *     is NULL — the same answer Spark computes).
+  *
+  * MOR tables with live deltas never reach this code (they plan through
+  * [[GraftMorScanBuilder]]); snapshot views serve their own version's
+  * refs, so time travel aggregates stay version-exact. */
+private[catalog] object GraftAggPushdown {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  /** Resolve a V2 column expression to its table-schema field. */
+  private def fieldOf(schema: StructType,
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      val o = GraftStorage.ordinalByName(
+        schema.fieldNames.toIndexedSeq, nr.fieldNames()(0))
+      if (o < 0) None else Some(schema.fields(o))
+    case _ => None
+  }
+
+  /** Exact non-null count of `fld` in `f`, or None when unprovable. */
+  private def nonNullCount(fld: StructField, f: GraftFileRef)
+      : Option[Long] = {
+    val o = GraftStorage.refOrdinal(f, fld)
+    if (o < 0)
+      // file predates the column: every row reads the frozen default
+      GraftStorage.existsDefault(fld) match {
+        case Some(d) if d != null => Some(f.rows)
+        case _ => Some(0L)
+      }
+    else f.stats.get(f.cols(o)).map(st => f.rows - st.nulls)
+  }
+
+  /** `fld`'s exact min or max in `f`: None = refuse (poisoned/absent
+    * stats), Some(None) = file contributes no value (all null / empty),
+    * Some(Some(v)) = exact catalyst-internal bound. */
+  private def bound(fld: StructField, f: GraftFileRef, wantMin: Boolean)
+      : Option[Option[Any]] = {
+    val o = GraftStorage.refOrdinal(f, fld)
+    if (o < 0)
+      GraftStorage.existsDefault(fld) match {
+        case Some(d) if d != null =>
+          if (f.rows > 0) Some(Some(d)) else Some(None)
+        case _ => Some(None) // column reads all-null in this file
+      }
+    else f.stats.get(f.cols(o)) match {
+      case Some(st) if st.min.isDefined && st.max.isDefined =>
+        try Some(Some(GraftStorage.statFromString(fld.dataType,
+          if (wantMin) st.min.get else st.max.get)))
+        catch { case _: Exception => None } // stale/foreign encoding
+      case Some(st) if st.nulls == f.rows => Some(None) // all-null file
+      case _ => None // NaN-poisoned or no stats entry: refuse
+    }
+  }
+
+  private def reduceBounds(dt: DataType, vs: Seq[Any], wantMin: Boolean)
+      : Any =
+    if (vs.isEmpty) null
+    else vs.reduce((a, b) =>
+      if (wantMin == (GraftStorage.typedCompare(dt, a, b) <= 0)) a else b)
+
+  /** Compute the whole Aggregation from refs alone, or refuse. */
+  def compute(schema: StructType, files: Vector[GraftFileRef],
+      agg: Aggregation): Option[(StructType, Array[Any], String)] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val fields = Vector.newBuilder[StructField]
+    val values = Vector.newBuilder[Any]
+    val descs = Vector.newBuilder[String]
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        values += files.map(_.rows).sum
+        descs += "COUNT(*)"
+      case c: Count if !c.isDistinct =>
+        val fld = fieldOf(schema, c.column()).getOrElse(return None)
+        val per = files.map(nonNullCount(fld, _))
+        if (per.exists(_.isEmpty)) return None
+        fields += StructField(s"count_${fld.name}", LongType,
+          nullable = false)
+        values += per.map(_.get).sum
+        descs += s"COUNT(${fld.name})"
+      case mm @ (_: Min | _: Max) =>
+        val wantMin = mm.isInstanceOf[Min]
+        val col = mm match {
+          case m: Min => m.column()
+          case m: Max => m.column()
+        }
+        val fld = fieldOf(schema, col).getOrElse(return None)
+        val per = files.map(bound(fld, _, wantMin))
+        if (per.exists(_.isEmpty)) return None
+        fields += StructField(
+          s"${if (wantMin) "min" else "max"}_${fld.name}",
+          fld.dataType, nullable = true)
+        values += reduceBounds(fld.dataType, per.flatMap(_.get), wantMin)
+        descs += s"${if (wantMin) "MIN" else "MAX"}(${fld.name})"
+      case _ => return None // SUM/AVG/DISTINCT/UDAF: not exact from stats
+    }
+    Some((StructType(fields.result()), values.result().toArray,
+      descs.result().mkString(", ")))
+  }
+}
+
+/** The scan a fully-pushed aggregation plans to: the precomputed result
+  * row, served driver-locally ([[LocalScan]] — Spark plans a
+  * LocalTableScan, zero executor tasks, zero file I/O). */
+class GraftAggScan(out: StructType, values: Array[Any], nFiles: Int,
+    aggDesc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[InternalRow] = Array(
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"GraftAggScan(manifest-served [$aggDesc] over $nFiles file refs, " +
+      "zero file I/O)"
+}
+
 /** Scan builder with COLUMN PRUNING, FILTER PUSHDOWN, and FILE
   * SKIPPING: Catalyst pushes the required schema and scan predicates
   * down; accepted predicates are (a) evaluated per row in the reader
@@ -1564,11 +1739,15 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     bucketSpec: Option[(String, Int)] = None,
     clusterCols: Seq[String] = Nil)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var all: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var servedAgg: Option[(StructType, Array[Any], String)] = None
+  private var narrowedByLimit: Option[Vector[GraftFileRef]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1615,8 +1794,122 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
       case _ => true
     }
 
+  // ---- manifest-served aggregate pushdown (see [[GraftAggPushdown]]).
+  // Spark only attempts this when NO post-scan filter remains — and
+  // every filter here stays a residual — so `all` is empty on this
+  // path by construction; the guard keeps the invariant explicit.
+  // supportCompletePushDown is a PURE capability probe (Spark may ask
+  // about aggregation forms it never commits to); only pushAggregation
+  // persists the served result into the builder.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    all.isEmpty && GraftAggPushdown.compute(tableSchema, files, agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    servedAgg =
+      if (all.nonEmpty) None
+      else GraftAggPushdown.compute(tableSchema, files, agg)
+    servedAgg.isDefined
+  }
+
+  // ---- LIMIT / TopN file narrowing --------------------------------------
+  // Sound only on an UNFILTERED scan (every row of every file ships,
+  // so per-file `rows` are exact contribution counts) — which is also
+  // the only shape Spark pushes a limit into. Always PARTIAL: Spark
+  // keeps the Limit/TakeOrdered above; this only shrinks what's read.
+
+  /** Bare LIMIT k: any k rows are a valid answer, so keep files (in
+    * commit order) until the cumulative row count covers k — a
+    * `SELECT * FROM t LIMIT 10` on a 100 TB table opens one file. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (all.nonEmpty || files.isEmpty) return false
+    val sel = Vector.newBuilder[GraftFileRef]
+    var cum = 0L
+    val it = files.iterator
+    while (cum < limit && it.hasNext) {
+      val f = it.next(); sel += f; cum += f.rows
+    }
+    narrowedByLimit = Some(sel.result())
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY <col>[, ...] LIMIT k: every top-k row's leading-key value
+    * is bounded by B = the leading-key bound of the file where the
+    * cumulative row count (files sorted by that bound) first covers k —
+    * so any file whose span lies strictly beyond B is provably out.
+    * On a `graft.sort_by`/z-order table the spans are near-disjoint and
+    * this selects O(k / rows-per-file) files: the "latest 10 events on
+    * a 100 TB clustered log" shape. Refuses unless every file carries
+    * complete null-free stats for the leading key (a null sorts
+    * first/last by session rules stats can't see) — refusal just means
+    * the full TakeOrdered scan, never a wrong answer. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (all.nonEmpty || orders.isEmpty || files.isEmpty) return false
+    val nr = orders(0).expression() match {
+      case n: NamedReference if n.fieldNames().length == 1 => n
+      case _ => return false
+    }
+    val o = GraftStorage.ordinalByName(
+      tableSchema.fieldNames.toIndexedSeq, nr.fieldNames()(0))
+    if (o < 0) return false
+    val fld = tableSchema.fields(o)
+    if (!GraftStorage.statsCapable(fld.dataType)) return false
+    val asc = orders(0).direction() == SortDirection.ASCENDING
+
+    // exact per-file leading-key bounds; any gap refuses the push
+    val bounds = Vector.newBuilder[(GraftFileRef, Any, Any)] // (f, lo, hi)
+    var ok = true
+    files.foreach { f =>
+      if (ok && f.rows > 0) {
+        val fo = GraftStorage.refOrdinal(f, fld)
+        if (fo < 0) ok = false
+        else f.stats.get(f.cols(fo)) match {
+          case Some(st) if st.nulls == 0 && st.min.isDefined &&
+              st.max.isDefined =>
+            try bounds += ((f,
+              GraftStorage.statFromString(fld.dataType, st.min.get),
+              GraftStorage.statFromString(fld.dataType, st.max.get)))
+            catch { case _: Exception => ok = false }
+          case _ => ok = false
+        }
+      }
+    }
+    if (!ok) return false
+    val bs = bounds.result()
+    def cmp(a: Any, b: Any) = GraftStorage.typedCompare(fld.dataType, a, b)
+    // files sorted by the bound that limits their best k-coverage
+    val sorted =
+      if (asc) bs.sortWith((a, b) => cmp(a._3, b._3) < 0)
+      else bs.sortWith((a, b) => cmp(a._2, b._2) > 0)
+    var cum = 0L
+    var bound: Any = null
+    val it = sorted.iterator
+    while (cum < limit && it.hasNext) {
+      val x = it.next()
+      cum += x._1.rows
+      bound = if (asc) x._3 else x._2
+    }
+    narrowedByLimit = Some(
+      if (cum < limit) files // table smaller than k: keep everything
+      else if (asc) bs.filter(x => cmp(x._2, bound) <= 0).map(_._1)
+      else bs.filter(x => cmp(x._3, bound) >= 0).map(_._1))
+    true
+  }
+
   override def build(): Scan = {
-    val surviving = files.filter(f =>
+    servedAgg match {
+      case Some((out, values, desc)) =>
+        return new GraftAggScan(out, values, files.size, desc)
+      case None => ()
+    }
+    val base = narrowedByLimit.getOrElse(files)
+    val surviving = base.filter(f =>
       bucketSurvives(f) &&
         all.forall(GraftStorage.mayMatch(tableSchema, f, _)))
     new GraftScan(tableSchema, required, accepted, surviving,
@@ -2510,7 +2803,8 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new GraftWriterFactory(table.dataDir, incoming, table.schema(),
-          table.partOrdinals, bucketArgs._1, bucketArgs._2)
+          table.partOrdinals, bucketArgs._1, bucketArgs._2,
+          table.bloomColumns)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val refs = collectRefs(messages)
         mode match {
@@ -2536,7 +2830,8 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
             info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
           new GraftStreamingWriterFactory(
             new GraftWriterFactory(table.dataDir, incoming, table.schema(),
-              table.partOrdinals, bucketArgs._1, bucketArgs._2))
+              table.partOrdinals, bucketArgs._1, bucketArgs._2,
+              table.bloomColumns))
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit =
           table.commitStreamEpoch(queryId, epochId, collectRefs(messages),
@@ -2584,7 +2879,8 @@ class GraftStreamingWriterFactory(inner: GraftWriterFactory)
   * storage. */
 class GraftWriterFactory(dataDir: String, incoming: StructType,
     target: StructType, partOrds: Array[Int] = Array.empty,
-    bucketOrd: Int = -1, bucketN: Int = 0)
+    bucketOrd: Int = -1, bucketN: Int = 0,
+    bloomCols: Seq[String] = Nil)
     extends DataWriterFactory {
   // resolved on the DRIVER (factories serialize to executors, where no
   // session exists): files at least this big record their row-group
@@ -2650,7 +2946,8 @@ class GraftWriterFactory(dataDir: String, incoming: StructType,
         val out = outs.getOrElseUpdate(partKey(projected),
           new GraftStorage.FileWriter(
             dataDir + "/part-" + UUID.randomUUID().toString + ".parquet",
-            target, groupRecordMinBytes = groupRecordMinBytes))
+            target, groupRecordMinBytes = groupRecordMinBytes,
+            bloomCols = bloomCols))
         out.write(projected)
       }
       override def commit(): WriterCommitMessage =

@@ -49,9 +49,11 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     initState: GraftTableState, retain: Int, rowIdCol: String,
     morPartCols: Seq[String] = Nil, appendRetain: Int = 65536,
     morSortCols: Seq[String] = Nil, morZorderCols: Seq[String] = Nil,
-    morBucketBy: Option[(String, Int)] = None)
+    morBucketBy: Option[(String, Int)] = None,
+    morBloomCols: Seq[String] = Nil)
     extends GraftTable(ident, dir, initState, retain, morPartCols,
-      appendRetain, morSortCols, morZorderCols, morBucketBy) {
+      appendRetain, morSortCols, morZorderCols, morBucketBy,
+      morBloomCols) {
 
   // resolved FRESH against the stored schema (DROP COLUMN of an earlier
   // field shifts this ordinal; renaming/dropping the id column itself

@@ -422,7 +422,8 @@ object GraftStorage {
     * delta writers. */
   final class FileWriter(val path: String, schema: StructType,
       rowGroupBytes: Long = 0L,
-      groupRecordMinBytes: Long = GraftStorage.GroupRecordMinBytes) {
+      groupRecordMinBytes: Long = GraftStorage.GroupRecordMinBytes,
+      bloomCols: Seq[String] = Nil) {
     // executor tasks may land the first file of a fresh table/delta dir
     Files.createDirectories(java.nio.file.Paths.get(path).getParent)
     private val conf = new Configuration()
@@ -438,6 +439,14 @@ object GraftStorage {
     }
     private val factory = new SimpleGroupFactory(toParquetType(schema))
     private val stats = new StatsCollector(schema)
+    // (schema ordinal, builder) per bloom column — non-null values only
+    private val blooms: Array[(Int, GraftBloom.Builder)] =
+      bloomCols.toArray.flatMap { c =>
+        val o = ordinalByName(schema.fieldNames.toIndexedSeq, c)
+        if (o >= 0 && GraftBloom.supported(schema.fields(o).dataType))
+          Some((o, new GraftBloom.Builder))
+        else None // marker/absent column in this layout: no bloom
+      }
     private var n = 0L
 
     /** One atomic value from any row-shaped source (top-level row,
@@ -518,6 +527,15 @@ object GraftStorage {
       }
       writer.write(g)
       stats.observe(row)
+      var b = 0
+      while (b < blooms.length) {
+        val (o, bldr) = blooms(b)
+        if (!row.isNullAt(o)) {
+          val dt = schema.fields(o).dataType
+          bldr.add(dt, row.get(o, dt))
+        }
+        b += 1
+      }
       n += 1
     }
 
@@ -545,7 +563,9 @@ object GraftStorage {
       val ids = schema.fields.map(f => fieldId(f).getOrElse(-1)).toVector
       GraftFileRef(path, n, size,
         schema.fieldNames.toVector, stats.result(n), groups = groups,
-        colIds = if (ids.exists(_ >= 0)) ids else Vector.empty)
+        colIds = if (ids.exists(_ >= 0)) ids else Vector.empty,
+        blooms = blooms.map { case (o, b) =>
+          schema.fieldNames(o) -> b.encode() }.toMap)
     }
 
     /** Abort: close and remove the partial file. */
@@ -868,6 +888,12 @@ object GraftStorage {
     }
   }
 
+  /** Test-visible census of parquet reader opens (local[*] shares one
+    * JVM, so specs can pin "this query opened zero data files" — the
+    * manifest-served aggregate-pushdown contract). Monotonic; specs
+    * diff before/after. */
+  val fileOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Iterator over one parquet file (or one row-group byte range of
     * it), producing rows in `wanted` layout (a subset of the TABLE
     * schema). Columns absent from the file (added by a later ALTER
@@ -885,6 +911,8 @@ object GraftStorage {
       pushFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
       fileColIds: Vector[Int] = Vector.empty)
       extends Iterator[InternalRow] with AutoCloseable {
+
+    GraftStorage.fileOpens.incrementAndGet(): Unit
 
     // wanted column -> ordinal in the file (-1 = the file predates it,
     // or the column was dropped and re-added under a new id). Binds by
@@ -1132,8 +1160,36 @@ object GraftStorage {
           }
       }
 
+    // Bloom probe (graft.bloom_by): may the file contain value `v` in
+    // column `c`? TRUE unless a committed bloom PROVES absence — the
+    // point-lookup prune on unsorted high-cardinality columns where
+    // min/max spans admit everything. Binds like stats (id-aware,
+    // write-time key); foreign literal spellings (java.sql.Date etc.)
+    // keep the file.
+    def bloomAdmits(c: String, v: Any): Boolean = {
+      if (v == null || f.blooms.isEmpty) return true
+      val o = fileOrd(c)
+      if (o < 0) return true
+      (f.blooms.get(f.cols(o)), field(c)) match {
+        case (Some(enc), Some(fld)) =>
+          GraftBloom.mightContain(GraftBloom.decodeCached(enc),
+            fld.dataType, v)
+        case _ => true
+      }
+    }
+
     filter match {
-      case EqualTo(c, v) => cmp(c, v)((lo, hi) => lo <= 0 && hi >= 0)
+      case EqualTo(c, v) =>
+        cmp(c, v)((lo, hi) => lo <= 0 && hi >= 0) && bloomAdmits(c, v)
+      case EqualNullSafe(c, v) if v != null =>
+        cmp(c, v)((lo, hi) => lo <= 0 && hi >= 0) && bloomAdmits(c, v)
+      // IN: a file admitting NONE of the probed values (by stats or
+      // bloom) provably holds no match — the runtime-DPP prune shape.
+      // A null in the list stays conservative (null equality is never
+      // satisfiable, but exotic pushers get the benefit of the doubt).
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        vs.exists(v => v == null ||
+          (cmp(c, v)((lo, hi) => lo <= 0 && hi >= 0) && bloomAdmits(c, v)))
       case GreaterThan(c, v) => cmp(c, v)((_, hi) => hi > 0)
       case GreaterThanOrEqual(c, v) => cmp(c, v)((_, hi) => hi >= 0)
       case LessThan(c, v) => cmp(c, v)((lo, _) => lo < 0)
@@ -1176,7 +1232,11 @@ object GraftStorage {
         "max" -> st.max.map(JString(_)).getOrElse(JNull),
         "nulls" -> JLong(st.nulls),
         "ndv" -> JLong(st.ndv))
-    }))
+    }),
+    // per-column bloom filters (graft.bloom_by), base64; keyed like
+    // stats by the file's write-time column names
+    "blooms" -> JObject(r.blooms.toList.map { case (c, b) =>
+      c -> (JString(b): JValue) }))
 
   private def fileRefFromJson(j: JValue): GraftFileRef = {
     val o = j.asInstanceOf[JObject].obj.toMap
@@ -1200,7 +1260,11 @@ object GraftStorage {
       // absent in pre-field-id logs: name binding
       o.get("colIds").collect { case JArray(a) =>
         a.map(num(_).toInt).toVector }.getOrElse(Vector.empty),
-      o.get("bucket").map(num(_).toInt).getOrElse(-1))
+      o.get("bucket").map(num(_).toInt).getOrElse(-1),
+      // absent in pre-bloom logs: no bloom, no prune
+      o.get("blooms").collect { case jb: JObject =>
+        jb.obj.collect { case (c, JString(b)) => c -> b }.toMap
+      }.getOrElse(Map.empty))
   }
 
   private def num(j: JValue): Long = j match {
@@ -1387,7 +1451,8 @@ object GraftStorage {
 final case class GraftFileRef(path: String, rows: Long, bytes: Long,
     cols: Vector[String], stats: Map[String, GraftColStats],
     fence: Int = -1, groups: Vector[GraftRowGroup] = Vector.empty,
-    colIds: Vector[Int] = Vector.empty, bucket: Int = -1)
+    colIds: Vector[Int] = Vector.empty, bucket: Int = -1,
+    blooms: Map[String, String] = Map.empty)
 
 /** One parquet row group of a committed file, recorded at WRITE time
   * (VERDICT r11 item 2) so scan planning computes split ranges from

@@ -249,4 +249,235 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE gtest.default.t2")
     intercept[Exception] { sql("SELECT * FROM gtest.default.t2").collect() }
   }
+
+  // ---- TopN / LIMIT file narrowing (q227) --------------------------------
+
+  private def graftScanOf(df: org.apache.spark.sql.DataFrame)
+      : graft.catalog.GraftScan =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.catalog.GraftScan] =>
+        b.scan.asInstanceOf[graft.catalog.GraftScan]
+    }.getOrElse(fail("no GraftScan in plan"))
+
+  test("TopN/limit pushdown narrows a sorted table's scan to the " +
+      "contributing span; nulls and filters refuse") {
+    setup()
+    // AQE would coalesce the range-distributed write into one file;
+    // pin it off so the sorted insert lands one file per sort span
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+    sql("""CREATE TABLE gtest.default.t (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.sort_by'='k')""")
+    spark.range(4000)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      .createOrReplaceTempView("topn_src")
+    sql("INSERT INTO gtest.default.t SELECT * FROM topn_src")
+    val total = graftScanOf(sql("SELECT * FROM gtest.default.t"))
+      .plannedFileCount
+    assert(total >= 4, s"sorted insert made only $total files")
+
+    // ASC: the k smallest live in the first sorted span — one file read
+    val asc = sql(
+      "SELECT k, v FROM gtest.default.t ORDER BY k LIMIT 3")
+    assert(graftScanOf(asc).plannedFileCount == 1,
+      "ASC top-3 must read exactly the first span")
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+
+    // DESC + secondary key: bound on the LEADING key only, still exact
+    val desc = sql(
+      "SELECT k, v FROM gtest.default.t ORDER BY k DESC, v LIMIT 2")
+    assert(graftScanOf(desc).plannedFileCount == 1)
+    assert(desc.collect().map(_.getLong(0)).toSeq == Seq(3999L, 3998L))
+
+    // bare LIMIT: any rows do — cumulative row cover, not the whole table
+    val lim = sql("SELECT k FROM gtest.default.t LIMIT 5")
+    assert(graftScanOf(lim).plannedFileCount == 1)
+    assert(lim.collect().length == 5)
+
+    // a WHERE clause keeps the full filtered scan (rows per file are no
+    // longer exact contributions) — Spark doesn't push, we double-guard
+    val filt = sql(
+      "SELECT k FROM gtest.default.t WHERE v LIKE 'v1%' ORDER BY k LIMIT 3")
+    assert(filt.collect().map(_.getLong(0)).toSeq == Seq(1L, 10L, 11L))
+
+    // nulls in the sort key refuse narrowing (null ordering is invisible
+    // to min/max stats) but the answer stays Spark's: NULLS FIRST
+    sql("DROP TABLE IF EXISTS gtest.default.tn")
+    sql("CREATE TABLE gtest.default.tn (k BIGINT, v STRING)")
+    sql("INSERT INTO gtest.default.tn VALUES (5,'a'), (NULL,'n'), (1,'b')")
+    val wn = sql("SELECT v FROM gtest.default.tn ORDER BY k LIMIT 1")
+    assert(wn.head().getString(0) == "n", "NULLS FIRST must survive")
+    sql("DROP TABLE gtest.default.tn")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  // ---- per-file bloom filters (q228) -------------------------------------
+
+  test("bloom file skipping: point lookups and IN-lists prune files " +
+      "whose bloom proves absence; survives cold reload; rename rejected") {
+    setup()
+    // AQE wraps the plan in an adaptive leaf — pin it off so the
+    // GraftScan probe can see the BatchScan
+    val savedAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    sql("""CREATE TABLE gtest.default.t (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.bloom_by'='v')""")
+    // two files with FULLY OVERLAPPING k and v ranges: min/max stats
+    // can never tell them apart — only the bloom can
+    spark.range(0, 2000, 2).repartition(1)
+      .select(col("id").as("k"), format_string("s%04d", col("id")).as("v"))
+      .createOrReplaceTempView("bloom_even")
+    spark.range(1, 2000, 2).repartition(1)
+      .select(col("id").as("k"), format_string("s%04d", col("id")).as("v"))
+      .createOrReplaceTempView("bloom_odd")
+    sql("INSERT INTO gtest.default.t SELECT * FROM bloom_even")
+    sql("INSERT INTO gtest.default.t SELECT * FROM bloom_odd")
+    val total = graftScanOf(sql("SELECT * FROM gtest.default.t"))
+      .plannedFileCount
+    assert(total == 2, s"expected 2 data files, got $total")
+
+    // value only in the even file: the odd file's bloom excludes it
+    val q1 = sql("SELECT k FROM gtest.default.t WHERE v = 's0042'")
+    assert(graftScanOf(q1).plannedFileCount == 1,
+      "bloom must prune the file provably not containing the value")
+    assert(q1.head().getLong(0) == 42)
+    // absent everywhere: zero files open
+    val q0 = sql("SELECT k FROM gtest.default.t WHERE v = 'zzzz'")
+    assert(graftScanOf(q0).plannedFileCount == 0)
+    assert(q0.collect().isEmpty)
+    // IN-list spanning both parities keeps both; all-even list keeps one
+    val qi = sql(
+      "SELECT k FROM gtest.default.t WHERE v IN ('s0042', 's0100') ORDER BY k")
+    assert(graftScanOf(qi).plannedFileCount == 1)
+    assert(qi.collect().map(_.getLong(0)).toSeq == Seq(42L, 100L))
+
+    // blooms live in the commit log: a cold reload still prunes
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    val qc = sql("SELECT k FROM gtest.default.t WHERE v = 's0041'")
+    assert(graftScanOf(qc).plannedFileCount == 1)
+    assert(qc.head().getLong(0) == 41)
+
+    // the writer binds bloom columns by name: renaming one would
+    // silently stop blooming new files — loud reject like other layout
+    // columns
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.default.t RENAME COLUMN v TO w")
+    }
+    // non-bloom-able type at CREATE rejects loudly
+    sql("DROP TABLE IF EXISTS gtest.default.tb")
+    intercept[Exception] {
+      sql("""CREATE TABLE gtest.default.tb (k BIGINT, x DOUBLE)
+             TBLPROPERTIES ('graft.bloom_by'='x')""")
+    }
+    } finally savedAqe.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+      spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
+  // ---- manifest-served aggregate pushdown (q226) -------------------------
+
+  private def plansLocal(q: String): Boolean = {
+    val p = sql(q).queryExecution.executedPlan.toString
+    p.contains("LocalTableScan") && !p.contains("BatchScan")
+  }
+
+  test("agg pushdown: COUNT/MIN/MAX served from the manifest, " +
+      "zero data files opened") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING, x DOUBLE)")
+    spark.range(1000).repartition(6)
+      .select(col("id").as("k"),
+        when(col("id") % 5 === 0, lit(null: String))
+          .otherwise(concat(lit("v"), col("id"))).as("v"),
+        (col("id") * 1.5 - 300.0).as("x"))
+      .createOrReplaceTempView("agg_src")
+    sql("INSERT INTO gtest.default.t SELECT * FROM agg_src")
+
+    val q = """SELECT COUNT(*) AS n, COUNT(v) AS nv, MIN(x) AS mnx,
+                      MAX(x) AS mxx, MIN(v) AS mnv, MAX(k) AS mxk
+               FROM gtest.default.t"""
+    assert(plansLocal(q), "unfiltered agg must plan as a LocalTableScan")
+    val before = graft.catalog.GraftStorage.fileOpens.get()
+    val r = sql(q).head()
+    assert(graft.catalog.GraftStorage.fileOpens.get() == before,
+      "manifest-served aggregate must open zero data files")
+    assert(r.getLong(0) == 1000 && r.getLong(1) == 800)
+    assert(r.getDouble(2) == -300.0 && r.getDouble(3) == 999 * 1.5 - 300.0)
+    assert(r.getString(4) == "v1" && r.getLong(5) == 999)
+
+    // a WHERE clause leaves a residual filter: no agg pushdown, rows read
+    val qf = "SELECT COUNT(*) AS n FROM gtest.default.t WHERE k < 10"
+    assert(!plansLocal(qf))
+    assert(sql(qf).head().getLong(0) == 10)
+    // GROUP BY refuses too
+    assert(!plansLocal(
+      "SELECT v, COUNT(*) FROM gtest.default.t GROUP BY v"))
+    // SUM is not provable from min/max stats: whole aggregation falls back
+    val qs = "SELECT SUM(k) AS s, COUNT(*) AS n FROM gtest.default.t"
+    assert(!plansLocal(qs))
+    assert(sql(qs).head().getLong(0) == 999L * 1000 / 2)
+  }
+
+  test("agg pushdown: NaN-poisoned stats refuse MIN/MAX (Spark's " +
+      "NaN-is-largest preserved); COUNT alone still serves") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, x DOUBLE)")
+    sql("INSERT INTO gtest.default.t VALUES " +
+      "(1, 1.0), (2, cast('NaN' as double)), (3, 5.0)")
+    // MIN/MAX over the poisoned column must fall back to a real scan...
+    val q = "SELECT MAX(x) AS m FROM gtest.default.t"
+    assert(!plansLocal(q))
+    assert(sql(q).head().getDouble(0).isNaN,
+      "Spark's MAX treats NaN as largest; pushdown must not lose it")
+    // ...but the null count stays exact: COUNT(x) serves from metadata
+    val qc = "SELECT COUNT(x) AS n, COUNT(*) AS a FROM gtest.default.t"
+    assert(plansLocal(qc))
+    assert(sql(qc).head().getLong(0) == 3)
+  }
+
+  test("agg pushdown: ADD COLUMN DEFAULT backfill, all-null files, " +
+      "empty tables, MOR delta state") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT)")
+    // empty table: MIN is SQL NULL, COUNT 0 — still metadata-served
+    val r0 = sql("SELECT MIN(k) AS m, COUNT(*) AS n FROM gtest.default.t")
+    assert(plansLocal("SELECT MIN(k) AS m, COUNT(*) AS n FROM gtest.default.t"))
+    assert(r0.head().isNullAt(0) && r0.head().getLong(1) == 0)
+
+    sql("INSERT INTO gtest.default.t VALUES (1), (2)")
+    sql("ALTER TABLE gtest.default.t ADD COLUMN tag STRING DEFAULT 'legacy'")
+    sql("INSERT INTO gtest.default.t VALUES (3, 'fresh'), (4, NULL)")
+    val q = """SELECT COUNT(tag) AS n, MIN(tag) AS mn, MAX(tag) AS mx
+               FROM gtest.default.t"""
+    assert(plansLocal(q), "default-backfilled files must stay servable")
+    val r = sql(q).head()
+    // pre-ALTER rows read the frozen default => 2 + 1 non-null
+    assert(r.getLong(0) == 3 && r.getString(1) == "fresh" &&
+      r.getString(2) == "legacy")
+
+    // a live MOR delta log plans through the fold — never served
+    sql("DROP TABLE IF EXISTS gtest.default.tm")
+    sql("""CREATE TABLE gtest.default.tm (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""")
+    sql("INSERT INTO gtest.default.tm VALUES (1, 'a'), (2, 'b')")
+    // UPDATE always lands a delta entry (a DELETE on a value-aligned
+    // file can legitimately resolve as a metadata delete and keep the
+    // log empty — in which case serving from refs WOULD be sound)
+    sql("UPDATE gtest.default.tm SET v = 'z' WHERE k = 1")
+    val qm = "SELECT COUNT(*) AS n FROM gtest.default.tm"
+    assert(!plansLocal(qm), "live-delta MOR must fold, not serve refs")
+    assert(sql(qm).head().getLong(0) == 2)
+    // compacted, the refs are exact again: served
+    sql("CALL gtest.system.compact('default.tm')")
+    assert(plansLocal(qm))
+    assert(sql(qm).head().getLong(0) == 2)
+    sql("DROP TABLE gtest.default.tm")
+  }
 }
