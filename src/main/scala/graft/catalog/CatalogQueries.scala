@@ -1810,7 +1810,309 @@ object CatalogQueries {
         SELECT o_orderkey, o_totalprice, o_orderpriority
         FROM orders
         WHERE o_orderkey IN (1, 7, 32, 33, 4000, 999999999)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------- q229:
+    // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the production MV
+    // loop over an append-only managed fact table: `readStream.table`
+    // tails the APPEND LOG (offsets index committed files, so each
+    // refresh reads ONLY files landed since the checkpoint — never the
+    // table), each micro-batch's per-key aggregate delta is MERGEd
+    // into the MV as increments (+count, +decimal-exact sum). Two
+    // separate refresh cycles over the same checkpoint prove the
+    // increment path: the second reads just the second INSERT's files.
+    // At 100 TB the refresh cost scales with NEW data, not table size
+    // — the whole point of an MV. (AvailableNow + checkpoint applies
+    // each offset range once; a crash-replayed batch would re-apply —
+    // production hardening is a batch-id ledger next to the MV, the
+    // Delta txn-version pattern.) Oracle: DuckDB recomputes the
+    // aggregate from ALL rows — incremental == full recompute.
+    QueryDef(
+      "q229_incremental_mv",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.mv_src")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.mv_totals")
+        Tables(s, d, "orders").createOrReplaceTempView("q229_orders")
+        s.sql("""CREATE TABLE graft_cat.default.mv_src
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)""")
+        s.sql("""CREATE TABLE graft_cat.default.mv_totals
+                 (o_orderpriority STRING, n_orders BIGINT,
+                  total DECIMAL(18,4))""")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q229-ckpt-").toString
+        def refresh(): Unit = {
+          val q = s.readStream
+            .table("graft_cat.default.mv_src")
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                // decimal-exact sum (Det discipline): cast each price
+                // to DECIMAL(12,4) before summing in BOTH engines
+                batch.createOrReplaceTempView("q229_batch")
+                batch.sparkSession.sql("""
+                  MERGE INTO graft_cat.default.mv_totals t
+                  USING (SELECT o_orderpriority,
+                                COUNT(*) AS dn,
+                                SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                                  AS dt
+                         FROM q229_batch GROUP BY o_orderpriority) c
+                  ON t.o_orderpriority = c.o_orderpriority
+                  WHEN MATCHED THEN UPDATE SET
+                    n_orders = t.n_orders + c.dn,
+                    total = CAST(t.total + c.dt AS DECIMAL(18,4))
+                  WHEN NOT MATCHED THEN
+                    INSERT (o_orderpriority, n_orders, total)
+                    VALUES (c.o_orderpriority, c.dn,
+                            CAST(c.dt AS DECIMAL(18,4)))"""): Unit
+            }
+            .start()
+          q.awaitTermination()
+        }
+        s.sql("""INSERT INTO graft_cat.default.mv_src
+                 SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q229_orders WHERE o_orderkey % 2 = 0""")
+        refresh() // cycle 1: the even half
+        s.sql("""INSERT INTO graft_cat.default.mv_src
+                 SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q229_orders WHERE o_orderkey % 2 = 1""")
+        refresh() // cycle 2: reads ONLY the second insert's files
+        s.sql("""SELECT o_orderpriority, n_orders, total
+                 FROM graft_cat.default.mv_totals
+                 ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                 AS DECIMAL(18,4)) AS total
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q230:
+    // ZERO-COPY CLONE — `CALL system.clone` forks a 100-TB table for
+    // O(files) metadata ops and ZERO data movement (hard links share
+    // inodes), with fully independent lifecycles: the dev-branch
+    // pattern (clone prod, mutate the clone, prod never moves) that a
+    // petabyte pipeline uses for experiments and backfills. This query
+    // clones a managed orders table, doubles urgent prices ON THE
+    // CLONE via real UPDATE DML, and reads both sides — the oracle
+    // recomputes both from the raw rows, proving the clone mutated and
+    // the source stayed bit-identical. Spec pins the shared inodes,
+    // the DROP-source survival, and the MOR compact-first gate.
+    QueryDef(
+      "q230_zero_copy_clone",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_dev")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_main")
+        Tables(s, d, "orders").createOrReplaceTempView("q230_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_main
+                 AS SELECT o_orderkey, o_orderpriority, o_totalprice
+                    FROM q230_orders""")
+        s.sql("""CALL graft_cat.system.clone('default.orders_main',
+                                             'default.orders_dev')""")
+        s.sql("""UPDATE graft_cat.default.orders_dev
+                 SET o_totalprice = o_totalprice * 2
+                 WHERE o_orderpriority = '1-URGENT'""")
+        s.sql("""
+          SELECT side, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                   AS DECIMAL(19,4)) AS total
+          FROM (
+            SELECT 'main' AS side, o_totalprice
+            FROM graft_cat.default.orders_main
+            UNION ALL
+            SELECT 'dev' AS side, o_totalprice
+            FROM graft_cat.default.orders_dev)
+          GROUP BY side ORDER BY side""")
+      },
+      Some("""
+        SELECT side, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                 AS DECIMAL(19,4)) AS total
+        FROM (
+          SELECT 'main' AS side, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'dev' AS side,
+                 CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+            AS o_totalprice
+          FROM orders)
+        GROUP BY side ORDER BY side""")),
+
+    // -------------------------------------------------------------- q231:
+    // GROUPED AGGREGATE PUSHDOWN — `GROUP BY <partition col>` with
+    // COUNT/MIN/MAX serves from the manifest too: identity-partitioned
+    // writes pin every file to ONE partition value (min == max, zero
+    // nulls), so the refs group by their pinned tuples and each
+    // group's aggregates fold driver-side — zero files opened, zero
+    // tasks. The per-partition census of a 100-TB table ("how many
+    // rows per day?") becomes a metadata query, Iceberg's `partitions`
+    // table generalized to arbitrary COUNT/MIN/MAX. Spec pins the
+    // zero-opens census and the null-partition refusal; this query
+    // proves value equality with DuckDB's full recompute.
+    QueryDef(
+      "q231_grouped_agg_pushdown",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_part_agg")
+        Tables(s, d, "orders").createOrReplaceTempView("q231_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_part_agg
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)
+                 PARTITIONED BY (o_orderpriority)""")
+        s.sql("""INSERT INTO graft_cat.default.orders_part_agg
+                 SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q231_orders""")
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+                 CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+                 MIN(o_totalprice) AS min_price
+          FROM graft_cat.default.orders_part_agg
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+               MIN(o_totalprice) AS min_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q232:
+    // MERGE WITH SCHEMA EVOLUTION — the upstream-added-a-field CDC
+    // reality: the changeset carries a column the target lacks, and
+    // the single MERGE statement both evolves the schema (routed
+    // through the same ADD COLUMN schema-commit as explicit DDL —
+    // time travel to the pre-merge version still shows the old
+    // schema) and applies the rows. Works on the MOR table: old base
+    // AND delta entries backfill the new column as null at fold.
+    // Without the clause a star-merge silently ignores extra source
+    // columns (spec-pinned); with it nothing is lost. Oracle
+    // recomputes the evolved end state from the raw rows.
+    QueryDef(
+      "q232_merge_schema_evolution",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_mse")
+        Tables(s, d, "orders").createOrReplaceTempView("q232_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_mse
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='o_orderkey')
+                 AS SELECT o_orderkey, o_totalprice FROM q232_orders""")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q232_changes AS
+                 SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                        'doubled' AS origin
+                 FROM q232_orders WHERE o_orderkey % 7 = 0""")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION
+                 INTO graft_cat.default.orders_mse t
+                 USING q232_changes c ON t.o_orderkey = c.o_orderkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""
+          SELECT origin, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                   AS DECIMAL(19,4)) AS total
+          FROM graft_cat.default.orders_mse
+          GROUP BY origin ORDER BY origin NULLS FIRST""")
+      },
+      Some("""
+        SELECT origin, COUNT(*) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(13,4))) AS DECIMAL(19,4))
+                 AS total
+        FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS price,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'doubled' END
+                       AS origin
+              FROM orders)
+        GROUP BY origin ORDER BY origin NULLS FIRST""")),
+
+    // -------------------------------------------------------------- q233:
+    // PARTITION-SCOPED COMPACTION — `CALL system.compact(t, where)`
+    // rewrites ONLY the partitions the predicate selects (REPLACE
+    // WHERE; the commit re-validates the replaced set), leaving every
+    // other file byte-identical. At 100 TB the hot partition's
+    // small-file pileup is maintained for the cost of that partition,
+    // not the table — the only affordable maintenance shape. Spec
+    // pins the 3-to-1 file collapse with untouched-sibling paths and
+    // the undecidable-predicate reject; this query proves content
+    // integrity across seed -> appends -> scoped compaction.
+    QueryDef(
+      "q233_partition_scoped_compact",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_psc")
+        Tables(s, d, "orders").createOrReplaceTempView("q233_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_psc
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)
+                 PARTITIONED BY (o_orderpriority)""")
+        // three appends -> small-file pileup in every partition
+        (0 to 2).foreach { i =>
+          s.sql(s"""INSERT INTO graft_cat.default.orders_psc
+                    SELECT o_orderkey, o_orderpriority, o_totalprice
+                    FROM q233_orders WHERE o_orderkey % 3 = $i""")
+        }
+        s.sql("""CALL graft_cat.system.compact('default.orders_psc',
+                 where => "o_orderpriority = '1-URGENT'")""")
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                   AS DECIMAL(19,4)) AS total
+          FROM graft_cat.default.orders_psc
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                 AS DECIMAL(19,4)) AS total
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q234:
+    // ATOMIC CREATE OR REPLACE TABLE AS — the StagingTableCatalog seam:
+    // the replacement's output lands in STAGED storage and the name
+    // binding swaps only at commit, so readers never observe a
+    // half-written table and a failed replacement aborts to the
+    // previous one (spec pins the failure path and the staged-dir
+    // cleanup with raise_error mid-write). The nightly-rebuild pattern
+    // every production mart runs. This query rebuilds a summary table
+    // twice — the second REPLACE must fully supersede the first — and
+    // the oracle recomputes the final build from the raw rows.
+    QueryDef(
+      "q234_atomic_replace_table",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        Tables(s, d, "orders").createOrReplaceTempView("q234_orders")
+        s.sql("""CREATE OR REPLACE TABLE graft_cat.default.orders_mart AS
+                 SELECT o_orderpriority, COUNT(*) AS n
+                 FROM q234_orders GROUP BY o_orderpriority""")
+        s.sql("""CREATE OR REPLACE TABLE graft_cat.default.orders_mart AS
+                 SELECT o_orderpriority,
+                        COUNT(*) AS n,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                          AS DECIMAL(19,4)) AS total
+                 FROM q234_orders
+                 WHERE o_orderkey % 2 = 0
+                 GROUP BY o_orderpriority""")
+        s.sql("""SELECT o_orderpriority, n, total
+                 FROM graft_cat.default.orders_mart
+                 ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                 AS DECIMAL(19,4)) AS total
+        FROM orders WHERE o_orderkey % 2 = 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -60,10 +60,13 @@ import org.json4s.jackson.JsonMethods
   * code paths.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog
     with ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
+  /** Test-visible warehouse root (staging specs census directories). */
+  private[graft] def warehousePath: String = warehouse.toString
   private var warehouse: NioPath =
     Paths.get("spark-warehouse", "graftcat").toAbsolutePath
 
@@ -175,6 +178,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val (t, entry) = stageNew(ident, schema, partitions, properties)
+    try GraftCatalog.withIndex(warehouse) { idx =>
+      if (idx.contains(idxKey(ident)) ||
+          GraftCatalog.tables.containsKey(regKey(ident)))
+        throw new TableAlreadyExistsException(ident)
+      GraftCatalog.tables.put(regKey(ident), t)
+      (idx + (idxKey(ident) -> entry), t)
+    } catch { case e: Throwable =>
+      graft.util.Fs.rmTree(t.dir) // unpublished staging dir: clean up
+      throw e
+    }
+  }
+
+  /** Validate + construct a table's storage (directory, stamped schema,
+    * version-0 log) WITHOUT publishing it to the name index — the
+    * shared body of [[createTable]] (publish immediately) and the
+    * [[StagingTableCatalog]] seam (publish at commitStagedChanges, the
+    * atomic CTAS/RTAS contract: readers never see a half-written
+    * replacement, and a failed write aborts to the PREVIOUS table). */
+  private def stageNew(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : (GraftTable, GraftCatalog.IndexEntry) = {
     require(!ident.name().endsWith("$changes") &&
         !ident.name().endsWith("$files"),
       "table names ending in $changes/$files are reserved for " +
@@ -316,10 +341,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             schema.fields(o).dataType.catalogString)
       schema.fieldNames(o)
     }
-    GraftCatalog.withIndex(warehouse) { idx =>
-      if (idx.contains(idxKey(ident)) ||
-          GraftCatalog.tables.containsKey(regKey(ident)))
-        throw new TableAlreadyExistsException(ident)
+    locally {
       val dir = warehouse.resolve(
         ident.name() + "-" + UUID.randomUUID().toString.take(8))
       Files.createDirectories(dir.resolve("data"))
@@ -350,13 +372,144 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       require(GraftStorage.casWriteLog(dir, t.stateNow, 0),
         s"table directory $dir already holds a log — concurrent CREATE?")
-      GraftCatalog.tables.put(regKey(ident), t)
-      (idx + (idxKey(ident) -> GraftCatalog.IndexEntry(
+      (t, GraftCatalog.IndexEntry(
         dir.toString, mode, rowId, retain, partCols, appendRetain,
         sortCols, zorderCols,
         bucketSpec.map(b => List(b._1, b._2.toString)).getOrElse(Nil),
-        bloomCols)),
-        t)
+        bloomCols))
+    }
+  }
+
+  // -- StagingTableCatalog: ATOMIC CTAS / RTAS ----------------------------
+  // `CREATE OR REPLACE TABLE … AS SELECT` stages the new table's storage
+  // under a fresh directory, writes the query output into it, and only
+  // then — in commitStagedChanges, under the index lock — swaps the name
+  // binding and drops the old storage. Readers resolve the OLD table
+  // until the instant of the swap; a failed or aborted write removes the
+  // staged directory and leaves the previous table untouched. Without
+  // this seam Spark falls back to drop-then-create: a crash in between
+  // loses the table, and concurrent readers see it vanish.
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val (t, entry) = stageNew(ident, schema, partitions, properties)
+    new GraftStagedTable(this, ident, t, entry,
+      replace = false, orCreate = false)
+  }
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val (t, entry) = stageNew(ident, schema, partitions, properties)
+    new GraftStagedTable(this, ident, t, entry,
+      replace = true, orCreate = false)
+  }
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val (t, entry) = stageNew(ident, schema, partitions, properties)
+    new GraftStagedTable(this, ident, t, entry,
+      replace = true, orCreate = true)
+  }
+
+  /** The swap half of the staging protocol — existence semantics are
+    * re-checked HERE, under the cross-process index lock (the stage-time
+    * state may have moved); any reject removes the staged storage. */
+  private[catalog] def publishStaged(ident: Identifier, staged: GraftTable,
+      entry: GraftCatalog.IndexEntry, replace: Boolean,
+      orCreate: Boolean): Unit =
+    try GraftCatalog.withIndex(warehouse) { idx =>
+      val key = idxKey(ident)
+      val existed = idx.contains(key) ||
+        GraftCatalog.tables.containsKey(regKey(ident))
+      if (!replace && existed)
+        throw new TableAlreadyExistsException(ident)
+      if (replace && !orCreate && !existed)
+        throw new NoSuchTableException(ident)
+      // the replaced table's storage goes away exactly like DROP TABLE
+      idx.get(key).foreach(e => graft.util.Fs.rmTree(Paths.get(e.dir)))
+      GraftCatalog.tables.remove(regKey(ident))
+      GraftCatalog.tables.put(regKey(ident), staged)
+      (idx + (key -> entry), ())
+    } catch { case e: Throwable =>
+      graft.util.Fs.rmTree(staged.dir)
+      throw e
+    }
+
+  /** ZERO-COPY CLONE (`CALL system.clone`): a new independent table
+    * whose version-0 snapshot references the source's CURRENT content
+    * through HARD LINKS — O(files) metadata ops and zero data movement
+    * (a 100-TB clone costs what a directory listing costs), yet the
+    * two tables' lifecycles are fully independent: links share inodes,
+    * so either side's DML, compaction, expire_snapshots, or DROP
+    * removes only its OWN directory entries and the data outlives
+    * whichever still references it — none of the cross-table GC
+    * hazards a shared-manifest (pointer-only) clone carries. Falls
+    * back to a real copy when the filesystem refuses links.
+    *
+    * The clone keeps the source's schema (field ids INCLUDED — refs
+    * bind columns by id, so re-stamping would corrupt reads), layout
+    * properties (mode/row-id/partitioning/sort/z-order/bucket/bloom),
+    * and CHECK constraints; history, tags, and the change feed do NOT
+    * transfer (a clone is new content, depth-1 history). MOR sources
+    * must be compacted first (live delta entries fence against base
+    * file COUNTS, which a clone cannot replay). */
+  private[catalog] def cloneTable(srcIdent: Identifier,
+      dstIdent: Identifier): (Long, Long) = {
+    val src = loadTable(srcIdent).asInstanceOf[GraftTable]
+    src.refreshFromDisk()
+    val st = src.stateNow
+    val snap = st.current
+    require(snap.forall(_.deltaFiles.isEmpty),
+      s"clone source ${srcIdent} has a live delta log — " +
+        "CALL system.compact first")
+    GraftCatalog.withIndex(warehouse) { idx =>
+      val srcEntry = idx.getOrElse(idxKey(srcIdent),
+        throw new NoSuchTableException(srcIdent))
+      if (idx.contains(idxKey(dstIdent)) ||
+          GraftCatalog.tables.containsKey(regKey(dstIdent)))
+        throw new TableAlreadyExistsException(dstIdent)
+      val dir = warehouse.resolve(
+        dstIdent.name() + "-" + UUID.randomUUID().toString.take(8))
+      val dataDir = dir.resolve("data")
+      Files.createDirectories(dataDir)
+      def link(r: GraftFileRef): GraftFileRef = {
+        val srcP = Paths.get(r.path)
+        val dstP = dataDir.resolve(srcP.getFileName.toString)
+        try Files.createLink(dstP, srcP)
+        catch {
+          case _: UnsupportedOperationException =>
+            Files.copy(srcP, dstP) // cross-FS: pay the copy, stay correct
+          case e: java.nio.file.NoSuchFileException =>
+            throw new IllegalStateException(
+              s"clone raced a GC of ${r.path} — retry the clone", e)
+        }
+        r.copy(path = dstP.toString)
+      }
+      val files = snap.map(_.files).getOrElse(Vector.empty).map(link)
+      val snap0 = GraftSnapshot(0, st.schemaJson, files, Vector.empty,
+        System.currentTimeMillis())
+      // appendLog carries the clone seed so a stream over the clone
+      // reads its full content, exactly like a CTAS-built table
+      val cst = GraftTableState(st.schemaJson, Vector(snap0), 1,
+        files, 0, Vector.empty, 0, Map.empty, st.nextFieldId,
+        Map.empty, st.checks)
+      val eBucket = srcEntry.bucketBy match {
+        case c :: n :: Nil => Some((c, n.toInt))
+        case _ => None
+      }
+      val t =
+        if (srcEntry.mode == "mor")
+          new GraftDeltaTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
+            srcEntry.rowId, srcEntry.parts, srcEntry.appendRetain,
+            srcEntry.sortBy, srcEntry.zorderBy, eBucket, srcEntry.bloomBy)
+        else new GraftTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
+          srcEntry.parts, srcEntry.appendRetain, srcEntry.sortBy,
+          srcEntry.zorderBy, eBucket, srcEntry.bloomBy)
+      require(GraftStorage.casWriteLog(dir, cst, 0),
+        s"table directory $dir already holds a log — concurrent CREATE?")
+      GraftCatalog.tables.put(regKey(dstIdent), t)
+      (idx + (idxKey(dstIdent) -> srcEntry.copy(dir = dir.toString)),
+        (files.size.toLong, files.map(_.rows).sum))
     }
   }
 
@@ -634,6 +787,28 @@ object GraftCatalog {
     }
 }
 
+/** A staged (not-yet-published) table: the write target of an atomic
+  * CTAS/RTAS. Delegates every Table face to the staged [[GraftTable]];
+  * commit swaps the name binding ([[GraftCatalog.publishStaged]]),
+  * abort removes the staged storage. */
+class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
+    staged: GraftTable, entry: GraftCatalog.IndexEntry,
+    replace: Boolean, orCreate: Boolean)
+    extends StagedTable with SupportsWrite {
+  override def name(): String = staged.name()
+  override def schema(): StructType = staged.schema()
+  override def partitioning(): Array[Transform] = staged.partitioning()
+  override def properties(): util.Map[String, String] = staged.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    staged.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    staged.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit =
+    cat.publishStaged(ident, staged, entry, replace, orCreate)
+  override def abortStagedChanges(): Unit =
+    graft.util.Fs.rmTree(staged.dir)
+}
+
 /** A managed parquet-backed table: readable (batch + micro-batch
   * stream), appendable/truncatable (batch + streaming epochs), and a
   * row-level-operation target (MERGE/UPDATE/DELETE at file-granularity
@@ -695,7 +870,14 @@ class GraftTable(ident: String, val dir: NioPath,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer computes the source
+      // columns the target lacks and routes them through alterTable ADD
+      // COLUMN (the same schema-commit path as explicit DDL) before
+      // rewriting the merge. The capability only ADMITS evolution —
+      // a merge without the explicit clause never evolves (spec-pinned),
+      // and layout/reserved columns still reject inside alterAddColumn.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the knobs this
     * table was created with, plus a current-state census — the quick
@@ -880,6 +1062,25 @@ class GraftTable(ident: String, val dir: NioPath,
       st.current.map(_.deltaFiles.map(_.path)).getOrElse(Vector.empty)))
     try spark.sql(s"INSERT OVERWRITE $fqn SELECT * FROM $fqn"): Unit
     finally replaceAllGuard = None
+  }
+
+  /** PARTITION-SCOPED compaction: rewrite only the partitions matching
+    * `pred` (`INSERT INTO … REPLACE WHERE` — Spark plans
+    * OverwriteByExpression, [[canMetaReplace]] admits only
+    * file-decidable partition predicates, and
+    * [[commitOverwriteMatching]] re-validates the replaced set inside
+    * the commit round). Every non-matching file survives BYTE-IDENTICAL
+    * — at 100 TB this is the only affordable form of maintenance: a
+    * hot partition's small-file pileup rewrites that partition, not
+    * the table. A predicate the layout can't decide rejects loudly
+    * (compacting a value-sliced subset through replace-where would
+    * have to rewrite files it can't fully select). */
+  private[graft] def compactWhere(spark: org.apache.spark.sql.SparkSession,
+      fqn: String, pred: String): Unit = {
+    refreshFromDisk()
+    spark.sql(
+      s"INSERT INTO $fqn REPLACE WHERE $pred SELECT * FROM $fqn WHERE $pred"
+    ): Unit
   }
 
   /** Truncate-replace (INSERT OVERWRITE, Complete-mode epochs, MOR
@@ -1662,14 +1863,16 @@ private[catalog] object GraftAggPushdown {
     else vs.reduce((a, b) =>
       if (wantMin == (GraftStorage.typedCompare(dt, a, b) <= 0)) a else b)
 
-  /** Compute the whole Aggregation from refs alone, or refuse. */
-  def compute(schema: StructType, files: Vector[GraftFileRef],
-      agg: Aggregation): Option[(StructType, Array[Any], String)] = {
-    if (agg.groupByExpressions().nonEmpty) return None
+  /** One group's aggregate values from its file subset, or refuse.
+    * Returns (schema-fields, values, descriptions) — schema identical
+    * across groups, computed redundantly but trivially. */
+  private def computeGroup(schema: StructType, files: Vector[GraftFileRef],
+      aggs: Array[AggregateFunc])
+      : Option[(Vector[StructField], Vector[Any], Vector[String])] = {
     val fields = Vector.newBuilder[StructField]
     val values = Vector.newBuilder[Any]
     val descs = Vector.newBuilder[String]
-    agg.aggregateExpressions().foreach {
+    aggs.foreach {
       case _: CountStar =>
         fields += StructField("count_star", LongType, nullable = false)
         values += files.map(_.rows).sum
@@ -1698,23 +1901,103 @@ private[catalog] object GraftAggPushdown {
         descs += s"${if (wantMin) "MIN" else "MAX"}(${fld.name})"
       case _ => return None // SUM/AVG/DISTINCT/UDAF: not exact from stats
     }
-    Some((StructType(fields.result()), values.result().toArray,
-      descs.result().mkString(", ")))
+    Some((fields.result(), values.result(), descs.result()))
+  }
+
+  /** A file's PINNED exact value of `fld` as its canonical stat string:
+    * defined when every row provably holds one value (min == max, zero
+    * nulls — the writer's one-value-per-file partition split), or when
+    * the file predates the column and a non-null default backfills.
+    * The string key groups files; [[GraftStorage.statFromString]]
+    * decodes it back for output. */
+  private def pinnedString(fld: StructField, f: GraftFileRef)
+      : Option[String] = {
+    val o = GraftStorage.refOrdinal(f, fld)
+    if (o < 0)
+      GraftStorage.existsDefault(fld) match {
+        case Some(d) if d != null =>
+          try Some(GraftStorage.statToString(fld.dataType, d))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    else f.stats.get(f.cols(o)) match {
+      case Some(st) if st.nulls == 0 && st.min.isDefined &&
+          st.min == st.max => st.min
+      case _ => None
+    }
+  }
+
+  /** Compute the whole Aggregation from refs alone, or refuse.
+    * GROUP BY is served when every group column is PINNED in every
+    * file (exactly what identity partitioning guarantees): the refs
+    * group by their pinned tuples and each group aggregates its own
+    * subset — `SELECT part, COUNT(*) ... GROUP BY part` on a 100-TB
+    * partitioned table is then a driver-side metadata fold. */
+  def compute(schema: StructType, files: Vector[GraftFileRef],
+      agg: Aggregation): Option[(StructType, Array[Array[Any]], String)] = {
+    val aggs = agg.aggregateExpressions()
+    val gb = agg.groupByExpressions()
+    if (gb.isEmpty) {
+      val (fields, values, descs) =
+        computeGroup(schema, files, aggs).getOrElse(return None)
+      return Some((StructType(fields), Array(values.toArray),
+        descs.mkString(", ")))
+    }
+    val gflds = gb.map(e => fieldOf(schema, e).getOrElse(return None))
+    // empty files contribute to no group; any unpinned file refuses
+    val live = files.filter(_.rows > 0)
+    val keyed = live.map { f =>
+      val key = gflds.map(fld => pinnedString(fld, f) match {
+        case Some(s) => s
+        case None => return None
+      })
+      (key.toVector, f)
+    }
+    val groups = keyed.groupBy(_._1)
+    val rows = Array.newBuilder[Array[Any]]
+    var schemaOut: Option[StructType] = None
+    var descOut = ""
+    groups.foreach { case (key, fs) =>
+      val (fields, values, descs) =
+        computeGroup(schema, fs.map(_._2), aggs).getOrElse(return None)
+      if (schemaOut.isEmpty) {
+        schemaOut = Some(StructType(
+          gflds.toVector.map(f => f.copy(nullable = false)) ++ fields))
+        descOut = (gflds.map(f => s"GROUP ${f.name}") ++ descs)
+          .mkString(", ")
+      }
+      val keyVals = gflds.toVector.zip(key).map { case (fld, s) =>
+        try GraftStorage.statFromString(fld.dataType, s)
+        catch { case _: Exception => return None }
+      }
+      rows += (keyVals ++ values).toArray
+    }
+    // a grouped aggregate over an EMPTY table emits zero rows — but the
+    // output schema must still be shaped; synthesize it from the decls
+    val out = schemaOut.getOrElse {
+      val (fields, _, descs) =
+        computeGroup(schema, Vector.empty, aggs).getOrElse(return None)
+      descOut = (gflds.map(f => s"GROUP ${f.name}") ++ descs).mkString(", ")
+      StructType(gflds.toVector.map(f => f.copy(nullable = false)) ++ fields)
+    }
+    Some((out, rows.result(), descOut))
   }
 }
 
 /** The scan a fully-pushed aggregation plans to: the precomputed result
-  * row, served driver-locally ([[LocalScan]] — Spark plans a
-  * LocalTableScan, zero executor tasks, zero file I/O). */
-class GraftAggScan(out: StructType, values: Array[Any], nFiles: Int,
+  * rows (one, or one per pinned group), served driver-locally
+  * ([[LocalScan]] — Spark plans a LocalTableScan, zero executor tasks,
+  * zero file I/O). */
+class GraftAggScan(out: StructType, values: Array[Array[Any]], nFiles: Int,
     aggDesc: String)
     extends org.apache.spark.sql.connector.read.LocalScan {
-  override def rows(): Array[InternalRow] = Array(
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+  override def rows(): Array[InternalRow] = values.map(v =>
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(v)
+      : InternalRow)
   override def readSchema(): StructType = out
   override def description(): String =
     s"GraftAggScan(manifest-served [$aggDesc] over $nFiles file refs, " +
-      "zero file I/O)"
+      s"${values.length} result rows, zero file I/O)"
 }
 
 /** Scan builder with COLUMN PRUNING, FILTER PUSHDOWN, and FILE
@@ -1746,7 +2029,8 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
   private var required: StructType = tableSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var all: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var servedAgg: Option[(StructType, Array[Any], String)] = None
+  private var servedAgg: Option[(StructType, Array[Array[Any]], String)] =
+    None
   private var narrowedByLimit: Option[Vector[GraftFileRef]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =

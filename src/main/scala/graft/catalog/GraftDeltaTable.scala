@@ -114,7 +114,11 @@ class GraftDeltaTable(ident: String, dir: NioPath,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE WITH SCHEMA EVOLUTION routes through alterAddColumn, which
+      // appends the column and backfills old base AND delta entries as
+      // null at fold (the q204/q213 machinery) — safe on MOR
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   // Metadata-only DELETE drops BASE files; with a live delta log the
   // effective rows diverge from the base (updates/inserts in the log

@@ -79,7 +79,14 @@ object GraftProcedures {
     ident.name() match {
       case "compact" => new GraftProcedure("compact",
         "fold the MOR delta log / rewrite accumulated files via a " +
-          "distributed self-overwrite") {
+          "distributed self-overwrite; an optional partition predicate " +
+          "scopes the rewrite to matching partitions (REPLACE WHERE) — " +
+          "every other file survives byte-identical",
+        tableParam :+ ProcedureParameter.in("where", StringType)
+          .defaultValue("NULL")
+          .comment("partition-decidable SQL predicate scoping the " +
+            "rewrite; omitted = whole table")
+          .build()) {
         override protected def run(input: InternalRow): Scan = {
           val qualified = input.getUTF8String(0).toString
           val (_, t) = resolve(cat, qualified)
@@ -87,10 +94,14 @@ object GraftProcedures {
           val opsBefore = t.stateNow.current
             .map(_.deltaFiles.map(_.rows).sum).getOrElse(0L)
           val fqn = s"${cat.name()}.$qualified"
-          // guarded self-overwrite: a foreign commit landing between
-          // the scan and the replace-all commit conflicts loudly
-          // instead of being erased (ADVICE r11)
-          t.compact(SparkSession.active, fqn)
+          if (input.isNullAt(1))
+            // guarded self-overwrite: a foreign commit landing between
+            // the scan and the replace-all commit conflicts loudly
+            // instead of being erased (ADVICE r11)
+            t.compact(SparkSession.active, fqn)
+          else
+            t.compactWhere(SparkSession.active, fqn,
+              input.getUTF8String(1).toString)
           summaryScan(Seq(
             "files_before" -> filesBefore,
             "delta_ops_folded" -> opsBefore,
@@ -175,15 +186,43 @@ object GraftProcedures {
             "rows" -> t.baseRowCount))
         }
       }
+      case "clone" => new GraftProcedure("clone",
+        "zero-copy clone: a new independent table hard-linking the " +
+          "source's current content — O(files) metadata, no data " +
+          "movement, fully independent lifecycles (links share inodes; " +
+          "either side's DML/GC/DROP touches only its own directory). " +
+          "Keeps schema (field ids included), layout properties, and " +
+          "CHECK constraints; history/tags/change-feed do not transfer. " +
+          "MOR sources must be compacted first.",
+        tableParam :+ ProcedureParameter.in("target", StringType)
+          .comment("namespace-qualified clone name, e.g. 'default.orders_dev'")
+          .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val srcQ = input.getUTF8String(0).toString
+          val dstQ = input.getUTF8String(1).toString
+          def ident(q: String): Identifier = {
+            val parts = q.split('.')
+            require(parts.length >= 2,
+              s"expected namespace-qualified table name, got '$q'")
+            Identifier.of(parts.init, parts.last)
+          }
+          val (nFiles, nRows) = cat.cloneTable(ident(srcQ), ident(dstQ))
+          summaryScan(Seq(
+            "files_linked" -> nFiles,
+            "rows" -> nRows))
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
-          "(available: compact, expire_snapshots, history, rollback, tag)")
+          "(available: clone, compact, expire_snapshots, history, " +
+          "rollback, tag)")
     }
   }
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "compact"),
+      Array(Identifier.of(Array("system"), "clone"),
+        Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "history"),
         Identifier.of(Array("system"), "rollback"),

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 /** DSv2 managed-table catalog: DDL + the full row-level DML surface.
@@ -318,6 +320,198 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  // ---- MERGE WITH SCHEMA EVOLUTION (q232) --------------------------------
+
+  test("MERGE WITH SCHEMA EVOLUTION auto-adds source columns on CoW " +
+      "and MOR; plain MERGE still rejects unknown columns") {
+    setup()
+    sql("""CREATE TABLE gtest.default.t (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""")
+    sql("INSERT INTO gtest.default.t VALUES (1,'a'), (2,'b')")
+    sql("""CREATE OR REPLACE TEMP VIEW mse_src AS
+           SELECT * FROM VALUES
+             (CAST(2 AS BIGINT), 'B', 'upd'),
+             (CAST(3 AS BIGINT), 'c', 'new') AS s(k, v, note)""")
+    // without the clause, star-expansion silently IGNORES the extra
+    // source column — the schema must not move
+    sql("""MERGE INTO gtest.default.t t USING mse_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(!sql("SELECT * FROM gtest.default.t").schema.fieldNames
+      .contains("note"), "plain MERGE must not evolve the schema")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO gtest.default.t t
+           USING mse_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    val rows = sql(
+      "SELECT k, v, note FROM gtest.default.t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) "∅" else r.getString(2))).toSeq ==
+      Seq((1L, "a", "∅"), (2L, "B", "upd"), (3L, "c", "new")),
+      "pre-evolution rows must read NULL for the added column")
+    // the evolution is a real schema commit: time travel predates it
+    assert(!sql("SELECT * FROM gtest.default.t VERSION AS OF 0")
+      .schema.fieldNames.contains("note"))
+    sql("DROP TABLE gtest.default.t")
+  }
+
+  // ---- atomic CTAS / RTAS via StagingTableCatalog (q234) ------------------
+
+  test("CREATE OR REPLACE TABLE is atomic: a failed replacement write " +
+      "leaves the previous table intact; staged storage is cleaned") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING)")
+    sql("INSERT INTO gtest.default.t VALUES (1,'keep'), (2,'keep')")
+    def warehouseDirs(): Set[String] = {
+      val wh = java.nio.file.Paths.get(spark.sessionState.catalogManager
+        .catalog("gtest").asInstanceOf[graft.catalog.GraftCatalog]
+        .warehousePath)
+      val s = java.nio.file.Files.list(wh)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val before = warehouseDirs()
+
+    // a replacement whose WRITE fails must abort to the previous table
+    intercept[Exception] {
+      sql("""CREATE OR REPLACE TABLE gtest.default.t AS
+             SELECT raise_error('mid-write failure') AS v""")
+    }
+    assert(sql("SELECT count(*) FROM gtest.default.t").head().getLong(0)
+      == 2, "failed RTAS must leave the previous table intact")
+    assert(sql("SELECT v FROM gtest.default.t WHERE k = 1").head()
+      .getString(0) == "keep")
+    assert(warehouseDirs() == before,
+      "aborted staging must remove its directory")
+
+    // a successful replacement swaps content AND storage atomically
+    sql("""CREATE OR REPLACE TABLE gtest.default.t AS
+           SELECT CAST(9 AS BIGINT) AS k, 'new' AS v""")
+    assert(sql("SELECT k, v FROM gtest.default.t").collect()
+      .map(_.toString).toSeq == Seq("[9,new]"))
+    // the replaced table's old storage is gone (no orphaned dirs)
+    assert(warehouseDirs().size == before.size,
+      "the replaced table's old directory must be dropped at swap")
+
+    // REPLACE TABLE on a missing name rejects; OR REPLACE creates
+    sql("DROP TABLE gtest.default.t")
+    intercept[Exception] {
+      sql("REPLACE TABLE gtest.default.t AS SELECT 1 AS x")
+    }
+    sql("CREATE OR REPLACE TABLE gtest.default.t AS SELECT 1 AS x")
+    assert(sql("SELECT x FROM gtest.default.t").head().getInt(0) == 1)
+    sql("DROP TABLE gtest.default.t")
+  }
+
+  // ---- partition-scoped compaction (q233) --------------------------------
+
+  test("compact WHERE rewrites only the matching partitions; others " +
+      "stay byte-identical; undecidable predicates reject") {
+    setup()
+    sql("""CREATE TABLE gtest.default.t (k BIGINT, p STRING)
+           PARTITIONED BY (p)""")
+    // three inserts -> three small files per partition value
+    (1 to 3).foreach { i =>
+      sql(s"INSERT INTO gtest.default.t VALUES ($i, 'a'), (${i + 10}, 'b')")
+    }
+    def filesOf(part: String): Vector[String] = spark.sessionState
+      .catalogManager.catalog("gtest")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].stateNow.current.get.files
+      .filter(_.stats("p").min.contains(part)).map(_.path)
+    val aBefore = filesOf("a")
+    val bBefore = filesOf("b")
+    assert(aBefore.size == 3 && bBefore.size == 3)
+
+    val r = sql(
+      "CALL gtest.system.compact('default.t', where => \"p = 'a'\")").head()
+    assert(r.getLong(0) == 6 && r.getLong(2) == 4,
+      s"expected 6 -> 4 files, got ${r.getLong(0)} -> ${r.getLong(2)}")
+    assert(filesOf("a").size == 1, "partition a must compact to one file")
+    assert(filesOf("b") == bBefore,
+      "partition b's files must survive BYTE-IDENTICAL (same paths)")
+    assert(sql("SELECT k FROM gtest.default.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 11L, 12L, 13L))
+
+    // a value predicate the partition layout can't decide rejects loudly
+    intercept[Exception] {
+      sql("CALL gtest.system.compact('default.t', where => 'k < 2')")
+    }
+  }
+
+  // ---- zero-copy clone (q230) --------------------------------------------
+
+  test("system.clone: hard-linked content, independent lifecycles, " +
+      "MOR gate, cold reload") {
+    setup()
+    sql("DROP TABLE IF EXISTS gtest.default.cl")
+    sql("DROP TABLE IF EXISTS gtest.default.cl2")
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING)")
+    spark.range(500).repartition(4)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      .createOrReplaceTempView("clone_src")
+    sql("INSERT INTO gtest.default.t SELECT * FROM clone_src")
+
+    val r = sql("CALL gtest.system.clone('default.t', 'default.cl')").head()
+    assert(r.getLong(1) == 500, "clone must report the linked row count")
+    assert(sql("SELECT count(*) FROM gtest.default.cl").head().getLong(0)
+      == 500)
+    // zero-copy: the clone's files are HARD LINKS of the source's
+    def tblFiles(n: String): Vector[String] = spark.sessionState
+      .catalogManager.catalog("gtest")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), n))
+      .asInstanceOf[graft.catalog.GraftTable].currentFilePaths
+    val srcFiles = tblFiles("t").sorted
+    val clFiles = tblFiles("cl").sorted
+    assert(clFiles.size == srcFiles.size && clFiles != srcFiles)
+    assert(srcFiles.zip(clFiles).forall { case (a, b) =>
+      java.nio.file.Files.isSameFile(java.nio.file.Paths.get(a),
+        java.nio.file.Paths.get(b)) }, "clone files must share inodes")
+
+    // independence: DML on the clone never touches the source...
+    sql("DELETE FROM gtest.default.cl WHERE k < 100")
+    assert(sql("SELECT count(*) FROM gtest.default.cl").head().getLong(0)
+      == 400)
+    assert(sql("SELECT count(*) FROM gtest.default.t").head().getLong(0)
+      == 500)
+    // ...and DROPPING the source leaves the clone fully readable
+    sql("DROP TABLE gtest.default.t")
+    assert(sql("SELECT count(*) FROM gtest.default.cl").head().getLong(0)
+      == 400)
+    assert(sql("SELECT v FROM gtest.default.cl WHERE k = 250").head()
+      .getString(0) == "v250")
+
+    // a cold reload serves the clone from its persisted log + index
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    assert(sql("SELECT count(*) FROM gtest.default.cl").head().getLong(0)
+      == 400)
+
+    // MOR: live delta log rejects; compacted clones and STAYS MOR
+    sql("DROP TABLE IF EXISTS gtest.default.tm")
+    sql("""CREATE TABLE gtest.default.tm (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""")
+    sql("INSERT INTO gtest.default.tm VALUES (1,'a'), (2,'b')")
+    sql("UPDATE gtest.default.tm SET v = 'z' WHERE k = 1")
+    intercept[Exception] {
+      sql("CALL gtest.system.clone('default.tm', 'default.cl2')")
+    }
+    sql("CALL gtest.system.compact('default.tm')")
+    sql("CALL gtest.system.clone('default.tm', 'default.cl2')")
+    // the clone is itself a MOR table: row-level DML plans as deltas
+    sql("UPDATE gtest.default.cl2 SET v = 'q' WHERE k = 2")
+    assert(sql("SELECT v FROM gtest.default.cl2 ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("z", "q"))
+    assert(sql("SELECT v FROM gtest.default.tm ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("z", "b"))
+    sql("DROP TABLE gtest.default.tm")
+    sql("DROP TABLE gtest.default.cl")
+    sql("DROP TABLE gtest.default.cl2")
+  }
+
   // ---- per-file bloom filters (q228) -------------------------------------
 
   test("bloom file skipping: point lookups and IN-lists prune files " +
@@ -423,6 +617,42 @@ class GraftCatalogSpec extends SparkSpec {
     val qs = "SELECT SUM(k) AS s, COUNT(*) AS n FROM gtest.default.t"
     assert(!plansLocal(qs))
     assert(sql(qs).head().getLong(0) == 999L * 1000 / 2)
+  }
+
+  test("agg pushdown: GROUP BY partition-pinned columns served from " +
+      "the manifest; unpinned groups refuse") {
+    setup()
+    sql("""CREATE TABLE gtest.default.t (k BIGINT, p STRING, x DOUBLE)
+           PARTITIONED BY (p)""")
+    spark.range(300).repartition(4)
+      .select(col("id").as("k"),
+        concat(lit("p"), col("id") % 3).as("p"),
+        (col("id") * 2.0).as("x"))
+      .createOrReplaceTempView("gagg_src")
+    sql("INSERT INTO gtest.default.t SELECT k, p, x FROM gagg_src")
+
+    val q = """SELECT p, COUNT(*) AS n, MIN(x) AS mn, MAX(k) AS mk
+               FROM gtest.default.t GROUP BY p ORDER BY p"""
+    assert(plansLocal(q), "partition-grouped agg must serve from refs")
+    val before = graft.catalog.GraftStorage.fileOpens.get()
+    val rows = sql(q).collect()
+    assert(graft.catalog.GraftStorage.fileOpens.get() == before)
+    assert(rows.map(_.getString(0)).toSeq == Seq("p0", "p1", "p2"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(100L, 100L, 100L))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(0.0, 2.0, 4.0))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(297L, 298L, 299L))
+
+    // grouping by a NON-pinned column refuses (files span many k)
+    val qk = "SELECT k % 2, COUNT(*) FROM gtest.default.t GROUP BY k % 2"
+    assert(!plansLocal(qk))
+    // a NULL partition value unpins its file: whole pushdown refuses,
+    // Spark's null group still computes exactly
+    sql("INSERT INTO gtest.default.t VALUES (1000, NULL, 1.5)")
+    assert(!plansLocal(q))
+    val withNull = sql(
+      """SELECT p, COUNT(*) AS n FROM gtest.default.t
+         GROUP BY p ORDER BY p NULLS FIRST""").collect()
+    assert(withNull.head.isNullAt(0) && withNull.head.getLong(1) == 1)
   }
 
   test("agg pushdown: NaN-poisoned stats refuse MIN/MAX (Spark's " +
