@@ -2112,7 +2112,101 @@ object CatalogQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
                  AS DECIMAL(19,4)) AS total
         FROM orders WHERE o_orderkey % 2 = 0
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q235:
+    // SMALL-FILE BIN PACKING — `CALL system.rewrite_small_files` reads
+    // ONLY the files below the threshold (pruned to exactly them via
+    // the `_file` metadata-column predicate), packs their rows into
+    // ~threshold-sized outputs, and swaps old-for-new in ONE atomic
+    // selective-replace commit; every file already at size survives
+    // byte-identical. At 100 TB maintenance cost is proportional to
+    // the small-file pileup, not the table — the knob that keeps a
+    // streaming-ingested corpus readable without ever paying a full
+    // compaction. Spec pins the pack-only-small selectivity, the
+    // surviving big-file path, idempotence, and the clustered-table
+    // reject; this query proves row-level integrity across seed ->
+    // small appends -> pack.
+    QueryDef(
+      "q235_small_file_packing",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_pack")
+        Tables(s, d, "orders").createOrReplaceTempView("q235_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_pack
+                 AS SELECT o_orderkey, o_orderpriority, o_totalprice
+                    FROM q235_orders WHERE o_orderkey % 5 <> 0""")
+        // five drip appends -> five small files on top of the seed
+        (0 to 4).foreach { i =>
+          s.sql(s"""INSERT INTO graft_cat.default.orders_pack
+                    SELECT o_orderkey, o_orderpriority, o_totalprice
+                    FROM q235_orders
+                    WHERE o_orderkey % 5 = 0 AND o_orderkey % 25 = ${i * 5}""")
+        }
+        s.sql("""CALL graft_cat.system.rewrite_small_files(
+                   'default.orders_pack')""")
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                   AS DECIMAL(19,4)) AS total,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM graft_cat.default.orders_pack
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                 AS DECIMAL(19,4)) AS total,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q236:
+    // WRITE-SIDE TARGET FILE SIZE (`graft.target_file_bytes`) — the
+    // small-file PREVENTION knob: the write reports an advisory
+    // partition size through RequiresDistributionAndOrdering, so AQE
+    // rebalances every INSERT toward ~N-byte outputs regardless of
+    // upstream parallelism (a 32-task trickle write lands ONE file,
+    // spec-pinned; a huge write splits). At 100 TB this is what keeps
+    // a streaming-ingested table readable without leaning on
+    // after-the-fact compaction. This query writes orders through a
+    // 64 MB-target table in three differently-parallel inserts, pins
+    // the file count to 3 via the $files census (one rebalanced file
+    // per insert where the raw parallelism would have made dozens),
+    // and proves content integrity.
+    QueryDef(
+      "q236_target_file_size",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_tfs")
+        Tables(s, d, "orders").repartition(24)
+          .createOrReplaceTempView("q236_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_tfs
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)
+                 TBLPROPERTIES ('graft.target_file_bytes'='67108864')""")
+        (0 to 2).foreach { i =>
+          s.sql(s"""INSERT INTO graft_cat.default.orders_tfs
+                    SELECT o_orderkey, o_orderpriority, o_totalprice
+                    FROM q236_orders WHERE o_orderkey % 3 = $i""")
+        }
+        s.sql("""
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM graft_cat.default.`orders_tfs$files`) AS n_files,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                   AS DECIMAL(19,4)) AS total
+          FROM graft_cat.default.orders_tfs""")
+      },
+      Some("""
+        SELECT CAST(3 AS BIGINT) AS n_files,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
+                 AS DECIMAL(19,4)) AS total
+        FROM orders"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

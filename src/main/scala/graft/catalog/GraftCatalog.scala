@@ -141,9 +141,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (e.mode == "mor")
               new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
                 e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
-                e.bloomBy)
+                e.bloomBy, e.targetBytes)
             else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
-              e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy)
+              e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
+              e.targetBytes)
           val prev = GraftCatalog.tables.putIfAbsent(regKey(ident), t)
           (idx, if (prev != null) prev else t)
       }
@@ -341,6 +342,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             schema.fields(o).dataType.catalogString)
       schema.fieldNames(o)
     }
+    // graft.target_file_bytes = N: ADVISORY write-partition size — the
+    // small-file PREVENTION knob ([[GraftWriteBuilder]] reports it via
+    // RequiresDistributionAndOrdering.advisoryPartitionSizeInBytes, so
+    // AQE coalesces/splits the write shuffle toward ~N-byte outputs).
+    val targetBytes: Long = {
+      val raw = properties.getOrDefault("graft.target_file_bytes", "0")
+      val n = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.target_file_bytes must be a byte count, got '$raw'"))
+      require(n >= 0, s"graft.target_file_bytes must be >= 0, got $n")
+      n
+    }
     locally {
       val dir = warehouse.resolve(
         ident.name() + "-" + UUID.randomUUID().toString.take(8))
@@ -361,14 +373,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
           (new GraftDeltaTable(idxKey(ident), dir, st, retain, idCol,
             partCols, appendRetain, sortCols, zorderCols, bucketSpec,
-            bloomCols), idCol)
+            bloomCols, targetBytes), idCol)
         } else {
           val (stamped, nextId) = GraftStorage.stampFieldIds(schema)
           val st = GraftTableState(stamped.json, Vector.empty, 0,
             Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
           (new GraftTable(idxKey(ident), dir, st, retain, partCols,
-            appendRetain, sortCols, zorderCols, bucketSpec, bloomCols),
-            "")
+            appendRetain, sortCols, zorderCols, bucketSpec, bloomCols,
+            targetBytes), "")
         }
       require(GraftStorage.casWriteLog(dir, t.stateNow, 0),
         s"table directory $dir already holds a log — concurrent CREATE?")
@@ -376,7 +388,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         dir.toString, mode, rowId, retain, partCols, appendRetain,
         sortCols, zorderCols,
         bucketSpec.map(b => List(b._1, b._2.toString)).getOrElse(Nil),
-        bloomCols))
+        bloomCols, targetBytes))
     }
   }
 
@@ -703,7 +715,7 @@ object GraftCatalog {
       rowId: String, retain: Int, parts: List[String] = Nil,
       appendRetain: Int = 65536, sortBy: List[String] = Nil,
       zorderBy: List[String] = Nil, bucketBy: List[String] = Nil,
-      bloomBy: List[String] = Nil)
+      bloomBy: List[String] = Nil, targetBytes: Long = 0L)
 
   private val indexLock = new Object
 
@@ -759,7 +771,8 @@ object GraftCatalog {
               e.get("bucketBy").collect { case JArray(a) =>
                 a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
               e.get("bloomBy").collect { case JArray(a) =>
-                a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil))
+                a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
+              e.get("targetBytes").map(int(_, 0).toLong).getOrElse(0L))
           }
         } else Map.empty
       val (after, result) = f(before)
@@ -774,7 +787,8 @@ object GraftCatalog {
             "sortBy" -> JArray(e.sortBy.map(JString(_): JValue)),
             "zorderBy" -> JArray(e.zorderBy.map(JString(_): JValue)),
             "bucketBy" -> JArray(e.bucketBy.map(JString(_): JValue)),
-            "bloomBy" -> JArray(e.bloomBy.map(JString(_): JValue))): JValue)
+            "bloomBy" -> JArray(e.bloomBy.map(JString(_): JValue)),
+            "targetBytes" -> JLong(e.targetBytes)): JValue)
         })
         val tmp = wh.resolve("_tables.json.tmp")
         Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
@@ -833,7 +847,7 @@ class GraftTable(ident: String, val dir: NioPath,
     partCols: Seq[String] = Nil, appendRetain: Int = 65536,
     sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil,
     bucketBy: Option[(String, Int)] = None,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil, targetBytes: Long = 0L)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2
     with SupportsMetadataColumns {
@@ -895,6 +909,8 @@ class GraftTable(ident: String, val dir: NioPath,
       m.put("graft.bucket_by", s"$c,$n") }
     if (bloomCols.nonEmpty)
       m.put("graft.bloom_by", bloomCols.mkString(","))
+    if (targetBytes > 0)
+      m.put("graft.target_file_bytes", targetBytes.toString)
     val st = state
     m.put("graft.current_version",
       st.current.map(_.version).getOrElse(-1).toString)
@@ -922,6 +938,7 @@ class GraftTable(ident: String, val dir: NioPath,
   private[catalog] def zorderColumns: Seq[String] = zorderCols
   private[catalog] def bucketSpec: Option[(String, Int)] = bucketBy
   private[catalog] def bloomColumns: Seq[String] = bloomCols
+  private[catalog] def targetFileBytes: Long = targetBytes
 
   /** Partition-column ordinals in the table schema (resolved fresh:
     * ALTER can append columns behind them). */
@@ -1081,6 +1098,68 @@ class GraftTable(ident: String, val dir: NioPath,
     spark.sql(
       s"INSERT INTO $fqn REPLACE WHERE $pred SELECT * FROM $fqn WHERE $pred"
     ): Unit
+  }
+
+  /** BIN-PACKING small-file rewrite (`CALL system.rewrite_small_files`):
+    * read ONLY the files below `minBytes` (the `_file` metadata-column
+    * predicate prunes the scan to exactly them — the catalog reader
+    * keeps id-binding and default backfill correct, which a raw
+    * parquet read would not), pack their rows into
+    * ceil(bytes/minBytes) outputs, and swap old-for-new in ONE
+    * [[commitReplaceFiles]] commit (re-validated against concurrent
+    * commits; a crash before the commit leaves only GC-able orphans).
+    * Every file at or above the threshold is untouched — at 100 TB
+    * the maintenance cost is proportional to the small-file POSTING,
+    * not the table, which is what separates this from compact().
+    *
+    * Restricted to layout-free tables: a round-robin repack would
+    * break partition pinning (dynamic-overwrite keys), bucket ids,
+    * and sort/z-order spans — clustered tables compact through the
+    * write-distribution path (`compact` / `compactWhere`) instead. */
+  private[graft] def rewriteSmallFiles(
+      spark: org.apache.spark.sql.SparkSession, fqn: String,
+      minBytes: Long): (Long, Long, Long) = {
+    require(partitionCols.isEmpty && sortColumns.isEmpty &&
+        zorderColumns.isEmpty && bucketSpec.isEmpty,
+      "rewrite_small_files packs round-robin and would break this " +
+        "table's clustering — use system.compact(table[, where]) on " +
+        "partitioned/sorted/bucketed tables")
+    refreshFromDisk()
+    val st = stateNow
+    require(st.current.forall(_.deltaFiles.isEmpty),
+      "rewrite_small_files on a merge-on-read table requires an empty " +
+        "delta log (fences bind by base-file position) — CALL " +
+        "system.compact first")
+    val small = st.current.map(_.files).getOrElse(Vector.empty)
+      .filter(f => f.bytes > 0 && f.bytes < minBytes)
+    if (small.size < 2) return (small.size.toLong, 0L, 0L)
+    val paths = small.map(_.path)
+    val nOut = math.max(1,
+      math.ceil(small.map(_.bytes).sum.toDouble / minBytes).toInt)
+    import org.apache.spark.sql.functions.col
+    val dataCols = schema().fieldNames.map(n => col(s"`$n`")).toIndexedSeq
+    val packed = spark.table(fqn)
+      .where(col("_file").isin(paths: _*))
+      .select(dataCols: _*)
+      .repartition(nOut)
+    // drive the table's own writer factory directly (the DSv2 write
+    // path in miniature): executor tasks write + stat + bloom the new
+    // files, the driver folds the commit messages
+    val fac = new GraftWriterFactory(dataDir, packed.schema, schema(),
+      bloomCols = bloomColumns)
+    val refs = packed.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val w = fac.createWriter(pid, pid)
+        try {
+          it.foreach(w.write)
+          Iterator.single(w.commit())
+        } catch { case e: Throwable => w.abort(); throw e }
+      }.collect().toSeq.flatMap {
+        case GraftFileCommitMsg(fs) => fs
+        case _ => Nil
+      }
+    commitReplaceFiles(paths.toSet, refs)
+    (small.size.toLong, refs.size.toLong, refs.map(_.rows).sum)
   }
 
   /** Truncate-replace (INSERT OVERWRITE, Complete-mode epochs, MOR
@@ -2186,6 +2265,23 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     true
   }
 
+  /** `_file` metadata-column predicates prune at FILE granularity by
+    * construction (the column IS the file path): `WHERE _file = '…'`
+    * opens exactly one file of a 100-TB table — the debugging /
+    * surgical-rewrite shape. Row-level evaluation stays in Spark's
+    * residual Filter (it resolves the metadata column); this only
+    * narrows the planned set. */
+  private def fileColSurvives(f: GraftFileRef): Boolean = all.forall {
+    case org.apache.spark.sql.sources.EqualTo("_file", v: String) =>
+      f.path == v
+    case org.apache.spark.sql.sources.EqualNullSafe("_file", v: String) =>
+      f.path == v
+    case org.apache.spark.sql.sources.In("_file", vs) if vs != null &&
+        vs.nonEmpty && vs.forall(_ != null) =>
+      vs.exists(_ == f.path)
+    case _ => true
+  }
+
   override def build(): Scan = {
     servedAgg match {
       case Some((out, values, desc)) =>
@@ -2194,7 +2290,7 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     }
     val base = narrowedByLimit.getOrElse(files)
     val surviving = base.filter(f =>
-      bucketSurvives(f) &&
+      bucketSurvives(f) && fileColSurvives(f) &&
         all.forall(GraftStorage.mayMatch(tableSchema, f, _)))
     new GraftScan(tableSchema, required, accepted, surviving,
       skipped = files.size - surviving.size, streamTable, partCols,
@@ -3070,11 +3166,49 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
         sortOrders
       else Array.empty
     override def distributionStrictlyRequired(): Boolean = false
+    // graft.target_file_bytes: with a non-strict distribution Spark
+    // plans the write shuffle as an AQE REBALANCE, and this advisory
+    // sizes its output partitions — one ~N-byte file per task instead
+    // of whatever the upstream parallelism happened to be (the write-
+    // side small-file PREVENTION knob; rewrite_small_files is the
+    // after-the-fact cure)
+    override def advisoryPartitionSizeInBytes(): Long =
+      table.targetFileBytes
+  }
+
+  /** Rebalance-only distribution for UNLAYOUTED tables that set
+    * `graft.target_file_bytes`: clustering by a CONSTANT demands
+    * nothing of row placement (every row shares the key) but is a
+    * non-empty clustered distribution, so Spark plans an AQE REBALANCE
+    * sized by the advisory — small inputs coalesce into one ~N-byte
+    * file, huge ones split (skew-split in rebalance is on by
+    * default). An EMPTY clustering would degenerate to "unspecified",
+    * which Spark rejects alongside an advisory size. */
+  private trait GraftRebalance extends RequiresDistributionAndOrdering {
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .literal(1)))
+    override def requiredOrdering(): Array[
+        org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+    override def distributionStrictlyRequired(): Boolean = false
+    override def advisoryPartitionSizeInBytes(): Long =
+      table.targetFileBytes
   }
 
   override def build(): Write =
     if (table.partitionCols.isEmpty && table.sortColumns.isEmpty &&
-        table.zorderColumns.isEmpty && table.bucketSpec.isEmpty) buildWrite
+        table.zorderColumns.isEmpty && table.bucketSpec.isEmpty) {
+      if (table.targetFileBytes > 0)
+        new Write with GraftRebalance {
+          private val inner = buildWrite
+          override def toBatch: BatchWrite = inner.toBatch
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            inner.toStreaming
+          override def description(): String = inner.description()
+        }
+      else buildWrite
+    }
   else new Write with GraftDistribution {
     private val inner = buildWrite
     override def toBatch: BatchWrite = inner.toBatch

@@ -50,10 +50,10 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     morPartCols: Seq[String] = Nil, appendRetain: Int = 65536,
     morSortCols: Seq[String] = Nil, morZorderCols: Seq[String] = Nil,
     morBucketBy: Option[(String, Int)] = None,
-    morBloomCols: Seq[String] = Nil)
+    morBloomCols: Seq[String] = Nil, morTargetBytes: Long = 0L)
     extends GraftTable(ident, dir, initState, retain, morPartCols,
       appendRetain, morSortCols, morZorderCols, morBucketBy,
-      morBloomCols) {
+      morBloomCols, morTargetBytes) {
 
   // resolved FRESH against the stored schema (DROP COLUMN of an earlier
   // field shifts this ordinal; renaming/dropping the id column itself

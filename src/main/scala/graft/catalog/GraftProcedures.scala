@@ -212,10 +212,36 @@ object GraftProcedures {
             "rows" -> nRows))
         }
       }
+      case "rewrite_small_files" => new GraftProcedure(
+        "rewrite_small_files",
+        "bin-pack data files below min_bytes into ~min_bytes outputs " +
+          "in one atomic selective-replace commit; files at or above " +
+          "the threshold are untouched (maintenance cost ~ small-file " +
+          "count, not table size). Layout-free tables only — " +
+          "clustered tables compact through system.compact.",
+        tableParam :+ ProcedureParameter.in("min_bytes", LongType)
+          .defaultValue((32L * 1024 * 1024).toString)
+          .comment("pack files smaller than this many bytes " +
+            "(default 32 MiB)")
+          .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val qualified = input.getUTF8String(0).toString
+          val (_, t) = resolve(cat, qualified)
+          val minBytes =
+            if (input.isNullAt(1)) 32L * 1024 * 1024 else input.getLong(1)
+          val (packed, created, rows) = t.rewriteSmallFiles(
+            SparkSession.active, s"${cat.name()}.$qualified", minBytes)
+          summaryScan(Seq(
+            "files_packed" -> packed,
+            "files_created" -> created,
+            "rows_moved" -> rows,
+            "files_after" -> t.currentFilePaths.size.toLong))
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
           "(available: clone, compact, expire_snapshots, history, " +
-          "rollback, tag)")
+          "rewrite_small_files, rollback, tag)")
     }
   }
 
@@ -225,6 +251,7 @@ object GraftProcedures {
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "rewrite_small_files"),
         Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "tag"))
     else Array.empty

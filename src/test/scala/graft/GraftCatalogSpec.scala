@@ -355,6 +355,108 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE gtest.default.t")
   }
 
+  // ---- write-side target file size (q236) ----------------------------------
+
+  test("graft.target_file_bytes: a 32-way small write coalesces to one " +
+      "file via the advisory rebalance; unset tables keep task-per-file") {
+    setup()
+    sql("DROP TABLE IF EXISTS gtest.default.tt")
+    def nFiles(n: String): Int = spark.sessionState.catalogManager
+      .catalog("gtest")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), n))
+      .asInstanceOf[graft.catalog.GraftTable].currentFilePaths.size
+    spark.range(2000).repartition(32)
+      .selectExpr("id AS k", "concat('v', id) AS v")
+      .createOrReplaceTempView("tfb_src")
+
+    // without the property: one file per write task (the pileup shape)
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING)")
+    sql("INSERT INTO gtest.default.t SELECT * FROM tfb_src")
+    assert(nFiles("t") == 32, s"expected 32 task files, got ${nFiles("t")}")
+
+    // with it: AQE rebalances the write toward ~64 MB partitions — the
+    // whole 2000-row input coalesces into ONE file
+    sql("""CREATE TABLE gtest.default.tt (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.target_file_bytes'='67108864')""")
+    sql("INSERT INTO gtest.default.tt SELECT * FROM tfb_src")
+    assert(nFiles("tt") == 1,
+      s"advisory rebalance must coalesce to 1 file, got ${nFiles("tt")}")
+    assert(sql("SELECT count(*) FROM gtest.default.tt").head()
+      .getLong(0) == 2000)
+    // property survives cold reload (it lives in the name index)
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    sql("INSERT INTO gtest.default.tt SELECT * FROM tfb_src")
+    assert(nFiles("tt") == 2,
+      "reloaded table must keep coalescing writes")
+    sql("DROP TABLE gtest.default.tt")
+  }
+
+  // ---- small-file bin packing + _file pruning (q235) ----------------------
+
+  test("rewrite_small_files packs only sub-threshold files in one " +
+      "atomic commit; _file predicates prune the scan to named files") {
+    setup()
+    val savedAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    sql("CREATE TABLE gtest.default.t (k BIGINT, v STRING)")
+    // one BIG file (stays), then a pileup of small appends (packed)
+    spark.range(20000).repartition(1)
+      .select(col("id").as("k"), concat(lit("big"), col("id")).as("v"))
+      .createOrReplaceTempView("rsf_big")
+    sql("INSERT INTO gtest.default.t SELECT * FROM rsf_big")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO gtest.default.t VALUES (${100000 + i}, 'small$i')")
+    }
+    def refs() = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), "t"))
+      .asInstanceOf[graft.catalog.GraftTable].stateNow.current.get.files
+    val before = refs()
+    assert(before.size == 5)
+    val bigPath = before.maxBy(_.bytes).path
+
+    // _file equality prunes the scan to exactly one file
+    val q1 = sql(s"SELECT count(k) AS n FROM gtest.default.t " +
+      s"WHERE _file = '$bigPath'")
+    assert(q1.head().getLong(0) == 20000)
+    val qf = sql(s"SELECT k FROM gtest.default.t WHERE _file = '$bigPath'")
+    assert(graftScanOf(qf).plannedFileCount == 1,
+      "_file equality must open exactly the named file")
+
+    // pack: threshold sits between the small files and the big one
+    val r = sql("CALL gtest.system.rewrite_small_files('default.t', " +
+      s"min_bytes => ${before.maxBy(_.bytes).bytes})").head()
+    assert(r.getLong(0) == 4 && r.getLong(1) >= 1 && r.getLong(2) == 4,
+      s"expected 4 packed/4 rows moved, got $r")
+    val after = refs()
+    assert(after.exists(_.path == bigPath),
+      "the big file must survive byte-identical (same path)")
+    assert(after.size < before.size)
+    assert(sql("SELECT count(*) FROM gtest.default.t").head().getLong(0)
+      == 20004)
+    assert(sql("SELECT v FROM gtest.default.t WHERE k = 100002").head()
+      .getString(0) == "small2")
+    // idempotent: a second run finds nothing to pack
+    val r2 = sql("CALL gtest.system.rewrite_small_files('default.t', " +
+      s"min_bytes => ${before.maxBy(_.bytes).bytes})").head()
+    assert(r2.getLong(1) == 0, "second pack must be a no-op")
+
+    // clustered tables route to compact instead — loud reject
+    sql("DROP TABLE IF EXISTS gtest.default.ts")
+    sql("""CREATE TABLE gtest.default.ts (k BIGINT)
+           TBLPROPERTIES ('graft.sort_by'='k')""")
+    intercept[Exception] {
+      sql("CALL gtest.system.rewrite_small_files('default.ts')")
+    }
+    sql("DROP TABLE gtest.default.ts")
+    } finally savedAqe.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+      spark.conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   // ---- atomic CTAS / RTAS via StagingTableCatalog (q234) ------------------
 
   test("CREATE OR REPLACE TABLE is atomic: a failed replacement write " +
