@@ -2206,7 +2206,118 @@ object CatalogQueries {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(13,4)))
                  AS DECIMAL(19,4)) AS total
-        FROM orders"""))
+        FROM orders""")),
+
+    // -------------------------------------------------------------- q237:
+    // $history METADATA TABLE — the commit audit trail in plain SQL
+    // (Iceberg's `history`/`snapshots`): one row per retained
+    // snapshot with base/delta censuses and the TAGS pinning it.
+    // Operators answer "what changed, when, and what's published?"
+    // with a SELECT instead of log spelunking; driver-local by
+    // construction (a LocalScan over driver metadata). The oracle is
+    // exact because the whole history is derivable from the data:
+    // the MOR seed commits |orders| base rows at v0, the MERGE
+    // commits one delta op per changeset row at v1, and the TAG is
+    // itself a commit (v2, content unchanged) carrying the pin —
+    // history records every state change, including publishes.
+    QueryDef(
+      "q237_history_table",
+      (s, d) => {
+        seedAndMergeMor(s, d) // -> versions [0 seed, 1 merge]
+        s.sql("CALL graft_cat.system.tag('default.orders_mor', 'audited')")
+        s.sql("""
+          SELECT version, base_rows, delta_ops, tags
+          FROM graft_cat.default.`orders_mor$history`
+          ORDER BY version""")
+      },
+      Some("""
+        WITH n AS (SELECT COUNT(*) AS base FROM orders),
+        c AS (SELECT COUNT(*) AS ops FROM orders
+              WHERE o_orderkey % 10 IN (0, 1, 2))
+        SELECT CAST(0 AS BIGINT) AS version, base AS base_rows,
+               CAST(0 AS BIGINT) AS delta_ops, '' AS tags FROM n
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), base, ops, '' FROM n, c
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), base, ops, 'audited' FROM n, c
+        ORDER BY version""")),
+
+    // -------------------------------------------------------------- q238:
+    // INCREMENTAL CORPUS INGEST, END TO END — the training-data loop
+    // composed from this round's parts, the pipeline a 100-TB corpus
+    // actually runs: (1) the corpus is a managed MOR table with an
+    // ENFORCED CHECK quality gate (n_chars > 0 — junk fails the WRITE,
+    // it never lands) and a bloom on doc_id for point audits; (2) a
+    // second ingest batch arrives OVERLAPPING the first (re-delivered
+    // docs) and lands through an id-keyed `MERGE … WHEN NOT MATCHED
+    // INSERT` — at-least-once delivery made exactly-once, the q210
+    // idempotence pattern at ingest time; (3) exact near-dup curation
+    // removes bag-of-words duplicates with a MERGE DELETE
+    // (delta-sized tombstones, q211's shape); (4) the result is
+    // PUBLISHED under a tag, and the reader consumes `VERSION AS OF
+    // 'published'` — write-audit-publish, so a later bad write can
+    // never reach this reader. The oracle rebuilds the same corpus
+    // arithmetic from the raw rows: union of both batches, id-dedup,
+    // fingerprint-dedup keeping the smallest doc_id.
+    QueryDef(
+      "q238_incremental_ingest",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_live")
+        Tables(s, d, "documents").createOrReplaceTempView("q238_docs")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_live
+                 (doc_id BIGINT, text STRING, lang STRING,
+                  source STRING, n_chars BIGINT,
+                  CONSTRAINT quality CHECK (n_chars > 0))
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='doc_id',
+                                'graft.bloom_by'='doc_id')""")
+        s.sql("""INSERT INTO graft_cat.default.corpus_live
+                 SELECT * FROM q238_docs WHERE doc_id % 3 <> 0""")
+        // batch 2: the remaining docs PLUS a re-delivered overlap slice
+        s.sql("""CREATE OR REPLACE TEMP VIEW q238_batch2 AS
+                 SELECT * FROM q238_docs WHERE doc_id % 3 = 0
+                 UNION ALL
+                 SELECT * FROM q238_docs WHERE doc_id % 6 = 1""")
+        s.sql("""MERGE INTO graft_cat.default.corpus_live t
+                 USING q238_batch2 b ON t.doc_id = b.doc_id
+                 WHEN NOT MATCHED THEN INSERT *""")
+        // curation: drop bag-of-words duplicates, keep smallest doc_id
+        s.sql("""
+          MERGE INTO graft_cat.default.corpus_live t
+          USING (
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                       AS rn
+              FROM (SELECT doc_id,
+                           md5(concat_ws('|', array_sort(array_distinct(
+                             graft_tokens(text))))) AS fp
+                    FROM graft_cat.default.corpus_live))
+            WHERE rn > 1) dupes
+          ON t.doc_id = dupes.doc_id
+          WHEN MATCHED THEN DELETE""")
+        s.sql(
+          "CALL graft_cat.system.tag('default.corpus_live', 'published')")
+        s.sql("""
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          FROM graft_cat.default.corpus_live VERSION AS OF 'published'
+          GROUP BY lang ORDER BY lang""")
+      },
+      Some(s"""
+        WITH f AS (SELECT doc_id,
+                          md5(array_to_string(list_sort(list_distinct(
+                            ${graft.text.TextAnalysis.duckTokens})), '|')) fp
+                   FROM documents),
+        keep AS (SELECT MIN(doc_id) AS k FROM f GROUP BY fp),
+        c AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.k)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM c GROUP BY lang ORDER BY lang"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

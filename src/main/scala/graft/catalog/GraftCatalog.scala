@@ -113,6 +113,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return new GraftFilesTable(idxKey(ident),
         loadTable(base).asInstanceOf[GraftTable])
     }
+    // `<table>$history`: one row per RETAINED snapshot — the commit
+    // audit trail in plain SQL (versions, sizes, delta volume, tags)
+    if (ident.name().endsWith("$history")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$history"))
+      return new GraftHistoryTable(idxKey(ident),
+        loadTable(base).asInstanceOf[GraftTable])
+    }
     val cached = GraftCatalog.tables.get(regKey(ident))
     if (cached != null) cached
     else {
@@ -202,9 +210,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String])
       : (GraftTable, GraftCatalog.IndexEntry) = {
     require(!ident.name().endsWith("$changes") &&
-        !ident.name().endsWith("$files"),
-      "table names ending in $changes/$files are reserved for " +
-        "metadata companion views")
+        !ident.name().endsWith("$files") &&
+        !ident.name().endsWith("$history"),
+      "table names ending in $changes/$files/$history are reserved " +
+        "for metadata companion views")
     GraftStorage.validate(schema)
     val mode =
       if ("mor".equalsIgnoreCase(properties.getOrDefault("graft.mode", "cow")))
@@ -2077,6 +2086,56 @@ class GraftAggScan(out: StructType, values: Array[Array[Any]], nFiles: Int,
   override def description(): String =
     s"GraftAggScan(manifest-served [$aggDesc] over $nFiles file refs, " +
       s"${values.length} result rows, zero file I/O)"
+}
+
+/** `<table>$history` — the snapshot-history metadata companion
+  * (Iceberg's `history`/`snapshots` tables): one row per RETAINED
+  * snapshot with commit time, file/delta census, row totals, and the
+  * tags pinning it — the audit a reviewer reads before time-traveling
+  * or rolling back, in plain SQL. Driver-local ([[LocalScan]]);
+  * re-reads disk state at scan build so foreign commits show. */
+class GraftHistoryTable(ident: String, base: GraftTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.LocalScan
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def name(): String = ident
+  override def schema(): StructType = GraftHistoryTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      base.refreshFromDisk()
+      private val st = base.stateNow
+      private val data: Array[InternalRow] = st.snapshots.map { sn =>
+        val tags = st.tags.collect {
+          case (n, v) if v == sn.version => n
+        }.toSeq.sorted.mkString(",")
+        new GenericInternalRow(Array[Any](
+          sn.version.toLong, sn.tsMillis,
+          sn.files.size.toLong, sn.deltaFiles.size.toLong,
+          sn.files.map(_.rows).sum, sn.deltaFiles.map(_.rows).sum,
+          org.apache.spark.unsafe.types.UTF8String.fromString(tags)))
+          : InternalRow
+      }.toArray
+      override def rows(): Array[InternalRow] = data
+      override def readSchema(): StructType = GraftHistoryTable.Schema
+      override def description(): String =
+        s"GraftHistoryTable($ident, ${data.length} retained snapshots)"
+    }
+}
+
+object GraftHistoryTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("ts_millis", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_delta_files", LongType, nullable = false),
+    StructField("base_rows", LongType, nullable = false),
+    StructField("delta_ops", LongType, nullable = false),
+    StructField("tags", StringType, nullable = false)))
 }
 
 /** Scan builder with COLUMN PRUNING, FILTER PUSHDOWN, and FILE
