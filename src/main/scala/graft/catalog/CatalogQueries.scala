@@ -2317,7 +2317,65 @@ object CatalogQueries {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        FROM c GROUP BY lang ORDER BY lang"""))
+        FROM c GROUP BY lang ORDER BY lang""")),
+
+    // -------------------------------------------------------------- q239:
+    // STREAMING ADMISSION CONTROL — `maxFilesPerTrigger` +
+    // Trigger.AvailableNow on the catalog streams: a backfill over a
+    // huge table processes a BOUNDED number of committed files per
+    // micro-batch (bounded task count and state, steady checkpoint
+    // cadence — the backpressure shape a 100-TB replay needs) and
+    // terminates at the end offset PINNED at query start, even while
+    // writers keep committing. Six single-file appends stream as
+    // exactly three 2-file batches (spec also pins the change feed's
+    // 1-delta-per-batch variant); the batch boundaries are
+    // deterministic because offsets index the append ledger in commit
+    // order, so the oracle recomputes each batch's row count and key
+    // sum from the corresponding modular slices.
+    QueryDef(
+      "q239_stream_admission_control",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_ac")
+        Tables(s, d, "orders").createOrReplaceTempView("q239_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_ac
+                 (o_orderkey BIGINT)""")
+        (0 until 6).foreach { i =>
+          s.sql(s"""INSERT INTO graft_cat.default.orders_ac
+                    SELECT o_orderkey FROM q239_orders
+                    WHERE o_orderkey % 6 = $i""")
+        }
+        val stats =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q239-ckpt-").toString
+        s.readStream
+          .option("maxFilesPerTrigger", "2")
+          .table("graft_cat.default.orders_ac")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val r = b.agg(
+                org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)),
+                org.apache.spark.sql.functions.sum("o_orderkey")).head()
+              stats.synchronized {
+                stats += ((id, r.getLong(0), r.getLong(1))): Unit
+              }
+          }
+          .start().awaitTermination()
+        import s.implicits._
+        stats.toSeq.sortBy(_._1)
+          .toDF("batch", "n_rows", "key_sum")
+      },
+      Some("""
+        SELECT CAST((o_orderkey % 6) // 2 AS BIGINT) AS batch,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders GROUP BY 1 ORDER BY batch"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -526,7 +526,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         else new GraftTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
           srcEntry.parts, srcEntry.appendRetain, srcEntry.sortBy,
           srcEntry.zorderBy, eBucket, srcEntry.bloomBy)
-      require(GraftStorage.casWriteLog(dir, cst, 0),
+      // log VERSION must equal the state's nextVersion (the CAS
+      // stale-slot guard keys on that invariant): the clone carries a
+      // version-0 content snapshot, so its first log is v1
+      require(GraftStorage.casWriteLog(dir, cst, cst.nextVersion),
         s"table directory $dir already holds a log — concurrent CREATE?")
       GraftCatalog.tables.put(regKey(dstIdent), t)
       (idx + (idxKey(dstIdent) -> srcEntry.copy(dir = dir.toString)),
@@ -1006,8 +1009,21 @@ class GraftTable(ident: String, val dir: NioPath,
     * commit nothing (deduped stream epoch replay). */
   private def commitLoop(build: () => Option[GraftTableState]): Unit =
     synchronized {
+      var lastSeen = -1
+      var stuckRounds = 0
       while (true) {
         refreshFromDisk()
+        // spin-breaker: a CAS loss should always come with a NEWER
+        // state to rebase onto; losing repeatedly at the SAME version
+        // means the log is inconsistent (e.g. a version-numbering gap)
+        // — fail loudly instead of burning a core forever
+        if (state.nextVersion == lastSeen) {
+          stuckRounds += 1
+          require(stuckRounds < 100,
+            s"commit loop stuck at version ${state.nextVersion} on " +
+              s"$ident: CAS keeps losing without a newer state to " +
+              "rebase onto — version log inconsistent?")
+        } else { lastSeen = state.nextVersion; stuckRounds = 0 }
         build() match {
           case None => return
           case Some(ns) =>
@@ -1617,7 +1633,8 @@ class GraftTable(ident: String, val dir: NioPath,
     val s = state
     new GraftScanBuilder(s.schema,
       s.current.map(_.files).getOrElse(Vector.empty), Some(this), partCols,
-      bucketBy, sortCols ++ zorderCols)
+      bucketBy, sortCols ++ zorderCols,
+      maxFilesPerTrigger = GraftLogStream.maxFilesOption(options))
   }
 
   // ---- plain write path (INSERT INTO / INSERT OVERWRITE) ---------------
@@ -2158,7 +2175,7 @@ object GraftHistoryTable {
 class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
     bucketSpec: Option[(String, Int)] = None,
-    clusterCols: Seq[String] = Nil)
+    clusterCols: Seq[String] = Nil, maxFilesPerTrigger: Int = 0)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates
@@ -2353,7 +2370,7 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
         all.forall(GraftStorage.mayMatch(tableSchema, f, _)))
     new GraftScan(tableSchema, required, accepted, surviving,
       skipped = files.size - surviving.size, streamTable, partCols,
-      bucketSpec, clusterCols)
+      bucketSpec, clusterCols, maxFilesPerTrigger)
   }
 }
 
@@ -2667,7 +2684,7 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     files: Vector[GraftFileRef], skipped: Int,
     streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
     bucketSpec: Option[(String, Int)] = None,
-    clusterCols: Seq[String] = Nil)
+    clusterCols: Seq[String] = Nil, maxFilesPerTrigger: Int = 0)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
@@ -2907,7 +2924,8 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     streamTable match {
       case Some(t) =>
-        new GraftMicroBatchStream(t, tableSchema, requiredSchema, rowFilters)
+        new GraftMicroBatchStream(t, tableSchema, requiredSchema, rowFilters,
+          maxFilesPerTrigger)
       case None => throw new UnsupportedOperationException(
         s"${getClass.getName}: this scan is not streamable")
     }
@@ -3052,23 +3070,81 @@ class GraftRowPipeline(neededSchema: StructType, requiredSchema: StructType,
   * resumes at the exact file boundary its checkpoint recorded —
   * the same offset discipline as Spark's FileStreamSource, with the
   * catalog's commit log as the file ledger. */
+/** ADMISSION CONTROL + Trigger.AvailableNow for the catalog's
+  * log-indexed streams (append log, change feed): both index an
+  * ordered ledger with integer offsets where each entry is ONE file,
+  * so `maxFilesPerTrigger` bounds a micro-batch exactly. This is the
+  * backpressure a 100-TB backfill needs — a fresh stream over a huge
+  * table processes N files per batch (bounded state, bounded task
+  * count, steady checkpoint cadence) instead of one giant batch; with
+  * AvailableNow the end offset is PINNED at query start, so a bounded
+  * backfill terminates even while writers keep committing. */
+trait GraftLogStream
+    extends org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles}
+
+  /** Current [base, end) of the retained ledger, disk-fresh. */
+  protected def logWindow(): (Int, Int)
+  /** maxFilesPerTrigger (0 = unbounded). */
+  protected def maxFilesPerTrigger: Int
+
+  @volatile private var pinnedEnd: Int = -1
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = logWindow()._2
+
+  override def reportLatestOffset(): Offset =
+    GraftStreamOffset(logWindow()._2)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset].i
+    val endNow = logWindow()._2
+    val end = if (pinnedEnd >= 0) math.min(endNow, pinnedEnd) else endNow
+    def capOf(l: ReadLimit): Int = l match {
+      case mf: ReadMaxFiles => s + mf.maxFiles()
+      case _: ReadAllAvailable => end
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.map(capOf).min
+      case _ => end // rows/bytes limits: entries are files; serve all
+    }
+    GraftStreamOffset(math.max(s, math.min(end, capOf(limit))))
+  }
+}
+
+object GraftLogStream {
+  /** The standard file-source option, same spelling. */
+  def maxFilesOption(options: CaseInsensitiveStringMap): Int = {
+    val raw = options.getOrDefault("maxFilesPerTrigger", "0")
+    val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"maxFilesPerTrigger must be a positive integer, got '$raw'"))
+    require(n >= 0, s"maxFilesPerTrigger must be positive, got $n")
+    n
+  }
+}
+
 class GraftMicroBatchStream(table: GraftTable, tableSchema: StructType,
     requiredSchema: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter])
-    extends MicroBatchStream {
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    protected val maxFilesPerTrigger: Int = 0)
+    extends MicroBatchStream with GraftLogStream {
+
+  protected def logWindow(): (Int, Int) = {
+    // observe FOREIGN-process appends at every poll (ADVICE r11)
+    table.refreshFromDisk()
+    val st = table.stateNow
+    (st.appendBase, st.appendBase + st.appendLog.size)
+  }
 
   // a FRESH stream starts at the earliest RETAINED entry (appendBase);
   // only a checkpoint that predates the retention window errors
   override def initialOffset(): Offset =
     GraftStreamOffset(table.stateNow.appendBase)
-  override def latestOffset(): Offset = {
-    // observe FOREIGN-process appends at every poll (ADVICE r11 — same
-    // staleness as the change-feed stream): the cached handle state
-    // only advances on same-process commits
-    table.refreshFromDisk()
-    val st = table.stateNow
-    GraftStreamOffset(st.appendBase + st.appendLog.size)
-  }
+  override def latestOffset(): Offset = GraftStreamOffset(logWindow()._2)
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(JsonMethods.parse(json).asInstanceOf[JObject]
       .obj.toMap.apply("i") match {

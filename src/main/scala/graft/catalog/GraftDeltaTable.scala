@@ -504,21 +504,24 @@ class GraftChangeFeedTable(ident: String, table: GraftDeltaTable)
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     table.refreshFromDisk()
-    new GraftChangeFeedScanBuilder(table)
+    new GraftChangeFeedScanBuilder(table,
+      GraftLogStream.maxFilesOption(options))
   }
 }
 
-class GraftChangeFeedScanBuilder(table: GraftDeltaTable)
+class GraftChangeFeedScanBuilder(table: GraftDeltaTable,
+    maxFilesPerTrigger: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private val feedSchema = table.changeFeedSchema
   private var required: StructType = feedSchema
   override def pruneColumns(r: StructType): Unit = required = r
   override def build(): Scan =
-    new GraftChangeFeedScan(table, feedSchema, required)
+    new GraftChangeFeedScan(table, feedSchema, required, maxFilesPerTrigger)
 }
 
 class GraftChangeFeedScan(table: GraftDeltaTable, feedSchema: StructType,
-    requiredSchema: StructType) extends Scan with Batch {
+    requiredSchema: StructType, maxFilesPerTrigger: Int = 0)
+    extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -534,19 +537,20 @@ class GraftChangeFeedScan(table: GraftDeltaTable, feedSchema: StructType,
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftChangeFeedStream(table, feedSchema, requiredSchema)
+    new GraftChangeFeedStream(table, feedSchema, requiredSchema,
+      maxFilesPerTrigger)
 }
 
 /** Offsets index the change ledger exactly like [[GraftMicroBatchStream]]
   * indexes the append log — same retention/expiry discipline. */
 class GraftChangeFeedStream(table: GraftDeltaTable, feedSchema: StructType,
-    requiredSchema: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    requiredSchema: StructType,
+    protected val maxFilesPerTrigger: Int = 0)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with GraftLogStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset =
-    GraftStreamOffset(table.stateNow.changeBase)
-  override def latestOffset(): Offset = {
+  protected def logWindow(): (Int, Int) = {
     // a CDC stream tailing a table WRITTEN BY ANOTHER PROCESS must
     // observe foreign delta commits at every poll — the handle's cached
     // state only advances on same-process commits, so without this
@@ -554,8 +558,12 @@ class GraftChangeFeedStream(table: GraftDeltaTable, feedSchema: StructType,
     // (ADVICE r11); planInputPartitions then reads the refreshed state
     table.refreshFromDisk()
     val st = table.stateNow
-    GraftStreamOffset(st.changeBase + st.changeLog.size)
+    (st.changeBase, st.changeBase + st.changeLog.size)
   }
+
+  override def initialOffset(): Offset =
+    GraftStreamOffset(table.stateNow.changeBase)
+  override def latestOffset(): Offset = GraftStreamOffset(logWindow()._2)
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.parse(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

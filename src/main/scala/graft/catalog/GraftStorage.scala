@@ -1378,9 +1378,25 @@ object GraftStorage {
 
   /** CAS publish of `st` as log version `version`. Returns false when
     * that version already exists — another process committed it first;
-    * the caller must re-read, re-validate, and retry. */
+    * the caller must re-read, re-validate, and retry.
+    *
+    * STALE-SLOT GUARD (round-12 stress-spec find, a 1-in-N lost
+    * update): retention pruning DELETES old version files, so a writer
+    * that fell a full prune window behind could createLink into a
+    * freed slot — an atomic "success" no reader would ever observe
+    * (readers only consult the maximum version): the commit is
+    * silently lost. Requiring the PREDECESSOR file to exist before
+    * linking closes the hole: prune order is ascending and version
+    * files get a deletion grace ([[pruneLogs]]), so "v pruned but v-1
+    * alive" cannot happen — when v-1 exists, slot v is either virgin
+    * (we are max+1: a correct win) or claimed (the link fails: a
+    * correct loss, rebase and retry). Version 0 (CREATE) and legacy
+    * pre-CAS directories (no versioned logs at all) are exempt. */
   def casWriteLog(dir: NioPath, st: GraftTableState, version: Int): Boolean = {
     Files.createDirectories(dir)
+    if (version > 0 && !Files.exists(dir.resolve(logName(version - 1))) &&
+        latestLogVersion(dir) >= 0)
+      return false // base version fell off the retention window: rebase
     val tmp = dir.resolve(
       "_graft_log.tmp-" + java.util.UUID.randomUUID().toString)
     Files.write(tmp, stateToJson(st).getBytes("UTF-8"))
@@ -1397,17 +1413,30 @@ object GraftStorage {
     * kept so concurrent cold-loaders scanning for the max never see the
     * floor move under them) plus any orphaned tmp from a crashed
     * publish. */
+  /** Version-file deletion grace: a version file must be at least this
+    * old before pruning may remove it — the belt to the stale-slot
+    * guard's suspenders (the residual TOCTOU needs a freshly created
+    * version file to vanish inside another writer's
+    * check-predecessor-then-link window, microseconds wide; the grace
+    * makes that require a minute-long freeze at exactly that point). */
+  private val PruneGraceMs = 60000L
+
   def pruneLogs(dir: NioPath, keepFrom: Int): Unit =
-    graft.util.Fs.children(dir).foreach { p =>
+    graft.util.Fs.children(dir)
+      // ASCENDING version order — the stale-slot guard in casWriteLog
+      // relies on "v pruned implies v-1 pruned first"
+      .sortBy(p => versionOf(p.getFileName.toString).getOrElse(Int.MaxValue))
+      .foreach { p =>
       // a concurrent writer may delete (its own tmp) or prune files
       // between our listing and the stat — losing that race is fine,
       // failing the COMMIT over it is not (stress-spec find)
       try {
         val n = p.getFileName.toString
-        val stale = versionOf(n).exists(_ < keepFrom) ||
+        val now = System.currentTimeMillis()
+        val stale = (versionOf(n).exists(_ < keepFrom) &&
+            Files.getLastModifiedTime(p).toMillis < now - PruneGraceMs) ||
           (n.startsWith("_graft_log.tmp-") &&
-            Files.getLastModifiedTime(p).toMillis <
-              System.currentTimeMillis() - 600000L)
+            Files.getLastModifiedTime(p).toMillis < now - 600000L)
         if (stale) Files.deleteIfExists(p): Unit
       } catch { case _: java.io.IOException => () }
     }

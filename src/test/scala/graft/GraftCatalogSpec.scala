@@ -355,6 +355,52 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE gtest.default.t")
   }
 
+  // ---- streaming admission control (q239) ----------------------------------
+
+  test("maxFilesPerTrigger bounds catalog-stream micro-batches; " +
+      "AvailableNow pins the end; change feed honors the same limit") {
+    setup()
+    sql("CREATE TABLE gtest.default.t (k BIGINT)")
+    (0 until 6).foreach(i => sql(s"INSERT INTO gtest.default.t VALUES ($i)"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("ac-ckpt-").toString
+    spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("gtest.default.t")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += b.count(): Unit
+      }
+      .start().awaitTermination()
+    assert(batches.toSeq == Seq(2L, 2L, 2L),
+      s"expected 3 bounded batches of 2 files, got $batches")
+
+    // the change feed honors the same option (1 delta file per batch)
+    sql("DROP TABLE IF EXISTS gtest.default.tm")
+    sql("""CREATE TABLE gtest.default.tm (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""")
+    sql("INSERT INTO gtest.default.tm VALUES (1,'a'), (2,'b')")
+    (0 until 3).foreach(i =>
+      sql(s"UPDATE gtest.default.tm SET v = 'u$i' WHERE k = 1"))
+    val cdc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ac2-ckpt-").toString
+    spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table("gtest.default.`tm$changes`")
+      .writeStream
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        cdc += b.count(): Unit
+      }
+      .start().awaitTermination()
+    assert(cdc.toSeq == Seq(1L, 1L, 1L),
+      s"expected 3 single-delta CDC batches, got $cdc")
+    sql("DROP TABLE gtest.default.tm")
+  }
+
   // ---- write-side target file size (q236) ----------------------------------
 
   test("graft.target_file_bytes: a 32-way small write coalesces to one " +

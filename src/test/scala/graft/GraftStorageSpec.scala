@@ -1113,6 +1113,37 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.srt")
   }
 
+  test("stale-slot guard: a writer whose base version was pruned must " +
+      "lose the CAS (round-12 stress find: linking into a freed slot " +
+      "silently lost the commit)") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.slot")
+    sql("CREATE TABLE gstore.default.slot (k BIGINT)")
+    val t = tbl("slot")
+    (1 to 4).foreach(_ => t.commitAppend(Nil)) // versions 1..4 on disk
+    // simulate an AGED prune of the oldest slots (production pruning is
+    // ascending with a deletion grace; tests are younger than the grace)
+    Seq(0, 1, 2).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        t.dir.resolve(s"_graft_log.v$v.json")): Unit
+    }
+    // a writer stale at base v1 attempts v2: the slot is FREE on disk,
+    // so the raw link would succeed — and the commit would be invisible
+    // to every reader (they only consult the max). The guard must turn
+    // this into a CAS loss (rebase-and-retry), not a silent success.
+    val stale = t.stateNow.copy(nextVersion = 2)
+    assert(!graft.catalog.GraftStorage.casWriteLog(t.dir, stale, 2),
+      "stale-slot CAS must refuse — this commit would be lost")
+    // the legitimate head commit still lands
+    assert(graft.catalog.GraftStorage.casWriteLog(t.dir,
+      t.stateNow.copy(nextVersion = 6), 6) === false,
+      "a gap beyond max+1 has no predecessor and must also refuse")
+    assert(graft.catalog.GraftStorage.casWriteLog(t.dir,
+      t.stateNow.copy(nextVersion = 5), 5),
+      "max+1 with its predecessor alive must win")
+    sql("DROP TABLE gstore.default.slot")
+  }
+
   test("CAS commit stress: two handles' interleaved appends all survive " +
       "under contention") {
     setup()
