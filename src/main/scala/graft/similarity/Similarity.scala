@@ -599,6 +599,102 @@ object Similarity {
                round(CAST(SUM(vu) AS DOUBLE) /
                      (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_v
         FROM x GROUP BY dim
-        ORDER BY dim"""))
+        ORDER BY dim""")),
+
+    // -------------------------------------------------------------- q240:
+    // SCALAR-QUANTIZED (int8) ANN — the embedding-store compression
+    // every production vector corpus runs before anything fancier:
+    // each vector stores as 64 int8 codes + ONE per-vector scale
+    // (symmetric max-abs quantization) — a 4x reduction in what a
+    // 100-TB embedding scan reads and shuffles. Search is asymmetric:
+    // the full-precision query scores against codes
+    // (sum(code_d * q_d) * amax / 127 ≈ dot), the top-25 approximate
+    // candidates are exactly reranked by true cosine, and the top-10
+    // ship. Quantization error only moves the CANDIDATE CUT, and the
+    // 2.5x overfetch absorbs it; the emitted scores are exact. The
+    // oracle replays the identical quantizer (floor(x*127/amax + .5)
+    // — explicit floor(+0.5), the one rounding both engines share
+    // bit-for-bit) and the identical fold order, so ranks and scores
+    // hash-match.
+    QueryDef(
+      "q240_sq_int8_ann",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables(s, d, "embeddings")
+        val quant = v.select(col("vec_id"), col("embedding"))
+          .withColumn("amax", expr(
+            """aggregate(embedding, CAST(0.0 AS DOUBLE),
+               (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"""))
+          .withColumn("codes", expr(
+            """transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5d)
+                 AS INT))"""))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")).as("q")
+        val c = quant.select(col("vec_id").as("cand_id"), col("codes"),
+          col("amax"), col("embedding").as("cv")).as("c")
+        val approx = broadcast(q)
+          .join(c, col("query_id") =!= col("cand_id"))
+          // asymmetric SQ score: codes x full-precision query
+          .withColumn("sq_dot", expr(
+            """aggregate(zip_with(codes, qv,
+                 (cd, qd) -> CAST(cd AS DOUBLE) * CAST(qd AS DOUBLE)),
+               CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+               * amax / 127.0"""))
+        val wA = Window.partitionBy(col("query_id"))
+          .orderBy(col("sq_dot").desc, col("cand_id"))
+        val cands = approx
+          .withColumn("arank", row_number().over(wA))
+          .filter(col("arank") <= 25)
+        val wE = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        cands
+          .withColumn("cos", graft.functions.functions.cosine_sim(
+            col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(wE))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH $duckNormed,
+        sq AS (SELECT vec_id,
+                      list_reduce(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))),
+                        (a2, b2) -> greatest(a2, b2)) amax,
+                      embedding
+               FROM embeddings),
+        codes AS (SELECT vec_id, amax,
+                         list_transform(embedding, x ->
+                           CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax
+                             + 0.5) AS INTEGER)) codes
+                  FROM sq),
+        a AS (SELECT q.vec_id query_id, c.vec_id cand_id,
+                     list_reduce(list_transform(
+                       generate_series(1, len(c.codes)),
+                       i -> CAST(c.codes[i] AS DOUBLE) *
+                            CAST(q.embedding[i] AS DOUBLE)),
+                       (a2, b2) -> a2 + b2) * c.amax / 127.0 sq_dot
+              FROM v q JOIN codes c
+                ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        ar AS (SELECT query_id, cand_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sq_dot DESC, cand_id) AS INTEGER)
+                        arank
+               FROM a),
+        ex AS (SELECT ar.query_id, ar.cand_id, $duckCos cos
+               FROM ar
+               JOIN v q ON q.vec_id = ar.query_id
+               JOIN v c ON c.vec_id = ar.cand_id
+               WHERE ar.arank <= 25),
+        r AS (SELECT query_id, cand_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, cand_id) AS INTEGER) rank
+              FROM ex)
+        SELECT query_id, rank, cand_id, round(cos, 6) AS cos_sim
+        FROM r WHERE rank <= 10
+        ORDER BY query_id, rank"""))
   )
 }

@@ -83,4 +83,15 @@ class AnnRecallCurveSpec extends SparkSpec {
     assert(r >= 0.8, f"banded LSH recall $r%.3f below 0.8 on clustered data")
     assert(s <= 0.5, f"banded LSH scanned $s%.3f — candidate gen degenerated")
   }
+
+  test("int8 scalar quantization (q240): exact rerank of the 2.5x " +
+      "approx overfetch recovers the TRUE top-10 verbatim") {
+    val exact = SparkEntry.queries("q45_knn_bruteforce")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val sq = SparkEntry.queries("q240_sq_int8_ann")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(sq == exact,
+      "SQ candidate generation must not change the reranked top-10 — " +
+        "int8 quantization error is fully absorbed by the overfetch")
+  }
 }
