@@ -475,14 +475,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * must be compacted first (live delta entries fence against base
     * file COUNTS, which a clone cannot replay). */
   private[catalog] def cloneTable(srcIdent: Identifier,
-      dstIdent: Identifier): (Long, Long) = {
+      dstIdent: Identifier, atVersion: Option[String] = None): (Long, Long) = {
     val src = loadTable(srcIdent).asInstanceOf[GraftTable]
     src.refreshFromDisk()
     val st = src.stateNow
-    val snap = st.current
+    // clone point: the CURRENT snapshot, or any RETAINED version / tag
+    // ("fork yesterday's audited snapshot" — the write-audit-publish
+    // companion: clone the published pin, experiment on the fork).
+    // Versioned clones take THAT snapshot's schema (time-travel
+    // semantics); CHECK constraints transfer only on current-state
+    // clones (an old schema may predate a current check's columns).
+    val snap: Option[GraftSnapshot] = atVersion match {
+      case None => st.current
+      case Some(label) =>
+        val v = label.toIntOption.orElse(st.tags.get(label)).getOrElse(
+          throw new IllegalArgumentException(
+            s"clone: '$label' is neither a version number nor a tag " +
+              s"of $srcIdent (tags: ${st.tags.keys.toSeq.sorted
+                .mkString(", ")})"))
+        Some(st.snapshots.find(_.version == v).getOrElse(
+          throw new IllegalArgumentException(
+            s"clone: version $v of $srcIdent is not retained " +
+              s"(retained: ${st.snapshots.map(_.version).mkString(", ")})")))
+    }
     require(snap.forall(_.deltaFiles.isEmpty),
-      s"clone source ${srcIdent} has a live delta log — " +
-        "CALL system.compact first")
+      s"clone source ${srcIdent}${atVersion.fold("")(v => s" at $v")} " +
+        "has a live delta log — CALL system.compact first")
     GraftCatalog.withIndex(warehouse) { idx =>
       val srcEntry = idx.getOrElse(idxKey(srcIdent),
         throw new NoSuchTableException(srcIdent))
@@ -507,13 +525,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         r.copy(path = dstP.toString)
       }
       val files = snap.map(_.files).getOrElse(Vector.empty).map(link)
-      val snap0 = GraftSnapshot(0, st.schemaJson, files, Vector.empty,
+      val cloneSchema = snap.map(_.schemaJson).getOrElse(st.schemaJson)
+      val snap0 = GraftSnapshot(0, cloneSchema, files, Vector.empty,
         System.currentTimeMillis())
       // appendLog carries the clone seed so a stream over the clone
       // reads its full content, exactly like a CTAS-built table
-      val cst = GraftTableState(st.schemaJson, Vector(snap0), 1,
+      val cst = GraftTableState(cloneSchema, Vector(snap0), 1,
         files, 0, Vector.empty, 0, Map.empty, st.nextFieldId,
-        Map.empty, st.checks)
+        Map.empty, if (atVersion.isEmpty) st.checks else Vector.empty)
       val eBucket = srcEntry.bucketBy match {
         case c :: n :: Nil => Some((c, n.toInt))
         case _ => None

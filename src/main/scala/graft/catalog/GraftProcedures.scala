@@ -196,17 +196,23 @@ object GraftProcedures {
           "MOR sources must be compacted first.",
         tableParam :+ ProcedureParameter.in("target", StringType)
           .comment("namespace-qualified clone name, e.g. 'default.orders_dev'")
+          .build() :+ ProcedureParameter.in("version", StringType)
+          .defaultValue("NULL")
+          .comment("retained version number or tag to clone AT " +
+            "(omitted = current content)")
           .build()) {
         override protected def run(input: InternalRow): Scan = {
           val srcQ = input.getUTF8String(0).toString
           val dstQ = input.getUTF8String(1).toString
+          val at = if (input.isNullAt(2)) None
+            else Some(input.getUTF8String(2).toString)
           def ident(q: String): Identifier = {
             val parts = q.split('.')
             require(parts.length >= 2,
               s"expected namespace-qualified table name, got '$q'")
             Identifier.of(parts.init, parts.last)
           }
-          val (nFiles, nRows) = cat.cloneTable(ident(srcQ), ident(dstQ))
+          val (nFiles, nRows) = cat.cloneTable(ident(srcQ), ident(dstQ), at)
           summaryScan(Seq(
             "files_linked" -> nFiles,
             "rows" -> nRows))

@@ -638,6 +638,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM gtest.default.cl").head().getLong(0)
       == 400)
 
+    // versioned clone: fork a RETAINED snapshot or tag, not the head —
+    // the fork reads the content (and SCHEMA) as of that version
+    sql("DROP TABLE IF EXISTS gtest.default.tv")
+    sql("DROP TABLE IF EXISTS gtest.default.tv0")
+    sql("DROP TABLE IF EXISTS gtest.default.tvt")
+    sql("CREATE TABLE gtest.default.tv (k BIGINT)")
+    sql("INSERT INTO gtest.default.tv VALUES (1), (2)") // v0
+    sql("CALL gtest.system.tag('default.tv', 'golden')") // v1 (tag pin)
+    sql("DELETE FROM gtest.default.tv WHERE k = 1") // v2
+    sql("""CALL gtest.system.clone('default.tv', 'default.tv0',
+           version => '0')""")
+    assert(sql("SELECT k FROM gtest.default.tv0 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "version-0 clone must read the pre-DELETE content")
+    sql("""CALL gtest.system.clone('default.tv', 'default.tvt',
+           version => 'golden')""")
+    assert(sql("SELECT count(*) FROM gtest.default.tvt").head()
+      .getLong(0) == 2, "tag clone must fork the pinned snapshot")
+    assert(sql("SELECT count(*) FROM gtest.default.tv").head()
+      .getLong(0) == 1, "the source head is unaffected")
+    intercept[Exception] {
+      sql("""CALL gtest.system.clone('default.tv', 'default.tvx',
+             version => 'nope')""")
+    }
+    Seq("tv", "tv0", "tvt").foreach(t =>
+      sql(s"DROP TABLE gtest.default.$t"))
+
     // MOR: live delta log rejects; compacted clones and STAYS MOR
     sql("DROP TABLE IF EXISTS gtest.default.tm")
     sql("""CREATE TABLE gtest.default.tm (k BIGINT, v STRING)
