@@ -471,9 +471,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * bind columns by id, so re-stamping would corrupt reads), layout
     * properties (mode/row-id/partitioning/sort/z-order/bucket/bloom),
     * and CHECK constraints; history, tags, and the change feed do NOT
-    * transfer (a clone is new content, depth-1 history). MOR sources
-    * must be compacted first (live delta entries fence against base
-    * file COUNTS, which a clone cannot replay). */
+    * transfer (a clone is new content, depth-1 history). Live MOR
+    * delta logs clone soundly — both file lists copy verbatim, so the
+    * count-based delta fences keep their meaning. */
   private[catalog] def cloneTable(srcIdent: Identifier,
       dstIdent: Identifier, atVersion: Option[String] = None): (Long, Long) = {
     val src = loadTable(srcIdent).asInstanceOf[GraftTable]
@@ -498,9 +498,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"clone: version $v of $srcIdent is not retained " +
               s"(retained: ${st.snapshots.map(_.version).mkString(", ")})")))
     }
-    require(snap.forall(_.deltaFiles.isEmpty),
-      s"clone source ${srcIdent}${atVersion.fold("")(v => s" at $v")} " +
-        "has a live delta log — CALL system.compact first")
+    // live MOR delta logs clone soundly: BOTH file lists copy verbatim
+    // (order preserved), and delta fences bind by base-file COUNT — a
+    // position-faithful copy keeps every fence meaning exactly what it
+    // meant at the source (spec pins the delete-then-re-add case). The
+    // change-feed LEDGER still does not transfer (history is the
+    // source's); the clone's $changes starts at its own first delta.
     GraftCatalog.withIndex(warehouse) { idx =>
       val srcEntry = idx.getOrElse(idxKey(srcIdent),
         throw new NoSuchTableException(srcIdent))
@@ -525,8 +528,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         r.copy(path = dstP.toString)
       }
       val files = snap.map(_.files).getOrElse(Vector.empty).map(link)
+      val deltaDataDir = dir.resolve("delta")
+      def linkDelta(r: GraftFileRef): GraftFileRef = {
+        Files.createDirectories(deltaDataDir)
+        val srcP = Paths.get(r.path)
+        val dstP = deltaDataDir.resolve(srcP.getFileName.toString)
+        try Files.createLink(dstP, srcP)
+        catch {
+          case _: UnsupportedOperationException => Files.copy(srcP, dstP)
+          case e: java.nio.file.NoSuchFileException =>
+            throw new IllegalStateException(
+              s"clone raced a GC of ${r.path} — retry the clone", e)
+        }
+        r.copy(path = dstP.toString)
+      }
+      val deltas = snap.map(_.deltaFiles).getOrElse(Vector.empty)
+        .map(linkDelta)
       val cloneSchema = snap.map(_.schemaJson).getOrElse(st.schemaJson)
-      val snap0 = GraftSnapshot(0, cloneSchema, files, Vector.empty,
+      val snap0 = GraftSnapshot(0, cloneSchema, files, deltas,
         System.currentTimeMillis())
       // appendLog carries the clone seed so a stream over the clone
       // reads its full content, exactly like a CTAS-built table

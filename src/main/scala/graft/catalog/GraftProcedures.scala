@@ -193,7 +193,7 @@ object GraftProcedures {
           "either side's DML/GC/DROP touches only its own directory). " +
           "Keeps schema (field ids included), layout properties, and " +
           "CHECK constraints; history/tags/change-feed do not transfer. " +
-          "MOR sources must be compacted first.",
+          "Live MOR delta logs clone verbatim (fences stay valid).",
         tableParam :+ ProcedureParameter.in("target", StringType)
           .comment("namespace-qualified clone name, e.g. 'default.orders_dev'")
           .build() :+ ProcedureParameter.in("version", StringType)

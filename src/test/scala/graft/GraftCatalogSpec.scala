@@ -665,23 +665,29 @@ class GraftCatalogSpec extends SparkSpec {
     Seq("tv", "tv0", "tvt").foreach(t =>
       sql(s"DROP TABLE gtest.default.$t"))
 
-    // MOR: live delta log rejects; compacted clones and STAYS MOR
+    // MOR with a LIVE delta log clones verbatim — including the
+    // fence-sensitive delete-then-re-add shape: the tombstone for the
+    // ORIGINAL k=1 must keep fencing only the pre-delete base files in
+    // the clone, so the re-added k=1 survives the fold on both sides
     sql("DROP TABLE IF EXISTS gtest.default.tm")
     sql("""CREATE TABLE gtest.default.tm (k BIGINT, v STRING)
            TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""")
     sql("INSERT INTO gtest.default.tm VALUES (1,'a'), (2,'b')")
-    sql("UPDATE gtest.default.tm SET v = 'z' WHERE k = 1")
-    intercept[Exception] {
-      sql("CALL gtest.system.clone('default.tm', 'default.cl2')")
-    }
-    sql("CALL gtest.system.compact('default.tm')")
+    sql("DELETE FROM gtest.default.tm WHERE k = 1") // delta tombstone
+    sql("INSERT INTO gtest.default.tm VALUES (1,'reborn')") // post-fence
+    sql("UPDATE gtest.default.tm SET v = 'z' WHERE k = 2") // live delta
     sql("CALL gtest.system.clone('default.tm', 'default.cl2')")
-    // the clone is itself a MOR table: row-level DML plans as deltas
-    sql("UPDATE gtest.default.cl2 SET v = 'q' WHERE k = 2")
     assert(sql("SELECT v FROM gtest.default.cl2 ORDER BY k").collect()
-      .map(_.getString(0)).toSeq == Seq("z", "q"))
+      .map(_.getString(0)).toSeq == Seq("reborn", "z"),
+      "live-delta clone must fold identically (fences preserved)")
+    // the clone is itself a MOR table: DML and compaction independent
+    sql("UPDATE gtest.default.cl2 SET v = 'q' WHERE k = 2")
+    sql("CALL gtest.system.compact('default.cl2')")
+    assert(sql("SELECT v FROM gtest.default.cl2 ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("reborn", "q"))
     assert(sql("SELECT v FROM gtest.default.tm ORDER BY k").collect()
-      .map(_.getString(0)).toSeq == Seq("z", "b"))
+      .map(_.getString(0)).toSeq == Seq("reborn", "z"),
+      "clone-side DML/compaction must never touch the source")
     sql("DROP TABLE gtest.default.tm")
     sql("DROP TABLE gtest.default.cl")
     sql("DROP TABLE gtest.default.cl2")
