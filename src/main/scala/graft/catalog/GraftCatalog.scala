@@ -514,6 +514,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         dstIdent.name() + "-" + UUID.randomUUID().toString.take(8))
       val dataDir = dir.resolve("data")
       Files.createDirectories(dataDir)
+      // staging discipline (ADVICE r12): the clone directory is
+      // invisible until the index entry publishes at the end of this
+      // block — any failure mid-link (e.g. the GC race) must remove
+      // the partially-linked directory, not leak an orphan the
+      // warehouse never references
+      try {
       def link(r: GraftFileRef): GraftFileRef = {
         val srcP = Paths.get(r.path)
         val dstP = dataDir.resolve(srcP.getFileName.toString)
@@ -556,14 +562,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case c :: n :: Nil => Some((c, n.toInt))
         case _ => None
       }
+      // targetBytes transfers too (ADVICE r12): the persisted index
+      // entry already carried it, so omitting it here made the
+      // advisory file-size knob silently inactive only in the CREATING
+      // session — behavior must not differ before vs after a reload
       val t =
         if (srcEntry.mode == "mor")
           new GraftDeltaTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
             srcEntry.rowId, srcEntry.parts, srcEntry.appendRetain,
-            srcEntry.sortBy, srcEntry.zorderBy, eBucket, srcEntry.bloomBy)
+            srcEntry.sortBy, srcEntry.zorderBy, eBucket, srcEntry.bloomBy,
+            srcEntry.targetBytes)
         else new GraftTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
           srcEntry.parts, srcEntry.appendRetain, srcEntry.sortBy,
-          srcEntry.zorderBy, eBucket, srcEntry.bloomBy)
+          srcEntry.zorderBy, eBucket, srcEntry.bloomBy,
+          srcEntry.targetBytes)
       // log VERSION must equal the state's nextVersion (the CAS
       // stale-slot guard keys on that invariant): the clone carries a
       // version-0 content snapshot, so its first log is v1
@@ -572,6 +584,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCatalog.tables.put(regKey(dstIdent), t)
       (idx + (idxKey(dstIdent) -> srcEntry.copy(dir = dir.toString)),
         (files.size.toLong, files.map(_.rows).sum))
+      } catch { case e: Throwable =>
+        try graft.util.Fs.rmTree(dir)
+        catch { case _: Exception => () } // best-effort cleanup
+        throw e
+      }
     }
   }
 
@@ -1124,6 +1141,18 @@ class GraftTable(ident: String, val dir: NioPath,
   @volatile private[graft] var replaceAllGuard:
     Option[(Vector[String], Vector[String])] = None
 
+  /** [[compactWhere]]'s pin (ADVICE r12): the base-file refs the
+    * partition-scoped compaction SCANNED. While set,
+    * [[commitOverwriteMatching]] requires the predicate-matching file
+    * set at commit time to equal the one derivable from this snapshot
+    * — a foreign commit adding or removing a matching file mid-
+    * compaction surfaces as a loud retryable conflict instead of a
+    * lost update (dropped-but-not-read) or a resurrection
+    * (read-but-already-deleted). Plain INSERT … REPLACE WHERE with
+    * fresh content stays last-writer-wins and leaves this unset. */
+  @volatile private[graft] var replaceMatchingGuard:
+    Option[Vector[GraftFileRef]] = None
+
   /** COMPACTION — rewrite accumulated small files (CoW) / fold the
     * delta log into the base (MOR) via the distributed self-overwrite:
     * the scan is snapshot-isolated from the truncate-replace commit.
@@ -1158,9 +1187,20 @@ class GraftTable(ident: String, val dir: NioPath,
   private[graft] def compactWhere(spark: org.apache.spark.sql.SparkSession,
       fqn: String, pred: String): Unit = {
     refreshFromDisk()
-    spark.sql(
+    // Pin the scanned file set (ADVICE r12, the replaceAllGuard's
+    // scoped sibling): the compaction's content is the fold of the
+    // files matching `pred` in THIS snapshot — a foreign append into
+    // the compacted partition between this scan and the commit would
+    // match the predicate, be dropped by the replace, and yet not be
+    // in the compaction input: a silently lost commit.
+    // commitOverwriteMatching re-derives the matching set each commit
+    // round and fails loudly if it differs from the planned one.
+    replaceMatchingGuard =
+      Some(stateNow.current.map(_.files).getOrElse(Vector.empty))
+    try spark.sql(
       s"INSERT INTO $fqn REPLACE WHERE $pred SELECT * FROM $fqn WHERE $pred"
     ): Unit
+    finally replaceMatchingGuard = None
   }
 
   /** BIN-PACKING small-file rewrite (`CALL system.rewrite_small_files`):
@@ -1740,7 +1780,7 @@ class GraftTable(ident: String, val dir: NioPath,
     * drop the files the predicate provably covers, append the new
     * content. Decidability was checked at plan time and is re-verified
     * under the lock (a concurrent append could land a mixed file). */
-  private[catalog] def commitOverwriteMatching(
+  private[graft] def commitOverwriteMatching(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
       files: Seq[GraftFileRef]): Unit = commitLoop { () =>
     // the OVERRIDABLE gate, re-checked inside the commit round: MOR
@@ -1750,6 +1790,23 @@ class GraftTable(ident: String, val dir: NioPath,
       "overwrite precondition no longer holds at commit time " +
         "(undecidable predicate, or a concurrent delta commit) — " +
         "retry the statement")
+    def matching(fs: Vector[GraftFileRef]): Vector[String] =
+      fs.filter(f =>
+        predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
+        .map(_.path)
+    // compactWhere's pin (ADVICE r12): the replaced set must be exactly
+    // the set the compaction scanned — re-derived per commit round, so
+    // a CAS retry that rebased onto a foreign commit re-validates too
+    replaceMatchingGuard.foreach { planned =>
+      if (matching(planned) != matching(curFiles))
+        throw new IllegalStateException(
+          s"concurrent commit conflict on $ident: the predicate-" +
+            "matching file set changed between the scoped compaction's " +
+            "scan and its commit (a foreign append into the compacted " +
+            "partition, or a foreign delete of a scanned file) — " +
+            "publishing the stale fold would lose that commit. Retry " +
+            "system.compact.")
+    }
     val kept = curFiles.filterNot(f =>
       predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
     val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
@@ -2226,8 +2283,14 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     None
   private var narrowedByLimit: Option[Vector[GraftFileRef]] = None
 
+  // nested = true: every partition of this scan reads through the
+  // parquet FileIterator, so a validated nested prune reaches the
+  // actual page I/O (reading `m.b` of a wide struct column scans only
+  // b's pages); unvalidated shapes widen to the full table field and
+  // Spark re-projects above the scan (see sanitizeRequired)
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = GraftStorage.sanitizeRequired(tableSchema, requiredSchema,
+      nested = true)
 
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]):
@@ -2427,8 +2490,13 @@ class GraftGroupScanBuilder(tableSchema: StructType,
   private var groupFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
+  // nested = false: a group rewrite re-writes FULL rows, so nested
+  // pruning buys nothing here — widen to the table's own fields and
+  // let Spark project above the scan (never emit a layout readSchema
+  // doesn't report)
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = GraftStorage.sanitizeRequired(tableSchema, requiredSchema,
+      nested = false)
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {

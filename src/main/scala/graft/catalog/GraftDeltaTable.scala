@@ -342,8 +342,14 @@ class GraftMorScanBuilder(tableSchema: StructType,
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var all: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
+  // nested = false: the replacements partition ships FULL-width delta
+  // rows straight from the fold (no parquet request to prune), so the
+  // scan's emitted layout must stay the table's own nested types —
+  // widen and let Spark project nested extractions above the scan
+  // (VERDICT r12 item 1)
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = GraftStorage.sanitizeRequired(tableSchema, requiredSchema,
+      nested = false)
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
@@ -514,7 +520,10 @@ class GraftChangeFeedScanBuilder(table: GraftDeltaTable,
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private val feedSchema = table.changeFeedSchema
   private var required: StructType = feedSchema
-  override def pruneColumns(r: StructType): Unit = required = r
+  // change-feed rows all come from parquet delta files via the shared
+  // FileIterator, so validated nested prunes are honored end-to-end
+  override def pruneColumns(r: StructType): Unit =
+    required = GraftStorage.sanitizeRequired(feedSchema, r, nested = true)
   override def build(): Scan =
     new GraftChangeFeedScan(table, feedSchema, required, maxFilesPerTrigger)
 }

@@ -1066,15 +1066,92 @@ object GraftStorage {
   /** The columns a reader must materialize: required output ∪ filter
     * references ∪ any extra (e.g. the MOR row-id), in TABLE-schema
     * order so filter compilation and the final projection bind stably.
-    * Shared by the batch and MOR reader factories. */
+    * A required column adopts the REQUIRED field's (possibly
+    * nested-pruned) type — the reader then requests exactly those
+    * nested leaves from parquet; filter-only/extra columns materialize
+    * at full table type. Callers must sanitize the required schema
+    * first ([[sanitizeRequired]]) so the adopted types are guaranteed
+    * valid prunes of the table's. Shared by the batch and MOR reader
+    * factories. */
   def projectionSchema(tableSchema: StructType, required: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter],
       extra: Set[String]): StructType = {
     val filterCols = filters.flatMap(_.references).toSet
-    val requiredNames = required.fieldNames.toSet
-    StructType(tableSchema.fields.filter(f =>
-      requiredNames.contains(f.name) || filterCols.contains(f.name) ||
-        extra.contains(f.name)))
+    val reqNames = required.fieldNames.toIndexedSeq
+    StructType(tableSchema.fields.flatMap { tf =>
+      val ro = ordinalByName(reqNames, tf.name)
+      if (ro >= 0) Some(tf.copy(dataType = required.fields(ro).dataType))
+      else if (filterCols.contains(tf.name) || extra.contains(tf.name))
+        Some(tf)
+      else None
+    })
+  }
+
+  /** Validated NESTED prune: `req`'s shape re-expressed with the
+    * TABLE's field objects (names, ids, nullability, defaults — the
+    * metadata the read path binds by), keeping only the nested leaves
+    * `req` asks for, in `req`'s field order (the layout Spark expects
+    * back from the scan). None when `req` is not a recognizable
+    * sub-shape of `table` (unknown subfield, leaf type mismatch, empty
+    * struct, pruned map keys) — the caller then falls back to the full
+    * table field, which is always sound. */
+  private def pruneType(table: DataType, req: DataType): Option[DataType] =
+    (table, req) match {
+      case (t: StructType, r: StructType) =>
+        if (r.isEmpty) return None
+        val names = t.fieldNames.toIndexedSeq
+        val kept = new Array[StructField](r.length)
+        var i = 0
+        while (i < r.length) {
+          val o = ordinalByName(names, r.fields(i).name)
+          if (o < 0) return None
+          val tf = t.fields(o)
+          pruneType(tf.dataType, r.fields(i).dataType) match {
+            case Some(dt) => kept(i) = tf.copy(dataType = dt)
+            case None => return None
+          }
+          i += 1
+        }
+        Some(StructType(kept))
+      case (ArrayType(te, tn), ArrayType(re, _)) =>
+        pruneType(te, re).map(ArrayType(_, tn))
+      case (MapType(tk, tv, tn), MapType(rk, rv, _)) if tk == rk =>
+        pruneType(tv, rv).map(MapType(tk, _, tn))
+      case (t, r) if t == r => Some(t)
+      case _ => None
+    }
+
+  /** Make a Catalyst-pushed required schema SAFE for this read path
+    * (VERDICT r12 item 1 — nested-pruned structs were previously
+    * accepted verbatim but materialized positionally against the full
+    * file struct: silent misbinds / ClassCastException). Each required
+    * field that names a table column is replaced by either (nested =
+    * true) the VALIDATED nested prune of the table's field — real
+    * nested-column I/O reduction, the reader requests only those
+    * parquet leaves — or, when the prune doesn't validate or nested =
+    * false, the table's FULL field (Spark re-projects the nested
+    * extraction above the scan; readSchema() reports what we actually
+    * emit, so layouts always agree). Non-table fields (`_file` and
+    * other metadata constants) pass through untouched. Callers with
+    * partitions that ship full-width rows directly (the MOR
+    * replacement rows, group-rewrite carry-over) must pass nested =
+    * false: those rows never go through the parquet request and cannot
+    * be nested-pruned consistently. */
+  def sanitizeRequired(tableSchema: StructType, required: StructType,
+      nested: Boolean): StructType = {
+    val names = tableSchema.fieldNames.toIndexedSeq
+    StructType(required.fields.map { rf =>
+      val o = ordinalByName(names, rf.name)
+      if (o < 0) rf
+      else {
+        val tf = tableSchema.fields(o)
+        if (!nested) tf
+        else pruneType(tf.dataType, rf.dataType) match {
+          case Some(dt) => tf.copy(dataType = dt)
+          case None => tf
+        }
+      }
+    })
   }
 
   // ---- file-level pruning ----------------------------------------------
@@ -1421,25 +1498,40 @@ object GraftStorage {
     * makes that require a minute-long freeze at exactly that point). */
   private val PruneGraceMs = 60000L
 
-  def pruneLogs(dir: NioPath, keepFrom: Int): Unit =
+  def pruneLogs(dir: NioPath, keepFrom: Int): Unit = {
+    // ADVICE r12: once the delete of a VERSIONED log file fails, no
+    // LATER version may be removed this pass — deleting v while v-1
+    // survives breaks the ascending-prune invariant ("v pruned implies
+    // v-1 pruned first") that casWriteLog's predecessor check relies
+    // on: a stale writer would find v-1 alive and link into the freed
+    // slot v, a silently lost commit. Orphaned tmps are outside the
+    // invariant and keep pruning.
+    var versionedHalted = false
     graft.util.Fs.children(dir)
       // ASCENDING version order — the stale-slot guard in casWriteLog
       // relies on "v pruned implies v-1 pruned first"
       .sortBy(p => versionOf(p.getFileName.toString).getOrElse(Int.MaxValue))
       .foreach { p =>
       // a concurrent writer may delete (its own tmp) or prune files
-      // between our listing and the stat — losing that race is fine,
-      // failing the COMMIT over it is not (stress-spec find)
-      try {
-        val n = p.getFileName.toString
-        val now = System.currentTimeMillis()
-        val stale = (versionOf(n).exists(_ < keepFrom) &&
-            Files.getLastModifiedTime(p).toMillis < now - PruneGraceMs) ||
-          (n.startsWith("_graft_log.tmp-") &&
-            Files.getLastModifiedTime(p).toMillis < now - 600000L)
-        if (stale) Files.deleteIfExists(p): Unit
-      } catch { case _: java.io.IOException => () }
+      // between our listing and the stat — losing that race is fine
+      // (deleteIfExists just reports false), failing the COMMIT over
+      // it is not (stress-spec find); only a true IO failure halts
+      val n = p.getFileName.toString
+      val versioned = versionOf(n).isDefined
+      if (!(versioned && versionedHalted)) {
+        try {
+          val now = System.currentTimeMillis()
+          val stale = (versionOf(n).exists(_ < keepFrom) &&
+              Files.getLastModifiedTime(p).toMillis < now - PruneGraceMs) ||
+            (n.startsWith("_graft_log.tmp-") &&
+              Files.getLastModifiedTime(p).toMillis < now - 600000L)
+          if (stale) Files.deleteIfExists(p): Unit
+        } catch { case _: java.io.IOException =>
+          if (versioned) versionedHalted = true
+        }
+      }
     }
+  }
 
   /** Read the newest committed state: the highest versioned log, falling
     * back to the legacy single-file `_graft_log.json` for pre-CAS

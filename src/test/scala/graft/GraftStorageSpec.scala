@@ -2143,6 +2143,80 @@ class GraftStorageSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.fmm")
   }
 
+  test("ADVICE r12: a scoped-compaction commit under the matching-set " +
+      "guard conflicts loudly when a foreign append hits the partition") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.cwg")
+    sql("""CREATE TABLE gstore.default.cwg (p BIGINT, v STRING)
+           PARTITIONED BY (p)""")
+    sql("INSERT INTO gstore.default.cwg VALUES (10,'a1'),(20,'b1')")
+    sql("INSERT INTO gstore.default.cwg VALUES (10,'a2')")
+    val t = tbl("cwg")
+    // pin the guard to the CURRENT base files — what compactWhere does
+    // before its REPLACE WHERE scan
+    t.replaceMatchingGuard =
+      Some(t.stateNow.current.map(_.files).getOrElse(Vector.empty))
+    try {
+      // a foreign commit lands INTO the compacted partition between
+      // the scan and the commit: its file matches p = 10, so the
+      // stale replace would drop it without having read its rows
+      graft.catalog.GraftCatalog.dropHandlesForTest()
+      sql("INSERT INTO gstore.default.cwg VALUES (10,'a3')")
+      val pred = new Predicate("=",
+        Array(Expressions.column("p"), Expressions.literal(10L)))
+      val e = intercept[IllegalStateException] {
+        t.commitOverwriteMatching(Array(pred), Nil)
+      }
+      assert(e.getMessage.contains("scoped compaction"),
+        s"stale matching set not loud: ${e.getMessage}")
+      // the foreign row survived — nothing was erased
+      assert(sql("SELECT count(*) FROM gstore.default.cwg WHERE v = 'a3'")
+        .head().getLong(0) == 1)
+    } finally t.replaceMatchingGuard = None
+    // a foreign append OUTSIDE the compacted partition does NOT
+    // conflict (the matching set is unchanged) — scoped means scoped
+    t.replaceMatchingGuard =
+      Some(t.stateNow.current.map(_.files).getOrElse(Vector.empty))
+    try {
+      graft.catalog.GraftCatalog.dropHandlesForTest()
+      sql("INSERT INTO gstore.default.cwg VALUES (20,'b2')")
+      val pred = new Predicate("=",
+        Array(Expressions.column("p"), Expressions.literal(10L)))
+      t.commitOverwriteMatching(Array(pred), Nil) // no throw
+    } finally t.replaceMatchingGuard = None
+    // and the REAL scoped-compaction cycle (guard set + cleared by
+    // compactWhere) still succeeds end to end
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    sql("INSERT INTO gstore.default.cwg VALUES (20,'b3'),(20,'b4')")
+    sql("CALL gstore.system.compact('default.cwg', where => 'p = 20')")
+    // b1 + b2 + b3 + b4 (the no-conflict commit above overwrote p=10
+    // with empty content — overwrite semantics, so only p=20 remains)
+    assert(sql("SELECT count(*) FROM gstore.default.cwg WHERE p = 20")
+      .head().getLong(0) == 4)
+    assert(sql("SELECT count(*) FROM gstore.default.cwg")
+      .head().getLong(0) == 4)
+    sql("DROP TABLE gstore.default.cwg")
+  }
+
+  test("ADVICE r12: system.clone carries graft.target_file_bytes into " +
+      "the creating session's live handle, not just the index entry") {
+    setup()
+    sql("DROP TABLE IF EXISTS gstore.default.tfsrc")
+    sql("DROP TABLE IF EXISTS gstore.default.tfdst")
+    sql("""CREATE TABLE gstore.default.tfsrc (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.target_file_bytes'='67108864')""")
+    sql("INSERT INTO gstore.default.tfsrc VALUES (1,'a')")
+    sql("CALL gstore.system.clone('default.tfsrc', 'default.tfdst')")
+    // BEFORE any catalog reload: the in-memory clone handle must carry
+    // the knob (pre-fix it was silently 0 until a cold load)
+    assert(tbl("tfdst").properties()
+      .get("graft.target_file_bytes") == "67108864")
+    sql("DROP TABLE gstore.default.tfsrc")
+    sql("DROP TABLE gstore.default.tfdst")
+  }
+
   /** Exception cause chain (Spark wraps task failures). */
   private def chain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
