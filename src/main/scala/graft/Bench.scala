@@ -49,6 +49,15 @@ object Bench {
     // land entirely on the alphabetically-first query (measured ~3 s).
     try SparkEntry.queries("q02_filter_project")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Untimed RF warm-up (VERDICT r12 item 9): q60's MLlib RandomForest
+    // fit swung 5.2-9.8 s across captures — tree-building is a large
+    // cold code path whose first exercise pays JIT compilation inside
+    // the timed sample. One untimed fit at smoke scale loads and
+    // compiles it for pennies; q60 then measures the fit, not the JIT.
+    try SparkEntry.queries("q60_rf_pipeline")(
+      spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
       .map { case (name, fn) =>

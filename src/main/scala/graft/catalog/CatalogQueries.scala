@@ -1822,11 +1822,14 @@ object CatalogQueries {
     // separate refresh cycles over the same checkpoint prove the
     // increment path: the second reads just the second INSERT's files.
     // At 100 TB the refresh cost scales with NEW data, not table size
-    // — the whole point of an MV. (AvailableNow + checkpoint applies
-    // each offset range once; a crash-replayed batch would re-apply —
-    // production hardening is a batch-id ledger next to the MV, the
-    // Delta txn-version pattern.) Oracle: DuckDB recomputes the
-    // aggregate from ALL rows — incremental == full recompute.
+    // — the whole point of an MV. Crash-replay hardened (VERDICT r12
+    // item 7): each batch's MERGE runs under [[GraftTable
+    // .applyBatchOnce]], which stamps (appId -> batchId) into the SAME
+    // commit — a batch re-delivered after a crash between the MERGE
+    // and the checkpoint commit finds itself in the ledger and skips
+    // (the Delta txnAppId/txnVersion pattern; spec-pinned in
+    // MvExactlyOnceSpec). Oracle: DuckDB recomputes the aggregate from
+    // ALL rows — incremental == full recompute.
     QueryDef(
       "q229_incremental_mv",
       (s, d) => {
@@ -1850,25 +1853,31 @@ object CatalogQueries {
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch {
-              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              (batch: org.apache.spark.sql.DataFrame, id: Long) =>
                 // decimal-exact sum (Det discipline): cast each price
-                // to DECIMAL(12,4) before summing in BOTH engines
+                // to DECIMAL(12,4) before summing in BOTH engines.
+                // applyBatchOnce makes the at-least-once foreachBatch
+                // exactly-once: the MERGE's commit carries the batch-id
+                // ledger stamp, so a crash-replayed batch skips.
                 batch.createOrReplaceTempView("q229_batch")
-                batch.sparkSession.sql("""
-                  MERGE INTO graft_cat.default.mv_totals t
-                  USING (SELECT o_orderpriority,
-                                COUNT(*) AS dn,
-                                SUM(CAST(o_totalprice AS DECIMAL(12,4)))
-                                  AS dt
-                         FROM q229_batch GROUP BY o_orderpriority) c
-                  ON t.o_orderpriority = c.o_orderpriority
-                  WHEN MATCHED THEN UPDATE SET
-                    n_orders = t.n_orders + c.dn,
-                    total = CAST(t.total + c.dt AS DECIMAL(18,4))
-                  WHEN NOT MATCHED THEN
-                    INSERT (o_orderpriority, n_orders, total)
-                    VALUES (c.o_orderpriority, c.dn,
-                            CAST(c.dt AS DECIMAL(18,4)))"""): Unit
+                catalogTable(batch.sparkSession, "mv_totals")
+                  .applyBatchOnce("q229_incremental_mv", id) {
+                    batch.sparkSession.sql("""
+                      MERGE INTO graft_cat.default.mv_totals t
+                      USING (SELECT o_orderpriority,
+                                    COUNT(*) AS dn,
+                                    SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                                      AS dt
+                             FROM q229_batch GROUP BY o_orderpriority) c
+                      ON t.o_orderpriority = c.o_orderpriority
+                      WHEN MATCHED THEN UPDATE SET
+                        n_orders = t.n_orders + c.dn,
+                        total = CAST(t.total + c.dt AS DECIMAL(18,4))
+                      WHEN NOT MATCHED THEN
+                        INSERT (o_orderpriority, n_orders, total)
+                        VALUES (c.o_orderpriority, c.dn,
+                                CAST(c.dt AS DECIMAL(18,4)))"""): Unit
+                  }: Unit
             }
             .start()
           q.awaitTermination()
@@ -2378,7 +2387,125 @@ object CatalogQueries {
         SELECT CAST((o_orderkey % 6) // 2 AS BIGINT) AS batch,
                COUNT(*) AS n_rows,
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-        FROM orders GROUP BY 1 ORDER BY batch"""))
+        FROM orders GROUP BY 1 ORDER BY batch""")),
+
+    // -------------------------------------------------------------- q241:
+    // STRING-PREFIX PREDICATE PUSHDOWN (SupportsPushDownV2Filters,
+    // VERDICT r12 item 4) — `LIKE 'P%'` on a `graft.sort_by` string
+    // table prunes at FILE granularity: Catalyst rewrites the LIKE to
+    // StartsWith, pushes it through the V2 predicate seam, and the
+    // scan drops every file whose [min, max] span provably excludes
+    // the prefix range [P, P·∞). The write path range-partitions a
+    // sorted insert, so spans are near-disjoint and the prefix lookup
+    // on a 100-TB key-sorted table opens O(matching) files — the
+    // "fetch one tenant/entity block by key prefix" shape. The spec
+    // pins the file skips (opens < files) and the AND/OR tree pruning;
+    // this query proves value equality with DuckDB recomputing the
+    // same prefix selection from the raw rows.
+    QueryDef(
+      "q241_prefix_pushdown",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_pfx")
+        s.sql("""CREATE TABLE graft_cat.default.orders_pfx
+                 (okey STRING, o_totalprice DOUBLE)
+                 TBLPROPERTIES ('graft.sort_by'='okey')""")
+        Tables(s, d, "orders").createOrReplaceTempView("q241_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_pfx
+                 SELECT 'K' || lpad(CAST(o_orderkey AS STRING), 8, '0'),
+                        o_totalprice
+                 FROM q241_orders""")
+        s.sql("""SELECT okey, o_totalprice
+                 FROM graft_cat.default.orders_pfx
+                 WHERE okey LIKE 'K0000012%'
+                 ORDER BY okey""")
+      },
+      Some("""
+        SELECT okey, o_totalprice FROM (
+          SELECT 'K' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS okey,
+                 o_totalprice
+          FROM orders)
+        WHERE okey LIKE 'K0000012%'
+        ORDER BY okey""")),
+
+    // -------------------------------------------------------------- q242:
+    // AGGREGATE PUSHDOWN UNDER PARTITION-EXACT WHERE (VERDICT r12 item
+    // 5) — `COUNT/MIN/MAX ... WHERE <partition col> = v` on an
+    // identity-partitioned table is pure metadata: every file pins its
+    // partition tuple, so the filter is applied EXACTLY by selecting
+    // the must-match files, no residual Filter remains, and Spark
+    // pushes the aggregation — served from those files' manifest stats
+    // with ZERO files opened (spec-pinned via the fileOpens census).
+    // The "how big is partition X?" census of a 100-TB table costs
+    // O(refs) driver work, no cluster time. q226/q231 covered the
+    // unfiltered and grouped shapes; this closes the filtered one the
+    // r12 builder note called unreachable.
+    QueryDef(
+      "q242_partition_exact_agg",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_pea")
+        s.sql("""CREATE TABLE graft_cat.default.orders_pea
+                 (o_orderkey BIGINT, o_totalprice DOUBLE,
+                  o_orderpriority STRING)
+                 PARTITIONED BY (o_orderpriority)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q242_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_pea
+                 SELECT o_orderkey, o_totalprice, o_orderpriority
+                 FROM q242_orders""")
+        s.sql("""SELECT COUNT(*) AS n,
+                        CAST(MIN(o_orderkey) AS BIGINT) AS key_lo,
+                        CAST(MAX(o_orderkey) AS BIGINT) AS key_hi
+                 FROM graft_cat.default.orders_pea
+                 WHERE o_orderpriority = '1-URGENT'""")
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+               CAST(MIN(o_orderkey) AS BIGINT) AS key_lo,
+               CAST(MAX(o_orderkey) AS BIGINT) AS key_hi
+        FROM orders WHERE o_orderpriority = '1-URGENT'"""))
+  ,
+
+    // -------------------------------------------------------------- q243:
+    // MULTI-NAMESPACE DDL (VERDICT r12 item 6) — real warehouse
+    // schemas: CREATE/DROP NAMESPACE (persisted in the warehouse,
+    // cross-process-locked with the table index), tables addressed by
+    // two-level identifiers, and the staging->publish promotion as a
+    // pure METADATA rename ACROSS namespaces (the table directory
+    // never moves — promoting a loaded 100-TB staging table to the
+    // analytics schema costs one index write). This query runs the
+    // whole lifecycle — create schemas, CTAS into staging, promote by
+    // cross-namespace rename, read back from the published name — and
+    // the oracle recomputes the published content from the raw rows.
+    QueryDef(
+      "q243_multi_namespace",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP NAMESPACE IF EXISTS graft_cat.analytics CASCADE")
+        s.sql("DROP NAMESPACE IF EXISTS graft_cat.staging CASCADE")
+        s.sql("CREATE NAMESPACE graft_cat.staging")
+        s.sql("""CREATE NAMESPACE graft_cat.analytics
+                 WITH PROPERTIES ('team' = 'pipeline')""")
+        Tables(s, d, "orders").createOrReplaceTempView("q243_orders")
+        s.sql("""CREATE TABLE graft_cat.staging.ord_inbox AS
+                 SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q243_orders WHERE o_orderkey % 2 = 0""")
+        // promote: metadata-only rename across namespaces
+        s.sql("""ALTER TABLE graft_cat.staging.ord_inbox
+                 RENAME TO analytics.ord_pub""")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+                        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+                 FROM graft_cat.analytics.ord_pub
+                 GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey % 2 = 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —
@@ -2395,6 +2522,15 @@ object CatalogQueries {
                              'graft.row_id'='o_orderkey')
               AS SELECT * FROM ${prefix}_seed""")
   }
+
+  /** Any graft_cat default-namespace table handle, by name. */
+  private[graft] def catalogTable(
+      s: org.apache.spark.sql.SparkSession, name: String): GraftTable =
+    s.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), name))
+      .asInstanceOf[GraftTable]
 
   /** The q186/q187 MOR table handle, post-setup. */
   private[graft] def morTable(

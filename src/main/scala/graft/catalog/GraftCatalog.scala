@@ -84,6 +84,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftCatalog.withIndex(warehouse) { idx =>
+      if (!namespace.sameElements(Array("default")) &&
+          !readNamespaces().contains(nsKey(namespace)))
+        throw new NoSuchNamespaceException(namespace)
       val prefix = namespace.mkString("/") + "/"
       idx -> idx.keys.filter(_.startsWith(prefix)).map { k =>
         Identifier.of(namespace, k.stripPrefix(prefix))
@@ -189,6 +192,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val (t, entry) = stageNew(ident, schema, partitions, properties)
     try GraftCatalog.withIndex(warehouse) { idx =>
+      // the target namespace must exist (checked under the held lock —
+      // nested withIndex would overlap the file lock): a table created
+      // into an unregistered namespace would be unreachable by
+      // namespace-listing tools and un-droppable by DROP NAMESPACE
+      if (!ident.namespace().sameElements(Array("default")) &&
+          !readNamespaces().contains(nsKey(ident.namespace())))
+        throw new NoSuchNamespaceException(ident.namespace())
       if (idx.contains(idxKey(ident)) ||
           GraftCatalog.tables.containsKey(regKey(ident)))
         throw new TableAlreadyExistsException(ident)
@@ -748,22 +758,145 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)
 
-  // -- SupportsNamespaces (flat: the default namespace always exists) ----
+  // -- SupportsNamespaces (VERDICT r12 item 6) ---------------------------
+  // Real multi-namespace DDL: namespaces persist in the warehouse's
+  // `_namespaces.json` (mutated only under the same JVM + cross-process
+  // lock as the table index, so CREATE/DROP NAMESPACE and CREATE/DROP
+  // TABLE serialize against each other), `default` always exists, and
+  // every table path is already namespace-qualified (idxKey joins the
+  // full identifier), so tables in different namespaces — and RENAME
+  // across namespaces — need no storage change at all.
+
+  private def nsKey(namespace: Array[String]): String =
+    namespace.mkString("/")
+
+  private def readNamespaces(): Map[String, Map[String, String]] = {
+    val p = warehouse.resolve("_namespaces.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8")) match {
+        case JObject(fields) => fields.map {
+          case (k, JObject(props)) => k -> props.collect {
+            case (pk, JString(pv)) => pk -> pv
+          }.toMap
+          case (k, _) => k -> Map.empty[String, String]
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  private def writeNamespaces(m: Map[String, Map[String, String]]): Unit = {
+    import org.json4s._
+    val j = JObject(m.toList.sortBy(_._1).map { case (k, props) =>
+      k -> (JObject(props.toList.sortBy(_._1).map { case (pk, pv) =>
+        pk -> (JString(pv): JValue)
+      }): JValue)
+    })
+    val p = warehouse.resolve("_namespaces.json")
+    val tmp = warehouse.resolve("_namespaces.json.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
+      .getBytes("UTF-8"))
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   override def listNamespaces(): Array[Array[String]] =
-    Array(Array("default"))
+    GraftCatalog.withIndex(warehouse) { idx =>
+      idx -> (Set("default") ++ readNamespaces().keySet)
+        .toArray.sorted.map(_.split("/"))
+    }
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else throw new NoSuchNamespaceException(namespace)
+    else if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    else {
+      // one-level-down children of a multi-part namespace
+      val prefix = nsKey(namespace) + "/"
+      GraftCatalog.withIndex(warehouse) { idx =>
+        idx -> readNamespaces().keySet.filter(k =>
+          k.startsWith(prefix) && !k.stripPrefix(prefix).contains("/"))
+          .toArray.sorted.map(_.split("/"))
+      }
+    }
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
-    if (namespaceExists(namespace)) util.Collections.emptyMap()
-    else throw new NoSuchNamespaceException(namespace)
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    else {
+      val m = new util.HashMap[String, String]()
+      GraftCatalog.withIndex(warehouse) { idx =>
+        idx -> readNamespaces().getOrElse(nsKey(namespace), Map.empty)
+      }.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || namespace.sameElements(Array("default"))
+    namespace.isEmpty || namespace.sameElements(Array("default")) ||
+      GraftCatalog.withIndex(warehouse) { idx =>
+        idx -> readNamespaces().contains(nsKey(namespace))
+      }
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit = ()
+      metadata: util.Map[String, String]): Unit =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      // existence checked INSIDE the held lock (a nested withIndex
+      // would overlap the JVM's own file lock): default or registered
+      val all = readNamespaces()
+      if (namespace.sameElements(Array("default")) ||
+          all.contains(nsKey(namespace)))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NamespaceAlreadyExistsException(namespace)
+      require(namespace.nonEmpty && namespace.forall(_.nonEmpty),
+        "namespace parts must be non-empty")
+      writeNamespaces(all + (nsKey(namespace) -> metadata.asScala.toMap))
+      (idx, ())
+    }
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit = ()
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
+      changes: NamespaceChange*): Unit =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      val all = readNamespaces()
+      val k = nsKey(namespace)
+      val isDefault = namespace.sameElements(Array("default"))
+      if (!isDefault && !all.contains(k))
+        throw new NoSuchNamespaceException(namespace)
+      if (!isDefault) {
+        val props = changes.foldLeft(all.getOrElse(k, Map.empty)) {
+          case (m, set: NamespaceChange.SetProperty) =>
+            m + (set.property() -> set.value())
+          case (m, rm: NamespaceChange.RemoveProperty) =>
+            m - rm.property()
+          case (m, _) => m
+        }
+        writeNamespaces(all + (k -> props))
+      }
+      (idx, ())
+    }
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      if (namespace.sameElements(Array("default")))
+        throw new UnsupportedOperationException(
+          "the default namespace cannot be dropped")
+      val k = nsKey(namespace)
+      val all = readNamespaces()
+      if (!all.contains(k)) (idx, false)
+      else {
+        val tablePrefix = k + "/"
+        val contained = idx.keys.filter(_.startsWith(tablePrefix)).toSeq
+        val children = all.keySet.filter(_.startsWith(tablePrefix))
+        if (!cascade && (contained.nonEmpty || children.nonEmpty))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NonEmptyNamespaceException(namespace)
+        // cascade: physically drop every contained table (same work
+        // dropTable does, under the already-held lock) + child namespaces
+        contained.foreach { tk =>
+          idx.get(tk).foreach(e => graft.util.Fs.rmTree(Paths.get(e.dir)))
+          GraftCatalog.tables.remove(warehouse.toString + "\u0000" + tk)
+        }
+        writeNamespaces(all - k -- children)
+        ((idx -- contained), true)
+      }
+    }
 }
 
 object GraftCatalog {
@@ -1058,6 +1191,33 @@ class GraftTable(ident: String, val dir: NioPath,
     }
   }
 
+  /** In-flight idempotent batch apply: (appId, batchId) to stamp into
+    * the next commit's transaction ledger. Set/cleared only by
+    * [[applyBatchOnce]]. */
+  @volatile private[graft] var pendingTxn: Option[(String, Long)] = None
+
+  /** Idempotent foreachBatch application (VERDICT r12 item 7 — the MV
+    * crash-replay hardening; Delta's txnAppId/txnVersion pattern).
+    * foreachBatch is AT-LEAST-ONCE: a crash between the batch's table
+    * commit and the streaming checkpoint commit re-delivers the batch
+    * on restart. `body` runs only when `batchId` is NEWER than the
+    * last id the ledger recorded for `appId`; the commit(s) `body`
+    * performs on THIS table carry the ledger stamp atomically, so the
+    * replayed batch sees it recorded and skips — no double-increment.
+    * Returns false when the batch was already applied. `appId` must be
+    * stable across restarts (the MV's name, not the run's query id);
+    * Spark batch ids are monotonic per checkpoint. */
+  private[graft] def applyBatchOnce(appId: String, batchId: Long)(
+      body: => Unit): Boolean = {
+    refreshFromDisk()
+    if (stateNow.txns.get(appId).exists(_ >= batchId)) false
+    else {
+      pendingTxn = Some((appId, batchId))
+      try { body; true }
+      finally pendingTxn = None
+    }
+  }
+
   /** One optimistic commit: refresh, build (validating against the
     * refreshed state — builders throw their own loud conflict errors),
     * CAS-publish. `build` returning None means the round decided to
@@ -1091,9 +1251,19 @@ class GraftTable(ident: String, val dir: NioPath,
                   s.copy(tsMillis = System.currentTimeMillis()))
               case None => ns
             }
-            if (GraftStorage.casWriteLog(dir, stamped, stamped.nextVersion)) {
-              state = stamped
-              GraftStorage.pruneLogs(dir, stamped.nextVersion - 4)
+            // transaction-ledger stamp (VERDICT r12 item 7): when an
+            // idempotent batch apply is in flight ([[applyBatchOnce]]),
+            // record its (appId -> batchId) IN THIS SAME COMMIT — the
+            // ledger entry and the batch's change become visible
+            // atomically, so a crash leaves either both or neither,
+            // never an applied-but-unrecorded batch
+            val withTxn = pendingTxn match {
+              case Some((a, v)) => stamped.copy(txns = stamped.txns + (a -> v))
+              case None => stamped
+            }
+            if (GraftStorage.casWriteLog(dir, withTxn, withTxn.nextVersion)) {
+              state = withTxn
+              GraftStorage.pruneLogs(dir, withTxn.nextVersion - 4)
               return
             }
           // CAS lost to a foreign commit: loop — refresh adopts the
@@ -1712,7 +1882,7 @@ class GraftTable(ident: String, val dir: NioPath,
     new GraftScanBuilder(s.schema,
       s.current.map(_.files).getOrElse(Vector.empty), Some(this), partCols,
       bucketBy, sortCols ++ zorderCols,
-      maxFilesPerTrigger = GraftLogStream.maxFilesOption(options))
+      admission = GraftAdmission.fromOptions(options))
   }
 
   // ---- plain write path (INSERT INTO / INSERT OVERWRITE) ---------------
@@ -2270,18 +2440,37 @@ object GraftHistoryTable {
 class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
     bucketSpec: Option[(String, Int)] = None,
-    clusterCols: Seq[String] = Nil, maxFilesPerTrigger: Int = 0)
+    clusterCols: Seq[String] = Nil,
+    admission: GraftAdmission = GraftAdmission())
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownV2Filters
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var acceptedV2: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
   private var all: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var allV2: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+  // predicates with no V1 rendering — still consulted for file skipping
+  // through the V2 stats walk (GraftV2Preds.mayMatch)
+  private var v2Only: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
   private var servedAgg: Option[(StructType, Array[Array[Any]], String)] =
     None
   private var narrowedByLimit: Option[Vector[GraftFileRef]] = None
+  // exact partition-filter pushdown (VERDICT r12 item 5): when every
+  // pushed predicate references only PARTITION columns and the file
+  // set is DECIDABLE (each file provably full-matches or provably
+  // cannot match — what identity-partitioned writes guarantee), the
+  // filter is applied EXACTLY by file selection and reported fully
+  // pushed: no residual Filter remains, which is precisely what lets
+  // Spark attempt aggregate/limit pushdown — `COUNT(*) WHERE p = v`
+  // on a 100-TB partitioned table becomes a zero-I/O manifest fold.
+  private var exactFiles: Option[Vector[GraftFileRef]] = None
+  private def effFiles: Vector[GraftFileRef] = exactFiles.getOrElse(files)
 
   // nested = true: every partition of this scan reads through the
   // parquet FileIterator, so a validated nested prune reaches the
@@ -2292,24 +2481,72 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     required = GraftStorage.sanitizeRequired(tableSchema, requiredSchema,
       nested = true)
 
-  override def pushFilters(
-      filters: Array[org.apache.spark.sql.sources.Filter]):
-      Array[org.apache.spark.sql.sources.Filter] = {
-    all = filters
-    val (ok, _) = filters.partition(GraftFilterEval.supports(tableSchema, _))
-    accepted = ok
-    // hand EVERY filter back as a post-scan residual (the file-source
-    // convention): the accepted ones still drive file pruning and
-    // in-parquet row-group skipping here, but the exact row-level
-    // evaluation stays in Spark's codegen'd Filter node — which is
-    // also what dynamic partition pruning anchors on (a dim-side
-    // selective predicate swallowed into the scan would leave no
-    // Filter in the plan and silently disable runtime file skipping
+  /** V2 predicate pushdown (VERDICT r12 item 4 — the richer seam:
+    * Spark's V2 translation covers startsWith and arbitrary AND/OR
+    * trees that the V1 path either drops or never offers). Each pushed
+    * predicate is rendered back to a V1 filter (the public
+    * PredicateUtils bridge) so ONE downstream machine — GraftFilterEval
+    * row eval, GraftStorage.mayMatch stats/bloom pruning, in-parquet
+    * row-group skipping — serves both shapes; predicates with no V1
+    * rendering still prune files through the V2 stats walk. */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]):
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    allV2 = predicates
+    val rendered = predicates.map(p =>
+      p -> org.apache.spark.sql.graftshims.GraftShims.predicateToV1(p))
+    all = rendered.flatMap(_._2)
+    v2Only = rendered.collect { case (p, None) => p }
+    val acc = rendered.collect {
+      case (p, Some(f)) if GraftFilterEval.supports(tableSchema, f) => (p, f)
+    }
+    accepted = acc.map(_._2)
+    acceptedV2 = acc.map(_._1)
+    // EXACT partition-filter pushdown: engaged only when (a) the
+    // session conf allows it, (b) every predicate both renders to V1
+    // and references only partition columns, and (c) the current file
+    // set is decidable — so selecting the must-match files IS the
+    // filter, bit-exactly. Trade-off (why the conf exists): a fully-
+    // pushed filter leaves no Filter node, and if THIS table is the
+    // dim side of a star join, Spark's partition-pruning planner then
+    // sees no selective dim predicate and skips the DPP subquery the
+    // FACT side's runtime file skipping hangs on. Partition-exact
+    // filters on a dim table are a rare shape; the metadata-served
+    // aggregate is the common one — default on, switchable off.
+    val exactOn =
+      try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.exactPartitionPushdown", "true") == "true"
+      catch { case _: Exception => false }
+    if (exactOn && partCols.nonEmpty && predicates.nonEmpty &&
+        all.length == predicates.length && {
+          val pc = partCols.toSet
+          all.forall { f =>
+            val r = f.references
+            r.nonEmpty && r.forall(pc.contains)
+          }
+        } && files.forall(f =>
+          allV2.forall(GraftV2Preds.mustMatchAll(tableSchema, f, _)) ||
+            allV2.exists(!GraftV2Preds.mayMatch(tableSchema, f, _)))) {
+      exactFiles = Some(files.filter(f =>
+        allV2.forall(GraftV2Preds.mustMatchAll(tableSchema, f, _))))
+      acceptedV2 = predicates
+      // rows of the selected files ALL match — no reader re-eval needed
+      accepted = Array.empty
+      return Array.empty
+    }
+    // otherwise hand EVERY predicate back as a post-scan residual (the
+    // file-source convention): the accepted ones still drive file
+    // pruning and in-parquet row-group skipping here, but the exact
+    // row-level evaluation stays in Spark's codegen'd Filter node —
+    // which is also what dynamic partition pruning anchors on (a
+    // dim-side selective predicate swallowed into the scan would leave
+    // no Filter in the plan and silently disable runtime file skipping
     // on the fact side).
-    filters
+    predicates
   }
-  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-    accepted
+  override def pushedPredicates():
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    acceptedV2
 
   /** Bucket pruning: an equality predicate on the bucket column keeps
     * only the ONE bucket the literal hashes to — a point lookup on a
@@ -2344,13 +2581,17 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    all.isEmpty && GraftAggPushdown.compute(tableSchema, files, agg).isDefined
+    (allV2.isEmpty || exactFiles.isDefined) &&
+      GraftAggPushdown.compute(tableSchema, effFiles, agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
+    // under exact partition pushdown the manifest fold runs over the
+    // must-match files only — `COUNT/MIN/MAX ... WHERE p = v` serves
+    // from that partition's refs with zero files opened
     servedAgg =
-      if (all.nonEmpty) None
-      else GraftAggPushdown.compute(tableSchema, files, agg)
+      if (allV2.nonEmpty && exactFiles.isEmpty) None
+      else GraftAggPushdown.compute(tableSchema, effFiles, agg)
     servedAgg.isDefined
   }
 
@@ -2364,10 +2605,11 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     * commit order) until the cumulative row count covers k — a
     * `SELECT * FROM t LIMIT 10` on a 100 TB table opens one file. */
   override def pushLimit(limit: Int): Boolean = {
-    if (all.nonEmpty || files.isEmpty) return false
+    if ((allV2.nonEmpty && exactFiles.isEmpty) || effFiles.isEmpty)
+      return false
     val sel = Vector.newBuilder[GraftFileRef]
     var cum = 0L
-    val it = files.iterator
+    val it = effFiles.iterator
     while (cum < limit && it.hasNext) {
       val f = it.next(); sel += f; cum += f.rows
     }
@@ -2390,7 +2632,8 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (all.nonEmpty || orders.isEmpty || files.isEmpty) return false
+    if ((allV2.nonEmpty && exactFiles.isEmpty) || orders.isEmpty ||
+        effFiles.isEmpty) return false
     val nr = orders(0).expression() match {
       case n: NamedReference if n.fieldNames().length == 1 => n
       case _ => return false
@@ -2405,7 +2648,7 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     // exact per-file leading-key bounds; any gap refuses the push
     val bounds = Vector.newBuilder[(GraftFileRef, Any, Any)] // (f, lo, hi)
     var ok = true
-    files.foreach { f =>
+    effFiles.foreach { f =>
       if (ok && f.rows > 0) {
         val fo = GraftStorage.refOrdinal(f, fld)
         if (fo < 0) ok = false
@@ -2436,7 +2679,7 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
       bound = if (asc) x._3 else x._2
     }
     narrowedByLimit = Some(
-      if (cum < limit) files // table smaller than k: keep everything
+      if (cum < limit) effFiles // table smaller than k: keep everything
       else if (asc) bs.filter(x => cmp(x._2, bound) <= 0).map(_._1)
       else bs.filter(x => cmp(x._3, bound) >= 0).map(_._1))
     true
@@ -2462,16 +2705,17 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
   override def build(): Scan = {
     servedAgg match {
       case Some((out, values, desc)) =>
-        return new GraftAggScan(out, values, files.size, desc)
+        return new GraftAggScan(out, values, effFiles.size, desc)
       case None => ()
     }
-    val base = narrowedByLimit.getOrElse(files)
+    val base = narrowedByLimit.getOrElse(effFiles)
     val surviving = base.filter(f =>
       bucketSurvives(f) && fileColSurvives(f) &&
-        all.forall(GraftStorage.mayMatch(tableSchema, f, _)))
+        all.forall(GraftStorage.mayMatch(tableSchema, f, _)) &&
+        v2Only.forall(GraftV2Preds.mayMatch(tableSchema, f, _)))
     new GraftScan(tableSchema, required, accepted, surviving,
       skipped = files.size - surviving.size, streamTable, partCols,
-      bucketSpec, clusterCols, maxFilesPerTrigger)
+      bucketSpec, clusterCols, admission)
   }
 }
 
@@ -2626,6 +2870,42 @@ object GraftV2Preds {
           org.apache.spark.sql.sources.EqualTo(c, v))
       case _ => true
     }
+    // tree recursion + range/prefix leaves (VERDICT r12 item 4): the
+    // same conservative stats walk, over predicate shapes only the V2
+    // path carries. Non-predicate children stay conservative.
+    case "AND" => p.children().forall {
+      case c: Predicate => mayMatch(schema, f, c)
+      case _ => true
+    }
+    case "OR" => p.children().exists {
+      case c: Predicate => mayMatch(schema, f, c)
+      case _ => true
+    }
+    case ">" | ">=" | "<" | "<=" => singleCol(p) match {
+      case Some((c, v :: Nil)) if v != null =>
+        val v1 = p.name() match {
+          case ">" => org.apache.spark.sql.sources.GreaterThan(c, v)
+          case ">=" => org.apache.spark.sql.sources.GreaterThanOrEqual(c, v)
+          case "<" => org.apache.spark.sql.sources.LessThan(c, v)
+          case _ => org.apache.spark.sql.sources.LessThanOrEqual(c, v)
+        }
+        GraftStorage.mayMatch(schema, f, v1)
+      case _ => true
+    }
+    case "STARTS_WITH" => singleCol(p) match {
+      case Some((c, (v: String) :: Nil)) =>
+        GraftStorage.mayMatch(schema, f,
+          org.apache.spark.sql.sources.StringStartsWith(c, v))
+      case _ => true
+    }
+    case "IS_NULL" | "IS_NOT_NULL" => p.children().toList match {
+      case (col: NamedReference) :: Nil if col.fieldNames().length == 1 =>
+        val c = col.fieldNames()(0)
+        GraftStorage.mayMatch(schema, f,
+          if (p.name() == "IS_NULL") org.apache.spark.sql.sources.IsNull(c)
+          else org.apache.spark.sql.sources.IsNotNull(c))
+      case _ => true
+    }
     case _ => true
   }
 
@@ -2726,6 +3006,10 @@ object GraftFilterEval {
     case LessThanOrEqual(c, v) => comparable(schema, c, v)
     case IsNull(c) => ordinalOf(schema, c) >= 0
     case IsNotNull(c) => ordinalOf(schema, c) >= 0
+    // UTF8String.startsWith is byte-prefix — exactly Spark's StartsWith
+    // semantics (null never satisfies)
+    case StringStartsWith(c, v) if v != null =>
+      comparable(schema, c, v)
     case _ => false
   }
 
@@ -2777,6 +3061,10 @@ object GraftFilterEval {
       val o = ordinalOf(schema, c); r => r.isNullAt(o)
     case IsNotNull(c) =>
       val o = ordinalOf(schema, c); r => !r.isNullAt(o)
+    case StringStartsWith(c, v) =>
+      val o = ordinalOf(schema, c)
+      val p = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      r => !r.isNullAt(o) && r.getUTF8String(o).startsWith(p)
     case other => throw new IllegalStateException(s"unaccepted filter $other")
   }
 }
@@ -2790,7 +3078,8 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     files: Vector[GraftFileRef], skipped: Int,
     streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
     bucketSpec: Option[(String, Int)] = None,
-    clusterCols: Seq[String] = Nil, maxFilesPerTrigger: Int = 0)
+    clusterCols: Seq[String] = Nil,
+    admission: GraftAdmission = GraftAdmission())
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
@@ -3031,7 +3320,7 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     streamTable match {
       case Some(t) =>
         new GraftMicroBatchStream(t, tableSchema, requiredSchema, rowFilters,
-          maxFilesPerTrigger)
+          admission)
       case None => throw new UnsupportedOperationException(
         s"${getClass.getName}: this scan is not streamable")
     }
@@ -3178,28 +3467,43 @@ class GraftRowPipeline(neededSchema: StructType, requiredSchema: StructType,
   * catalog's commit log as the file ledger. */
 /** ADMISSION CONTROL + Trigger.AvailableNow for the catalog's
   * log-indexed streams (append log, change feed): both index an
-  * ordered ledger with integer offsets where each entry is ONE file,
-  * so `maxFilesPerTrigger` bounds a micro-batch exactly. This is the
-  * backpressure a 100-TB backfill needs — a fresh stream over a huge
-  * table processes N files per batch (bounded state, bounded task
-  * count, steady checkpoint cadence) instead of one giant batch; with
-  * AvailableNow the end offset is PINNED at query start, so a bounded
-  * backfill terminates even while writers keep committing. */
+  * ordered ledger with integer offsets where each entry is ONE file
+  * with exact recorded rows/bytes — so `maxFilesPerTrigger` bounds a
+  * micro-batch exactly, and `maxRowsPerTrigger`/`maxBytesPerTrigger`
+  * (VERDICT r12 item 8) bound it by walking the ledger's per-entry
+  * row/byte counts (at least one file always admits, the file-source
+  * progress guarantee; composite limits take the tightest cap). This
+  * is the backpressure a 100-TB backfill needs — bounded state,
+  * bounded task count, steady checkpoint cadence instead of one giant
+  * batch; with AvailableNow the end offset is PINNED at query start,
+  * so a bounded backfill terminates even while writers keep
+  * committing. */
 trait GraftLogStream
     extends org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows}
 
   /** Current [base, end) of the retained ledger, disk-fresh. */
   protected def logWindow(): (Int, Int)
-  /** maxFilesPerTrigger (0 = unbounded). */
-  protected def maxFilesPerTrigger: Int
+  /** The ledger entries for GLOBAL offsets [from, until). */
+  protected def logEntries(from: Int, until: Int): Vector[GraftFileRef]
+  /** Per-trigger admission caps (0 = unbounded). */
+  protected def admission: GraftAdmission
 
   @volatile private var pinnedEnd: Int = -1
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
-    else ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = Seq(
+      if (admission.maxFiles > 0)
+        Some(ReadLimit.maxFiles(admission.maxFiles)) else None,
+      if (admission.maxRows > 0)
+        Some(ReadLimit.maxRows(admission.maxRows)) else None,
+      if (admission.maxBytes > 0)
+        Some(ReadLimit.maxBytes(admission.maxBytes)) else None).flatten
+    if (ls.isEmpty) ReadLimit.allAvailable()
+    else if (ls.size == 1) ls.head
+    else ReadLimit.compositeLimit(ls.toArray)
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     pinnedEnd = logWindow()._2
@@ -3207,36 +3511,66 @@ trait GraftLogStream
   override def reportLatestOffset(): Offset =
     GraftStreamOffset(logWindow()._2)
 
+  /** Largest end offset in (s, end] whose entries' summed `measure`
+    * stays within `cap` — admitting at least ONE entry so the stream
+    * always makes progress (a single file larger than the cap still
+    * ships alone, the FileStreamSource convention). */
+  private def boundedEnd(s: Int, end: Int, cap: Long,
+      measure: GraftFileRef => Long): Int = {
+    if (s >= end) return end
+    val entries = logEntries(s, end)
+    var cum = 0L
+    var i = 0
+    while (i < entries.size &&
+        (i == 0 || cum + math.max(0L, measure(entries(i))) <= cap)) {
+      cum += math.max(0L, measure(entries(i)))
+      i += 1
+      if (cum >= cap) return s + i
+    }
+    s + i
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftStreamOffset].i
     val endNow = logWindow()._2
     val end = if (pinnedEnd >= 0) math.min(endNow, pinnedEnd) else endNow
     def capOf(l: ReadLimit): Int = l match {
       case mf: ReadMaxFiles => s + mf.maxFiles()
+      case mr: ReadMaxRows => boundedEnd(s, end, mr.maxRows(), _.rows)
+      case mb: ReadMaxBytes => boundedEnd(s, end, mb.maxBytes(), _.bytes)
       case _: ReadAllAvailable => end
       case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
         c.getReadLimits.map(capOf).min
-      case _ => end // rows/bytes limits: entries are files; serve all
+      case _ => end // unknown limit kinds: serve all (conservative)
     }
     GraftStreamOffset(math.max(s, math.min(end, capOf(limit))))
   }
 }
 
-object GraftLogStream {
-  /** The standard file-source option, same spelling. */
-  def maxFilesOption(options: CaseInsensitiveStringMap): Int = {
-    val raw = options.getOrDefault("maxFilesPerTrigger", "0")
-    val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"maxFilesPerTrigger must be a positive integer, got '$raw'"))
-    require(n >= 0, s"maxFilesPerTrigger must be positive, got $n")
-    n
+/** Per-trigger admission caps for the catalog streams (0 = off). */
+final case class GraftAdmission(maxFiles: Int = 0, maxRows: Long = 0L,
+    maxBytes: Long = 0L)
+
+object GraftAdmission {
+  /** The standard file-source option spellings. */
+  def fromOptions(options: CaseInsensitiveStringMap): GraftAdmission = {
+    def long(key: String): Long = {
+      val raw = options.getOrDefault(key, "0")
+      val n = raw.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$key must be a non-negative integer, got '$raw'"))
+      require(n >= 0, s"$key must be non-negative, got $n")
+      n
+    }
+    GraftAdmission(long("maxFilesPerTrigger").toInt,
+      long("maxRowsPerTrigger"), long("maxBytesPerTrigger"))
   }
 }
 
 class GraftMicroBatchStream(table: GraftTable, tableSchema: StructType,
     requiredSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    protected val maxFilesPerTrigger: Int = 0)
+    protected val admission: GraftAdmission = GraftAdmission())
     extends MicroBatchStream with GraftLogStream {
 
   protected def logWindow(): (Int, Int) = {
@@ -3244,6 +3578,11 @@ class GraftMicroBatchStream(table: GraftTable, tableSchema: StructType,
     table.refreshFromDisk()
     val st = table.stateNow
     (st.appendBase, st.appendBase + st.appendLog.size)
+  }
+
+  protected def logEntries(from: Int, until: Int): Vector[GraftFileRef] = {
+    val st = table.stateNow
+    st.appendLog.slice(from - st.appendBase, until - st.appendBase)
   }
 
   // a FRESH stream starts at the earliest RETAINED entry (appendBase);

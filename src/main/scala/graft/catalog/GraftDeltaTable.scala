@@ -511,12 +511,12 @@ class GraftChangeFeedTable(ident: String, table: GraftDeltaTable)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     table.refreshFromDisk()
     new GraftChangeFeedScanBuilder(table,
-      GraftLogStream.maxFilesOption(options))
+      GraftAdmission.fromOptions(options))
   }
 }
 
 class GraftChangeFeedScanBuilder(table: GraftDeltaTable,
-    maxFilesPerTrigger: Int = 0)
+    admission: GraftAdmission = GraftAdmission())
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private val feedSchema = table.changeFeedSchema
   private var required: StructType = feedSchema
@@ -525,11 +525,11 @@ class GraftChangeFeedScanBuilder(table: GraftDeltaTable,
   override def pruneColumns(r: StructType): Unit =
     required = GraftStorage.sanitizeRequired(feedSchema, r, nested = true)
   override def build(): Scan =
-    new GraftChangeFeedScan(table, feedSchema, required, maxFilesPerTrigger)
+    new GraftChangeFeedScan(table, feedSchema, required, admission)
 }
 
 class GraftChangeFeedScan(table: GraftDeltaTable, feedSchema: StructType,
-    requiredSchema: StructType, maxFilesPerTrigger: Int = 0)
+    requiredSchema: StructType, admission: GraftAdmission = GraftAdmission())
     extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -547,16 +547,21 @@ class GraftChangeFeedScan(table: GraftDeltaTable, feedSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftChangeFeedStream(table, feedSchema, requiredSchema,
-      maxFilesPerTrigger)
+      admission)
 }
 
 /** Offsets index the change ledger exactly like [[GraftMicroBatchStream]]
   * indexes the append log — same retention/expiry discipline. */
 class GraftChangeFeedStream(table: GraftDeltaTable, feedSchema: StructType,
     requiredSchema: StructType,
-    protected val maxFilesPerTrigger: Int = 0)
+    protected val admission: GraftAdmission = GraftAdmission())
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with GraftLogStream {
+
+  protected def logEntries(from: Int, until: Int): Vector[GraftFileRef] = {
+    val st = table.stateNow
+    st.changeLog.slice(from - st.changeBase, until - st.changeBase)
+  }
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   protected def logWindow(): (Int, Int) = {

@@ -1283,6 +1283,36 @@ object GraftStorage {
           (fileOrd(c) >= 0 && statsOf(c).forall(_.nulls < f.rows))
       case And(l, r) => mayMatch(schema, f, l) && mayMatch(schema, f, r)
       case Or(l, r) => mayMatch(schema, f, l) || mayMatch(schema, f, r)
+      // String-prefix pruning (VERDICT r12 item 4): all strings with
+      // prefix P form the contiguous range [P, P·∞) in UTF8 byte order,
+      // so a file provably holds no match when max < P, or when min's
+      // own |P|-char prefix already exceeds P (every row ≥ min is then
+      // beyond the prefix range). On a sort_by/z-order table the spans
+      // are near-disjoint and a LIKE 'P%' opens O(matching) files.
+      case StringStartsWith(c, prefix) if prefix != null =>
+        field(c) match {
+          case Some(fld) if fld.dataType == StringType =>
+            val p = UTF8String.fromString(prefix)
+            if (fileOrd(c) < 0)
+              // file predates the column: every row reads the frozen
+              // default (or null, which never satisfies a predicate)
+              existsDefault(fld) match {
+                case Some(d: UTF8String) => d.startsWith(p)
+                case _ => false
+              }
+            else statsOf(c) match {
+              case Some(st) if st.min.isDefined && st.max.isDefined =>
+                try {
+                  val lo = UTF8String.fromString(st.min.get)
+                  val hi = UTF8String.fromString(st.max.get)
+                  hi.compareTo(p) >= 0 &&
+                    lo.substring(0, p.numChars()).compareTo(p) <= 0
+                } catch { case _: Exception => true }
+              case Some(st) if st.min.isEmpty => st.nulls < f.rows
+              case _ => true
+            }
+          case _ => true
+        }
       case _ => true
     }
   }
@@ -1381,7 +1411,14 @@ object GraftStorage {
       // enforced CHECK constraints (name, predicate SQL, validated)
       "checks" -> JArray(st.checks.toList.map(c => JObject(
         "name" -> JString(c.name), "sql" -> JString(c.sql),
-        "validated" -> JBool(c.validated)): JValue)))
+        "validated" -> JBool(c.validated)): JValue)),
+      // transaction ledger (VERDICT r12 item 7, Delta's txnAppId/
+      // txnVersion pattern): appId -> last applied batch id, stamped
+      // in the SAME commit as the batch's own change, so an
+      // at-least-once foreachBatch replay (crash between the MERGE
+      // and the checkpoint commit) is detected and skipped
+      "txns" -> JObject(st.txns.toList.sortBy(_._1).map { case (a, v) =>
+        a -> (JLong(v): JValue) }))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -1423,7 +1460,11 @@ object GraftStorage {
             co("sql").asInstanceOf[JString].s,
             co("validated").asInstanceOf[JBool].value)
         }.toVector
-      }.getOrElse(Vector.empty))
+      }.getOrElse(Vector.empty),
+      // absent in pre-ledger logs: no transactions recorded
+      o.get("txns").collect { case tj: JObject =>
+        tj.obj.map { case (a, v) => a -> num(v) }.toMap
+      }.getOrElse(Map.empty))
   }
 
   // ---- versioned log with compare-and-swap commit ----------------------
@@ -1646,7 +1687,8 @@ final case class GraftTableState(schemaJson: String,
     epochHW: Map[String, Long],
     nextFieldId: Int = 0,
     tags: Map[String, Int] = Map.empty,
-    checks: Vector[GraftCheck] = Vector.empty) {
+    checks: Vector[GraftCheck] = Vector.empty,
+    txns: Map[String, Long] = Map.empty) {
   def current: Option[GraftSnapshot] = snapshots.lastOption
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]

@@ -72,4 +72,38 @@ object GraftShims {
       .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name)): Unit
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** V2 Predicate -> V1 Filter rendering for a
+    * SupportsPushDownV2Filters builder that reuses one downstream
+    * filter machine for row eval, stats pruning, and in-parquet
+    * pushdown.
+    *
+    * STRICT on connectives, unlike Spark's own `PredicateUtils.toV1`:
+    * that bridge falls back to the TRANSLATABLE SIDE of an OR whose
+    * other side fails V1 rendering — `priority = 'X' OR f(key) = 7`
+    * becomes just `priority = 'X'`, which as a row/prune filter
+    * silently drops every row matching only the right side (found
+    * live: q224's dim filter lost its modulo arm). Here a connective
+    * renders only if EVERY child renders; leaves delegate to Spark's
+    * bridge, which is all-or-nothing for them. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or}
+    p match {
+      case and: V2And =>
+        for { l <- predicateToV1(and.left())
+              r <- predicateToV1(and.right()) }
+          yield org.apache.spark.sql.sources.And(l, r)
+      case or: V2Or =>
+        for { l <- predicateToV1(or.left())
+              r <- predicateToV1(or.right()) }
+          yield org.apache.spark.sql.sources.Or(l, r)
+      case not: V2Not =>
+        predicateToV1(not.child())
+          .map(org.apache.spark.sql.sources.Not)
+      case _ =>
+        org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+    }
+  }
 }
