@@ -2505,7 +2505,134 @@ object CatalogQueries {
         SELECT o_orderpriority, COUNT(*) AS n,
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM orders WHERE o_orderkey % 2 = 0
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q244:
+    // COMPOSED LAYOUT PRUNING: Z-ORDER SPANS x BLOOM FILTERS — the two
+    // skipping mechanisms are INDEPENDENT axes and a scan applies both:
+    // `graft.zorder_by (a, b)` clusters files into near-disjoint
+    // 2-D tiles (range predicates on EITHER dimension prune by
+    // min/max span), while `graft.bloom_by c` catches point lookups on
+    // an UNCLUSTERED high-cardinality column whose value spans admit
+    // everything. The multi-tenant analytics shape at 100 TB: range-
+    // slice by the clustered dimensions AND pin an exact id, and the
+    // scan opens only files that survive BOTH tests. Spec pins the
+    // composed file skips; this query proves value equality for
+    // range-AND-point, point-only, and range-only selections.
+    QueryDef(
+      "q244_zorder_bloom_compose",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_zb")
+        s.sql("""CREATE TABLE graft_cat.default.orders_zb
+                 (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+                 TBLPROPERTIES (
+                   'graft.zorder_by'='o_custkey,o_totalprice',
+                   'graft.bloom_by'='o_orderkey')""")
+        Tables(s, d, "orders").createOrReplaceTempView("q244_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_zb
+                 SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM q244_orders""")
+        s.sql("""
+          SELECT 'range_and_point' AS shape, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS s
+          FROM graft_cat.default.orders_zb
+          WHERE o_custkey BETWEEN 100 AND 300 AND o_orderkey = 742
+          UNION ALL
+          SELECT 'point_only', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+          FROM graft_cat.default.orders_zb WHERE o_orderkey = 742
+          UNION ALL
+          SELECT 'range_only', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+          FROM graft_cat.default.orders_zb
+          WHERE o_custkey BETWEEN 100 AND 300 AND o_totalprice < 150000.0
+          ORDER BY shape""")
+      },
+      Some("""
+        SELECT 'range_and_point' AS shape, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS s
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 300 AND o_orderkey = 742
+        UNION ALL
+        SELECT 'point_only', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey = 742
+        UNION ALL
+        SELECT 'range_only', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 300 AND o_totalprice < 150000.0
+        ORDER BY shape""")),
+
+    // -------------------------------------------------------------- q245:
+    // $partitions METADATA TABLE — the per-partition census (Iceberg's
+    // `partitions` table): one row per live partition tuple with exact
+    // file/row/byte counts folded from the commit refs, driver-local
+    // by construction. The operator questions at 100 TB — "which
+    // partition is skewed?", "where did the small files pile up?" —
+    // become one-line SQL with zero cluster work. The oracle pins the
+    // ROW counts against DuckDB's full recompute (file counts are
+    // writer-parallelism-dependent and census in the spec instead).
+    QueryDef(
+      "q245_partitions_table",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_pt")
+        s.sql("""CREATE TABLE graft_cat.default.orders_pt
+                 (o_orderkey BIGINT, o_orderpriority STRING)
+                 PARTITIONED BY (o_orderpriority)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q245_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_pt
+                 SELECT o_orderkey, o_orderpriority FROM q245_orders""")
+        s.sql("""SELECT partition, n_rows
+                 FROM graft_cat.default.`orders_pt$partitions`
+                 ORDER BY partition""")
+      },
+      Some("""
+        SELECT 'o_orderpriority=' || o_orderpriority AS partition,
+               COUNT(*) AS n_rows
+        FROM orders GROUP BY 1 ORDER BY partition""")),
+
+    // -------------------------------------------------------------- q246:
+    // OFFSET PUSHDOWN (`SupportsPushDownOffset`) — `OFFSET n` on an
+    // unfiltered managed scan drops exactly n rows INSIDE the scan:
+    // whole leading files the offset provably spans are never opened
+    // (spec-pinned: 2 of 4 files), the boundary file drops a row
+    // prefix at the source. Paginating a 100-TB export with
+    // LIMIT/OFFSET costs O(page), not O(scanned-so-far). The table is
+    // built as four ascending key-sliced commits, so the scan's
+    // deterministic commit-order read makes "the first 600 rows" the
+    // 600 smallest keys — which is what DuckDB's ORDER BY ... OFFSET
+    // recomputes for the oracle.
+    QueryDef(
+      "q246_offset_pushdown",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, ntile}
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_ofs")
+        s.sql("CREATE TABLE graft_cat.default.orders_ofs (k BIGINT)")
+        val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+        val tiled = Tables(s, d, "orders")
+          .select(col("o_orderkey"))
+          .withColumn("tile", ntile(4).over(w))
+        (1 to 4).foreach { i =>
+          tiled.filter(col("tile") === i)
+            .select(col("o_orderkey").as("k"))
+            .orderBy("k").coalesce(1)
+            .createOrReplaceTempView("q246_slice")
+          s.sql("""INSERT INTO graft_cat.default.orders_ofs
+                   SELECT k FROM q246_slice""")
+        }
+        s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(k) AS BIGINT) AS key_sum
+                 FROM (SELECT k FROM graft_cat.default.orders_ofs
+                       OFFSET 600)""")
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM (SELECT o_orderkey FROM orders
+              ORDER BY o_orderkey OFFSET 600)"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -124,6 +124,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return new GraftHistoryTable(idxKey(ident),
         loadTable(base).asInstanceOf[GraftTable])
     }
+    // `<table>$partitions`: the per-partition census (file/row/byte
+    // counts per live partition tuple, folded from the commit refs)
+    if (ident.name().endsWith("$partitions")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$partitions"))
+      return new GraftPartitionsTable(idxKey(ident),
+        loadTable(base).asInstanceOf[GraftTable])
+    }
     val cached = GraftCatalog.tables.get(regKey(ident))
     if (cached != null) cached
     else {
@@ -221,9 +229,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : (GraftTable, GraftCatalog.IndexEntry) = {
     require(!ident.name().endsWith("$changes") &&
         !ident.name().endsWith("$files") &&
-        !ident.name().endsWith("$history"),
-      "table names ending in $changes/$files/$history are reserved " +
-        "for metadata companion views")
+        !ident.name().endsWith("$history") &&
+        !ident.name().endsWith("$partitions"),
+      "table names ending in $changes/$files/$history/$partitions are " +
+        "reserved for metadata companion views")
     GraftStorage.validate(schema)
     val mode =
       if ("mor".equalsIgnoreCase(properties.getOrDefault("graft.mode", "cow")))
@@ -2143,6 +2152,66 @@ object GraftFilesTable {
       nullable = false)))
 }
 
+/** `<table>$partitions` — the per-partition census (Iceberg's
+  * `partitions` metadata table): one row per live partition tuple with
+  * exact file/row/byte counts, derived ENTIRELY from the commit refs
+  * (identity-partitioned writes pin each file's partition values as
+  * min == max stats). Driver-local LocalScan — the "is partition X
+  * skewed / piled up with small files?" question on a 100-TB table
+  * costs zero cluster work. Files whose partition tuple is unpinnable
+  * (null partition values) census under a NULL rendering rather than
+  * being silently dropped. Rejects unpartitioned tables loudly. */
+class GraftPartitionsTable(ident: String, base: GraftTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.LocalScan
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  require(base.partitionCols.nonEmpty,
+    s"$$partitions requires a partitioned table " +
+      s"(${base.name()} has no PARTITIONED BY columns)")
+
+  override def name(): String = ident
+  override def schema(): StructType = GraftPartitionsTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      base.refreshFromDisk()
+      private val pcs = base.partitionCols
+      private def key(f: GraftFileRef): String =
+        pcs.map { c =>
+          val pinned = f.stats.get(c).collect {
+            case st if st.nulls == 0 && st.min.isDefined &&
+                st.min == st.max => st.min.get
+          }
+          s"$c=${pinned.getOrElse("null")}"
+        }.mkString("/")
+      private val data: Array[InternalRow] =
+        base.stateNow.current.map(_.files).getOrElse(Vector.empty)
+          .groupBy(key).toArray.sortBy(_._1)
+          .map { case (k, fs) =>
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(k),
+              fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum))
+              : InternalRow
+          }
+      override def rows(): Array[InternalRow] = data
+      override def readSchema(): StructType = GraftPartitionsTable.Schema
+      override def description(): String =
+        s"GraftPartitionsTable($ident, ${data.length} partitions)"
+    }
+}
+
+object GraftPartitionsTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+}
+
 /** MANIFEST-SERVED AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`):
   * an unfiltered, ungrouped COUNT(*) / COUNT(col) / MIN(col) / MAX(col)
   * over a managed table is answered from the commit refs' EXACT
@@ -2445,7 +2514,8 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownV2Filters
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var required: StructType = tableSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -2618,6 +2688,26 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** OFFSET n: Spark removes the Offset node entirely on a successful
+    * push, so the scan must drop EXACTLY n rows. Without an ORDER BY
+    * any n rows are a valid skip, and the scan's row order is
+    * deterministic (files in commit order, each read sequentially):
+    * whole leading files whose cumulative row counts fit inside n are
+    * never OPENED, and the boundary file drops its first
+    * (n - cum) rows in the reader. Sound only on an UNFILTERED scan
+    * (exact partition pushdown included — every surviving row
+    * qualifies); refused when a LIMIT already narrowed the plan (the
+    * partial-limit shape keeps its own operator above). A `SELECT *
+    * FROM t OFFSET 1e9` on a 100-TB table opens no file the offset
+    * provably spans. */
+  private var pushedOffset: Long = 0L
+  override def pushOffset(offset: Int): Boolean = {
+    if ((allV2.nonEmpty && exactFiles.isEmpty) ||
+        narrowedByLimit.isDefined || offset <= 0) return false
+    pushedOffset = offset.toLong
+    true
+  }
+
   /** ORDER BY <col>[, ...] LIMIT k: every top-k row's leading-key value
     * is bounded by B = the leading-key bound of the file where the
     * cumulative row count (files sorted by that bound) first covers k —
@@ -2709,13 +2799,29 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
       case None => ()
     }
     val base = narrowedByLimit.getOrElse(effFiles)
-    val surviving = base.filter(f =>
+    val surviving0 = base.filter(f =>
       bucketSurvives(f) && fileColSurvives(f) &&
         all.forall(GraftStorage.mayMatch(tableSchema, f, _)) &&
         v2Only.forall(GraftV2Preds.mayMatch(tableSchema, f, _)))
+    // pushed OFFSET: drop whole leading files (never opened), give the
+    // boundary file a row-prefix skip. pushOffset only engages on an
+    // unfiltered scan, so per-file `rows` are exact contribution counts
+    // and the drop is exactly `pushedOffset` rows.
+    val (surviving, skipRows) =
+      if (pushedOffset <= 0L) (surviving0, 0L)
+      else {
+        var cum = 0L
+        var i = 0
+        while (i < surviving0.size &&
+            cum + surviving0(i).rows <= pushedOffset) {
+          cum += surviving0(i).rows
+          i += 1
+        }
+        (surviving0.drop(i), pushedOffset - cum)
+      }
     new GraftScan(tableSchema, required, accepted, surviving,
       skipped = files.size - surviving.size, streamTable, partCols,
-      bucketSpec, clusterCols, admission)
+      bucketSpec, clusterCols, admission, skipLeadingRows = skipRows)
   }
 }
 
@@ -3079,7 +3185,8 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     streamTable: Option[GraftTable], partCols: Seq[String] = Nil,
     bucketSpec: Option[(String, Int)] = None,
     clusterCols: Seq[String] = Nil,
-    admission: GraftAdmission = GraftAdmission())
+    admission: GraftAdmission = GraftAdmission(),
+    skipLeadingRows: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
@@ -3106,7 +3213,7 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
   // which never consults runtimeFiles, so advertising here is safe.
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (spjKeyed.isDefined) Array.empty
+    if (spjKeyed.isDefined || skipLeadingRows > 0) Array.empty
     else {
       val names = tableSchema.fieldNames.toSet
       (partCols ++ bucketSpec.map(_._1) ++ clusterCols).distinct
@@ -3151,7 +3258,7 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
       try org.apache.spark.sql.SparkSession.active.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
       catch { case _: Exception => false }
-    if (files.isEmpty || !enabled) None
+    if (files.isEmpty || !enabled || skipLeadingRows > 0) None
     else if (bucketSpec.isDefined) {
       // hash-bucket layout: every file carries its recorded bucket id;
       // the clustering expression is the catalog-resolved bucket(n, c)
@@ -3306,7 +3413,17 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
           f.colIds): InputPartition
       }.toArray
       // runtimeFiles == files unless a dynamic-pruning filter narrowed
-      case None => GraftScan.partitionsFor(runtimeFiles)
+      case None =>
+        if (skipLeadingRows > 0 && runtimeFiles.nonEmpty)
+          // pushed OFFSET: the boundary file stays UNSPLIT and carries
+          // the row-prefix skip (splitting would scatter "the first n
+          // rows" across ranges); the rest split as usual
+          (GraftFilePartition(runtimeFiles.head.path,
+            runtimeFiles.head.cols, runtimeFiles.head.rows,
+            colIds = runtimeFiles.head.colIds,
+            skipRows = skipLeadingRows): InputPartition) +:
+            GraftScan.partitionsFor(runtimeFiles.tail)
+        else GraftScan.partitionsFor(runtimeFiles)
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(tableSchema, requiredSchema, rowFilters)
@@ -3332,7 +3449,7 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
   * zero-column count-only path. */
 case class GraftFilePartition(path: String, cols: Vector[String],
     rows: Long, rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
-    colIds: Vector[Int] = Vector.empty)
+    colIds: Vector[Int] = Vector.empty, skipRows: Long = 0L)
     extends InputPartition
 
 /** SPJ variant of a file task: carries the file's pinned partition
@@ -3399,17 +3516,22 @@ class GraftReaderFactory(tableSchema: StructType,
       Set.empty)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (path, cols, rows, rangeStart, rangeEnd, colIds) = p match {
+    val (path, cols, rows, rangeStart, rangeEnd, colIds, skip) = p match {
       case fp: GraftFilePartition =>
-        (fp.path, fp.cols, fp.rows, fp.rangeStart, fp.rangeEnd, fp.colIds)
+        (fp.path, fp.cols, fp.rows, fp.rangeStart, fp.rangeEnd, fp.colIds,
+          fp.skipRows)
       case kp: GraftKeyedFilePartition =>
-        (kp.path, kp.cols, kp.rows, 0L, Long.MaxValue, kp.colIds)
+        (kp.path, kp.cols, kp.rows, 0L, Long.MaxValue, kp.colIds, 0L)
       case other =>
         throw new IllegalStateException(s"unexpected partition $other")
     }
     val it = new GraftStorage.FileIterator(path, cols, neededSchema,
       rows, rangeStart, rangeEnd, filters, colIds)
-    new GraftRowPipeline(neededSchema, requiredSchema, filters, it, it,
+    // pushed-OFFSET boundary file: drop the row prefix at the source
+    // (offset pushes only on unfiltered scans, so this drops exactly
+    // `skip` table rows)
+    val src = if (skip > 0) it.drop(skip.toInt) else it
+    new GraftRowPipeline(neededSchema, requiredSchema, filters, src, it,
       Map("_file" ->
         org.apache.spark.unsafe.types.UTF8String.fromString(path)))
   }

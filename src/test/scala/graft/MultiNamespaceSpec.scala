@@ -97,3 +97,45 @@ class MultiNamespaceSpec extends SparkSpec {
         Array(ns), name))
       .asInstanceOf[graft.catalog.GraftTable].dir.toString
 }
+
+/** `$partitions` metadata-table contracts (q245). */
+class PartitionsTableSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("per-partition census: exact file/row/byte counts from refs; " +
+      "null partitions census too; unpartitioned tables reject") {
+    spark.conf.set("spark.sql.catalog.gpt",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gpt.default.pt")
+    sql("""CREATE TABLE gpt.default.pt (k BIGINT, p STRING)
+           PARTITIONED BY (p)""")
+    // two single-task inserts -> 2 files per live partition value
+    sql("INSERT INTO gpt.default.pt VALUES (1,'a'),(2,'a'),(3,'b')")
+    sql("INSERT INTO gpt.default.pt VALUES (4,'a'),(5,'b')")
+    val got = sql("""SELECT partition, n_files, n_rows
+                     FROM gpt.default.`pt$partitions` ORDER BY partition""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("p=a", 2L, 3L), ("p=b", 2L, 2L)), s"census: $got")
+    // bytes are the exact recorded file sizes
+    val bytes = sql("SELECT sum(n_bytes) FROM gpt.default.`pt$partitions`")
+      .head().getLong(0)
+    val fileBytes = sql("SELECT sum(n_bytes) FROM gpt.default.`pt$files`")
+      .head().getLong(0)
+    assert(bytes == fileBytes && bytes > 0)
+    // a null partition value still censuses (rendered, not dropped)
+    sql("INSERT INTO gpt.default.pt VALUES (6, NULL)")
+    val withNull = sql("""SELECT partition, n_rows
+                          FROM gpt.default.`pt$partitions`
+                          ORDER BY partition""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(withNull.contains(("p=null", 1L)), s"null census: $withNull")
+    // unpartitioned table: loud reject
+    sql("DROP TABLE IF EXISTS gpt.default.flat")
+    sql("CREATE TABLE gpt.default.flat (k BIGINT)")
+    assert(intercept[Exception](
+      sql("SELECT * FROM gpt.default.`flat$partitions`").collect()) != null)
+    sql("DROP TABLE gpt.default.pt")
+    sql("DROP TABLE gpt.default.flat")
+  }
+}

@@ -137,6 +137,23 @@ class NestedPruningSpec extends SparkSpec {
     checkShapes(t)
   }
 
+  test("the prune reaches the scan: ReadSchema reports only the " +
+      "projected subfield (nested-column page I/O is skipped)") {
+    val t = setup("cow", "np_iostat")
+    sql(s"CREATE TABLE $t (id BIGINT, " +
+      "m STRUCT<big: STRING, small: BIGINT>)")
+    sql(s"INSERT INTO $t VALUES (1, named_struct('big', 'x', 'small', 5L))")
+    val plan = sql(s"EXPLAIN SELECT m.small FROM $t").head().getString(0)
+    // the scan's ReadSchema carries the PRUNED struct type — the
+    // parquet request then contains only m.small's leaf, so the wide
+    // sibling's pages are never read (FileIterator builds the parquet
+    // projection from exactly this type)
+    assert(plan.contains("m:struct<small:bigint>"),
+      s"nested prune did not reach the scan:\n$plan")
+    assert(!plan.contains("big:"),
+      s"pruned sibling still requested:\n$plan")
+  }
+
   test("nested prune after ADD COLUMN: file predating the struct " +
       "backfills null subfields") {
     val t = setup("cow", "np_evolve")
