@@ -2632,7 +2632,75 @@ object CatalogQueries {
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM (SELECT o_orderkey FROM orders
-              ORDER BY o_orderkey OFFSET 600)"""))
+              ORDER BY o_orderkey OFFSET 600)""")),
+
+    // -------------------------------------------------------------- q248:
+    // NESTED ADD COLUMN — the chunk-store evolution story: annotate
+    // every element of a 100-TB ARRAY<STRUCT> corpus with a new
+    // subfield (`ALTER TABLE ... ADD COLUMN chunks.element.quality`)
+    // as a PURE METADATA commit. Files written before the ALTER lack
+    // the leaf; the reader clips its parquet request per file and
+    // binds clipped children back to the current struct BY NAME, so
+    // pre-ADD chunks read the subfield as null (array lengths and
+    // struct presence survive even when a projection asks only for
+    // the new leaf — the presence-witness clip; NestedEvolutionSpec
+    // pins struct/array/map parents, MOR folds across both eras, DML
+    // carry-over, and the loud rejects). This query aggregates OUT of
+    // the nesting across both eras — coalescing pre-ADD nulls to a
+    // sentinel the oracle reproduces — proving old and new files
+    // compute side by side, digit for digit.
+    QueryDef(
+      "q248_nested_add_column",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.docs_ev")
+        s.sql("""CREATE TABLE graft_cat.default.docs_ev
+                 (doc_id BIGINT,
+                  chunks ARRAY<STRUCT<pos: BIGINT, toks: BIGINT>>)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q248_orders")
+        s.sql("""INSERT INTO graft_cat.default.docs_ev
+                 SELECT o_orderkey,
+                        array(named_struct('pos', 0L,
+                                'toks', o_orderkey % 7),
+                              named_struct('pos', 1L,
+                                'toks', o_orderkey % 11))
+                 FROM q248_orders WHERE o_orderkey % 2 = 0""")
+        s.sql("""ALTER TABLE graft_cat.default.docs_ev
+                 ADD COLUMN chunks.element.quality DOUBLE""")
+        s.sql("""INSERT INTO graft_cat.default.docs_ev
+                 SELECT o_orderkey,
+                        array(named_struct('pos', 0L,
+                                'toks', o_orderkey % 7,
+                                'quality',
+                                CAST(o_orderkey % 100 AS DOUBLE)),
+                              named_struct('pos', 1L,
+                                'toks', o_orderkey % 11,
+                                'quality',
+                                CAST(o_orderkey % 9 AS DOUBLE)))
+                 FROM q248_orders WHERE o_orderkey % 2 = 1""")
+        s.sql("""
+          SELECT CASE WHEN doc_id % 2 = 0 THEN 'pre' ELSE 'post' END
+                   AS era,
+                 COUNT(*) AS n,
+                 CAST(SUM(aggregate(chunks, 0L,
+                   (a, c) -> a + c.toks)) AS BIGINT) AS tok_sum,
+                 CAST(SUM(aggregate(chunks, CAST(0.0 AS DOUBLE),
+                   (a, c) -> a + coalesce(c.quality,
+                     CAST(-1.0 AS DOUBLE)))) AS DOUBLE) AS q_sum
+          FROM graft_cat.default.docs_ev
+          GROUP BY 1 ORDER BY era""")
+      },
+      Some("""
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre' ELSE 'post' END
+                 AS era,
+               COUNT(*) AS n,
+               CAST(SUM(o_orderkey % 7 + o_orderkey % 11) AS BIGINT)
+                 AS tok_sum,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN -2.0
+                        ELSE CAST(o_orderkey % 100 + o_orderkey % 9
+                               AS DOUBLE) END) AS DOUBLE) AS q_sum
+        FROM orders GROUP BY 1 ORDER BY era"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

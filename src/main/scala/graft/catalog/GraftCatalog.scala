@@ -665,9 +665,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadTable(ident).asInstanceOf[GraftTable]
     changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length >= 2 =>
+        // nested add — Spark's spellings: `parent.child` for a struct,
+        // `parent.element.child` for an array-of-struct,
+        // `parent.value.child` for a map's struct value (the Iceberg
+        // convention). Metadata-only; old files read the new subfield
+        // as null (reader-side per-file clipping).
+        require(Option(add.defaultValue()).isEmpty,
+          "nested ADD COLUMN does not support DEFAULT values " +
+            "(pre-existing rows backfill as null)")
+        val fn = add.fieldNames()
+        require(fn.length == 2 ||
+            (fn.length == 3 &&
+              (fn(1) == "element" || fn(1) == "value")),
+          s"unsupported nested ADD COLUMN path ${fn.mkString(".")} — " +
+            "supported: parent.child, parent.element.child (arrays), " +
+            "parent.value.child (map values; map keys are immutable)")
+        t.alterAddNestedColumn(fn(0),
+          StructField(fn.last, add.dataType(), nullable = true))
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
         val base = StructField(add.fieldNames().head, add.dataType(),
           nullable = true)
         val f = Option(add.defaultValue()).fold(base) { dv =>
@@ -1572,6 +1588,50 @@ class GraftTable(ident: String, val dir: NioPath,
       snapshots = retainWindow(state.snapshots :+ snap),
       nextVersion = state.nextVersion + 1,
       nextFieldId = nextId))
+  }
+
+  /** NESTED ADD COLUMN (`ALTER TABLE t ADD COLUMN parent.child <type>`):
+    * append a subfield to a struct — the struct itself, an
+    * array-of-struct's element, or a map's struct value — as a PURE
+    * METADATA commit. Old files lack the leaf; the reader CLIPS its
+    * parquet request per file ([[GraftStorage]] `ReadSupport.init`)
+    * and binds clipped children back to the wanted struct by NAME, so
+    * pre-ADD rows read the subfield as null. At 100 TB this is the
+    * chunk-store evolution story: annotating every element of a
+    * nested corpus without rewriting a byte. Nested subfields carry no
+    * field ids — they bind by name — so nested RENAME/DROP stay loud
+    * rejects (resurrection hazards need the id machinery); defaults on
+    * nested adds are likewise rejected (backfill is null). */
+  private[catalog] def alterAddNestedColumn(parent: String,
+      f: StructField): Unit = commitLoop { () =>
+    GraftStorage.validate(StructType(Array(f)))
+    val cur = state.schema
+    val po = GraftStorage.ordinalByName(cur.fieldNames.toIndexedSeq, parent)
+    require(po >= 0, s"column $parent not in ${cur.catalogString}")
+    val pf = cur.fields(po)
+    def extend(st: StructType): StructType = {
+      require(!st.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"subfield ${f.name} already exists in $parent: " +
+          st.catalogString)
+      StructType(st.fields :+ f)
+    }
+    val newType = pf.dataType match {
+      case st: StructType => extend(st)
+      case org.apache.spark.sql.types.ArrayType(st: StructType, n) =>
+        org.apache.spark.sql.types.ArrayType(extend(st), n)
+      case org.apache.spark.sql.types.MapType(kt, st: StructType, n) =>
+        org.apache.spark.sql.types.MapType(kt, extend(st), n)
+      case other => throw new UnsupportedOperationException(
+        s"ADD COLUMN $parent.${f.name}: $parent is ${other.catalogString}" +
+          " — nested adds require a struct, array-of-struct, or " +
+          "map-of-struct parent")
+    }
+    val ns = StructType(cur.fields.updated(po,
+      pf.copy(dataType = newType)))
+    val snap = GraftSnapshot(state.nextVersion, ns.json, curFiles, curDelta)
+    Some(state.copy(schemaJson = ns.json,
+      snapshots = retainWindow(state.snapshots :+ snap),
+      nextVersion = state.nextVersion + 1))
   }
 
   /** Column names a schema change must never touch: partition and sort

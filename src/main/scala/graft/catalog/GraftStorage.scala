@@ -596,23 +596,58 @@ object GraftStorage {
       types: Array[DataType], target: Array[Int], width: Int)
       extends ReadSupport[InternalRow] {
 
-    /** Type-widening reconcile (ALTER COLUMN TYPE): a file written
-      * before an INT->BIGINT / FLOAT->DOUBLE / DECIMAL-precision widen
-      * stores the NARROW physical type — requesting the wide one would
-      * fail parquet's projection check. Ask parquet for the FILE's own
+    /** Per-file schema reconcile, two axes:
+      *
+      * TYPE WIDENING (ALTER COLUMN TYPE): a file written before an
+      * INT->BIGINT / FLOAT->DOUBLE / DECIMAL-precision widen stores
+      * the NARROW physical type — requesting the wide one would fail
+      * parquet's projection check. Ask parquet for the FILE's own
       * primitive wherever a top-level requested field differs; the
       * materializer then decodes at the file type and upcasts into the
-      * output slot. Nested fields stay exact (nested evolution is
-      * unsupported — a mismatch there errors loudly, as designed). */
+      * output slot.
+      *
+      * NESTED CLIPPING (nested ADD COLUMN): a file written before a
+      * subfield was added to a struct lacks that leaf — requesting it
+      * would fail parquet's strict projection check. Clip each
+      * requested group against the file's group (recursively, by
+      * name); the materializer binds clipped children back to the
+      * WANTED struct ordinals, so missing subfields read as null. A
+      * struct whose requested subfields are ALL post-file keeps one
+      * file leaf as a presence witness (values discarded) — presence
+      * and list LENGTHS must survive even when no requested leaf does. */
     override def init(ctx: InitContext): ReadSupport.ReadContext = {
       val fs = ctx.getFileSchema
+      def clipGroup(req: org.apache.parquet.schema.GroupType,
+          file: org.apache.parquet.schema.GroupType)
+          : org.apache.parquet.schema.GroupType = {
+        val kept = req.getFields.asScala.flatMap { c =>
+          if (!file.containsField(c.getName)) None
+          else {
+            val fc = file.getType(file.getFieldIndex(c.getName))
+            if (c.isPrimitive || fc.isPrimitive) Some(c)
+            else Some(clipGroup(c.asGroupType, fc.asGroupType))
+          }
+        }.toSeq
+        val fields =
+          if (kept.nonEmpty) kept
+          else {
+            // presence witness: prefer a primitive leaf (cheapest pages)
+            val fsf = file.getFields.asScala
+            Seq(fsf.find(_.isPrimitive).getOrElse(fsf.head))
+          }
+        req.withNewFields(fields.asJava)
+      }
       val fields = requested.getFields.asScala.map { f =>
-        if (f.isPrimitive && fs.containsField(f.getName)) {
+        if (!fs.containsField(f.getName)) f
+        else {
           val ff = fs.getFields.get(fs.getFieldIndex(f.getName))
-          if (ff.isPrimitive &&
+          if (f.isPrimitive && ff.isPrimitive &&
               ff.asPrimitiveType.getPrimitiveTypeName !=
-                f.asPrimitiveType.getPrimitiveTypeName) ff else f
-        } else f
+                f.asPrimitiveType.getPrimitiveTypeName) ff
+          else if (!f.isPrimitive && !ff.isPrimitive)
+            clipGroup(f.asGroupType, ff.asGroupType)
+          else f
+        }
       }
       new ReadSupport.ReadContext(
         new MessageType(requested.getName, fields.toSeq: _*))
@@ -699,32 +734,61 @@ object GraftStorage {
           }
         }
 
+        /** Discard converter for a presence-witness leaf (or any
+          * clipped child the wanted type no longer has): consumes the
+          * parquet events, delivers nothing. */
+        private def discard(t: org.apache.parquet.schema.Type): Converter =
+          if (t.isPrimitive) new PrimitiveConverter {
+            override def addBoolean(v: Boolean): Unit = ()
+            override def addInt(v: Int): Unit = ()
+            override def addLong(v: Long): Unit = ()
+            override def addFloat(v: Float): Unit = ()
+            override def addDouble(v: Double): Unit = ()
+            override def addBinary(b: Binary): Unit = ()
+          } else new GroupConverter {
+            private val cs = t.asGroupType.getFields.asScala
+              .map(discard).toArray
+            override def getConverter(i: Int): Converter = cs(i)
+            override def start(): Unit = ()
+            override def end(): Unit = ()
+          }
+
         /** Converter for ANY supported type delivering through `set` —
-          * structurally recursive, mirroring [[anyType]]: a struct
-          * builds a fresh GenericInternalRow, a 3-level list collects
-          * one element per entry group (null elements arrive as
-          * never-set slots), a map collects key/value pairs, and every
-          * element/value/field recurses, so nesting composes to any
-          * depth. */
-        private def anyConv(dt: DataType, set: Any => Unit): Converter =
+          * structurally recursive, mirroring [[anyType]], but paired
+          * with the CLIPPED parquet type actually being read: a struct
+          * allocates the full WANTED arity and binds each clipped
+          * child to its wanted ordinal BY NAME (a subfield the file
+          * predates simply has no converter and stays null; a
+          * presence-witness leaf kept by clipping has a discard
+          * converter), a 3-level list collects one element per entry
+          * group, a map collects key/value pairs, and every element/
+          * value/field recurses, so nesting composes to any depth. */
+        private def anyConv(dt: DataType,
+            pt: org.apache.parquet.schema.Type,
+            set: Any => Unit): Converter =
           dt match {
             case st: StructType => new GroupConverter {
               private var inner = new Array[Any](st.length)
+              private val names = st.fieldNames.toIndexedSeq
               private val cs: Array[Converter] =
-                st.fields.zipWithIndex.map { case (f, j) =>
-                  anyConv(f.dataType, v => inner(j) = v)
-                }
+                pt.asGroupType.getFields.asScala.map { c =>
+                  val wo = ordinalByName(names, c.getName)
+                  if (wo < 0) discard(c)
+                  else anyConv(st.fields(wo).dataType, c,
+                    v => inner(wo) = v)
+                }.toArray
               override def getConverter(i: Int): Converter = cs(i)
               override def start(): Unit = inner = new Array[Any](st.length)
               override def end(): Unit = set(new GenericInternalRow(inner))
             }
             case ArrayType(elem, _) => new GroupConverter { // LIST wrapper
+              private val entryType = pt.asGroupType.getType(0).asGroupType
               private val buf =
                 scala.collection.mutable.ArrayBuffer.empty[Any]
               private var pending: Any = null
               private val entry: GroupConverter = new GroupConverter {
                 private val ec: Converter =
-                  anyConv(elem, v => pending = v)
+                  anyConv(elem, entryType.getType(0), v => pending = v)
                 override def getConverter(i: Int): Converter = ec
                 override def start(): Unit = pending = null
                 override def end(): Unit = buf += pending
@@ -736,6 +800,7 @@ object GraftStorage {
                   buf.toArray))
             }
             case MapType(kt, vt, _) => new GroupConverter { // MAP wrapper
+              private val entryType = pt.asGroupType.getType(0).asGroupType
               private val keys =
                 scala.collection.mutable.ArrayBuffer.empty[Any]
               private val vals =
@@ -744,7 +809,8 @@ object GraftStorage {
               private var pv: Any = null
               private val entry: GroupConverter = new GroupConverter {
                 private val kc = atomicConv(kt, v => pk = v)
-                private val vc = anyConv(vt, v => pv = v)
+                private val vc = anyConv(vt, entryType.getType(1),
+                  v => pv = v)
                 override def getConverter(i: Int): Converter =
                   if (i == 0) kc else vc
                 override def start(): Unit = { pk = null; pv = null }
@@ -761,9 +827,6 @@ object GraftStorage {
             }
             case _ => atomicConv(dt, set)
           }
-
-        private def conv(dt: DataType, t: Int): Converter =
-          anyConv(dt, v => values(t) = v)
 
         /** Widened-column decode plan for the j-th requested field:
           * (type to DECODE at, boxed upcast into the wanted type).
@@ -795,19 +858,27 @@ object GraftStorage {
           }
         }
 
+        // the root follows the CLIPPED schema init() returned — each
+        // clipped top-level field binds back to its requested index by
+        // name (requested carries the FILE's spelling, preserved by
+        // clipping), so `types`/`target` keep their meaning
+        private val clippedSchema = readContext.getRequestedSchema
         private val root: GroupConverter = new GroupConverter {
           private val converters: Array[Converter] =
-            types.zipWithIndex.map { case (dt, j) =>
+            clippedSchema.getFields.asScala.map { cf =>
+              val j = requested.getFieldIndex(cf.getName)
+              val dt = types(j)
               dt match {
                 case _: ArrayType | _: StructType | _: MapType =>
-                  conv(dt, target(j))
+                  val t = target(j)
+                  anyConv(dt, cf, v => values(t) = v)
                 case _ =>
                   val (decodeDt, up) = decodePlan(dt, j)
                   val t = target(j)
                   if (decodeDt eq dt) atomicConv(dt, v => values(t) = v)
                   else atomicConv(decodeDt, v => values(t) = up(v))
               }
-            }
+            }.toArray
           override def getConverter(i: Int): Converter = converters(i)
           override def start(): Unit = values = new Array[Any](width)
           override def end(): Unit = ()

@@ -695,6 +695,142 @@ object Similarity {
               FROM ex)
         SELECT query_id, rank, cand_id, round(cos, 6) AS cos_sim
         FROM r WHERE rank <= 10
+        ORDER BY query_id, rank""")),
+
+    // -------------------------------------------------------------- q247:
+    // IVF x INT8-SQ COMPOSED ANN — the production pairing q240's
+    // in-source caveat named: SQ alone is COMPRESSION (4x less read/
+    // shuffled, but every candidate still scores), IVF alone is
+    // PRUNING (nprobe/ncells of the corpus scores, at full width).
+    // Composed: cell assignment prunes the candidate pool to the
+    // probed cells, the asymmetric int8 score ranks that pool reading
+    // only codes+scale, and the top-25 rerank exactly — at 100 TB the
+    // scan cost is (nprobe/ncells) x (1/4) of brute force while the
+    // emitted scores stay exact. Same codebook/tie-break as q56, same
+    // quantizer as q240, so the oracle replays both bit-for-bit.
+    QueryDef(
+      "q247_ivf_sq_ann",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cos2 = (a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =>
+          graft.functions.functions.cosine_sim(a, b)
+        val v = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val cb = v.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell_id"),
+            col("embedding").as("cb_emb"))
+        // q240's symmetric max-abs quantizer, applied corpus-wide
+        val quant = v
+          .withColumn("amax", expr(
+            """aggregate(embedding, CAST(0.0 AS DOUBLE),
+               (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"""))
+          .withColumn("codes", expr(
+            """transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5d)
+                 AS INT))"""))
+        // q56's cell assignment (argmax cosine, tie -> min cell), the
+        // codes and scale riding along in the max_by payload so the
+        // corpus shuffles ONCE
+        val assigned = quant.crossJoin(broadcast(cb))
+          .withColumn("cd", cos2(col("embedding"), col("cb_emb")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cell_id"), col("embedding"),
+            col("codes"), col("amax")),
+            struct(col("cd"), negate(col("cell_id")))).as("best"))
+          .select(col("vec_id").as("cand_id"),
+            col("best.cell_id").as("cell_id"),
+            col("best.codes").as("codes"), col("best.amax").as("amax"),
+            col("best.embedding").as("cv"))
+        val wq = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cd").desc, col("cell_id"))
+        val qcells = v.filter(col("vec_id") < 5).crossJoin(broadcast(cb))
+          .withColumn("cd", cos2(col("embedding"), col("cb_emb")))
+          .withColumn("arn", row_number().over(wq))
+          .filter(col("arn") <= 2)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"), col("cell_id"))
+        // IVF prune (join on the probed cells) -> asymmetric SQ score
+        // over codes only -> top-25 -> exact rerank -> top-10
+        val wA = Window.partitionBy(col("query_id"))
+          .orderBy(col("sq_dot").desc, col("cand_id"))
+        val wE = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        broadcast(qcells).join(assigned, Seq("cell_id"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("sq_dot", expr(
+            """aggregate(zip_with(codes, qv,
+                 (cd, qd) -> CAST(cd AS DOUBLE) * CAST(qd AS DOUBLE)),
+               CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+               * amax / 127.0"""))
+          .withColumn("arank", row_number().over(wA))
+          .filter(col("arank") <= 25)
+          .withColumn("cos", cos2(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(wE))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            col("cell_id"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH vn AS (SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                    (a2, b2) -> a2 + b2)) norm
+             FROM embeddings),
+        cb AS (SELECT vec_id AS cell_id, embedding AS cb_emb, norm AS cb_norm
+               FROM vn WHERE vec_id < 16),
+        ass AS (SELECT vn.vec_id, vn.embedding, vn.norm, cb.cell_id,
+               list_reduce(list_transform(generate_series(1, len(vn.embedding)),
+                 i -> CAST(vn.embedding[i] AS DOUBLE) * CAST(cb.cb_emb[i] AS DOUBLE)),
+                 (a2, b2) -> a2 + b2) / (vn.norm * cb.cb_norm) AS cd
+               FROM vn CROSS JOIN cb),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cd DESC, cell_id) AS arn FROM ass),
+        codes AS (SELECT vec_id,
+                         list_reduce(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))),
+                           (a2, b2) -> greatest(a2, b2)) amax,
+                         list_transform(embedding, x ->
+                           CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                             list_reduce(list_transform(embedding,
+                               y -> abs(CAST(y AS DOUBLE))),
+                               (a2, b2) -> greatest(a2, b2))
+                             + 0.5) AS INTEGER)) codes
+                  FROM embeddings),
+        assigned AS (SELECT rk.vec_id AS cand_id, rk.embedding AS c_emb,
+                            rk.norm AS c_norm, rk.cell_id,
+                            codes.amax, codes.codes
+                     FROM rk JOIN codes ON codes.vec_id = rk.vec_id
+                     WHERE arn = 1),
+        qc AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                      norm AS q_norm, cell_id
+               FROM rk WHERE vec_id < 5 AND arn <= 2),
+        a AS (SELECT q.query_id, c.cand_id, q.cell_id, q.q_emb, q.q_norm,
+                     c.c_emb, c.c_norm,
+                     list_reduce(list_transform(
+                       generate_series(1, len(c.codes)),
+                       i -> CAST(c.codes[i] AS DOUBLE) *
+                            CAST(q.q_emb[i] AS DOUBLE)),
+                       (a2, b2) -> a2 + b2) * c.amax / 127.0 sq_dot
+              FROM qc q JOIN assigned c USING (cell_id)
+              WHERE c.cand_id <> q.query_id),
+        ar AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sq_dot DESC, cand_id) AS INTEGER) arank
+               FROM a),
+        ex AS (SELECT query_id, cand_id, cell_id,
+                      list_reduce(list_transform(
+                        generate_series(1, len(q_emb)),
+                        i -> CAST(q_emb[i] AS DOUBLE) *
+                             CAST(c_emb[i] AS DOUBLE)),
+                        (a2, b2) -> a2 + b2) / (q_norm * c_norm) cos
+               FROM ar WHERE arank <= 25),
+        r AS (SELECT query_id, cand_id, cell_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, cand_id) AS INTEGER) rank
+              FROM ex)
+        SELECT query_id, rank, cand_id, cell_id, round(cos, 6) AS cos_sim
+        FROM r WHERE rank <= 10
         ORDER BY query_id, rank"""))
   )
 }
