@@ -675,13 +675,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "nested ADD COLUMN does not support DEFAULT values " +
             "(pre-existing rows backfill as null)")
         val fn = add.fieldNames()
-        require(fn.length == 2 ||
-            (fn.length == 3 &&
-              (fn(1) == "element" || fn(1) == "value")),
-          s"unsupported nested ADD COLUMN path ${fn.mkString(".")} — " +
-            "supported: parent.child, parent.element.child (arrays), " +
-            "parent.value.child (map values; map keys are immutable)")
-        t.alterAddNestedColumn(fn(0),
+        require(!fn.contains("key"),
+          s"nested ADD COLUMN ${fn.mkString(".")}: map KEYS are " +
+            "immutable (atomic by the storage contract)")
+        t.alterAddNestedColumn(fn.init.toSeq,
           StructField(fn.last, add.dataType(), nullable = true))
       case add: TableChange.AddColumn =>
         val base = StructField(add.fieldNames().head, add.dataType(),
@@ -1602,32 +1599,49 @@ class GraftTable(ident: String, val dir: NioPath,
     * field ids — they bind by name — so nested RENAME/DROP stay loud
     * rejects (resurrection hazards need the id machinery); defaults on
     * nested adds are likewise rejected (backfill is null). */
-  private[catalog] def alterAddNestedColumn(parent: String,
+  private[catalog] def alterAddNestedColumn(path: Seq[String],
       f: StructField): Unit = commitLoop { () =>
     GraftStorage.validate(StructType(Array(f)))
     val cur = state.schema
-    val po = GraftStorage.ordinalByName(cur.fieldNames.toIndexedSeq, parent)
-    require(po >= 0, s"column $parent not in ${cur.catalogString}")
-    val pf = cur.fields(po)
+    val full = (path :+ f.name).mkString(".")
     def extend(st: StructType): StructType = {
       require(!st.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-        s"subfield ${f.name} already exists in $parent: " +
-          st.catalogString)
+        s"subfield ${f.name} already exists at " +
+          s"${path.mkString(".")}: ${st.catalogString}")
       StructType(st.fields :+ f)
     }
-    val newType = pf.dataType match {
-      case st: StructType => extend(st)
-      case org.apache.spark.sql.types.ArrayType(st: StructType, n) =>
-        org.apache.spark.sql.types.ArrayType(extend(st), n)
-      case org.apache.spark.sql.types.MapType(kt, st: StructType, n) =>
-        org.apache.spark.sql.types.MapType(kt, extend(st), n)
-      case other => throw new UnsupportedOperationException(
-        s"ADD COLUMN $parent.${f.name}: $parent is ${other.catalogString}" +
-          " — nested adds require a struct, array-of-struct, or " +
-          "map-of-struct parent")
-    }
+    // walk the path to the enclosing struct — `element` descends an
+    // array, `value` a map's value; any other step a struct field —
+    // so adds compose to any nesting depth, mirroring the reader's
+    // recursive per-file clipping
+    def addAt(dt: org.apache.spark.sql.types.DataType,
+        rest: List[String]): org.apache.spark.sql.types.DataType =
+      (dt, rest) match {
+        case (st: StructType, Nil) => extend(st)
+        case (st: StructType, p :: more) =>
+          val o = GraftStorage.ordinalByName(st.fieldNames.toIndexedSeq, p)
+          require(o >= 0,
+            s"ADD COLUMN $full: no subfield $p in ${st.catalogString}")
+          StructType(st.fields.updated(o,
+            st.fields(o).copy(dataType =
+              addAt(st.fields(o).dataType, more))))
+        case (org.apache.spark.sql.types.ArrayType(e, n),
+            "element" :: more) =>
+          org.apache.spark.sql.types.ArrayType(addAt(e, more), n)
+        case (org.apache.spark.sql.types.MapType(kt, vt, n),
+            "value" :: more) =>
+          org.apache.spark.sql.types.MapType(kt, addAt(vt, more), n)
+        case (other, _) => throw new UnsupportedOperationException(
+          s"ADD COLUMN $full: cannot descend ${other.catalogString} " +
+            s"with ${rest.mkString(".")} — nested adds land in a " +
+            "struct, array-of-struct, or map-of-struct")
+      }
+    val po = GraftStorage.ordinalByName(cur.fieldNames.toIndexedSeq,
+      path.head)
+    require(po >= 0, s"column ${path.head} not in ${cur.catalogString}")
+    val pf = cur.fields(po)
     val ns = StructType(cur.fields.updated(po,
-      pf.copy(dataType = newType)))
+      pf.copy(dataType = addAt(pf.dataType, path.tail.toList))))
     val snap = GraftSnapshot(state.nextVersion, ns.json, curFiles, curDelta)
     Some(state.copy(schemaJson = ns.json,
       snapshots = retainWindow(state.snapshots :+ snap),
@@ -2238,6 +2252,13 @@ class GraftPartitionsTable(ident: String, base: GraftTable)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new LocalScan {
       base.refreshFromDisk()
+      // honesty gate: a live MOR delta log holds rows the base-file
+      // census cannot attribute to partitions (delta files are not
+      // partition-split) — refusing beats silently under-counting
+      require(base.stateNow.current.forall(_.deltaFiles.isEmpty),
+        s"$$partitions on a merge-on-read table requires an empty " +
+          "delta log (delta rows are not partition-attributable from " +
+          "metadata) — CALL system.compact first")
       private val pcs = base.partitionCols
       private def key(f: GraftFileRef): String =
         pcs.map { c =>

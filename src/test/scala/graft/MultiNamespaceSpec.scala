@@ -135,7 +135,25 @@ class PartitionsTableSpec extends SparkSpec {
     sql("CREATE TABLE gpt.default.flat (k BIGINT)")
     assert(intercept[Exception](
       sql("SELECT * FROM gpt.default.`flat$partitions`").collect()) != null)
+    // MOR with a live delta log: loud compact-first reject (delta rows
+    // are not partition-attributable from metadata); after compaction
+    // the census serves again
+    sql("DROP TABLE IF EXISTS gpt.default.ptm")
+    sql("""CREATE TABLE gpt.default.ptm (k BIGINT, p STRING)
+           PARTITIONED BY (p)
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""")
+    sql("INSERT INTO gpt.default.ptm VALUES (1,'a'),(2,'b')")
+    sql("UPDATE gpt.default.ptm SET p = 'a' WHERE k = 2")
+    assert(intercept[Exception](
+      sql("SELECT * FROM gpt.default.`ptm$partitions`").collect()) != null)
+    sql("CALL gpt.system.compact('default.ptm')")
+    val mor = sql("""SELECT partition, n_rows
+                     FROM gpt.default.`ptm$partitions`
+                     ORDER BY partition""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mor == Seq(("p=a", 2L)), s"post-compact census: $mor")
     sql("DROP TABLE gpt.default.pt")
     sql("DROP TABLE gpt.default.flat")
+    sql("DROP TABLE gpt.default.ptm")
   }
 }

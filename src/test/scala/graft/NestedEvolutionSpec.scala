@@ -109,6 +109,29 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("adds compose to any depth: struct-in-struct and " +
+      "array-of-struct-inside-struct") {
+    val t = setup("ev_deep")
+    sql(s"CREATE TABLE $t (id BIGINT, " +
+      "m STRUCT<inner: STRUCT<x: STRING>, " +
+      "         items: ARRAY<STRUCT<k: BIGINT>>>)")
+    sql(s"INSERT INTO $t VALUES (1, named_struct(" +
+      "'inner', named_struct('x', 'x1'), " +
+      "'items', array(named_struct('k', 10L), named_struct('k', 20L))))")
+    sql(s"ALTER TABLE $t ADD COLUMN m.inner.y BIGINT")
+    sql(s"ALTER TABLE $t ADD COLUMN m.items.element.v STRING")
+    sql(s"INSERT INTO $t VALUES (2, named_struct(" +
+      "'inner', named_struct('x', 'x2', 'y', 22L), " +
+      "'items', array(named_struct('k', 30L, 'v', 'v3'))))")
+    val got = sql(s"SELECT id, m.inner.x, m.inner.y, size(m.items), " +
+      s"size(filter(m.items, e -> e.v IS NULL)) FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSeq
+    assert(got == Seq((1L, "x1", -1L, 2, 2), (2L, "x2", 22L, 1, 0)),
+      s"got: $got")
+  }
+
   test("time travel replays the pre-ADD schema; rejects stay loud") {
     val t = setup("ev_tt")
     sql(s"CREATE TABLE $t (id BIGINT, m STRUCT<a: STRING>)")

@@ -45,6 +45,35 @@ class PQSpec extends SparkSpec {
       s"corpus-sized sort-merge join leaked into the IVF-PQ plan:\n$plan")
   }
 
+  test("q247 plan: codebook and queries broadcast, corpus shuffles " +
+      "once, never sort-merge joins") {
+    val plan = SparkEntry.queries("q247_ivf_sq_ann")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the 16-entry codebook (x2: assignment + query probe) and the
+    // probed-cell query set must broadcast; the corpus side is the
+    // only big side and reaches the cell join hash-partitioned by its
+    // ONE assignment shuffle
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 3,
+      s"expected >=3 broadcast exchanges in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized sort-merge join leaked into the IVF-SQ plan:\n$plan")
+  }
+
+  test("q247 invariants: dense ranks per query, scores in [-1,1] and " +
+      "nonincreasing, candidates come only from probed cells") {
+    val rows = SparkEntry.queries("q247_ivf_sq_ann")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getDouble(4))
+      assert(scores.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      // nprobe = 2: at most two distinct cells per query's results
+      assert(rs.map(_.getLong(3)).distinct.length <= 2)
+    }
+  }
+
   test("q139/q140 invariants: dense ranks, monotone ADC distance, recall in [0,1]") {
     val rows = SparkEntry.queries("q139_ivfpq_search")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -450,4 +450,47 @@ class PlanShapeSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.spj_a")
     sql("DROP TABLE gstore.default.spj_b")
   }
+
+  test("SPJ survives MISMATCHED partition sets (pushPartValues): one " +
+      "side missing keys still joins with zero Exchange") {
+    spark.conf.set("spark.sql.catalog.gstore",
+      classOf[graft.catalog.GraftCatalog].getName)
+    def sql(q: String) = spark.sql(q)
+    sql("DROP TABLE IF EXISTS gstore.default.spj_m1")
+    sql("DROP TABLE IF EXISTS gstore.default.spj_m2")
+    sql("CREATE TABLE gstore.default.spj_m1 (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    sql("CREATE TABLE gstore.default.spj_m2 (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (k)")
+    // left holds keys 0..4, right only 0..2: the planner must align
+    // the key groups (padding the missing ones) instead of shuffling
+    sql("INSERT INTO gstore.default.spj_m1 SELECT id % 5, id FROM range(100)")
+    sql("INSERT INTO gstore.default.spj_m2 SELECT id % 3, id * 10 FROM range(30)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = sql(
+        """SELECT a.k, count(*) AS pairs
+           FROM gstore.default.spj_m1 a
+           JOIN gstore.default.spj_m2 b ON a.k = b.k
+           GROUP BY a.k""")
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"),
+        s"mismatched-partition SPJ still shuffles:\n$plan")
+      // keys 0..2 join (20 left x 10 right); 3..4 drop out
+      assert(rows == Map(0L -> 200L, 1L -> 200L, 2L -> 200L),
+        s"SPJ mismatch result wrong: $rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    sql("DROP TABLE gstore.default.spj_m1")
+    sql("DROP TABLE gstore.default.spj_m2")
+  }
 }
