@@ -712,7 +712,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"nested ALTER COLUMN TYPE not supported: " +
             upd.fieldNames().mkString("."))
         t.alterWidenColumn(upd.fieldNames().head, upd.newDataType())
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+        () // applied in bulk below (may rebuild the handle)
       case add: TableChange.AddConstraint =>
         add.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -729,7 +730,134 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported: $other")
     }
-    t
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property() -> s.value() }
+    val removes = changes.collect {
+      case r: TableChange.RemoveProperty => r.property() }
+    if (sets.nonEmpty || removes.nonEmpty)
+      applyProperties(ident, t, sets, removes)
+    else t
+  }
+
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` for the tunable graft
+    * knobs — previously a SILENT no-op, which is a lie for a property
+    * the user expects to take effect. Tunables (`graft.retain`,
+    * `graft.append_retain`, `graft.target_file_bytes`,
+    * `graft.bloom_by`, `graft.sort_by`, `graft.zorder_by`) apply to
+    * FUTURE writes/commits — sound because every file's stats, blooms,
+    * and spans describe THAT file regardless of the layout policy in
+    * force when others were written; scans never assume a uniform
+    * layout for these axes. Structural knobs (`graft.mode`,
+    * `graft.row_id`, `graft.bucket_by` — SPJ bucket grouping and the
+    * MOR fold DO assume table-wide uniformity) reject loudly. Unknown
+    * `graft.*` keys reject loudly; non-graft keys (comments, Spark
+    * internals) stay accepted-as-noop. The change persists in the
+    * warehouse index AND rebuilds the live handle, so it is active in
+    * the altering session immediately and in every later session. */
+  private def applyProperties(ident: Identifier, t: GraftTable,
+      sets: Seq[(String, String)], removes: Seq[String]): Table = {
+    val tunable = Set("graft.retain", "graft.append_retain",
+      "graft.target_file_bytes", "graft.bloom_by", "graft.sort_by",
+      "graft.zorder_by")
+    val frozen = Set("graft.mode", "graft.row_id", "graft.bucket_by")
+    (sets.map(_._1) ++ removes).foreach { k =>
+      if (frozen.contains(k)) throw new UnsupportedOperationException(
+        s"table property $k is structural and frozen at CREATE " +
+          "(the MOR fold and bucket grouping assume table-wide " +
+          "uniformity) — create a new table and INSERT/clone into it")
+      if (k.startsWith("graft.") && !tunable.contains(k))
+        throw new UnsupportedOperationException(
+          s"unknown graft table property $k (tunable: " +
+            s"${tunable.toSeq.sorted.mkString(", ")})")
+    }
+    val graftSets = sets.filter(s => tunable.contains(s._1))
+    val graftRemoves = removes.filter(tunable.contains)
+    if (graftSets.isEmpty && graftRemoves.isEmpty) return t
+    val schema = t.schema()
+    def cols(key: String, v: String): List[String] =
+      v.split(',').map(_.trim).filter(_.nonEmpty).toList.map { c =>
+        val o = GraftStorage.ordinalByName(
+          schema.fieldNames.toIndexedSeq, c)
+        require(o >= 0, s"$key column $c not in ${schema.catalogString}")
+        if (!GraftStorage.statsCapable(schema.fields(o).dataType))
+          throw new UnsupportedOperationException(
+            s"$key column $c must be a stats-capable atomic type, " +
+              s"got ${schema.fields(o).dataType.catalogString}")
+        schema.fieldNames(o)
+      }
+    GraftCatalog.withIndex(warehouse) { idx =>
+      var e = idx.getOrElse(idxKey(ident),
+        throw new NoSuchTableException(ident))
+      graftSets.foreach {
+        case ("graft.retain", v) =>
+          val n = v.toIntOption.getOrElse(0)
+          require(n >= 1, s"graft.retain must be >= 1, got '$v'")
+          e = e.copy(retain = n)
+        case ("graft.append_retain", v) =>
+          val n = v.toIntOption.getOrElse(0)
+          require(n >= 1, s"graft.append_retain must be >= 1, got '$v'")
+          e = e.copy(appendRetain = n)
+        case ("graft.target_file_bytes", v) =>
+          val n = v.toLongOption.getOrElse(-1L)
+          require(n >= 0, s"graft.target_file_bytes must be >= 0, got '$v'")
+          e = e.copy(targetBytes = n)
+        case ("graft.bloom_by", v) =>
+          val bc = v.split(',').map(_.trim).filter(_.nonEmpty)
+            .toList.map { c =>
+              val o = GraftStorage.ordinalByName(
+                schema.fieldNames.toIndexedSeq, c)
+              require(o >= 0,
+                s"graft.bloom_by column $c not in ${schema.catalogString}")
+              if (!GraftBloom.supported(schema.fields(o).dataType))
+                throw new UnsupportedOperationException(
+                  s"graft.bloom_by column $c must be an integral/string/" +
+                    "date/timestamp/decimal(<=18) type, got " +
+                    schema.fields(o).dataType.catalogString)
+              schema.fieldNames(o)
+            }
+          e = e.copy(bloomBy = bc)
+        case ("graft.sort_by", v) =>
+          e = e.copy(sortBy = cols("graft.sort_by", v), zorderBy = Nil)
+        case ("graft.zorder_by", v) =>
+          val zc = cols("graft.zorder_by", v)
+          require(zc.size >= 2,
+            "graft.zorder_by needs at least 2 columns " +
+              "(use graft.sort_by for 1)")
+          e = e.copy(zorderBy = zc, sortBy = Nil)
+        case _ => ()
+      }
+      graftRemoves.foreach {
+        case "graft.retain" => e = e.copy(retain = 64)
+        case "graft.append_retain" => e = e.copy(appendRetain = 65536)
+        case "graft.target_file_bytes" => e = e.copy(targetBytes = 0L)
+        case "graft.bloom_by" => e = e.copy(bloomBy = Nil)
+        case "graft.sort_by" => e = e.copy(sortBy = Nil)
+        case "graft.zorder_by" => e = e.copy(zorderBy = Nil)
+        case _ => ()
+      }
+      require(e.sortBy.isEmpty || e.zorderBy.isEmpty,
+        "graft.zorder_by and graft.sort_by are mutually exclusive")
+      // rebuild the live handle with the new knobs: disk state is the
+      // content truth (same dir, same log), only the policy changes
+      val dir = Paths.get(e.dir)
+      val st = GraftStorage.readLog(dir).getOrElse(
+        throw new IllegalStateException(
+          s"table $ident registered but log missing at ${e.dir}"))
+      val eBucket = e.bucketBy match {
+        case c :: n :: Nil => Some((c, n.toInt))
+        case _ => None
+      }
+      val nt =
+        if (e.mode == "mor")
+          new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
+            e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
+            e.bloomBy, e.targetBytes)
+        else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
+          e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
+          e.targetBytes)
+      GraftCatalog.tables.put(regKey(ident), nt)
+      (idx + (idxKey(ident) -> e), nt)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean =
