@@ -2700,7 +2700,62 @@ object CatalogQueries {
                CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN -2.0
                         ELSE CAST(o_orderkey % 100 + o_orderkey % 9
                                AS DOUBLE) END) AS DOUBLE) AS q_sum
-        FROM orders GROUP BY 1 ORDER BY era"""))
+        FROM orders GROUP BY 1 ORDER BY era""")),
+
+    // -------------------------------------------------------------- q249:
+    // LIVE TABLE RETUNING (`ALTER TABLE ... SET TBLPROPERTIES`) — the
+    // tunable layout knobs apply to FUTURE writes without touching a
+    // byte of existing data: a table starts bare, gets
+    // `graft.bloom_by` + `graft.sort_by` retuned mid-ingest, and keeps
+    // ingesting — new files carry blooms and narrow sort spans (the
+    // spec pins that a post-retune bloom actually prunes), old files
+    // stay exactly as written, and every scan sees one coherent table.
+    // At 100 TB this is how a layout decision gets corrected without a
+    // rewrite: point lookups on the retuned key get faster file by
+    // file as new data lands. The oracle proves content integrity
+    // across both eras plus the point-lookup and range shapes.
+    QueryDef(
+      "q249_retune_properties",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_rt2")
+        s.sql("""CREATE TABLE graft_cat.default.orders_rt2
+                 (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q249_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_rt2
+                 SELECT o_orderkey, o_totalprice FROM q249_orders
+                 WHERE o_orderkey % 2 = 0""")
+        s.sql("""ALTER TABLE graft_cat.default.orders_rt2
+                 SET TBLPROPERTIES ('graft.bloom_by' = 'o_orderkey',
+                                    'graft.sort_by' = 'o_orderkey')""")
+        s.sql("""INSERT INTO graft_cat.default.orders_rt2
+                 SELECT o_orderkey, o_totalprice FROM q249_orders
+                 WHERE o_orderkey % 2 = 1""")
+        s.sql("""
+          SELECT 'point' AS shape, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM graft_cat.default.orders_rt2 WHERE o_orderkey IN (41, 42)
+          UNION ALL
+          SELECT 'range', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+          FROM graft_cat.default.orders_rt2
+          WHERE o_orderkey BETWEEN 100 AND 999
+          UNION ALL
+          SELECT 'all', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+          FROM graft_cat.default.orders_rt2
+          ORDER BY shape""")
+      },
+      Some("""
+        SELECT 'point' AS shape, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey IN (41, 42)
+        UNION ALL
+        SELECT 'range', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey BETWEEN 100 AND 999
+        UNION ALL
+        SELECT 'all', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        ORDER BY shape"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —
