@@ -2755,7 +2755,216 @@ object CatalogQueries {
         UNION ALL
         SELECT 'all', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
         FROM orders
-        ORDER BY shape"""))
+        ORDER BY shape""")),
+
+    // -------------------------------------------------------------- q250:
+    // HIDDEN (TRANSFORM) PARTITIONING — `PARTITIONED BY (days(ts))`,
+    // Iceberg's signature time-partitioning ([[GraftPartField]]).
+    // Identity-partitioning a timestamp would split one file per
+    // MICROSECOND; days() splits one file per day per write (the write
+    // distribution clusters on the catalog-resolved days() transform),
+    // each file's ts min/max pin to a one-day span, and the user's
+    // predicates stay on `ts` — a day-range WHERE prunes to exactly
+    // the covered days with NO query rewrite, and day-aligned ranges
+    // become fully-decidable (exact partition pushdown, file-level
+    // dynamic overwrite). The query runs the production loop: ingest a
+    // month, dynamically overwrite ONE day with corrected values (only
+    // that day's file is replaced — TransformPartitionSpec pins the
+    // layout), then read per-day aggregates across the repair seam.
+    QueryDef(
+      "q250_hidden_partitioning",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.events_hp")
+        s.sql("""CREATE TABLE graft_cat.default.events_hp
+                 (event_id BIGINT, ts TIMESTAMP, event_type STRING,
+                  value DOUBLE)
+                 PARTITIONED BY (days(ts))""")
+        Tables(s, d, "events").createOrReplaceTempView("q250_events")
+        s.sql("""INSERT INTO graft_cat.default.events_hp
+                 SELECT event_id, ts, event_type, value FROM q250_events""")
+        // repair day 10: dynamic overwrite replaces exactly that day's
+        // file with value-corrected rows; every other day is untouched
+        val prev = try Some(s.conf.get(
+          "spark.sql.sources.partitionOverwriteMode"))
+          catch { case _: Exception => None }
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.sql("""INSERT OVERWRITE graft_cat.default.events_hp
+                 SELECT event_id, ts, event_type, value * 2 FROM q250_events
+                 WHERE CAST(ts AS DATE) = DATE'2024-01-10'""")
+        finally prev.fold(s.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode"))(
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        s.sql("""
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS value_sum
+          FROM graft_cat.default.events_hp
+          WHERE ts >= TIMESTAMP'2024-01-08 00:00:00'
+            AND ts < TIMESTAMP'2024-01-13 00:00:00'
+          GROUP BY 1 ORDER BY day""")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE'2024-01-10'
+                                  THEN value * 2 ELSE value END
+                             AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE ts >= TIMESTAMP'2024-01-08 00:00:00'
+          AND ts < TIMESTAMP'2024-01-13 00:00:00'
+        GROUP BY 1 ORDER BY day""")),
+
+    // -------------------------------------------------------------- q251:
+    // MATERIALIZED-VIEW AUTO-REWRITE ([[graft.plans.MvRewrite]]) — the
+    // query half of the q229 incremental-MV machinery: a registered,
+    // FRESH MV transparently serves matching aggregates over its base
+    // (the optimizer redirects the scan — MvRewriteSpec pins the plan),
+    // and ANY base commit staleness-kills the rewrite until the next
+    // refresh stamps the new base version. The three phases run the
+    // same user query — served (fresh MV), direct (stale after an
+    // append), re-served (after re-refresh) — and the oracle recomputes
+    // each phase's truth from the raw data: right answers from BOTH
+    // plans, which is the whole MV contract. At 100 TB the served
+    // phases read a few thousand pre-aggregated rows instead of the
+    // corpus.
+    QueryDef(
+      "q251_mv_auto_rewrite",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_mvb")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_mvv")
+        s.sql("""CREATE TABLE graft_cat.default.orders_mvb
+                 (o_orderpriority STRING, o_orderkey BIGINT)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q251_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_mvb
+                 SELECT o_orderpriority, o_orderkey FROM q251_orders
+                 WHERE o_orderkey % 3 != 0""")
+        s.sql("""CREATE TABLE graft_cat.default.orders_mvv
+                 (o_orderpriority STRING, key_sum BIGINT, n BIGINT)
+                 TBLPROPERTIES (
+                   'graft.mv.of' = 'default/orders_mvb',
+                   'graft.mv.group' = 'o_orderpriority',
+                   'graft.mv.agg' = 'sum:o_orderkey:key_sum,count:*:n')""")
+        def refresh(): Unit = {
+          s.sql("""INSERT OVERWRITE graft_cat.default.orders_mvv
+                   SELECT o_orderpriority, SUM(o_orderkey), COUNT(*)
+                   FROM graft_cat.default.orders_mvb GROUP BY 1""")
+          val v = s.sql(
+            "SHOW TBLPROPERTIES graft_cat.default.orders_mvb").collect()
+            .collectFirst {
+              case r if r.getString(0) == "graft.current_version" =>
+                r.getString(1)
+            }.get
+          s.sql(s"""ALTER TABLE graft_cat.default.orders_mvv
+                    SET TBLPROPERTIES ('graft.mv.base_version' = '$v')""")
+        }
+        refresh()
+        s.sql("""ALTER TABLE graft_cat.default.orders_mvb
+                 SET TBLPROPERTIES ('graft.mv.tables' = 'orders_mvv')""")
+        val phase1 = s.sql(
+          """SELECT 'served' AS phase, o_orderpriority,
+                    SUM(o_orderkey) AS key_sum, COUNT(*) AS n
+             FROM graft_cat.default.orders_mvb GROUP BY 2""")
+        val p1 = phase1.collect() // materialize BEFORE the append
+        s.sql("""INSERT INTO graft_cat.default.orders_mvb
+                 SELECT o_orderpriority, o_orderkey FROM q251_orders
+                 WHERE o_orderkey % 3 = 0""")
+        val p2 = s.sql(
+          """SELECT 'stale_direct' AS phase, o_orderpriority,
+                    SUM(o_orderkey) AS key_sum, COUNT(*) AS n
+             FROM graft_cat.default.orders_mvb GROUP BY 2""").collect()
+        refresh()
+        val p3 = s.sql(
+          """SELECT 'reserved' AS phase, o_orderpriority,
+                    SUM(o_orderkey) AS key_sum, COUNT(*) AS n
+             FROM graft_cat.default.orders_mvb GROUP BY 2""").collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2 ++ p3).toSeq.asJava, phase1.schema)
+          .orderBy("phase", "o_orderpriority")
+      },
+      Some("""
+        SELECT 'served' AS phase, o_orderpriority,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, COUNT(*) AS n
+        FROM orders WHERE o_orderkey % 3 != 0 GROUP BY 2
+        UNION ALL
+        SELECT 'stale_direct', o_orderpriority,
+               CAST(SUM(o_orderkey) AS BIGINT), COUNT(*)
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'reserved', o_orderpriority,
+               CAST(SUM(o_orderkey) AS BIGINT), COUNT(*)
+        FROM orders GROUP BY 2
+        ORDER BY phase, o_orderpriority""")),
+
+    // -------------------------------------------------------------- q252:
+    // BRANCH -> REPAIR -> FAST-FORWARD (CALL system.create_branch /
+    // fast_forward) — Iceberg's branch workflow over the zero-copy
+    // clone substrate. A multi-statement repair (delete bad rows,
+    // backfill corrected ones) runs on the branch while main keeps
+    // serving the pre-branch content; the audited branch then lands on
+    // main as ONE atomic O(files) metadata commit (BranchSpec pins the
+    // hard-link zero-copy layout, the divergence refusal, and the
+    // single-commit publish). The two phases read main BEFORE and
+    // AFTER the publish; the oracle recomputes both truths from the
+    // raw data.
+    QueryDef(
+      "q252_branch_fast_forward",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS " +
+          "graft_cat.default.orders_br_branch_repair")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_br")
+        s.sql("""CREATE TABLE graft_cat.default.orders_br
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q252_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_br
+                 SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q252_orders""")
+        s.sql("CALL graft_cat.system.create_branch(" +
+          "'default.orders_br', 'repair')")
+        // the repair, on the branch: drop 1-URGENT rows with key % 7 = 0
+        // and backfill them price-corrected (+1000)
+        s.sql("""DELETE FROM graft_cat.default.orders_br_branch_repair
+                 WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0""")
+        s.sql("""INSERT INTO graft_cat.default.orders_br_branch_repair
+                 SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0
+                 FROM q252_orders
+                 WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0""")
+        val pre = s.sql(
+          """SELECT 'before_publish' AS phase, COUNT(*) AS n,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      AS DOUBLE) AS price_sum
+             FROM graft_cat.default.orders_br
+             WHERE o_orderpriority = '1-URGENT'""")
+        val p1 = pre.collect() // main BEFORE the publish
+        s.sql("CALL graft_cat.system.fast_forward(" +
+          "'default.orders_br', 'repair')")
+        val p2 = s.sql(
+          """SELECT 'after_publish' AS phase, COUNT(*) AS n,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      AS DOUBLE) AS price_sum
+             FROM graft_cat.default.orders_br
+             WHERE o_orderpriority = '1-URGENT'""").collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2).toSeq.asJava, pre.schema)
+          .orderBy("phase")
+      },
+      Some("""
+        SELECT 'after_publish' AS phase, COUNT(*) AS n,
+               CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                                  THEN o_totalprice + 1000.0
+                                  ELSE o_totalprice END
+                             AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'before_publish', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY phase"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -160,10 +160,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (e.mode == "mor")
               new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
                 e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
-                e.bloomBy, e.targetBytes)
+                e.bloomBy, e.targetBytes, e.extraProps)
             else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
               e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
-              e.targetBytes)
+              e.targetBytes, e.extraProps)
           val prev = GraftCatalog.tables.putIfAbsent(regKey(ident), t)
           (idx, if (prev != null) prev else t)
       }
@@ -257,33 +257,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties.getOrDefault("graft.append_retain", "65536").toInt
     require(appendRetain >= 1,
       s"graft.append_retain must be >= 1, got $appendRetain")
-    // PARTITIONED BY: identity transforms only, resolved against the
-    // schema. Anything else (bucket/days/...) is a LOUD error — a
-    // silently dropped partition clause would betray every capacity
-    // assumption the user wrote it for.
+    // graft.mv.*: free-form MV-registration metadata, persisted verbatim
+    val extraProps: Map[String, String] = {
+      val b = Map.newBuilder[String, String]
+      properties.forEach { (k, v) =>
+        if (k.startsWith("graft.mv.")) b += (k -> v)
+      }
+      b.result()
+    }
+    // PARTITIONED BY: identity plus the hidden-partitioning transforms
+    // (days/months/years/hours/truncate — see [[GraftPartField]]),
+    // resolved against the schema. Anything else (bucket as a partition
+    // clause, unknown names) is a LOUD error — a silently dropped
+    // partition clause would betray every capacity assumption the user
+    // wrote it for.
     val partCols: List[String] = partitions.toList.map { t =>
-      val refs = t.references()
-      require(t.name() == "identity" && refs.length == 1 &&
-          refs(0).fieldNames().length == 1,
-        s"graft catalog supports only identity PARTITIONED BY columns, " +
-          s"got $t")
+      val pf0 = GraftPartField.fromTransform(t)
       val o = GraftStorage.ordinalByName(schema.fieldNames.toIndexedSeq,
-        refs(0).fieldNames()(0))
-      require(o >= 0, s"partition column ${refs(0).fieldNames()(0)} " +
+        pf0.col)
+      require(o >= 0, s"partition column ${pf0.col} " +
         s"not in ${schema.catalogString}")
-      // identity partitioning pins each file's min == max on the
-      // column — only STATS-CAPABLE types qualify (ADVICE r11: the old
-      // guard enumerated ArrayType/StructType, so MAP — added later —
-      // slipped through, and BOOLEAN/BINARY never collected stats
-      // either; a statless partition column keys every file to None in
-      // commitOverwriteDynamic, making a dynamic overwrite drop ALL
-      // files — silent data loss. Loud at CREATE instead.)
+      val pf = pf0.copy(col = schema.fieldNames(o))
+      // partitioning pins each file's partition value through its
+      // min/max stats — only STATS-CAPABLE types qualify (ADVICE r11:
+      // the old guard enumerated ArrayType/StructType, so MAP — added
+      // later — slipped through, and BOOLEAN/BINARY never collected
+      // stats either; a statless partition column keys every file to
+      // None in commitOverwriteDynamic, making a dynamic overwrite
+      // drop ALL files — silent data loss. Loud at CREATE instead.)
       if (!GraftStorage.statsCapable(schema.fields(o).dataType))
         throw new UnsupportedOperationException(
           s"partition column ${schema.fieldNames(o)} must be a " +
             "stats-capable atomic type (numeric/string/date/timestamp/" +
             s"decimal), got ${schema.fields(o).dataType.catalogString}")
-      schema.fieldNames(o)
+      pf.validate(schema.fields(o).dataType)
+      pf.encoded
     }
     // graft.sort_by: writes range-distribute + sort on these columns,
     // so each data file covers a DISJOINT value range and its min/max
@@ -401,14 +409,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
           (new GraftDeltaTable(idxKey(ident), dir, st, retain, idCol,
             partCols, appendRetain, sortCols, zorderCols, bucketSpec,
-            bloomCols, targetBytes), idCol)
+            bloomCols, targetBytes, extraProps), idCol)
         } else {
           val (stamped, nextId) = GraftStorage.stampFieldIds(schema)
           val st = GraftTableState(stamped.json, Vector.empty, 0,
             Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
           (new GraftTable(idxKey(ident), dir, st, retain, partCols,
             appendRetain, sortCols, zorderCols, bucketSpec, bloomCols,
-            targetBytes), "")
+            targetBytes, extraProps), "")
         }
       require(GraftStorage.casWriteLog(dir, t.stateNow, 0),
         s"table directory $dir already holds a log — concurrent CREATE?")
@@ -416,7 +424,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         dir.toString, mode, rowId, retain, partCols, appendRetain,
         sortCols, zorderCols,
         bucketSpec.map(b => List(b._1, b._2.toString)).getOrElse(Nil),
-        bloomCols, targetBytes))
+        bloomCols, targetBytes, extraProps))
     }
   }
 
@@ -494,7 +502,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * delta logs clone soundly — both file lists copy verbatim, so the
     * count-based delta fences keep their meaning. */
   private[catalog] def cloneTable(srcIdent: Identifier,
-      dstIdent: Identifier, atVersion: Option[String] = None): (Long, Long) = {
+      dstIdent: Identifier, atVersion: Option[String] = None,
+      brandProps: Map[String, String] = Map.empty): (Long, Long) = {
     val src = loadTable(srcIdent).asInstanceOf[GraftTable]
     src.refreshFromDisk()
     val st = src.stateNow
@@ -585,23 +594,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // entry already carried it, so omitting it here made the
       // advisory file-size knob silently inactive only in the CREATING
       // session — behavior must not differ before vs after a reload
+      // a branch clone stamps the EXACT version it forked (read from
+      // the snapshot actually cloned, under this index lock — no race
+      // with concurrent source commits)
+      val dstProps = srcEntry.extraProps ++ brandProps ++
+        (if (brandProps.contains("graft.branch.of"))
+          Map("graft.branch.base_version" ->
+            snap.map(_.version).getOrElse(-1).toString)
+        else Map.empty)
       val t =
         if (srcEntry.mode == "mor")
           new GraftDeltaTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
             srcEntry.rowId, srcEntry.parts, srcEntry.appendRetain,
             srcEntry.sortBy, srcEntry.zorderBy, eBucket, srcEntry.bloomBy,
-            srcEntry.targetBytes)
+            srcEntry.targetBytes, dstProps)
         else new GraftTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
           srcEntry.parts, srcEntry.appendRetain, srcEntry.sortBy,
           srcEntry.zorderBy, eBucket, srcEntry.bloomBy,
-          srcEntry.targetBytes)
+          srcEntry.targetBytes, dstProps)
       // log VERSION must equal the state's nextVersion (the CAS
       // stale-slot guard keys on that invariant): the clone carries a
       // version-0 content snapshot, so its first log is v1
       require(GraftStorage.casWriteLog(dir, cst, cst.nextVersion),
         s"table directory $dir already holds a log — concurrent CREATE?")
       GraftCatalog.tables.put(regKey(dstIdent), t)
-      (idx + (idxKey(dstIdent) -> srcEntry.copy(dir = dir.toString)),
+      (idx + (idxKey(dstIdent) -> srcEntry.copy(dir = dir.toString,
+          extraProps = dstProps)),
         (files.size.toLong, files.map(_.rows).sum))
       } catch { case e: Throwable =>
         try graft.util.Fs.rmTree(dir)
@@ -609,6 +627,91 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw e
       }
     }
+  }
+
+  /** BRANCHES (Iceberg's branch workflow over the clone substrate):
+    * `create_branch` forks the table's current snapshot as a fully
+    * writable sibling table `<name>_branch_<branch>` — zero-copy
+    * (hard links), schema and layout inherited, branch-point version
+    * stamped under the index lock from the exact snapshot cloned.
+    * Work lands on the branch with every normal write path (INSERT /
+    * MERGE / DDL-free maintenance); main stays untouched and
+    * readable. `fast_forward` publishes the branch's current content
+    * back to main as ONE atomic commit — allowed ONLY while main is
+    * still exactly at the branch point (validated inside the commit
+    * loop, so a concurrent main commit fails the fast-forward loudly
+    * instead of being silently erased — git's fast-forward rule). A
+    * diverged main means merge-by-hand (MERGE INTO from the branch)
+    * or re-branch; this engine never auto-merges.
+    *
+    * At 100 TB this is the audit workflow WAP tags cannot give alone:
+    * a multi-statement repair (delete + backfill + compact) runs on
+    * the branch over days, is audited AS A TABLE, and lands on main
+    * as one O(files) metadata commit with zero data movement. */
+  private[catalog] def branchIdent(srcIdent: Identifier,
+      branch: String): Identifier =
+    Identifier.of(srcIdent.namespace(),
+      s"${srcIdent.name()}_branch_$branch")
+
+  private[catalog] def createBranch(srcIdent: Identifier,
+      branch: String): (String, Long, Long) = {
+    require(branch.matches("[A-Za-z0-9_]+"),
+      s"branch name '$branch' must be alphanumeric/underscore")
+    val dst = branchIdent(srcIdent, branch)
+    val (nf, nr) = cloneTable(srcIdent, dst, None,
+      Map("graft.branch.of" -> idxKey(srcIdent),
+        "graft.branch.name" -> branch))
+    (dst.toString, nf, nr)
+  }
+
+  private[catalog] def fastForward(srcIdent: Identifier,
+      branch: String): (Long, Long) = {
+    val dst = branchIdent(srcIdent, branch)
+    val main = loadTable(srcIdent).asInstanceOf[GraftTable]
+    val br = loadTable(dst).asInstanceOf[GraftTable]
+    val bp = br.properties()
+    require(bp.get("graft.branch.of") == idxKey(srcIdent),
+      s"$dst is not a branch of $srcIdent " +
+        "(create it with CALL system.create_branch)")
+    val baseV = bp.get("graft.branch.base_version").toInt
+    br.refreshFromDisk()
+    main.refreshFromDisk()
+    val bst = br.stateNow
+    require(bst.current.forall(_.deltaFiles.isEmpty),
+      s"fast_forward: branch $dst has a live merge-on-read delta " +
+        "log — CALL system.compact on the branch first")
+    require(main.schema() == br.schema(),
+      s"fast_forward: branch $dst changed the schema " +
+        s"(${br.schema().catalogString} vs main " +
+        s"${main.schema().catalogString}) — schema changes must land " +
+        "on main by DDL, not fast-forward")
+    // adopt the branch's files into main's storage by hard link —
+    // files the branch inherited unchanged already share an inode
+    // with a same-named main file and are reused in place; files the
+    // branch wrote link in fresh. A failure between linking and the
+    // commit leaves only unreferenced (GC-able) links.
+    val mainData = Paths.get(main.dataDir)
+    Files.createDirectories(mainData)
+    def adopt(r: GraftFileRef): GraftFileRef = {
+      val srcP = Paths.get(r.path)
+      val dstP = mainData.resolve(srcP.getFileName.toString)
+      if (Files.exists(dstP)) {
+        require(Files.isSameFile(srcP, dstP),
+          s"fast_forward: ${dstP.getFileName} exists in main with " +
+            "different content — name collision, re-branch")
+        r.copy(path = dstP.toString)
+      } else {
+        try Files.createLink(dstP, srcP)
+        catch {
+          case _: UnsupportedOperationException =>
+            Files.copy(srcP, dstP): Unit // cross-FS: pay the copy
+        }
+        r.copy(path = dstP.toString)
+      }
+    }
+    val ff = bst.current.map(_.files).getOrElse(Vector.empty).map(adopt)
+    main.commitFastForward(baseV, ff)
+    (ff.size.toLong, ff.map(_.rows).sum)
   }
 
   /** ALTER TABLE: ADD COLUMN (with null backfill on files that predate
@@ -765,13 +868,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"table property $k is structural and frozen at CREATE " +
           "(the MOR fold and bucket grouping assume table-wide " +
           "uniformity) — create a new table and INSERT/clone into it")
-      if (k.startsWith("graft.") && !tunable.contains(k))
+      if (k.startsWith("graft.") && !tunable.contains(k) &&
+          !k.startsWith("graft.mv."))
         throw new UnsupportedOperationException(
           s"unknown graft table property $k (tunable: " +
-            s"${tunable.toSeq.sorted.mkString(", ")})")
+            s"${tunable.toSeq.sorted.mkString(", ")}, plus the " +
+            "graft.mv.* materialized-view registration namespace)")
     }
-    val graftSets = sets.filter(s => tunable.contains(s._1))
-    val graftRemoves = removes.filter(tunable.contains)
+    // graft.mv.*: free-form MV-registration metadata ([[graft.plans
+    // .MvRewrite]]) — persisted verbatim in the index's extraProps
+    val graftSets = sets.filter(s =>
+      tunable.contains(s._1) || s._1.startsWith("graft.mv."))
+    val graftRemoves = removes.filter(k =>
+      tunable.contains(k) || k.startsWith("graft.mv."))
     if (graftSets.isEmpty && graftRemoves.isEmpty) return t
     val schema = t.schema()
     def cols(key: String, v: String): List[String] =
@@ -824,6 +933,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "graft.zorder_by needs at least 2 columns " +
               "(use graft.sort_by for 1)")
           e = e.copy(zorderBy = zc, sortBy = Nil)
+        case (k, v) if k.startsWith("graft.mv.") =>
+          e = e.copy(extraProps = e.extraProps + (k -> v))
         case _ => ()
       }
       graftRemoves.foreach {
@@ -833,6 +944,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "graft.bloom_by" => e = e.copy(bloomBy = Nil)
         case "graft.sort_by" => e = e.copy(sortBy = Nil)
         case "graft.zorder_by" => e = e.copy(zorderBy = Nil)
+        case k if k.startsWith("graft.mv.") =>
+          e = e.copy(extraProps = e.extraProps - k)
         case _ => ()
       }
       require(e.sortBy.isEmpty || e.zorderBy.isEmpty,
@@ -851,10 +964,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (e.mode == "mor")
           new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
             e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
-            e.bloomBy, e.targetBytes)
+            e.bloomBy, e.targetBytes, e.extraProps)
         else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
           e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
-          e.targetBytes)
+          e.targetBytes, e.extraProps)
       GraftCatalog.tables.put(regKey(ident), nt)
       (idx + (idxKey(ident) -> e), nt)
     }
@@ -891,14 +1004,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // demand an ordered distribution on a COMPUTED clustering value.
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name().equalsIgnoreCase("zorder")) GraftZOrder
-    else if (ident.name().equalsIgnoreCase("bucket")) GraftBucket
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "zorder" => GraftZOrder
+      case "bucket" => GraftBucket
+      case "days" => GraftPartField.DaysFn
+      case "months" => GraftPartField.MonthsFn
+      case "years" => GraftPartField.YearsFn
+      case "hours" => GraftPartField.HoursFn
+      case "truncate" => GraftPartField.TruncateFn
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespaceExists(namespace))
-      Array(Identifier.of(namespace, "zorder"),
-        Identifier.of(namespace, "bucket"))
+      Array("zorder", "bucket", "days", "months", "years", "hours",
+        "truncate").map(Identifier.of(namespace, _))
     else throw new NoSuchNamespaceException(namespace)
 
   // -- ProcedureCatalog: CALL graft_cat.system.<proc>('ns.table') --------
@@ -1065,7 +1185,8 @@ object GraftCatalog {
       rowId: String, retain: Int, parts: List[String] = Nil,
       appendRetain: Int = 65536, sortBy: List[String] = Nil,
       zorderBy: List[String] = Nil, bucketBy: List[String] = Nil,
-      bloomBy: List[String] = Nil, targetBytes: Long = 0L)
+      bloomBy: List[String] = Nil, targetBytes: Long = 0L,
+      extraProps: Map[String, String] = Map.empty)
 
   private val indexLock = new Object
 
@@ -1122,7 +1243,10 @@ object GraftCatalog {
                 a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
               e.get("bloomBy").collect { case JArray(a) =>
                 a.map(_.asInstanceOf[JString].s) }.getOrElse(Nil),
-              e.get("targetBytes").map(int(_, 0).toLong).getOrElse(0L))
+              e.get("targetBytes").map(int(_, 0).toLong).getOrElse(0L),
+              e.get("extraProps").collect { case JObject(fs) =>
+                fs.collect { case (pk, JString(pv)) => pk -> pv }.toMap
+              }.getOrElse(Map.empty))
           }
         } else Map.empty
       val (after, result) = f(before)
@@ -1138,7 +1262,10 @@ object GraftCatalog {
             "zorderBy" -> JArray(e.zorderBy.map(JString(_): JValue)),
             "bucketBy" -> JArray(e.bucketBy.map(JString(_): JValue)),
             "bloomBy" -> JArray(e.bloomBy.map(JString(_): JValue)),
-            "targetBytes" -> JLong(e.targetBytes)): JValue)
+            "targetBytes" -> JLong(e.targetBytes),
+            "extraProps" -> (JObject(e.extraProps.toList.sortBy(_._1)
+              .map { case (pk, pv) => pk -> (JString(pv): JValue) })
+              : JValue)): JValue)
         })
         val tmp = wh.resolve("_tables.json.tmp")
         Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
@@ -1197,7 +1324,8 @@ class GraftTable(ident: String, val dir: NioPath,
     partCols: Seq[String] = Nil, appendRetain: Int = 65536,
     sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil,
     bucketBy: Option[(String, Int)] = None,
-    bloomCols: Seq[String] = Nil, targetBytes: Long = 0L)
+    bloomCols: Seq[String] = Nil, targetBytes: Long = 0L,
+    extraProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2
     with SupportsMetadataColumns {
@@ -1261,6 +1389,7 @@ class GraftTable(ident: String, val dir: NioPath,
       m.put("graft.bloom_by", bloomCols.mkString(","))
     if (targetBytes > 0)
       m.put("graft.target_file_bytes", targetBytes.toString)
+    extraProps.foreach { case (k, v) => m.put(k, v) }
     val st = state
     m.put("graft.current_version",
       st.current.map(_.version).getOrElse(-1).toString)
@@ -1272,29 +1401,41 @@ class GraftTable(ident: String, val dir: NioPath,
   }
   protected def tableKind: String = "cow"
 
-  /** Identity partitioning, Iceberg-hidden-partitioning style: writers
-    * split their output so every data file holds ONE value per
-    * partition column, which pins that file's min/max stats to min ==
-    * max — the ordinary stats-based file skipping then IS exact
-    * partition pruning, with no hive directory layout and no separate
-    * pruning code path. */
+  /** Hidden partitioning, Iceberg style: writers split their output so
+    * every data file holds ONE partition value — the source value for
+    * identity fields, the TRANSFORM result (one day / month / prefix)
+    * for transform fields ([[GraftPartField]]). Either way each file's
+    * min/max stats on the source column pin to the partition's span, so
+    * the ordinary stats-based file skipping IS exact partition pruning,
+    * with no hive directory layout and no separate pruning code path —
+    * and the user's predicates stay on the source column. */
   override def partitioning(): Array[Transform] =
-    partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c):
-        Transform).toArray
+    partFields.map(_.transform).toArray
 
-  private[catalog] def partitionCols: Seq[String] = partCols
+  /** Parsed partition spec (identity fields keep fn = "identity"). */
+  private[catalog] lazy val partFields: Seq[GraftPartField] =
+    partCols.map(GraftPartField.parse)
+
+  /** SOURCE column names of the partition spec — the axis stats-based
+    * pruning, runtime filtering, and exact partition pushdown work on
+    * (a `days(ts)` table prunes and pushes against `ts`). */
+  private[catalog] def partitionCols: Seq[String] = partFields.map(_.col)
+
+  /** Encoded spec strings, for scan builders and persistence. */
+  private[catalog] def partSpecEncoded: Seq[String] = partCols
   private[catalog] def sortColumns: Seq[String] = sortCols
   private[catalog] def zorderColumns: Seq[String] = zorderCols
   private[catalog] def bucketSpec: Option[(String, Int)] = bucketBy
   private[catalog] def bloomColumns: Seq[String] = bloomCols
   private[catalog] def targetFileBytes: Long = targetBytes
 
-  /** Partition-column ordinals in the table schema (resolved fresh:
-    * ALTER can append columns behind them). */
-  private[catalog] def partOrdinals: Array[Int] = {
+  /** (source ordinal, encoded transform) pairs for the writer
+    * factories — encoded strings because factories serialize to
+    * executors, which re-parse once per task. */
+  private[catalog] def partWriterSpec: Array[(Int, String)] = {
     val names = state.schema.fieldNames.toIndexedSeq
-    partCols.map(c => GraftStorage.ordinalByName(names, c)).toArray
+    partFields.map(pf =>
+      (GraftStorage.ordinalByName(names, pf.col), pf.encoded)).toArray
   }
 
   // ---- commit protocol -------------------------------------------------
@@ -1607,6 +1748,31 @@ class GraftTable(ident: String, val dir: NioPath,
         appendLog = state.appendLog ++ files)))
     }
 
+  /** Fast-forward publish ([[GraftCatalog.fastForward]]): replace the
+    * table content with the branch's files — sound ONLY while this
+    * table is still exactly at the branch point, re-validated on
+    * every commit round so a concurrent commit fails the
+    * fast-forward loudly (the would-be lost update) instead of being
+    * erased. Clears the MOR delta log like any replace-all: the
+    * branch content already folds everything the delta held at the
+    * branch point (the version check proves nothing landed since). */
+  private[graft] def commitFastForward(expectedVersion: Int,
+      files: Seq[GraftFileRef]): Unit = commitLoop { () =>
+    val curV = state.current.map(_.version).getOrElse(-1)
+    if (curV != expectedVersion)
+      throw new IllegalStateException(
+        s"fast_forward on $ident: main is at version $curV but the " +
+          s"branch forked at $expectedVersion — the branch has " +
+          "diverged from main. MERGE the branch content manually or " +
+          "re-branch from the current snapshot.")
+    val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
+      files.toVector, Vector.empty)
+    Some(trimAppend(state.copy(
+      snapshots = retainWindow(state.snapshots :+ snap),
+      nextVersion = state.nextVersion + 1,
+      appendLog = state.appendLog ++ files)))
+  }
+
   /** Group-replacement commit (row-level DML): swap exactly the scanned
     * files for the rewrite output; every other file is carried over
     * UNTOUCHED — the file-granularity copy-on-write contract.
@@ -1781,8 +1947,8 @@ class GraftTable(ident: String, val dir: NioPath,
     * need a rewrite, not a metadata commit); the MOR subclass adds the
     * row-id column. */
   protected def evolutionProtected: Seq[String] =
-    partCols ++ sortCols ++ zorderCols ++ bucketBy.map(_._1).toSeq ++
-      bloomCols
+    partFields.map(_.col) ++ sortCols ++ zorderCols ++
+      bucketBy.map(_._1).toSeq ++ bloomCols
 
   /** Reserved names a RENAME target must avoid; MOR adds its markers. */
   protected def evolutionReservedNames: Seq[String] = Seq("_file")
@@ -2213,8 +2379,34 @@ class GraftTable(ident: String, val dir: NioPath,
     if (partCols.isEmpty) commitReplaceAll(files)
     else commitLoop { () =>
       validateDynamicOverwrite()
-      def key(f: GraftFileRef): Seq[Option[String]] =
-        partCols.map(c => f.stats.get(c).flatMap(_.min))
+      // identity fields key by the pinned stat string (min == max by
+      // the writer's split); transform fields key by the TRANSFORM of
+      // the stats — a one-day file's min and max map to the same epoch
+      // day, validated loudly (a file straddling two transform buckets
+      // can only mean foreign/corrupt storage, and replacing "its"
+      // partition would silently drop the other bucket's rows).
+      val schemaNow = state.schema
+      val names = schemaNow.fieldNames.toIndexedSeq
+      def key(f: GraftFileRef): Seq[Option[Any]] =
+        partFields.map { pf =>
+          val st = f.stats.get(pf.col)
+          if (pf.isIdentity) st.flatMap(_.min)
+          else {
+            val o = GraftStorage.ordinalByName(names, pf.col)
+            val dt = schemaNow.fields(o).dataType
+            st.flatMap(s => (s.min, s.max) match {
+              case (Some(mn), Some(mx)) =>
+                val kmin = pf.eval(dt, GraftStorage.statFromString(dt, mn))
+                val kmax = pf.eval(dt, GraftStorage.statFromString(dt, mx))
+                require(kmin == kmax,
+                  s"dynamic overwrite on ${name()}: file ${f.path} " +
+                    s"spans two ${pf.encoded} partitions " +
+                    s"($kmin..$kmax) — cannot be partition-keyed")
+                Some(kmin)
+              case _ => None // all-null partition value
+            })
+          }
+        }
       val newKeys = files.map(key).toSet
       val kept = curFiles.filterNot(f => newKeys.contains(key(f)))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
@@ -2387,14 +2579,30 @@ class GraftPartitionsTable(ident: String, base: GraftTable)
         s"$$partitions on a merge-on-read table requires an empty " +
           "delta log (delta rows are not partition-attributable from " +
           "metadata) — CALL system.compact first")
-      private val pcs = base.partitionCols
+      private val pfs = base.partFields
+      private val sch = base.stateNow.schema
       private def key(f: GraftFileRef): String =
-        pcs.map { c =>
-          val pinned = f.stats.get(c).collect {
-            case st if st.nulls == 0 && st.min.isDefined &&
-                st.min == st.max => st.min.get
-          }
-          s"$c=${pinned.getOrElse("null")}"
+        pfs.map { pf =>
+          // identity: pinned means min == max; transform: pinned means
+          // min and max land in the SAME transform bucket (a one-day
+          // file's span is within the day) — rendered Iceberg-style
+          // (days(ts)=2024-03-15)
+          val o = GraftStorage.ordinalByName(
+            sch.fieldNames.toIndexedSeq, pf.col)
+          val dt = sch.fields(o).dataType
+          val pinned = f.stats.get(pf.col).collect {
+            case st if st.nulls == 0 && st.min.isDefined =>
+              if (pf.isIdentity) {
+                if (st.min == st.max) Some(st.min.get) else None
+              } else {
+                val kmin = pf.eval(dt,
+                  GraftStorage.statFromString(dt, st.min.get))
+                val kmax = pf.eval(dt,
+                  GraftStorage.statFromString(dt, st.max.get))
+                if (kmin == kmax) Some(pf.render(dt, kmin)) else None
+              }
+          }.flatten
+          s"${pf.encoded}=${pinned.getOrElse("null")}"
         }.mkString("/")
       private val data: Array[InternalRow] =
         base.stateNow.current.map(_.files).getOrElse(Vector.empty)
@@ -2798,7 +3006,10 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
       catch { case _: Exception => false }
     if (exactOn && partCols.nonEmpty && predicates.nonEmpty &&
         all.length == predicates.length && {
-          val pc = partCols.toSet
+          // SOURCE column names: a days(ts) table's users filter on ts,
+          // and the per-file decidability gate below is what keeps the
+          // pushdown exact regardless of the transform
+          val pc = partCols.map(GraftPartField.parse(_).col).toSet
           all.forall { f =>
             val r = f.references
             r.nonEmpty && r.forall(pc.contains)
@@ -3252,25 +3463,57 @@ object GraftV2Preds {
       (pinned(c), colType(c)) match {
         case (Some(s), Some(dt)) =>
           try {
-            val lv = dt match {
-              case StringType => org.apache.spark.unsafe.types.UTF8String
-                .fromString(v.asInstanceOf[String])
-              case _: org.apache.spark.sql.types.DecimalType =>
-                org.apache.spark.sql.types.Decimal(
-                  v.asInstanceOf[java.math.BigDecimal])
-              case _ => v
-            }
+            val lv = GraftStorage.normalizeLiteral(dt, v)
             GraftStorage.typedCompare(dt,
               GraftStorage.statFromString(dt, s), lv) == 0
           } catch { case _: Exception => false }
         case _ => false
       }
+    // every row satisfies a one-sided range test iff the file's WHOLE
+    // stats span does (min/max are exact by construction, no nulls) —
+    // what makes a day-boundary predicate on a days(ts)-partitioned
+    // table fully decidable, and with it the zero-I/O metadata-served
+    // `COUNT(*) WHERE ts >= d1 AND ts < d2`
+    def rangeAll(c: String, v: Any, opName: String): Boolean = {
+      val o = fileOrd(c)
+      o >= 0 && colType(c).exists { dt =>
+        f.stats.get(f.cols(o)).exists { st =>
+          st.nulls == 0 && st.min.isDefined && st.max.isDefined && (try {
+            val lv = GraftStorage.normalizeLiteral(dt, v)
+            val lo = GraftStorage.typedCompare(dt,
+              GraftStorage.statFromString(dt, st.min.get), lv)
+            val hi = GraftStorage.typedCompare(dt,
+              GraftStorage.statFromString(dt, st.max.get), lv)
+            opName match {
+              case ">" => lo > 0
+              case ">=" => lo >= 0
+              case "<" => hi < 0
+              case "<=" => hi <= 0
+            }
+          } catch { case _: Exception => false })
+        }
+      }
+    }
     p.name() match {
       case "ALWAYS_TRUE" => true
       case "IN" => singleCol(p).exists { case (c, values) =>
         values.exists(v => v != null && equalsPinned(c, v)) }
       case "=" | "<=>" => singleCol(p).exists {
         case (c, v :: Nil) => v != null && equalsPinned(c, v)
+        case _ => false
+      }
+      case ">" | ">=" | "<" | "<=" => singleCol(p).exists {
+        case (c, v :: Nil) => v != null && rangeAll(c, v, p.name())
+        case _ => false
+      }
+      // AND: both conjuncts must cover every row. OR: one side covering
+      // every row is sufficient (not necessary — stays conservative).
+      case "AND" => p.children().forall {
+        case c: Predicate => mustMatchAll(schema, f, c)
+        case _ => false
+      }
+      case "OR" => p.children().exists {
+        case c: Predicate => mustMatchAll(schema, f, c)
         case _ => false
       }
       case "IS_NOT_NULL" => p.children().toList match {
@@ -3309,6 +3552,15 @@ object GraftFilterEval {
       case (LongType, _: Long) | (IntegerType, _: Int) |
            (DoubleType, _: Double) | (StringType, _: String) |
            (_: DecimalType, _: java.math.BigDecimal) => true
+      // temporal literals: both the java.sql and java.time spellings
+      // Spark's V1 translation emits (datetime.java8API off/on) —
+      // normalized to internal micros/days, compared as LONG/INT,
+      // which IS Spark's instant/day ordering
+      case (TimestampType, _: java.sql.Timestamp) |
+           (TimestampType, _: java.time.Instant) |
+           (TimestampNTZType, _: java.time.LocalDateTime) |
+           (DateType, _: java.sql.Date) |
+           (DateType, _: java.time.LocalDate) => true
       case _ => false
     })
   }
@@ -3340,6 +3592,12 @@ object GraftFilterEval {
         r => !r.isNullAt(o) && test(java.lang.Long.compare(r.getLong(o), lv))
       case IntegerType =>
         val iv = v.asInstanceOf[Int]
+        r => !r.isNullAt(o) && test(Integer.compare(r.getInt(o), iv))
+      case dt @ (TimestampType | TimestampNTZType) =>
+        val lv = GraftStorage.normalizeLiteral(dt, v).asInstanceOf[Long]
+        r => !r.isNullAt(o) && test(java.lang.Long.compare(r.getLong(o), lv))
+      case DateType =>
+        val iv = GraftStorage.normalizeLiteral(DateType, v).asInstanceOf[Int]
         r => !r.isNullAt(o) && test(Integer.compare(r.getInt(o), iv))
       case DoubleType =>
         val dv = v.asInstanceOf[Double]
@@ -3425,7 +3683,8 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
     if (spjKeyed.isDefined || skipLeadingRows > 0) Array.empty
     else {
       val names = tableSchema.fieldNames.toSet
-      (partCols ++ bucketSpec.map(_._1) ++ clusterCols).distinct
+      (partCols.map(GraftPartField.parse(_).col) ++
+        bucketSpec.map(_._1) ++ clusterCols).distinct
         .filter(names.contains)
         .map(c => org.apache.spark.sql.connector.expressions.Expressions
           .column(c): org.apache.spark.sql.connector.expressions.NamedReference)
@@ -3478,7 +3737,13 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
         Some((files.map(f => (f, Array[Any](f.bucket))),
           Array(Expressions.bucket(n, c): Expression)))
       else None // legacy unbucketed refs present: report nothing
-    } else if (partCols.nonEmpty) {
+    } else if (partCols.nonEmpty &&
+        partCols.forall(GraftPartField.parse(_).isIdentity)) {
+      // SPJ keys only on IDENTITY partitions: a transform field's files
+      // pin the transform bucket, not a joinable column value (min !=
+      // max on the source column), so transform-partitioned tables fall
+      // through to per-file partitions — correctness never depends on
+      // the report
       val names = tableSchema.fieldNames.toIndexedSeq
       val ords = partCols.map(GraftStorage.ordinalByName(names, _))
       if (ords.exists(_ < 0)) None
@@ -4056,10 +4321,17 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
         .toArray ++ zSort
     override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
       if (table.partitionCols.nonEmpty)
+        // cluster by the partition TRANSFORM (identity(c) degenerates
+        // to the column): a days(ts) write shuffles rows of one day to
+        // one task — one file per day per write — where clustering by
+        // raw ts would scatter a day across every task and recreate
+        // the small-file explosion hidden partitioning exists to stop.
+        // Transform names resolve through this catalog's
+        // FunctionCatalog ([[GraftPartField.DaysFn]] et al.), the
+        // bucket/zorder mechanism.
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          table.partitionCols.map(c =>
-            Expressions.column(c):
-              org.apache.spark.sql.connector.expressions.Expression).toArray)
+          table.partFields.map(pf => pf.transform:
+            org.apache.spark.sql.connector.expressions.Expression).toArray)
       else table.bucketSpec match {
         // cluster by the catalog-resolved bucket(n, col) transform so
         // each write task owns whole buckets — one file per bucket per
@@ -4132,7 +4404,7 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new GraftWriterFactory(table.dataDir, incoming, table.schema(),
-          table.partOrdinals, bucketArgs._1, bucketArgs._2,
+          table.partWriterSpec, bucketArgs._1, bucketArgs._2,
           table.bloomColumns)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val refs = collectRefs(messages)
@@ -4159,7 +4431,7 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
             info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
           new GraftStreamingWriterFactory(
             new GraftWriterFactory(table.dataDir, incoming, table.schema(),
-              table.partOrdinals, bucketArgs._1, bucketArgs._2,
+              table.partWriterSpec, bucketArgs._1, bucketArgs._2,
               table.bloomColumns))
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit =
@@ -4207,10 +4479,14 @@ class GraftStreamingWriterFactory(inner: GraftWriterFactory)
   * that changes the contract fails loudly instead of corrupting
   * storage. */
 class GraftWriterFactory(dataDir: String, incoming: StructType,
-    target: StructType, partOrds: Array[Int] = Array.empty,
+    target: StructType, partSpec: Array[(Int, String)] = Array.empty,
     bucketOrd: Int = -1, bucketN: Int = 0,
     bloomCols: Seq[String] = Nil)
     extends DataWriterFactory {
+  // (source ordinal, parsed transform) — parsed once per factory; the
+  // encoded-string ctor form is what serializes to executors
+  @transient private lazy val partFields: Array[(Int, GraftPartField)] =
+    partSpec.map { case (o, s) => (o, GraftPartField.parse(s)) }
   // resolved on the DRIVER (factories serialize to executors, where no
   // session exists): files at least this big record their row-group
   // offsets into the commit ref at close — the knob tests lower so a
@@ -4261,12 +4537,18 @@ class GraftWriterFactory(dataDir: String, incoming: StructType,
           val v = if (r.isNullAt(bucketOrd)) null
             else r.get(bucketOrd, dt)
           List(GraftBucket.bucketId(dt, v, bucketN))
-        } else partOrds.toList.map { o =>
+        } else partFields.toList.map { case (o, pf) =>
           if (r.isNullAt(o)) null
-          else r.get(o, target.fields(o).dataType) match {
-            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-            case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
-            case other => other
+          else {
+            val dt = target.fields(o).dataType
+            // the TRANSFORM result is the split unit: identity keeps
+            // the value (one file per value), days/truncate/... keep
+            // one file per transform bucket
+            pf.eval(dt, r.get(o, dt)) match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+              case other => other
+            }
           }
         }
 

@@ -50,10 +50,11 @@ class GraftDeltaTable(ident: String, dir: NioPath,
     morPartCols: Seq[String] = Nil, appendRetain: Int = 65536,
     morSortCols: Seq[String] = Nil, morZorderCols: Seq[String] = Nil,
     morBucketBy: Option[(String, Int)] = None,
-    morBloomCols: Seq[String] = Nil, morTargetBytes: Long = 0L)
+    morBloomCols: Seq[String] = Nil, morTargetBytes: Long = 0L,
+    morExtraProps: Map[String, String] = Map.empty)
     extends GraftTable(ident, dir, initState, retain, morPartCols,
       appendRetain, morSortCols, morZorderCols, morBucketBy,
-      morBloomCols, morTargetBytes) {
+      morBloomCols, morTargetBytes, morExtraProps) {
 
   // resolved FRESH against the stored schema (DROP COLUMN of an earlier
   // field shifts this ordinal; renaming/dropping the id column itself
@@ -177,7 +178,7 @@ class GraftDeltaTable(ident: String, dir: NioPath,
       // a compacted MOR table is SPJ-eligible like any CoW table —
       // pass the partition/bucket layout through for the key-grouped
       // report and bucket pruning
-      new GraftScanBuilder(st.schema, files, None, partitionCols,
+      new GraftScanBuilder(st.schema, files, None, partSpecEncoded,
         bucketSpec, sortColumns ++ zorderColumns)
     else {
       val fold = GraftDeltaTable.foldDelta(delta, st.schema, idType)

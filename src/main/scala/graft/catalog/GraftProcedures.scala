@@ -58,6 +58,20 @@ object GraftProcedures {
     }
   }
 
+  private def summaryScanStr(fields: Seq[(String, String)]): Scan = {
+    val schema = StructType(fields.map { case (n, _) =>
+      StructField(n, StringType, nullable = false) })
+    val row = new GenericInternalRow(fields.map(f =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(f._2): Any)
+      .toArray)
+    new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+      override def description(): String =
+        s"GraftProcedureResult(${schema.catalogString})"
+    }
+  }
+
   private abstract class GraftProcedure(procName: String, descr: String,
       params: Array[ProcedureParameter])
       extends UnboundProcedure with BoundProcedure {
@@ -218,6 +232,55 @@ object GraftProcedures {
             "rows" -> nRows))
         }
       }
+      case "create_branch" => new GraftProcedure("create_branch",
+        "fork the table's current snapshot as a fully writable " +
+          "zero-copy sibling table <table>_branch_<branch> (hard " +
+          "links, O(files) metadata). Work lands on the branch with " +
+          "every normal write path; main stays untouched. Publish " +
+          "back with system.fast_forward; abandon with DROP TABLE.",
+        tableParam :+ ProcedureParameter.in("branch", StringType)
+          .comment("branch name (alphanumeric/underscore)")
+          .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val qualified = input.getUTF8String(0).toString
+          val parts = qualified.split('.')
+          require(parts.length >= 2,
+            s"expected namespace-qualified table name, got '$qualified'")
+          val ident = Identifier.of(parts.init, parts.last)
+          val branch = input.getUTF8String(1).toString
+          val (branchTable, nf, nr) = cat.createBranch(ident, branch)
+          summaryScanStr(Seq(
+            "branch_table" -> branchTable,
+            "files_linked" -> nf.toString,
+            "rows" -> nr.toString))
+        }
+      }
+      case "fast_forward" => new GraftProcedure("fast_forward",
+        "publish a branch's current content back to main as ONE " +
+          "atomic commit — allowed only while main is still exactly " +
+          "at the branch point (a concurrent main commit fails this " +
+          "loudly; diverged branches merge manually or re-branch). " +
+          "Zero data movement: the branch's files hard-link into " +
+          "main's storage.",
+        tableParam :+ ProcedureParameter.in("branch", StringType)
+          .comment("branch name previously created by create_branch")
+          .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val qualified = input.getUTF8String(0).toString
+          val parts = qualified.split('.')
+          require(parts.length >= 2,
+            s"expected namespace-qualified table name, got '$qualified'")
+          val ident = Identifier.of(parts.init, parts.last)
+          val branch = input.getUTF8String(1).toString
+          val (nf, nr) = cat.fastForward(ident, branch)
+          val (_, t) = resolve(cat, qualified)
+          summaryScan(Seq(
+            "files_published" -> nf,
+            "rows" -> nr,
+            "main_version" -> t.stateNow.current
+              .map(_.version.toLong).getOrElse(-1L)))
+        }
+      }
       case "rewrite_small_files" => new GraftProcedure(
         "rewrite_small_files",
         "bin-pack data files below min_bytes into ~min_bytes outputs " +
@@ -246,7 +309,8 @@ object GraftProcedures {
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
-          "(available: clone, compact, expire_snapshots, history, " +
+          "(available: clone, compact, create_branch, " +
+          "expire_snapshots, fast_forward, history, " +
           "rewrite_small_files, rollback, tag)")
     }
   }
@@ -255,7 +319,9 @@ object GraftProcedures {
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "clone"),
         Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "fast_forward"),
         Identifier.of(Array("system"), "history"),
         Identifier.of(Array("system"), "rewrite_small_files"),
         Identifier.of(Array("system"), "rollback"),

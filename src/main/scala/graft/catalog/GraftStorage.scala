@@ -293,6 +293,46 @@ object GraftStorage {
     * primitive == first so -0.0 = 0.0 (SQLOrderingUtil semantics — the
     * same rule GraftFilterEval compiles for row filters); strings
     * compare as UTF8 bytes (the ordering pushed string filters use). */
+  /** Normalize a pushed-filter literal — V1 external spellings
+    * (String, java BigDecimal, java.sql.Timestamp/Date, java.time
+    * Instant/LocalDate/LocalDateTime) or V2 catalyst-internal ones —
+    * to the internal value [[typedCompare]] expects. A spelling this
+    * doesn't know passes through, and the caller's try/catch keeps the
+    * file (conservative). Timestamp/date coverage is what makes stats
+    * pruning work on TIME predicates — the axis every
+    * `days(ts)`-partitioned 100-TB table is actually filtered on. */
+  def normalizeLiteral(dt: DataType, v: Any): Any = dt match {
+    case StringType => v match {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+    case _: DecimalType => v match {
+      case b: java.math.BigDecimal => Decimal(b)
+      case b: scala.math.BigDecimal => Decimal(b)
+      case other => other
+    }
+    case TimestampType => v match {
+      case t: java.sql.Timestamp =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case i: java.time.Instant =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+      case other => other
+    }
+    case TimestampNTZType => v match {
+      case l: java.time.LocalDateTime =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(l)
+      case other => other
+    }
+    case DateType => v match {
+      case d: java.sql.Date =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+      case l: java.time.LocalDate => l.toEpochDay.toInt
+      case other => other
+    }
+    case _ => v
+  }
+
   def typedCompare(dt: DataType, a: Any, b: Any): Int = dt match {
     case LongType | TimestampType | TimestampNTZType =>
       java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -1262,18 +1302,7 @@ object GraftStorage {
             existsDefault(fld) match {
               case Some(d) if d != null =>
                 try {
-                  val lv = fld.dataType match {
-                    case StringType => v match {
-                      case s: String => UTF8String.fromString(s)
-                      case other => other
-                    }
-                    case _: DecimalType => v match {
-                      case b: java.math.BigDecimal => Decimal(b)
-                      case b: scala.math.BigDecimal => Decimal(b)
-                      case other => other
-                    }
-                    case _ => v
-                  }
+                  val lv = normalizeLiteral(fld.dataType, v)
                   val x = typedCompare(fld.dataType, d, lv)
                   test(x, x)
                 } catch { case _: Exception => true }
@@ -1283,19 +1312,10 @@ object GraftStorage {
             case Some(st) if st.min.isDefined && st.max.isDefined =>
               try {
                 val dt = fld.dataType
-                // pushed string literals arrive as java.lang.String and
-                // decimal literals as java.math.BigDecimal; stats decode
-                // to UTF8String / Decimal — normalize before compare
-                val lv = dt match {
-                  case StringType => UTF8String.fromString(v.asInstanceOf[String])
-                  case _: DecimalType => v match {
-                    case b: java.math.BigDecimal => Decimal(b)
-                    case b: scala.math.BigDecimal => Decimal(b)
-                    case d: Decimal => d
-                    case other => other
-                  }
-                  case _ => v
-                }
+                // pushed literals arrive in external spellings (String,
+                // java BigDecimal, java.sql.Timestamp/Date, java.time);
+                // stats decode to internal values — normalize first
+                val lv = normalizeLiteral(dt, v)
                 val lo = statFromString(dt, st.min.get)
                 val hi = statFromString(dt, st.max.get)
                 test(typedCompare(dt, lo, lv), typedCompare(dt, hi, lv))

@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // projection/filter pushdown through the custom node (runs inside the
     // operator-optimization fixed point)
     e.injectOptimizerRule(_ => graft.plans.PushThroughTopKPerGroup)
+    // materialized-view auto-rewrite: matching aggregates over a base
+    // table transparently serve from its registered, FRESH incremental
+    // MV (graft.plans.MvRewrite — the q229 machinery's query half)
+    e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
