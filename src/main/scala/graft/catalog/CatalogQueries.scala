@@ -2964,7 +2964,113 @@ object CatalogQueries {
         SELECT 'before_publish', COUNT(*),
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         FROM orders WHERE o_orderpriority = '1-URGENT'
-        ORDER BY phase"""))
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q254:
+    // PERSISTENT SQL VIEWS (DSv2 ViewCatalog + the CALL DDL surface +
+    // the injected read resolution — Spark doesn't route view SQL to
+    // DSv2 catalogs, see [[graft.plans.ResolveGraftViews]]). A view is
+    // pure metadata re-analyzed per query: after more rows land in the
+    // base table, the SAME view text serves the new truth — phase 1
+    // reads the view over the seed, phase 2 re-reads it after an
+    // append, phase 3 reads a REPLACEd definition. The oracle
+    // recomputes all three from the raw data. ViewCatalogSpec pins the
+    // API (alter/rename/list), persistence across catalog reloads,
+    // name-collision rules, and views-over-views.
+    QueryDef(
+      "q254_sql_views",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("CALL graft_cat.system.drop_view('default.pri_stats')")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_vw")
+        s.sql("""CREATE TABLE graft_cat.default.orders_vw
+                 (o_orderkey BIGINT, o_orderpriority STRING)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q254_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_vw
+                 SELECT o_orderkey, o_orderpriority FROM q254_orders
+                 WHERE o_orderkey % 2 = 0""")
+        s.sql("""CALL graft_cat.system.create_view('default.pri_stats',
+          'SELECT o_orderpriority, COUNT(*) AS n,
+                  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+           FROM graft_cat.default.orders_vw GROUP BY o_orderpriority')""")
+        val q = "SELECT o_orderpriority, n, key_sum " +
+          "FROM graft_cat.default.pri_stats"
+        val shape = s.sql(q)
+        val p1 = s.sql(q).withColumn("phase", lit("seed")).collect()
+        s.sql("""INSERT INTO graft_cat.default.orders_vw
+                 SELECT o_orderkey, o_orderpriority FROM q254_orders
+                 WHERE o_orderkey % 2 = 1""")
+        val p2 = s.sql(q).withColumn("phase", lit("appended")).collect()
+        s.sql("""CALL graft_cat.system.create_view('default.pri_stats',
+          'SELECT o_orderpriority, COUNT(*) AS n,
+                  CAST(MAX(o_orderkey) AS BIGINT) AS key_sum
+           FROM graft_cat.default.orders_vw GROUP BY o_orderpriority',
+          'true')""")
+        val p3 = s.sql(q).withColumn("phase", lit("replaced")).collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2 ++ p3).toSeq.asJava,
+          shape.withColumn("phase", lit("x")).schema)
+          .select("phase", "o_orderpriority", "n", "key_sum")
+          .orderBy("phase", "o_orderpriority")
+      },
+      Some("""
+        SELECT 'seed' AS phase, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2
+        UNION ALL
+        SELECT 'appended', o_orderpriority, COUNT(*),
+               CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'replaced', o_orderpriority, COUNT(*),
+               CAST(MAX(o_orderkey) AS BIGINT)
+        FROM orders GROUP BY 2
+        ORDER BY phase, o_orderpriority""")),
+
+    // -------------------------------------------------------------- q255:
+    // ALTER COLUMN FIRST/AFTER — metadata-only column REORDER
+    // (GraftTable.alterMoveColumn): pre-move files bind by stable field
+    // id, post-move INSERTs write the new order, the MOR fold and time
+    // travel stay exact (NestedEvolutionSpec pins CoW + MOR + travel).
+    // Reordering a 100-TB table's columns for reader ergonomics costs
+    // one commit, zero rewrites — the q213/q219 evolution family's
+    // last missing verb. The query ingests half the rows, moves a
+    // column, ingests the rest through the NEW order, and reads a
+    // canonical projection the oracle recomputes from raw data.
+    QueryDef(
+      "q255_column_reorder",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_mv_pos")
+        s.sql("""CREATE TABLE graft_cat.default.orders_mv_pos
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)""")
+        Tables(s, d, "orders").createOrReplaceTempView("q255_orders")
+        s.sql("""INSERT INTO graft_cat.default.orders_mv_pos
+                 SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q255_orders WHERE o_orderkey % 2 = 0""")
+        s.sql("""ALTER TABLE graft_cat.default.orders_mv_pos
+                 ALTER COLUMN o_totalprice FIRST""")
+        // the post-move INSERT writes through the REORDERED schema
+        s.sql("""INSERT INTO graft_cat.default.orders_mv_pos
+                 SELECT o_totalprice, o_orderkey, o_orderpriority
+                 FROM q255_orders WHERE o_orderkey % 2 = 1""")
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                   AS DOUBLE) AS price_sum
+          FROM graft_cat.default.orders_mv_pos
+          GROUP BY 1 ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS price_sum
+        FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

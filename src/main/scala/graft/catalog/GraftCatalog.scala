@@ -62,7 +62,8 @@ import org.json4s.jackson.JsonMethods
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog
     with ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = "graft"
   /** Test-visible warehouse root (staging specs census directories). */
@@ -123,6 +124,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ident.name().stripSuffix("$history"))
       return new GraftHistoryTable(idxKey(ident),
         loadTable(base).asInstanceOf[GraftTable])
+    }
+    // `<table>$refs`: every named ref — tags (in-state pins) and
+    // branches (writable sibling tables) — with version and status
+    if (ident.name().endsWith("$refs")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$refs"))
+      val bt = loadTable(base).asInstanceOf[GraftTable]
+      val branches = GraftCatalog.withIndex(warehouse) { idx =>
+        idx -> idx.toSeq.collect {
+          case (k, e) if e.extraProps.get("graft.branch.of")
+              .contains(idxKey(base)) =>
+            (e.extraProps.getOrElse("graft.branch.name",
+              k.split('/').last),
+              k,
+              e.extraProps.getOrElse("graft.branch.base_version", "-1"))
+        }.sortBy(_._1)
+      }
+      return new GraftRefsTable(idxKey(ident), bt, branches)
     }
     // `<table>$partitions`: the per-partition census (file/row/byte
     // counts per live partition tuple, folded from the commit refs)
@@ -208,7 +227,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           !readNamespaces().contains(nsKey(ident.namespace())))
         throw new NoSuchNamespaceException(ident.namespace())
       if (idx.contains(idxKey(ident)) ||
-          GraftCatalog.tables.containsKey(regKey(ident)))
+          GraftCatalog.tables.containsKey(regKey(ident)) ||
+          readViews().contains(idxKey(ident)))
         throw new TableAlreadyExistsException(ident)
       GraftCatalog.tables.put(regKey(ident), t)
       (idx + (idxKey(ident) -> entry), t)
@@ -230,9 +250,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!ident.name().endsWith("$changes") &&
         !ident.name().endsWith("$files") &&
         !ident.name().endsWith("$history") &&
-        !ident.name().endsWith("$partitions"),
-      "table names ending in $changes/$files/$history/$partitions are " +
-        "reserved for metadata companion views")
+        !ident.name().endsWith("$partitions") &&
+        !ident.name().endsWith("$refs"),
+      "table names ending in $changes/$files/$history/$partitions/" +
+        "$refs are reserved for metadata companion views")
     GraftStorage.validate(schema)
     val mode =
       if ("mor".equalsIgnoreCase(properties.getOrDefault("graft.mode", "cow")))
@@ -469,7 +490,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val key = idxKey(ident)
       val existed = idx.contains(key) ||
         GraftCatalog.tables.containsKey(regKey(ident))
-      if (!replace && existed)
+      if ((!replace && existed) || readViews().contains(key))
         throw new TableAlreadyExistsException(ident)
       if (replace && !orCreate && !existed)
         throw new NoSuchTableException(ident)
@@ -815,6 +836,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"nested ALTER COLUMN TYPE not supported: " +
             upd.fieldNames().mkString("."))
         t.alterWidenColumn(upd.fieldNames().head, upd.newDataType())
+      case pos: TableChange.UpdateColumnPosition =>
+        require(pos.fieldNames().length == 1,
+          s"nested ALTER COLUMN position not supported: " +
+            pos.fieldNames().mkString("."))
+        t.alterMoveColumn(pos.fieldNames().head, pos.position())
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         () // applied in bulk below (may rebuild the handle)
       case add: TableChange.AddConstraint =>
@@ -1166,6 +1192,207 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         writeNamespaces(all - k -- children)
         ((idx -- contained), true)
       }
+    }
+
+  // -- ViewCatalog: persistent SQL views ---------------------------------
+  // `CREATE [OR REPLACE] VIEW graft_cat.ns.v AS SELECT ...` — the view
+  // definition (SQL text + the capture context Spark re-resolves it
+  // under + the analysis-time schema/columns) persists in the
+  // warehouse's `_views.json`, mutated only under the same JVM +
+  // cross-process lock as the table index so view DDL serializes with
+  // table DDL and name collisions are checked both ways. Views are
+  // pure metadata: zero storage, re-analyzed per query, so they stay
+  // current across base-table schema evolution exactly as SQL demands.
+
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+
+  private case class StoredView(sql: String, curCat: String,
+      curNs: List[String], schemaJson: String, queryCols: List[String],
+      aliases: List[String], comments: List[Option[String]],
+      props: Map[String, String])
+
+  private def readViews(): Map[String, StoredView] = {
+    val p = warehouse.resolve("_views.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      def strs(j: JValue): List[String] = j match {
+        case JArray(a) => a.collect { case JString(x) => x }
+        case _ => Nil
+      }
+      JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8")) match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          val o = v.asInstanceOf[JObject].obj.toMap
+          k -> StoredView(
+            o.get("sql").collect { case JString(x) => x }.getOrElse(""),
+            o.get("curCat").collect { case JString(x) => x }.getOrElse(""),
+            o.get("curNs").map(strs).getOrElse(Nil),
+            o.get("schema").collect { case JString(x) => x }.getOrElse(""),
+            o.get("queryCols").map(strs).getOrElse(Nil),
+            o.get("aliases").map(strs).getOrElse(Nil),
+            o.get("comments").collect { case JArray(a) => a.map {
+              case JString(x) => Some(x)
+              case _ => None
+            } }.getOrElse(Nil),
+            o.get("props").collect { case JObject(ps) => ps.collect {
+              case (pk, JString(pv)) => pk -> pv }.toMap
+            }.getOrElse(Map.empty))
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  private def writeViews(m: Map[String, StoredView]): Unit = {
+    import org.json4s._
+    def arr(xs: List[String]): JValue = JArray(xs.map(JString(_): JValue))
+    val j = JObject(m.toList.sortBy(_._1).map { case (k, v) =>
+      k -> (JObject(
+        "sql" -> (JString(v.sql): JValue),
+        "curCat" -> (JString(v.curCat): JValue),
+        "curNs" -> arr(v.curNs),
+        "schema" -> (JString(v.schemaJson): JValue),
+        "queryCols" -> arr(v.queryCols),
+        "aliases" -> arr(v.aliases),
+        "comments" -> (JArray(v.comments.map {
+          case Some(x) => JString(x): JValue
+          case None => JNull: JValue
+        }): JValue),
+        "props" -> (JObject(v.props.toList.sortBy(_._1).map { case (pk, pv) =>
+          pk -> (JString(pv): JValue) }): JValue)): JValue)
+    })
+    val p = warehouse.resolve("_views.json")
+    val tmp = warehouse.resolve("_views.json.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(j))
+      .getBytes("UTF-8"))
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def toView(ident: Identifier, v: StoredView): View = new View {
+    override def name(): String = idxKey(ident)
+    override def query(): String = v.sql
+    override def currentCatalog(): String = v.curCat
+    override def currentNamespace(): Array[String] = v.curNs.toArray
+    override def schema(): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(v.schemaJson)
+        .asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] = v.queryCols.toArray
+    override def columnAliases(): Array[String] = v.aliases.toArray
+    override def columnComments(): Array[String] =
+      v.comments.map(_.orNull).toArray
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String]()
+      v.props.foreach { case (k, x) => m.put(k, x) }
+      m
+    }
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    val prefix = nsKey(ns) + "/"
+    GraftCatalog.withIndex(warehouse) { idx =>
+      idx -> readViews().keys.filter(_.startsWith(prefix))
+        .map(k => Identifier.of(ns, k.stripPrefix(prefix)))
+        .toArray.sortBy(_.name())
+    }
+  }
+
+  override def loadView(ident: Identifier): View =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      idx -> readViews().get(idxKey(ident)).map(toView(ident, _))
+        .getOrElse(throw new NoSuchViewException(ident))
+    }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      idx -> readViews().contains(idxKey(ident))
+    }
+
+  override def createView(info: ViewInfo): View =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      val ident = info.ident()
+      if (!ident.namespace().sameElements(Array("default")) &&
+          !readNamespaces().contains(nsKey(ident.namespace())))
+        throw new NoSuchNamespaceException(ident.namespace())
+      val k = idxKey(ident)
+      val all = readViews()
+      if (all.contains(k)) throw new ViewAlreadyExistsException(ident)
+      // tables and views share the name space: a view shadowing a
+      // table would make `SELECT FROM t` ambiguous — loud instead
+      if (idx.contains(k) ||
+          GraftCatalog.tables.containsKey(regKey(ident)))
+        throw new TableAlreadyExistsException(ident)
+      val sv = StoredView(info.sql(), info.currentCatalog(),
+        info.currentNamespace().toList, info.schema().json,
+        info.queryColumnNames().toList, info.columnAliases().toList,
+        info.columnComments().map(Option(_)).toList,
+        info.properties().asScala.toMap)
+      writeViews(all + (k -> sv))
+      (idx, toView(ident, sv))
+    }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      val ident = info.ident()
+      val k = idxKey(ident)
+      val all = readViews()
+      if (!orCreate && !all.contains(k))
+        throw new NoSuchViewException(ident)
+      if (idx.contains(k) ||
+          GraftCatalog.tables.containsKey(regKey(ident)))
+        throw new TableAlreadyExistsException(ident)
+      val sv = StoredView(info.sql(), info.currentCatalog(),
+        info.currentNamespace().toList, info.schema().json,
+        info.queryColumnNames().toList, info.columnAliases().toList,
+        info.columnComments().map(Option(_)).toList,
+        info.properties().asScala.toMap)
+      writeViews(all + (k -> sv))
+      (idx, toView(ident, sv))
+    }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      val k = idxKey(ident)
+      val all = readViews()
+      val cur = all.getOrElse(k, throw new NoSuchViewException(ident))
+      val next = changes.foldLeft(cur) {
+        case (v, set: ViewChange.SetProperty) =>
+          v.copy(props = v.props + (set.property() -> set.value()))
+        case (v, rm: ViewChange.RemoveProperty) =>
+          v.copy(props = v.props - rm.property())
+        case (v, _) => v
+      }
+      writeViews(all + (k -> next))
+      (idx, toView(ident, next))
+    }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      val k = idxKey(ident)
+      val all = readViews()
+      if (!all.contains(k)) (idx, false)
+      else { writeViews(all - k); (idx, true) }
+    }
+
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    GraftCatalog.withIndex(warehouse) { idx =>
+      val all = readViews()
+      val cur = all.getOrElse(idxKey(from),
+        throw new NoSuchViewException(from))
+      if (!to.namespace().sameElements(Array("default")) &&
+          !readNamespaces().contains(nsKey(to.namespace())))
+        throw new NoSuchNamespaceException(to.namespace())
+      if (all.contains(idxKey(to)))
+        throw new ViewAlreadyExistsException(to)
+      if (idx.contains(idxKey(to)) ||
+          GraftCatalog.tables.containsKey(regKey(to)))
+        throw new TableAlreadyExistsException(to)
+      writeViews(all - idxKey(from) + (idxKey(to) -> cur))
+      (idx, ())
     }
 }
 
@@ -2007,6 +2234,40 @@ class GraftTable(ident: String, val dir: NioPath,
       nextVersion = state.nextVersion + 1))
   }
 
+  /** ALTER TABLE ALTER COLUMN c FIRST / AFTER other: a pure METADATA
+    * commit permuting the schema's field order. Sound because every
+    * reader binds columns by stable field id / write-time name (base
+    * files, MOR delta files, the fold, time travel — pre-move versions
+    * replay the old order) and every writer projects by name; nothing
+    * in the storage layer is ordinal-keyed across commits. */
+  private[catalog] def alterMoveColumn(name: String,
+      position: org.apache.spark.sql.connector.catalog.TableChange.ColumnPosition)
+      : Unit = commitLoop { () =>
+    import org.apache.spark.sql.connector.catalog.TableChange.{After, First}
+    val cur = state.schema
+    val o = GraftStorage.ordinalByName(cur.fieldNames.toIndexedSeq, name)
+    require(o >= 0, s"column $name not found in ${cur.catalogString}")
+    requireFieldIds(cur, o, "ALTER COLUMN position")
+    val fld = cur.fields(o)
+    val rest = cur.fields.patch(o, Nil, 1)
+    val reordered = position match {
+      case _: First => fld +: rest
+      case a: After =>
+        val ao = GraftStorage.ordinalByName(
+          rest.map(_.name).toIndexedSeq, a.column())
+        require(ao >= 0, s"AFTER column ${a.column()} not found " +
+          s"(or is $name itself) in ${cur.catalogString}")
+        (rest.take(ao + 1) :+ fld) ++ rest.drop(ao + 1)
+      case other => throw new UnsupportedOperationException(
+        s"unknown column position $other")
+    }
+    val ns = StructType(reordered)
+    val snap = GraftSnapshot(state.nextVersion, ns.json, curFiles, curDelta)
+    Some(state.copy(schemaJson = ns.json,
+      snapshots = retainWindow(state.snapshots :+ snap),
+      nextVersion = state.nextVersion + 1))
+  }
+
   /** ALTER TABLE ALTER COLUMN TYPE: WIDENING only (INT->BIGINT,
     * FLOAT->DOUBLE, DECIMAL(p,s)->DECIMAL(p+,s)) — a pure metadata
     * commit. Existing files keep their narrow physical type; the
@@ -2618,6 +2879,60 @@ class GraftPartitionsTable(ident: String, base: GraftTable)
       override def description(): String =
         s"GraftPartitionsTable($ident, ${data.length} partitions)"
     }
+}
+
+/** `<table>$refs` — every named ref of the table: TAGS (in-state
+  * version pins — WAP publish points, clone/rollback anchors) and
+  * BRANCHES (writable zero-copy sibling tables,
+  * [[GraftCatalog.createBranch]]), each with its pinned/base version
+  * and, for branches, whether main has moved since the fork (the
+  * fast-forward eligibility a reviewer checks before publishing).
+  * Driver-local LocalScan, like the other metadata companions. */
+class GraftRefsTable(ident: String, base: GraftTable,
+    branches: Seq[(String, String, String)])
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.LocalScan
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = ident
+  override def schema(): StructType = GraftRefsTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      base.refreshFromDisk()
+      private val st = base.stateNow
+      private val curV = st.current.map(_.version).getOrElse(-1)
+      private def row(name: String, kind: String, v: Long,
+          status: String): InternalRow =
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name), UTF8String.fromString(kind),
+          v, UTF8String.fromString(status)))
+      private val data: Array[InternalRow] =
+        (st.tags.toSeq.sortBy(_._1).map { case (n, v) =>
+          row(n, "tag", v.toLong,
+            if (v == curV) "current" else "pinned")
+        } ++ branches.map { case (n, _, bv) =>
+          row(n, "branch", bv.toLong,
+            if (bv.toIntOption.contains(curV)) "fast_forwardable"
+            else "diverged")
+        }).toArray
+      override def rows(): Array[InternalRow] = data
+      override def readSchema(): StructType = GraftRefsTable.Schema
+      override def description(): String =
+        s"GraftRefsTable($ident, ${data.length} refs)"
+    }
+}
+
+object GraftRefsTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("ref", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("status", StringType, nullable = false)))
 }
 
 object GraftPartitionsTable {

@@ -232,6 +232,82 @@ object GraftProcedures {
             "rows" -> nRows))
         }
       }
+      case "create_view" => new GraftProcedure("create_view",
+        "create (or with replace=true, replace) a persistent SQL view " +
+          "in this catalog — pure metadata, re-analyzed per query so " +
+          "base-table evolution stays visible. The definition must " +
+          "analyze at create time (loud instead of a broken view). " +
+          "Read it as <catalog>.<ns>.<name>; list with show_views; " +
+          "remove with drop_view.",
+        Array(ProcedureParameter.in("view", StringType)
+          .comment("namespace-qualified view name, e.g. 'default.v'")
+          .build(),
+          ProcedureParameter.in("sql", StringType)
+          .comment("the view definition (qualify table names with " +
+            "their catalog)")
+          .build(),
+          ProcedureParameter.in("replace", StringType)
+          .defaultValue("'false'")
+          .comment("'true' = CREATE OR REPLACE semantics")
+          .build())) {
+        override protected def run(input: InternalRow): Scan = {
+          val q = input.getUTF8String(0).toString
+          val sqlText = input.getUTF8String(1).toString
+          val replace = !input.isNullAt(2) &&
+            input.getUTF8String(2).toString.equalsIgnoreCase("true")
+          val parts = q.split('.')
+          require(parts.length >= 2,
+            s"expected namespace-qualified view name, got '$q'")
+          val ident = Identifier.of(parts.init, parts.last)
+          val spark = SparkSession.active
+          // create-time validation: the definition must analyze NOW
+          val analyzed = spark.sql(sqlText)
+          val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+            ident, sqlText,
+            spark.sessionState.catalogManager.currentCatalog.name(),
+            spark.sessionState.catalogManager.currentNamespace,
+            analyzed.schema,
+            analyzed.schema.fieldNames,
+            Array.empty[String], Array.empty[String],
+            java.util.Collections.emptyMap[String, String]())
+          val v = if (replace) cat.replaceView(info, true)
+            else cat.createView(info)
+          summaryScanStr(Seq(
+            "view" -> v.name(),
+            "columns" -> v.schema().fieldNames.mkString(",")))
+        }
+      }
+      case "drop_view" => new GraftProcedure("drop_view",
+        "drop a persistent SQL view created by create_view " +
+          "(metadata only; base tables untouched).",
+        Array(ProcedureParameter.in("view", StringType)
+          .comment("namespace-qualified view name")
+          .build())) {
+        override protected def run(input: InternalRow): Scan = {
+          val q = input.getUTF8String(0).toString
+          val parts = q.split('.')
+          require(parts.length >= 2,
+            s"expected namespace-qualified view name, got '$q'")
+          val dropped = cat.dropView(Identifier.of(parts.init, parts.last))
+          summaryScanStr(Seq("dropped" -> dropped.toString))
+        }
+      }
+      case "show_views" => new GraftProcedure("show_views",
+        "list this catalog's persistent SQL views in a namespace.",
+        Array(ProcedureParameter.in("namespace", StringType)
+          .defaultValue("'default'")
+          .comment("namespace to list (default: 'default')")
+          .build())) {
+        override protected def run(input: InternalRow): Scan = {
+          val ns = if (input.isNullAt(0)) "default"
+            else input.getUTF8String(0).toString
+          val names = cat.listViews(ns.split('.').toIndexedSeq: _*)
+            .map(_.name()).sorted
+          summaryScanStr(Seq(
+            "namespace" -> ns,
+            "views" -> names.mkString(",")))
+        }
+      }
       case "create_branch" => new GraftProcedure("create_branch",
         "fork the table's current snapshot as a fully writable " +
           "zero-copy sibling table <table>_branch_<branch> (hard " +
@@ -309,9 +385,9 @@ object GraftProcedures {
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
-          "(available: clone, compact, create_branch, " +
-          "expire_snapshots, fast_forward, history, " +
-          "rewrite_small_files, rollback, tag)")
+          "(available: clone, compact, create_branch, create_view, " +
+          "drop_view, expire_snapshots, fast_forward, history, " +
+          "rewrite_small_files, rollback, show_views, tag)")
     }
   }
 
@@ -320,11 +396,14 @@ object GraftProcedures {
       Array(Identifier.of(Array("system"), "clone"),
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "create_branch"),
+        Identifier.of(Array("system"), "create_view"),
+        Identifier.of(Array("system"), "drop_view"),
         Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "fast_forward"),
         Identifier.of(Array("system"), "history"),
         Identifier.of(Array("system"), "rewrite_small_files"),
         Identifier.of(Array("system"), "rollback"),
+        Identifier.of(Array("system"), "show_views"),
         Identifier.of(Array("system"), "tag"))
     else Array.empty
 }

@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table transparently serve from its registered, FRESH incremental
     // MV (graft.plans.MvRewrite — the q229 machinery's query half)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // read-side resolution of the catalog's persistent SQL views
+    // (Spark doesn't route view SQL to DSv2 catalogs — see
+    // graft.plans.ResolveGraftViews)
+    e.injectResolutionRule(s => graft.plans.ResolveGraftViews(s))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
@@ -149,6 +149,30 @@ object MvRewrite extends Rule[LogicalPlan] {
         case Max(a: AttributeReference) =>
           spec("max", a.name).map(c => AggregateExpression(
             Max(c), ae.mode, isDistinct = false))
+        // AVG decomposes as SUM(sum)/SUM(count) when BOTH are
+        // materialized for the column (count of the COLUMN, not *, so
+        // nulls drop exactly like Average's own buffer). DoubleType
+        // only: re-summing a long/decimal partial then dividing can
+        // round differently from Average's double accumulation — the
+        // dataType guard below would pass, so the gate lives here.
+        case Average(a: AttributeReference, _)
+            if a.dataType == org.apache.spark.sql.types.DoubleType =>
+          for {
+            sc <- spec("sum", a.name)
+              .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+            cc <- spec("count", a.name)
+              .filter(_.dataType == org.apache.spark.sql.types.LongType)
+          } yield {
+            val s = AggregateExpression(Sum(sc), ae.mode,
+              isDistinct = false)
+            val n = AggregateExpression(Sum(cc), ae.mode,
+              isDistinct = false)
+            // Average's exact final arithmetic: null when no non-null
+            // input, else sum/count
+            If(EqualTo(Coalesce(Seq(n, Literal(0L))), Literal(0L)),
+              Literal(null, org.apache.spark.sql.types.DoubleType),
+              Divide(s, Cast(n, org.apache.spark.sql.types.DoubleType)))
+          }
         case _ => None
       }
       // type identity is the universal guard (decimal re-sum widens,

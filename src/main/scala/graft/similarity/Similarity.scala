@@ -831,6 +831,64 @@ object Similarity {
               FROM ex)
         SELECT query_id, rank, cand_id, cell_id, round(cos, 6) AS cos_sim
         FROM r WHERE rank <= 10
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // -------------------------------------------------------------- q253:
+    // HARD-NEGATIVE MINING for contrastive training pairs — the
+    // retrieval-training data op (DPR/SimCSE-style): for each anchor,
+    // emit its nearest SAME-label neighbor as the positive and the 3
+    // highest-cosine DIFFERENT-label candidates as hard negatives (the
+    // near-misses a contrastive loss learns the most from; random
+    // negatives are trivially separable). Plan: anchors broadcast, the
+    // corpus streams ONCE, one window partitioned by (anchor,
+    // same-label side) ranks both roles in a single pass —
+    // WindowGroupLimit keeps <=4 rows per anchor-side per partition
+    // map-side, so only ~4 rows/anchor/partition reach the exchange.
+    // At 100 TB the candidate set composes with the IVF cells of
+    // q56/q247 exactly like every other ANN query here; the mining
+    // logic is unchanged.
+    QueryDef(
+      "q253_hard_negative_mining",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables(s, d, "embeddings")
+        val q = v.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("embedding"),
+          col("label").as("q_label")).as("q")
+        val c = v.select(col("vec_id").as("cand_id"), col("embedding"),
+          col("label").as("c_label")).as("c")
+        val w = Window.partitionBy(col("query_id"), col("same"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+          .withColumn("cos", cosCol)
+          .withColumn("same",
+            (col("q_label") === col("c_label")).cast("int"))
+          .withColumn("rank", row_number().over(w))
+          .filter((col("same") === 1 && col("rank") === 1) ||
+            (col("same") === 0 && col("rank") <= 3))
+          .select(col("query_id"),
+            when(col("same") === 1, lit("positive"))
+              .otherwise(lit("hard_negative")).as("role"),
+            col("rank"), col("cand_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("query_id", "role", "rank")
+      },
+      Some(s"""
+        WITH $duckNormed,
+        p AS (SELECT q.vec_id query_id,
+                     CASE WHEN q.label = c.label THEN 1 ELSE 0 END same,
+                     c.vec_id cand_id, $duckCos cos
+              FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        r AS (SELECT query_id, same, cand_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id, same
+                          ORDER BY cos DESC, cand_id) AS INTEGER) rank
+              FROM p)
+        SELECT query_id,
+               CASE WHEN same = 1 THEN 'positive'
+                    ELSE 'hard_negative' END AS role,
+               rank, cand_id, round(cos, 6) AS cos_sim
+        FROM r
+        WHERE (same = 1 AND rank = 1) OR (same = 0 AND rank <= 3)
+        ORDER BY query_id, role, rank"""))
   )
 }

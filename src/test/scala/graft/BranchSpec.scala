@@ -104,6 +104,26 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("$refs lists tags and branches with fast-forward eligibility") {
+    val t = setup("br_refs")
+    sql(s"CALL gbr.system.tag('default.br_refs', 'audited')")
+    sql(s"CALL gbr.system.create_branch('default.br_refs', 'fix')")
+    val refs1 = sql(s"SELECT ref, kind, status FROM " +
+      s"gbr.default.`br_refs$$refs` ORDER BY kind, ref").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(refs1.exists(r => r._1 == "fix" && r._2 == "branch" &&
+      r._3 == "fast_forwardable"), s"got $refs1")
+    assert(refs1.exists(r => r._1 == "audited" && r._2 == "tag"),
+      s"got $refs1")
+    // main moves -> the branch shows diverged
+    sql(s"INSERT INTO $t VALUES (9, 'z')")
+    val refs2 = sql(s"SELECT ref, status FROM " +
+      s"gbr.default.`br_refs$$refs` WHERE kind = 'branch'").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs2 == Seq(("fix", "diverged")), s"got $refs2")
+    sql("DROP TABLE gbr.default.br_refs_branch_fix")
+  }
+
   test("non-branch table refuses fast_forward; MOR branch with live " +
       "delta demands compaction first") {
     val t = setup("br_guard")

@@ -1,0 +1,123 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** End-to-end concurrency stress through the SQL surface (the
+  * commit-protocol specs in GraftStorageSpec pin the CAS mechanics;
+  * this drives whole STATEMENTS from racing threads and pins the
+  * user-visible invariants): concurrent INSERTs all land exactly once,
+  * maintenance racing ingest either succeeds or conflicts LOUDLY
+  * (never silently drops a commit), concurrent MOR MERGEs on disjoint
+  * keys compose, and racing CREATEs elect exactly one winner. */
+class ConcurrencyStressSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def inParallel(n: Int)(body: Int => Unit): Seq[Throwable] = {
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try body(i) catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "stress timeout")
+    errs.toArray(Array.empty[Throwable]).toSeq
+  }
+
+  private def setup(name: String, ddlTail: String = ""): String = {
+    spark.conf.set("spark.sql.catalog.gst",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = s"gst.default.$name"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING) $ddlTail")
+    t
+  }
+
+  test("8 racing INSERT threads: every row lands exactly once") {
+    val t = setup("cs_append")
+    val errs = inParallel(8) { i =>
+      (0 until 5).foreach { j =>
+        sql(s"INSERT INTO $t VALUES (${i * 100 + j}, 'w$i')")
+      }
+    }
+    assert(errs.isEmpty, s"unexpected: ${errs.map(_.getMessage)}")
+    assert(sql(s"SELECT count(*), count(distinct k) FROM $t").head()
+      .getLong(0) == 40L)
+    assert(sql(s"SELECT count(distinct k) FROM $t").head().getLong(0) == 40L)
+  }
+
+  test("compaction racing ingest: every outcome is a success or a LOUD " +
+      "conflict; no appended row is ever lost") {
+    val t = setup("cs_compact")
+    sql(s"INSERT INTO $t SELECT id, 'seed' FROM range(0, 50)")
+    val conflicts = new AtomicInteger(0)
+    val errs = inParallel(4) { i =>
+      if (i < 3) (0 until 4).foreach { j =>
+        sql(s"INSERT INTO $t VALUES (${1000 + i * 10 + j}, 'late')")
+      }
+      else (0 until 4).foreach { _ =>
+        try sql("CALL gst.system.compact('default.cs_compact')")
+        catch {
+          case e: Exception
+              if e.getMessage != null &&
+                e.getMessage.contains("concurrent commit conflict") =>
+            conflicts.incrementAndGet()
+        }
+      }
+    }
+    assert(errs.isEmpty, s"unexpected: ${errs.map(_.getMessage)}")
+    // the invariant that matters: 50 seed + 12 late rows, none erased
+    // by a compaction folding a stale scan (the replaceAllGuard)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 62L,
+      s"rows lost or duplicated (conflicts seen: ${conflicts.get()})")
+  }
+
+  test("concurrent MOR MERGEs on disjoint keys both land") {
+    val t = setup("cs_mor",
+      "TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')")
+    sql(s"INSERT INTO $t SELECT id, 'seed' FROM range(0, 100)")
+    val errs = inParallel(4) { i =>
+      sql(s"""MERGE INTO $t dst
+              USING (SELECT id * 4 + $i AS k, 'u$i' AS v
+                     FROM range(0, 25)) src
+              ON dst.k = src.k
+              WHEN MATCHED THEN UPDATE SET v = src.v
+              WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)""")
+    }
+    assert(errs.isEmpty, s"unexpected: ${errs.map(_.getMessage)}")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 100L)
+    // every key k got thread (k mod 4)'s update
+    assert(sql(s"SELECT count(*) FROM $t " +
+      "WHERE v != concat('u', cast(k % 4 AS STRING))").head()
+      .getLong(0) == 0L)
+  }
+
+  test("racing CREATE TABLE of one name elects exactly one winner") {
+    spark.conf.set("spark.sql.catalog.gst",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gst.default.cs_create")
+    val wins = new AtomicInteger(0)
+    val errs = inParallel(6) { _ =>
+      try {
+        sql("CREATE TABLE gst.default.cs_create (x BIGINT)")
+        wins.incrementAndGet(): Unit
+      } catch {
+        case e: Exception
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("exists") => ()
+      }
+    }
+    assert(errs.isEmpty, s"unexpected: ${errs.map(_.getMessage)}")
+    assert(wins.get() == 1, s"${wins.get()} CREATEs claimed the name")
+    assert(sql("SELECT count(*) FROM gst.default.cs_create")
+      .head().getLong(0) == 0L)
+  }
+}

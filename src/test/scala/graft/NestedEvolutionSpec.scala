@@ -152,4 +152,40 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(intercept[Exception](
       sql(s"ALTER TABLE $t DROP COLUMN m.a")) != null)
   }
+
+  test("ALTER COLUMN FIRST/AFTER reorders metadata-only: old files " +
+      "(CoW and MOR delta) bind by field id; time travel replays the " +
+      "old order") {
+    import org.apache.spark.sql.Row
+    val t = setup("ev_move")
+    sql(s"CREATE TABLE $t (a BIGINT, b STRING, c DOUBLE)")
+    sql(s"INSERT INTO $t VALUES (1, 'x', 1.5)") // v0
+    sql(s"ALTER TABLE $t ALTER COLUMN c FIRST") // v1
+    assert(sql(s"SELECT * FROM $t").schema.fieldNames.toSeq ==
+      Seq("c", "a", "b"))
+    assert(sql(s"SELECT * FROM $t").head() == Row(1.5, 1L, "x"))
+    sql(s"ALTER TABLE $t ALTER COLUMN c AFTER a")
+    assert(sql(s"SELECT * FROM $t").schema.fieldNames.toSeq ==
+      Seq("a", "c", "b"))
+    // a post-move INSERT uses the new order; the pre-move file still
+    // reads right (field-id binding)
+    sql(s"INSERT INTO $t VALUES (2, 2.5, 'y')")
+    assert(sql(s"SELECT a, b, c FROM $t ORDER BY a").collect().toSeq ==
+      Seq(Row(1L, "x", 1.5), Row(2L, "y", 2.5)))
+    // time travel: version 0 replays the CREATE order
+    assert(sql(s"SELECT * FROM $t VERSION AS OF 0")
+      .schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    // MOR: reorder across live delta entries folds right
+    val m = setup("ev_move_mor")
+    sql(s"CREATE TABLE $m (k BIGINT, v STRING, w DOUBLE) " +
+      "TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='k')")
+    sql(s"INSERT INTO $m VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    sql(s"UPDATE $m SET v = 'B' WHERE k = 2") // live delta entry
+    sql(s"ALTER TABLE $m ALTER COLUMN w FIRST")
+    assert(sql(s"SELECT * FROM $m ORDER BY k").collect().toSeq ==
+      Seq(Row(0.5, 1L, "a"), Row(1.5, 2L, "B")))
+    // unknown AFTER target stays loud
+    assert(intercept[Exception](
+      sql(s"ALTER TABLE $t ALTER COLUMN a AFTER nope")) != null)
+  }
 }

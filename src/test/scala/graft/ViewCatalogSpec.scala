@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.connector.catalog.Identifier
+
+/** Persistent SQL views: the DSv2 ViewCatalog implementation on
+  * [[graft.catalog.GraftCatalog]] (create/replace/alter/drop/rename/
+  * list, persisted in the warehouse's `_views.json`), the
+  * `system.create_view / drop_view / show_views` CALL surface, and the
+  * injected read-side resolution ([[graft.plans.ResolveGraftViews]] —
+  * Spark 4.1 doesn't route view SQL to DSv2 catalogs, so `SELECT FROM
+  * cat.ns.view` resolves through the extension rule). */
+class ViewCatalogSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def gcat: graft.catalog.GraftCatalog = {
+    spark.conf.set("spark.sql.catalog.gv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.sessionState.catalogManager.catalog("gv")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+  }
+
+  private def setup(): Unit = {
+    gcat
+    sql("CALL gv.system.drop_view('default.top_orders')")
+    sql("DROP TABLE IF EXISTS gv.default.v_orders")
+    sql("CREATE TABLE gv.default.v_orders (k BIGINT, pri STRING, " +
+      "price DOUBLE)")
+    sql("""INSERT INTO gv.default.v_orders VALUES
+      (1, 'HIGH', 10.0), (2, 'LOW', 5.0), (3, 'HIGH', 30.0)""")
+  }
+
+  test("create_view persists; SELECT resolves through the catalog; " +
+      "later base DML is visible (live definition, not a snapshot)") {
+    setup()
+    sql("""CALL gv.system.create_view('default.top_orders',
+      'SELECT pri, COUNT(*) AS n, SUM(price) AS total
+       FROM gv.default.v_orders GROUP BY pri')""")
+    assert(sql("SELECT * FROM gv.default.top_orders ORDER BY pri")
+      .collect().toSeq == Seq(Row("HIGH", 2L, 40.0), Row("LOW", 1L, 5.0)))
+    sql("INSERT INTO gv.default.v_orders VALUES (4, 'LOW', 7.0)")
+    assert(sql("SELECT n FROM gv.default.top_orders WHERE pri = 'LOW'")
+      .head().getLong(0) == 2L)
+    val shown = sql("CALL gv.system.show_views('default')")
+      .head().getString(1)
+    assert(shown.contains("top_orders"), s"got $shown")
+    sql("CALL gv.system.drop_view('default.top_orders')")
+    intercept[Exception] {
+      sql("SELECT * FROM gv.default.top_orders").collect()
+    }
+  }
+
+  test("views survive a cold catalog reload (persisted in the " +
+      "warehouse, not the session)") {
+    setup()
+    sql("""CALL gv.system.create_view('default.top_orders',
+      'SELECT COUNT(*) AS n FROM gv.default.v_orders')""")
+    // a SECOND catalog instance over the same warehouse must see it
+    spark.conf.set("spark.sql.catalog.gv2",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val gv2 = spark.sessionState.catalogManager.catalog("gv2")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val ident = Identifier.of(Array("default"), "top_orders")
+    assert(gv2.viewExists(ident))
+    assert(gv2.loadView(ident).query().contains("COUNT(*)"))
+    sql("CALL gv.system.drop_view('default.top_orders')")
+  }
+
+  test("replace swaps the definition; create-time analysis is " +
+      "enforced; alter/rename via the ViewCatalog API persist") {
+    setup()
+    sql("""CALL gv.system.create_view('default.top_orders',
+      'SELECT COUNT(*) AS n FROM gv.default.v_orders')""")
+    sql("""CALL gv.system.create_view('default.top_orders',
+      'SELECT MAX(price) AS n FROM gv.default.v_orders', 'true')""")
+    assert(sql("SELECT n FROM gv.default.top_orders")
+      .head().getDouble(0) == 30.0)
+    // a definition that doesn't analyze is rejected at create time
+    intercept[Exception] {
+      sql("""CALL gv.system.create_view('default.broken',
+        'SELECT no_such_col FROM gv.default.v_orders')""")
+    }
+    // ViewCatalog API: alter properties, rename, list
+    val cat = gcat
+    val ident = Identifier.of(Array("default"), "top_orders")
+    cat.alterView(ident,
+      org.apache.spark.sql.connector.catalog.ViewChange
+        .setProperty("owner_team", "data-eng"))
+    assert(cat.loadView(ident).properties().get("owner_team") == "data-eng")
+    val to = Identifier.of(Array("default"), "top_orders_v2")
+    cat.dropView(to)
+    cat.renameView(ident, to)
+    assert(cat.viewExists(to) && !cat.viewExists(ident))
+    assert(sql("SELECT n FROM gv.default.top_orders_v2")
+      .head().getDouble(0) == 30.0)
+    assert(cat.listViews("default").map(_.name()).contains("top_orders_v2"))
+    cat.dropView(to)
+  }
+
+  test("tables and views share one namespace: collisions refuse both " +
+      "ways; views over views compose") {
+    setup()
+    val e1 = intercept[Exception] {
+      sql("""CALL gv.system.create_view('default.v_orders',
+        'SELECT 1 AS x')""")
+    }
+    assert(e1.getMessage.toLowerCase.contains("exists"),
+      s"got ${e1.getMessage}")
+    sql("""CALL gv.system.create_view('default.top_orders',
+      'SELECT pri, SUM(price) AS total FROM gv.default.v_orders
+       GROUP BY pri')""")
+    val e2 = intercept[Exception] {
+      sql("CREATE TABLE gv.default.top_orders (x BIGINT)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("exists"),
+      s"got ${e2.getMessage}")
+    // a view over a view: resolved level by level in the fixed point
+    sql("CALL gv.system.drop_view('default.top2')")
+    sql("""CALL gv.system.create_view('default.top2',
+      'SELECT MAX(total) AS m FROM gv.default.top_orders')""")
+    assert(sql("SELECT m FROM gv.default.top2").head().getDouble(0) == 40.0)
+    sql("CALL gv.system.drop_view('default.top2')")
+    sql("CALL gv.system.drop_view('default.top_orders')")
+  }
+}

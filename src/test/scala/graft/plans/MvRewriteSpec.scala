@@ -107,6 +107,38 @@ class MvRewriteSpec extends SparkSpec {
     assert(scansOf(dis).forall(!_.contains("mv_agg")))
   }
 
+  test("AVG decomposes as SUM(sum)/SUM(count-of-col) when both are " +
+      "materialized — null groups drop like Average's own buffer") {
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gmv.default.mva_base")
+    sql("DROP TABLE IF EXISTS gmv.default.mva_agg")
+    sql("CREATE TABLE gmv.default.mva_base (k STRING, w DOUBLE)")
+    sql("""INSERT INTO gmv.default.mva_base VALUES
+      ('a', 1.5), ('a', 2.5), ('b', CAST(NULL AS DOUBLE)), ('c', 4.0)""")
+    sql("""CREATE TABLE gmv.default.mva_agg
+           (k STRING, sum_w DOUBLE, nw BIGINT)
+           TBLPROPERTIES ('graft.mv.of' = 'default/mva_base',
+                          'graft.mv.group' = 'k',
+                          'graft.mv.agg' = 'sum:w:sum_w,count:w:nw')""")
+    sql("""INSERT OVERWRITE gmv.default.mva_agg
+           SELECT k, SUM(w), COUNT(w) FROM gmv.default.mva_base
+           GROUP BY k""")
+    val vNow = sql("SHOW TBLPROPERTIES gmv.default.mva_base").collect()
+      .collectFirst { case r if r.getString(0) == "graft.current_version" =>
+        r.getString(1) }.get
+    sql(s"""ALTER TABLE gmv.default.mva_agg
+            SET TBLPROPERTIES ('graft.mv.base_version' = '$vNow')""")
+    sql("""ALTER TABLE gmv.default.mva_base
+           SET TBLPROPERTIES ('graft.mv.tables' = 'mva_agg')""")
+    val q = sql("""SELECT k, AVG(w) AS aw FROM gmv.default.mva_base
+                   GROUP BY k ORDER BY k""")
+    assert(scansOf(q).exists(_.contains("mva_agg")),
+      s"got ${scansOf(q)}:\n${q.queryExecution.executedPlan}")
+    assert(q.collect().toSeq == Seq(
+      Row("a", 2.0), Row("b", null), Row("c", 4.0)))
+  }
+
   test("conf kill-switch restores the base plan") {
     setup()
     spark.conf.set("spark.graft.mvRewrite", "false")
