@@ -3070,7 +3070,66 @@ object CatalogQueries {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                  AS price_sum
-        FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q256:
+    // PARTITION-SPEC EVOLUTION — Iceberg's ADD/REPLACE PARTITION FIELD
+    // through the retuning surface: a table that STARTED unpartitioned
+    // is re-specced to days(ts) mid-ingest; new writes split per day,
+    // old files stay byte-identical and keep serving, system.compact
+    // re-splits the whole table under the new spec in one distributed
+    // pass, and a day-scoped dynamic overwrite then repairs exactly
+    // one day. Spec-sensitive ops on the MIXED layout are loud, never
+    // lossy (PartitionEvolutionSpec pins the refusal + file counts).
+    // At 100 TB this is how a table wrongly created unpartitioned is
+    // fixed without downtime: retune, keep ingesting, compact when
+    // convenient. The oracle recomputes the post-repair truth raw.
+    QueryDef(
+      "q256_partition_evolution",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.events_pe")
+        s.sql("""CREATE TABLE graft_cat.default.events_pe
+                 (event_id BIGINT, ts TIMESTAMP, value DOUBLE)""")
+        Tables(s, d, "events").createOrReplaceTempView("q256_events")
+        s.sql("""INSERT INTO graft_cat.default.events_pe
+                 SELECT event_id, ts, value FROM q256_events
+                 WHERE event_id % 2 = 0""")
+        s.sql("""ALTER TABLE graft_cat.default.events_pe
+                 SET TBLPROPERTIES ('graft.partitioned_by' = 'days(ts)')""")
+        s.sql("""INSERT INTO graft_cat.default.events_pe
+                 SELECT event_id, ts, value FROM q256_events
+                 WHERE event_id % 2 = 1""")
+        s.sql("CALL graft_cat.system.compact('default.events_pe')")
+        val prev = try Some(s.conf.get(
+          "spark.sql.sources.partitionOverwriteMode"))
+          catch { case _: Exception => None }
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.sql("""INSERT OVERWRITE graft_cat.default.events_pe
+                 SELECT event_id, ts, value * 10 FROM q256_events
+                 WHERE CAST(ts AS DATE) = DATE'2024-01-20'""")
+        finally prev.fold(s.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode"))(
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        s.sql("""
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS value_sum
+          FROM graft_cat.default.events_pe
+          WHERE ts >= TIMESTAMP'2024-01-18 00:00:00'
+            AND ts < TIMESTAMP'2024-01-23 00:00:00'
+          GROUP BY 1 ORDER BY day""")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE'2024-01-20'
+                                  THEN value * 10 ELSE value END
+                             AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE ts >= TIMESTAMP'2024-01-18 00:00:00'
+          AND ts < TIMESTAMP'2024-01-23 00:00:00'
+        GROUP BY 1 ORDER BY day"""))
   )
 
   /** Drop + CTAS-seed a merge-on-read table from `orders` (no merge —

@@ -887,7 +887,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       sets: Seq[(String, String)], removes: Seq[String]): Table = {
     val tunable = Set("graft.retain", "graft.append_retain",
       "graft.target_file_bytes", "graft.bloom_by", "graft.sort_by",
-      "graft.zorder_by")
+      "graft.zorder_by", "graft.partitioned_by")
     val frozen = Set("graft.mode", "graft.row_id", "graft.bucket_by")
     (sets.map(_._1) ++ removes).foreach { k =>
       if (frozen.contains(k)) throw new UnsupportedOperationException(
@@ -961,6 +961,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           e = e.copy(zorderBy = zc, sortBy = Nil)
         case (k, v) if k.startsWith("graft.mv.") =>
           e = e.copy(extraProps = e.extraProps + (k -> v))
+        // PARTITION-SPEC EVOLUTION (Iceberg's ADD/REPLACE PARTITION
+        // FIELD, spelled through the retuning surface): future writes
+        // split and cluster by the NEW spec; existing files stay
+        // byte-identical and keep pruning through their stats (reads
+        // never depended on the spec). Spec-sensitive OPERATIONS stay
+        // safe on mixed layouts by per-file pinning: dynamic overwrite
+        // and scoped compaction refuse un-pinned (old-spec) files
+        // loudly with a compact-first message, and system.compact
+        // re-splits the whole table under the new spec in one pass.
+        case ("graft.partitioned_by", v) =>
+          require(e.bucketBy.isEmpty,
+            "graft.partitioned_by and graft.bucket_by are mutually " +
+              "exclusive")
+          // split on TOP-LEVEL commas only (truncate(2,s) has one inside)
+          val parts = v.split(",(?![^(]*\\))").map(_.trim)
+            .filter(_.nonEmpty)
+            .toList.map { enc =>
+              val pf0 = GraftPartField.parse(enc)
+              val o = GraftStorage.ordinalByName(
+                schema.fieldNames.toIndexedSeq, pf0.col)
+              require(o >= 0, s"graft.partitioned_by column ${pf0.col} " +
+                s"not in ${schema.catalogString}")
+              val pf = pf0.copy(col = schema.fieldNames(o))
+              if (!GraftStorage.statsCapable(schema.fields(o).dataType))
+                throw new UnsupportedOperationException(
+                  s"partition column ${pf.col} must be a stats-capable " +
+                    s"atomic type, got " +
+                    schema.fields(o).dataType.catalogString)
+              pf.validate(schema.fields(o).dataType)
+              pf.encoded
+            }
+          e = e.copy(parts = parts)
         case _ => ()
       }
       graftRemoves.foreach {
@@ -970,6 +1002,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "graft.bloom_by" => e = e.copy(bloomBy = Nil)
         case "graft.sort_by" => e = e.copy(sortBy = Nil)
         case "graft.zorder_by" => e = e.copy(zorderBy = Nil)
+        case "graft.partitioned_by" => e = e.copy(parts = Nil)
         case k if k.startsWith("graft.mv.") =>
           e = e.copy(extraProps = e.extraProps - k)
         case _ => ()
@@ -1857,8 +1890,21 @@ class GraftTable(ident: String, val dir: NioPath,
     replaceAllGuard = Some((
       st.current.map(_.files.map(_.path)).getOrElse(Vector.empty),
       st.current.map(_.deltaFiles.map(_.path)).getOrElse(Vector.empty)))
+    // the self-overwrite MEANS truncate-replace: pin STATIC overwrite
+    // semantics for its duration — under a session-level dynamic
+    // partitionOverwriteMode Spark would otherwise plan
+    // OverwritePartitionsDynamic, whose per-file partition keying
+    // refuses pre-spec (unsplit) files — the exact layouts compaction
+    // exists to cure (PartitionEvolutionSpec pins compact-under-
+    // dynamic-conf)
+    val k = "spark.sql.sources.partitionOverwriteMode"
+    val prev = try Some(spark.conf.get(k)) catch { case _: Exception => None }
+    spark.conf.set(k, "static")
     try spark.sql(s"INSERT OVERWRITE $fqn SELECT * FROM $fqn"): Unit
-    finally replaceAllGuard = None
+    finally {
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      replaceAllGuard = None
+    }
   }
 
   /** PARTITION-SCOPED compaction: rewrite only the partitions matching
@@ -2640,32 +2686,39 @@ class GraftTable(ident: String, val dir: NioPath,
     if (partCols.isEmpty) commitReplaceAll(files)
     else commitLoop { () =>
       validateDynamicOverwrite()
-      // identity fields key by the pinned stat string (min == max by
-      // the writer's split); transform fields key by the TRANSFORM of
-      // the stats — a one-day file's min and max map to the same epoch
-      // day, validated loudly (a file straddling two transform buckets
-      // can only mean foreign/corrupt storage, and replacing "its"
-      // partition would silently drop the other bucket's rows).
+      // every field keys by the file's PINNED partition value: identity
+      // demands min == max, a transform demands min and max in the SAME
+      // transform bucket (what the partition-splitting writer
+      // guarantees). A file that does NOT pin — written before a
+      // partition-spec retune, or foreign — fails LOUDLY: keying it by
+      // its min would replace the whole file as if it belonged to one
+      // partition and silently drop every other partition's rows in it
+      // (the lost-update partition evolution would otherwise invite).
       val schemaNow = state.schema
       val names = schemaNow.fieldNames.toIndexedSeq
       def key(f: GraftFileRef): Seq[Option[Any]] =
         partFields.map { pf =>
-          val st = f.stats.get(pf.col)
-          if (pf.isIdentity) st.flatMap(_.min)
-          else {
-            val o = GraftStorage.ordinalByName(names, pf.col)
-            val dt = schemaNow.fields(o).dataType
-            st.flatMap(s => (s.min, s.max) match {
+          val o = GraftStorage.ordinalByName(names, pf.col)
+          val dt = schemaNow.fields(o).dataType
+          f.stats.get(pf.col).flatMap { s =>
+            (s.min, s.max) match {
               case (Some(mn), Some(mx)) =>
+                require(s.nulls == 0,
+                  s"dynamic overwrite on ${name()}: file ${f.path} " +
+                    s"mixes null and non-null ${pf.col} values — not " +
+                    "partition-keyed; CALL system.compact to re-split " +
+                    "it under the current partition spec")
                 val kmin = pf.eval(dt, GraftStorage.statFromString(dt, mn))
                 val kmax = pf.eval(dt, GraftStorage.statFromString(dt, mx))
                 require(kmin == kmax,
                   s"dynamic overwrite on ${name()}: file ${f.path} " +
-                    s"spans two ${pf.encoded} partitions " +
-                    s"($kmin..$kmax) — cannot be partition-keyed")
+                    s"spans multiple ${pf.encoded} partitions " +
+                    s"($kmin..$kmax) — written before the current " +
+                    "partition spec? CALL system.compact to re-split " +
+                    "it, then retry")
                 Some(kmin)
               case _ => None // all-null partition value
-            })
+            }
           }
         }
       val newKeys = files.map(key).toSet

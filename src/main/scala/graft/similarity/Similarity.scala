@@ -864,8 +864,12 @@ object Similarity {
           .withColumn("same",
             (col("q_label") === col("c_label")).cast("int"))
           .withColumn("rank", row_number().over(w))
-          .filter((col("same") === 1 && col("rank") === 1) ||
-            (col("same") === 0 && col("rank") <= 3))
+          // rank <= 3 FIRST and ALONE in its conjunct: that's the shape
+          // InferWindowGroupLimit recognizes, so each task keeps only 3
+          // rows per (anchor, side) map-side before the window exchange
+          // — an OR-only filter would ship every scored candidate
+          .filter(col("rank") <= 3)
+          .filter(col("same") === 0 || col("rank") === 1)
           .select(col("query_id"),
             when(col("same") === 1, lit("positive"))
               .otherwise(lit("hard_negative")).as("role"),
