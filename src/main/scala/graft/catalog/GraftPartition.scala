@@ -244,6 +244,11 @@ object GraftPartField {
           inputType.fields(0).dataType == IntegerType,
         s"truncate expects (INT width, col), got ${inputType.catalogString}")
       val dt = inputType.fields(1).dataType
+      // type validation happens ONCE here at bind — produceResult runs
+      // per row inside the write shuffle (the width is a literal, so a
+      // per-row field rebuild would be pure hot-path waste; eval itself
+      // only switches on the pre-checked type)
+      GraftPartField("truncate", 1, "x").validate(dt)
       new ScalarFunction[Any] {
         override def inputTypes(): Array[DataType] =
           Array(IntegerType, dt)
@@ -251,9 +256,7 @@ object GraftPartField {
         override def name(): String = "truncate"
         override def canonicalName(): String = "graft.truncate"
         override def produceResult(input: InternalRow): Any = {
-          val w = input.getInt(0)
-          val f = GraftPartField("truncate", w, "x")
-          f.validate(dt)
+          val f = GraftPartField("truncate", input.getInt(0), "x")
           if (input.isNullAt(1)) null
           else dt match {
             case StringType => f.eval(dt, input.getUTF8String(1))

@@ -43,6 +43,15 @@ object GraftExtensions {
     if (!optimizations.contains(graft.plans.PushThroughTopKPerGroup))
       spark.experimental.extraOptimizations =
         optimizations :+ graft.plans.PushThroughTopKPerGroup
+    // MV auto-rewrite also reaches vanilla sessions through the runtime
+    // optimizer seam. View RESOLUTION cannot (extraOptimizations run
+    // after analysis): reading `cat.ns.view` requires the
+    // spark.sql.extensions=GraftExtensions config — a vanilla session
+    // fails loudly with TABLE_OR_VIEW_NOT_FOUND, never silently wrong.
+    val opts2 = spark.experimental.extraOptimizations
+    if (!opts2.contains(graft.plans.MvRewrite))
+      spark.experimental.extraOptimizations =
+        opts2 :+ graft.plans.MvRewrite
   }
 }
 

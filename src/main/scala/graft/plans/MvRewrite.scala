@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -34,8 +34,10 @@ import graft.catalog.GraftTable
   *     table's CURRENT on-disk commit version (re-read from the log,
   *     so a foreign process's commit disables the rewrite instantly);
   *   - the aggregate's grouping is exactly the MV's group columns
-  *     (bare attributes, any order) and there is NO filter between the
-  *     aggregate and the base relation;
+  *     (bare attributes, any order); a WHERE between the aggregate and
+  *     the base relation is admitted ONLY when it is deterministic and
+  *     references grouping columns alone (then filter-then-aggregate
+  *     equals aggregate-then-filter, and it re-applies on the MV);
   *   - every aggregate is an undistinct, unfiltered SUM / COUNT(*) /
   *     COUNT(col) / MIN / MAX covered by the MV's agg spec, re-expressed
   *     decomposably over the MV (sum->SUM, count->SUM, min->MIN,
@@ -53,24 +55,39 @@ object MvRewrite extends Rule[LogicalPlan] {
     try conf.getConfString("spark.graft.mvRewrite", "true") == "true"
     catch { case _: Exception => true }
 
+  /** Peel bare-attribute Projects and at most ONE Filter (in any
+    * interleaving — column pruning places Projects above AND below the
+    * filter across optimizer iterations) down to the relation. A
+    * second filter, a computing projection, or anything else refuses. */
+  private object Underlying {
+    def unapply(plan: LogicalPlan)
+        : Option[(DataSourceV2Relation, Option[Expression])] = plan match {
+      case rel: DataSourceV2Relation => Some((rel, None))
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unapply(child)
+      case Filter(cond, child) => unapply(child) match {
+        case Some((rel, None)) => Some((rel, Some(cond)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case agg @ Aggregate(_, _, rel: DataSourceV2Relation, _)
+      // a WHERE between the aggregate and the relation is carried
+      // through and re-applied on the MV when it references only
+      // grouping columns (checked in tryOne — filter-then-aggregate
+      // commutes with aggregate-then-filter on the group axis)
+      case agg @ Aggregate(_, _, Underlying(rel, cond), _)
           if rel.table.isInstanceOf[GraftTable] =>
-        rewrite(agg, rel, rel.output).getOrElse(agg)
-      // column-pruning may have inserted a bare attribute Project
-      case agg @ Aggregate(_, _,
-          Project(projList, rel: DataSourceV2Relation), _)
-          if rel.table.isInstanceOf[GraftTable] &&
-            projList.forall(_.isInstanceOf[AttributeReference]) =>
-        rewrite(agg, rel,
-          projList.map(_.asInstanceOf[AttributeReference]))
-          .getOrElse(agg)
+        rewrite(agg, rel, cond).getOrElse(agg)
     }
 
   private def rewrite(agg: Aggregate, rel: DataSourceV2Relation,
-      visible: Seq[AttributeReference]): Option[LogicalPlan] = {
+      filter: Option[Expression]): Option[LogicalPlan] = {
     val base = rel.table.asInstanceOf[GraftTable]
     val mvNames = Option(base.properties().get("graft.mv.tables"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -82,14 +99,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     base.refreshFromDisk()
     val baseVersion = base.stateNow.current.map(_.version).getOrElse(-1)
     mvNames.view.flatMap { mvName =>
-      try tryOne(agg, rel, base, baseVersion, mvName)
+      try tryOne(agg, rel, filter, base, baseVersion, mvName)
       catch { case _: Exception => None } // any surprise: keep original
     }.headOption
   }
 
   private def tryOne(agg: Aggregate, rel: DataSourceV2Relation,
-      base: GraftTable, baseVersion: Int, mvName: String)
-      : Option[LogicalPlan] = {
+      filter: Option[Expression], base: GraftTable, baseVersion: Int,
+      mvName: String): Option[LogicalPlan] = {
     val cat = rel.catalog.get.asInstanceOf[TableCatalog]
     val mvIdent = Identifier.of(rel.identifier.get.namespace(), mvName)
     if (!cat.tableExists(mvIdent)) return None
@@ -126,6 +143,26 @@ object MvRewrite extends Rule[LogicalPlan] {
       mvRel.output.collectFirst {
         case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
       }
+
+    // a pre-aggregation WHERE is admissible iff every referenced
+    // attribute is a grouping column (filter-then-aggregate then
+    // equals aggregate-then-filter, re-applied on the MV's group
+    // columns); deterministic expressions only
+    val groupNameSet = groupCols.map(_.toLowerCase(
+      java.util.Locale.ROOT)).toSet
+    val mvChild: LogicalPlan = filter match {
+      case None => mvRel
+      case Some(cond) =>
+        if (!cond.deterministic) return None
+        if (!cond.references.forall(a =>
+          groupNameSet.contains(a.name.toLowerCase(
+            java.util.Locale.ROOT)))) return None
+        val remapped = cond.transformUp {
+          case a: AttributeReference =>
+            mvAttr(a.name).getOrElse(return None)
+        }
+        Filter(remapped, mvRel)
+    }
 
     // re-express one aggregate call decomposably over the MV
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
@@ -199,6 +236,6 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     logInfo(s"MvRewrite: serving aggregate over ${base.name()} " +
       s"from materialized view $mvName (base version $baseVersion)")
-    Some(Aggregate(newGroups, newResults, mvRel))
+    Some(Aggregate(newGroups, newResults, mvChild))
   }
 }

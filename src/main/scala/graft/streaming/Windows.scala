@@ -1318,7 +1318,50 @@ object Windows {
         FROM events
         WHERE user_id < 100
         GROUP BY user_id, event_type
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // -------------------------------------------------------------- q257:
+    // STREAMING INGESTION INTO A HIDDEN-PARTITIONED TABLE — q190's
+    // exactly-once epoch sink composed with q250's days(ts) transform
+    // partitioning: every micro-batch's writers split their output one
+    // file per DAY (the streaming writer factory carries the same
+    // partition spec as the batch path), so a month-long ingest lands
+    // day-pinned files whose ts min/max prune exactly, with no query
+    // rewrite and no hive directories. The oracle reads the
+    // `$partitions` census — the per-day row counts folded from commit
+    // refs alone — against DuckDB's full per-day recompute: layout
+    // metadata IS the asserted surface, not just query results. At
+    // 100 TB this is the standard streaming-lakehouse shape: the sink
+    // keeps the time layout healthy while it ingests.
+    QueryDef(
+      "q257_stream_hidden_partition",
+      (s, d) => withStreamConf(s) {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = stableDir("q257", d)
+        val ckpt = base.resolve("ckpt")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.events_hp_live")
+        graft.util.Fs.rmTree(ckpt)
+        s.sql("""CREATE TABLE graft_cat.default.events_hp_live
+                 (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+                 PARTITIONED BY (days(ts))""")
+        val q = eventsStream(s, d, d, "events.parquet")
+          .select(col("event_id"), col("ts"), col("value"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .toTable("graft_cat.default.events_hp_live")
+        q.awaitTermination()
+        s.sql("""SELECT partition, n_rows
+                 FROM graft_cat.default.`events_hp_live$partitions`
+                 ORDER BY partition""")
+      },
+      Some("""
+        SELECT 'days(ts)=' || CAST(CAST(ts AS DATE) AS VARCHAR)
+                 AS partition,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY 1 ORDER BY partition"""))
   )
 
   /** q190 body. `fresh = true` drops table + checkpoint (the declared

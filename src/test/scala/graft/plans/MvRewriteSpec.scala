@@ -95,12 +95,18 @@ class MvRewriteSpec extends SparkSpec {
     val g2 = sql("""SELECT k, v, SUM(v) AS s FROM gmv.default.mv_base
                     GROUP BY k, v""")
     assert(scansOf(g2).forall(!_.contains("mv_agg")))
-    // a WHERE between agg and base
+    // a WHERE on a NON-group column refuses (not commutable)
     val fil = sql("""SELECT k, SUM(v) AS s FROM gmv.default.mv_base
                      WHERE v > 1 GROUP BY k""")
     assert(scansOf(fil).forall(!_.contains("mv_agg")))
     assert(fil.orderBy("k").collect().toSeq == Seq(
       Row("a", 2L), Row("b", 10L), Row("c", 7L)))
+    // ...but a WHERE on the GROUP column commutes and rewrites
+    val gfil = sql("""SELECT k, SUM(v) AS s FROM gmv.default.mv_base
+                      WHERE k IN ('a', 'c') GROUP BY k ORDER BY k""")
+    assert(scansOf(gfil).exists(_.contains("mv_agg")),
+      s"group-col WHERE must rewrite, got ${scansOf(gfil)}")
+    assert(gfil.collect().toSeq == Seq(Row("a", 3L), Row("c", 7L)))
     // DISTINCT aggregation
     val dis = sql("""SELECT k, COUNT(DISTINCT v) AS s
                      FROM gmv.default.mv_base GROUP BY k""")
