@@ -709,10 +709,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // adopt the branch's files into main's storage by hard link —
     // files the branch inherited unchanged already share an inode
     // with a same-named main file and are reused in place; files the
-    // branch wrote link in fresh. A failure between linking and the
-    // commit leaves only unreferenced (GC-able) links.
+    // branch wrote link in fresh. A refused/failed publish removes
+    // exactly the links THIS call created (pre-existing shared files
+    // are never touched), so a diverged fast-forward leaves main's
+    // directory as it found it.
     val mainData = Paths.get(main.dataDir)
     Files.createDirectories(mainData)
+    val created = scala.collection.mutable.ArrayBuffer.empty[NioPath]
     def adopt(r: GraftFileRef): GraftFileRef = {
       val srcP = Paths.get(r.path)
       val dstP = mainData.resolve(srcP.getFileName.toString)
@@ -727,12 +730,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case _: UnsupportedOperationException =>
             Files.copy(srcP, dstP): Unit // cross-FS: pay the copy
         }
+        created += dstP
         r.copy(path = dstP.toString)
       }
     }
-    val ff = bst.current.map(_.files).getOrElse(Vector.empty).map(adopt)
-    main.commitFastForward(baseV, ff)
-    (ff.size.toLong, ff.map(_.rows).sum)
+    try {
+      val ff = bst.current.map(_.files).getOrElse(Vector.empty).map(adopt)
+      main.commitFastForward(baseV, ff)
+      (ff.size.toLong, ff.map(_.rows).sum)
+    } catch { case e: Throwable =>
+      created.foreach(p =>
+        try Files.deleteIfExists(p): Unit catch { case _: Exception => () })
+      throw e
+    }
   }
 
   /** ALTER TABLE: ADD COLUMN (with null backfill on files that predate

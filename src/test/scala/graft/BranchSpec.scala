@@ -70,6 +70,17 @@ class BranchSpec extends SparkSpec {
     // nothing lost on either side
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4L)
     assert(sql(s"SELECT count(*) FROM $b").head().getLong(0) == 4L)
+    // ...and the refused publish removed its freshly created links:
+    // every file under main's data dir is referenced by main's log
+    val referenced = sql(s"SELECT path FROM gbr.default.`br_div$$files`")
+      .collect().map(_.getString(0)).toSet
+    import java.nio.file.{Files, Paths}
+    val dataDir = Paths.get(referenced.head).getParent
+    val onDisk = graft.util.Fs.children(dataDir).map(_.toString)
+      .filterNot(p => Paths.get(p).getFileName.toString.startsWith("."))
+      .toSet // Hadoop .crc sidecars aren't data files
+    assert(onDisk == referenced,
+      s"orphan links left by refused fast_forward: ${onDisk -- referenced}")
   }
 
   test("schema drift on the branch refuses fast_forward") {
