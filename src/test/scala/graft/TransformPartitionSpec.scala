@@ -191,6 +191,38 @@ class TransformPartitionSpec extends SparkSpec {
     assert(e2.getMessage.contains("width"), s"got ${e2.getMessage}")
   }
 
+  test("hours(ts) and years(d) split and prune at table level") {
+    val n = "tp_hours"; val t = setup(n)
+    sql(s"CREATE TABLE $t (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    sql(s"""INSERT INTO $t SELECT id,
+      timestamp'2024-03-15 06:00:00' +
+        make_interval(0,0,0,0,0,0, id * 97 % 10800)
+      FROM range(0, 120, 1, 1)""") // 3 hours of seconds
+    assert(sql(s"SELECT count(*) FROM gtest.default.`${n}$$files`")
+      .head().getLong(0) == 3)
+    // count(*) over the hour-aligned range would be MANIFEST-served
+    // (zero files, no scan node) — probe with a row read to see the
+    // file-level pruning
+    val oneHour = sql(s"SELECT id FROM $t WHERE " +
+      "ts >= timestamp'2024-03-15 07:00:00' AND " +
+      "ts < timestamp'2024-03-15 08:00:00'")
+    assert(graftScanOf(oneHour).plannedFileCount == 1)
+    assert(oneHour.count() > 0)
+    val n2 = "tp_years"; val t2 = setup(n2)
+    sql(s"CREATE TABLE $t2 (d DATE, v BIGINT) PARTITIONED BY (years(d))")
+    sql(s"""INSERT INTO $t2 SELECT
+      date_add(date'2023-06-01', CAST(id * 5 AS INT)), id
+      FROM range(0, 180, 1, 1)""") // ~2.5 years -> 3 year buckets
+    assert(sql(s"SELECT count(*) FROM gtest.default.`${n2}$$files`")
+      .head().getLong(0) == 3)
+    val parts = sql(s"SELECT partition FROM " +
+      s"gtest.default.`${n2}$$partitions` ORDER BY 1").collect()
+      .map(_.getString(0)).toSeq
+    assert(parts == Seq("years(d)=2023", "years(d)=2024",
+      "years(d)=2025"), s"got $parts")
+  }
+
   test("identity partitioning unchanged: legacy behavior and SPJ " +
       "eligibility intact") {
     val n = "tp_ident"; val t = setup(n)

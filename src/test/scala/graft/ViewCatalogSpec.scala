@@ -98,6 +98,41 @@ class ViewCatalogSpec extends SparkSpec {
     cat.dropView(to)
   }
 
+  test("a view over a hidden-partitioned table keeps file pruning: " +
+      "the substituted plan pushes the ts predicate to the scan") {
+    gcat
+    sql("CALL gv.system.drop_view('default.v_days')")
+    sql("DROP TABLE IF EXISTS gv.default.v_hp")
+    sql("CREATE TABLE gv.default.v_hp (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    sql("""INSERT INTO gv.default.v_hp SELECT id,
+      timestamp'2024-03-15 00:00:00' +
+        make_interval(0,0,0,0,0,0, id * 617 % 259200)
+      FROM range(0, 300, 1, 1)""") // 3 days -> 3 files
+    sql("""CALL gv.system.create_view('default.v_days',
+      'SELECT CAST(ts AS DATE) AS day, id FROM gv.default.v_hp')""")
+    val q = sql("""SELECT count(*) FROM gv.default.v_days
+                   WHERE day = DATE'2024-03-16'""")
+    val plan = q.queryExecution.executedPlan.toString
+    // the day predicate folds to a day-aligned ts range through the
+    // cast, fully pushes (exact partition pushdown), and the COUNT is
+    // then served from the MANIFEST — through the VIEW, the plan opens
+    // ZERO data files (LocalTableScan of the metadata fold)
+    assert(!plan.contains("BatchScan"),
+      s"expected a manifest-served count through the view, plan:\n$plan")
+    assert(q.head().getLong(0) == 140L)
+    // a non-aggregate read through the view still prunes to 1 of 3
+    val rows = sql("""SELECT id FROM gv.default.v_days
+                      WHERE day = DATE'2024-03-16'""")
+    val scan = rows.queryExecution.executedPlan.toString
+    val m = "GraftScan\\((\\d+) rows, (\\d+) files \\((\\d+) skipped\\)".r
+      .findFirstMatchIn(scan)
+    assert(m.exists(g => g.group(2).toInt == 1 && g.group(3).toInt == 2),
+      s"expected 1 of 3 files planned through the view, plan:\n$scan")
+    assert(rows.count() == 140L)
+    sql("CALL gv.system.drop_view('default.v_days')")
+  }
+
   test("tables and views share one namespace: collisions refuse both " +
       "ways; views over views compose") {
     setup()
