@@ -745,6 +745,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Drop a branch table (the lifecycle verb `create_branch` was
+    * missing): REFUSES while the branch holds content main does not —
+    * an unpublished branch is exactly the state `fast_forward` exists
+    * to publish, and dropping it silently would discard audited work.
+    * The published/unchanged check is by INODE identity
+    * (`Files.isSameFile`): a fresh branch's files are links of main's,
+    * and a fast-forwarded branch's files were linked INTO main, so in
+    * both safe states every branch file has a same-inode twin in
+    * main's current snapshot. Anything else (unpublished commits, a
+    * live MOR delta log, or main compacted away the common ancestry —
+    * conservatively indistinguishable from divergence) refuses unless
+    * `force`. Dropping unlinks only the BRANCH's directory entries;
+    * hard links keep main's bytes alive by construction. */
+  private[catalog] def dropBranch(srcIdent: Identifier, branch: String,
+      force: Boolean): (String, Boolean) = {
+    val dst = branchIdent(srcIdent, branch)
+    val br = loadTable(dst).asInstanceOf[GraftTable]
+    val bp = br.properties()
+    require(bp.get("graft.branch.of") == idxKey(srcIdent),
+      s"$dst is not a branch of $srcIdent " +
+        "(create it with CALL system.create_branch)")
+    if (!force) {
+      val main = loadTable(srcIdent).asInstanceOf[GraftTable]
+      br.refreshFromDisk(); main.refreshFromDisk()
+      val bst = br.stateNow
+      val hasDelta = bst.current.exists(_.deltaFiles.nonEmpty)
+      val mainFiles = main.stateNow.current.map(_.files)
+        .getOrElse(Vector.empty).map(f => Paths.get(f.path))
+      val branchFiles = bst.current.map(_.files)
+        .getOrElse(Vector.empty).map(f => Paths.get(f.path))
+      val published = !hasDelta && branchFiles.forall(bf =>
+        mainFiles.exists(mf =>
+          try Files.exists(mf) && Files.exists(bf) &&
+            Files.isSameFile(mf, bf)
+          catch { case _: Exception => false }))
+      require(published,
+        s"drop_branch: branch '$branch' of $srcIdent holds content " +
+          "not published to main — CALL system.fast_forward first, " +
+          "or pass force => 'true' to discard it")
+    }
+    (dst.toString, dropTable(dst))
+  }
+
   /** ALTER TABLE: ADD COLUMN (with null backfill on files that predate
     * it), DROP COLUMN, and RENAME COLUMN are schema COMMITS — each
     * appends a snapshot, so time travel to pre-ALTER versions replays
@@ -1061,6 +1104,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // history, and the table kind all survive (spec-pinned).
       if (idx.contains(idxKey(to)))
         throw new TableAlreadyExistsException(to)
+      // tables and views share one name space everywhere else (create/
+      // stageCreate/createView/renameView all guard it); renaming a
+      // table onto a view name would let ResolveGraftViews silently
+      // shadow the renamed table (ADVICE r13) — refuse loudly instead
+      if (readViews().contains(idxKey(to)))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(to)
       val t = GraftCatalog.tables.remove(regKey(from))
       if (t != null) GraftCatalog.tables.put(regKey(to), t)
       ((idx - idxKey(from)) + (idxKey(to) -> entry), ())

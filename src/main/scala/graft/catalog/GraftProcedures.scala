@@ -260,6 +260,20 @@ object GraftProcedures {
             s"expected namespace-qualified view name, got '$q'")
           val ident = Identifier.of(parts.init, parts.last)
           val spark = SparkSession.active
+          // refuse definitions over TEMP views: they analyze fine in
+          // the CREATING session, then vanish — or bind to a DIFFERENT
+          // reader's like-named temp view — at read time (ADVICE r13).
+          // Persistent short names are fine: read-side expansion pins
+          // them to the captured catalog/namespace (GraftViewSql).
+          val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+          graft.plans.GraftViewSql.referredRelations(parsed)
+            .foreach { parts =>
+              require(!spark.sessionState.catalog.isTempView(parts),
+                s"view definition references temp view " +
+                  s"'${parts.mkString(".")}' — temp views die with " +
+                  "the creating session; reference a persistent " +
+                  "table (qualified with its catalog) instead")
+            }
           // create-time validation: the definition must analyze NOW
           val analyzed = spark.sql(sqlText)
           val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
@@ -293,7 +307,10 @@ object GraftProcedures {
         }
       }
       case "show_views" => new GraftProcedure("show_views",
-        "list this catalog's persistent SQL views in a namespace.",
+        "list this catalog's persistent SQL views in a namespace — " +
+          "one row per view with its column list, the captured " +
+          "creation context short names were pinned to, and the full " +
+          "definition text (the SHOW CREATE VIEW equivalent).",
         Array(ProcedureParameter.in("namespace", StringType)
           .defaultValue("'default'")
           .comment("namespace to list (default: 'default')")
@@ -301,11 +318,29 @@ object GraftProcedures {
         override protected def run(input: InternalRow): Scan = {
           val ns = if (input.isNullAt(0)) "default"
             else input.getUTF8String(0).toString
-          val names = cat.listViews(ns.split('.').toIndexedSeq: _*)
-            .map(_.name()).sorted
-          summaryScanStr(Seq(
-            "namespace" -> ns,
-            "views" -> names.mkString(",")))
+          def utf8(s: String) =
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          val schema = StructType(Seq(
+            StructField("view", StringType, nullable = false),
+            StructField("columns", StringType, nullable = false),
+            StructField("captured_context", StringType, nullable = false),
+            StructField("definition", StringType, nullable = false)))
+          val out = cat.listViews(ns.split('.').toIndexedSeq: _*)
+            .sortBy(_.name()).map { id =>
+              val v = cat.loadView(id)
+              new GenericInternalRow(Array[Any](
+                utf8(id.name()),
+                utf8(v.schema().fieldNames.mkString(",")),
+                utf8((v.currentCatalog() +:
+                  v.currentNamespace().toSeq).mkString(".")),
+                utf8(v.query()))): InternalRow
+            }
+          new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = schema
+            override def description(): String =
+              s"GraftShowViews(${out.length} views)"
+          }
         }
       }
       case "create_branch" => new GraftProcedure("create_branch",
@@ -313,7 +348,9 @@ object GraftProcedures {
           "zero-copy sibling table <table>_branch_<branch> (hard " +
           "links, O(files) metadata). Work lands on the branch with " +
           "every normal write path; main stays untouched. Publish " +
-          "back with system.fast_forward; abandon with DROP TABLE.",
+          "back with system.fast_forward; abandon with " +
+          "system.drop_branch (refuses unpublished work unless " +
+          "forced).",
         tableParam :+ ProcedureParameter.in("branch", StringType)
           .comment("branch name (alphanumeric/underscore)")
           .build()) {
@@ -329,6 +366,33 @@ object GraftProcedures {
             "branch_table" -> branchTable,
             "files_linked" -> nf.toString,
             "rows" -> nr.toString))
+        }
+      }
+      case "drop_branch" => new GraftProcedure("drop_branch",
+        "drop a branch created by create_branch. REFUSES while the " +
+          "branch holds content main does not (an unpublished branch " +
+          "is what fast_forward publishes; dropping it would discard " +
+          "audited work) unless force => 'true'. Hard links keep " +
+          "main's bytes alive regardless.",
+        tableParam :+ ProcedureParameter.in("branch", StringType)
+          .comment("branch name previously created by create_branch")
+          .build() :+ ProcedureParameter.in("force", StringType)
+          .defaultValue("'false'")
+          .comment("'true' = drop even with unpublished content")
+          .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val qualified = input.getUTF8String(0).toString
+          val parts = qualified.split('.')
+          require(parts.length >= 2,
+            s"expected namespace-qualified table name, got '$qualified'")
+          val ident = Identifier.of(parts.init, parts.last)
+          val branch = input.getUTF8String(1).toString
+          val force = !input.isNullAt(2) &&
+            input.getUTF8String(2).toString.equalsIgnoreCase("true")
+          val (branchTable, dropped) = cat.dropBranch(ident, branch, force)
+          summaryScanStr(Seq(
+            "branch_table" -> branchTable,
+            "dropped" -> dropped.toString))
         }
       }
       case "fast_forward" => new GraftProcedure("fast_forward",
@@ -386,8 +450,8 @@ object GraftProcedures {
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
           "(available: clone, compact, create_branch, create_view, " +
-          "drop_view, expire_snapshots, fast_forward, history, " +
-          "rewrite_small_files, rollback, show_views, tag)")
+          "drop_branch, drop_view, expire_snapshots, fast_forward, " +
+          "history, rewrite_small_files, rollback, show_views, tag)")
     }
   }
 
@@ -397,6 +461,7 @@ object GraftProcedures {
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "create_view"),
+        Identifier.of(Array("system"), "drop_branch"),
         Identifier.of(Array("system"), "drop_view"),
         Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "fast_forward"),

@@ -43,15 +43,18 @@ object GraftExtensions {
     if (!optimizations.contains(graft.plans.PushThroughTopKPerGroup))
       spark.experimental.extraOptimizations =
         optimizations :+ graft.plans.PushThroughTopKPerGroup
-    // MV auto-rewrite also reaches vanilla sessions through the runtime
-    // optimizer seam. View RESOLUTION cannot (extraOptimizations run
-    // after analysis): reading `cat.ns.view` requires the
-    // spark.sql.extensions=GraftExtensions config — a vanilla session
-    // fails loudly with TABLE_OR_VIEW_NOT_FOUND, never silently wrong.
-    val opts2 = spark.experimental.extraOptimizations
-    if (!opts2.contains(graft.plans.MvRewrite))
-      spark.experimental.extraOptimizations =
-        opts2 :+ graft.plans.MvRewrite
+    // MV auto-rewrite and view RESOLUTION intentionally do NOT ride
+    // this runtime seam: extraOptimizations run in the User Provided
+    // Optimizers batch, AFTER V2ScanRelationPushDown has replaced
+    // DataSourceV2Relation with its scan relation, so MvRewrite's
+    // match would never fire there (ADVICE r13 — the registration was
+    // dead code); and analysis is already over, so view expansion is
+    // impossible. Both require the
+    // spark.sql.extensions=GraftExtensions config (as Verify/Bench and
+    // every spec session set) — on a vanilla session the MV rewrite
+    // simply never applies (correctness never depends on it) and
+    // reading `cat.ns.view` fails loudly with TABLE_OR_VIEW_NOT_FOUND,
+    // never silently wrong.
   }
 }
 

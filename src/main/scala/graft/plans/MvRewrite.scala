@@ -1,20 +1,22 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, IsNotNull, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.catalog.GraftTable
 
 /** MATERIALIZED-VIEW AUTO-REWRITE — the transparent half of the q229
   * incremental-MV machinery: a matching aggregate over the BASE table
-  * is redirected by this optimizer rule to scan the (tiny) MV table
-  * instead, with NO query change. At 100 TB this is the difference
-  * between a dashboard group-by scanning the corpus and it reading a
-  * few thousand pre-aggregated rows — the same query-rewrite contract
+  * (or over a recorded dim⨝fact STAR JOIN) is redirected by this
+  * optimizer rule to scan the (tiny) MV table instead, with NO query
+  * change. At 100 TB this is the difference between a dashboard
+  * group-by scanning the corpus and it reading a few thousand
+  * pre-aggregated rows — the same query-rewrite contract
   * Oracle/BigQuery/Databricks MVs ship, re-expressed as a
   * `Rule[LogicalPlan]` over the DSv2 relation.
   *
@@ -25,19 +27,38 @@ import graft.catalog.GraftTable
   *                'graft.mv.agg'          = 'sum:v:sum_v,count:*:n,...'
   *                'graft.mv.base_version' = <base commit version at
   *                                           refresh>
+  *   join MVs additionally (the MV definition was
+  *   `SELECT ... FROM base JOIN dim ON base.fk = dim.dk GROUP BY ...`):
+  *                'graft.mv.join_dim'     = <dim table name>
+  *                'graft.mv.join_on'      = 'fk=dk'
+  *                'graft.mv.dim_version'  = <dim commit version at
+  *                                           refresh>
   *
   * SOUNDNESS GATES — the rewrite fires only when ALL hold, and every
   * refusal silently keeps the original plan (correctness never depends
   * on this rule):
   *   - conf `spark.graft.mvRewrite` is on (default on);
-  *   - the MV is FRESH: its recorded base_version equals the base
-  *     table's CURRENT on-disk commit version (re-read from the log,
-  *     so a foreign process's commit disables the rewrite instantly);
-  *   - the aggregate's grouping is exactly the MV's group columns
-  *     (bare attributes, any order); a WHERE between the aggregate and
-  *     the base relation is admitted ONLY when it is deterministic and
-  *     references grouping columns alone (then filter-then-aggregate
+  *   - the MV is FRESH: its recorded base_version (and for join MVs
+  *     dim_version) equals the table's CURRENT on-disk commit version
+  *     (re-read from the log, so a foreign process's commit disables
+  *     the rewrite instantly; TTL-amortizable — see [[ensureFresh]]);
+  *   - the aggregate's grouping is a SUBSET of the MV's group columns
+  *     (bare attributes, any order): equal = direct serve, strict
+  *     subset = ROLL-UP (every rewrite below is a re-aggregation over
+  *     the MV's partials, so collapsing (day, k) partials down to day
+  *     is the same arithmetic); group-column substitution requires
+  *     name AND dataType identity. A WHERE between the aggregate and
+  *     the relation(s) is admitted ONLY when it is deterministic and
+  *     references MV group columns alone (then filter-then-aggregate
   *     equals aggregate-then-filter, and it re-applies on the MV);
+  *     on join sides, an IsNotNull(<join key>) conjunct (the
+  *     optimizer's inferred constraint) is dropped — an INNER
+  *     equi-join never emits null-keyed rows, so the MV's rows
+  *     already exclude them;
+  *   - for join MVs: the join is INNER with a single equi-condition
+  *     on exactly the recorded key pair (either orientation), both
+  *     relations are the recorded tables, and no referenced column
+  *     name is ambiguous (present on both sides);
   *   - every aggregate is an undistinct, unfiltered SUM / COUNT(*) /
   *     COUNT(col) / MIN / MAX covered by the MV's agg spec, re-expressed
   *     decomposably over the MV (sum->SUM, count->SUM, min->MIN,
@@ -49,11 +70,51 @@ import graft.catalog.GraftTable
   * operators are untouched. The MV relation has no `graft.mv.tables`
   * property, so the rewritten plan can never re-match (no fixpoint
   * churn). */
-object MvRewrite extends Rule[LogicalPlan] {
+object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def enabled: Boolean =
     try conf.getConfString("spark.graft.mvRewrite", "true") == "true"
     catch { case _: Exception => true }
+
+  /** Freshness-check amortization (VERDICT r13 watch item). The rule
+    * judges freshness against the ON-DISK log so a foreign PROCESS's
+    * commit disables the rewrite — but that is a log-directory listing
+    * per optimizer pass per matching aggregate. With
+    * `spark.graft.mvRewrite.freshnessTtlMs` > 0 the disk check is
+    * skipped while the last one is younger than the TTL: a foreign
+    * commit is then observed within at most TTL ms (bounded staleness,
+    * chosen by the operator), while SAME-process commits mutate the
+    * shared [[GraftTable]] handle directly and always kill the rewrite
+    * instantly, TTL or not. Default 0 = check every pass (exact). */
+  private val lastDiskCheck =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Test-visible count of actual on-disk freshness checks. */
+  private[graft] val freshnessDiskChecks =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private def ensureFresh(base: GraftTable): Unit = {
+    val ttl =
+      try conf.getConfString(
+        "spark.graft.mvRewrite.freshnessTtlMs", "0").toLong
+      catch { case _: Exception => 0L }
+    def check(): Unit = {
+      freshnessDiskChecks.incrementAndGet()
+      base.refreshFromDisk()
+    }
+    if (ttl <= 0) check()
+    else {
+      val key = base.name()
+      val now = System.currentTimeMillis()
+      val last = lastDiskCheck.get(key)
+      if (last == null || now - last >= ttl) {
+        check()
+        lastDiskCheck.put(key, now)
+      }
+    }
+  }
+
+  private def lc(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
 
   /** Peel bare-attribute Projects and at most ONE Filter (in any
     * interleaving — column pruning places Projects above AND below the
@@ -74,6 +135,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** An INNER equi-join between two peelable relations, possibly under
+    * bare-attribute Projects. WHERE conjuncts have already been pushed
+    * to the sides by PushDownPredicates (same fixed-point batch), so a
+    * filter ABOVE the join is either transient (matched next
+    * iteration) or references both sides (never commutes — refuse). */
+  private object UnderlyingJoin {
+    def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation,
+        Option[Expression], DataSourceV2Relation, Option[Expression],
+        Expression)] = plan match {
+      case Join(Underlying(l, lcond), Underlying(r, rcond), Inner,
+          Some(jc), _) =>
+        Some((l, lcond, r, rcond, jc))
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unapply(child)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
@@ -84,19 +164,29 @@ object MvRewrite extends Rule[LogicalPlan] {
       case agg @ Aggregate(_, _, Underlying(rel, cond), _)
           if rel.table.isInstanceOf[GraftTable] =>
         rewrite(agg, rel, cond).getOrElse(agg)
+      // star-schema MV: aggregate over a recorded dim⨝fact join
+      case agg @ Aggregate(_, _,
+          UnderlyingJoin(l, lcond, r, rcond, jc), _)
+          if l.table.isInstanceOf[GraftTable] &&
+            r.table.isInstanceOf[GraftTable] =>
+        rewriteJoin(agg, l, lcond, r, rcond, jc).getOrElse(agg)
     }
+
+  private def mvNamesOf(base: GraftTable): Seq[String] =
+    Option(base.properties().get("graft.mv.tables"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   private def rewrite(agg: Aggregate, rel: DataSourceV2Relation,
       filter: Option[Expression]): Option[LogicalPlan] = {
     val base = rel.table.asInstanceOf[GraftTable]
-    val mvNames = Option(base.properties().get("graft.mv.tables"))
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    val mvNames = mvNamesOf(base)
     if (mvNames.isEmpty || rel.catalog.isEmpty || rel.identifier.isEmpty)
       return None
     // freshness is judged against the base's CURRENT on-disk version —
     // a foreign commit after the MV's refresh must disable the rewrite
-    base.refreshFromDisk()
+    // (TTL-amortized when the operator opts in; see ensureFresh)
+    ensureFresh(base)
     val baseVersion = base.stateNow.current.map(_.version).getOrElse(-1)
     mvNames.view.flatMap { mvName =>
       try tryOne(agg, rel, filter, base, baseVersion, mvName)
@@ -104,16 +194,30 @@ object MvRewrite extends Rule[LogicalPlan] {
     }.headOption
   }
 
-  private def tryOne(agg: Aggregate, rel: DataSourceV2Relation,
-      filter: Option[Expression], base: GraftTable, baseVersion: Int,
-      mvName: String): Option[LogicalPlan] = {
+  private def rewriteJoin(agg: Aggregate, l: DataSourceV2Relation,
+      lcond: Option[Expression], r: DataSourceV2Relation,
+      rcond: Option[Expression], jc: Expression): Option[LogicalPlan] =
+    // try both orientations: the optimizer reorders join sides freely
+    Seq((l, lcond, r, rcond), (r, rcond, l, lcond)).view.flatMap {
+      case (factRel, factCond, dimRel, dimCond) =>
+        if (factRel.catalog.isEmpty || factRel.identifier.isEmpty)
+          Seq.empty
+        else mvNamesOf(factRel.table.asInstanceOf[GraftTable]).view
+          .flatMap { mvName =>
+            try tryJoinOne(agg, factRel, factCond, dimRel, dimCond, jc,
+              mvName)
+            catch { case _: Exception => None }
+          }
+    }.headOption
+
+  private def loadMvMeta(rel: DataSourceV2Relation, mvName: String)
+      : Option[(Table, DataSourceV2Relation, Seq[String],
+        Map[(String, String), String])] = {
     val cat = rel.catalog.get.asInstanceOf[TableCatalog]
     val mvIdent = Identifier.of(rel.identifier.get.namespace(), mvName)
     if (!cat.tableExists(mvIdent)) return None
     val mv = cat.loadTable(mvIdent)
     val p = mv.properties()
-    if (p.get("graft.mv.of") != base.name()) return None
-    if (p.get("graft.mv.base_version") != baseVersion.toString) return None
     val groupCols = Option(p.get("graft.mv.group"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(return None)
@@ -122,54 +226,176 @@ object MvRewrite extends Rule[LogicalPlan] {
       Option(p.get("graft.mv.agg")).map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).map { s =>
           s.split(':') match {
-            case Array(fn, src, dst) =>
-              (fn.toLowerCase(java.util.Locale.ROOT),
-                src.toLowerCase(java.util.Locale.ROOT)) -> dst
+            case Array(fn, src, dst) => (lc(fn), lc(src)) -> dst
             case _ => return None
           }
         }.toMap).getOrElse(return None)
-
-    // grouping must be bare attributes matching the MV group set
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
-    }
-    if (groupAttrs.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet !=
-        groupCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
-      return None
-
     val mvRel = DataSourceV2Relation.create(mv, rel.catalog, Some(mvIdent))
-    def mvAttr(name: String): Option[AttributeReference] =
-      mvRel.output.collectFirst {
-        case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
+    Some((mv, mvRel, groupCols, aggSpecs))
+  }
+
+  private def mvAttr(mvRel: DataSourceV2Relation, name: String)
+      : Option[AttributeReference] =
+    mvRel.output.collectFirst {
+      case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
+    }
+
+  /** Substitution must preserve the TYPE, not just the name —
+    * graft.mv.* props are free-form user metadata, so an MV whose
+    * like-named column drifted (STRING vs INT) would otherwise install
+    * a wrong-typed Alias under the original exprId and downstream
+    * operators would read garbage (ADVICE r13). */
+  private def mvAttrTyped(mvRel: DataSourceV2Relation,
+      a: AttributeReference): Option[AttributeReference] =
+    mvAttr(mvRel, a.name).filter(_.dataType == a.dataType)
+
+  /** Re-bind every attribute in `cond` to its (type-identical) MV
+    * column, or refuse. */
+  private def remapToMv(mvRel: DataSourceV2Relation,
+      cond: Expression): Option[Expression] = {
+    var ok = true
+    val out = cond.transformUp {
+      case a: AttributeReference => mvAttrTyped(mvRel, a) match {
+        case Some(m) => m
+        case None => ok = false; a
       }
+    }
+    if (ok) Some(out) else None
+  }
+
+  private def tryOne(agg: Aggregate, rel: DataSourceV2Relation,
+      filter: Option[Expression], base: GraftTable, baseVersion: Int,
+      mvName: String): Option[LogicalPlan] = {
+    val (mv, mvRel, groupCols, aggSpecs) =
+      loadMvMeta(rel, mvName).getOrElse(return None)
+    val p = mv.properties()
+    if (p.get("graft.mv.of") != base.name()) return None
+    if (p.get("graft.mv.join_dim") != null) return None // join arm's MV
+    if (p.get("graft.mv.base_version") != baseVersion.toString) return None
 
     // a pre-aggregation WHERE is admissible iff every referenced
-    // attribute is a grouping column (filter-then-aggregate then
+    // attribute is an MV grouping column (filter-then-aggregate then
     // equals aggregate-then-filter, re-applied on the MV's group
     // columns); deterministic expressions only
-    val groupNameSet = groupCols.map(_.toLowerCase(
-      java.util.Locale.ROOT)).toSet
+    val groupNameSet = groupCols.map(lc).toSet
     val mvChild: LogicalPlan = filter match {
       case None => mvRel
       case Some(cond) =>
         if (!cond.deterministic) return None
-        if (!cond.references.forall(a =>
-          groupNameSet.contains(a.name.toLowerCase(
-            java.util.Locale.ROOT)))) return None
-        val remapped = cond.transformUp {
-          case a: AttributeReference =>
-            mvAttr(a.name).getOrElse(return None)
-        }
-        Filter(remapped, mvRel)
+        if (!cond.references.forall(a => groupNameSet.contains(lc(a.name))))
+          return None
+        Filter(remapToMv(mvRel, cond).getOrElse(return None), mvRel)
     }
+    buildRewrite(agg, mvRel, groupCols, aggSpecs, mvChild)
+  }
+
+  private def tryJoinOne(agg: Aggregate, factRel: DataSourceV2Relation,
+      factCond: Option[Expression], dimRel: DataSourceV2Relation,
+      dimCond: Option[Expression], joinCond: Expression,
+      mvName: String): Option[LogicalPlan] = {
+    val factT = factRel.table.asInstanceOf[GraftTable]
+    val dimT = dimRel.table.asInstanceOf[GraftTable]
+    val (mv, mvRel, groupCols, aggSpecs) =
+      loadMvMeta(factRel, mvName).getOrElse(return None)
+    val p = mv.properties()
+    if (p.get("graft.mv.of") != factT.name()) return None
+    val dimName = p.get("graft.mv.join_dim")
+    if (dimName == null || dimName != dimT.name()) return None
+    val joinOn = Option(p.get("graft.mv.join_on")).getOrElse(return None)
+    val (fkName, dkName) = joinOn.split('=') match {
+      case Array(f, k) => (f.trim, k.trim)
+      case _ => return None
+    }
+
+    // freshness of BOTH constituents
+    ensureFresh(factT); ensureFresh(dimT)
+    val fv = factT.stateNow.current.map(_.version).getOrElse(-1)
+    val dv = dimT.stateNow.current.map(_.version).getOrElse(-1)
+    if (p.get("graft.mv.base_version") != fv.toString) return None
+    if (p.get("graft.mv.dim_version") != dv.toString) return None
+
+    // the join must be the recorded single equi-condition (either
+    // attribute order); anything else — extra conjuncts, expressions,
+    // different keys — refuses
+    val keyOk = splitConjunctivePredicates(joinCond) match {
+      case Seq(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+        def is(x: AttributeReference, rel: DataSourceV2Relation,
+            name: String): Boolean =
+          rel.outputSet.contains(x) && x.name.equalsIgnoreCase(name)
+        (is(a, factRel, fkName) && is(b, dimRel, dkName)) ||
+          (is(b, factRel, fkName) && is(a, dimRel, dkName))
+      case _ => false
+    }
+    if (!keyOk) return None
+
+    // ambiguity guard: every referenced column name must identify ONE
+    // side — the MV's column mapping is by name, so a name present on
+    // both sides could bind to the wrong source
+    val referenced = (agg.references ++
+      factCond.map(_.references).getOrElse(Nil) ++
+      dimCond.map(_.references).getOrElse(Nil)).map(a => lc(a.name)).toSet
+    def onSide(rel: DataSourceV2Relation, n: String): Boolean =
+      rel.output.exists(o => lc(o.name) == n)
+    if (referenced.exists(n => onSide(factRel, n) && onSide(dimRel, n)))
+      return None
+
+    // side filters: IsNotNull(<that side's join key>) conjuncts are
+    // the optimizer's inferred constraints — an INNER equi-join never
+    // emits null-keyed rows, so the MV's content already excludes
+    // them: drop. Every other conjunct must be deterministic over MV
+    // group columns and re-applies on the MV.
+    val groupNameSet = groupCols.map(lc).toSet
+    def admit(cond: Option[Expression], rel: DataSourceV2Relation,
+        keyName: String): Option[Seq[Expression]] = cond match {
+      case None => Some(Nil)
+      case Some(c) =>
+        val parts = splitConjunctivePredicates(c).map {
+          case IsNotNull(a: AttributeReference)
+              if rel.outputSet.contains(a) &&
+                a.name.equalsIgnoreCase(keyName) => Some(Nil)
+          case other if other.deterministic &&
+              other.references.forall(x =>
+                groupNameSet.contains(lc(x.name))) =>
+            remapToMv(mvRel, other).map(Seq(_))
+          case _ => None
+        }
+        if (parts.exists(_.isEmpty)) None
+        else Some(parts.flatMap(_.get))
+    }
+    val conjuncts = admit(factCond, factRel, fkName).getOrElse(return None) ++
+      admit(dimCond, dimRel, dkName).getOrElse(return None)
+    val mvChild: LogicalPlan =
+      if (conjuncts.isEmpty) mvRel
+      else Filter(conjuncts.reduce(
+        org.apache.spark.sql.catalyst.expressions.And(_, _)), mvRel)
+    buildRewrite(agg, mvRel, groupCols, aggSpecs, mvChild)
+  }
+
+  /** The shared re-aggregation core: grouping-subset gate, decomposable
+    * aggregate re-expression, and exprId/name-preserving output. */
+  private def buildRewrite(agg: Aggregate, mvRel: DataSourceV2Relation,
+      groupCols: Seq[String], aggSpecs: Map[(String, String), String],
+      mvChild: LogicalPlan): Option[LogicalPlan] = {
+    // grouping must be bare attributes forming a SUBSET of the MV group
+    // set: an exact match serves the MV rows one-to-one; a strict
+    // subset is a ROLL-UP (the dashboard case: MV grouped by (day, k)
+    // answering GROUP BY day) — sound because every rewritten aggregate
+    // below is a re-aggregation over the MV's partials (SUM of sums,
+    // MIN of mins, SUM(count) partials), which collapses any number of
+    // MV rows per output group
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (!groupAttrs.map(a => lc(a.name)).toSet
+        .subsetOf(groupCols.map(lc).toSet))
+      return None
 
     // re-express one aggregate call decomposably over the MV
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
       def spec(fn: String, src: String): Option[AttributeReference] =
-        aggSpecs.get((fn, src.toLowerCase(java.util.Locale.ROOT)))
-          .flatMap(mvAttr)
+        aggSpecs.get((fn, lc(src))).flatMap(mvAttr(mvRel, _))
       val inner: Option[Expression] = ae.aggregateFunction match {
         case Sum(a: AttributeReference, ansi) =>
           spec("sum", a.name).map(c => AggregateExpression(
@@ -220,22 +446,22 @@ object MvRewrite extends Rule[LogicalPlan] {
     val newResults: Seq[NamedExpression] =
       agg.aggregateExpressions.map {
         case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
-          val m = mvAttr(a.name).getOrElse(return None)
+          val m = mvAttrTyped(mvRel, a).getOrElse(return None)
           Alias(m, a.name)(exprId = a.exprId)
         case al @ Alias(ae: AggregateExpression, name) =>
           val ne = rewriteAgg(ae).getOrElse(return None)
           Alias(ne, name)(exprId = al.exprId)
         case al @ Alias(a: AttributeReference, name)
             if groupAttrs.exists(_.exprId == a.exprId) =>
-          val m = mvAttr(a.name).getOrElse(return None)
+          val m = mvAttrTyped(mvRel, a).getOrElse(return None)
           Alias(m, name)(exprId = al.exprId)
         case _ => return None
       }
     val newGroups: Seq[Expression] =
-      groupAttrs.map(a => mvAttr(a.name).getOrElse(return None))
+      groupAttrs.map(a => mvAttrTyped(mvRel, a).getOrElse(return None))
 
-    logInfo(s"MvRewrite: serving aggregate over ${base.name()} " +
-      s"from materialized view $mvName (base version $baseVersion)")
+    logInfo(s"MvRewrite: serving aggregate from materialized view " +
+      s"${mvRel.table.name()}")
     Some(Aggregate(newGroups, newResults, mvChild))
   }
 }

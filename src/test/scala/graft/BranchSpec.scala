@@ -161,4 +161,68 @@ class BranchSpec extends SparkSpec {
     assert(sql("SELECT v FROM gbr.default.br_mor WHERE k = 2")
       .head().getString(0) == "B")
   }
+
+  test("drop_branch lifecycle: fresh and published branches drop; " +
+      "unpublished work refuses without force; $refs reflects it") {
+    val t = setup("br_drop")
+    // fresh branch (all files shared with main): safe drop
+    sql("CALL gbr.system.create_branch('default.br_drop', 'fix')")
+    sql("CALL gbr.system.drop_branch('default.br_drop', 'fix')")
+    intercept[Exception] {
+      sql(s"SELECT * FROM ${t}_branch_fix").collect()
+    }
+    // branch with unpublished work: refuse, then fast_forward, then drop
+    sql("CALL gbr.system.create_branch('default.br_drop', 'fix')")
+    sql(s"INSERT INTO ${t}_branch_fix VALUES (9, 'z')")
+    val e = intercept[Exception] {
+      sql("CALL gbr.system.drop_branch('default.br_drop', 'fix')")
+    }
+    assert(e.getMessage.contains("fast_forward"), s"got ${e.getMessage}")
+    sql("CALL gbr.system.fast_forward('default.br_drop', 'fix')")
+    sql("CALL gbr.system.drop_branch('default.br_drop', 'fix')")
+    val refs = sql(s"SELECT ref FROM gbr.default.`br_drop$$refs`")
+      .collect().map(_.getString(0)).toSeq
+    assert(!refs.exists(_.contains("fix")), s"dropped branch in $$refs: $refs")
+    // force discards unpublished work loudly-on-purpose
+    sql("CALL gbr.system.create_branch('default.br_drop', 'junk')")
+    sql(s"INSERT INTO ${t}_branch_junk VALUES (10, 'q')")
+    sql("CALL gbr.system.drop_branch('default.br_drop', 'junk', 'true')")
+    intercept[Exception] {
+      sql(s"SELECT * FROM ${t}_branch_junk").collect()
+    }
+    // main kept everything that was published, nothing that wasn't
+    assert(sql(s"SELECT k FROM $t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+  }
+
+  test("expire_snapshots on main never GC's bytes a live branch " +
+      "references: hard links keep them alive by construction") {
+    spark.conf.set("spark.sql.catalog.gbr",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gbr.default.br_gc_branch_keep")
+    sql("DROP TABLE IF EXISTS gbr.default.br_gc")
+    sql("""CREATE TABLE gbr.default.br_gc (k BIGINT, v STRING)
+           TBLPROPERTIES ('graft.retain'='1')""")
+    sql("INSERT INTO gbr.default.br_gc VALUES (1, 'a')")
+    sql("UPDATE gbr.default.br_gc SET v = 'b'") // file B = current
+    sql("CALL gbr.system.create_branch('default.br_gc', 'keep')")
+    // main moves on: B is superseded and (retain=1) expires from
+    // main's snapshot window; a 0-grace sweep reclaims main's entry
+    sql("UPDATE gbr.default.br_gc SET v = 'c'")
+    sql("CALL gbr.system.expire_snapshots('default.br_gc', 0)")
+    // the BRANCH still reads its branch-point content in full — its
+    // hard link is an independent directory entry on the same inode
+    assert(sql("SELECT v FROM gbr.default.br_gc_branch_keep")
+      .collect().map(_.getString(0)).toSeq == Seq("b"),
+      "branch content lost after main's GC")
+    assert(sql("SELECT v FROM gbr.default.br_gc")
+      .head().getString(0) == "c")
+    // main diverged, so the un-forced drop conservatively refuses;
+    // force completes the lifecycle
+    val e = intercept[Exception] {
+      sql("CALL gbr.system.drop_branch('default.br_gc', 'keep')")
+    }
+    assert(e.getMessage.contains("force"), s"got ${e.getMessage}")
+    sql("CALL gbr.system.drop_branch('default.br_gc', 'keep', 'true')")
+  }
 }

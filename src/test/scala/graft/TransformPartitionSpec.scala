@@ -223,6 +223,121 @@ class TransformPartitionSpec extends SparkSpec {
       "years(d)=2025"), s"got $parts")
   }
 
+  private def pathsOf(n: String): Set[String] =
+    sql(s"SELECT path FROM gtest.default.`${n}$$files`")
+      .collect().map(_.getString(0)).toSet
+
+  private def daysOf(n: String): Seq[String] =
+    sql(s"SELECT partition FROM gtest.default.`${n}$$partitions` ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq
+
+  test("row-level DML on a days(ts) CoW table: UPDATE/MERGE rewrite " +
+      "ONLY the touched days' files, rewritten files stay day-keyed, " +
+      "untouched days stay byte-identical") {
+    val n = "tp_dml"; val t = setup(n)
+    sql(s"CREATE TABLE $t (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    sql(s"""INSERT INTO $t VALUES
+      (1, timestamp'2024-03-15 08:00:00', 1.0),
+      (2, timestamp'2024-03-15 09:00:00', 2.0),
+      (3, timestamp'2024-03-16 10:00:00', 3.0),
+      (4, timestamp'2024-03-17 11:00:00', 4.0)""")
+    val seed = pathsOf(n)
+    assert(seed.size == 3, s"3 day files expected, got $seed")
+    // UPDATE one row of day 16: ONLY that day's file may be rewritten
+    sql(s"UPDATE $t SET v = 30.0 WHERE id = 3")
+    val afterUpd = pathsOf(n)
+    assert(afterUpd.size == 3)
+    assert((seed -- afterUpd).forall(_.nonEmpty) &&
+      (seed & afterUpd).size == 2,
+      s"exactly one file (day 16) rewritten; seed=$seed now=$afterUpd")
+    assert(daysOf(n) == Seq("days(ts)=2024-03-15", "days(ts)=2024-03-16",
+      "days(ts)=2024-03-17"), "rewritten file must stay day-keyed")
+    // MERGE: update day 15, insert a NEW day 18 — days 16/17 untouched
+    spark.sql(
+      """SELECT * FROM VALUES
+           (1, timestamp'2024-03-15 08:00:00', 100.0),
+           (9, timestamp'2024-03-18 06:00:00', 9.0)
+         AS src(id, ts, v)""").createOrReplaceTempView("tp_dml_src")
+    sql(s"""MERGE INTO $t g USING tp_dml_src s ON g.id = s.id
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT (id, ts, v)
+            VALUES (s.id, s.ts, s.v)""")
+    val afterMerge = pathsOf(n)
+    val kept16and17 = afterUpd & afterMerge
+    assert(kept16and17.size == 2,
+      s"days 16+17 must survive byte-identical; " +
+        s"before=$afterUpd after=$afterMerge")
+    assert(daysOf(n) == Seq("days(ts)=2024-03-15", "days(ts)=2024-03-16",
+      "days(ts)=2024-03-17", "days(ts)=2024-03-18"))
+    assert(sql(s"SELECT id, v FROM $t ORDER BY id").collect().toSeq ==
+      Seq(Row(1L, 100.0), Row(2L, 2.0), Row(3L, 30.0), Row(4L, 4.0),
+        Row(9L, 9.0)))
+    // non-aligned DELETE (one row of day 15): rewrites only day 15
+    sql(s"DELETE FROM $t WHERE id = 2")
+    val afterRowDel = pathsOf(n)
+    assert((afterMerge & afterRowDel).size == 3,
+      "row-level DELETE may rewrite only day 15's file")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4L)
+  }
+
+  test("day-aligned DELETE on a days(ts) table is METADATA-ONLY: the " +
+      "day's file is dropped, no file is rewritten") {
+    val n = "tp_mdel"; val t = setup(n)
+    sql(s"CREATE TABLE $t (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    sql(s"""INSERT INTO $t VALUES
+      (1, timestamp'2024-03-15 08:00:00', 1.0),
+      (2, timestamp'2024-03-16 09:00:00', 2.0),
+      (3, timestamp'2024-03-17 10:00:00', 3.0)""")
+    val seed = pathsOf(n)
+    assert(seed.size == 3)
+    sql(s"""DELETE FROM $t
+            WHERE ts >= timestamp'2024-03-16 00:00:00'
+              AND ts < timestamp'2024-03-17 00:00:00'""")
+    val after = pathsOf(n)
+    assert(after.subsetOf(seed) && after.size == 2,
+      s"metadata delete must DROP day 16's file and write nothing " +
+        s"new; seed=$seed after=$after")
+    assert(daysOf(n) == Seq("days(ts)=2024-03-15", "days(ts)=2024-03-17"))
+    assert(sql(s"SELECT id FROM $t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("MERGE on a days(ts) MOR table: deltas fold on read, compaction " +
+      "re-splits per day and keeps the census exact") {
+    val n = "tp_mor"; val t = setup(n)
+    sql(s"CREATE TABLE $t (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='id')")
+    sql(s"""INSERT INTO $t VALUES
+      (1, timestamp'2024-03-15 08:00:00', 1.0),
+      (2, timestamp'2024-03-16 09:00:00', 2.0),
+      (3, timestamp'2024-03-17 10:00:00', 3.0)""")
+    spark.sql(
+      """SELECT * FROM VALUES
+           (2, timestamp'2024-03-16 09:00:00', 20.0),
+           (4, timestamp'2024-03-18 06:00:00', 4.0)
+         AS src(id, ts, v)""").createOrReplaceTempView("tp_mor_src")
+    sql(s"""MERGE INTO $t g USING tp_mor_src s ON g.id = s.id
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT (id, ts, v)
+            VALUES (s.id, s.ts, s.v)""")
+    sql(s"DELETE FROM $t WHERE id = 3")
+    assert(sql(s"SELECT id, v FROM $t ORDER BY id").collect().toSeq ==
+      Seq(Row(1L, 1.0), Row(2L, 20.0), Row(4L, 4.0)))
+    sql(s"CALL gtest.system.compact('default.$n')")
+    assert(sql(s"SELECT id, v FROM $t ORDER BY id").collect().toSeq ==
+      Seq(Row(1L, 1.0), Row(2L, 20.0), Row(4L, 4.0)))
+    assert(daysOf(n) == Seq("days(ts)=2024-03-15", "days(ts)=2024-03-16",
+      "days(ts)=2024-03-18"), s"got ${daysOf(n)}")
+    // hidden pruning still holds post-compaction
+    val q = sql(s"SELECT v FROM $t WHERE " +
+      "ts >= timestamp'2024-03-16 00:00:00' AND " +
+      "ts < timestamp'2024-03-17 00:00:00'")
+    assert(graftScanOf(q).plannedFileCount == 1)
+  }
+
   test("identity partitioning unchanged: legacy behavior and SPJ " +
       "eligibility intact") {
     val n = "tp_ident"; val t = setup(n)

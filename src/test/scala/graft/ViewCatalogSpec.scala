@@ -42,9 +42,15 @@ class ViewCatalogSpec extends SparkSpec {
     sql("INSERT INTO gv.default.v_orders VALUES (4, 'LOW', 7.0)")
     assert(sql("SELECT n FROM gv.default.top_orders WHERE pri = 'LOW'")
       .head().getLong(0) == 2L)
+    // show_views is the SHOW CREATE VIEW equivalent: one row per view
+    // with columns, captured context, and the full definition text
     val shown = sql("CALL gv.system.show_views('default')")
-      .head().getString(1)
-    assert(shown.contains("top_orders"), s"got $shown")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+      .find(_._1 == "top_orders")
+      .getOrElse(fail("top_orders missing from show_views"))
+    assert(shown._2 == "pri,n,total", s"got $shown")
+    assert(shown._4.contains("GROUP BY pri"), s"got $shown")
     sql("CALL gv.system.drop_view('default.top_orders')")
     intercept[Exception] {
       sql("SELECT * FROM gv.default.top_orders").collect()
@@ -157,5 +163,96 @@ class ViewCatalogSpec extends SparkSpec {
     assert(sql("SELECT m FROM gv.default.top2").head().getDouble(0) == 40.0)
     sql("CALL gv.system.drop_view('default.top2')")
     sql("CALL gv.system.drop_view('default.top_orders')")
+  }
+
+  test("create_view refuses a definition over a TEMP view (it would " +
+      "validate in the creating session, then break — or bind to a " +
+      "DIFFERENT session's temp view — at read time)") {
+    setup()
+    spark.range(3).toDF("x").createOrReplaceTempView("vc_tmp")
+    val e = intercept[Exception] {
+      sql("""CALL gv.system.create_view('default.over_tmp',
+        'SELECT COUNT(*) AS n FROM vc_tmp')""")
+    }
+    assert(e.getMessage.contains("temp view"), s"got ${e.getMessage}")
+    // CTE names inside the definition are NOT relations — still fine
+    sql("CALL gv.system.drop_view('default.with_cte')")
+    sql("""CALL gv.system.create_view('default.with_cte',
+      'WITH c AS (SELECT price FROM gv.default.v_orders)
+       SELECT SUM(price) AS s FROM c')""")
+    assert(sql("SELECT s FROM gv.default.with_cte").head().getDouble(0)
+      == 45.0)
+    sql("CALL gv.system.drop_view('default.with_cte')")
+  }
+
+  test("unqualified names in a definition pin to the CAPTURED " +
+      "creation context — a reader's like-named temp view never " +
+      "shadows them") {
+    setup()
+    sql("CALL gv.system.drop_view('default.ctx_view')")
+    // create under currentCatalog=gv, currentNamespace=default so the
+    // unqualified `v_orders` is legal and captured
+    sql("USE gv.default")
+    try {
+      sql("""CALL gv.system.create_view('default.ctx_view',
+        'SELECT COUNT(*) AS n FROM v_orders')""")
+    } finally sql("USE spark_catalog.default")
+    // the reader now has a TEMP view named v_orders with other data —
+    // Spark's view semantics: the stored context wins, not the reader's
+    spark.range(1000).toDF("k").createOrReplaceTempView("v_orders")
+    try {
+      assert(sql("SELECT n FROM gv.default.ctx_view").head().getLong(0)
+        == 3L, "view must read the captured gv.default.v_orders, " +
+          "not the reader's temp view")
+    } finally spark.catalog.dropTempView("v_orders")
+    sql("CALL gv.system.drop_view('default.ctx_view')")
+  }
+
+  test("a view-over-view CYCLE introduced by replace fails LOUDLY at " +
+      "read (analyzer fixed-point cap), never silently wrong") {
+    setup()
+    sql("CALL gv.system.drop_view('default.cyc_b')")
+    sql("CALL gv.system.drop_view('default.cyc_a')")
+    sql("""CALL gv.system.create_view('default.cyc_a',
+      'SELECT k FROM gv.default.v_orders')""")
+    sql("""CALL gv.system.create_view('default.cyc_b',
+      'SELECT k FROM gv.default.cyc_a')""")
+    assert(sql("SELECT count(*) FROM gv.default.cyc_b")
+      .head().getLong(0) == 3L)
+    // the replacement validates against the PRE-replace cyc_b (create-
+    // time analysis can't see the future cycle) — the cycle exists
+    // only once both definitions are live
+    sql("""CALL gv.system.create_view('default.cyc_a',
+      'SELECT k FROM gv.default.cyc_b', 'true')""")
+    val e = intercept[Exception] {
+      sql("SELECT * FROM gv.default.cyc_a").collect()
+    }
+    assert(e.getMessage != null, "cycle must fail loudly")
+    intercept[Exception] {
+      sql("SELECT * FROM gv.default.cyc_b").collect()
+    }
+    sql("CALL gv.system.drop_view('default.cyc_b')")
+    sql("CALL gv.system.drop_view('default.cyc_a')")
+  }
+
+  test("renaming a table onto an existing view name refuses loudly " +
+      "(the view would silently shadow the renamed table)") {
+    setup()
+    sql("""CALL gv.system.create_view('default.shadow_v',
+      'SELECT 1 AS one')""")
+    sql("DROP TABLE IF EXISTS gv.default.rn_src")
+    sql("CREATE TABLE gv.default.rn_src (x BIGINT)")
+    val e = intercept[Exception] {
+      gcat.renameTable(
+        Identifier.of(Array("default"), "rn_src"),
+        Identifier.of(Array("default"), "shadow_v"))
+    }
+    assert(e.getMessage.toLowerCase.contains("exists"),
+      s"got ${e.getMessage}")
+    // the failed rename must not have destroyed the source binding
+    assert(sql("SELECT COUNT(*) AS c FROM gv.default.rn_src")
+      .head().getLong(0) == 0L)
+    sql("DROP TABLE gv.default.rn_src")
+    sql("CALL gv.system.drop_view('default.shadow_v')")
   }
 }

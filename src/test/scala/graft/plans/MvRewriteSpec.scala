@@ -155,6 +155,252 @@ class MvRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mvRewrite")
   }
 
+  test("ROLL-UP: GROUP BY a subset of the MV's group columns " +
+      "re-aggregates over the MV — SUM of sums, SUM of count " +
+      "partials, MIN of mins, decomposed AVG") {
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gmv.default.mvr_base")
+    sql("DROP TABLE IF EXISTS gmv.default.mvr_agg")
+    sql("CREATE TABLE gmv.default.mvr_base (day STRING, k STRING, " +
+      "v BIGINT, w DOUBLE)")
+    sql("""INSERT INTO gmv.default.mvr_base VALUES
+      ('d1', 'a', 1, 1.0), ('d1', 'a', 2, 3.0), ('d1', 'b', 10, 5.0),
+      ('d2', 'a', 100, 2.0), ('d2', 'b', 20, CAST(NULL AS DOUBLE))""")
+    sql("""CREATE TABLE gmv.default.mvr_agg
+           (day STRING, k STRING, sum_v BIGINT, n BIGINT,
+            min_w DOUBLE, sum_w DOUBLE, nw BIGINT)
+           TBLPROPERTIES ('graft.mv.of' = 'default/mvr_base',
+             'graft.mv.group' = 'day,k',
+             'graft.mv.agg' =
+               'sum:v:sum_v,count:*:n,min:w:min_w,sum:w:sum_w,count:w:nw')""")
+    sql("""INSERT OVERWRITE gmv.default.mvr_agg
+           SELECT day, k, SUM(v), COUNT(*), MIN(w), SUM(w), COUNT(w)
+           FROM gmv.default.mvr_base GROUP BY day, k""")
+    val vNow = sql("SHOW TBLPROPERTIES gmv.default.mvr_base").collect()
+      .collectFirst { case r if r.getString(0) == "graft.current_version" =>
+        r.getString(1) }.get
+    sql(s"""ALTER TABLE gmv.default.mvr_agg
+            SET TBLPROPERTIES ('graft.mv.base_version' = '$vNow')""")
+    sql("""ALTER TABLE gmv.default.mvr_base
+           SET TBLPROPERTIES ('graft.mv.tables' = 'mvr_agg')""")
+    val rollup = """SELECT day, SUM(v) AS sv, COUNT(*) AS n,
+                           MIN(w) AS mw, AVG(w) AS aw
+                    FROM gmv.default.mvr_base GROUP BY day ORDER BY day"""
+    val q = sql(rollup)
+    assert(scansOf(q).exists(_.contains("mvr_agg")),
+      s"roll-up must serve from the MV, got ${scansOf(q)}:\n" +
+        q.queryExecution.executedPlan)
+    // truth = the same query with the rewrite disabled (base scan)
+    spark.conf.set("spark.graft.mvRewrite", "false")
+    val truth = try sql(rollup).collect().toSeq
+      finally spark.conf.unset("spark.graft.mvRewrite")
+    assert(q.collect().toSeq == truth)
+    // a WHERE on an MV group column NOT in the query's groups still
+    // commutes (filter the MV partials, then roll up)
+    val fil = sql("""SELECT day, SUM(v) AS sv FROM gmv.default.mvr_base
+                     WHERE k = 'a' GROUP BY day ORDER BY day""")
+    assert(scansOf(fil).exists(_.contains("mvr_agg")),
+      s"got ${scansOf(fil)}")
+    assert(fil.collect().toSeq == Seq(Row("d1", 3L), Row("d2", 100L)))
+    // a grouping column OUTSIDE the MV's group set still refuses
+    val sup = sql("""SELECT day, v, SUM(v) AS sv
+                     FROM gmv.default.mvr_base GROUP BY day, v""")
+    assert(scansOf(sup).forall(!_.contains("mvr_agg")))
+  }
+
+  test("group-column TYPE drift between base and MV refuses the " +
+      "rewrite (free-form graft.mv.* metadata must never install a " +
+      "wrong-typed alias)") {
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gmv.default.mvt_base")
+    sql("DROP TABLE IF EXISTS gmv.default.mvt_agg")
+    sql("CREATE TABLE gmv.default.mvt_base (k STRING, v BIGINT)")
+    sql("INSERT INTO gmv.default.mvt_base VALUES ('1', 5), ('2', 7)")
+    // MV declares group column k as INT — name matches, type drifted
+    sql("""CREATE TABLE gmv.default.mvt_agg (k INT, sum_v BIGINT)
+           TBLPROPERTIES ('graft.mv.of' = 'default/mvt_base',
+                          'graft.mv.group' = 'k',
+                          'graft.mv.agg' = 'sum:v:sum_v')""")
+    sql("""INSERT OVERWRITE gmv.default.mvt_agg
+           SELECT CAST(k AS INT), SUM(v) FROM gmv.default.mvt_base
+           GROUP BY k""")
+    val vNow = sql("SHOW TBLPROPERTIES gmv.default.mvt_base").collect()
+      .collectFirst { case r if r.getString(0) == "graft.current_version" =>
+        r.getString(1) }.get
+    sql(s"""ALTER TABLE gmv.default.mvt_agg
+            SET TBLPROPERTIES ('graft.mv.base_version' = '$vNow')""")
+    sql("""ALTER TABLE gmv.default.mvt_base
+           SET TBLPROPERTIES ('graft.mv.tables' = 'mvt_agg')""")
+    val q = sql("""SELECT k, SUM(v) AS s FROM gmv.default.mvt_base
+                   GROUP BY k ORDER BY k""")
+    assert(scansOf(q).forall(!_.contains("mvt_agg")),
+      s"type-drifted MV must refuse, got ${scansOf(q)}")
+    assert(q.collect().toSeq == Seq(Row("1", 5L), Row("2", 7L)))
+    // same for a WHERE remap onto the drifted column
+    val f = sql("""SELECT k, SUM(v) AS s FROM gmv.default.mvt_base
+                   WHERE k = '1' GROUP BY k""")
+    assert(scansOf(f).forall(!_.contains("mvt_agg")))
+    assert(f.collect().toSeq == Seq(Row("1", 5L)))
+  }
+
+  test("freshnessTtlMs amortizes the on-disk check: no log listing " +
+      "inside the TTL, the check re-runs after it, and SAME-process " +
+      "staleness still kills the rewrite instantly") {
+    setup()
+    def serve(): Boolean = scansOf(sql(
+      """SELECT k, SUM(v) AS s FROM gmv.default.mv_base GROUP BY k"""))
+      .exists(_.contains("mv_agg"))
+    spark.conf.set("spark.graft.mvRewrite.freshnessTtlMs", "60000")
+    try {
+      assert(serve())
+      val after1 = MvRewrite.freshnessDiskChecks.get()
+      assert(serve()); assert(serve())
+      assert(MvRewrite.freshnessDiskChecks.get() == after1,
+        "within the TTL no further on-disk freshness check may run")
+      // a same-process commit mutates the shared handle — the rewrite
+      // must die instantly even though the TTL suppresses disk reads
+      sql("INSERT INTO gmv.default.mv_base VALUES ('z', 1, 1.0)")
+      assert(!serve(), "stale MV served under TTL — wrong")
+    } finally spark.conf.unset("spark.graft.mvRewrite.freshnessTtlMs")
+    // TTL off (default): every pass checks the disk again
+    val before = MvRewrite.freshnessDiskChecks.get()
+    serve(); serve()
+    assert(MvRewrite.freshnessDiskChecks.get() > before)
+  }
+
+  /** Star-schema (join) MV fixture: fact sales ⨝ dim regions. */
+  private def setupJoin(): Unit = {
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gmv.default.sales_f")
+    sql("DROP TABLE IF EXISTS gmv.default.regions_d")
+    sql("DROP TABLE IF EXISTS gmv.default.sales_mv")
+    sql("CREATE TABLE gmv.default.sales_f (region_id BIGINT, " +
+      "amount BIGINT, qty BIGINT)")
+    sql("""INSERT INTO gmv.default.sales_f VALUES
+      (1, 10, 1), (1, 20, 2), (2, 5, 1), (3, 7, 4), (1, 100, 1)""")
+    sql("CREATE TABLE gmv.default.regions_d (region_id BIGINT, " +
+      "rname STRING)")
+    sql("""INSERT INTO gmv.default.regions_d VALUES
+      (1, 'east'), (2, 'west'), (3, 'east')""")
+    sql("""CREATE TABLE gmv.default.sales_mv
+           (rname STRING, sum_a BIGINT, n BIGINT)
+           TBLPROPERTIES (
+             'graft.mv.of' = 'default/sales_f',
+             'graft.mv.join_dim' = 'default/regions_d',
+             'graft.mv.join_on' = 'region_id=region_id',
+             'graft.mv.group' = 'rname',
+             'graft.mv.agg' = 'sum:amount:sum_a,count:*:n')""")
+    refreshJoin()
+    sql("""ALTER TABLE gmv.default.sales_f
+           SET TBLPROPERTIES ('graft.mv.tables' = 'sales_mv')""")
+  }
+
+  private def refreshJoin(): Unit = {
+    sql("""INSERT OVERWRITE gmv.default.sales_mv
+           SELECT r.rname, SUM(f.amount), COUNT(*)
+           FROM gmv.default.sales_f f JOIN gmv.default.regions_d r
+             ON f.region_id = r.region_id
+           GROUP BY r.rname""")
+    def ver(t: String): String =
+      sql(s"SHOW TBLPROPERTIES gmv.default.$t").collect()
+        .collectFirst {
+          case r if r.getString(0) == "graft.current_version" =>
+            r.getString(1)
+        }.get
+    sql(s"""ALTER TABLE gmv.default.sales_mv SET TBLPROPERTIES (
+            'graft.mv.base_version' = '${ver("sales_f")}',
+            'graft.mv.dim_version' = '${ver("regions_d")}')""")
+  }
+
+  private val joinAgg =
+    """SELECT r.rname, SUM(f.amount) AS sum_a, COUNT(*) AS n
+       FROM gmv.default.sales_f f JOIN gmv.default.regions_d r
+         ON f.region_id = r.region_id
+       GROUP BY r.rname ORDER BY r.rname"""
+
+  test("star-schema MV: a fresh dim⨝fact aggregate serves from the " +
+      "MV; values are the join truth") {
+    setupJoin()
+    val q = sql(joinAgg)
+    assert(scansOf(q).exists(_.contains("sales_mv")),
+      s"expected the MV scan, got ${scansOf(q)}:\n" +
+        q.queryExecution.executedPlan)
+    spark.conf.set("spark.graft.mvRewrite", "false")
+    val truth = try sql(joinAgg).collect().toSeq
+      finally spark.conf.unset("spark.graft.mvRewrite")
+    assert(q.collect().toSeq == truth)
+    assert(truth == Seq(Row("east", 137L, 4L), Row("west", 5L, 1L)))
+  }
+
+  test("star-schema MV: a WHERE on the dim's group column commutes " +
+      "and re-applies on the MV; ungrouped roll-up over the join " +
+      "serves too") {
+    setupJoin()
+    val fil = sql(
+      """SELECT r.rname, COUNT(*) AS n
+         FROM gmv.default.sales_f f JOIN gmv.default.regions_d r
+           ON f.region_id = r.region_id
+         WHERE r.rname = 'east' GROUP BY r.rname""")
+    assert(scansOf(fil).exists(_.contains("sales_mv")),
+      s"got ${scansOf(fil)}:\n${fil.queryExecution.optimizedPlan}")
+    assert(fil.collect().toSeq == Seq(Row("east", 4L)))
+    val global = sql(
+      """SELECT SUM(f.amount) AS s, COUNT(*) AS n
+         FROM gmv.default.sales_f f JOIN gmv.default.regions_d r
+           ON f.region_id = r.region_id""")
+    assert(scansOf(global).exists(_.contains("sales_mv")),
+      s"got ${scansOf(global)}")
+    assert(global.collect().toSeq == Seq(Row(142L, 5L)))
+  }
+
+  test("star-schema MV: a commit on EITHER constituent staleness-" +
+      "kills the rewrite until re-refresh") {
+    setupJoin()
+    sql("INSERT INTO gmv.default.regions_d VALUES (4, 'north')")
+    val q1 = sql(joinAgg)
+    assert(scansOf(q1).forall(!_.contains("sales_mv")),
+      "dim commit must kill the rewrite")
+    assert(q1.collect().toSeq ==
+      Seq(Row("east", 137L, 4L), Row("west", 5L, 1L)))
+    refreshJoin()
+    assert(scansOf(sql(joinAgg)).exists(_.contains("sales_mv")))
+    sql("INSERT INTO gmv.default.sales_f VALUES (4, 1000, 1)")
+    val q2 = sql(joinAgg)
+    assert(scansOf(q2).forall(!_.contains("sales_mv")),
+      "fact commit must kill the rewrite")
+    assert(q2.collect().toSeq == Seq(Row("east", 137L, 4L),
+      Row("north", 1000L, 1L), Row("west", 5L, 1L)))
+  }
+
+  test("star-schema MV refusals: wrong join key, non-inner join, " +
+      "filter on a non-group fact column — all run the real join") {
+    setupJoin()
+    // join on a DIFFERENT key pair than recorded
+    val wrongKey = sql(
+      """SELECT r.rname, COUNT(*) AS n
+         FROM gmv.default.sales_f f JOIN gmv.default.regions_d r
+           ON f.amount = r.region_id GROUP BY r.rname""")
+    assert(scansOf(wrongKey).forall(!_.contains("sales_mv")))
+    // LEFT join keeps null-extended rows the MV never saw
+    val left = sql(
+      """SELECT r.rname, COUNT(*) AS n
+         FROM gmv.default.sales_f f LEFT JOIN gmv.default.regions_d r
+           ON f.region_id = r.region_id GROUP BY r.rname""")
+    assert(scansOf(left).forall(!_.contains("sales_mv")))
+    // WHERE on a fact measure column is not commutable
+    val mfil = sql(
+      """SELECT r.rname, COUNT(*) AS n
+         FROM gmv.default.sales_f f JOIN gmv.default.regions_d r
+           ON f.region_id = r.region_id
+         WHERE f.amount > 8 GROUP BY r.rname ORDER BY r.rname""")
+    assert(scansOf(mfil).forall(!_.contains("sales_mv")))
+    assert(mfil.collect().toSeq ==
+      Seq(Row("east", 3L)))
+  }
+
   test("COUNT(col) and global (ungrouped) aggregates rewrite too") {
     spark.conf.set("spark.sql.catalog.gmv",
       classOf[graft.catalog.GraftCatalog].getName)
