@@ -3130,7 +3130,196 @@ object CatalogQueries {
         WHERE ts >= TIMESTAMP'2024-01-18 00:00:00'
           AND ts < TIMESTAMP'2024-01-23 00:00:00'
         GROUP BY 1 ORDER BY day"""))
-  ) ++ q258Defs
+  ) ++ q258Defs ++ q262Defs
+
+  // ---------------------------------------------------------------- q262:
+  // VERSION-BOUNDED INCREMENTAL CHANGE READ (Iceberg incremental read /
+  // Delta table_changes) — the polling-consumer half of the CDC surface
+  // q206/q210 stream: `spark.read.option("from_version", a)
+  // .option("to_version", b).table("t$changes")` returns exactly the
+  // change ops committed in (a, b], sliced from the ledger's commit-
+  // version stamps with NO streaming checkpoint. The query proves the
+  // contract three ways: (1) the op census of a single version's slice,
+  // (2) a mirror reconstructed from `VERSION AS OF 0` + two consecutive
+  // bounded slices equals (3) the direct `VERSION AS OF 2` read — the
+  // bounded feed IS the difference between snapshots. Soundness edges
+  // (future to_version, from > to, retention-trimmed ranges, bounded
+  // streaming) reject loudly — ChangeBoundsSpec. At 100 TB a bounded
+  // read costs O(delta files in range), selected from commit metadata;
+  // the consumer never rescans the table and never stores a checkpoint.
+  private lazy val q262Defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q262_incremental_changes",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_inc")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("q262_seed")
+        s.sql("""CREATE TABLE graft_cat.default.orders_inc
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='o_orderkey')
+                 AS SELECT * FROM q262_seed""")           // version 0
+        s.sql("""UPDATE graft_cat.default.orders_inc
+                 SET o_totalprice = o_totalprice + 10.0
+                 WHERE o_orderkey % 5 = 0""")             // version 1
+        s.sql("""DELETE FROM graft_cat.default.orders_inc
+                 WHERE o_orderkey % 7 = 0""")             // version 2
+        s.sql("""UPDATE graft_cat.default.orders_inc
+                 SET o_totalprice = o_totalprice + 100.0
+                 WHERE o_orderkey % 11 = 0""")            // version 3
+        def bounded(from: Int, to: Option[Int]) = {
+          val r = s.read.option("from_version", from.toString)
+          to.fold(r)(t => r.option("to_version", t.toString))
+            .table("graft_cat.default.`orders_inc$changes`")
+        }
+        bounded(0, Some(1)).createOrReplaceTempView("q262_c1")
+        bounded(1, Some(2)).createOrReplaceTempView("q262_c2")
+        bounded(2, None).createOrReplaceTempView("q262_tail")
+        s.sql("""
+          WITH s0 AS (SELECT o_orderkey, o_totalprice
+                      FROM graft_cat.default.orders_inc VERSION AS OF 0),
+          s1 AS (    -- apply (0,1]: the v1 updates, keyed by row id
+            SELECT v.o_orderkey,
+                   CASE WHEN c.`__id` IS NOT NULL THEN c.o_totalprice
+                        ELSE v.o_totalprice END AS o_totalprice
+            FROM s0 v LEFT JOIN q262_c1 c
+              ON v.o_orderkey = c.`__id` AND c.`__op` = 1),
+          s2 AS (    -- apply (1,2]: the v2 deletes
+            SELECT * FROM s1 v
+            WHERE NOT EXISTS (SELECT 1 FROM q262_c2 c
+                              WHERE c.`__id` = v.o_orderkey
+                                AND c.`__op` = 2))
+          SELECT 'v2_ops' AS phase, COUNT(*) AS n,
+                 CAST(SUM(`__id`) AS DOUBLE) AS agg
+          FROM q262_c2 WHERE `__op` = 2
+          UNION ALL
+          SELECT 'mid_state', COUNT(*),
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          FROM s2
+          UNION ALL
+          SELECT 'mid_direct', COUNT(*),
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          FROM (SELECT o_totalprice
+                FROM graft_cat.default.orders_inc VERSION AS OF 2)
+          UNION ALL
+          SELECT 'tail_ops', COUNT(*), CAST(SUM(`__id`) AS DOUBLE)
+          FROM q262_tail WHERE `__op` = 1
+          ORDER BY phase""")
+      },
+      Some("""
+        WITH mid AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0)
+        SELECT 'v2_ops' AS phase, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS DOUBLE) AS agg
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'mid_state', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        FROM mid
+        UNION ALL
+        SELECT 'mid_direct', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        FROM mid
+        UNION ALL
+        SELECT 'tail_ops', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+        FROM mid WHERE o_orderkey % 11 = 0
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q263:
+    // MERGE ... WHEN NOT MATCHED BY SOURCE — the full-sync clause family
+    // (Spark 3.4+ / Delta / Iceberg parity): the source is the TRUTH and
+    // the target must converge to it in ONE statement. Two variants over
+    // the same seed drift: copy-on-write target DELETEs rows the source
+    // no longer has (hard sync — target becomes exactly the source), and
+    // a merge-on-read target soft-deletes them with an UPDATE flag (the
+    // auditable variant; delta-sized tombstone-free retirement). Both
+    // row-level paths compile the BY SOURCE clause group through the
+    // same DSv2 rewrite as the matched clauses — at 100 TB the CoW
+    // variant rewrites only files containing affected rows, the MOR
+    // variant writes only delta files sized to the drift.
+    QueryDef(
+      "q263_merge_by_source",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .createOrReplaceTempView("q263_orders")
+        // target drift: missing every %3=0 row, stale price on %5=0
+        s.sql("""SELECT o_orderkey,
+                        CASE WHEN o_orderkey % 5 = 0
+                             THEN o_totalprice + 7.0
+                             ELSE o_totalprice END AS o_totalprice,
+                        'y' AS alive
+                 FROM q263_orders WHERE o_orderkey % 3 <> 0""")
+          .createOrReplaceTempView("q263_target_seed")
+        // the source of truth: the even keys at their real price
+        s.sql("""SELECT o_orderkey, o_totalprice, 'y' AS alive
+                 FROM q263_orders WHERE o_orderkey % 2 = 0""")
+          .createOrReplaceTempView("q263_source")
+        def sync(table: String, props: String, bySource: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$table")
+          s.sql(s"""CREATE TABLE graft_cat.default.$table $props
+                    AS SELECT * FROM q263_target_seed""")
+          s.sql(s"""
+            MERGE INTO graft_cat.default.$table t
+            USING q263_source c ON t.o_orderkey = c.o_orderkey
+            WHEN MATCHED THEN
+              UPDATE SET o_totalprice = c.o_totalprice, alive = 'y'
+            WHEN NOT MATCHED THEN
+              INSERT (o_orderkey, o_totalprice, alive)
+              VALUES (c.o_orderkey, c.o_totalprice, 'y')
+            WHEN NOT MATCHED BY SOURCE THEN $bySource""")
+        }
+        sync("orders_sync_cow", "", "DELETE")
+        sync("orders_sync_mor",
+          """TBLPROPERTIES ('graft.mode'='mor',
+                            'graft.row_id'='o_orderkey')""",
+          "UPDATE SET alive = 'dead'")
+        s.sql("""
+          SELECT 'cow' AS variant, alive, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS price_sum,
+                 SUM(o_orderkey) AS key_sum
+          FROM graft_cat.default.orders_sync_cow GROUP BY alive
+          UNION ALL
+          SELECT 'mor', alive, COUNT(*),
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+                 SUM(o_orderkey)
+          FROM graft_cat.default.orders_sync_mor GROUP BY alive
+          ORDER BY variant, alive""")
+      },
+      Some("""
+        WITH src AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey % 2 = 0),
+        dead AS (SELECT o_orderkey,
+                        CASE WHEN o_orderkey % 5 = 0
+                             THEN o_totalprice + 7.0
+                             ELSE o_totalprice END AS o_totalprice
+                 FROM orders
+                 WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0)
+        SELECT 'cow' AS variant, 'y' AS alive, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS price_sum,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM src
+        UNION ALL
+        SELECT 'mor', 'dead', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               CAST(SUM(o_orderkey) AS BIGINT)
+        FROM dead
+        UNION ALL
+        SELECT 'mor', 'y', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               CAST(SUM(o_orderkey) AS BIGINT)
+        FROM src
+        ORDER BY variant, alive"""))
+  )
 
   // ---------------------------------------------------------------- q258:
   // MV ROLL-UP REWRITE (VERDICT r13 item 1) — the standard dashboard

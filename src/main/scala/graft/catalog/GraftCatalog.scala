@@ -2143,7 +2143,12 @@ class GraftTable(ident: String, val dir: NioPath,
     if (st.changeLog.size <= appendRetain) st
     else {
       val d = st.changeLog.size - appendRetain
-      st.copy(changeLog = st.changeLog.drop(d), changeBase = st.changeBase + d)
+      // record the highest commit version trimmed away: version-bounded
+      // incremental reads must refuse a from_version below this fence
+      // (the requested range could span changes no longer retained)
+      val trimmedVer = st.changeLog.take(d).map(_.ver).max
+      st.copy(changeLog = st.changeLog.drop(d), changeBase = st.changeBase + d,
+        changeTrimVer = math.max(st.changeTrimVer, trimmedVer))
     }
 
   private[catalog] def commitDelta(delta: Seq[GraftFileRef]): Unit =
@@ -2154,10 +2159,13 @@ class GraftTable(ident: String, val dir: NioPath,
       val fenced = delta.map(_.copy(fence = curFiles.length))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         curFiles, curDelta ++ fenced)
+      // ledger entries carry their commit version — the slicing axis
+      // for version-bounded incremental reads ($changes from/to_version)
+      val stamped = fenced.map(_.copy(ver = state.nextVersion))
       Some(trimChange(state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
-        changeLog = state.changeLog ++ fenced)))
+        changeLog = state.changeLog ++ stamped)))
     }
 
   /** Streaming epoch commit with exactly-once keyed by (queryId,

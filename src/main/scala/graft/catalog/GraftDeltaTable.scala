@@ -512,12 +512,83 @@ class GraftChangeFeedTable(ident: String, table: GraftDeltaTable)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     table.refreshFromDisk()
     new GraftChangeFeedScanBuilder(table,
-      GraftAdmission.fromOptions(options))
+      GraftAdmission.fromOptions(options),
+      GraftChangeBounds.fromOptions(options, table))
+  }
+}
+
+/** Version bounds for INCREMENTAL batch reads of the change feed
+  * (Iceberg's incremental read / Delta's table_changes):
+  * `spark.read.option("from_version", v1).option("to_version", v2)
+  * .table("t$changes")` returns exactly the change ops committed AFTER
+  * v1 (exclusive) up to and INCLUDING v2 — "what changed between the
+  * snapshot I last processed and now", the polling-consumer contract
+  * that doesn't need a streaming checkpoint. Soundness is loud, never
+  * silent: a from_version at or below the retention trim fence
+  * ([[GraftTableState.changeTrimVer]]) rejects (the range could span
+  * trimmed changes), entries that predate version stamping reject,
+  * and a to_version beyond the current version rejects (the future
+  * isn't committed yet). At 100 TB the read costs O(delta files in
+  * range) — commit metadata selects the files; no table scan. */
+final case class GraftChangeBounds(fromVer: Option[Int], toVer: Option[Int]) {
+  def bounded: Boolean = fromVer.isDefined || toVer.isDefined
+  /** Slice `log` to the bounded range, validating soundness against
+    * the table state the log came from. */
+  def slice(st: GraftTableState): Vector[GraftFileRef] = {
+    if (!bounded) return st.changeLog
+    val cur = st.nextVersion - 1
+    toVer.foreach(t => require(t <= cur,
+      s"to_version $t is beyond the current version $cur"))
+    fromVer.foreach { f =>
+      // a trim that predates version stamping (changeTrimVer = -1 with
+      // a non-zero base) left an unattributable gap: no from_version
+      // can be proven to clear it
+      require(st.changeBase == 0 || st.changeTrimVer >= 0,
+        "change ledger was retention-trimmed before version stamping " +
+          "existed — bounded reads cannot prove the range is intact; " +
+          "reseed from a snapshot")
+      require(f >= st.changeTrimVer || st.changeBase == 0,
+        s"from_version $f predates the retained change window " +
+          s"(retention trimmed changes up to version ${st.changeTrimVer}" +
+          ") — reseed from a snapshot instead of reading the gap")
+    }
+    val lo = fromVer.getOrElse(Int.MinValue)
+    val hi = toVer.getOrElse(Int.MaxValue)
+    // a bounded read over pre-stamping entries cannot attribute them
+    // to versions — refuse rather than over- or under-deliver; the
+    // trim fence above already covers entries trimmed away entirely
+    if (st.changeBase > 0 && fromVer.isEmpty)
+      throw new IllegalArgumentException(
+        "bounded change read without from_version on a " +
+          "retention-trimmed ledger would silently miss trimmed " +
+          "changes — pass from_version or reseed from a snapshot")
+    st.changeLog.foreach(f => require(f.ver >= 0,
+      "change ledger entry predates version stamping — bounded " +
+        "incremental reads need a post-upgrade ledger"))
+    st.changeLog.filter(f => f.ver > lo && f.ver <= hi)
+  }
+}
+
+object GraftChangeBounds {
+  def fromOptions(options: CaseInsensitiveStringMap,
+      table: GraftDeltaTable): GraftChangeBounds = {
+    def intOpt(k: String): Option[Int] =
+      Option(options.get(k)).map { s =>
+        try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$k must be an integer table version, got '$s'")
+        }
+      }
+    val b = GraftChangeBounds(intOpt("from_version"), intOpt("to_version"))
+    for (f <- b.fromVer; t <- b.toVer) require(f <= t,
+      s"from_version $f must be <= to_version $t")
+    b
   }
 }
 
 class GraftChangeFeedScanBuilder(table: GraftDeltaTable,
-    admission: GraftAdmission = GraftAdmission())
+    admission: GraftAdmission = GraftAdmission(),
+    bounds: GraftChangeBounds = GraftChangeBounds(None, None))
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private val feedSchema = table.changeFeedSchema
   private var required: StructType = feedSchema
@@ -526,16 +597,17 @@ class GraftChangeFeedScanBuilder(table: GraftDeltaTable,
   override def pruneColumns(r: StructType): Unit =
     required = GraftStorage.sanitizeRequired(feedSchema, r, nested = true)
   override def build(): Scan =
-    new GraftChangeFeedScan(table, feedSchema, required, admission)
+    new GraftChangeFeedScan(table, feedSchema, required, admission, bounds)
 }
 
 class GraftChangeFeedScan(table: GraftDeltaTable, feedSchema: StructType,
-    requiredSchema: StructType, admission: GraftAdmission = GraftAdmission())
+    requiredSchema: StructType, admission: GraftAdmission = GraftAdmission(),
+    bounds: GraftChangeBounds = GraftChangeBounds(None, None))
     extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    table.stateNow.changeLog.map(f =>
+    bounds.slice(table.stateNow).map(f =>
       GraftFilePartition(f.path, f.cols, f.rows,
         colIds = f.colIds): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -543,12 +615,20 @@ class GraftChangeFeedScan(table: GraftDeltaTable, feedSchema: StructType,
   override def description(): String = {
     val st = table.stateNow
     s"GraftChangeFeedScan(${st.changeLog.map(_.rows).sum} change ops, " +
-      s"window [${st.changeBase}, ${st.changeBase + st.changeLog.size}))"
+      s"window [${st.changeBase}, ${st.changeBase + st.changeLog.size})" +
+      (if (bounds.bounded) s", versions (${bounds.fromVer.getOrElse("")}," +
+        s" ${bounds.toVer.getOrElse("")}]" else "") + ")"
   }
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // version bounds are a BATCH contract; a stream's progress axis is
+    // its checkpointed offset — mixing the two would double-track
+    require(!bounds.bounded,
+      "from_version/to_version apply to batch reads of $changes; " +
+        "streaming reads track progress via their checkpoint")
     new GraftChangeFeedStream(table, feedSchema, requiredSchema,
       admission)
+  }
 }
 
 /** Offsets index the change ledger exactly like [[GraftMicroBatchStream]]

@@ -1434,7 +1434,11 @@ object GraftStorage {
     // per-column bloom filters (graft.bloom_by), base64; keyed like
     // stats by the file's write-time column names
     "blooms" -> JObject(r.blooms.toList.map { case (c, b) =>
-      c -> (JString(b): JValue) }))
+      c -> (JString(b): JValue) }),
+    // commit version (stamped on change-feed ledger entries only:
+    // the axis version-bounded incremental reads slice on; -1 =
+    // unattributed — snapshot/append refs, or pre-r14 change entries)
+    "ver" -> JInt(r.ver))
 
   private def fileRefFromJson(j: JValue): GraftFileRef = {
     val o = j.asInstanceOf[JObject].obj.toMap
@@ -1462,7 +1466,10 @@ object GraftStorage {
       // absent in pre-bloom logs: no bloom, no prune
       o.get("blooms").collect { case jb: JObject =>
         jb.obj.collect { case (c, JString(b)) => c -> b }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // absent in pre-r14 logs: unattributed (version-bounded
+      // incremental reads over such entries reject loudly)
+      o.get("ver").map(num(_).toInt).getOrElse(-1))
   }
 
   private def num(j: JValue): Long = j match {
@@ -1509,7 +1516,9 @@ object GraftStorage {
       // at-least-once foreachBatch replay (crash between the MERGE
       // and the checkpoint commit) is detected and skipped
       "txns" -> JObject(st.txns.toList.sortBy(_._1).map { case (a, v) =>
-        a -> (JLong(v): JValue) }))
+        a -> (JLong(v): JValue) }),
+      // version fence for version-bounded incremental change reads
+      "changeTrimVer" -> JInt(st.changeTrimVer))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -1555,7 +1564,9 @@ object GraftStorage {
       // absent in pre-ledger logs: no transactions recorded
       o.get("txns").collect { case tj: JObject =>
         tj.obj.map { case (a, v) => a -> num(v) }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // absent in pre-r14 logs: nothing attributed ever trimmed
+      o.get("changeTrimVer").map(num(_).toInt).getOrElse(-1))
   }
 
   // ---- versioned log with compare-and-swap commit ----------------------
@@ -1705,7 +1716,7 @@ final case class GraftFileRef(path: String, rows: Long, bytes: Long,
     cols: Vector[String], stats: Map[String, GraftColStats],
     fence: Int = -1, groups: Vector[GraftRowGroup] = Vector.empty,
     colIds: Vector[Int] = Vector.empty, bucket: Int = -1,
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty, ver: Int = -1)
 
 /** One parquet row group of a committed file, recorded at WRITE time
   * (VERDICT r11 item 2) so scan planning computes split ranges from
@@ -1779,7 +1790,12 @@ final case class GraftTableState(schemaJson: String,
     nextFieldId: Int = 0,
     tags: Map[String, Int] = Map.empty,
     checks: Vector[GraftCheck] = Vector.empty,
-    txns: Map[String, Long] = Map.empty) {
+    txns: Map[String, Long] = Map.empty,
+    // highest commit version among change-ledger entries trimmed by
+    // retention (-1 = nothing attributed ever trimmed): the soundness
+    // fence for version-bounded incremental reads — a requested
+    // `from_version` below it may span trimmed changes and rejects
+    changeTrimVer: Int = -1) {
   def current: Option[GraftSnapshot] = snapshots.lastOption
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
