@@ -108,4 +108,60 @@ class AdmissionLimitsSpec extends SparkSpec {
       .start().awaitTermination()
     assert(out.toSeq == Seq.fill(3)(1L), s"change-feed batches: $out")
   }
+
+  test("admission limits compose with hidden-partition sinks: bounded " +
+      "batches still land one file per day (VERDICT r13 item 9)") {
+    spark.conf.set("spark.sql.catalog.gadm",
+      classOf[graft.catalog.GraftCatalog].getName)
+    // source: 3 commits x 20 rows spanning 3 days (id % 3 picks the day)
+    sql("DROP TABLE IF EXISTS gadm.default.hp_src")
+    sql("CREATE TABLE gadm.default.hp_src (id BIGINT, ts TIMESTAMP, " +
+      "value DOUBLE)")
+    (0 until 3).foreach { i =>
+      spark.range(i * 20, (i + 1) * 20).selectExpr("id",
+        "timestamp'2024-03-15 06:00:00' + make_interval(0,0,0," +
+          "CAST(id % 3 AS INT),0,0,0) AS ts",
+        "CAST(id AS DOUBLE) / 4.0 AS value")
+        .coalesce(1).createOrReplaceTempView("hp_src_batch")
+      sql("INSERT INTO gadm.default.hp_src SELECT * FROM hp_src_batch")
+    }
+    sql("DROP TABLE IF EXISTS gadm.default.hp_tgt")
+    sql("""CREATE TABLE gadm.default.hp_tgt
+           (id BIGINT, ts TIMESTAMP, value DOUBLE)
+           PARTITIONED BY (days(ts))""")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("adm-hp-").toString
+    // row cap = one source file -> exactly 3 bounded micro-batches,
+    // each writing its 20 rows split across the 3 touched days
+    spark.readStream
+      .option("maxRowsPerTrigger", "20")
+      .table("gadm.default.hp_src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gadm.default.hp_tgt")
+      .awaitTermination()
+    // 3 batches x 3 days = 9 files, every one day-pinned
+    // ts stats are raw epoch-microsecond strings
+    val files = sql(
+      """SELECT CAST(timestamp_micros(CAST(stats['ts'].min AS BIGINT))
+                  AS DATE) AS dmin,
+                CAST(timestamp_micros(CAST(stats['ts'].max AS BIGINT))
+                  AS DATE) AS dmax
+         FROM gadm.default.`hp_tgt$files`""").collect()
+    assert(files.length == 9, s"expected 3 batches x 3 days: ${files.length}")
+    assert(files.forall(r => r.get(0) == r.get(1)),
+      s"every file must be day-pinned: ${files.mkString(", ")}")
+    // the census equals the per-day recompute
+    val census = sql(
+      """SELECT partition, n_rows
+         FROM gadm.default.`hp_tgt$partitions` ORDER BY partition""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = sql(
+      """SELECT concat('days(ts)=', CAST(CAST(ts AS DATE) AS STRING)),
+                COUNT(*) FROM gadm.default.hp_src GROUP BY 1 ORDER BY 1""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(census == expect, s"census $census != recompute $expect")
+    assert(census.map(_._2).sum == 60L)
+  }
 }
