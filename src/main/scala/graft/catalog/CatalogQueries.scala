@@ -3318,7 +3318,107 @@ object CatalogQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
                CAST(SUM(o_orderkey) AS BIGINT)
         FROM src
-        ORDER BY variant, alive"""))
+        ORDER BY variant, alive""")),
+
+    // -------------------------------------------------------------- q264:
+    // DELETION VECTORS (Iceberg v3 DVs / Delta deletion vectors) — the
+    // position-delete table mode for data with NO natural row id:
+    // `graft.mode = 'dv'` keys row-level DML by PHYSICAL POSITION
+    // (`_file`, `_pos` metadata columns drive a delta write), so DELETE
+    // writes O(matched) vector entries and rewrites nothing, UPDATE is
+    // delete + re-insert, and MERGE runs every clause group — all on a
+    // table the MOR mode would reject (no unique id column). The query
+    // runs the full lifecycle — CTAS seed, positional DELETE on a
+    // stats-undecidable predicate, conditional UPDATE, a MERGE whose
+    // NOT MATCHED arm re-inserts previously deleted keys — then
+    // aggregates the LIVE state, compacts (vectors fold away, base is
+    // rewritten, the full-pushdown scan path returns), and aggregates
+    // again: the two phases must be identical, and the pre-DML seed is
+    // one `VERSION AS OF 0` away. DeletionVectorSpec pins the storage
+    // facts (byte-identical base files under DELETE, vector-sized
+    // deltas, conflict on rewritten references). At 100 TB this is the
+    // only affordable DELETE on an id-less corpus: vector-sized writes,
+    // compaction-bounded read overhead.
+    QueryDef(
+      "q264_deletion_vectors",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_dv")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .createOrReplaceTempView("q264_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_dv
+                 TBLPROPERTIES ('graft.mode'='dv')
+                 AS SELECT o_orderkey, o_totalprice, 'seed' AS note
+                 FROM q264_orders""")                        // version 0
+        s.sql("""DELETE FROM graft_cat.default.orders_dv
+                 WHERE o_orderkey % 7 = 3""")                // version 1
+        s.sql("""UPDATE graft_cat.default.orders_dv
+                 SET o_totalprice = o_totalprice + 25.0, note = 'upd'
+                 WHERE o_orderkey % 5 = 2""")                // version 2
+        s.sql("""
+          MERGE INTO graft_cat.default.orders_dv t
+          USING (SELECT o_orderkey AS k, o_totalprice AS p
+                 FROM q264_orders WHERE o_orderkey % 9 = 4) s
+          ON t.o_orderkey = s.k
+          WHEN MATCHED THEN
+            UPDATE SET o_totalprice = s.p + 1000.0, note = 'merged'
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, o_totalprice, note)
+            VALUES (s.k, s.p, 'rein')""")                    // version 3
+        def agg(phase: String) = s.sql(s"""
+          SELECT '$phase' AS phase, note, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS price_sum,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM graft_cat.default.orders_dv GROUP BY note""")
+        // materialize the LIVE phase BEFORE compaction — this row set
+        // is produced by the vector-applying scan, not the rewritten
+        // base (a lazy plan would silently re-read post-compact state)
+        val live = s.createDataFrame(
+          java.util.Arrays.asList(agg("live").collect(): _*),
+          agg("live").schema)
+        s.sql("CALL graft_cat.system.compact('default.orders_dv')")
+        val compacted = agg("z_compacted")
+        val v0 = s.sql("""
+          SELECT 'v0' AS phase, 'seed' AS note, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS price_sum,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM graft_cat.default.orders_dv VERSION AS OF 0""")
+        live.unionAll(compacted).unionAll(v0).orderBy("phase", "note")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 3 AND o_orderkey % 9 = 4
+                        THEN 'rein'
+                      WHEN o_orderkey % 9 = 4 THEN 'merged'
+                      WHEN o_orderkey % 5 = 2 THEN 'upd'
+                      ELSE 'seed' END AS note,
+                 CASE WHEN o_orderkey % 7 = 3 AND o_orderkey % 9 = 4
+                        THEN o_totalprice
+                      WHEN o_orderkey % 9 = 4 THEN o_totalprice + 1000.0
+                      WHEN o_orderkey % 5 = 2 THEN o_totalprice + 25.0
+                      ELSE o_totalprice END AS price
+          FROM orders
+          WHERE o_orderkey % 7 <> 3 OR o_orderkey % 9 = 4),
+        ag AS (
+          SELECT note, COUNT(*) AS n,
+                 CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+                   AS price_sum,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM fin GROUP BY note)
+        SELECT 'live' AS phase, note, n, price_sum, key_sum FROM ag
+        UNION ALL
+        SELECT 'z_compacted', note, n, price_sum, key_sum FROM ag
+        UNION ALL
+        SELECT 'v0', 'seed', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders
+        ORDER BY phase, note"""))
   )
 
   // ---------------------------------------------------------------- q258:

@@ -180,6 +180,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
                 e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
                 e.bloomBy, e.targetBytes, e.extraProps)
+            else if (e.mode == "dv")
+              new GraftDvTable(idxKey(ident), dir, st, e.retain, e.parts,
+                e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
+                e.targetBytes, e.extraProps)
             else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
               e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
               e.targetBytes, e.extraProps)
@@ -255,17 +259,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "table names ending in $changes/$files/$history/$partitions/" +
         "$refs are reserved for metadata companion views")
     GraftStorage.validate(schema)
-    val mode =
-      if ("mor".equalsIgnoreCase(properties.getOrDefault("graft.mode", "cow")))
-        "mor"
-      else "cow"
+    val mode = properties.getOrDefault("graft.mode", "cow")
+      .toLowerCase match {
+      case "mor" => "mor"
+      case "dv" => "dv"
+      case _ => "cow"
+    }
     // reserved names (ADVICE r10): `_file` is the metadata column every
     // scan can resolve, and MOR delta files prepend `__op`/`__id` to
     // the data columns — a user column with one of those names would
     // duplicate a name in the delta schema and mis-bind ordinalByName
-    // lookups in the fold. Loud at CREATE, never corrupt at read.
-    val reserved =
-      if (mode == "mor") Seq("_file", "__op", "__id") else Seq("_file")
+    // lookups in the fold. DV tables additionally reserve `_pos` (the
+    // position metadata column) and the vector-file column names.
+    // Loud at CREATE, never corrupt at read.
+    val reserved = mode match {
+      case "mor" => Seq("_file", "__op", "__id")
+      case "dv" => Seq("_file", "_pos", "__file", "__pos")
+      case _ => Seq("_file")
+    }
     schema.fieldNames.foreach { n =>
       require(!reserved.exists(_.equalsIgnoreCase(n)),
         s"column name $n is reserved by the graft catalog " +
@@ -415,7 +426,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ident.name() + "-" + UUID.randomUUID().toString.take(8))
       Files.createDirectories(dir.resolve("data"))
       val (t, rowId) =
-        if (mode == "mor") {
+        if (mode == "dv") {
+          val (stamped, nextId) = GraftStorage.stampFieldIds(schema)
+          val st = GraftTableState(stamped.json, Vector.empty, 0,
+            Vector.empty, 0, Vector.empty, 0, Map.empty, nextId)
+          (new GraftDvTable(idxKey(ident), dir, st, retain, partCols,
+            appendRetain, sortCols, zorderCols, bucketSpec, bloomCols,
+            targetBytes, extraProps), "")
+        } else if (mode == "mor") {
           val idCol = properties.getOrDefault("graft.row_id",
             schema.fieldNames.head)
           // the analyzer rejects nullable row-id attributes, and a CTAS
@@ -628,6 +646,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           new GraftDeltaTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
             srcEntry.rowId, srcEntry.parts, srcEntry.appendRetain,
             srcEntry.sortBy, srcEntry.zorderBy, eBucket, srcEntry.bloomBy,
+            srcEntry.targetBytes, dstProps)
+        else if (srcEntry.mode == "dv")
+          new GraftDvTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
+            srcEntry.parts, srcEntry.appendRetain, srcEntry.sortBy,
+            srcEntry.zorderBy, eBucket, srcEntry.bloomBy,
             srcEntry.targetBytes, dstProps)
         else new GraftTable(idxKey(dstIdent), dir, cst, srcEntry.retain,
           srcEntry.parts, srcEntry.appendRetain, srcEntry.sortBy,
@@ -1077,6 +1100,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
             e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
             e.bloomBy, e.targetBytes, e.extraProps)
+        else if (e.mode == "dv")
+          new GraftDvTable(idxKey(ident), dir, st, e.retain, e.parts,
+            e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
+            e.targetBytes, e.extraProps)
         else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
           e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
           e.targetBytes, e.extraProps)
@@ -2150,6 +2177,29 @@ class GraftTable(ident: String, val dir: NioPath,
       st.copy(changeLog = st.changeLog.drop(d), changeBase = st.changeBase + d,
         changeTrimVer = math.max(st.changeTrimVer, trimmedVer))
     }
+
+  /** Deletion-vector commit ([[GraftDvTable]]): vectors enter the
+    * delta ledger, inserted rows enter the base file list — ONE
+    * snapshot. Validated INSIDE the commit round: every base file the
+    * vectors reference must still be current — positions into a file a
+    * concurrent compaction/overwrite rewrote would delete the wrong
+    * rows, so that race is a loud retry, never a silent misdelete. */
+  private[graft] def commitDvDelta(dv: Seq[GraftFileRef],
+      data: Seq[GraftFileRef], refPaths: Set[String]): Unit = commitLoop { () =>
+    val cur = curFiles.map(_.path).toSet
+    val gone = refPaths.diff(cur)
+    if (gone.nonEmpty) {
+      (dv ++ data).foreach(f => Files.deleteIfExists(Paths.get(f.path)): Unit)
+      throw new IllegalStateException(
+        s"concurrent commit conflict on $ident: deletion vectors " +
+          s"reference ${gone.size} files that are no longer current " +
+          "(another write rewrote them first) — retry the statement")
+    }
+    val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
+      curFiles ++ data, curDelta ++ dv)
+    Some(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
+      nextVersion = state.nextVersion + 1))
+  }
 
   private[catalog] def commitDelta(delta: Seq[GraftFileRef]): Unit =
     commitLoop { () =>

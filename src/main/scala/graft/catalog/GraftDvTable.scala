@@ -1,0 +1,466 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path => NioPath, Paths}
+import java.util
+import java.util.UUID
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DELETION-VECTOR managed table (`graft.mode = 'dv'`) — the
+  * position-delete half of the merge-on-read trade (Iceberg v3 deletion
+  * vectors / Delta Lake DVs), for tables with NO natural row-id column:
+  * [[GraftDeltaTable]] keys its delta log by a user column and needs
+  * uniqueness; this table keys deletes by PHYSICAL POSITION —
+  * `(_file, _pos)` metadata columns — which every table has for free.
+  *
+  * Row-level DML plans as `WriteDelta` ([[SupportsDelta]]) with
+  * `rowId = (_file, _pos)` and updates REPRESENTED AS DELETE + INSERT
+  * (positions are immutable; an "in-place" positional update is
+  * meaningless). The write lands two kinds of files in one commit:
+  * deletion-vector parquet files (`__file, __pos` — sorted, delta-sized)
+  * and ordinary appended data files for the inserted rows (written
+  * through [[GraftWriterFactory]], so partition splitting, stats,
+  * blooms, and bucket ids all hold for DV-table inserts too). The read
+  * side folds the vectors driver-side — O(deleted positions), bounded
+  * by compaction cadence — and ships each base file exactly ITS deleted
+  * positions; readers iterate the file in PHYSICAL order (no in-parquet
+  * row skipping while a vector is live — ordinals must count every
+  * stored row) and drop the marked ordinals. `system.compact` folds
+  * vectors away exactly like the MOR delta log (the self-read applies
+  * them, the truncate-replace clears them), restoring the full pushdown
+  * scan path.
+  *
+  * Soundness notes, all loud-never-silent:
+  *   - a DV commit validates its referenced base-file paths against the
+  *     CURRENT snapshot inside the commit round — positions into a file
+  *     a concurrent compaction rewrote would silently delete the wrong
+  *     rows; the conflict errors and the statement retries;
+  *   - per-file `rows` in refs count PHYSICAL rows, so manifest-served
+  *     aggregates, LIMIT/OFFSET narrowing, and exact partition pushdown
+  *     are all disabled while vectors are live (the DV scan builder
+  *     simply doesn't implement those seams); stats file PRUNING stays
+  *     on (deleted rows can only widen stats — over-keep is sound);
+  *   - the `$partitions` census and the append-log stream already
+  *     refuse tables with a live delta log — vectors ride the same
+  *     `deltaFiles` ledger, so both refusals apply unchanged;
+  *   - metadata-only DELETE stays enabled: "every PHYSICAL row of the
+  *     file matches" implies every live row matches, and dropping a
+  *     file orphans its vector entries harmlessly (path-keyed).
+  *
+  * At 100 TB: a DELETE touching k rows writes O(k) vector entries and
+  * rewrites nothing; the read-side overhead is one driver fold of the
+  * live vectors plus a per-row ordinal check, both delta-bounded. */
+class GraftDvTable(ident: String, dir: NioPath,
+    initState: GraftTableState, retain: Int,
+    dvPartCols: Seq[String] = Nil, appendRetain: Int = 65536,
+    dvSortCols: Seq[String] = Nil, dvZorderCols: Seq[String] = Nil,
+    dvBucketBy: Option[(String, Int)] = None,
+    dvBloomCols: Seq[String] = Nil, dvTargetBytes: Long = 0L,
+    dvExtraProps: Map[String, String] = Map.empty)
+    extends GraftTable(ident, dir, initState, retain, dvPartCols,
+      appendRetain, dvSortCols, dvZorderCols, dvBucketBy,
+      dvBloomCols, dvTargetBytes, dvExtraProps) {
+
+  override protected def tableKind: String = "dv"
+
+  private[catalog] def deltaDir: String =
+    dir.resolve("delta").toAbsolutePath.toString
+
+  private[graft] def dvLogSize: Long =
+    stateNow.current.map(_.deltaFiles.map(_.rows).sum).getOrElse(0L)
+
+  // `_pos` joins `_file` as a metadata column; BOTH are non-nullable
+  // here because they form the row id of the delta write (Spark's
+  // row-level rewrite rejects nullable row-id attributes).
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(
+      new MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "path of the data file this row was read from"
+      },
+      new MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical position of this row within its data file"
+      })
+
+  // The append log streams BASE file arrivals; a position delete does
+  // not retract streamed rows, so (like MOR) streaming reads are a
+  // loud capability error rather than a silently divergent history.
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+
+  // a dynamic overwrite swaps whole partitions of base files; entries
+  // of a live vector pointing into the KEPT partitions stay valid
+  // (path-keyed), but entries into the swapped ones would dangle while
+  // the overwrite's content was computed WITHOUT them only if the
+  // write read this table — which dynamic overwrite never does. Safe;
+  // no extra gate needed (unlike MOR's id-keyed log, positions are
+  // per-file and die with their file).
+
+  /** DV delta-file schema: one (file, position) tombstone per row. */
+  private def dvSchema: StructType = GraftDvTable.DvSchema
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    refreshFromDisk()
+    val st = stateNow
+    val files = st.current.map(_.files).getOrElse(Vector.empty)
+    val delta = st.current.map(_.deltaFiles).getOrElse(Vector.empty)
+    if (delta.isEmpty)
+      // a compacted DV table scans exactly like CoW: full pushdown,
+      // SPJ, runtime filtering, manifest aggregates
+      new GraftScanBuilder(st.schema, files, None, partSpecEncoded,
+        bucketSpec, sortColumns ++ zorderColumns)
+    else
+      new GraftDvScanBuilder(st.schema, files,
+        GraftDvTable.foldVectors(delta))
+  }
+
+  override protected def snapshotView(label: String,
+      snap: GraftSnapshot): Table =
+    new GraftDvSnapshotTable(label, snap.schema, snap.files,
+      snap.deltaFiles)
+
+  override private[catalog] def alterAddColumn(f: StructField): Unit = {
+    require(!Seq("_pos", "__file", "__pos").exists(_.equalsIgnoreCase(f.name)),
+      s"column name ${f.name} is reserved on deletion-vector tables")
+    super.alterAddColumn(f)
+  }
+  override protected def evolutionReservedNames: Seq[String] =
+    super.evolutionReservedNames ++ Seq("_pos", "__file", "__pos")
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new SupportsDelta {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def rowId(): Array[NamedReference] =
+        Array(Expressions.column("_file"), Expressions.column("_pos"))
+      override def requiredMetadataAttributes(): Array[NamedReference] =
+        Array(Expressions.column("_file"), Expressions.column("_pos"))
+      // positions are immutable: an UPDATE is a positional delete plus
+      // a fresh insert (which lands in a NEW file with new positions)
+      override def representUpdateAsDeleteAndInsert(): Boolean = true
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        refreshFromDisk()
+        val st = stateNow
+        // ALWAYS the DV-aware builder (even with no live vectors): the
+        // rewrite needs _pos, which only this scan's readers emit
+        new GraftDvScanBuilder(st.schema,
+          st.current.map(_.files).getOrElse(Vector.empty),
+          GraftDvTable.foldVectors(
+            st.current.map(_.deltaFiles).getOrElse(Vector.empty)))
+      }
+      override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
+        new DeltaWriteBuilder {
+          override def build(): DeltaWrite = new DeltaWrite {
+            override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+              override def createBatchWriterFactory(
+                  pinfo: PhysicalWriteInfo): DeltaWriterFactory =
+                new GraftDvWriterFactory(deltaDir, dataDir, schema(),
+                  dvSchema, partWriterSpec, bucketWriterSpec,
+                  bloomColumns)
+              override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                val ms = messages.toSeq.collect {
+                  case m: GraftDvCommitMsg => m
+                }
+                commitDvDelta(ms.flatMap(_.dvFiles), ms.flatMap(_.dataFiles),
+                  ms.flatMap(_.refPaths).toSet)
+              }
+              override def abort(messages: Array[WriterCommitMessage]): Unit =
+                messages.foreach {
+                  case GraftDvCommitMsg(dv, data, _) =>
+                    (dv ++ data).foreach(ref =>
+                      Files.deleteIfExists(Paths.get(ref.path)): Unit)
+                  case _ => ()
+                }
+            }
+          }
+        }
+      override def description(): String =
+        s"GraftDvRowLevelOperation(${info.command()}, deletion vectors)"
+    }
+
+  /** (bucket ordinal, n) for the insert-side writer factory. */
+  private def bucketWriterSpec: (Int, Int) = bucketSpec match {
+    case Some((c, n)) =>
+      (GraftStorage.ordinalByName(schema().fieldNames.toIndexedSeq, c), n)
+    case None => (-1, 0)
+  }
+}
+
+object GraftDvTable {
+  private[catalog] val DvSchema: StructType = StructType(Seq(
+    StructField("__file", StringType, nullable = false),
+    StructField("__pos", LongType, nullable = false)))
+
+  /** Driver-side fold of the live vectors: path -> SORTED DISTINCT
+    * deleted positions. O(deleted positions), bounded by compaction
+    * cadence — the DV analog of [[GraftDeltaTable.foldDelta]]. */
+  private[catalog] def foldVectors(
+      delta: Vector[GraftFileRef]): Map[String, Array[Long]] = {
+    if (delta.isEmpty) return Map.empty
+    val m = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
+    delta.foreach { f =>
+      val it = new GraftStorage.FileIterator(f.path, f.cols, DvSchema,
+        f.rows, fileColIds = f.colIds)
+      try it.foreach { r =>
+        val path = r.getUTF8String(0).toString
+        m.computeIfAbsent(path, _ => new java.util.TreeSet[java.lang.Long]())
+          .add(r.getLong(1)): Unit
+      } finally it.close()
+    }
+    val b = Map.newBuilder[String, Array[Long]]
+    m.forEach { (p, s) =>
+      val a = new Array[Long](s.size())
+      val it = s.iterator()
+      var i = 0
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      b += (p -> a)
+    }
+    b.result()
+  }
+}
+
+/** Read-only DV table pinned to one historical snapshot: the vectors
+  * AT THAT SNAPSHOT applied to that snapshot's base. */
+class GraftDvSnapshotTable(ident: String, tableSchema: StructType,
+    files: Vector[GraftFileRef], delta: Vector[GraftFileRef])
+    extends Table with SupportsRead {
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (delta.isEmpty) new GraftScanBuilder(tableSchema, files, None)
+    else new GraftDvScanBuilder(tableSchema, files,
+      GraftDvTable.foldVectors(delta))
+}
+
+/** Scan builder for a DV table with live vectors (and for every DV
+  * row-level rewrite, which needs `_pos`). Deliberately implements
+  * ONLY column pruning and filter-driven FILE pruning: per-file row
+  * counts include deleted rows, so the aggregate/limit/offset/exact-
+  * partition seams of [[GraftScanBuilder]] would all be unsound here.
+  * Every filter returns as a post-scan residual (the file-source
+  * convention — Spark's codegen does exact row eval). */
+class GraftDvScanBuilder(tableSchema: StructType,
+    files: Vector[GraftFileRef], dv: Map[String, Array[Long]])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = tableSchema
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  private var all: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pruneColumns(r: StructType): Unit =
+    required = GraftStorage.sanitizeRequired(tableSchema, r, nested = true)
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    all = filters
+    accepted = filters.filter(GraftFilterEval.supports(tableSchema, _))
+    filters // everything stays a residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    accepted
+
+  override def build(): Scan = {
+    val surviving = files.filter(f =>
+      accepted.forall(GraftStorage.mayMatch(tableSchema, f, _)))
+    new GraftDvScan(tableSchema, required, accepted, surviving, dv,
+      skipped = files.size - surviving.size)
+  }
+}
+
+class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    files: Vector[GraftFileRef], dv: Map[String, Array[Long]],
+    skipped: Int)
+    extends Scan with Batch
+    with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  // whole files only: a row-group split would need its range's starting
+  // ordinal to keep positions file-global; vectors are compaction-
+  // bounded, so the straggler window is the same as MOR's fold window
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => GraftDvFilePartition(f.path, f.cols, f.rows,
+      f.colIds, dv.getOrElse(f.path, Array.emptyLongArray))
+      : InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDvReaderFactory(tableSchema, requiredSchema, filters)
+
+  /** Live-row statistics: physical rows minus the (exact) deleted
+    * count — so join sizing sees the effective table. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val phys = files.map(_.rows).sum
+    val deleted = files.map(f => dv.get(f.path).map(_.length.toLong)
+      .getOrElse(0L)).sum
+    val bytes = files.map(_.bytes).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(0L, phys - deleted))
+    }
+  }
+
+  override def description(): String =
+    s"GraftDvScan(${files.size} files, $skipped skipped, " +
+      s"${dv.valuesIterator.map(_.length).sum} deleted positions)"
+}
+
+case class GraftDvFilePartition(path: String, cols: Vector[String],
+    rows: Long, colIds: Vector[Int], dels: Array[Long])
+    extends InputPartition
+
+/** DV reader: iterate the file in PHYSICAL order (no in-parquet
+  * filtering — ordinals must count every stored row), drop deleted
+  * ordinals, then run the shared filter/project pipeline with `_file`
+  * as a partition constant and `_pos` as a per-row appended column. */
+class GraftDvReaderFactory(tableSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
+
+  // data columns actually read from parquet (metadata columns are
+  // synthesized here, never requested from the file)
+  private val dataRequired = StructType(requiredSchema.fields
+    .filterNot(f => f.name == "_file" || f.name == "_pos"))
+  private val fileSchema: StructType =
+    GraftStorage.projectionSchema(tableSchema, dataRequired, filters,
+      Set.empty)
+  private val neededSchema: StructType =
+    StructType(fileSchema.fields :+
+      StructField("_pos", LongType, nullable = false))
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftDvFilePartition]
+    val it = new GraftStorage.FileIterator(fp.path, fp.cols, fileSchema,
+      fp.rows, fileColIds = fp.colIds)
+    val dels = fp.dels
+    val posRow = new GenericInternalRow(1)
+    val joined = new JoinedRow()
+    val wrapped = new Iterator[InternalRow] {
+      private var pos = -1L
+      private var cur: InternalRow = _
+      override def hasNext: Boolean = {
+        if (cur != null) return true
+        while (it.hasNext) {
+          val r = it.next()
+          pos += 1
+          if (java.util.Arrays.binarySearch(dels, pos) < 0) {
+            posRow.setLong(0, pos)
+            cur = joined(r, posRow)
+            return true
+          }
+        }
+        false
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = cur; cur = null; r
+      }
+    }
+    new GraftRowPipeline(neededSchema, requiredSchema, filters, wrapped, it,
+      Map("_file" -> UTF8String.fromString(fp.path)))
+  }
+}
+
+case class GraftDvCommitMsg(dvFiles: Seq[GraftFileRef],
+    dataFiles: Seq[GraftFileRef], refPaths: Seq[String])
+    extends WriterCommitMessage
+
+/** Per-task DV delta writer: buffers (file, position) tombstones,
+  * routes inserted rows through the table's ordinary
+  * [[GraftWriterFactory]] (partition splitting / stats / blooms /
+  * buckets all apply), and at commit writes ONE sorted vector file.
+  * Updates never arrive (represented as delete + insert). */
+class GraftDvWriterFactory(deltaDir: String, dataDir: String,
+    tableSchema: StructType, dvSchema: StructType,
+    partSpec: Array[(Int, String)], bucketSpec: (Int, Int),
+    bloomCols: Seq[String])
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val inner = new GraftWriterFactory(dataDir, tableSchema,
+        tableSchema, partSpec, bucketSpec._1, bucketSpec._2, bloomCols)
+      private var ins: DataWriter[InternalRow] = _
+      private val dels = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+      override def insert(row: InternalRow): Unit = {
+        if (ins == null) ins = inner.createWriter(partitionId, taskId)
+        ins.write(row)
+      }
+
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "positional updates are represented as delete + insert")
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        // id layout = rowId() order: (_file, _pos)
+        val f = id.getUTF8String(0).toString
+        val p = id.getLong(1)
+        dels.getOrElseUpdate(f,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += p: Unit
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val dvRefs =
+          if (dels.isEmpty) Nil
+          else {
+            val w = new GraftStorage.FileWriter(
+              deltaDir + "/dv-" + UUID.randomUUID().toString + ".parquet",
+              dvSchema)
+            val buf = new GenericInternalRow(2)
+            dels.toSeq.sortBy(_._1).foreach { case (f, ps) =>
+              val u = UTF8String.fromString(f)
+              ps.sorted.foreach { p =>
+                buf.update(0, u)
+                buf.update(1, p)
+                w.write(buf)
+              }
+            }
+            Seq(w.closeAndRef())
+          }
+        val dataRefs =
+          if (ins == null) Nil
+          else ins.commit() match {
+            case GraftFileCommitMsg(fs) => fs
+            case other =>
+              throw new IllegalStateException(s"unexpected commit $other")
+          }
+        GraftDvCommitMsg(dvRefs, dataRefs, dels.keys.toSeq)
+      }
+
+      override def abort(): Unit =
+        if (ins != null) ins.abort()
+
+      override def close(): Unit = ()
+    }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Deletion-vector tables ([[graft.catalog.GraftDvTable]],
+  * `graft.mode = 'dv'`): row-level DML keyed by PHYSICAL POSITION
+  * (`_file`, `_pos`) — no row-id column required.
+  *
+  * Pinned contracts: DELETE writes a delta-sized vector and leaves
+  * every base file byte-identical on disk; UPDATE is delete+insert;
+  * MERGE runs all three clause groups; `_pos` skips deleted ordinals
+  * on read; time travel replays pre-delete content; compaction folds
+  * vectors away and restores the plain scan path; a vector referencing
+  * a no-longer-current file conflicts loudly; reserved column names
+  * reject at CREATE. */
+class DeletionVectorSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def setup(name: String): String = {
+    spark.conf.set("spark.sql.catalog.gdv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = s"gdv.default.$name"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('graft.mode'='dv')")
+    // two seed files (two commits), 4 rows each
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('a', id) FROM range(0, 4)")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('b', id) FROM range(4, 8)")
+    t
+  }
+
+  private def table(name: String): graft.catalog.GraftDvTable =
+    spark.sessionState.catalogManager.catalog("gdv")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), name))
+      .asInstanceOf[graft.catalog.GraftDvTable]
+
+  test("DELETE writes a vector, base files stay byte-identical, " +
+      "reads and _pos skip the tombstoned ordinals") {
+    val t = setup("dv_del")
+    import java.nio.file.{Files, Paths}
+    val basePaths = table("dv_del").stateNow.current.get.files.map(_.path)
+    val sizesBefore = basePaths.map(p => Files.size(Paths.get(p)))
+    // stats-undecidable predicate -> positional delete, not metadata
+    sql(s"DELETE FROM $t WHERE k % 3 = 1") // kills k = 1, 4, 7
+    assert(sql(s"SELECT k FROM $t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 5L, 6L))
+    // base files untouched on disk — the write was vector-sized
+    val st = table("dv_del").stateNow.current.get
+    assert(st.files.map(_.path) == basePaths, "base file set unchanged")
+    assert(basePaths.map(p => Files.size(Paths.get(p))) == sizesBefore,
+      "base files must be byte-identical after a positional DELETE")
+    assert(st.deltaFiles.nonEmpty, "a vector file must have committed")
+    assert(st.deltaFiles.map(_.rows).sum == 3L, "3 tombstoned positions")
+    // _pos reflects PHYSICAL ordinals: deleted ones are absent
+    val pos = sql(s"SELECT _pos FROM $t WHERE k < 4 ORDER BY _pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pos == Seq(0L, 2L, 3L), s"file-1 ordinals after delete: $pos")
+    // time travel to the pre-delete version replays all 8 rows
+    assert(sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head()
+      .getLong(0) == 8L)
+  }
+
+  test("UPDATE is delete + insert: new rows land in new files, " +
+      "old positions are tombstoned") {
+    val t = setup("dv_upd")
+    sql(s"UPDATE $t SET v = concat(v, '!') WHERE k % 2 = 0")
+    assert(sql(s"SELECT v FROM $t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq ==
+      Seq("a0!", "a1", "a2!", "a3", "b4!", "b5", "b6!", "b7"))
+    val st = table("dv_upd").stateNow.current.get
+    assert(st.files.size > 2, "updated rows re-inserted as new files")
+    assert(st.deltaFiles.map(_.rows).sum == 4L, "4 tombstoned positions")
+  }
+
+  test("MERGE runs matched UPDATE, matched DELETE, NOT MATCHED INSERT, " +
+      "and NOT MATCHED BY SOURCE on positions") {
+    val t = setup("dv_merge")
+    spark.range(0, 12).selectExpr("id AS k",
+      "concat('s', id) AS v").createOrReplaceTempView("dv_src")
+    sql(s"""MERGE INTO $t tgt USING dv_src s ON tgt.k = s.k
+            WHEN MATCHED AND s.k % 4 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED AND s.k < 10 THEN INSERT (k, v) VALUES (s.k, s.v)
+            """)
+    // k 0..7 matched: 0,4 deleted; 1,2,3,5,6,7 updated to s*;
+    // k 8..11 unmatched: 8,9 inserted
+    assert(sql(s"SELECT k, v FROM $t ORDER BY k").collect().toSeq ==
+      Seq(Row(1L, "s1"), Row(2L, "s2"), Row(3L, "s3"), Row(5L, "s5"),
+        Row(6L, "s6"), Row(7L, "s7"), Row(8L, "s8"), Row(9L, "s9")))
+  }
+
+  test("compaction folds vectors away and re-enables the plain scan") {
+    val t = setup("dv_compact")
+    sql(s"DELETE FROM $t WHERE k % 3 = 1")
+    sql(s"UPDATE $t SET v = 'x' WHERE k = 0")
+    sql(s"CALL gdv.system.compact('default.dv_compact')")
+    val st = table("dv_compact").stateNow.current.get
+    assert(st.deltaFiles.isEmpty, "compaction clears the vectors")
+    assert(sql(s"SELECT k, v FROM $t ORDER BY k").collect().toSeq ==
+      Seq(Row(0L, "x"), Row(2L, "a2"), Row(3L, "a3"), Row(5L, "b5"),
+        Row(6L, "b6")))
+    // post-compaction the plain builder serves manifest aggregates again
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5L)
+  }
+
+  test("aggregates, filters, and joins are DV-exact while vectors live") {
+    val t = setup("dv_agg")
+    sql(s"DELETE FROM $t WHERE k IN (1, 4, 6)")
+    // COUNT must NOT be served from physical refs (8) — vectors live
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5L)
+    assert(sql(s"SELECT sum(k) FROM $t WHERE k > 2").head()
+      .getLong(0) == 3L + 5L + 7L)
+    // join through the DV scan
+    spark.range(0, 8).selectExpr("id AS k", "id * 10 AS w")
+      .createOrReplaceTempView("dv_dim")
+    assert(sql(s"SELECT sum(d.w) FROM $t x JOIN dv_dim d ON x.k = d.k")
+      .head().getLong(0) == (0L + 2 + 3 + 5 + 7) * 10)
+  }
+
+  test("a vector referencing a no-longer-current file conflicts loudly") {
+    setup("dv_race")
+    val tbl = table("dv_race")
+    val e = intercept[IllegalStateException] {
+      tbl.commitDvDelta(Nil, Nil, Set("/gone/file.parquet"))
+    }
+    assert(e.getMessage.contains("no longer current"), e.getMessage)
+  }
+
+  test("reserved names reject at CREATE; row-id tables are unaffected") {
+    spark.conf.set("spark.sql.catalog.gdv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val e = intercept[Exception] {
+      sql("CREATE TABLE gdv.default.dv_bad (`_pos` BIGINT) " +
+        "TBLPROPERTIES ('graft.mode'='dv')")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
+  test("DV survives a cold reload: vectors apply after the handle is " +
+      "rebuilt from disk") {
+    val t = setup("dv_reload")
+    sql(s"DELETE FROM $t WHERE k % 2 = 1")
+    // evict ALL live handles; next load reconstructs from the JSON log
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    assert(sql(s"SELECT k FROM $t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 6L))
+  }
+}
