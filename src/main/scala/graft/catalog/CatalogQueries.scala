@@ -3418,7 +3418,47 @@ object CatalogQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
                CAST(SUM(o_orderkey) AS BIGINT)
         FROM orders
-        ORDER BY phase, note"""))
+        ORDER BY phase, note""")),
+
+    // -------------------------------------------------------------- q265:
+    // ANALYZE TABLE (Iceberg's compute_table_stats / classic RDBMS
+    // ANALYZE): `CALL system.analyze(t, columns)` computes TABLE-LEVEL
+    // column distinct counts in one distributed pass and persists them
+    // as version-stamped graft.stats.* properties; the scan's CBO
+    // column statistics then serve the TRUE cardinalities instead of
+    // the summed per-file upper bound (which overcounts every value
+    // appearing in more than one file), until the next commit
+    // invalidates the stamp — AnalyzeSpec pins the serve, the
+    // staleness fallback, the approx mode's error bound, and cold-
+    // reload persistence. The ORACLE is the procedure's own output:
+    // exact NDVs recomputed by DuckDB. At 100 TB this is the scheduled
+    // stats job that turns multi-join plans from bound-guessing into
+    // measured-cardinality reordering.
+    QueryDef(
+      "q265_analyze_stats",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_an")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+          .createOrReplaceTempView("q265_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_an
+                 AS SELECT * FROM q265_orders""")
+        s.sql("""CALL graft_cat.system.analyze('default.orders_an',
+                 'o_custkey,o_orderpriority')""")
+          .orderBy("column")
+      },
+      Some("""
+        SELECT 'o_custkey' AS "column",
+               COUNT(DISTINCT o_custkey) AS ndv,
+               CAST(0 AS BIGINT) AS analyzed_version
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority),
+               CAST(0 AS BIGINT)
+        FROM orders
+        ORDER BY "column""""))
   )
 
   // ---------------------------------------------------------------- q258:

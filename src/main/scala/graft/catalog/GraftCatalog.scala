@@ -971,18 +971,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "(the MOR fold and bucket grouping assume table-wide " +
           "uniformity) — create a new table and INSERT/clone into it")
       if (k.startsWith("graft.") && !tunable.contains(k) &&
-          !k.startsWith("graft.mv."))
+          !k.startsWith("graft.mv.") && !k.startsWith("graft.stats."))
         throw new UnsupportedOperationException(
           s"unknown graft table property $k (tunable: " +
             s"${tunable.toSeq.sorted.mkString(", ")}, plus the " +
-            "graft.mv.* materialized-view registration namespace)")
+            "graft.mv.* materialized-view and graft.stats.* " +
+            "analyzed-statistics namespaces)")
     }
     // graft.mv.*: free-form MV-registration metadata ([[graft.plans
-    // .MvRewrite]]) — persisted verbatim in the index's extraProps
+    // .MvRewrite]]); graft.stats.*: table-level analyzed statistics
+    // (`CALL system.analyze`) — both persisted verbatim in the index's
+    // extraProps
+    def freeForm(k: String): Boolean =
+      k.startsWith("graft.mv.") || k.startsWith("graft.stats.")
     val graftSets = sets.filter(s =>
-      tunable.contains(s._1) || s._1.startsWith("graft.mv."))
+      tunable.contains(s._1) || freeForm(s._1))
     val graftRemoves = removes.filter(k =>
-      tunable.contains(k) || k.startsWith("graft.mv."))
+      tunable.contains(k) || freeForm(k))
     if (graftSets.isEmpty && graftRemoves.isEmpty) return t
     val schema = t.schema()
     def cols(key: String, v: String): List[String] =
@@ -1035,7 +1040,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "graft.zorder_by needs at least 2 columns " +
               "(use graft.sort_by for 1)")
           e = e.copy(zorderBy = zc, sortBy = Nil)
-        case (k, v) if k.startsWith("graft.mv.") =>
+        case (k, v) if k.startsWith("graft.mv.") ||
+            k.startsWith("graft.stats.") =>
           e = e.copy(extraProps = e.extraProps + (k -> v))
         // PARTITION-SPEC EVOLUTION (Iceberg's ADD/REPLACE PARTITION
         // FIELD, spelled through the retuning surface): future writes
@@ -1079,7 +1085,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "graft.sort_by" => e = e.copy(sortBy = Nil)
         case "graft.zorder_by" => e = e.copy(zorderBy = Nil)
         case "graft.partitioned_by" => e = e.copy(parts = Nil)
-        case k if k.startsWith("graft.mv.") =>
+        case k if k.startsWith("graft.mv.") ||
+            k.startsWith("graft.stats.") =>
           e = e.copy(extraProps = e.extraProps - k)
         case _ => ()
       }
@@ -1747,6 +1754,23 @@ class GraftTable(ident: String, val dir: NioPath,
     m
   }
   protected def tableKind: String = "cow"
+
+  /** Table-level analyzed column NDVs (`CALL system.analyze`), served
+    * to CBO ONLY while the analyzed version is still the current one —
+    * any commit after the analysis invalidates them (the scan then
+    * falls back to the summed per-file upper bound). Standard
+    * stale-stats discipline, but honest: this engine never serves an
+    * analyzed number whose provenance version drifted. */
+  private[catalog] def analyzedNdv: Map[String, Long] =
+    extraProps.get("graft.stats.version").flatMap(_.toIntOption) match {
+      case Some(v) if state.current.map(_.version).contains(v) =>
+        extraProps.collect {
+          case (k, value) if k.startsWith("graft.stats.ndv.") &&
+              value.toLongOption.isDefined =>
+            k.stripPrefix("graft.stats.ndv.") -> value.toLong
+        }
+      case _ => Map.empty
+    }
 
   /** Hidden partitioning, Iceberg style: writers split their output so
     * every data file holds ONE partition value — the source value for
@@ -4304,6 +4328,10 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       if (files.isEmpty) return out
+      // table-level analyzed NDVs (system.analyze) — exact-at-version
+      // numbers that beat the summed per-file bound when still fresh
+      val analyzed: Map[String, Long] =
+        streamTable.map(_.analyzedNdv).getOrElse(Map.empty)
       tableSchema.fields.foreach { fld =>
         val perFile = files.map(f => {
           val o = GraftStorage.refOrdinal(f, fld)
@@ -4313,8 +4341,8 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
         if (perFile.forall(_.isDefined)) {
           val sts = perFile.map(_.get)
           val nullCnt = sts.map(_.nulls).sum
-          val ndv =
-            if (sts.forall(_.ndv >= 0L)) Some(sts.map(_.ndv).sum) else None
+          val ndv = analyzed.get(fld.name).orElse(
+            if (sts.forall(_.ndv >= 0L)) Some(sts.map(_.ndv).sum) else None)
           val numericMinMax = fld.dataType match {
             case org.apache.spark.sql.types.LongType |
                  org.apache.spark.sql.types.IntegerType |

@@ -447,17 +447,91 @@ object GraftProcedures {
             "files_after" -> t.currentFilePaths.size.toLong))
         }
       }
+      // ANALYZE TABLE parity (Iceberg's compute_table_stats / every
+      // RDBMS's ANALYZE): compute TABLE-LEVEL column NDVs in one
+      // distributed pass and persist them as graft.stats.* properties
+      // stamped with the current version. The scan's CBO column
+      // statistics serve the analyzed numbers while that version stays
+      // current — the summed per-file NDV is an UPPER bound (cross-file
+      // overlap uncounted); post-analyze, join reordering sees the true
+      // cardinality. Any commit invalidates the stamp (the scan falls
+      // back to the bound) — stale stats are never silently served as
+      // fresh. exact=default (oracle-replayable); approx=true runs
+      // HLL++ (approx_count_distinct) for the 100-TB maintenance pass.
+      case "analyze" => new GraftProcedure("analyze",
+        "compute table-level column distinct counts and persist them " +
+          "for CBO (graft.stats.*), stamped with the current version; " +
+          "served until the next commit invalidates them",
+        tableParam
+          :+ ProcedureParameter.in("columns", StringType)
+            .comment("comma-separated column names to analyze")
+            .build()
+          :+ ProcedureParameter.in("approx", BooleanType)
+            .defaultValue("false")
+            .comment("true = approx_count_distinct (HLL++); " +
+              "false = exact")
+            .build()) {
+        override protected def run(input: InternalRow): Scan = {
+          val qualified = input.getUTF8String(0).toString
+          val (ident, t) = resolve(cat, qualified)
+          val schema = t.schema()
+          val cols = input.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+              val o = GraftStorage.ordinalByName(
+                schema.fieldNames.toIndexedSeq, c)
+              require(o >= 0,
+                s"analyze column $c not in ${schema.catalogString}")
+              schema.fieldNames(o)
+            }
+          require(cols.nonEmpty, "analyze needs at least one column")
+          val approx = !input.isNullAt(2) && input.getBoolean(2)
+          val s = SparkSession.active
+          import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
+          val aggs = cols.map { c =>
+            (if (approx) approx_count_distinct(col(s"`$c`"))
+             else countDistinct(col(s"`$c`"))).as(c)
+          }
+          val row = s.table(s"${cat.name()}.$qualified")
+            .agg(aggs.head, aggs.tail: _*).collect()(0)
+          val ver = t.stateNow.current.map(_.version).getOrElse(-1)
+          import org.apache.spark.sql.connector.catalog.TableChange
+          val changes: Seq[TableChange] =
+            cols.zipWithIndex.map { case (c, i) =>
+              TableChange.setProperty(s"graft.stats.ndv.$c",
+                row.getLong(i).toString): TableChange
+            } :+ TableChange.setProperty("graft.stats.version",
+              ver.toString)
+          cat.alterTable(ident, changes: _*)
+          val out = StructType(Seq(
+            StructField("column", StringType, nullable = false),
+            StructField("ndv", LongType, nullable = false),
+            StructField("analyzed_version", LongType, nullable = false)))
+          val outRows = cols.zipWithIndex.map { case (c, i) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(c), row.getLong(i), ver.toLong))
+              : InternalRow
+          }.toArray
+          new LocalScan {
+            override def rows(): Array[InternalRow] = outRows
+            override def readSchema(): StructType = out
+            override def description(): String =
+              s"GraftAnalyzeResult(${cols.mkString(", ")})"
+          }
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
-          "(available: clone, compact, create_branch, create_view, " +
-          "drop_branch, drop_view, expire_snapshots, fast_forward, " +
-          "history, rewrite_small_files, rollback, show_views, tag)")
+          "(available: analyze, clone, compact, create_branch, " +
+          "create_view, drop_branch, drop_view, expire_snapshots, " +
+          "fast_forward, history, rewrite_small_files, rollback, " +
+          "show_views, tag)")
     }
   }
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "clone"),
+      Array(Identifier.of(Array("system"), "analyze"),
+        Identifier.of(Array("system"), "clone"),
         Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "create_view"),
