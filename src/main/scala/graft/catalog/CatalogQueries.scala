@@ -3458,7 +3458,66 @@ object CatalogQueries {
         SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority),
                CAST(0 AS BIGINT)
         FROM orders
-        ORDER BY "column""""))
+        ORDER BY "column"""")),
+
+    // -------------------------------------------------------------- q266:
+    // GENERATED ALWAYS AS columns (Delta generated columns / SQL:2003
+    // computed columns) on the managed catalog: definitions arrive on
+    // Spark 4's v2 Column channel (the StructType fallback DROPS them —
+    // every create path here re-captures from the Column objects),
+    // validate at CREATE, persist in the schema metadata under Spark's
+    // own key, and are RECOMPUTED by every write — an INSERT omitting
+    // them computes, an UPDATE of a source column recomputes the
+    // derived value through the row-level rewrite, and a user INSERT
+    // supplying a WRONG explicit value rejects loudly
+    // (GeneratedColumnSpec pins all paths plus file pruning on the
+    // generated column's real stats). The query seeds from orders
+    // omitting both derived columns, UPDATEs a price slice, and
+    // aggregates BY the generated year with a sum OF the generated
+    // cents — everything the oracle recomputes from first principles.
+    // At 100 TB generated columns are how a time-derived or
+    // unit-normalized column stays consistent without trusting every
+    // writer to recompute it.
+    QueryDef(
+      "q266_generated_columns",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_gen")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderdate")
+          .createOrReplaceTempView("q266_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_gen
+                 (o_orderkey BIGINT, o_totalprice DOUBLE,
+                  o_orderdate TIMESTAMP,
+                  o_year INT GENERATED ALWAYS AS
+                    (CAST(year(o_orderdate) AS INT)),
+                  cents BIGINT GENERATED ALWAYS AS
+                    (CAST(round(o_totalprice * 100) AS BIGINT)))""")
+        s.sql("""INSERT INTO graft_cat.default.orders_gen
+                 (o_orderkey, o_totalprice, o_orderdate)
+                 SELECT * FROM q266_orders""")
+        s.sql("""UPDATE graft_cat.default.orders_gen
+                 SET o_totalprice = o_totalprice + 10.0
+                 WHERE o_orderkey % 4 = 1""")
+        s.sql("""SELECT o_year, COUNT(*) AS n, SUM(cents) AS cents_sum,
+                        SUM(o_orderkey) AS key_sum
+                 FROM graft_cat.default.orders_gen
+                 GROUP BY o_year ORDER BY o_year""")
+      },
+      Some("""
+        WITH g AS (
+          SELECT o_orderkey,
+                 CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 CAST(round((CASE WHEN o_orderkey % 4 = 1
+                                  THEN o_totalprice + 10.0
+                                  ELSE o_totalprice END) * 100)
+                   AS BIGINT) AS cents
+          FROM orders)
+        SELECT o_year, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM g GROUP BY o_year ORDER BY o_year"""))
   )
 
   // ---------------------------------------------------------------- q258:

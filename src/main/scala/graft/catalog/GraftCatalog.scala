@@ -219,6 +219,102 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident).asInstanceOf[GraftTable]
       .snapshotAsOfTime(timestampMicros / 1000L)
 
+  /** GENERATED ALWAYS AS — the Column[] overload is the ONLY channel
+    * Spark delivers generation expressions on (the default conversion
+    * to the StructType overload drops them, by design): capture each
+    * column's expression, validate it NOW against the table's own
+    * schema (resolution, determinism, exact result type — a silent
+    * cast would store drifted values), and persist it under Spark's
+    * own metadata key so `Table.columns()` / DESCRIBE round-trip the
+    * definition. The write side recomputes — see
+    * [[GraftWriterFactory]]. Identity columns (engine-assigned
+    * sequences) are a coordination contract this engine does not
+    * provide — loud reject, never a silently absent sequence. */
+  /** Validate + stamp GENERATED ALWAYS AS definitions from Spark's v2
+    * Column channel into StructField metadata (Spark's own key, so
+    * `Table.columns()` / DESCRIBE round-trip). The default Column[] ->
+    * StructType conversion DROPS generation expressions by design — the
+    * connector must capture them here, on BOTH the direct and the
+    * staging (atomic CTAS) create paths. */
+  private def stampGenerated(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      properties: util.Map[String, String]): StructType = {
+    columns.foreach { c =>
+      require(c.identityColumnSpec() == null,
+        s"identity column ${c.name()} is not supported by the graft " +
+          "catalog (no engine-assigned sequences) — use an explicit " +
+          "value or a generated column over existing data")
+    }
+    val base = org.apache.spark.sql.graftshims.GraftShims
+      .v2ColumnsToStructType(columns)
+    val gens = columns.filter(_.generationExpression() != null)
+    if (gens.isEmpty) return base
+    val mode = properties.getOrDefault("graft.mode", "cow").toLowerCase
+    require(mode == "cow",
+      "generated columns are supported on copy-on-write tables only " +
+        "(the MOR delta and DV vector writers ship raw rows and would " +
+        s"bypass recomputation) — got graft.mode='$mode'")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val key = org.apache.spark.sql.graftshims.GraftShims
+      .generationExpressionKey
+    val genByName = gens.map(g => g.name() -> g.generationExpression()).toMap
+    StructType(base.fields.map { f =>
+      genByName.get(f.name) match {
+        case None => f
+        case Some(sql) =>
+          require(GraftStorage.statsCapable(f.dataType),
+            s"generated column ${f.name} must be an atomic stats-capable " +
+              s"type, got ${f.dataType.catalogString}")
+          // validate at CREATE: resolves against the table's columns,
+          // deterministic, and produces EXACTLY the declared type
+          val compiled = org.apache.spark.sql.graftshims.GraftShims
+            .compileRowExpression(spark, base, sql)
+          require(compiled.dataType == f.dataType,
+            s"generated column ${f.name} is ${f.dataType.catalogString} " +
+              s"but '$sql' evaluates to " +
+              s"${compiled.dataType.catalogString} — add an explicit CAST")
+          val refs = org.apache.spark.sql.graftshims.GraftShims
+            .rowExpressionReferences(spark, base, sql)
+          val chained = refs.filter(r =>
+            genByName.keys.exists(_.equalsIgnoreCase(r)))
+          require(chained.isEmpty,
+            s"generated column ${f.name} references generated " +
+              s"column(s) ${chained.mkString(", ")} — chains would " +
+              "evaluate against not-yet-computed values")
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(key, sql).build())
+      }
+    })
+  }
+
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    createTable(ident, stampGenerated(columns, properties), partitions,
+      properties)
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageCreate(ident, stampGenerated(columns, properties), partitions,
+      properties)
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageReplace(ident, stampGenerated(columns, properties), partitions,
+      properties)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageCreateOrReplace(ident, stampGenerated(columns, properties),
+      partitions, properties)
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val (t, entry) = stageNew(ident, schema, partitions, properties)
@@ -836,7 +932,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_TABLE_CONSTRAINT)
+        .SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** Constraint-bearing CREATE (`CREATE TABLE … CONSTRAINT c CHECK
     * (…)`): only enforced CHECK constraints are accepted — PRIMARY
@@ -856,8 +954,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: only CHECK constraints are supported, got " +
           other.toDDL)
     }
-    val t = createTable(ident, info.schema(), info.partitions(),
-      info.properties()).asInstanceOf[GraftTable]
+    // route through the generation-expression capture: info.schema()'s
+    // default conversion DROPS GENERATED ALWAYS AS definitions
+    val t = createTable(ident,
+      stampGenerated(info.columns(), info.properties()),
+      info.partitions(), info.properties()).asInstanceOf[GraftTable]
     checks.foreach(t.addCheck)
     t
   }
@@ -1755,6 +1856,31 @@ class GraftTable(ident: String, val dir: NioPath,
   }
   protected def tableKind: String = "cow"
 
+  /** GENERATED ALWAYS AS columns: (ordinal, generation SQL) from the
+    * stored schema's metadata. The SQL is compiled per write build on
+    * the driver ([[GraftWriteBuilder]]) — executors receive the bound
+    * expression. */
+  private[catalog] def generatedColSpec: Seq[(Int, String)] = {
+    val key = org.apache.spark.sql.graftshims.GraftShims
+      .generationExpressionKey
+    state.schema.fields.zipWithIndex.collect {
+      case (f, i) if f.metadata.contains(key) =>
+        (i, f.metadata.getString(key))
+    }.toSeq
+  }
+
+  /** Driver-side compile of every generation expression against the
+    * CURRENT schema layout (the layout write rows are projected to). */
+  private[catalog] def compiledGeneratedCols(
+      spark: org.apache.spark.sql.SparkSession)
+      : Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    val sch = state.schema
+    generatedColSpec.map { case (i, sql) =>
+      (i, org.apache.spark.sql.graftshims.GraftShims
+        .compileRowExpression(spark, sch, sql))
+    }.toArray
+  }
+
   /** Table-level analyzed column NDVs (`CALL system.analyze`), served
     * to CBO ONLY while the analyzed version is still the current one —
     * any commit after the analysis invalidates them (the scan then
@@ -2363,7 +2489,26 @@ class GraftTable(ident: String, val dir: NioPath,
     * row-id column. */
   protected def evolutionProtected: Seq[String] =
     partFields.map(_.col) ++ sortCols ++ zorderCols ++
-      bucketBy.map(_._1).toSeq ++ bloomCols
+      bucketBy.map(_._1).toSeq ++ bloomCols ++ generatedEvolutionLocked
+
+  /** Generated columns and the columns their expressions reference:
+    * renaming/dropping either would break the stored generation SQL —
+    * loud reject, never a definition that silently stops resolving. */
+  private def generatedEvolutionLocked: Seq[String] = {
+    val spec = generatedColSpec
+    if (spec.isEmpty) return Nil
+    val sch = state.schema
+    val own = spec.map { case (i, _) => sch.fieldNames(i) }
+    val refs =
+      try {
+        val spark = org.apache.spark.sql.SparkSession.active
+        spec.flatMap { case (_, sql) =>
+          org.apache.spark.sql.graftshims.GraftShims
+            .rowExpressionReferences(spark, sch, sql)
+        }
+      } catch { case _: Exception => Nil } // no session: protect own only
+    own ++ refs
+  }
 
   /** Reserved names a RENAME target must avoid; MOR adds its markers. */
   protected def evolutionReservedNames: Seq[String] = Seq("_file")
@@ -4914,12 +5059,23 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
     override def description(): String = inner.description()
   }
 
+  /** Generation expressions compiled on the DRIVER at factory-build
+    * time (executors have no session); row-level rewrites (ReplaceGroups)
+    * recompute without enforcing — their carry-over rows legitimately
+    * hold stale derived values while a source column is being updated. */
+  private def genArgs: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+    table.compiledGeneratedCols(org.apache.spark.sql.SparkSession.active)
+  private def enforceGen: Boolean = mode match {
+    case ReplaceGroups(_) => false
+    case _ => true
+  }
+
   private def buildWrite: Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new GraftWriterFactory(table.dataDir, incoming, table.schema(),
           table.partWriterSpec, bucketArgs._1, bucketArgs._2,
-          table.bloomColumns)
+          table.bloomColumns, genArgs, enforceGen)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val refs = collectRefs(messages)
         mode match {
@@ -4946,7 +5102,7 @@ class GraftWriteBuilder(table: GraftTable, incoming: StructType,
           new GraftStreamingWriterFactory(
             new GraftWriterFactory(table.dataDir, incoming, table.schema(),
               table.partWriterSpec, bucketArgs._1, bucketArgs._2,
-              table.bloomColumns))
+              table.bloomColumns, genArgs, enforceGen))
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit =
           table.commitStreamEpoch(queryId, epochId, collectRefs(messages),
@@ -4995,7 +5151,17 @@ class GraftStreamingWriterFactory(inner: GraftWriterFactory)
 class GraftWriterFactory(dataDir: String, incoming: StructType,
     target: StructType, partSpec: Array[(Int, String)] = Array.empty,
     bucketOrd: Int = -1, bucketN: Int = 0,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    // GENERATED ALWAYS AS columns: (target ordinal, expression bound to
+    // the target layout), compiled on the driver. Every write recomputes
+    // them; `enforceGenerated` additionally rejects an incoming NON-NULL
+    // value that differs from the computed one (user INSERT paths) —
+    // row-level rewrites pass false, because their carry-over rows
+    // legitimately hold stale derived values when a source column is
+    // being UPDATEd (the recompute is exactly the point).
+    genCols: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty,
+    enforceGenerated: Boolean = true)
     extends DataWriterFactory {
   // (source ordinal, parsed transform) — parsed once per factory; the
   // encoded-string ctor form is what serializes to executors
@@ -5066,14 +5232,46 @@ class GraftWriterFactory(dataDir: String, incoming: StructType,
           }
         }
 
+      // identity projection except generated ordinals, which compute
+      // from the row's other columns — built lazily per task
+      private lazy val genProj: UnsafeProjection = {
+        val gm = genCols.toMap
+        UnsafeProjection.create(target.fields.zipWithIndex.map {
+          case (f, i) => gm.getOrElse(i,
+            BoundReference(i, f.dataType, nullable = true)
+              : org.apache.spark.sql.catalyst.expressions.Expression)
+        }.toIndexedSeq)
+      }
+
+      private def genFill(projected: InternalRow): InternalRow = {
+        if (genCols.isEmpty) return projected
+        if (enforceGenerated) {
+          var j = 0
+          while (j < genCols.length) {
+            val (i, e) = genCols(j)
+            val dt = target.fields(i).dataType
+            if (!projected.isNullAt(i)) {
+              val incoming = projected.get(i, dt)
+              val computed = e.eval(projected)
+              require(computed == incoming,
+                s"GENERATED ALWAYS AS column ${target.fields(i).name} " +
+                  s"cannot be assigned: got $incoming, the definition " +
+                  s"computes $computed — omit the column")
+            }
+            j += 1
+          }
+        }
+        genProj(projected)
+      }
+
       override def write(row: InternalRow): Unit = {
-        val projected = projFor(row)(row)
-        val out = outs.getOrElseUpdate(partKey(projected),
+        val filled = genFill(projFor(row)(row))
+        val out = outs.getOrElseUpdate(partKey(filled),
           new GraftStorage.FileWriter(
             dataDir + "/part-" + UUID.randomUUID().toString + ".parquet",
             target, groupRecordMinBytes = groupRecordMinBytes,
             bloomCols = bloomCols))
-        out.write(projected)
+        out.write(filled)
       }
       override def commit(): WriterCommitMessage =
         GraftFileCommitMsg(outs.toSeq.map { case (key, w) =>

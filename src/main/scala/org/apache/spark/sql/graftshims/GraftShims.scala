@@ -73,6 +73,79 @@ object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Spark's own v2 Column[] -> StructType conversion (defaults,
+    * comments, metadata) — the piece a catalog overriding the Column[]
+    * createTable overload must not re-implement by hand. NOTE: this
+    * conversion deliberately DROPS generation expressions (Spark
+    * expects the connector to capture them from the Column objects
+    * before converting) — callers re-attach them via
+    * [[generationExpressionKey]]. */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+
+  /** The StructField metadata key Spark's own structTypeToV2Columns
+    * decodes back into `Column.generationExpression()` — storing under
+    * it makes DESCRIBE / Table.columns() round-trip the definition. */
+  def generationExpressionKey: String =
+    org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+
+  /** Parse + analyze an expression SQL against `schema` (as if it were
+    * a table of exactly those columns) and return the RESOLVED,
+    * ordinal-BOUND expression — evaluable per-row on executors against
+    * rows in `schema` layout. Loud on unresolvable references,
+    * non-deterministic functions, and subqueries. The generated-column
+    * compiler ([[graft.catalog.GraftWriterFactory]]). */
+  def compileRowExpression(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      sqlText: String): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val parsed = cs.sessionState.sqlParser.parseExpression(sqlText)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    val plan = Project(Seq(Alias(parsed, "__g")()), LocalRelation(attrs))
+    val analyzed = cs.sessionState.analyzer.execute(plan)
+    val expr = analyzed match {
+      case Project(Seq(a: Alias), _) => a.child
+      case other => throw new IllegalArgumentException(
+        s"expression '$sqlText' did not analyze to a scalar projection: " +
+          other.getClass.getSimpleName)
+    }
+    require(expr.resolved,
+      s"expression '$sqlText' does not resolve against " +
+        s"${schema.catalogString}")
+    require(expr.deterministic,
+      s"expression '$sqlText' is non-deterministic — a generated " +
+        "column must be recomputable")
+    BindReferences.bindReference(expr, attrs)
+  }
+
+  /** Column names a row expression references (schema spellings) —
+    * lets the generated-column CREATE path refuse chains (a generated
+    * column referencing another generated column would evaluate
+    * against the not-yet-computed incoming value). */
+  def rowExpressionReferences(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      sqlText: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val parsed = cs.sessionState.sqlParser.parseExpression(sqlText)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    val analyzed = cs.sessionState.analyzer.execute(
+      Project(Seq(Alias(parsed, "__g")()), LocalRelation(attrs)))
+    analyzed match {
+      case Project(Seq(a: Alias), _) => a.child.references.map(_.name).toSet
+      case _ => Set.empty
+    }
+  }
+
   /** V2 Predicate -> V1 Filter rendering for a
     * SupportsPushDownV2Filters builder that reuses one downstream
     * filter machine for row eval, stats pruning, and in-parquet

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** GENERATED ALWAYS AS columns (q266): captured from Spark's v2
+  * Column[] CREATE channel (the StructType fallback drops them),
+  * validated at CREATE (resolution, determinism, exact type, no
+  * chains), persisted in the schema metadata under Spark's own key,
+  * and RECOMPUTED by every write.
+  *
+  * Pinned contracts: omitted values compute; explicit matching values
+  * pass; explicit mismatching values reject loudly on user writes;
+  * UPDATE of a source column recomputes the derived column (the
+  * rewrite path does NOT enforce against carry-over staleness);
+  * filters on the generated column prune files via its real stats;
+  * CREATE-time rejects (unresolvable, non-deterministic, type
+  * mismatch, chained, MOR/DV modes, identity columns); and the
+  * definition's columns are evolution-locked. */
+class GeneratedColumnSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def init(): Unit =
+    spark.conf.set("spark.sql.catalog.ggen",
+      classOf[graft.catalog.GraftCatalog].getName)
+
+  test("omitted generated columns compute on INSERT; explicit matches " +
+      "pass; mismatches reject loudly") {
+    init()
+    sql("DROP TABLE IF EXISTS ggen.default.gen_ins")
+    sql("""CREATE TABLE ggen.default.gen_ins
+           (k BIGINT, price DOUBLE,
+            cents BIGINT GENERATED ALWAYS AS (CAST(price * 100 AS BIGINT)))""")
+    sql("INSERT INTO ggen.default.gen_ins (k, price) VALUES (1, 2.5)")
+    // explicit MATCHING value is accepted
+    sql("INSERT INTO ggen.default.gen_ins VALUES (2, 4.0, 400)")
+    assert(sql("SELECT k, cents FROM ggen.default.gen_ins ORDER BY k")
+      .collect().toSeq == Seq(Row(1L, 250L), Row(2L, 400L)))
+    val e = intercept[Exception] {
+      sql("INSERT INTO ggen.default.gen_ins VALUES (3, 1.0, 999)")
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("cannot be assigned") ||
+        (e.getCause != null &&
+          e.getCause.getMessage.contains("cannot be assigned"))),
+      s"got ${e.getMessage}")
+    // the failed insert committed nothing
+    assert(sql("SELECT count(*) FROM ggen.default.gen_ins").head()
+      .getLong(0) == 2L)
+  }
+
+  test("UPDATE of a source column recomputes the generated column") {
+    init()
+    sql("DROP TABLE IF EXISTS ggen.default.gen_upd")
+    sql("""CREATE TABLE ggen.default.gen_upd
+           (k BIGINT, price DOUBLE,
+            cents BIGINT GENERATED ALWAYS AS (CAST(price * 100 AS BIGINT)))""")
+    sql("INSERT INTO ggen.default.gen_upd (k, price) " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(1, 5)")
+    sql("UPDATE ggen.default.gen_upd SET price = price + 0.5 WHERE k = 2")
+    assert(sql("SELECT k, cents FROM ggen.default.gen_upd ORDER BY k")
+      .collect().toSeq ==
+      Seq(Row(1L, 100L), Row(2L, 250L), Row(3L, 300L), Row(4L, 400L)))
+    // MERGE through the same rewrite recomputes too
+    spark.range(2, 4).selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS p")
+      .createOrReplaceTempView("gen_src")
+    sql("""MERGE INTO ggen.default.gen_upd t USING gen_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET price = s.p""")
+    assert(sql("SELECT k, cents FROM ggen.default.gen_upd ORDER BY k")
+      .collect().toSeq ==
+      Seq(Row(1L, 100L), Row(2L, 2000L), Row(3L, 3000L), Row(4L, 400L)))
+  }
+
+  test("generated-column stats are real: filters on it prune files") {
+    init()
+    sql("DROP TABLE IF EXISTS ggen.default.gen_prune")
+    sql("""CREATE TABLE ggen.default.gen_prune
+           (k BIGINT,
+            dbl BIGINT GENERATED ALWAYS AS (k * 2))""")
+    sql("INSERT INTO ggen.default.gen_prune (k) " +
+      "SELECT /*+ REPARTITION(1) */ id FROM range(0, 10)")
+    sql("INSERT INTO ggen.default.gen_prune (k) " +
+      "SELECT /*+ REPARTITION(1) */ id FROM range(100, 110)")
+    val before = graft.catalog.GraftStorage.fileOpens.get()
+    assert(sql("SELECT count(*) FROM ggen.default.gen_prune " +
+      "WHERE dbl >= 200").head().getLong(0) == 10L)
+    val opened = graft.catalog.GraftStorage.fileOpens.get() - before
+    assert(opened <= 1, s"stats on the generated column must prune: " +
+      s"$opened files opened")
+  }
+
+  test("CREATE-time rejects: unresolvable, non-deterministic, type " +
+      "mismatch, chained, MOR mode, identity") {
+    init()
+    def bad(ddl: String, msg: String): Unit = {
+      sql("DROP TABLE IF EXISTS ggen.default.gen_bad")
+      val e = intercept[Exception] { sql(ddl) }
+      assert(e.getMessage != null && e.getMessage.contains(msg),
+        s"expected '$msg', got ${e.getMessage}")
+    }
+    bad("""CREATE TABLE ggen.default.gen_bad (k BIGINT,
+           g BIGINT GENERATED ALWAYS AS (nope + 1))""",
+      "UNRESOLVED_COLUMN")
+    bad("""CREATE TABLE ggen.default.gen_bad (k BIGINT,
+           g DOUBLE GENERATED ALWAYS AS (rand()))""",
+      "not deterministic") // Spark's own create-time validation fires
+    bad("""CREATE TABLE ggen.default.gen_bad (k BIGINT,
+           g INT GENERATED ALWAYS AS (k * 2))""",
+      "incompatible with column data type") // Spark's own validation
+    bad("""CREATE TABLE ggen.default.gen_bad (k BIGINT,
+           g BIGINT GENERATED ALWAYS AS (k * 2),
+           h BIGINT GENERATED ALWAYS AS (g + 1))""",
+      "cannot reference another generated column") // Spark validates
+    bad("""CREATE TABLE ggen.default.gen_bad (k BIGINT,
+           g BIGINT GENERATED ALWAYS AS (k * 2))
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""",
+      "copy-on-write tables only")
+    bad("""CREATE TABLE ggen.default.gen_bad
+           (k BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)""",
+      "identity column")
+  }
+
+  test("the generation definition's columns are evolution-locked; " +
+      "the definition survives a cold reload") {
+    init()
+    sql("DROP TABLE IF EXISTS ggen.default.gen_evo")
+    sql("""CREATE TABLE ggen.default.gen_evo
+           (k BIGINT, v STRING,
+            g BIGINT GENERATED ALWAYS AS (k * 2))""")
+    val e1 = intercept[Exception] {
+      sql("ALTER TABLE ggen.default.gen_evo RENAME COLUMN k TO kk")
+    }
+    assert(e1.getMessage.contains("layout") ||
+      e1.getMessage.contains("protected") ||
+      e1.getMessage.toLowerCase.contains("cannot"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      sql("ALTER TABLE ggen.default.gen_evo DROP COLUMN g")
+    }
+    assert(e2.getMessage != null, e2.getMessage)
+    // unreferenced columns still evolve
+    sql("ALTER TABLE ggen.default.gen_evo RENAME COLUMN v TO w")
+    // cold reload: the metadata-borne definition still computes
+    sql("INSERT INTO ggen.default.gen_evo (k, w) VALUES (3, 'x')")
+    graft.catalog.GraftCatalog.dropHandlesForTest()
+    sql("INSERT INTO ggen.default.gen_evo (k, w) VALUES (4, 'y')")
+    assert(sql("SELECT k, g FROM ggen.default.gen_evo ORDER BY k")
+      .collect().toSeq == Seq(Row(3L, 6L), Row(4L, 8L)))
+  }
+}
