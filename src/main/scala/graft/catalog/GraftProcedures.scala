@@ -519,12 +519,52 @@ object GraftProcedures {
           }
         }
       }
+      // SHOW CREATE TABLE parity (Spark routes the SQL statement to the
+      // session catalog only): reconstruct runnable DDL from the stored
+      // schema, layout knobs, and generation metadata. The contract is
+      // ROUND-TRIP: executing the emitted statement under a new name
+      // creates a table with the same schema, partitioning, mode, and
+      // tunables (ShowCreateSpec executes it and diffs).
+      case "show_create" => new GraftProcedure("show_create",
+        "emit runnable CREATE TABLE DDL reconstructing this table's " +
+          "schema, generated columns, partitioning, and properties") {
+        override protected def run(input: InternalRow): Scan = {
+          val qualified = input.getUTF8String(0).toString
+          val (_, t) = resolve(cat, qualified)
+          val genKey = org.apache.spark.sql.graftshims.GraftShims
+            .generationExpressionKey
+          val cols = t.schema().fields.map { f =>
+            val gen =
+              if (f.metadata.contains(genKey))
+                s" GENERATED ALWAYS AS (${f.metadata.getString(genKey)})"
+              else ""
+            val nn = if (f.nullable) "" else " NOT NULL"
+            s"  `${f.name}` ${f.dataType.sql}$nn$gen"
+          }.mkString(",\n")
+          val props = t.properties()
+          val partClause = Option(props.get("graft.partitioned_by"))
+            .filter(_.nonEmpty)
+            .map(p => s"\nPARTITIONED BY ($p)").getOrElse("")
+          // CREATE-settable knobs only — the current_version/file-census
+          // properties are state, not definition
+          val settable = Seq("graft.mode", "graft.row_id", "graft.retain",
+            "graft.append_retain", "graft.target_file_bytes",
+            "graft.bucket_by", "graft.bloom_by", "graft.sort_by",
+            "graft.zorder_by")
+          val kv = settable.flatMap(k => Option(props.get(k))
+            .filter(_.nonEmpty).map(v => s"'$k'='$v'"))
+          val tbl = s"\nTBLPROPERTIES (${kv.mkString(", ")})"
+          val ddl = s"CREATE TABLE ${cat.name()}.$qualified (\n$cols)" +
+            partClause + tbl
+          summaryScanStr(Seq("table" -> qualified, "ddl" -> ddl))
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure ${cat.name()}.system.$other " +
           "(available: analyze, clone, compact, create_branch, " +
           "create_view, drop_branch, drop_view, expire_snapshots, " +
           "fast_forward, history, rewrite_small_files, rollback, " +
-          "show_views, tag)")
+          "show_create, show_views, tag)")
     }
   }
 
@@ -542,6 +582,7 @@ object GraftProcedures {
         Identifier.of(Array("system"), "history"),
         Identifier.of(Array("system"), "rewrite_small_files"),
         Identifier.of(Array("system"), "rollback"),
+        Identifier.of(Array("system"), "show_create"),
         Identifier.of(Array("system"), "show_views"),
         Identifier.of(Array("system"), "tag"))
     else Array.empty

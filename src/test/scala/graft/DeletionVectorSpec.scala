@@ -141,6 +141,54 @@ class DeletionVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 
+  test("DV composes with hidden partitioning: vector-sized deletes on " +
+      "a days(ts) table, merge re-inserts split per day, compaction " +
+      "restores the day-pinned census") {
+    spark.conf.set("spark.sql.catalog.gdv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = "gdv.default.dv_days"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"""CREATE TABLE $t (k BIGINT, ts TIMESTAMP, v DOUBLE)
+            PARTITIONED BY (days(ts)) TBLPROPERTIES ('graft.mode'='dv')""")
+    // 3 days x 4 rows (k % 3 picks the day)
+    sql(s"""INSERT INTO $t
+            SELECT id, timestamp'2024-03-15 06:00:00' +
+                   make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0),
+                   CAST(id AS DOUBLE)
+            FROM range(0, 12)""")
+    val baseFiles = table("dv_days").stateNow.current.get.files
+    assert(baseFiles.size == 3, s"one file per day: ${baseFiles.size}")
+    // positional delete across all days — base files untouched
+    sql(s"DELETE FROM $t WHERE k % 4 = 1")
+    val st1 = table("dv_days").stateNow.current.get
+    assert(st1.files.map(_.path) == baseFiles.map(_.path))
+    assert(st1.deltaFiles.map(_.rows).sum == 3L)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 9L)
+    // MERGE insert lands day-split files through the shared writer
+    spark.sql("""SELECT 100 AS k,
+                        timestamp'2024-03-16 09:00:00' AS ts,
+                        1.0 AS v
+                 UNION ALL
+                 SELECT 101, timestamp'2024-03-17 09:00:00', 2.0""")
+      .createOrReplaceTempView("dv_days_src")
+    sql(s"""MERGE INTO $t x USING dv_days_src s ON x.k = s.k
+            WHEN NOT MATCHED THEN INSERT (k, ts, v)
+            VALUES (s.k, CAST(s.ts AS TIMESTAMP), CAST(s.v AS DOUBLE))""")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 11L)
+    // compaction folds the vectors and re-splits per day; the census
+    // then serves (it refuses while the delta log is live)
+    sql("CALL gdv.system.compact('default.dv_days')")
+    val census = sql(
+      s"SELECT partition, n_rows FROM gdv.default.`dv_days$$partitions` " +
+        "ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(census == Seq(
+      ("days(ts)=2024-03-15", 3L), // k=0,3,6,9 minus k=9%4==1? 9%4=1 -> 3
+      ("days(ts)=2024-03-16", 4L), // k=1,4,7,10 minus 1 dead (k=1) +100
+      ("days(ts)=2024-03-17", 4L)  // k=2,5,8,11 minus 5 dead +101
+    ), s"census: $census")
+  }
+
   test("DV survives a cold reload: vectors apply after the handle is " +
       "rebuilt from disk") {
     val t = setup("dv_reload")
