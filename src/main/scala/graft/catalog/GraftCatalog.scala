@@ -4609,6 +4609,10 @@ object GraftScan {
       .get("graft.scan.split_target_bytes", DefaultSplitBytes.toString).toLong
     catch { case _: Exception => DefaultSplitBytes }
 
+  /** The DV scan splits large files too (with file-global position
+    * bases) — same knob, same default. */
+  private[catalog] def splitTargetBytesNow: Long = splitTargetBytes
+
   /** One input partition per file — the commit unit — EXCEPT files
     * larger than the split target (compaction output): those split by
     * parquet row-group ranges so a 10 GB compacted file fans out to

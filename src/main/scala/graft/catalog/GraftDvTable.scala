@@ -300,13 +300,34 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
-  // whole files only: a row-group split would need its range's starting
-  // ordinal to keep positions file-global; vectors are compaction-
-  // bounded, so the straggler window is the same as MOR's fold window
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => GraftDvFilePartition(f.path, f.cols, f.rows,
-      f.colIds, dv.getOrElse(f.path, Array.emptyLongArray))
-      : InputPartition).toArray
+  // Large files split by their COMMIT-TIME row-group offsets exactly
+  // like the plain scan — each range additionally carries its starting
+  // row ordinal (the running sum of preceding groups' rows), so the
+  // reader's position counter stays FILE-global and the vector's
+  // ordinals keep binding: a DELETE against a freshly compacted 10 GB
+  // file doesn't turn its next scan into one straggler task. Files
+  // whose refs predate offset recording stay whole (positions must
+  // never be guessed from a byte split).
+  override def planInputPartitions(): Array[InputPartition] = {
+    val target = GraftScan.splitTargetBytesNow
+    files.flatMap { f =>
+      val dels = dv.getOrElse(f.path, Array.emptyLongArray)
+      if (f.bytes <= target || f.bytes <= 0 || f.groups.isEmpty)
+        Seq(GraftDvFilePartition(f.path, f.cols, f.rows, f.colIds, dels))
+      else {
+        val ranges = GraftStorage.rangesFromGroups(f.groups, target)
+        // posBase per range = rows of all groups strictly before the
+        // range's starting byte (ranges cover groups in file order)
+        var cum = 0L
+        ranges.map { case (s, e, r) =>
+          val p = GraftDvFilePartition(f.path, f.cols, r, f.colIds, dels,
+            rangeStart = s, rangeEnd = e, posBase = cum)
+          cum += r
+          p
+        }
+      }
+    }.map(p => p: InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDvReaderFactory(tableSchema, requiredSchema, filters)
@@ -333,7 +354,9 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
 }
 
 case class GraftDvFilePartition(path: String, cols: Vector[String],
-    rows: Long, colIds: Vector[Int], dels: Array[Long])
+    rows: Long, colIds: Vector[Int], dels: Array[Long],
+    rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
+    posBase: Long = 0L)
     extends InputPartition
 
 /** DV reader: iterate the file in PHYSICAL order (no in-parquet
@@ -359,12 +382,12 @@ class GraftDvReaderFactory(tableSchema: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftDvFilePartition]
     val it = new GraftStorage.FileIterator(fp.path, fp.cols, fileSchema,
-      fp.rows, fileColIds = fp.colIds)
+      fp.rows, fp.rangeStart, fp.rangeEnd, fileColIds = fp.colIds)
     val dels = fp.dels
     val posRow = new GenericInternalRow(1)
     val joined = new JoinedRow()
     val wrapped = new Iterator[InternalRow] {
-      private var pos = -1L
+      private var pos = fp.posBase - 1L
       private var cur: InternalRow = _
       override def hasNext: Boolean = {
         if (cur != null) return true

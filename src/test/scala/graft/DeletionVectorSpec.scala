@@ -189,6 +189,52 @@ class DeletionVectorSpec extends SparkSpec {
     ), s"census: $census")
   }
 
+  test("row-group splits keep positions file-global: a big file with " +
+      "live vectors fans out to range tasks and still deletes exactly " +
+      "the tombstoned ordinals") {
+    spark.conf.set("spark.sql.catalog.gdv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = "gdv.default.dv_split"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('graft.mode'='dv')")
+    // one multi-row-group file, written small-grouped like the
+    // GraftStorageSpec offsets fixture
+    val tt = table("dv_split")
+    val w = new graft.catalog.GraftStorage.FileWriter(
+      tt.dataDir + "/split.parquet", tt.schema(),
+      rowGroupBytes = 16 * 1024)
+    (0 until 20000).foreach { i =>
+      val r = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      r.update(0, i.toLong)
+      r.update(1, org.apache.spark.unsafe.types.UTF8String
+        .fromString(s"value-$i-${"x" * 32}"))
+      w.write(r)
+    }
+    val ref = w.closeAndRef()
+    tt.commitAppend(Seq(ref))
+    try {
+      assert(ref.groups.size > 1, s"need multiple row groups, " +
+        s"got ${ref.groups.size}")
+      sql(s"DELETE FROM $t WHERE k % 1000 = 7") // 20 positions
+      spark.conf.set("graft.scan.split_target_bytes", (64 * 1024).toString)
+      val df = sql(s"SELECT k FROM $t")
+      val parts = df.queryExecution.executedPlan.collectLeaves()
+        .head.execute().getNumPartitions
+      assert(parts > 1, s"expected a range-split DV scan, got $parts")
+      assert(df.count() == 19980L)
+      // exactly the tombstoned ordinals are gone, across every range
+      assert(sql(s"SELECT count(*) FROM $t WHERE k % 1000 = 7").head()
+        .getLong(0) == 0L)
+      assert(sql(s"SELECT CAST(sum(k) AS BIGINT) FROM $t").head().getLong(0) ==
+        (0L until 20000L).sum - (0L until 20000L).filter(_ % 1000 == 7).sum)
+    } finally {
+      spark.conf.unset("graft.scan.split_target_bytes")
+      spark.conf.unset("graft.write.group_record_min_bytes")
+    }
+  }
+
   test("DV survives a cold reload: vectors apply after the handle is " +
       "rebuilt from disk") {
     val t = setup("dv_reload")
