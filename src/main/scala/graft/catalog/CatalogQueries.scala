@@ -3517,7 +3517,71 @@ object CatalogQueries {
         SELECT o_year, COUNT(*) AS n,
                CAST(SUM(cents) AS BIGINT) AS cents_sum,
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-        FROM g GROUP BY o_year ORDER BY o_year"""))
+        FROM g GROUP BY o_year ORDER BY o_year""")),
+
+    // -------------------------------------------------------------- q267:
+    // CORPUS CURATION ON A DELETION-VECTOR TABLE — the LLM-pipeline
+    // case deletion vectors exist for: raw text dumps have no unique
+    // row id to key a MOR delta log on (q211 required declaring one),
+    // but positional tombstones need none. The corpus lands as
+    // `graft.mode='dv'`, exact dedup (q40's bag-of-words fingerprint)
+    // finds the losers, and a `DELETE ... WHERE doc_id IN (subquery)`
+    // — the subquery-DELETE SQL surface, rewritten by Spark into the
+    // positional delta write — tombstones them at O(losers) cost with
+    // every base file byte-identical on disk; the pre-curation corpus
+    // stays one `VERSION AS OF 0` away, and compaction later folds the
+    // vectors into clean files. Same oracle family as q211 (MOR
+    // MERGE-DELETE curation): four storage paths, one answer. At
+    // 100 TB this curates an id-less crawl in place: tombstone writes
+    // sized to the duplicates, zero base rewrite until maintenance.
+    QueryDef(
+      "q267_dv_curation",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_dv")
+        Tables(s, d, "documents").createOrReplaceTempView("q267_docs")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_dv
+                 TBLPROPERTIES ('graft.mode'='dv')
+                 AS SELECT * FROM q267_docs""")
+        s.sql("""
+          DELETE FROM graft_cat.default.corpus_dv
+          WHERE doc_id IN (
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                       AS rn
+              FROM (SELECT doc_id,
+                           md5(concat_ws('|', array_sort(array_distinct(
+                             graft_tokens(text))))) AS fp
+                    FROM graft_cat.default.corpus_dv))
+            WHERE rn > 1)""")
+        s.sql("""
+          SELECT 'curated' AS phase, lang, source, COUNT(*) AS n_docs,
+                 SUM(n_chars) AS sum_chars
+          FROM graft_cat.default.corpus_dv
+          GROUP BY lang, source
+          UNION ALL
+          SELECT 'z_raw_v0', lang, source, COUNT(*), SUM(n_chars)
+          FROM graft_cat.default.corpus_dv VERSION AS OF 0
+          GROUP BY lang, source
+          ORDER BY phase, lang, source""")
+      },
+      Some(s"""
+        WITH f AS (SELECT doc_id,
+                          md5(array_to_string(list_sort(list_distinct(
+                            ${graft.text.TextAnalysis.duckTokens})), '|')) fp
+                   FROM documents),
+        keep AS (SELECT MIN(doc_id) AS k FROM f GROUP BY fp),
+        c AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.k)
+        SELECT 'curated' AS phase, lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM c GROUP BY lang, source
+        UNION ALL
+        SELECT 'z_raw_v0', lang, source, COUNT(*),
+               CAST(SUM(n_chars) AS BIGINT)
+        FROM documents GROUP BY lang, source
+        ORDER BY phase, lang, source"""))
   )
 
   // ---------------------------------------------------------------- q258:

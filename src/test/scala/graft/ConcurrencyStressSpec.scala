@@ -120,4 +120,52 @@ class ConcurrencyStressSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM gst.default.cs_create")
       .head().getLong(0) == 0L)
   }
+
+  test("concurrent positional DELETEs on disjoint rows of a DV table " +
+      "both land (vectors union by construction)") {
+    val t = setup("cs_dv", "TBLPROPERTIES ('graft.mode'='dv')")
+    sql(s"INSERT INTO $t SELECT id, 'seed' FROM range(0, 100)")
+    val errs = inParallel(4) { i =>
+      // thread i tombstones k % 10 == i — disjoint position sets
+      sql(s"DELETE FROM $t WHERE k % 10 = $i")
+    }
+    assert(errs.isEmpty, s"unexpected: ${errs.map(_.getMessage)}")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 60L)
+    assert(sql(s"SELECT count(*) FROM $t WHERE k % 10 < 4").head()
+      .getLong(0) == 0L)
+  }
+
+  test("positional DELETE racing compaction: success or LOUD conflict, " +
+      "never a misdelete or a lost tombstone") {
+    val t = setup("cs_dvc", "TBLPROPERTIES ('graft.mode'='dv')")
+    sql(s"INSERT INTO $t SELECT id, 'seed' FROM range(0, 200)")
+    sql(s"DELETE FROM $t WHERE k < 20") // live vectors for compact to fold
+    val conflicts = new AtomicInteger(0)
+    val deleted = new AtomicInteger(0)
+    val errs = inParallel(2) {
+      case 0 =>
+        try { sql("CALL gst.system.compact('default.cs_dvc')") }
+        catch { case e: Exception
+            if e.getMessage != null && (e.getMessage.contains("conflict")
+              || e.getMessage.contains("retry")) =>
+          conflicts.incrementAndGet(): Unit }
+      case _ =>
+        try { sql(s"DELETE FROM $t WHERE k >= 190"); deleted.incrementAndGet(): Unit }
+        catch { case e: Exception
+            if e.getMessage != null && (e.getMessage.contains("conflict")
+              || e.getMessage.contains("retry")) =>
+          conflicts.incrementAndGet(): Unit }
+    }
+    assert(errs.isEmpty, s"unexpected: ${errs.map(_.getMessage)}")
+    // whatever interleaving happened, the surviving state is one of
+    // the two legal outcomes — never rows misdeleted by stale positions
+    val n = sql(s"SELECT count(*) FROM $t").head().getLong(0)
+    assert(n == 170L || n == 180L, s"rows: $n (conflicts=$conflicts)")
+    if (n == 170L)
+      assert(sql(s"SELECT count(*) FROM $t WHERE k >= 190").head()
+        .getLong(0) == 0L)
+    // k in [20, 190) must be fully intact under every interleaving
+    assert(sql(s"SELECT count(*) FROM $t WHERE k >= 20 AND k < 190")
+      .head().getLong(0) == 170L)
+  }
 }
