@@ -120,6 +120,41 @@ class GeneratedColumnSpec extends SparkSpec {
       "identity column")
   }
 
+  test("PARTITIONED BY a generated column: files pin the computed " +
+      "value (the split uses the post-generation row) and filters on " +
+      "it prune exactly") {
+    init()
+    sql("DROP TABLE IF EXISTS ggen.default.gen_part")
+    sql("""CREATE TABLE ggen.default.gen_part
+           (k BIGINT, ts TIMESTAMP,
+            yr INT GENERATED ALWAYS AS (CAST(year(ts) AS INT)))
+           PARTITIONED BY (yr)""")
+    sql("""INSERT INTO ggen.default.gen_part (k, ts)
+           SELECT id, CASE WHEN id % 2 = 0
+                           THEN timestamp'2023-06-01 00:00:00'
+                           ELSE timestamp'2024-06-01 00:00:00' END
+           FROM range(0, 20)""")
+    // one file per computed year, each pinned (min == max)
+    val files = sql(
+      """SELECT stats['yr'].min AS mn, stats['yr'].max AS mx
+         FROM ggen.default.`gen_part$files`""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(files.length == 2, s"one file per generated year: ${files.length}")
+    assert(files.forall(f => f._1 == f._2), s"unpinned: ${files.mkString}")
+    // partition census renders the computed values
+    val census = sql(
+      """SELECT partition, n_rows FROM ggen.default.`gen_part$partitions`
+         ORDER BY partition""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(census == Seq(("yr=2023", 10L), ("yr=2024", 10L)), s"$census")
+    // equality on the generated partition column opens one file
+    val before = graft.catalog.GraftStorage.fileOpens.get()
+    assert(sql("SELECT count(*) FROM ggen.default.gen_part " +
+      "WHERE yr = 2024").head().getLong(0) == 10L)
+    assert(graft.catalog.GraftStorage.fileOpens.get() - before <= 1,
+      "generated-partition pruning must open at most the matching file")
+  }
+
   test("the generation definition's columns are evolution-locked; " +
       "the definition survives a cold reload") {
     init()
