@@ -129,7 +129,8 @@ class GraftDvTable(ident: String, dir: NioPath,
         bucketSpec, sortColumns ++ zorderColumns)
     else
       new GraftDvScanBuilder(st.schema, files,
-        GraftDvTable.foldVectors(delta))
+        GraftDvTable.foldVectors(delta), partSpecEncoded, bucketSpec,
+        sortColumns ++ zorderColumns)
   }
 
   override protected def snapshotView(label: String,
@@ -164,7 +165,8 @@ class GraftDvTable(ident: String, dir: NioPath,
         new GraftDvScanBuilder(st.schema,
           st.current.map(_.files).getOrElse(Vector.empty),
           GraftDvTable.foldVectors(
-            st.current.map(_.deltaFiles).getOrElse(Vector.empty)))
+            st.current.map(_.deltaFiles).getOrElse(Vector.empty)),
+          partSpecEncoded, bucketSpec, sortColumns ++ zorderColumns)
       }
       override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
         new DeltaWriteBuilder {
@@ -260,7 +262,10 @@ class GraftDvSnapshotTable(ident: String, tableSchema: StructType,
   * Every filter returns as a post-scan residual (the file-source
   * convention — Spark's codegen does exact row eval). */
 class GraftDvScanBuilder(tableSchema: StructType,
-    files: Vector[GraftFileRef], dv: Map[String, Array[Long]])
+    files: Vector[GraftFileRef], dv: Map[String, Array[Long]],
+    partCols: Seq[String] = Nil,
+    bucketSpec: Option[(String, Int)] = None,
+    clusterCols: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -286,19 +291,53 @@ class GraftDvScanBuilder(tableSchema: StructType,
     val surviving = files.filter(f =>
       accepted.forall(GraftStorage.mayMatch(tableSchema, f, _)))
     new GraftDvScan(tableSchema, required, accepted, surviving, dv,
-      skipped = files.size - surviving.size)
+      skipped = files.size - surviving.size, partCols, bucketSpec,
+      clusterCols)
   }
 }
 
 class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     files: Vector[GraftFileRef], dv: Map[String, Array[Long]],
-    skipped: Int)
+    skipped: Int, partCols: Seq[String] = Nil,
+    bucketSpec: Option[(String, Int)] = None,
+    clusterCols: Seq[String] = Nil)
     extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  // ---- runtime file skipping (dynamic pruning) — same contract as
+  // [[GraftScan]]: a star join's dim-side selection arrives at
+  // execution time as IN predicates over the layout columns, and every
+  // file whose stats (or bucket id) exclude all probed keys is never
+  // opened. SOUND with live vectors: this only drops WHOLE files (a
+  // skipped file's deleted positions are simply unused), and surviving
+  // files still apply their vectors. Without this, the vector window
+  // after a DELETE would silently cost a full fact scan per star join.
+  @volatile private var runtimeFiles: Vector[GraftFileRef] = files
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val names = tableSchema.fieldNames.toSet
+    (partCols.map(GraftPartField.parse(_).col) ++
+      bucketSpec.map(_._1) ++ clusterCols).distinct
+      .filter(names.contains)
+      .map(c => Expressions.column(c): NamedReference)
+      .toArray
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimeFiles = runtimeFiles.filter(f =>
+      predicates.forall(p =>
+        GraftV2Preds.bucketMayMatch(tableSchema, bucketSpec, f, p) &&
+          GraftV2Preds.mayMatch(tableSchema, f, p)))
+
+  private[graft] def plannedFileCount: Int = files.size
+  private[graft] def runtimeFileCount: Int = runtimeFiles.size
 
   // Large files split by their COMMIT-TIME row-group offsets exactly
   // like the plain scan — each range additionally carries its starting
@@ -310,7 +349,7 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
   // never be guessed from a byte split).
   override def planInputPartitions(): Array[InputPartition] = {
     val target = GraftScan.splitTargetBytesNow
-    files.flatMap { f =>
+    runtimeFiles.flatMap { f =>
       val dels = dv.getOrElse(f.path, Array.emptyLongArray)
       if (f.bytes <= target || f.bytes <= 0 || f.groups.isEmpty)
         Seq(GraftDvFilePartition(f.path, f.cols, f.rows, f.colIds, dels))

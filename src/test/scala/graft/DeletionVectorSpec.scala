@@ -235,6 +235,61 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("runtime file skipping works WITH live vectors: a dim-side " +
+      "predicate prunes sorted DV-fact files at execution time, and " +
+      "survivors still apply their tombstones") {
+    spark.conf.set("spark.sql.catalog.gdv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      sql("DROP TABLE IF EXISTS gdv.default.dv_rtfact")
+      sql("DROP TABLE IF EXISTS gdv.default.dv_rtdim")
+      sql("""CREATE TABLE gdv.default.dv_rtfact (k BIGINT, v BIGINT)
+             TBLPROPERTIES ('graft.mode'='dv', 'graft.sort_by'='k')""")
+      sql("""INSERT INTO gdv.default.dv_rtfact
+             SELECT id, id * 7 FROM range(4096)""")
+      val factFiles = table("dv_rtfact").stateNow.current.get.files.size
+      assert(factFiles >= 4, s"sorted insert made only $factFiles files")
+      // live vectors: tombstone k = 9 (one of the probe keys)
+      sql("DELETE FROM gdv.default.dv_rtfact WHERE k IN (9, 700)")
+      sql("CREATE TABLE gdv.default.dv_rtdim (k BIGINT, tag STRING)")
+      sql("""INSERT INTO gdv.default.dv_rtdim VALUES
+             (5, 'pick'), (9, 'pick'), (4000, 'other')""")
+      val df = sql(
+        """SELECT f.k, f.v FROM gdv.default.dv_rtfact f
+           JOIN gdv.default.dv_rtdim d ON f.k = d.k
+           WHERE d.tag = 'pick' ORDER BY f.k""")
+      // k=9 was tombstoned: only k=5 survives the join
+      assert(df.collect().map(_.toString).toSeq == Seq("[5,35]"))
+      val scan = df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.catalog.GraftDvScan] => b.scan
+      }.collectFirst {
+        case s: graft.catalog.GraftDvScan
+            if s.plannedFileCount == factFiles => s
+      }.getOrElse(fail("fact GraftDvScan not found in plan"))
+      assert(scan.runtimeFileCount < scan.plannedFileCount,
+        s"runtime filter pruned nothing " +
+          s"(${scan.runtimeFileCount}/${scan.plannedFileCount})")
+      assert(scan.runtimeFileCount == 1,
+        s"expected 1 surviving sorted file, got ${scan.runtimeFileCount}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("DV survives a cold reload: vectors apply after the handle is " +
       "rebuilt from disk") {
     val t = setup("dv_reload")
