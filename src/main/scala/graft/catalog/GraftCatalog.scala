@@ -102,11 +102,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("$changes"))
       return loadTable(base) match {
+        case dv: GraftDvTable =>
+          new GraftDvChangeFeedTable(idxKey(ident), dv)
         case mor: GraftDeltaTable =>
           new GraftChangeFeedTable(idxKey(ident), mor)
         case _ => throw new UnsupportedOperationException(
-          s"$$changes is only available on merge-on-read tables " +
-            s"(${idxKey(base)} is copy-on-write)")
+          s"$$changes is only available on merge-on-read and " +
+            s"deletion-vector tables (${idxKey(base)} is copy-on-write)")
       }
     }
     // `<table>$files`: the file-census metadata companion (works on
@@ -2232,7 +2234,7 @@ class GraftTable(ident: String, val dir: NioPath,
         case GraftFileCommitMsg(fs) => fs
         case _ => Nil
       }
-    commitReplaceFiles(paths.toSet, refs)
+    commitReplaceFiles(paths.toSet, refs, requireEmptyDelta = true)
     (small.size.toLong, refs.size.toLong, refs.map(_.rows).sum)
   }
 
@@ -2295,7 +2297,23 @@ class GraftTable(ident: String, val dir: NioPath,
     * (Iceberg's validation semantics; the statement can be retried
     * against the new snapshot). */
   private[graft] def commitReplaceFiles(removed: Set[String],
-      files: Seq[GraftFileRef]): Unit = commitLoop { () =>
+      files: Seq[GraftFileRef],
+      requireEmptyDelta: Boolean = false): Unit = commitLoop { () =>
+    // re-validation of the planner-side empty-delta gate (ADVICE r14):
+    // a DV DELETE / MOR delta committing between rewriteSmallFiles'
+    // precondition check and this commit round would pass the path
+    // check below (it removes no base files), yet the packed output
+    // was folded WITHOUT those tombstones and the vectors now bind to
+    // replaced paths — committing would silently resurrect the
+    // deleted rows. Same loud retry as the compaction path.
+    if (requireEmptyDelta && curDelta.nonEmpty) {
+      files.foreach(f => Files.deleteIfExists(Paths.get(f.path)): Unit)
+      throw new IllegalStateException(
+        s"concurrent commit conflict on $ident: a row-level delta " +
+          "committed between this rewrite's scan and its commit — the " +
+          "packed output predates those tombstones; CALL " +
+          "system.compact and retry")
+    }
     val cur = curFiles.map(_.path).toSet
     val gone = removed.diff(cur)
     if (gone.nonEmpty) {
@@ -2330,12 +2348,23 @@ class GraftTable(ident: String, val dir: NioPath,
 
   /** Deletion-vector commit ([[GraftDvTable]]): vectors enter the
     * delta ledger, inserted rows enter the base file list — ONE
-    * snapshot. Validated INSIDE the commit round: every base file the
-    * vectors reference must still be current — positions into a file a
-    * concurrent compaction/overwrite rewrote would delete the wrong
-    * rows, so that race is a loud retry, never a silent misdelete. */
+    * snapshot. Validated INSIDE the commit round:
+    *   - every base file the vectors reference must still be current —
+    *     positions into a file a concurrent compaction/overwrite
+    *     rewrote would delete the wrong rows;
+    *   - a commit that RE-INSERTS rows (UPDATE/MERGE — `data`
+    *     non-empty) must not race another row-level commit tombstoning
+    *     the same positions: both would pass the path check, and the
+    *     loser's re-insert silently duplicates the row (or resurrects
+    *     a concurrently deleted one). Vectors are version-stamped at
+    *     commit, so the check folds only vectors newer than this
+    *     operation's scan snapshot — O(since-scan tombstones), zero on
+    *     the uncontended path. Delete-only commits keep unioning
+    *     (tombstoning an already-tombstoned position is idempotent).
+    * Both races are a loud retry, never a silent misdelete/duplicate. */
   private[graft] def commitDvDelta(dv: Seq[GraftFileRef],
-      data: Seq[GraftFileRef], refPaths: Set[String]): Unit = commitLoop { () =>
+      data: Seq[GraftFileRef], refPaths: Set[String],
+      scanVersion: Int = -1): Unit = commitLoop { () =>
     val cur = curFiles.map(_.path).toSet
     val gone = refPaths.diff(cur)
     if (gone.nonEmpty) {
@@ -2345,10 +2374,39 @@ class GraftTable(ident: String, val dir: NioPath,
           s"reference ${gone.size} files that are no longer current " +
           "(another write rewrote them first) — retry the statement")
     }
+    if (data.nonEmpty && scanVersion >= 0) {
+      val since = curDelta.filter(_.ver > scanVersion)
+      if (since.nonEmpty && dv.nonEmpty) {
+        val ours = GraftDvTable.foldVectors(dv.toVector)
+        val theirs = GraftDvTable.foldVectors(since)
+        val clash = ours.exists { case (p, ps) =>
+          theirs.get(p).exists(t =>
+            ps.exists(x => java.util.Arrays.binarySearch(t, x) >= 0))
+        }
+        if (clash) {
+          (dv ++ data).foreach(f =>
+            Files.deleteIfExists(Paths.get(f.path)): Unit)
+          throw new IllegalStateException(
+            s"concurrent commit conflict on $ident: another row-level " +
+              "commit tombstoned positions this UPDATE/MERGE also " +
+              "rewrites — committing both would duplicate or resurrect " +
+              "rows; retry the statement against the new snapshot")
+        }
+      }
+    }
+    val stamped = dv.map(_.copy(ver = state.nextVersion)).toVector
+    val stampedData = data.map(_.copy(ver = state.nextVersion)).toVector
     val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
-      curFiles ++ data, curDelta ++ dv)
-    Some(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
-      nextVersion = state.nextVersion + 1))
+      curFiles ++ data, curDelta ++ stamped)
+    // the change LEDGER records this commit for the `$changes` feed:
+    // vector files (positional deletes, resolved to rows at read time)
+    // first, then the re-inserted data files — apply order for a CDC
+    // consumer. Both carry the commit version, the slicing axis for
+    // bounded incremental reads and the consumer's collapse key.
+    Some(trimChange(state.copy(
+      snapshots = retainWindow(state.snapshots :+ snap),
+      nextVersion = state.nextVersion + 1,
+      changeLog = state.changeLog ++ stamped ++ stampedData)))
   }
 
   private[catalog] def commitDelta(delta: Seq[GraftFileRef]): Unit =
@@ -2808,6 +2866,13 @@ class GraftTable(ident: String, val dir: NioPath,
     }
   }
 
+  /** Table-kind-specific additions to the GC live set: paths that are
+    * not referenced by any retained snapshot/ledger entry directly but
+    * that a retained ledger entry RESOLVES AGAINST at read time. The
+    * DV table keeps the base files its retained change-ledger vectors
+    * point into (delete-rows are materialized from them). */
+  protected def gcExtraLive(st: GraftTableState): Set[String] = Set.empty
+
   /** Maintenance GC: delete data files referenced by NO retained
     * snapshot and absent from the append log (rewrite-superseded files
     * whose snapshots have expired). Never runs implicitly — like
@@ -2821,7 +2886,8 @@ class GraftTable(ident: String, val dir: NioPath,
       (state.snapshots.flatMap(s =>
         s.files.map(_.path) ++ s.deltaFiles.map(_.path)) ++
         state.appendLog.map(_.path) ++
-        state.changeLog.map(_.path)).toSet // feed history stays readable
+        state.changeLog.map(_.path)).toSet ++ // feed history stays readable
+        gcExtraLive(state) // + files the feed resolves AGAINST (DV bases)
     // grace window (ADVICE r10; Iceberg's remove_orphan_files
     // older-than cutoff): a writer TASK's in-flight file is on disk
     // before its commit references it — sweeping by reference alone
@@ -3589,20 +3655,25 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset {
 
-  private var required: StructType = tableSchema
-  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  // scan-planning state is package-visible so [[GraftDvCowScanBuilder]]
+  // can re-plan an already-pruned/pushed scan as a DV scan when `_pos`
+  // is requested (metadata only the DV readers synthesize)
+  private[catalog] var required: StructType = tableSchema
+  private[catalog] var accepted: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   private var acceptedV2: Array[
     org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
-  private var all: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private[catalog] var all: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   private var allV2: Array[
     org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
   // predicates with no V1 rendering — still consulted for file skipping
   // through the V2 stats walk (GraftV2Preds.mayMatch)
-  private var v2Only: Array[
+  private[catalog] var v2Only: Array[
     org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
-  private var servedAgg: Option[(StructType, Array[Array[Any]], String)] =
-    None
-  private var narrowedByLimit: Option[Vector[GraftFileRef]] = None
+  private[catalog] var servedAgg:
+      Option[(StructType, Array[Array[Any]], String)] = None
+  private[catalog] var narrowedByLimit: Option[Vector[GraftFileRef]] = None
   // exact partition-filter pushdown (VERDICT r12 item 5): when every
   // pushed predicate references only PARTITION columns and the file
   // set is DECIDABLE (each file provably full-matches or provably
@@ -3611,8 +3682,9 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
   // pushed: no residual Filter remains, which is precisely what lets
   // Spark attempt aggregate/limit pushdown — `COUNT(*) WHERE p = v`
   // on a 100-TB partitioned table becomes a zero-I/O manifest fold.
-  private var exactFiles: Option[Vector[GraftFileRef]] = None
-  private def effFiles: Vector[GraftFileRef] = exactFiles.getOrElse(files)
+  private[catalog] var exactFiles: Option[Vector[GraftFileRef]] = None
+  private[catalog] def effFiles: Vector[GraftFileRef] =
+    exactFiles.getOrElse(files)
 
   // nested = true: every partition of this scan reads through the
   // parquet FileIterator, so a validated nested prune reaches the
@@ -3700,7 +3772,7 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     * file's recorded bucket, so a file in a different bucket cannot
     * contain the value (unbucketed legacy refs, bucket -1, never
     * prune). Null literals stay conservative. */
-  private def bucketSurvives(f: GraftFileRef): Boolean =
+  private[catalog] def bucketSurvives(f: GraftFileRef): Boolean =
     bucketSpec match {
       case Some((c, n)) if f.bucket >= 0 =>
         val o = GraftStorage.ordinalByName(
@@ -3856,7 +3928,7 @@ class GraftScanBuilder(tableSchema: StructType, files: Vector[GraftFileRef],
     * surgical-rewrite shape. Row-level evaluation stays in Spark's
     * residual Filter (it resolves the metadata column); this only
     * narrows the planned set. */
-  private def fileColSurvives(f: GraftFileRef): Boolean = all.forall {
+  private[catalog] def fileColSurvives(f: GraftFileRef): Boolean = all.forall {
     case org.apache.spark.sql.sources.EqualTo("_file", v: String) =>
       f.path == v
     case org.apache.spark.sql.sources.EqualNullSafe("_file", v: String) =>

@@ -571,7 +571,7 @@ final case class GraftChangeBounds(fromVer: Option[Int], toVer: Option[Int]) {
 
 object GraftChangeBounds {
   def fromOptions(options: CaseInsensitiveStringMap,
-      table: GraftDeltaTable): GraftChangeBounds = {
+      table: GraftTable): GraftChangeBounds = {
     def intOpt(k: String): Option[Int] =
       Option(options.get(k)).map { s =>
         try s.trim.toInt catch {

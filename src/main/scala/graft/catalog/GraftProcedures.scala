@@ -491,9 +491,22 @@ object GraftProcedures {
             (if (approx) approx_count_distinct(col(s"`$c`"))
              else countDistinct(col(s"`$c`"))).as(c)
           }
+          // capture the version BEFORE the aggregation (ADVICE r14): a
+          // commit landing during the scan must not get its version
+          // stamped onto NDVs computed from the older snapshot — that
+          // would serve stale stats as fresh, breaking analyzedNdv's
+          // provenance contract. Re-check after: if the table advanced
+          // mid-analyze, bail loudly rather than stamp either version.
+          val preVer = t.stateNow.current.map(_.version).getOrElse(-1)
           val row = s.table(s"${cat.name()}.$qualified")
             .agg(aggs.head, aggs.tail: _*).collect()(0)
           val ver = t.stateNow.current.map(_.version).getOrElse(-1)
+          if (ver != preVer)
+            throw new IllegalStateException(
+              s"analyze on $qualified: the table advanced from version " +
+                s"$preVer to $ver while the distinct counts were being " +
+                "computed — the stats' provenance is ambiguous; re-run " +
+                "CALL system.analyze against the quiesced table")
           import org.apache.spark.sql.connector.catalog.TableChange
           val changes: Seq[TableChange] =
             cols.zipWithIndex.map { case (c, i) =>

@@ -290,6 +290,100 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("_pos and _file are selectable on a fresh (vector-less) DV " +
+      "table and again after compaction folds the vectors away") {
+    val t = setup("dv_pos_fresh")
+    // no DML yet: the CoW-path builder must re-plan as a DV scan when
+    // _pos is requested (ADVICE r14 — this used to error at runtime)
+    val fresh = sql(s"SELECT _file, _pos, k FROM $t ORDER BY k").collect()
+    assert(fresh.map(_.getLong(1)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 0L, 1L, 2L, 3L), "per-file physical ordinals")
+    assert(fresh.map(_.getString(0)).distinct.length == 2, "two base files")
+    // composes with a filter (file pruning + residual eval intact)
+    assert(sql(s"SELECT _pos FROM $t WHERE k = 5").head().getLong(0) == 1L)
+    // aggregate WITHOUT _pos still takes the manifest-served path
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 8L)
+    // after DML + compaction the table is vector-less again — _pos
+    // must keep serving through the same re-plan
+    sql(s"DELETE FROM $t WHERE k = 0")
+    sql("CALL gdv.system.compact('default.dv_pos_fresh')")
+    assert(table("dv_pos_fresh").stateNow.current.get.deltaFiles.isEmpty)
+    assert(sql(s"SELECT _pos FROM $t").collect().length == 7)
+    // time travel to a vector-less snapshot (both seed inserts, no
+    // vectors yet) re-plans too
+    assert(sql(s"SELECT _pos FROM $t VERSION AS OF 1").collect()
+      .length == 8)
+  }
+
+  test("a stale UPDATE/MERGE commit whose tombstones overlap vectors " +
+      "committed since its scan conflicts; a delete-only one unions") {
+    import org.apache.spark.sql.types._
+    val t = setup("dv_overlap")
+    val tbl = table("dv_overlap")
+    val scanVer = tbl.stateNow.current.get.version
+    val victim = tbl.stateNow.current.get.files.head.path // k=0..3
+    // a CONCURRENT commit lands first: tombstones (victim, pos 2)
+    sql(s"UPDATE $t SET v = 'z' WHERE k = 2")
+    val dvSchema = StructType(Seq(
+      StructField("__file", StringType, nullable = false),
+      StructField("__pos", LongType, nullable = false)))
+    def vectorRef() = {
+      val w = new graft.catalog.GraftStorage.FileWriter(
+        tbl.deltaDir + "/dv-test-" +
+          java.util.UUID.randomUUID().toString + ".parquet", dvSchema)
+      val r = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      r.update(0, org.apache.spark.unsafe.types.UTF8String
+        .fromString(victim))
+      r.update(1, 2L)
+      w.write(r)
+      w.closeAndRef()
+    }
+    def dataRef() = {
+      val w = new graft.catalog.GraftStorage.FileWriter(
+        tbl.dataDir + "/data-test-" +
+          java.util.UUID.randomUUID().toString + ".parquet", tbl.schema())
+      val r = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      r.update(0, 99L)
+      r.update(1, org.apache.spark.unsafe.types.UTF8String.fromString("dup"))
+      w.write(r)
+      w.closeAndRef()
+    }
+    // the STALE operation scanned at scanVer and re-inserts a row for
+    // the same position the concurrent UPDATE already rewrote: both
+    // committing would duplicate the row — loud conflict
+    val e = intercept[IllegalStateException] {
+      tbl.commitDvDelta(Seq(vectorRef()), Seq(dataRef()), Set(victim),
+        scanVersion = scanVer)
+    }
+    assert(e.getMessage.contains("duplicate or resurrect"), e.getMessage)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 8L)
+    // a delete-only commit with the same stale snapshot still unions:
+    // double-tombstoning a position is idempotent
+    tbl.commitDvDelta(Seq(vectorRef()), Nil, Set(victim),
+      scanVersion = scanVer)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 8L)
+    assert(sql(s"SELECT v FROM $t WHERE k = 2").head().getString(0) == "z")
+  }
+
+  test("a row-level delta landing between the small-file rewrite's " +
+      "gate and its commit conflicts inside the commit round") {
+    val t = setup("dv_pack_race")
+    sql(s"DELETE FROM $t WHERE k = 1") // live vector
+    val tbl = table("dv_pack_race")
+    // simulate the race: the planner-side gate passed (pretend), the
+    // delta committed, and the replace-commit must now refuse
+    val e = intercept[IllegalStateException] {
+      tbl.commitReplaceFiles(
+        Set(tbl.stateNow.current.get.files.head.path), Nil,
+        requireEmptyDelta = true)
+    }
+    assert(e.getMessage.contains("row-level delta"), e.getMessage)
+    // table unharmed: tombstone still applies
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7L)
+  }
+
   test("DV survives a cold reload: vectors apply after the handle is " +
       "rebuilt from disk") {
     val t = setup("dv_reload")
