@@ -3581,7 +3581,99 @@ object CatalogQueries {
         SELECT 'z_raw_v0', lang, source, COUNT(*),
                CAST(SUM(n_chars) AS BIGINT)
         FROM documents GROUP BY lang, source
-        ORDER BY phase, lang, source"""))
+        ORDER BY phase, lang, source""")),
+
+    // -------------------------------------------------------------- q268:
+    // CHANGE FEED ON A DELETION-VECTOR TABLE (VERDICT r14 item 1) —
+    // the q267 curation finally has a tail: an ID-LESS corpus curated
+    // in place now DRIVES a downstream incremental pipeline (the
+    // produce→predict shape lifted to corpus scale). `corpus_cdc` is a
+    // DV table; a positional DELETE (curation) and an UPDATE
+    // (lang re-tag, honest delete+insert pair) land as vectors; a
+    // STREAMING read of `corpus_cdc$changes` — positional deletes
+    // resolved to full delete-rows against the base files at read
+    // time, each op stamped with its commit version — is MERGE-applied
+    // per micro-batch into a derived "tokenized" mirror, collapsing
+    // each key to its highest-version op (insert beats its paired
+    // delete within one version) and RECOMPUTING the derived token
+    // estimate on every upsert. The mirror's final census is the
+    // oracle. At 100 TB the downstream never rescans the corpus: the
+    // feed read costs O(touched row groups) per change commit and the
+    // id-keyed MERGE is group-pruned to the mirror files the batch's
+    // keys hit.
+    QueryDef(
+      "q268_dv_change_apply",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_cdc")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_tok")
+        Tables(s, d, "documents").createOrReplaceTempView("q268_docs")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_cdc
+                 TBLPROPERTIES ('graft.mode'='dv')
+                 AS SELECT doc_id, lang, source, n_chars
+                 FROM q268_docs""")                        // version 0
+        // downstream mirror seeds from the snapshot the feed starts
+        // after; tok is the DERIVED column the pipeline maintains
+        s.sql("""CREATE TABLE graft_cat.default.corpus_tok
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='doc_id')
+                 AS SELECT doc_id, lang, n_chars,
+                           CAST(n_chars DIV 4 AS BIGINT) AS tok
+                 FROM graft_cat.default.corpus_cdc VERSION AS OF 0""")
+        // curation DELETE: stats-undecidable -> positional vectors
+        s.sql("""DELETE FROM graft_cat.default.corpus_cdc
+                 WHERE n_chars % 7 = 3""")
+        // re-tag UPDATE: surfaces as delete+insert sharing one __ver
+        s.sql("""UPDATE graft_cat.default.corpus_cdc
+                 SET lang = 'und' WHERE n_chars % 11 = 5""")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q268-ckpt-").toString
+        val q = s.readStream
+          .table("graft_cat.default.`corpus_cdc$changes`")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.createOrReplaceTempView("q268_batch")
+              batch.sparkSession.sql("""
+                MERGE INTO graft_cat.default.corpus_tok t
+                USING (
+                  SELECT doc_id, lang, n_chars, `__op` FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY `__ver` DESC,
+                               CASE WHEN `__op` = 0 THEN 0 ELSE 1 END)
+                      AS rn
+                    FROM q268_batch) WHERE rn = 1) c
+                ON t.doc_id = c.doc_id
+                WHEN MATCHED AND c.`__op` = 2 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET
+                  lang = c.lang, n_chars = c.n_chars,
+                  tok = CAST(c.n_chars DIV 4 AS BIGINT)
+                WHEN NOT MATCHED AND c.`__op` = 0 THEN
+                  INSERT (doc_id, lang, n_chars, tok)
+                  VALUES (c.doc_id, c.lang, c.n_chars,
+                          CAST(c.n_chars DIV 4 AS BIGINT))"""): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.sql("""SELECT lang, COUNT(*) AS n_docs,
+                        SUM(n_chars) AS sum_chars, SUM(tok) AS sum_tok
+                 FROM graft_cat.default.corpus_tok
+                 GROUP BY lang ORDER BY lang""")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars % 11 = 5 THEN 'und' ELSE lang END
+                   AS lang,
+                 n_chars
+          FROM documents WHERE n_chars % 7 <> 3)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n_chars // 4) AS BIGINT) AS sum_tok
+        FROM m GROUP BY lang ORDER BY lang"""))
   )
 
   // ---------------------------------------------------------------- q258:
