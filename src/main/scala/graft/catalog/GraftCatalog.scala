@@ -387,11 +387,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties.getOrDefault("graft.append_retain", "65536").toInt
     require(appendRetain >= 1,
       s"graft.append_retain must be >= 1, got $appendRetain")
-    // graft.mv.*: free-form MV-registration metadata, persisted verbatim
+    // graft.mv.*: free-form MV-registration metadata, persisted
+    // verbatim; graft.dv.*: deletion-vector tunables (fold bound)
     val extraProps: Map[String, String] = {
       val b = Map.newBuilder[String, String]
       properties.forEach { (k, v) =>
-        if (k.startsWith("graft.mv.")) b += (k -> v)
+        if (k.startsWith("graft.mv.") || k.startsWith("graft.dv."))
+          b += (k -> v)
       }
       b.result()
     }
@@ -1074,19 +1076,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "(the MOR fold and bucket grouping assume table-wide " +
           "uniformity) — create a new table and INSERT/clone into it")
       if (k.startsWith("graft.") && !tunable.contains(k) &&
-          !k.startsWith("graft.mv.") && !k.startsWith("graft.stats."))
+          !k.startsWith("graft.mv.") && !k.startsWith("graft.stats.") &&
+          !k.startsWith("graft.dv."))
         throw new UnsupportedOperationException(
           s"unknown graft table property $k (tunable: " +
             s"${tunable.toSeq.sorted.mkString(", ")}, plus the " +
-            "graft.mv.* materialized-view and graft.stats.* " +
-            "analyzed-statistics namespaces)")
+            "graft.mv.* materialized-view, graft.stats.* " +
+            "analyzed-statistics, and graft.dv.* deletion-vector " +
+            "namespaces)")
     }
     // graft.mv.*: free-form MV-registration metadata ([[graft.plans
     // .MvRewrite]]); graft.stats.*: table-level analyzed statistics
-    // (`CALL system.analyze`) — both persisted verbatim in the index's
-    // extraProps
+    // (`CALL system.analyze`); graft.dv.*: deletion-vector tunables
+    // (validated at use, [[GraftDvTable.foldBound]]) — all persisted
+    // verbatim in the index's extraProps
     def freeForm(k: String): Boolean =
-      k.startsWith("graft.mv.") || k.startsWith("graft.stats.")
+      k.startsWith("graft.mv.") || k.startsWith("graft.stats.") ||
+        k.startsWith("graft.dv.")
     val graftSets = sets.filter(s =>
       tunable.contains(s._1) || freeForm(s._1))
     val graftRemoves = removes.filter(k =>
@@ -1144,7 +1150,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "(use graft.sort_by for 1)")
           e = e.copy(zorderBy = zc, sortBy = Nil)
         case (k, v) if k.startsWith("graft.mv.") ||
-            k.startsWith("graft.stats.") =>
+            k.startsWith("graft.stats.") || k.startsWith("graft.dv.") =>
           e = e.copy(extraProps = e.extraProps + (k -> v))
         // PARTITION-SPEC EVOLUTION (Iceberg's ADD/REPLACE PARTITION
         // FIELD, spelled through the retuning surface): future writes

@@ -77,6 +77,50 @@ class GraftDvTable(ident: String, dir: NioPath,
   private[graft] def dvLogSize: Long =
     stateNow.current.map(_.deltaFiles.map(_.rows).sum).getOrElse(0L)
 
+  /** BOUND ON THE DRIVER-SIDE VECTOR FOLD (VERDICT r14 item 3):
+    * `graft.dv.max_live_positions` caps the tombstones a scan will
+    * fold. The fold is O(live positions) driver memory and plan time —
+    * the documented scale bound of this design — and an unbounded
+    * tombstone pile-up would degrade every scan quietly. Above the cap
+    * the scan refuses LOUDLY with a compact-first error (the same
+    * discipline as every other guard here); `system.compact` itself is
+    * exempt (it is the cure, and must be able to read the oversized
+    * table). 0 / absent = unbounded. */
+  private def foldBound: Long =
+    dvExtraProps.get("graft.dv.max_live_positions") match {
+      case Some(v) =>
+        val n = v.trim.toLongOption.getOrElse(-1L)
+        require(n >= 0,
+          s"graft.dv.max_live_positions must be a non-negative long, " +
+            s"got '$v'")
+        n
+      case None => 0L
+    }
+
+  // set around the compaction self-read so the cure can read the
+  // disease; same single-writer instance-field pattern as
+  // replaceAllGuard (both live on the driver's planning path)
+  @volatile private var maintenanceRead = false
+
+  override private[graft] def compact(
+      spark: org.apache.spark.sql.SparkSession, fqn: String): Unit = {
+    maintenanceRead = true
+    try super.compact(spark, fqn)
+    finally maintenanceRead = false
+  }
+
+  private def guardFoldBound(delta: Vector[GraftFileRef]): Unit = {
+    val cap = foldBound
+    if (cap > 0 && !maintenanceRead) {
+      val live = delta.map(_.rows).sum
+      if (live > cap) throw new IllegalStateException(
+        s"deletion-vector fold bound exceeded on $ident: $live live " +
+          s"tombstoned positions > graft.dv.max_live_positions=$cap — " +
+          "CALL system.compact to fold the vectors into the base, " +
+          "then retry")
+    }
+  }
+
   // `_pos` joins `_file` as a metadata column; BOTH are non-nullable
   // here because they form the row id of the delta write (Spark's
   // row-level rewrite rejects nullable row-id attributes).
@@ -163,10 +207,12 @@ class GraftDvTable(ident: String, dir: NioPath,
       // (the plain readers never synthesize positions)
       new GraftDvCowScanBuilder(st.schema, files, partSpecEncoded,
         bucketSpec, sortColumns ++ zorderColumns)
-    else
+    else {
+      guardFoldBound(delta)
       new GraftDvScanBuilder(st.schema, files,
         GraftDvTable.foldVectors(delta), partSpecEncoded, bucketSpec,
         sortColumns ++ zorderColumns)
+    }
   }
 
   override protected def snapshotView(label: String,
@@ -201,6 +247,9 @@ class GraftDvTable(ident: String, dir: NioPath,
         refreshFromDisk()
         val st = stateNow
         scanVersion = st.current.map(_.version).getOrElse(-1)
+        // the DML scan folds the vectors too — same bound, same cure
+        guardFoldBound(
+          st.current.map(_.deltaFiles).getOrElse(Vector.empty))
         // ALWAYS the DV-aware builder (even with no live vectors): the
         // rewrite needs _pos, which only this scan's readers emit
         new GraftDvScanBuilder(st.schema,

@@ -384,6 +384,39 @@ class DeletionVectorSpec extends SparkSpec {
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7L)
   }
 
+  test("graft.dv.max_live_positions bounds the driver fold: an " +
+      "over-cap scan refuses with a compact-first error, compaction " +
+      "is exempt and cures it") {
+    spark.conf.set("spark.sql.catalog.gdv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = "gdv.default.dv_bound"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('graft.mode'='dv', 'graft.dv.max_live_positions'='4')")
+    sql(s"INSERT INTO $t SELECT id, concat('x', id) FROM range(0, 20)")
+    sql(s"DELETE FROM $t WHERE k % 7 = 1")   // 3 live tombstones: ok
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 17L)
+    sql(s"DELETE FROM $t WHERE k % 9 = 2")   // +2 = 5 live: over cap
+    val e = intercept[IllegalStateException] {
+      sql(s"SELECT count(*) FROM $t").collect()
+    }
+    assert(e.getMessage.contains("max_live_positions"), e.getMessage)
+    assert(e.getMessage.contains("system.compact"), e.getMessage)
+    // DML scans are bound too
+    val e2 = intercept[Exception] {
+      sql(s"DELETE FROM $t WHERE k = 3")
+    }
+    assert(e2.getMessage.contains("max_live_positions"), e2.getMessage)
+    // the cure is exempt, and restores the scan path
+    sql("CALL gdv.system.compact('default.dv_bound')")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 15L)
+    // the cap is ALTER-tunable like the other graft knobs
+    sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.dv.max_live_positions'='0')")
+    sql(s"DELETE FROM $t WHERE k % 2 = 0")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7L)
+  }
+
   test("DV survives a cold reload: vectors apply after the handle is " +
       "rebuilt from disk") {
     val t = setup("dv_reload")
