@@ -3673,7 +3673,146 @@ object CatalogQueries {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                CAST(SUM(n_chars // 4) AS BIGINT) AS sum_tok
-        FROM m GROUP BY lang ORDER BY lang"""))
+        FROM m GROUP BY lang ORDER BY lang""")),
+
+    // -------------------------------------------------------------- q269:
+    // MULTI-DIM STAR MV WITH A COMPOUND KEY (VERDICT r14 item 2) —
+    // q260 generalized: the MV's definition is a fact ⨝ dim1 ⨝ dim2
+    // aggregate where dim2 joins on a COMPOUND equi-key (priority AND
+    // parity), recorded as 'graft.mv.join_dim' = 'd1,d2' /
+    // 'graft.mv.join_on' = 'k=k;a=a&b=b' / per-dim versions. Phases:
+    // the full (segment × class) join-agg serves from the MV; a
+    // ROLL-UP to class alone re-aggregates the same MV (the snowflake-
+    // dashboard composition with q258); a commit on ONE dim
+    // staleness-kills it (truth unchanged — the inserted dim row is
+    // unreferenced — but the plan must not trust a drifted
+    // constituent); a refresh re-serves. MvRewriteSpec pins the
+    // per-dim staleness kills and the compound-key refusal→acceptance
+    // boundary. At 100 TB the two-dim dashboard family reads
+    // |segments × classes| MV rows instead of re-joining three tables.
+    QueryDef(
+      "q269_mv_star2",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        Seq("orders_s2f", "cust_s2d", "prio_s2d", "orders_s2mv")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$t"))
+        Tables(s, d, "orders").createOrReplaceTempView("q269_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("q269_customer")
+        s.sql("""CREATE TABLE graft_cat.default.orders_s2f
+                 (o_custkey BIGINT, o_prio STRING, o_parity BIGINT,
+                  o_orderkey BIGINT)""")
+        s.sql("""INSERT INTO graft_cat.default.orders_s2f
+                 SELECT o_custkey, o_orderpriority, o_orderkey % 2,
+                        o_orderkey FROM q269_orders""")
+        s.sql("""CREATE TABLE graft_cat.default.cust_s2d
+                 (c_custkey BIGINT, c_mktsegment STRING)""")
+        s.sql("""INSERT INTO graft_cat.default.cust_s2d
+                 SELECT c_custkey, c_mktsegment FROM q269_customer""")
+        s.sql("""CREATE TABLE graft_cat.default.prio_s2d
+                 (p_prio STRING, p_parity BIGINT, p_class STRING)""")
+        s.sql("""INSERT INTO graft_cat.default.prio_s2d
+                 SELECT DISTINCT o_orderpriority, o_orderkey % 2,
+                        concat(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                    THEN 'hot_' ELSE 'cold_' END,
+                               o_orderkey % 2)
+                 FROM q269_orders""")
+        s.sql("""CREATE TABLE graft_cat.default.orders_s2mv
+                 (c_mktsegment STRING, p_class STRING, key_sum BIGINT,
+                  n BIGINT)
+                 TBLPROPERTIES (
+                   'graft.mv.of' = 'default/orders_s2f',
+                   'graft.mv.join_dim' =
+                     'default/cust_s2d,default/prio_s2d',
+                   'graft.mv.join_on' =
+                     'o_custkey=c_custkey;o_prio=p_prio&o_parity=p_parity',
+                   'graft.mv.group' = 'c_mktsegment,p_class',
+                   'graft.mv.agg' = 'sum:o_orderkey:key_sum,count:*:n')""")
+        def refresh(): Unit = {
+          s.sql("""INSERT OVERWRITE graft_cat.default.orders_s2mv
+                   SELECT c.c_mktsegment, p.p_class, SUM(f.o_orderkey),
+                          COUNT(*)
+                   FROM graft_cat.default.orders_s2f f
+                   JOIN graft_cat.default.cust_s2d c
+                     ON f.o_custkey = c.c_custkey
+                   JOIN graft_cat.default.prio_s2d p
+                     ON f.o_prio = p.p_prio AND f.o_parity = p.p_parity
+                   GROUP BY 1, 2""")
+          def ver(t: String): String = s.sql(
+            s"SHOW TBLPROPERTIES graft_cat.default.$t").collect()
+            .collectFirst {
+              case r if r.getString(0) == "graft.current_version" =>
+                r.getString(1)
+            }.get
+          s.sql(s"""ALTER TABLE graft_cat.default.orders_s2mv
+                    SET TBLPROPERTIES (
+                      'graft.mv.base_version' = '${ver("orders_s2f")}',
+                      'graft.mv.dim_version' =
+                        '${ver("cust_s2d")},${ver("prio_s2d")}')""")
+        }
+        refresh()
+        s.sql("""ALTER TABLE graft_cat.default.orders_s2f
+                 SET TBLPROPERTIES ('graft.mv.tables' = 'orders_s2mv')""")
+        def full(name: String) = s.sql(
+          s"""SELECT '$name' AS phase, c.c_mktsegment, p.p_class,
+                     SUM(f.o_orderkey) AS key_sum, COUNT(*) AS n
+              FROM graft_cat.default.orders_s2f f
+              JOIN graft_cat.default.cust_s2d c
+                ON f.o_custkey = c.c_custkey
+              JOIN graft_cat.default.prio_s2d p
+                ON f.o_prio = p.p_prio AND f.o_parity = p.p_parity
+              GROUP BY 2, 3""")
+        def rollup(name: String) = s.sql(
+          s"""SELECT '$name' AS phase, 'ALL' AS c_mktsegment, p.p_class,
+                     SUM(f.o_orderkey) AS key_sum, COUNT(*) AS n
+              FROM graft_cat.default.orders_s2f f
+              JOIN graft_cat.default.cust_s2d c
+                ON f.o_custkey = c.c_custkey
+              JOIN graft_cat.default.prio_s2d p
+                ON f.o_prio = p.p_prio AND f.o_parity = p.p_parity
+              GROUP BY 3""")
+        val shape = full("a_served")
+        val p1 = shape.collect()
+        val p2 = rollup("b_rollup").collect()
+        // a dim commit (unreferenced row: truth unchanged) must
+        // staleness-kill the MV; the direct plan re-derives the truth
+        s.sql("""INSERT INTO graft_cat.default.prio_s2d
+                 VALUES ('9-NONE', 7, 'junk')""")
+        val p3 = full("c_stale_direct").collect()
+        refresh()
+        val p4 = full("d_reserved").collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2 ++ p3 ++ p4).toSeq.asJava,
+          shape.schema)
+          .orderBy("phase", "c_mktsegment", "p_class")
+      },
+      Some("""
+        WITH f AS (
+          SELECT o_custkey, o_orderkey,
+                 concat(CASE WHEN o_orderpriority IN
+                               ('1-URGENT', '2-HIGH')
+                             THEN 'hot_' ELSE 'cold_' END,
+                        o_orderkey % 2) AS p_class
+          FROM orders),
+        j AS (
+          SELECT c.c_mktsegment, f.p_class, f.o_orderkey
+          FROM f JOIN customer c ON f.o_custkey = c.c_custkey),
+        fullagg AS (
+          SELECT c_mktsegment, p_class,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                 COUNT(*) AS n
+          FROM j GROUP BY 1, 2),
+        ru AS (
+          SELECT 'ALL' AS c_mktsegment, p_class,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                 COUNT(*) AS n
+          FROM j GROUP BY 2)
+        SELECT 'a_served' AS phase, * FROM fullagg
+        UNION ALL SELECT 'b_rollup', * FROM ru
+        UNION ALL SELECT 'c_stale_direct', * FROM fullagg
+        UNION ALL SELECT 'd_reserved', * FROM fullagg
+        ORDER BY phase, c_mktsegment, p_class"""))
   )
 
   // ---------------------------------------------------------------- q258:

@@ -135,18 +135,25 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** An INNER equi-join between two peelable relations, possibly under
-    * bare-attribute Projects. WHERE conjuncts have already been pushed
-    * to the sides by PushDownPredicates (same fixed-point batch), so a
-    * filter ABOVE the join is either transient (matched next
-    * iteration) or references both sides (never commutes — refuse). */
-  private object UnderlyingJoin {
-    def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation,
-        Option[Expression], DataSourceV2Relation, Option[Expression],
-        Expression)] = plan match {
-      case Join(Underlying(l, lcond), Underlying(r, rcond), Inner,
-          Some(jc), _) =>
-        Some((l, lcond, r, rcond, jc))
+  /** A TREE of INNER equi-joins over peelable relations, possibly
+    * under bare-attribute Projects — flattened to its leaf relations
+    * (each with its pushed-down side filter) and the multiset of join
+    * conjuncts. Covers any association/orientation the optimizer
+    * picked for an N-dim star: ((f⨝d1)⨝d2), (d2⨝(d1⨝f)), ... WHERE
+    * conjuncts have already been pushed to the sides by
+    * PushDownPredicates (same fixed-point batch), so a filter ABOVE a
+    * join is either transient (matched next iteration) or references
+    * both sides (never commutes — refuse). */
+  private object UnderlyingStar {
+    def unapply(plan: LogicalPlan): Option[
+        (Seq[(DataSourceV2Relation, Option[Expression])],
+          Seq[Expression])] = plan match {
+      case Join(l, r, Inner, Some(jc), _) =>
+        for {
+          (ll, lj) <- unapply(l)
+          (rl, rj) <- unapply(r)
+        } yield (ll ++ rl, lj ++ rj ++ splitConjunctivePredicates(jc))
+      case Underlying(rel, cond) => Some((Seq((rel, cond)), Nil))
       case Project(pl, child)
           if pl.forall(_.isInstanceOf[AttributeReference]) =>
         unapply(child)
@@ -164,12 +171,13 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case agg @ Aggregate(_, _, Underlying(rel, cond), _)
           if rel.table.isInstanceOf[GraftTable] =>
         rewrite(agg, rel, cond).getOrElse(agg)
-      // star-schema MV: aggregate over a recorded dim⨝fact join
-      case agg @ Aggregate(_, _,
-          UnderlyingJoin(l, lcond, r, rcond, jc), _)
-          if l.table.isInstanceOf[GraftTable] &&
-            r.table.isInstanceOf[GraftTable] =>
-        rewriteJoin(agg, l, lcond, r, rcond, jc).getOrElse(agg)
+      // star-schema MV: aggregate over a recorded fact ⨝ dim1 [⨝ dim2
+      // ...] join tree (any association/orientation), single or
+      // compound equi-keys per dim
+      case agg @ Aggregate(_, _, UnderlyingStar(leaves, jcs), _)
+          if leaves.size >= 2 &&
+            leaves.forall(_._1.table.isInstanceOf[GraftTable]) =>
+        rewriteStar(agg, leaves, jcs).getOrElse(agg)
     }
 
   private def mvNamesOf(base: GraftTable): Seq[String] =
@@ -194,20 +202,19 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }.headOption
   }
 
-  private def rewriteJoin(agg: Aggregate, l: DataSourceV2Relation,
-      lcond: Option[Expression], r: DataSourceV2Relation,
-      rcond: Option[Expression], jc: Expression): Option[LogicalPlan] =
-    // try both orientations: the optimizer reorders join sides freely
-    Seq((l, lcond, r, rcond), (r, rcond, l, lcond)).view.flatMap {
-      case (factRel, factCond, dimRel, dimCond) =>
-        if (factRel.catalog.isEmpty || factRel.identifier.isEmpty)
-          Seq.empty
-        else mvNamesOf(factRel.table.asInstanceOf[GraftTable]).view
-          .flatMap { mvName =>
-            try tryJoinOne(agg, factRel, factCond, dimRel, dimCond, jc,
-              mvName)
-            catch { case _: Exception => None }
-          }
+  private def rewriteStar(agg: Aggregate,
+      leaves: Seq[(DataSourceV2Relation, Option[Expression])],
+      joinConjuncts: Seq[Expression]): Option[LogicalPlan] =
+    // any leaf may be the fact: the optimizer reorders joins freely
+    leaves.view.flatMap { case (factRel, factCond) =>
+      if (factRel.catalog.isEmpty || factRel.identifier.isEmpty)
+        Seq.empty
+      else mvNamesOf(factRel.table.asInstanceOf[GraftTable]).view
+        .flatMap { mvName =>
+          try tryStarOne(agg, factRel, factCond,
+            leaves.filterNot(_._1 eq factRel), joinConjuncts, mvName)
+          catch { case _: Exception => None }
+        }
     }.headOption
 
   private def loadMvMeta(rel: DataSourceV2Relation, mvName: String)
@@ -289,54 +296,113 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     buildRewrite(agg, mvRel, groupCols, aggSpecs, mvChild)
   }
 
-  private def tryJoinOne(agg: Aggregate, factRel: DataSourceV2Relation,
-      factCond: Option[Expression], dimRel: DataSourceV2Relation,
-      dimCond: Option[Expression], joinCond: Expression,
+  /** N-dim star with compound keys (VERDICT r14 item 2). Recorded
+    * metadata generalizes backwards-compatibly:
+    *   'graft.mv.join_dim'    = 'dim1[,dim2...]'
+    *   'graft.mv.join_on'     = per-dim key spec, dims separated by
+    *                            ';', equi-key conjuncts by '&':
+    *                            'fk=dk' | 'fk1=dk1&fk2=dk2;fk3=dk3'
+    *   'graft.mv.dim_version' = 'v1[,v2...]'    (aligned with dims)
+    * The plan's leaf set must be the fact plus EXACTLY the recorded
+    * dims (matched by table identity, no duplicates), its join
+    * conjuncts must biject onto the recorded (fk = dk) pairs (each
+    * pair matched once, no extra conjunct — a dim⨝dim snowflake edge
+    * has no recorded pair and refuses), and freshness is checked on
+    * EVERY constituent: a commit on the fact or any dim
+    * staleness-kills the rewrite. */
+  private def tryStarOne(agg: Aggregate, factRel: DataSourceV2Relation,
+      factCond: Option[Expression],
+      dims: Seq[(DataSourceV2Relation, Option[Expression])],
+      joinConjuncts: Seq[Expression],
       mvName: String): Option[LogicalPlan] = {
     val factT = factRel.table.asInstanceOf[GraftTable]
-    val dimT = dimRel.table.asInstanceOf[GraftTable]
     val (mv, mvRel, groupCols, aggSpecs) =
       loadMvMeta(factRel, mvName).getOrElse(return None)
     val p = mv.properties()
     if (p.get("graft.mv.of") != factT.name()) return None
-    val dimName = p.get("graft.mv.join_dim")
-    if (dimName == null || dimName != dimT.name()) return None
+    val dimNames = Option(p.get("graft.mv.join_dim"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).getOrElse(return None)
     val joinOn = Option(p.get("graft.mv.join_on")).getOrElse(return None)
-    val (fkName, dkName) = joinOn.split('=') match {
-      case Array(f, k) => (f.trim, k.trim)
-      case _ => return None
+    // per-dim compound-key specs
+    val dimKeys: Seq[Seq[(String, String)]] =
+      joinOn.split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { d =>
+        d.split('&').map(_.trim).filter(_.nonEmpty).toSeq.map { pair =>
+          pair.split('=') match {
+            case Array(f, k) => (f.trim, k.trim)
+            case _ => return None
+          }
+        }
+      }
+    val dimVers = Option(p.get("graft.mv.dim_version"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(return None)
+    if (dimKeys.size != dimNames.size || dimVers.size != dimNames.size)
+      return None
+    if (dimKeys.exists(_.isEmpty)) return None
+
+    // the plan's dims must be exactly the recorded dims, matched by
+    // table identity; duplicates (self-joined dims) refuse — the
+    // name-keyed column mapping below could not disambiguate them
+    if (dims.size != dimNames.size) return None
+    if (dimNames.distinct.size != dimNames.size) return None
+    val dimByName: Map[String, (DataSourceV2Relation, Option[Expression])] =
+      dims.map(d =>
+        d._1.table.asInstanceOf[GraftTable].name() -> d).toMap
+    if (dimByName.size != dims.size) return None
+    val resolved: Seq[(DataSourceV2Relation, Option[Expression],
+        Seq[(String, String)], String)] =
+      dimNames.zip(dimKeys).zip(dimVers).map { case ((n, keys), ver) =>
+        val (rel, cond) = dimByName.getOrElse(n, return None)
+        (rel, cond, keys, ver)
+      }
+
+    // freshness of EVERY constituent
+    ensureFresh(factT)
+    resolved.foreach(d =>
+      ensureFresh(d._1.table.asInstanceOf[GraftTable]))
+    val fv = factT.stateNow.current.map(_.version).getOrElse(-1)
+    if (p.get("graft.mv.base_version") != fv.toString) return None
+    resolved.foreach { case (rel, _, _, ver) =>
+      val dv = rel.table.asInstanceOf[GraftTable]
+        .stateNow.current.map(_.version).getOrElse(-1)
+      if (ver != dv.toString) return None
     }
 
-    // freshness of BOTH constituents
-    ensureFresh(factT); ensureFresh(dimT)
-    val fv = factT.stateNow.current.map(_.version).getOrElse(-1)
-    val dv = dimT.stateNow.current.map(_.version).getOrElse(-1)
-    if (p.get("graft.mv.base_version") != fv.toString) return None
-    if (p.get("graft.mv.dim_version") != dv.toString) return None
-
-    // the join must be the recorded single equi-condition (either
-    // attribute order); anything else — extra conjuncts, expressions,
-    // different keys — refuses
-    val keyOk = splitConjunctivePredicates(joinCond) match {
-      case Seq(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+    // the join conjuncts must biject onto the recorded pairs: each
+    // (fact.fk = dim_i.dk) matched exactly once, nothing left over on
+    // either side (extra conjuncts, expression keys, or snowflake
+    // dim⨝dim edges all refuse)
+    val expected = scala.collection.mutable.Set.empty[(Int, Int)]
+    resolved.zipWithIndex.foreach { case ((_, _, keys, _), di) =>
+      keys.indices.foreach(ki => expected += ((di, ki)): Unit)
+    }
+    joinConjuncts.foreach {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
         def is(x: AttributeReference, rel: DataSourceV2Relation,
             name: String): Boolean =
           rel.outputSet.contains(x) && x.name.equalsIgnoreCase(name)
-        (is(a, factRel, fkName) && is(b, dimRel, dkName)) ||
-          (is(b, factRel, fkName) && is(a, dimRel, dkName))
-      case _ => false
+        val hit = expected.find { case (di, ki) =>
+          val (dRel, _, keys, _) = resolved(di)
+          val (fk, dk) = keys(ki)
+          (is(a, factRel, fk) && is(b, dRel, dk)) ||
+            (is(b, factRel, fk) && is(a, dRel, dk))
+        }.getOrElse(return None)
+        expected -= hit: Unit
+      case _ => return None
     }
-    if (!keyOk) return None
+    if (expected.nonEmpty) return None
 
     // ambiguity guard: every referenced column name must identify ONE
-    // side — the MV's column mapping is by name, so a name present on
-    // both sides could bind to the wrong source
+    // relation — the MV's column mapping is by name, so a name present
+    // on two sides could bind to the wrong source
+    val allRels = factRel +: resolved.map(_._1)
     val referenced = (agg.references ++
       factCond.map(_.references).getOrElse(Nil) ++
-      dimCond.map(_.references).getOrElse(Nil)).map(a => lc(a.name)).toSet
-    def onSide(rel: DataSourceV2Relation, n: String): Boolean =
-      rel.output.exists(o => lc(o.name) == n)
-    if (referenced.exists(n => onSide(factRel, n) && onSide(dimRel, n)))
+      resolved.flatMap(_._2).flatMap(_.references))
+      .map(a => lc(a.name)).toSet
+    if (referenced.exists(n =>
+        allRels.count(_.output.exists(o => lc(o.name) == n)) > 1))
       return None
 
     // side filters: IsNotNull(<that side's join key>) conjuncts are
@@ -346,13 +412,13 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // group columns and re-applies on the MV.
     val groupNameSet = groupCols.map(lc).toSet
     def admit(cond: Option[Expression], rel: DataSourceV2Relation,
-        keyName: String): Option[Seq[Expression]] = cond match {
+        keyNames: Seq[String]): Option[Seq[Expression]] = cond match {
       case None => Some(Nil)
       case Some(c) =>
         val parts = splitConjunctivePredicates(c).map {
           case IsNotNull(a: AttributeReference)
               if rel.outputSet.contains(a) &&
-                a.name.equalsIgnoreCase(keyName) => Some(Nil)
+                keyNames.exists(a.name.equalsIgnoreCase) => Some(Nil)
           case other if other.deterministic &&
               other.references.forall(x =>
                 groupNameSet.contains(lc(x.name))) =>
@@ -362,8 +428,12 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (parts.exists(_.isEmpty)) None
         else Some(parts.flatMap(_.get))
     }
-    val conjuncts = admit(factCond, factRel, fkName).getOrElse(return None) ++
-      admit(dimCond, dimRel, dkName).getOrElse(return None)
+    val factKeyNames = resolved.flatMap(_._3.map(_._1))
+    val conjuncts =
+      admit(factCond, factRel, factKeyNames).getOrElse(return None) ++
+        resolved.flatMap { case (rel, cond, keys, _) =>
+          admit(cond, rel, keys.map(_._2)).getOrElse(return None)
+        }
     val mvChild: LogicalPlan =
       if (conjuncts.isEmpty) mvRel
       else Filter(conjuncts.reduce(

@@ -428,4 +428,160 @@ class MvRewriteSpec extends SparkSpec {
       s"got ${scansOf(q)}:\n${q.queryExecution.executedPlan}")
     assert(q.collect().toSeq == Seq(Row(2L, 3L)))
   }
+
+  /** 2-dim star fixture with a COMPOUND key on dim 1 (VERDICT r14
+    * item 2): fact ev_f ⨝ regions2_d ON (region_id, site) ⨝ prods_d
+    * ON prod_id, MV grouped by (rname, pcat). */
+  private def setupStar2(): Unit = {
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gmv.default.ev_f")
+    sql("DROP TABLE IF EXISTS gmv.default.regions2_d")
+    sql("DROP TABLE IF EXISTS gmv.default.prods_d")
+    sql("DROP TABLE IF EXISTS gmv.default.ev_mv")
+    sql("CREATE TABLE gmv.default.ev_f (region_id BIGINT, site STRING, " +
+      "prod_id BIGINT, amount BIGINT)")
+    sql("""INSERT INTO gmv.default.ev_f VALUES
+      (1, 'a', 10, 100), (1, 'a', 11, 20), (1, 'b', 10, 3),
+      (2, 'a', 11, 7), (2, 'a', 10, 50), (1, 'a', 10, 9)""")
+    sql("CREATE TABLE gmv.default.regions2_d (region_id BIGINT, " +
+      "site STRING, rname STRING)")
+    sql("""INSERT INTO gmv.default.regions2_d VALUES
+      (1, 'a', 'east'), (1, 'b', 'north'), (2, 'a', 'west')""")
+    sql("CREATE TABLE gmv.default.prods_d (prod_id BIGINT, pcat STRING)")
+    sql("""INSERT INTO gmv.default.prods_d VALUES
+      (10, 'toys'), (11, 'tools')""")
+    sql("""CREATE TABLE gmv.default.ev_mv
+           (rname STRING, pcat STRING, sum_a BIGINT, n BIGINT)
+           TBLPROPERTIES (
+             'graft.mv.of' = 'default/ev_f',
+             'graft.mv.join_dim' = 'default/regions2_d,default/prods_d',
+             'graft.mv.join_on' =
+               'region_id=region_id&site=site;prod_id=prod_id',
+             'graft.mv.group' = 'rname,pcat',
+             'graft.mv.agg' = 'sum:amount:sum_a,count:*:n')""")
+    refreshStar2()
+    sql("""ALTER TABLE gmv.default.ev_f
+           SET TBLPROPERTIES ('graft.mv.tables' = 'ev_mv')""")
+  }
+
+  private def refreshStar2(): Unit = {
+    sql("""INSERT OVERWRITE gmv.default.ev_mv
+           SELECT r.rname, p.pcat, SUM(f.amount), COUNT(*)
+           FROM gmv.default.ev_f f
+           JOIN gmv.default.regions2_d r
+             ON f.region_id = r.region_id AND f.site = r.site
+           JOIN gmv.default.prods_d p ON f.prod_id = p.prod_id
+           GROUP BY r.rname, p.pcat""")
+    def ver(t: String): String =
+      sql(s"SHOW TBLPROPERTIES gmv.default.$t").collect()
+        .collectFirst {
+          case r if r.getString(0) == "graft.current_version" =>
+            r.getString(1)
+        }.get
+    sql(s"""ALTER TABLE gmv.default.ev_mv SET TBLPROPERTIES (
+            'graft.mv.base_version' = '${ver("ev_f")}',
+            'graft.mv.dim_version' =
+              '${ver("regions2_d")},${ver("prods_d")}')""")
+  }
+
+  private val star2Agg =
+    """SELECT r.rname, p.pcat, SUM(f.amount) AS sum_a, COUNT(*) AS n
+       FROM gmv.default.ev_f f
+       JOIN gmv.default.regions2_d r
+         ON f.region_id = r.region_id AND f.site = r.site
+       JOIN gmv.default.prods_d p ON f.prod_id = p.prod_id
+       GROUP BY r.rname, p.pcat ORDER BY r.rname, p.pcat"""
+
+  test("2-dim star MV with a compound key: the full join-agg serves " +
+      "from the MV and a one-dim roll-up serves too") {
+    setupStar2()
+    val q = sql(star2Agg)
+    assert(scansOf(q).exists(_.contains("ev_mv")),
+      s"expected the MV scan, got ${scansOf(q)}:\n" +
+        q.queryExecution.executedPlan)
+    spark.conf.set("spark.graft.mvRewrite", "false")
+    val truth = try sql(star2Agg).collect().toSeq
+      finally spark.conf.unset("spark.graft.mvRewrite")
+    assert(q.collect().toSeq == truth)
+    // roll-up: GROUP BY a subset (pcat only) re-aggregates the MV's
+    // (rname, pcat) partials — the snowflake-dashboard composition
+    val ru = sql(
+      """SELECT p.pcat, SUM(f.amount) AS sum_a, COUNT(*) AS n
+         FROM gmv.default.ev_f f
+         JOIN gmv.default.regions2_d r
+           ON f.region_id = r.region_id AND f.site = r.site
+         JOIN gmv.default.prods_d p ON f.prod_id = p.prod_id
+         GROUP BY p.pcat ORDER BY p.pcat""")
+    assert(scansOf(ru).exists(_.contains("ev_mv")),
+      s"roll-up should serve from the MV, got ${scansOf(ru)}")
+    assert(ru.collect().toSeq ==
+      Seq(Row("tools", 27L, 2L), Row("toys", 162L, 4L)))
+  }
+
+  test("2-dim star MV: a commit on ANY constituent staleness-kills " +
+      "the rewrite until re-refresh") {
+    setupStar2()
+    assert(scansOf(sql(star2Agg)).exists(_.contains("ev_mv")))
+    // dim 2 commit
+    sql("INSERT INTO gmv.default.prods_d VALUES (12, 'misc')")
+    assert(!scansOf(sql(star2Agg)).exists(_.contains("ev_mv")),
+      "prods_d commit must kill the rewrite")
+    refreshStar2()
+    assert(scansOf(sql(star2Agg)).exists(_.contains("ev_mv")))
+    // dim 1 commit
+    sql("INSERT INTO gmv.default.regions2_d VALUES (3, 'a', 'south')")
+    assert(!scansOf(sql(star2Agg)).exists(_.contains("ev_mv")),
+      "regions2_d commit must kill the rewrite")
+    refreshStar2()
+    assert(scansOf(sql(star2Agg)).exists(_.contains("ev_mv")))
+    // fact commit
+    sql("INSERT INTO gmv.default.ev_f VALUES (1, 'a', 10, 1)")
+    assert(!scansOf(sql(star2Agg)).exists(_.contains("ev_mv")),
+      "fact commit must kill the rewrite")
+    refreshStar2()
+    val q = sql(star2Agg)
+    assert(scansOf(q).exists(_.contains("ev_mv")))
+    spark.conf.set("spark.graft.mvRewrite", "false")
+    val truth = try sql(star2Agg).collect().toSeq
+      finally spark.conf.unset("spark.graft.mvRewrite")
+    assert(q.collect().toSeq == truth)
+  }
+
+  test("compound-key boundary: joining on PART of the recorded key " +
+      "refuses, an EXTRA conjunct refuses, the exact conjunction " +
+      "serves") {
+    setupStar2()
+    // missing the site conjunct: a recorded pair stays unmatched
+    val partial = sql(
+      """SELECT r.rname, p.pcat, SUM(f.amount) AS sum_a
+         FROM gmv.default.ev_f f
+         JOIN gmv.default.regions2_d r ON f.region_id = r.region_id
+         JOIN gmv.default.prods_d p ON f.prod_id = p.prod_id
+         GROUP BY r.rname, p.pcat""")
+    assert(!scansOf(partial).exists(_.contains("ev_mv")),
+      "partial compound key must refuse the rewrite")
+    // an extra equi-conjunct beyond the recorded pairs
+    val extra = sql(
+      """SELECT r.rname, p.pcat, SUM(f.amount) AS sum_a
+         FROM gmv.default.ev_f f
+         JOIN gmv.default.regions2_d r
+           ON f.region_id = r.region_id AND f.site = r.site
+              AND f.amount = r.region_id
+         JOIN gmv.default.prods_d p ON f.prod_id = p.prod_id
+         GROUP BY r.rname, p.pcat""")
+    assert(!scansOf(extra).exists(_.contains("ev_mv")),
+      "extra join conjunct must refuse the rewrite")
+    // the exact recorded conjunction (other orientation) serves
+    val exact = sql(
+      """SELECT r.rname, p.pcat, SUM(f.amount) AS sum_a
+         FROM gmv.default.prods_d p
+         JOIN gmv.default.ev_f f ON p.prod_id = f.prod_id
+         JOIN gmv.default.regions2_d r
+           ON r.site = f.site AND r.region_id = f.region_id
+         GROUP BY r.rname, p.pcat""")
+    assert(scansOf(exact).exists(_.contains("ev_mv")),
+      s"exact compound key must serve, got ${scansOf(exact)}:\n" +
+        exact.queryExecution.executedPlan)
+  }
 }
