@@ -3812,7 +3812,82 @@ object CatalogQueries {
         UNION ALL SELECT 'b_rollup', * FROM ru
         UNION ALL SELECT 'c_stale_direct', * FROM fullagg
         UNION ALL SELECT 'd_reserved', * FROM fullagg
-        ORDER BY phase, c_mktsegment, p_class"""))
+        ORDER BY phase, c_mktsegment, p_class""")),
+
+    // -------------------------------------------------------------- q270:
+    // TIMESTAMP-BOUNDED INCREMENTAL CHANGE READ (VERDICT r14 item 6) —
+    // q262's polling contract on the WALL-CLOCK axis: `spark.read
+    // .option("from_timestamp", t1).option("to_timestamp", t2)
+    // .table("t$changes")` resolves each instant through the snapshot
+    // commit-time stamps (the same axis TIMESTAMP AS OF travels on) to
+    // a version, then serves exactly the ops committed in between —
+    // the consumer tracks a clock reading, not a version counter.
+    // Instants are captured BETWEEN the DML statements, so the op
+    // census is deterministic; refusal edges (pre-history instants on
+    // trimmed tables, axis mixing, garbage spellings) are
+    // ChangeBoundsSpec-pinned. At 100 TB the read is still O(ledger
+    // entries in range): commit metadata maps time → version → slice,
+    // no scan.
+    QueryDef(
+      "q270_timestamp_changes",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_tsc")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .createOrReplaceTempView("q270_seed")
+        def tick(): Long = { Thread.sleep(3); System.currentTimeMillis() }
+        s.sql("""CREATE TABLE graft_cat.default.orders_tsc
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='o_orderkey')
+                 AS SELECT * FROM q270_seed""")
+        val t0 = tick()
+        s.sql("""UPDATE graft_cat.default.orders_tsc
+                 SET o_totalprice = o_totalprice + 10.0
+                 WHERE o_orderkey % 5 = 0""")
+        val t1 = tick()
+        s.sql("""DELETE FROM graft_cat.default.orders_tsc
+                 WHERE o_orderkey % 7 = 0""")
+        val t2 = tick()
+        s.sql("""UPDATE graft_cat.default.orders_tsc
+                 SET o_totalprice = o_totalprice + 100.0
+                 WHERE o_orderkey % 11 = 0""")
+        def bounded(from: Long, to: Option[String]) = {
+          val r = s.read.option("from_timestamp", from.toString)
+          to.fold(r)(x => r.option("to_timestamp", x))
+            .table("graft_cat.default.`orders_tsc$changes`")
+        }
+        bounded(t0, Some(t1.toString))
+          .createOrReplaceTempView("q270_c1")
+        bounded(t1, Some(t2.toString))
+          .createOrReplaceTempView("q270_c2")
+        // ISO-8601 spelling for the open tail
+        bounded(t2, Some("2099-01-01T00:00:00Z"))
+          .createOrReplaceTempView("q270_tail")
+        s.sql("""
+          SELECT 'c1_updates' AS phase, COUNT(*) AS n,
+                 CAST(SUM(`__id`) AS DOUBLE) AS agg
+          FROM q270_c1 WHERE `__op` = 1
+          UNION ALL
+          SELECT 'c2_deletes', COUNT(*), CAST(SUM(`__id`) AS DOUBLE)
+          FROM q270_c2 WHERE `__op` = 2
+          UNION ALL
+          SELECT 'tail_updates', COUNT(*), CAST(SUM(`__id`) AS DOUBLE)
+          FROM q270_tail WHERE `__op` = 1
+          ORDER BY phase""")
+      },
+      Some("""
+        SELECT 'c1_updates' AS phase, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS DOUBLE) AS agg
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT 'c2_deletes', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'tail_updates', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        ORDER BY phase"""))
   )
 
   // ---------------------------------------------------------------- q258:

@@ -579,7 +579,61 @@ object GraftChangeBounds {
             s"$k must be an integer table version, got '$s'")
         }
       }
-    val b = GraftChangeBounds(intOpt("from_version"), intOpt("to_version"))
+    // TIMESTAMP-BOUNDED incremental reads (VERDICT r14 item 6):
+    // `from_timestamp`/`to_timestamp` (epoch millis, or an ISO-8601
+    // instant like 2024-03-15T06:00:00Z) resolve through the snapshot
+    // commit-time axis — the same stamps TIMESTAMP AS OF travels on —
+    // to the version of the newest retained snapshot at or before the
+    // instant, then reuse the (a, b] version slicing verbatim: "what
+    // changed between the wall-clock moment I last polled and now",
+    // with no version bookkeeping on the consumer. Refusal discipline
+    // matches the version axis: an instant that predates the retained
+    // snapshot window refuses (the attribution is gone) unless the
+    // history is complete back to version 0, and mixing the two axes
+    // in one read refuses (double-tracking).
+    def tsOpt(k: String): Option[Long] =
+      Option(options.get(k)).map { s =>
+        val t = s.trim
+        t.toLongOption.getOrElse {
+          try java.time.Instant.parse(t).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"$k must be epoch millis or an ISO-8601 instant " +
+                  s"(e.g. 2024-03-15T06:00:00Z), got '$t'")
+          }
+        }
+      }
+    def verAsOf(tMillis: Long, what: String): Int = {
+      val win = table.stateNow.snapshots
+      require(win.nonEmpty,
+        s"$what on ${table.name()}: the table has no commits")
+      win.filter(_.tsMillis <= tMillis).lastOption match {
+        case Some(s) => s.version
+        case None =>
+          // before every retained commit: sound as "from the very
+          // beginning" only when nothing was retention-trimmed away
+          require(win.head.version == 0,
+            s"$what $tMillis predates the retained snapshot window of " +
+              s"${table.name()} (earliest retained commit: " +
+              s"${win.head.tsMillis}) — the timestamp cannot be " +
+              "attributed to a version; reseed from a snapshot")
+          -1
+      }
+    }
+    val fv = intOpt("from_version")
+    val tv = intOpt("to_version")
+    val fts = tsOpt("from_timestamp")
+    val tts = tsOpt("to_timestamp")
+    if ((fv.isDefined || tv.isDefined) && (fts.isDefined || tts.isDefined))
+      throw new IllegalArgumentException(
+        "from/to_version and from/to_timestamp are two trackings of " +
+          "the same axis — bound a change read by ONE of them")
+    for (f <- fts; t <- tts) require(f <= t,
+      s"from_timestamp $f must be <= to_timestamp $t")
+    val b = GraftChangeBounds(
+      fv.orElse(fts.map(verAsOf(_, "from_timestamp"))),
+      tv.orElse(tts.map(verAsOf(_, "to_timestamp"))))
     for (f <- b.fromVer; t <- b.toVer) require(f <= t,
       s"from_version $f must be <= to_version $t")
     b
