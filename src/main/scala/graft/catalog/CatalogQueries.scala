@@ -3887,6 +3887,70 @@ object CatalogQueries {
         UNION ALL
         SELECT 'tail_updates', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
         FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q271:
+    // HISTOGRAM STATISTICS FOR CBO (VERDICT r14 item 5) — `CALL
+    // system.analyze(t, cols, approx, buckets)` additionally builds
+    // per-column EQUI-HEIGHT histograms ((lo, hi, ndv) bins, persisted
+    // with the same version stamp) and serves them through DSv2
+    // ColumnStatistics.histogram(), which Spark maps into catalyst
+    // ColumnStat — so CBO's selectivity stops assuming uniformity over
+    // the NDV. The fixture's filter column is 90%-hot: NDV-only stats
+    // price `s = 1` at rows/NDV (~0.02% — three orders of magnitude
+    // under), histograms price it at its true mass; AnalyzeSpec pins
+    // the observable consequence (the mis-broadcast flips to a shuffle
+    // join). This query runs the SAME skewed filter+join under both
+    // statistics regimes — truth is identical, which is exactly the
+    // point: stats change plans, never answers. At 100 TB the flipped
+    // decision is the difference between broadcasting a "tiny" 10-TB
+    // side and shuffling it.
+    QueryDef(
+      "q271_analyze_histogram",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_hf")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_hd")
+        Tables(s, d, "orders").createOrReplaceTempView("q271_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_hf AS
+                 SELECT o_orderkey AS k,
+                        CASE WHEN o_orderkey % 10 < 9 THEN CAST(1 AS BIGINT)
+                             ELSE o_orderkey END AS sk
+                 FROM q271_orders""")
+        s.sql("""CREATE TABLE graft_cat.default.orders_hd AS
+                 SELECT o_orderkey AS k, o_custkey AS w
+                 FROM q271_orders""")
+        val probe =
+          """SELECT f.k, d.w FROM graft_cat.default.orders_hf f
+             JOIN graft_cat.default.orders_hd d ON f.k = d.k
+             WHERE f.sk = 1"""
+        def phase(name: String) = s.sql(
+          s"""SELECT '$name' AS phase, COUNT(*) AS n,
+                     SUM(k) AS key_sum, SUM(w) AS w_sum
+              FROM ($probe)""")
+        s.sql("CALL graft_cat.system.analyze('default.orders_hf', 'sk')")
+        val shape = phase("a_ndv_only")
+        val p1 = shape.collect()
+        s.sql("""CALL graft_cat.system.analyze('default.orders_hf',
+                 'sk', false, 10)""")
+        val p2 = phase("b_histogram").collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2).toSeq.asJava, shape.schema)
+          .orderBy("phase")
+      },
+      Some("""
+        WITH j AS (
+          SELECT o_orderkey AS k, o_custkey AS w
+          FROM orders WHERE o_orderkey % 10 < 9)
+        SELECT 'a_ndv_only' AS phase, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS key_sum,
+               CAST(SUM(w) AS BIGINT) AS w_sum
+        FROM j
+        UNION ALL
+        SELECT 'b_histogram', COUNT(*), CAST(SUM(k) AS BIGINT),
+               CAST(SUM(w) AS BIGINT)
+        FROM j
         ORDER BY phase"""))
   )
 

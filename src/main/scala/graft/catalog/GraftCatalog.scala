@@ -1906,6 +1906,33 @@ class GraftTable(ident: String, val dir: NioPath,
       case _ => Map.empty
     }
 
+  /** Analyzed equi-height histograms (`CALL system.analyze(t, cols,
+    * approx, buckets)`), version-gated exactly like [[analyzedNdv]]:
+    * column -> (bin height, (lo, hi, ndv) bins). Encoded as
+    * `height|lo,hi,ndv;...` in `graft.stats.hist.<col>`; a malformed
+    * encoding is simply not served (stats are advisory, never load-
+    * bearing). */
+  private[catalog] def analyzedHist:
+      Map[String, (Double, Array[(Double, Double, Long)])] =
+    extraProps.get("graft.stats.version").flatMap(_.toIntOption) match {
+      case Some(v) if state.current.map(_.version).contains(v) =>
+        extraProps.flatMap {
+          case (k, value) if k.startsWith("graft.stats.hist.") =>
+            try {
+              val Array(h, binsEnc) = value.split('|')
+              val bins = binsEnc.split(';').map { b =>
+                val Array(lo, hi, ndv) = b.split(',')
+                (lo.toDouble, hi.toDouble, ndv.toLong)
+              }
+              if (bins.isEmpty) None
+              else Some(k.stripPrefix("graft.stats.hist.") ->
+                (h.toDouble, bins))
+            } catch { case _: Exception => None }
+          case _ => None
+        }
+      case _ => Map.empty
+    }
+
   /** Hidden partitioning, Iceberg style: writers split their output so
     * every data file holds ONE partition value — the source value for
     * identity fields, the TRANSFORM result (one day / month / prefix)
@@ -4555,6 +4582,14 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
       // numbers that beat the summed per-file bound when still fresh
       val analyzed: Map[String, Long] =
         streamTable.map(_.analyzedNdv).getOrElse(Map.empty)
+      // analyzed equi-height histograms: the skew statistic —
+      // transformV2Stats maps these into catalyst ColumnStat
+      // histograms, so CBO's equality/range selectivity stops assuming
+      // a uniform distribution over the NDV (a 90%-hot key estimates
+      // at its true mass, flipping broadcast decisions that matter at
+      // 100 TB)
+      val analyzedH: Map[String, (Double, Array[(Double, Double, Long)])] =
+        streamTable.map(_.analyzedHist).getOrElse(Map.empty)
       tableSchema.fields.foreach { fld =>
         val perFile = files.map(f => {
           val o = GraftStorage.refOrdinal(f, fld)
@@ -4590,6 +4625,25 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
                 if (GraftStorage.typedCompare(fld.dataType, a, b) >= 0) a
                 else b)))
             }
+          val hist: Option[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            analyzedH.get(fld.name).map { case (binHeight, binList) =>
+              new org.apache.spark.sql.connector.read.colstats.Histogram {
+                override def height(): Double = binHeight
+                override def bins(): Array[
+                    org.apache.spark.sql.connector.read.colstats
+                      .HistogramBin] =
+                  binList.map { case (l, h, n) =>
+                    new org.apache.spark.sql.connector.read.colstats
+                        .HistogramBin {
+                      override def lo(): Double = l
+                      override def hi(): Double = h
+                      override def ndv(): Long = n
+                    }: org.apache.spark.sql.connector.read.colstats
+                      .HistogramBin
+                  }
+              }
+            }
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions
               .column(fld.name),
@@ -4605,6 +4659,14 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
               override def max(): java.util.Optional[Object] =
                 mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
                   .getOrElse(java.util.Optional.empty[Object]())
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist match {
+                  case Some(h) => java.util.Optional.of(h)
+                  case None => java.util.Optional.empty[
+                    org.apache.spark.sql.connector.read.colstats
+                      .Histogram]()
+                }
             })
         }
       }

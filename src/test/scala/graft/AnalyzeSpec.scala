@@ -91,4 +91,62 @@ class AnalyzeSpec extends SparkSpec {
     assert(props("graft.stats.ndv.k") == "15")
     assert(props("graft.stats.version") == "1")
   }
+
+  test("equi-height histograms let CBO see skew: the same skewed-key " +
+      "filter+join plans a broadcast under NDV-only stats and a " +
+      "shuffle join once the histogram lands") {
+    spark.conf.set("spark.sql.catalog.gan",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "102400")
+    try {
+      sql("DROP TABLE IF EXISTS gan.default.an_skewf")
+      sql("DROP TABLE IF EXISTS gan.default.an_skewd")
+      sql("CREATE TABLE gan.default.an_skewf (k BIGINT, s BIGINT)")
+      // s is 90%-hot on value 1; NDV(s) ≈ 5001, so uniform estimation
+      // prices `s = 1` at ~11 rows — three orders of magnitude off
+      sql("""INSERT INTO gan.default.an_skewf
+             SELECT id, CASE WHEN id < 50000 THEN 1 ELSE id - 48999 END
+             FROM range(0, 55000)""")
+      sql("CREATE TABLE gan.default.an_skewd (k BIGINT, w BIGINT)")
+      sql("""INSERT INTO gan.default.an_skewd
+             SELECT id, id * 3 FROM range(0, 55000)""")
+      val q =
+        """SELECT f.k, d.w FROM gan.default.an_skewf f
+           JOIN gan.default.an_skewd d ON f.k = d.k
+           WHERE f.s = 1"""
+      def joins(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      // NDV-only stats: the hot-key filter is underestimated and the
+      // fact side broadcasts
+      sql("CALL gan.system.analyze('default.an_skewf', 's')")
+      val before = joins(sql(q))
+      assert(before.contains("BroadcastHashJoin"),
+        s"expected a (mis-estimated) broadcast under NDV-only stats:\n" +
+          before)
+      // histogram: 10 equi-height bins — 9 of them pin value 1, so
+      // the estimate carries the true mass and the broadcast flips
+      sql("CALL gan.system.analyze('default.an_skewf', 's', false, 10)")
+      val after = joins(sql(q))
+      assert(!after.contains("BroadcastHashJoin"),
+        s"histogram must price the hot key at its true mass:\n$after")
+      // correctness identical either way
+      assert(sql(q).count() == 50000L)
+      // served shape: 10 bins, degenerate hot bins hold one value
+      val props = sql("SHOW TBLPROPERTIES gan.default.an_skewf")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val enc = props("graft.stats.hist.s")
+      val bins = enc.split('|')(1).split(';')
+      assert(bins.length == 10, enc)
+      assert(bins.count(_.startsWith("1.0,1.0,")) >= 8,
+        s"hot value must dominate the bins: $enc")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
