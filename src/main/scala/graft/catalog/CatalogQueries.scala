@@ -3951,7 +3951,85 @@ object CatalogQueries {
         SELECT 'b_histogram', COUNT(*), CAST(SUM(k) AS BIGINT),
                CAST(SUM(w) AS BIGINT)
         FROM j
-        ORDER BY phase"""))
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q272:
+    // STREAMING CDC UPSERT INTO A DELETION-VECTOR TABLE (VERDICT r14
+    // item 7) — the id-less table finally takes a keyed CDC stream
+    // WITHOUT a per-batch position scan: `writeStream.option(
+    // 'graft.upsert_keys', 'o_orderkey').toTable(dv)` writes each
+    // epoch's rows as ordinary data files PLUS one equality-delete
+    // file of the epoch's keys, fenced at the pre-commit base count
+    // (Iceberg v2 upsert semantics; Flink-CDC-into-Iceberg's shape).
+    // Write cost is O(epoch); the key→position resolution happens at
+    // read (fenced key-set probe, DvEqualityDeleteSpec pins the fold)
+    // and vanishes at compaction. Two waves through ONE checkpoint
+    // prove epoch tracking: the second stream run picks up only the
+    // new CDC arrivals; the final census is taken with eq entries
+    // STILL LIVE (the fold is the thing under test) and oracle-matched
+    // against a direct recompute.
+    QueryDef(
+      "q272_dv_streaming_upsert",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_up")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_cdcfeed")
+        Tables(s, d, "orders").createOrReplaceTempView("q272_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_up
+                 TBLPROPERTIES ('graft.mode'='dv')
+                 AS SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM q272_orders""")
+        s.sql("""CREATE TABLE graft_cat.default.orders_cdcfeed
+                 (o_orderkey BIGINT, o_orderpriority STRING,
+                  o_totalprice DOUBLE)""")
+        // wave 1: price corrections for %3 keys + brand-new rows
+        s.sql("""INSERT INTO graft_cat.default.orders_cdcfeed
+                 SELECT o_orderkey, o_orderpriority, o_totalprice + 5.0
+                 FROM q272_orders WHERE o_orderkey % 3 = 0""")
+        s.sql("""INSERT INTO graft_cat.default.orders_cdcfeed
+                 SELECT o_orderkey + 100000000, 'X-NEW', 1.0
+                 FROM q272_orders WHERE o_orderkey % 1000 = 1""")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q272-ckpt-").toString
+        def applyWave(): Unit = {
+          val q = s.readStream.table("graft_cat.default.orders_cdcfeed")
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .option("graft.upsert_keys", "o_orderkey")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("graft_cat.default.orders_up")
+          q.awaitTermination()
+        }
+        applyWave()
+        // wave 2 through the SAME checkpoint: only the new arrivals —
+        // %5 keys re-corrected from the ORIGINAL price (last wins)
+        s.sql("""INSERT INTO graft_cat.default.orders_cdcfeed
+                 SELECT o_orderkey, o_orderpriority, o_totalprice + 50.0
+                 FROM q272_orders WHERE o_orderkey % 5 = 0""")
+        applyWave()
+        // census with the eq entries LIVE (no compaction): the fenced
+        // key-set fold is what produces these numbers
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE) AS price_sum
+                 FROM graft_cat.default.orders_up
+                 GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50.0
+                      WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT 'X-NEW' AS o_orderpriority, 1.0 AS o_totalprice
+          FROM orders WHERE o_orderkey % 1000 = 1)
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS price_sum
+        FROM fin GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
   // ---------------------------------------------------------------- q258:

@@ -2442,6 +2442,43 @@ class GraftTable(ident: String, val dir: NioPath,
       changeLog = state.changeLog ++ stamped ++ stampedData)))
   }
 
+  /** EQUALITY-DELETE upsert commit ([[GraftDvTable]], the Iceberg-v2
+    * upsert shape): each task wrote ordinary data files (the new row
+    * versions) plus an `eq-` delete file holding the DISTINCT key
+    * tuples it upserted — NO position scan happened. The eq entries
+    * are FENCED at the pre-commit base-file count: they kill matching
+    * rows only in files that existed before this commit, so a batch
+    * can never delete its own inserts, and the next epoch's fence
+    * covers this one's files. Resolution to positions happens at READ
+    * (per-file key-set probe) and at COMPACT (which folds everything
+    * away) — write cost is O(batch), the streaming-upsert contract.
+    * Streaming epochs dedupe by (queryId, epochId) exactly like
+    * [[commitStreamEpoch]]: a replayed epoch drops whole. */
+  private[graft] def commitEqDelta(eq: Seq[GraftFileRef],
+      data: Seq[GraftFileRef], queryId: String = "",
+      epochId: Long = Long.MinValue): Unit = commitLoop { () =>
+    if (queryId.nonEmpty &&
+        epochId <= state.epochHW.getOrElse(queryId, Long.MinValue)) {
+      (eq ++ data).foreach(f =>
+        Files.deleteIfExists(Paths.get(f.path)): Unit) // deduped replay
+      None
+    } else {
+      val fence = curFiles.length
+      val fencedEq = eq.map(_.copy(fence = fence,
+        ver = state.nextVersion)).toVector
+      val stampedData = data.map(_.copy(ver = state.nextVersion)).toVector
+      val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
+        curFiles ++ data, curDelta ++ fencedEq)
+      val next = state.copy(
+        snapshots = retainWindow(state.snapshots :+ snap),
+        nextVersion = state.nextVersion + 1,
+        changeLog = state.changeLog ++ fencedEq ++ stampedData)
+      Some(trimChange(
+        if (queryId.isEmpty) next
+        else next.copy(epochHW = next.epochHW + (queryId -> epochId))))
+    }
+  }
+
   private[catalog] def commitDelta(delta: Seq[GraftFileRef]): Unit =
     commitLoop { () =>
       // fence each delta file at the CURRENT base-file count: its

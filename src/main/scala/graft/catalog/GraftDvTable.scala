@@ -188,12 +188,18 @@ class GraftDvTable(ident: String, dir: NioPath,
   /** GC keep-set addition: base files that retained change-ledger
     * vectors resolve against must outlive their snapshots, or the feed
     * window silently narrows. O(retained tombstones), explicit-GC-only
-    * cost. */
+    * cost. (Equality-delete entries resolve against RETAINED-snapshot
+    * file lists, which GC already keeps whole.) */
   override protected def gcExtraLive(st: GraftTableState): Set[String] = {
     val vecs = st.changeLog.filter(GraftDvTable.isVectorRef)
     if (vecs.isEmpty) Set.empty
     else GraftDvTable.foldVectors(vecs).keySet
   }
+
+  /** The base-file list of the retained snapshot at `ver` — what an
+    * equality-delete ledger entry's fence indexes into. */
+  private[catalog] def snapshotFilesAt(ver: Int): Option[Vector[GraftFileRef]] =
+    stateNow.snapshots.find(_.version == ver).map(_.files)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     refreshFromDisk()
@@ -209,9 +215,11 @@ class GraftDvTable(ident: String, dir: NioPath,
         bucketSpec, sortColumns ++ zorderColumns)
     else {
       guardFoldBound(delta)
+      val (eqs, vecs) = delta.partition(GraftDvTable.isEqRef)
       new GraftDvScanBuilder(st.schema, files,
-        GraftDvTable.foldVectors(delta), partSpecEncoded, bucketSpec,
-        sortColumns ++ zorderColumns)
+        GraftDvTable.foldVectors(vecs), partSpecEncoded, bucketSpec,
+        sortColumns ++ zorderColumns,
+        GraftDvTable.foldEq(eqs, st.schema))
     }
   }
 
@@ -248,15 +256,18 @@ class GraftDvTable(ident: String, dir: NioPath,
         val st = stateNow
         scanVersion = st.current.map(_.version).getOrElse(-1)
         // the DML scan folds the vectors too — same bound, same cure
-        guardFoldBound(
-          st.current.map(_.deltaFiles).getOrElse(Vector.empty))
+        val delta = st.current.map(_.deltaFiles).getOrElse(Vector.empty)
+        guardFoldBound(delta)
+        val (eqs, vecs) = delta.partition(GraftDvTable.isEqRef)
         // ALWAYS the DV-aware builder (even with no live vectors): the
-        // rewrite needs _pos, which only this scan's readers emit
+        // rewrite needs _pos, which only this scan's readers emit.
+        // Equality deletes apply here too — a positional rewrite must
+        // never resurrect an upsert-superseded row.
         new GraftDvScanBuilder(st.schema,
           st.current.map(_.files).getOrElse(Vector.empty),
-          GraftDvTable.foldVectors(
-            st.current.map(_.deltaFiles).getOrElse(Vector.empty)),
-          partSpecEncoded, bucketSpec, sortColumns ++ zorderColumns)
+          GraftDvTable.foldVectors(vecs),
+          partSpecEncoded, bucketSpec, sortColumns ++ zorderColumns,
+          GraftDvTable.foldEq(eqs, st.schema))
       }
       override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
         new DeltaWriteBuilder {
@@ -294,6 +305,72 @@ class GraftDvTable(ident: String, dir: NioPath,
       (GraftStorage.ordinalByName(schema().fieldNames.toIndexedSeq, c), n)
     case None => (-1, 0)
   }
+
+  // ---- equality-delete upsert path (VERDICT r14 item 7) ----------------
+
+  private def eqLive: Boolean =
+    stateNow.current.exists(_.deltaFiles.exists(GraftDvTable.isEqRef))
+
+  // EQUALITY-DELETE FENCES BIND BY FILE INDEX (count of base files at
+  // commit): any operation that REMOVES base files while eq entries
+  // live would shift indices and re-aim the fences — refused loudly,
+  // compact first. Positional vectors are path-keyed and unaffected;
+  // full compaction clears everything and is always the cure.
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    !eqLive && super.canDeleteWhere(predicates)
+  override protected def validateDynamicOverwrite(): Unit =
+    require(!eqLive,
+      "dynamic partition overwrite on a deletion-vector table with " +
+        "live equality-delete entries would shift the index-bound " +
+        "fences — CALL system.compact first")
+
+  /** UPSERT write mode: `option("graft.upsert_keys", "k1[,k2]")` on an
+    * append (batch `writeTo(...).append()` or `writeStream.toTable`)
+    * turns every written row into key-delete-then-insert WITHOUT a
+    * position scan (Iceberg v2 equality-delete semantics, the Flink-
+    * CDC-into-Iceberg upsert shape): each task writes its data files
+    * normally plus one `eq-` file of the DISTINCT key tuples it wrote;
+    * [[GraftTable.commitEqDelta]] fences them at the pre-commit base
+    * count so a batch never deletes its own inserts. Key columns must
+    * be long/int/string (the row-id discipline); null keys reject at
+    * write. Write cost is O(batch) — the id-less streaming-upsert
+    * contract this table kind existed for. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    Option(info.options.get("graft.upsert_keys")) match {
+      case None => super.newWriteBuilder(info)
+      case Some(spec) =>
+        val names = schema().fieldNames.toIndexedSeq
+        val keyCols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+          .toVector.map { c =>
+            val o = GraftStorage.ordinalByName(names, c)
+            require(o >= 0,
+              s"graft.upsert_keys column $c not in ${schema().catalogString}")
+            GraftDeltaTable.requireIdType(schema().fields(o).dataType, c)
+            names(o)
+          }
+        require(keyCols.nonEmpty, "graft.upsert_keys must name at " +
+          "least one column")
+        require(keyCols.distinct.size == keyCols.size,
+          s"graft.upsert_keys lists a column twice: $spec")
+        new GraftDvUpsertWriteBuilder(this, info.schema(), info.queryId(),
+          keyCols)
+    }
+
+  private[catalog] def upsertWriterFactory(incoming: StructType,
+      keyCols: Vector[String]): GraftDvUpsertWriterFactory = {
+    val inNames = incoming.fieldNames.toIndexedSeq
+    val keyOrds = keyCols.map { c =>
+      val o = GraftStorage.ordinalByName(inNames, c)
+      require(o >= 0,
+        s"graft.upsert_keys column $c missing from the written " +
+          s"columns ${incoming.fieldNames.mkString(", ")}")
+      o
+    }.toArray
+    new GraftDvUpsertWriterFactory(dataDir, deltaDir, incoming, schema(),
+      keyOrds, keyCols, partWriterSpec, bucketWriterSpec, bloomColumns,
+      compiledGeneratedCols(org.apache.spark.sql.SparkSession.active))
+  }
 }
 
 object GraftDvTable {
@@ -307,6 +384,87 @@ object GraftDvTable {
     * collide. */
   private[catalog] def isVectorRef(f: GraftFileRef): Boolean =
     f.cols == Vector("__file", "__pos")
+
+  /** Is this delta/ledger entry an EQUALITY-DELETE file (the upsert
+    * write path)? Marked by filename — an eq file's columns are real
+    * table key columns, so the column list can't distinguish it. */
+  private[catalog] def isEqRef(f: GraftFileRef): Boolean = {
+    val slash = f.path.lastIndexOf('/')
+    f.path.startsWith("eq-", slash + 1)
+  }
+
+  /** One equality-delete entry, folded: kill every row whose `keyCols`
+    * tuple is in `keys`, in base files BELOW `fence` (files that
+    * existed when the upsert committed — later files, including the
+    * upsert's own inserts, are exempt). Key values are canonical JVM
+    * values ([[GraftDeltaTable.idValue]]); multi-column keys fold as
+    * `Vector[AnyRef]`. */
+  private[catalog] final case class EqDeletes(fence: Int,
+      keyCols: Vector[String], keys: java.util.HashSet[AnyRef])
+
+  /** Driver-side fold of the equality-delete files — O(upserted keys),
+    * bounded by compaction cadence, the eq sibling of [[foldVectors]]. */
+  private[catalog] def foldEq(eq: Vector[GraftFileRef],
+      tableSchema: StructType): Vector[EqDeletes] =
+    eq.map { f =>
+      val names = tableSchema.fieldNames.toIndexedSeq
+      val fields = f.cols.map { c =>
+        val o = GraftStorage.ordinalByName(names, c)
+        require(o >= 0,
+          s"equality-delete key column $c not in " +
+            tableSchema.catalogString)
+        tableSchema.fields(o)
+      }
+      val ks = StructType(fields.map(_.copy(nullable = false)))
+      val set = new java.util.HashSet[AnyRef]()
+      val it = new GraftStorage.FileIterator(f.path, f.cols, ks, f.rows,
+        fileColIds = f.colIds)
+      try it.foreach { r =>
+        val v: AnyRef =
+          if (f.cols.size == 1)
+            GraftDeltaTable.idValue(r, 0, fields(0).dataType)
+          else Vector.tabulate(f.cols.size)(i =>
+            GraftDeltaTable.idValue(r, i, fields(i).dataType))
+        set.add(v): Unit
+      } finally it.close()
+      EqDeletes(f.fence, f.cols, set)
+    }
+
+  /** Key-set narrowing for ONE base file: single-column keys outside
+    * the file's recorded min/max can't match — ship only the keys the
+    * file could contain (the [[GraftMorScan.idsFor]] discipline).
+    * Multi-column keys and stat-less files ship whole. */
+  private[catalog] def narrowKeys(f: GraftFileRef,
+      tableSchema: StructType, e: EqDeletes): java.util.HashSet[AnyRef] = {
+    if (e.keyCols.size != 1) return e.keys
+    val names = tableSchema.fieldNames.toIndexedSeq
+    val o = GraftStorage.ordinalByName(names, e.keyCols.head)
+    if (o < 0) return e.keys
+    val fld = tableSchema.fields(o)
+    val fo = GraftStorage.refOrdinal(f, fld)
+    if (fo < 0) return new java.util.HashSet[AnyRef]() // col absent: null
+    f.stats.get(f.cols(fo)) match {
+      case Some(st) if st.min.isDefined && st.max.isDefined =>
+        try {
+          val lo = GraftStorage.statFromString(fld.dataType, st.min.get)
+          val hi = GraftStorage.statFromString(fld.dataType, st.max.get)
+          def cmpVal(v: AnyRef): Any = fld.dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              UTF8String.fromString(v.asInstanceOf[String])
+            case _ => v
+          }
+          val out = new java.util.HashSet[AnyRef]()
+          e.keys.forEach { k =>
+            val c = cmpVal(k)
+            if (GraftStorage.typedCompare(fld.dataType, c, lo) >= 0 &&
+                GraftStorage.typedCompare(fld.dataType, c, hi) <= 0)
+              out.add(k): Unit
+          }
+          out
+        } catch { case _: Exception => e.keys }
+      case _ => e.keys
+    }
+  }
 
   /** Driver-side fold of the live vectors: path -> SORTED DISTINCT
     * deleted positions. O(deleted positions), bounded by compaction
@@ -362,8 +520,12 @@ class GraftDvSnapshotTable(ident: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (delta.isEmpty)
       new GraftDvCowScanBuilder(tableSchema, files, Nil, None, Nil)
-    else new GraftDvScanBuilder(tableSchema, files,
-      GraftDvTable.foldVectors(delta))
+    else {
+      val (eqs, vecs) = delta.partition(GraftDvTable.isEqRef)
+      new GraftDvScanBuilder(tableSchema, files,
+        GraftDvTable.foldVectors(vecs),
+        eq = GraftDvTable.foldEq(eqs, tableSchema))
+    }
 }
 
 /** Scan builder for a DV table with NO live vectors: inherits every
@@ -398,7 +560,8 @@ private[catalog] class GraftDvCowScanBuilder(tableSchema: StructType,
         bucketSurvives(f) && fileColSurvives(f) &&
           all.forall(GraftStorage.mayMatch(tableSchema, f, _)) &&
           v2Only.forall(GraftV2Preds.mayMatch(tableSchema, f, _)))
-      new GraftDvScan(tableSchema, required, accepted, surviving,
+      new GraftDvScan(tableSchema, required, accepted,
+        surviving.zipWithIndex,
         Map.empty, skipped = files.size - surviving.size, partCols,
         bucketSpec, clusterCols)
     }
@@ -416,7 +579,8 @@ class GraftDvScanBuilder(tableSchema: StructType,
     files: Vector[GraftFileRef], dv: Map[String, Array[Long]],
     partCols: Seq[String] = Nil,
     bucketSpec: Option[(String, Int)] = None,
-    clusterCols: Seq[String] = Nil)
+    clusterCols: Seq[String] = Nil,
+    eq: Vector[GraftDvTable.EqDeletes] = Vector.empty)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -439,23 +603,29 @@ class GraftDvScanBuilder(tableSchema: StructType,
     accepted
 
   override def build(): Scan = {
-    val surviving = files.filter(f =>
-      accepted.forall(GraftStorage.mayMatch(tableSchema, f, _)))
+    // ORIGINAL snapshot indices survive the skip filter: equality-
+    // delete fences bind by position in the full base-file vector
+    val surviving = files.zipWithIndex.filter { case (f, _) =>
+      accepted.forall(GraftStorage.mayMatch(tableSchema, f, _)) }
     new GraftDvScan(tableSchema, required, accepted, surviving, dv,
       skipped = files.size - surviving.size, partCols, bucketSpec,
-      clusterCols)
+      clusterCols, eq)
   }
 }
 
 class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    files: Vector[GraftFileRef], dv: Map[String, Array[Long]],
+    indexedFiles: Vector[(GraftFileRef, Int)],
+    dv: Map[String, Array[Long]],
     skipped: Int, partCols: Seq[String] = Nil,
     bucketSpec: Option[(String, Int)] = None,
-    clusterCols: Seq[String] = Nil)
+    clusterCols: Seq[String] = Nil,
+    eq: Vector[GraftDvTable.EqDeletes] = Vector.empty)
     extends Scan with Batch
     with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
+
+  private def files: Vector[GraftFileRef] = indexedFiles.map(_._1)
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -468,7 +638,8 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
   // skipped file's deleted positions are simply unused), and surviving
   // files still apply their vectors. Without this, the vector window
   // after a DELETE would silently cost a full fact scan per star join.
-  @volatile private var runtimeFiles: Vector[GraftFileRef] = files
+  @volatile private var runtimeFiles: Vector[(GraftFileRef, Int)] =
+    indexedFiles
 
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
@@ -482,10 +653,10 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    runtimeFiles = runtimeFiles.filter(f =>
+    runtimeFiles = runtimeFiles.filter { case (f, _) =>
       predicates.forall(p =>
         GraftV2Preds.bucketMayMatch(tableSchema, bucketSpec, f, p) &&
-          GraftV2Preds.mayMatch(tableSchema, f, p)))
+          GraftV2Preds.mayMatch(tableSchema, f, p)) }
 
   private[graft] def plannedFileCount: Int = files.size
   private[graft] def runtimeFileCount: Int = runtimeFiles.size
@@ -500,10 +671,18 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
   // never be guessed from a byte split).
   override def planInputPartitions(): Array[InputPartition] = {
     val target = GraftScan.splitTargetBytesNow
-    runtimeFiles.flatMap { f =>
+    runtimeFiles.flatMap { case (f, idx) =>
       val dels = dv.getOrElse(f.path, Array.emptyLongArray)
+      // equality deletes applicable to THIS file: fence strictly above
+      // its snapshot index (files the upsert had already seen), keys
+      // narrowed by the file's stats where a single-column key allows
+      val eqDels: Seq[(Vector[String], java.util.HashSet[AnyRef])] =
+        eq.collect { case e if idx < e.fence =>
+          (e.keyCols, GraftDvTable.narrowKeys(f, tableSchema, e))
+        }.filter(!_._2.isEmpty)
       if (f.bytes <= target || f.bytes <= 0 || f.groups.isEmpty)
-        Seq(GraftDvFilePartition(f.path, f.cols, f.rows, f.colIds, dels))
+        Seq(GraftDvFilePartition(f.path, f.cols, f.rows, f.colIds, dels,
+          eqDels = eqDels))
       else {
         val ranges = GraftStorage.rangesFromGroups(f.groups, target)
         // posBase per range = rows of all groups strictly before the
@@ -511,7 +690,7 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
         var cum = 0L
         ranges.map { case (s, e, r) =>
           val p = GraftDvFilePartition(f.path, f.cols, r, f.colIds, dels,
-            rangeStart = s, rangeEnd = e, posBase = cum)
+            rangeStart = s, rangeEnd = e, posBase = cum, eqDels = eqDels)
           cum += r
           p
         }
@@ -540,13 +719,15 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
 
   override def description(): String =
     s"GraftDvScan(${files.size} files, $skipped skipped, " +
-      s"${dv.valuesIterator.map(_.length).sum} deleted positions)"
+      s"${dv.valuesIterator.map(_.length).sum} deleted positions, " +
+      s"${eq.map(_.keys.size).sum} equality-delete keys)"
 }
 
 case class GraftDvFilePartition(path: String, cols: Vector[String],
     rows: Long, colIds: Vector[Int], dels: Array[Long],
     rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
-    posBase: Long = 0L)
+    posBase: Long = 0L,
+    eqDels: Seq[(Vector[String], java.util.HashSet[AnyRef])] = Nil)
     extends InputPartition
 
 /** DV reader: iterate the file in PHYSICAL order (no in-parquet
@@ -562,18 +743,49 @@ class GraftDvReaderFactory(tableSchema: StructType,
   // synthesized here, never requested from the file)
   private val dataRequired = StructType(requiredSchema.fields
     .filterNot(f => f.name == "_file" || f.name == "_pos"))
-  private val fileSchema: StructType =
-    GraftStorage.projectionSchema(tableSchema, dataRequired, filters,
-      Set.empty)
-  private val neededSchema: StructType =
-    StructType(fileSchema.fields :+
-      StructField("_pos", LongType, nullable = false))
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftDvFilePartition]
+    // equality-delete key columns must be READ even when the query
+    // didn't ask for them (the MOR idCol discipline); the pipeline's
+    // projection drops them afterwards
+    val fileSchema: StructType =
+      GraftStorage.projectionSchema(tableSchema, dataRequired, filters,
+        fp.eqDels.flatMap(_._1).toSet)
+    val neededSchema: StructType =
+      StructType(fileSchema.fields :+
+        StructField("_pos", LongType, nullable = false))
     val it = new GraftStorage.FileIterator(fp.path, fp.cols, fileSchema,
       fp.rows, fp.rangeStart, fp.rangeEnd, fileColIds = fp.colIds)
     val dels = fp.dels
+    // equality probes, bound to the FILE-schema ordinals once
+    val fileNames = fileSchema.fieldNames.toIndexedSeq
+    val eqProbes: Array[(Array[(Int, org.apache.spark.sql.types.DataType)],
+        java.util.HashSet[AnyRef])] =
+      fp.eqDels.map { case (keyCols, keys) =>
+        (keyCols.map { c =>
+          val o = GraftStorage.ordinalByName(fileNames, c)
+          (o, fileSchema.fields(o).dataType)
+        }.toArray, keys)
+      }.toArray
+    def eqDead(r: InternalRow): Boolean = {
+      var i = 0
+      while (i < eqProbes.length) {
+        val (ords, keys) = eqProbes(i)
+        // a null key component never matches (upsert writes reject
+        // null keys, so no tombstone can bind to one)
+        if (!ords.exists(o => r.isNullAt(o._1))) {
+          val v: AnyRef =
+            if (ords.length == 1)
+              GraftDeltaTable.idValue(r, ords(0)._1, ords(0)._2)
+            else Vector.tabulate(ords.length)(j =>
+              GraftDeltaTable.idValue(r, ords(j)._1, ords(j)._2))
+          if (keys.contains(v)) return true
+        }
+        i += 1
+      }
+      false
+    }
     val posRow = new GenericInternalRow(1)
     val joined = new JoinedRow()
     val wrapped = new Iterator[InternalRow] {
@@ -583,8 +795,9 @@ class GraftDvReaderFactory(tableSchema: StructType,
         if (cur != null) return true
         while (it.hasNext) {
           val r = it.next()
-          pos += 1
-          if (java.util.Arrays.binarySearch(dels, pos) < 0) {
+          pos += 1 // ordinals count every PHYSICAL row, drops included
+          if (java.util.Arrays.binarySearch(dels, pos) < 0 &&
+              (eqProbes.length == 0 || !eqDead(r))) {
             posRow.setLong(0, pos)
             cur = joined(r, posRow)
             return true
@@ -658,12 +871,35 @@ class GraftDvChangeFeedScanBuilder(table: GraftDvTable,
 object GraftDvChangeFeed {
   /** Map a change-ledger slice to input partitions: a vector entry
     * becomes per-touched-row-group delete partitions (positions
-    * resolved against the retained base refs), a data entry becomes
-    * one op-0 insert partition. */
+    * resolved against the retained base refs), an EQUALITY-delete
+    * entry becomes per-under-fence-base-file key-probe partitions
+    * (each emits its matching rows as op-2 delete-rows — a key
+    * upserted twice may re-surface an already-dead row as a duplicate
+    * delete op, which a key-collapsed MERGE apply absorbs), and a
+    * data entry becomes one op-0 insert partition. */
   private[catalog] def partitions(slice: Vector[GraftFileRef],
-      refs: Map[String, GraftFileRef]): Array[InputPartition] =
+      table: GraftDvTable): Array[InputPartition] = {
+    lazy val refs = table.baseRefByPath
+    lazy val tableSchema = table.schema()
     slice.flatMap { entry =>
-      if (!GraftDvTable.isVectorRef(entry))
+      if (GraftDvTable.isEqRef(entry)) {
+        // the files the fence covered live in the snapshot AT the
+        // entry's commit version — retention must still hold it
+        val snapFiles = table.snapshotFilesAt(entry.ver)
+          .getOrElse(throw new IllegalStateException(
+            s"change entry (version ${entry.ver}) predates the " +
+              "retained snapshot window — the feed cannot resolve its " +
+              "equality deletes; reseed from a snapshot"))
+        val e = GraftDvTable.foldEq(Vector(entry), tableSchema).head
+        snapFiles.take(entry.fence).flatMap { f =>
+          val keys = GraftDvTable.narrowKeys(f, tableSchema, e)
+          if (keys.isEmpty) None
+          else Some(GraftDvChangeEqDeletePartition(f.path, f.cols,
+            f.rows, f.colIds, e.keyCols, keys, entry.ver)
+            : InputPartition)
+        }
+      }
+      else if (!GraftDvTable.isVectorRef(entry))
         Seq(GraftDvChangeInsertPartition(entry.path, entry.cols,
           entry.rows, entry.colIds, entry.ver): InputPartition)
       else
@@ -704,6 +940,7 @@ object GraftDvChangeFeed {
             }
           }
     }.toArray
+  }
 }
 
 class GraftDvChangeFeedScan(table: GraftDvTable, feedSchema: StructType,
@@ -714,8 +951,7 @@ class GraftDvChangeFeedScan(table: GraftDvTable, feedSchema: StructType,
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    GraftDvChangeFeed.partitions(bounds.slice(table.stateNow),
-      table.baseRefByPath)
+    GraftDvChangeFeed.partitions(bounds.slice(table.stateNow), table)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDvChangeFeedReaderFactory(feedSchema, requiredSchema)
   override def description(): String = {
@@ -777,8 +1013,7 @@ class GraftDvChangeFeedStream(table: GraftDvTable, feedSchema: StructType,
       s"offset $e beyond change ledger " +
         s"(${st.changeBase + st.changeLog.size})")
     GraftDvChangeFeed.partitions(
-      st.changeLog.slice(s - st.changeBase, e - st.changeBase),
-      table.baseRefByPath)
+      st.changeLog.slice(s - st.changeBase, e - st.changeBase), table)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDvChangeFeedReaderFactory(feedSchema, requiredSchema)
@@ -793,6 +1028,10 @@ case class GraftDvChangeDeletePartition(path: String,
     cols: Vector[String], rows: Long, colIds: Vector[Int],
     dels: Array[Long], rangeStart: Long, rangeEnd: Long, posBase: Long,
     ver: Int) extends InputPartition
+case class GraftDvChangeEqDeletePartition(path: String,
+    cols: Vector[String], rows: Long, colIds: Vector[Int],
+    keyCols: Vector[String], keys: java.util.HashSet[AnyRef], ver: Int)
+    extends InputPartition
 
 /** Feed readers: insert partitions stream their data file with
   * `__op = 0` bound as a partition constant; delete partitions stream
@@ -844,6 +1083,30 @@ class GraftDvChangeFeedReaderFactory(feedSchema: StructType,
         }
         new GraftRowPipeline(fileSchema, requiredSchema, Array.empty,
           wrapped, it, Map("__op" -> 2, "__ver" -> del.ver))
+      case eqp: GraftDvChangeEqDeletePartition =>
+        // key columns must be read even when the consumer pruned them
+        val eqFileSchema = GraftStorage.projectionSchema(dataSchema,
+          dataRequired, Array.empty, eqp.keyCols.toSet)
+        val it = new GraftStorage.FileIterator(eqp.path, eqp.cols,
+          eqFileSchema, eqp.rows, fileColIds = eqp.colIds)
+        val names = eqFileSchema.fieldNames.toIndexedSeq
+        val ords = eqp.keyCols.map { c =>
+          val o = GraftStorage.ordinalByName(names, c)
+          (o, eqFileSchema.fields(o).dataType)
+        }.toArray
+        val keys = eqp.keys
+        val wrapped = it.filter { r =>
+          !ords.exists(o => r.isNullAt(o._1)) && {
+            val v: AnyRef =
+              if (ords.length == 1)
+                GraftDeltaTable.idValue(r, ords(0)._1, ords(0)._2)
+              else Vector.tabulate(ords.length)(j =>
+                GraftDeltaTable.idValue(r, ords(j)._1, ords(j)._2))
+            keys.contains(v)
+          }
+        }
+        new GraftRowPipeline(eqFileSchema, requiredSchema, Array.empty,
+          wrapped, it, Map("__op" -> 2, "__ver" -> eqp.ver))
       case other =>
         throw new IllegalStateException(s"unexpected partition $other")
     }
@@ -852,6 +1115,156 @@ class GraftDvChangeFeedReaderFactory(feedSchema: StructType,
 case class GraftDvCommitMsg(dvFiles: Seq[GraftFileRef],
     dataFiles: Seq[GraftFileRef], refPaths: Seq[String])
     extends WriterCommitMessage
+
+case class GraftEqCommitMsg(eqFiles: Seq[GraftFileRef],
+    dataFiles: Seq[GraftFileRef]) extends WriterCommitMessage
+
+/** Upsert write ([[GraftDvTable.newWriteBuilder]] with
+  * `graft.upsert_keys`): batch appends and streaming epochs share one
+  * factory; the streaming side dedupes replayed epochs by
+  * (queryId, epochId) inside [[GraftTable.commitEqDelta]]. */
+class GraftDvUpsertWriteBuilder(table: GraftDvTable,
+    incoming: StructType, queryId: String, keyCols: Vector[String])
+    extends WriteBuilder {
+
+  private def collect(messages: Array[WriterCommitMessage])
+      : (Seq[GraftFileRef], Seq[GraftFileRef]) = {
+    val ms = messages.toSeq.collect { case m: GraftEqCommitMsg => m }
+    (ms.flatMap(_.eqFiles), ms.flatMap(_.dataFiles))
+  }
+  private def deleteAll(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftEqCommitMsg(eq, data) =>
+        (eq ++ data).foreach(f =>
+          Files.deleteIfExists(Paths.get(f.path)): Unit)
+      case _ => ()
+    }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        table.upsertWriterFactory(incoming, keyCols)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val (eq, data) = collect(messages)
+        table.commitEqDelta(eq, data)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        deleteAll(messages)
+    }
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        override def createStreamingWriterFactory(
+            info: PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+          table.upsertWriterFactory(incoming, keyCols)
+        override def commit(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = {
+          val (eq, data) = collect(messages)
+          table.commitEqDelta(eq, data, queryId, epochId)
+        }
+        override def abort(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit =
+          deleteAll(messages)
+      }
+    override def description(): String =
+      s"GraftDvUpsertWrite(${table.name()}, keys=${keyCols.mkString(",")})"
+  }
+}
+
+/** Per-task upsert writer: rows stream through the table's ordinary
+  * writer factory (partition splitting / stats / blooms / buckets /
+  * generated columns all hold), while the task accumulates the
+  * DISTINCT key tuples it saw; commit writes them as one sorted-free
+  * `eq-` delete file. Null keys reject — a null key cannot match the
+  * row it replaces. */
+class GraftDvUpsertWriterFactory(dataDir: String, deltaDir: String,
+    incoming: StructType, target: StructType, keyOrds: Array[Int],
+    keyCols: Vector[String], partSpec: Array[(Int, String)],
+    bucketSpec: (Int, Int), bloomCols: Seq[String],
+    genCols: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  private def keySchema: StructType = {
+    val names = target.fieldNames.toIndexedSeq
+    StructType(keyCols.map { c =>
+      target.fields(GraftStorage.ordinalByName(names, c))
+        .copy(nullable = false)
+    })
+  }
+
+  // built on the DRIVER (it resolves session conf at construction),
+  // serialized to executors with this factory
+  private val innerFactory = new GraftWriterFactory(dataDir, incoming,
+    target, partSpec, bucketSpec._1, bucketSpec._2, bloomCols, genCols)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val inner = innerFactory.createWriter(partitionId, taskId)
+    private val keyDts = keyOrds.map(o => incoming.fields(o).dataType)
+    private val keys = new java.util.LinkedHashSet[AnyRef]()
+
+    override def write(row: InternalRow): Unit = {
+      var i = 0
+      while (i < keyOrds.length) {
+        require(!row.isNullAt(keyOrds(i)),
+          s"graft.upsert_keys column ${keyCols(i)} is null — a null " +
+            "key cannot match the row it replaces")
+        i += 1
+      }
+      val v: AnyRef =
+        if (keyOrds.length == 1)
+          GraftDeltaTable.idValue(row, keyOrds(0), keyDts(0))
+        else Vector.tabulate(keyOrds.length)(j =>
+          GraftDeltaTable.idValue(row, keyOrds(j), keyDts(j)))
+      keys.add(v): Unit
+      inner.write(row)
+    }
+
+    override def commit(): WriterCommitMessage = {
+      val dataRefs = inner.commit() match {
+        case GraftFileCommitMsg(fs) => fs
+        case other =>
+          throw new IllegalStateException(s"unexpected commit $other")
+      }
+      val eqRefs =
+        if (keys.isEmpty) Nil
+        else {
+          val ks = keySchema
+          val w = new GraftStorage.FileWriter(
+            deltaDir + "/eq-" + UUID.randomUUID().toString + ".parquet",
+            ks)
+          val buf = new GenericInternalRow(ks.length)
+          keys.forEach { k =>
+            val parts: Seq[AnyRef] = k match {
+              case v: Vector[_] => v.asInstanceOf[Vector[AnyRef]]
+              case single => Seq(single)
+            }
+            var i = 0
+            parts.foreach { p =>
+              buf.update(i, p match {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              })
+              i += 1
+            }
+            w.write(buf)
+          }
+          Seq(w.closeAndRef())
+        }
+      GraftEqCommitMsg(eqRefs, dataRefs)
+    }
+
+    override def abort(): Unit = inner.abort()
+    override def close(): Unit = ()
+  }
+}
 
 /** Per-task DV delta writer: buffers (file, position) tombstones,
   * routes inserted rows through the table's ordinary
