@@ -252,10 +252,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val gens = columns.filter(_.generationExpression() != null)
     if (gens.isEmpty) return base
     val mode = properties.getOrDefault("graft.mode", "cow").toLowerCase
-    require(mode == "cow",
-      "generated columns are supported on copy-on-write tables only " +
-        "(the MOR delta and DV vector writers ship raw rows and would " +
-        s"bypass recomputation) — got graft.mode='$mode'")
+    // all three storage modes recompute: CoW through the shared writer
+    // factory, DV through the delta write's insert side (UPDATE is
+    // delete + re-insert) and the upsert path, MOR inside the delta
+    // emit — a MOR row id must not itself be generated (the log is
+    // keyed by it before recomputation could run)
+    require(mode == "cow" || mode == "mor" || mode == "dv",
+      s"generated columns are not supported under graft.mode='$mode'")
+    if (mode == "mor") {
+      val idCol = properties.getOrDefault("graft.row_id", "")
+      require(!gens.exists(_.name().equalsIgnoreCase(idCol)),
+        s"graft.row_id column $idCol must not be a generated column — " +
+          "the delta log keys rows by it before recomputation runs")
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val key = org.apache.spark.sql.graftshims.GraftShims
       .generationExpressionKey

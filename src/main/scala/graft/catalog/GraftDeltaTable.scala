@@ -218,7 +218,9 @@ class GraftDeltaTable(ident: String, dir: NioPath,
               override def createBatchWriterFactory(
                   pinfo: PhysicalWriteInfo): DeltaWriterFactory =
                 new GraftDeltaWriterFactory(deltaDir, deltaSchema,
-                  schema(), idType, idOrdinal)
+                  schema(), idType, idOrdinal,
+                  compiledGeneratedCols(
+                    org.apache.spark.sql.SparkSession.active))
               override def commit(messages: Array[WriterCommitMessage]): Unit =
                 commitDelta(messages.toSeq.flatMap {
                   case GraftFileCommitMsg(refs) => refs
@@ -744,7 +746,9 @@ class GraftChangeFeedStream(table: GraftDeltaTable, feedSchema: StructType,
   * <data>`); the commit message carries the file ref, whose `__id`
   * stats later narrow the read-side fold. */
 class GraftDeltaWriterFactory(deltaDir: String, deltaSchema: StructType,
-    tableSchema: StructType, idType: DataType, idOrdinal: Int)
+    tableSchema: StructType, idType: DataType, idOrdinal: Int,
+    genCols: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -772,6 +776,17 @@ class GraftDeltaWriterFactory(deltaDir: String, deltaSchema: StructType,
             if (row == null || row.isNullAt(i)) null
             else row.get(i, tableSchema.fields(i).dataType))
           i += 1
+        }
+        // GENERATED ALWAYS AS: a MERGE/UPDATE delta row arrives with
+        // the stale derived value when a source column changed —
+        // recompute against the data row (expressions are bound to the
+        // table layout, which `row` is)
+        if (row != null) {
+          var g = 0
+          while (g < genCols.length) {
+            buf.update(2 + genCols(g)._1, genCols(g)._2.eval(row))
+            g += 1
+          }
         }
         writer().write(buf)
       }

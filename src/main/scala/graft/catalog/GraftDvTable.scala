@@ -277,7 +277,9 @@ class GraftDvTable(ident: String, dir: NioPath,
                   pinfo: PhysicalWriteInfo): DeltaWriterFactory =
                 new GraftDvWriterFactory(deltaDir, dataDir, schema(),
                   dvSchema, partWriterSpec, bucketWriterSpec,
-                  bloomColumns)
+                  bloomColumns,
+                  compiledGeneratedCols(
+                    org.apache.spark.sql.SparkSession.active))
               override def commit(messages: Array[WriterCommitMessage]): Unit = {
                 val ms = messages.toSeq.collect {
                   case m: GraftDvCommitMsg => m
@@ -1274,13 +1276,19 @@ class GraftDvUpsertWriterFactory(dataDir: String, deltaDir: String,
 class GraftDvWriterFactory(deltaDir: String, dataDir: String,
     tableSchema: StructType, dvSchema: StructType,
     partSpec: Array[(Int, String)], bucketSpec: (Int, Int),
-    bloomCols: Seq[String])
+    bloomCols: Seq[String],
+    genCols: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
+      // an UPDATE's re-insert arrives with the STALE derived value
+      // when a source column changed — recompute without enforcing
+      // (the rewrite-path contract, same as CoW's ReplaceGroups)
       private val inner = new GraftWriterFactory(dataDir, tableSchema,
-        tableSchema, partSpec, bucketSpec._1, bucketSpec._2, bloomCols)
+        tableSchema, partSpec, bucketSpec._1, bucketSpec._2, bloomCols,
+        genCols, enforceGenerated = false)
       private var ins: DataWriter[InternalRow] = _
       private val dels = scala.collection.mutable.LinkedHashMap
         .empty[String, scala.collection.mutable.ArrayBuffer[Long]]

@@ -89,8 +89,85 @@ class GeneratedColumnSpec extends SparkSpec {
       s"$opened files opened")
   }
 
+  test("a DV UPDATE (delete + re-insert) and a MOR MERGE recompute " +
+      "generated columns on the changed rows") {
+    init()
+    // DV: the re-insert lands in a new file with the RECOMPUTED value
+    sql("DROP TABLE IF EXISTS ggen.default.gen_dv")
+    sql("""CREATE TABLE ggen.default.gen_dv
+           (k BIGINT, price DOUBLE,
+            cents BIGINT GENERATED ALWAYS AS (CAST(price * 100 AS BIGINT)))
+           TBLPROPERTIES ('graft.mode'='dv')""")
+    sql("INSERT INTO ggen.default.gen_dv (k, price) " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(1, 5)")
+    sql("UPDATE ggen.default.gen_dv SET price = price + 0.5 WHERE k = 3")
+    assert(sql("SELECT k, cents FROM ggen.default.gen_dv ORDER BY k")
+      .collect().toSeq ==
+      Seq(Row(1L, 100L), Row(2L, 200L), Row(3L, 350L), Row(4L, 400L)))
+    // the equality-upsert path recomputes too (keys only, no scan)
+    spark.sql("SELECT 2L AS k, 9.25 AS price")
+      .writeTo("ggen.default.gen_dv")
+      .option("graft.upsert_keys", "k").append()
+    assert(sql("SELECT cents FROM ggen.default.gen_dv WHERE k = 2")
+      .head().getLong(0) == 925L)
+    // MOR: the MERGE's delta rows carry recomputed derived values
+    sql("DROP TABLE IF EXISTS ggen.default.gen_mor")
+    sql("""CREATE TABLE ggen.default.gen_mor
+           (k BIGINT, price DOUBLE,
+            cents BIGINT GENERATED ALWAYS AS (CAST(price * 100 AS BIGINT)))
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""")
+    sql("INSERT INTO ggen.default.gen_mor (k, price) " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(1, 5)")
+    spark.sql("SELECT 2L AS k, 7.5 AS price UNION ALL SELECT 9L, 1.25")
+      .createOrReplaceTempView("gen_mor_src")
+    sql("""MERGE INTO ggen.default.gen_mor t USING gen_mor_src s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET price = s.price
+           WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)""")
+    assert(sql("SELECT k, cents FROM ggen.default.gen_mor ORDER BY k")
+      .collect().toSeq ==
+      Seq(Row(1L, 100L), Row(2L, 750L), Row(3L, 300L), Row(4L, 400L),
+        Row(9L, 125L)))
+    // compaction preserves the recomputed values
+    sql("CALL ggen.system.compact('default.gen_mor')")
+    assert(sql("SELECT cents FROM ggen.default.gen_mor WHERE k = 2")
+      .head().getLong(0) == 750L)
+  }
+
+  test("a generated PARTITIONED BY column keeps value-pinned files " +
+      "under DV DML: re-inserts split per computed value") {
+    init()
+    sql("DROP TABLE IF EXISTS ggen.default.gen_dvpart")
+    sql("""CREATE TABLE ggen.default.gen_dvpart
+           (k BIGINT, ts TIMESTAMP,
+            yr INT GENERATED ALWAYS AS (CAST(year(ts) AS INT)))
+           PARTITIONED BY (yr)
+           TBLPROPERTIES ('graft.mode'='dv')""")
+    sql("""INSERT INTO ggen.default.gen_dvpart (k, ts)
+           SELECT id, CASE WHEN id % 2 = 0
+                           THEN timestamp'2023-06-01 00:00:00'
+                           ELSE timestamp'2024-06-01 00:00:00' END
+           FROM range(0, 20)""")
+    // UPDATE moves two rows across the partition axis: the re-inserts
+    // must land value-pinned per COMPUTED year
+    sql("""UPDATE ggen.default.gen_dvpart
+           SET ts = timestamp'2025-06-01 00:00:00' WHERE k IN (0, 1)""")
+    val pins = sql(
+      """SELECT stats['yr'].min AS mn, stats['yr'].max AS mx
+         FROM ggen.default.`gen_dvpart$files`""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pins.forall(f => f._1 == f._2),
+      s"every file must stay value-pinned: ${pins.mkString(", ")}")
+    assert(pins.exists(_._1 == "2025"), s"re-insert pinned to the " +
+      s"computed year: ${pins.mkString(", ")}")
+    assert(sql("SELECT count(*) FROM ggen.default.gen_dvpart " +
+      "WHERE yr = 2025").head().getLong(0) == 2L)
+    assert(sql("SELECT count(*) FROM ggen.default.gen_dvpart").head()
+      .getLong(0) == 20L)
+  }
+
   test("CREATE-time rejects: unresolvable, non-deterministic, type " +
-      "mismatch, chained, MOR mode, identity") {
+      "mismatch, chained, generated MOR row id, identity") {
     init()
     def bad(ddl: String, msg: String): Unit = {
       sql("DROP TABLE IF EXISTS ggen.default.gen_bad")
@@ -113,8 +190,8 @@ class GeneratedColumnSpec extends SparkSpec {
       "cannot reference another generated column") // Spark validates
     bad("""CREATE TABLE ggen.default.gen_bad (k BIGINT,
            g BIGINT GENERATED ALWAYS AS (k * 2))
-           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='k')""",
-      "copy-on-write tables only")
+           TBLPROPERTIES ('graft.mode'='mor', 'graft.row_id'='g')""",
+      "must not be a generated column")
     bad("""CREATE TABLE ggen.default.gen_bad
            (k BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)""",
       "identity column")

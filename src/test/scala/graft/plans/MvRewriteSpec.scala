@@ -209,6 +209,67 @@ class MvRewriteSpec extends SparkSpec {
     assert(scansOf(sup).forall(!_.contains("mvr_agg")))
   }
 
+  test("roll-up × filter refusal matrix: predicates on retained and " +
+      "rolled-away GROUP columns serve; anything touching a non-group " +
+      "column (alone or mixed) or non-deterministic refuses") {
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gmv.default.mvf_base")
+    sql("DROP TABLE IF EXISTS gmv.default.mvf_agg")
+    sql("CREATE TABLE gmv.default.mvf_base (day STRING, k STRING, " +
+      "v BIGINT)")
+    sql("""INSERT INTO gmv.default.mvf_base VALUES
+      ('d1', 'a', 1), ('d1', 'b', 2), ('d2', 'a', 4), ('d2', 'b', 8)""")
+    sql("""CREATE TABLE gmv.default.mvf_agg
+           (day STRING, k STRING, sum_v BIGINT, n BIGINT)
+           TBLPROPERTIES ('graft.mv.of' = 'default/mvf_base',
+             'graft.mv.group' = 'day,k',
+             'graft.mv.agg' = 'sum:v:sum_v,count:*:n')""")
+    sql("""INSERT OVERWRITE gmv.default.mvf_agg
+           SELECT day, k, SUM(v), COUNT(*)
+           FROM gmv.default.mvf_base GROUP BY day, k""")
+    val vNow = sql("SHOW TBLPROPERTIES gmv.default.mvf_base").collect()
+      .collectFirst { case r if r.getString(0) == "graft.current_version" =>
+        r.getString(1) }.get
+    sql(s"""ALTER TABLE gmv.default.mvf_agg
+            SET TBLPROPERTIES ('graft.mv.base_version' = '$vNow')""")
+    sql("""ALTER TABLE gmv.default.mvf_base
+           SET TBLPROPERTIES ('graft.mv.tables' = 'mvf_agg')""")
+    def served(where: String): Boolean = {
+      val df = sql(s"""SELECT day, SUM(v) AS sv
+                       FROM gmv.default.mvf_base $where
+                       GROUP BY day""")
+      scansOf(df).exists(_.contains("mvf_agg"))
+    }
+    def truthChecked(where: String): Unit = {
+      val q = s"""SELECT day, SUM(v) AS sv FROM gmv.default.mvf_base
+                  $where GROUP BY day ORDER BY day"""
+      val got = sql(q).collect().toSeq
+      spark.conf.set("spark.graft.mvRewrite", "false")
+      val truth = try sql(q).collect().toSeq
+        finally spark.conf.unset("spark.graft.mvRewrite")
+      assert(got == truth, s"$where: $got vs $truth")
+    }
+    // SERVE: retained group column, rolled-away group column, both
+    assert(served("WHERE day = 'd1'"), "retained group col must serve")
+    assert(served("WHERE k = 'a'"), "rolled-away group col must serve")
+    assert(served("WHERE day = 'd1' AND k = 'a'"),
+      "conjunction over group cols must serve")
+    Seq("WHERE day = 'd1'", "WHERE k = 'a'",
+      "WHERE day = 'd1' AND k = 'a'").foreach(truthChecked)
+    // REFUSE: the partials cannot express a non-group predicate —
+    // SUM(v) WHERE v > 2 is not derivable from per-(day,k) sums
+    assert(!served("WHERE v > 2"), "non-group predicate must refuse")
+    assert(!served("WHERE k = 'a' AND v > 2"),
+      "group × non-group conjunction must refuse")
+    // (a tautology like rand() < 2.0 is constant-folded away before
+    // the rule runs — that's sound; a REAL random filter must refuse)
+    assert(!served("WHERE rand() < 0.5"),
+      "non-deterministic predicate must refuse")
+    truthChecked("WHERE v > 2")
+    truthChecked("WHERE k = 'a' AND v > 2")
+  }
+
   test("group-column TYPE drift between base and MV refuses the " +
       "rewrite (free-form graft.mv.* metadata must never install a " +
       "wrong-typed alias)") {
