@@ -2418,9 +2418,24 @@ class GraftTable(ident: String, val dir: NioPath,
     }
     if (data.nonEmpty && scanVersion >= 0) {
       val since = curDelta.filter(_.ver > scanVersion)
-      if (since.nonEmpty && dv.nonEmpty) {
+      // an EQUALITY-delete (upsert) commit since this operation's scan
+      // may have superseded rows this UPDATE/MERGE re-inserts — and
+      // positions can't be compared against keys, so the race is
+      // conservatively loud (the statement retries against the new
+      // snapshot and re-reads the upserted state)
+      if (since.exists(GraftDvTable.isEqRef)) {
+        (dv ++ data).foreach(f =>
+          Files.deleteIfExists(Paths.get(f.path)): Unit)
+        throw new IllegalStateException(
+          s"concurrent commit conflict on $ident: an equality-delete " +
+            "upsert committed since this UPDATE/MERGE's scan — " +
+            "committing both could duplicate upserted rows; retry the " +
+            "statement against the new snapshot")
+      }
+      val theirVecs = since.filter(GraftDvTable.isVectorRef)
+      if (theirVecs.nonEmpty && dv.nonEmpty) {
         val ours = GraftDvTable.foldVectors(dv.toVector)
-        val theirs = GraftDvTable.foldVectors(since)
+        val theirs = GraftDvTable.foldVectors(theirVecs)
         val clash = ours.exists { case (p, ps) =>
           theirs.get(p).exists(t =>
             ps.exists(x => java.util.Arrays.binarySearch(t, x) >= 0))

@@ -168,4 +168,75 @@ class ConcurrencyStressSpec extends SparkSpec {
     assert(sql(s"SELECT count(*) FROM $t WHERE k >= 20 AND k < 190")
       .head().getLong(0) == 170L)
   }
+
+  test("concurrent equality upserts of the SAME key serialize to " +
+      "exactly one live row (the in-round fence makes the last " +
+      "committer win)") {
+    val t = setup("cs_eq", "TBLPROPERTIES ('graft.mode'='dv')")
+    sql(s"INSERT INTO $t SELECT id, 'seed' FROM range(0, 10)")
+    val errs = inParallel(4) { i =>
+      spark.sql(s"SELECT 5L AS k, 'w$i' AS v").writeTo(t)
+        .option("graft.upsert_keys", "k").append()
+    }
+    assert(errs.isEmpty, s"unexpected: ${errs.map(_.getMessage)}")
+    // 4 upserts of one key: exactly one survivor, no duplicates — the
+    // eq fence is computed INSIDE the commit round, so every later
+    // committer's key-delete covers every earlier committer's insert
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 10L)
+    assert(sql(s"SELECT count(*) FROM $t WHERE k = 5").head()
+      .getLong(0) == 1L)
+    assert(sql(s"SELECT v FROM $t WHERE k = 5").head().getString(0)
+      .startsWith("w"))
+  }
+
+  test("a stale positional UPDATE racing an equality upsert conflicts " +
+      "loudly (positions cannot be reconciled against keys)") {
+    val t = setup("cs_eqpos", "TBLPROPERTIES ('graft.mode'='dv')")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, 'seed' " +
+      "FROM range(0, 10)")
+    val tbl = spark.sessionState.catalogManager.catalog("gst")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), "cs_eqpos"))
+      .asInstanceOf[graft.catalog.GraftDvTable]
+    val scanVer = tbl.stateNow.current.get.version
+    val victim = tbl.stateNow.current.get.files.head.path
+    // the CONCURRENT upsert lands first
+    spark.sql("SELECT 3L AS k, 'up' AS v").writeTo(t)
+      .option("graft.upsert_keys", "k").append()
+    // the STALE positional UPDATE (delete+insert) must now refuse
+    import org.apache.spark.sql.types._
+    val dvSchema = StructType(Seq(
+      StructField("__file", StringType, nullable = false),
+      StructField("__pos", LongType, nullable = false)))
+    def ref(dir: String, schema: StructType,
+        fill: org.apache.spark.sql.catalyst.expressions.GenericInternalRow => Unit) = {
+      val w = new graft.catalog.GraftStorage.FileWriter(
+        dir + "/dv-test-" + java.util.UUID.randomUUID() + ".parquet",
+        schema)
+      val r = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(schema.length)
+      fill(r)
+      w.write(r)
+      w.closeAndRef()
+    }
+    val vec = ref(tbl.deltaDir, dvSchema, r => {
+      r.update(0, org.apache.spark.unsafe.types.UTF8String
+        .fromString(victim))
+      r.update(1, 3L)
+    })
+    val data = ref(tbl.dataDir, tbl.schema(), r => {
+      r.update(0, 3L)
+      r.update(1, org.apache.spark.unsafe.types.UTF8String
+        .fromString("stale"))
+    })
+    val e = intercept[IllegalStateException] {
+      tbl.commitDvDelta(Seq(vec), Seq(data), Set(victim),
+        scanVersion = scanVer)
+    }
+    assert(e.getMessage.contains("equality-delete upsert"), e.getMessage)
+    assert(sql(s"SELECT v FROM $t WHERE k = 3").collect()
+      .map(_.getString(0)).toSeq == Seq("up"))
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 10L)
+  }
 }
