@@ -236,6 +236,15 @@ class GraftDvTable(ident: String, dir: NioPath,
   override protected def evolutionReservedNames: Seq[String] =
     super.evolutionReservedNames ++ Seq("_pos", "__file", "__pos")
 
+  // key columns referenced by LIVE equality-delete entries are
+  // rename/drop-protected until compaction folds the entries away —
+  // the fold binds them by name, and a rename would turn every scan
+  // into a loud-but-baffling "key column not in schema" error
+  override protected def evolutionProtected: Seq[String] =
+    super.evolutionProtected ++
+      stateNow.current.map(_.deltaFiles).getOrElse(Vector.empty)
+        .filter(GraftDvTable.isEqRef).flatMap(_.cols).distinct
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new SupportsDelta {
@@ -748,6 +757,23 @@ class GraftDvReaderFactory(tableSchema: StructType,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftDvFilePartition]
+    // UNTOUCHED-FILE FAST PATH: a file with no tombstoned positions
+    // and no applicable equality deletes has nothing ordinal-bound to
+    // honor — when the query doesn't ask for `_pos` either, read it
+    // exactly like the plain scan, WITH in-parquet row-group skipping.
+    // A 10-row DELETE must not tax the 10,000 clean files of a 100-TB
+    // table with full-ordinal iteration.
+    val needsPos = requiredSchema.fieldNames
+      .exists(_.equalsIgnoreCase("_pos"))
+    if (fp.dels.isEmpty && fp.eqDels.isEmpty && !needsPos) {
+      val plainSchema = GraftStorage.projectionSchema(tableSchema,
+        dataRequired, filters, Set.empty)
+      val pit = new GraftStorage.FileIterator(fp.path, fp.cols,
+        plainSchema, fp.rows, fp.rangeStart, fp.rangeEnd,
+        pushFilters = filters, fileColIds = fp.colIds)
+      return new GraftRowPipeline(plainSchema, requiredSchema, filters,
+        pit, pit, Map("_file" -> UTF8String.fromString(fp.path)))
+    }
     // equality-delete key columns must be READ even when the query
     // didn't ask for them (the MOR idCol discipline); the pipeline's
     // projection drops them afterwards

@@ -417,6 +417,39 @@ class DeletionVectorSpec extends SparkSpec {
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7L)
   }
 
+  test("untouched files take the fast reader path while touched ones " +
+      "fold: a single-file DELETE leaves the other file's scan " +
+      "plain-shaped and every answer exact") {
+    val t = setup("dv_mixed")
+    // tombstone rows of the FIRST file only (k in 0..3)
+    sql(s"DELETE FROM $t WHERE k IN (1, 3)")
+    // a filtered read touching both files: the second file (k 4..7)
+    // carries no tombstones and reads through the plain fast path
+    assert(sql(s"SELECT k FROM $t WHERE k >= 2 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 4L, 5L, 6L, 7L))
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 6L)
+    // _pos forces the ordinal-counting path everywhere and stays exact
+    val pos = sql(s"SELECT _file, _pos FROM $t ORDER BY _file, _pos")
+      .collect().map(_.getLong(1)).toSeq
+    assert(pos == Seq(0L, 2L, 0L, 1L, 2L, 3L), s"got $pos")
+  }
+
+  test("renaming a column referenced by live equality-delete entries " +
+      "refuses until compaction") {
+    val t = setup("dv_eqrename")
+    spark.sql("SELECT 1L AS k, 'x' AS v").writeTo(t)
+      .option("graft.upsert_keys", "k").append()
+    val e = intercept[Exception] {
+      sql(s"ALTER TABLE $t RENAME COLUMN k TO kk")
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("k") ||
+      e.getCause != null), e.getMessage)
+    sql("CALL gdv.system.compact('default.dv_eqrename')")
+    sql(s"ALTER TABLE $t RENAME COLUMN k TO kk") // folded: rename frees
+    assert(sql(s"SELECT count(*) FROM $t WHERE kk = 1").head()
+      .getLong(0) == 1L)
+  }
+
   test("DV survives a cold reload: vectors apply after the handle is " +
       "rebuilt from disk") {
     val t = setup("dv_reload")
