@@ -72,6 +72,39 @@ object DvLadder {
         f""""compacted_scan_sec":$compactSec%.3f}""")
       spark.sql(s"DROP TABLE $t")
     }
+
+    // EQUALITY-UPSERT rungs (VERDICT r14 item 7's scale story): upsert
+    // p% of the keys in one batch — the write is O(batch) regardless
+    // of table size (no position scan), and the read-side premium is
+    // the fenced key-set probe until compaction folds it away.
+    Seq(1, 10, 30).foreach { pct =>
+      val t = s"graft_cat.default.dvlu_$pct"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"""CREATE TABLE $t TBLPROPERTIES ('graft.mode'='dv')
+                    AS SELECT * FROM dvl_src""")
+      def agg(): Unit =
+        spark.sql(s"""SELECT COUNT(*), SUM(o_totalprice), SUM(o_custkey),
+                             COUNT(o_orderpriority) FROM $t""")
+          .collect(): Unit
+      agg()
+      val batch = spark.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice + 1.0
+              AS o_totalprice, o_orderpriority
+            FROM dvl_src WHERE o_orderkey % 100 < $pct""")
+      val t0 = System.nanoTime()
+      batch.writeTo(t).option("graft.upsert_keys", "o_orderkey").append()
+      val upSec = (System.nanoTime() - t0) / 1e9
+      agg()
+      val liveSec = timeMin3(() => agg())
+      spark.sql(s"CALL graft_cat.system.compact('default.dvlu_$pct')")
+      agg()
+      val compactSec = timeMin3(() => agg())
+      val rows = spark.table(t).count()
+      println(f"""{"ladder":"dv_upsert","pct":$pct,"rows_after":$rows,""" +
+        f""""upsert_sec":$upSec%.3f,"live_scan_sec":$liveSec%.3f,""" +
+        f""""compacted_scan_sec":$compactSec%.3f}""")
+      spark.sql(s"DROP TABLE $t")
+    }
     spark.stop()
   }
 }
