@@ -429,9 +429,12 @@ class DeletionVectorSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(2L, 4L, 5L, 6L, 7L))
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 6L)
     // _pos forces the ordinal-counting path everywhere and stays exact
-    val pos = sql(s"SELECT _file, _pos FROM $t ORDER BY _file, _pos")
-      .collect().map(_.getLong(1)).toSeq
-    assert(pos == Seq(0L, 2L, 0L, 1L, 2L, 3L), s"got $pos")
+    // (file paths are UUIDs — compare per-file ordinal SETS, not order)
+    val perFile = sql(s"SELECT _file, _pos FROM $t").collect()
+      .groupBy(_.getString(0)).values
+      .map(_.map(_.getLong(1)).sorted.toSeq).toSet
+    assert(perFile == Set(Seq(0L, 2L), Seq(0L, 1L, 2L, 3L)),
+      s"got $perFile")
   }
 
   test("renaming a column referenced by live equality-delete entries " +
