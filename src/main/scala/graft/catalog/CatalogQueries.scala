@@ -4029,7 +4029,126 @@ object CatalogQueries {
         SELECT o_orderpriority, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                  AS price_sum
-        FROM fin GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM fin GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------- q273:
+    // INCREMENTAL MV MAINTENANCE OFF THE DV CHANGE FEED — the q229
+    // append-only incremental refresh finally handles DELETES: the MV
+    // over a curated DV corpus is maintained from `$changes` slices
+    // (delete-rows SUBTRACT their group contributions, inserts add;
+    // a version-bounded read selects exactly the unapplied commits),
+    // then re-stamped so [[graft.plans.MvRewrite]] serves the user's
+    // aggregate from it again — refresh cost is O(changed rows), and
+    // the dashboard query never rescans the corpus. Four phases:
+    // MV-served, stale-direct after a curation DELETE, re-served after
+    // the feed-applied refresh, re-served again after a lang re-tag
+    // UPDATE (whose delete+insert pair moves mass between groups,
+    // including into a BRAND-NEW group). Oracle recomputes each phase
+    // from the raw corpus. At 100 TB this closes the loop the
+    // reference's produce→predict pipeline wants: curate in place,
+    // maintain the dashboard from the diff, serve reads from the MV.
+    QueryDef(
+      "q273_dv_feed_mv",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_fm")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_fm_mv")
+        Tables(s, d, "documents").createOrReplaceTempView("q273_docs")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_fm
+                 TBLPROPERTIES ('graft.mode'='dv')
+                 AS SELECT doc_id, lang, n_chars FROM q273_docs""")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_fm_mv
+                 (lang STRING, n_docs BIGINT, sum_chars BIGINT)
+                 TBLPROPERTIES (
+                   'graft.mv.of' = 'default/corpus_fm',
+                   'graft.mv.group' = 'lang',
+                   'graft.mv.agg' = 'count:*:n_docs,sum:n_chars:sum_chars')""")
+        def ver(): Int = s.sql(
+          "SHOW TBLPROPERTIES graft_cat.default.corpus_fm").collect()
+          .collectFirst {
+            case r if r.getString(0) == "graft.current_version" =>
+              r.getString(1).toInt
+          }.get
+        def stamp(): Unit = s.sql(
+          s"""ALTER TABLE graft_cat.default.corpus_fm_mv
+              SET TBLPROPERTIES ('graft.mv.base_version' = '${ver()}')""")
+        // initial FULL refresh (the only corpus scan in this query)
+        s.sql("""INSERT OVERWRITE graft_cat.default.corpus_fm_mv
+                 SELECT lang, COUNT(*), SUM(n_chars)
+                 FROM graft_cat.default.corpus_fm GROUP BY lang""")
+        stamp()
+        s.sql("""ALTER TABLE graft_cat.default.corpus_fm
+                 SET TBLPROPERTIES ('graft.mv.tables' = 'corpus_fm_mv')""")
+        // INCREMENTAL refresh: apply exactly the feed slice
+        // (appliedVer, now] to the MV partials, then re-stamp
+        var appliedVer = ver()
+        def refreshIncremental(): Unit = {
+          val cur = ver()
+          s.read.option("from_version", appliedVer.toString)
+            .option("to_version", cur.toString)
+            .table("graft_cat.default.`corpus_fm$changes`")
+            .createOrReplaceTempView("q273_slice")
+          s.sql("""
+            MERGE INTO graft_cat.default.corpus_fm_mv t
+            USING (
+              SELECT lang,
+                     SUM(CASE WHEN `__op` = 0 THEN 1 ELSE -1 END) AS dn,
+                     SUM(CASE WHEN `__op` = 0 THEN n_chars
+                              ELSE -n_chars END) AS dc
+              FROM q273_slice GROUP BY lang) c
+            ON t.lang = c.lang
+            WHEN MATCHED AND t.n_docs + c.dn = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              n_docs = t.n_docs + c.dn,
+              sum_chars = t.sum_chars + c.dc
+            WHEN NOT MATCHED AND c.dn > 0 THEN
+              INSERT (lang, n_docs, sum_chars) VALUES (c.lang, c.dn, c.dc)""")
+          appliedVer = cur
+          stamp()
+        }
+        def phase(name: String) = s.sql(
+          s"""SELECT '$name' AS phase, lang, COUNT(*) AS n_docs,
+                     SUM(n_chars) AS sum_chars
+              FROM graft_cat.default.corpus_fm
+              GROUP BY lang""")
+        val shape = phase("a_served")
+        val p1 = shape.collect()
+        s.sql("""DELETE FROM graft_cat.default.corpus_fm
+                 WHERE n_chars % 7 = 3""")           // curation
+        val p2 = phase("b_stale_direct").collect()
+        refreshIncremental()
+        val p3 = phase("c_reserved").collect()
+        s.sql("""UPDATE graft_cat.default.corpus_fm
+                 SET lang = 'und' WHERE n_chars % 11 = 5""") // re-tag
+        refreshIncremental()
+        val p4 = phase("d_reserved2").collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2 ++ p3 ++ p4).toSeq.asJava,
+          shape.schema).orderBy("phase", "lang")
+      },
+      Some("""
+        WITH cur AS (SELECT lang, n_chars FROM documents
+                     WHERE n_chars % 7 <> 3),
+        tagged AS (
+          SELECT CASE WHEN n_chars % 11 = 5 THEN 'und' ELSE lang END
+                   AS lang, n_chars
+          FROM cur)
+        SELECT 'a_served' AS phase, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'b_stale_direct', lang, COUNT(*),
+               CAST(SUM(n_chars) AS BIGINT)
+        FROM cur GROUP BY lang
+        UNION ALL
+        SELECT 'c_reserved', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        FROM cur GROUP BY lang
+        UNION ALL
+        SELECT 'd_reserved2', lang, COUNT(*),
+               CAST(SUM(n_chars) AS BIGINT)
+        FROM tagged GROUP BY lang
+        ORDER BY phase, lang"""))
   )
 
   // ---------------------------------------------------------------- q258:

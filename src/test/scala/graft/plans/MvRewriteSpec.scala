@@ -270,6 +270,69 @@ class MvRewriteSpec extends SparkSpec {
     truthChecked("WHERE k = 'a' AND v > 2")
   }
 
+  test("an MV over a DELETION-VECTOR base serves, dies on a " +
+      "positional DELETE, and re-serves after a feed-applied " +
+      "incremental refresh (q273's plan half)") {
+    spark.conf.set("spark.sql.catalog.gmv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gmv.default.mvdv_base")
+    sql("DROP TABLE IF EXISTS gmv.default.mvdv_agg")
+    sql("""CREATE TABLE gmv.default.mvdv_base (k STRING, v BIGINT)
+           TBLPROPERTIES ('graft.mode'='dv')""")
+    sql("""INSERT INTO gmv.default.mvdv_base VALUES
+      ('a', 1), ('a', 2), ('b', 10), ('b', 20), ('c', 5)""")
+    sql("""CREATE TABLE gmv.default.mvdv_agg (k STRING, sum_v BIGINT,
+           n BIGINT)
+           TBLPROPERTIES ('graft.mv.of' = 'default/mvdv_base',
+             'graft.mv.group' = 'k',
+             'graft.mv.agg' = 'sum:v:sum_v,count:*:n')""")
+    def ver(): Int = sql("SHOW TBLPROPERTIES gmv.default.mvdv_base")
+      .collect().collectFirst {
+        case r if r.getString(0) == "graft.current_version" =>
+          r.getString(1).toInt
+      }.get
+    def stamp(): Unit = sql(
+      s"""ALTER TABLE gmv.default.mvdv_agg SET TBLPROPERTIES
+          ('graft.mv.base_version' = '${ver()}')""")
+    sql("""INSERT OVERWRITE gmv.default.mvdv_agg
+           SELECT k, SUM(v), COUNT(*) FROM gmv.default.mvdv_base
+           GROUP BY k""")
+    stamp()
+    sql("""ALTER TABLE gmv.default.mvdv_base
+           SET TBLPROPERTIES ('graft.mv.tables' = 'mvdv_agg')""")
+    val agg = """SELECT k, SUM(v) AS sv, COUNT(*) AS n
+                 FROM gmv.default.mvdv_base GROUP BY k ORDER BY k"""
+    assert(scansOf(sql(agg)).exists(_.contains("mvdv_agg")),
+      "fresh MV over a DV base must serve")
+    val before = ver()
+    sql("DELETE FROM gmv.default.mvdv_base WHERE v IN (2, 10)")
+    assert(!scansOf(sql(agg)).exists(_.contains("mvdv_agg")),
+      "a positional DELETE must staleness-kill the rewrite")
+    // incremental refresh FROM THE FEED: delete-rows subtract
+    spark.read.option("from_version", before.toString)
+      .table("gmv.default.`mvdv_base$changes`")
+      .createOrReplaceTempView("mvdv_slice")
+    sql("""MERGE INTO gmv.default.mvdv_agg t
+           USING (SELECT k,
+                         SUM(CASE WHEN `__op` = 0 THEN 1 ELSE -1 END)
+                           AS dn,
+                         SUM(CASE WHEN `__op` = 0 THEN v ELSE -v END)
+                           AS dv
+                  FROM mvdv_slice GROUP BY k) c
+           ON t.k = c.k
+           WHEN MATCHED AND t.n + c.dn = 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET sum_v = t.sum_v + c.dv,
+                                        n = t.n + c.dn
+           WHEN NOT MATCHED AND c.dn > 0 THEN
+             INSERT (k, sum_v, n) VALUES (c.k, c.dv, c.dn)""")
+    stamp()
+    val q = sql(agg)
+    assert(scansOf(q).exists(_.contains("mvdv_agg")),
+      "the feed-refreshed MV must serve again")
+    assert(q.collect().toSeq ==
+      Seq(Row("a", 1L, 1L), Row("b", 20L, 1L), Row("c", 5L, 1L)))
+  }
+
   test("group-column TYPE drift between base and MV refuses the " +
       "rewrite (free-form graft.mv.* metadata must never install a " +
       "wrong-typed alias)") {
