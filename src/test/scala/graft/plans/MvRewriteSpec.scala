@@ -331,6 +331,40 @@ class MvRewriteSpec extends SparkSpec {
       "the feed-refreshed MV must serve again")
     assert(q.collect().toSeq ==
       Seq(Row("a", 1L, 1L), Row("b", 20L, 1L), Row("c", 5L, 1L)))
+    // an EQUALITY-UPSERT wave maintains through the same slice: the
+    // feed emits its superseded-row deletes plus the inserts, and the
+    // identical MERGE arithmetic re-balances the groups
+    val before2 = ver()
+    spark.sql("SELECT * FROM VALUES ('b', 20L, 'x'), ('d', 7L, 'x') " +
+      "AS u(k, v, tag)").drop("tag")
+      .writeTo("gmv.default.mvdv_base")
+      .option("graft.upsert_keys", "v").append()
+    assert(!scansOf(sql(agg)).exists(_.contains("mvdv_agg")))
+    spark.read.option("from_version", before2.toString)
+      .table("gmv.default.`mvdv_base$changes`")
+      .createOrReplaceTempView("mvdv_slice2")
+    sql("""MERGE INTO gmv.default.mvdv_agg t
+           USING (SELECT k,
+                         SUM(CASE WHEN `__op` = 0 THEN 1 ELSE -1 END)
+                           AS dn,
+                         SUM(CASE WHEN `__op` = 0 THEN v ELSE -v END)
+                           AS dv
+                  FROM mvdv_slice2 GROUP BY k) c
+           ON t.k = c.k
+           WHEN MATCHED AND t.n + c.dn = 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET sum_v = t.sum_v + c.dv,
+                                        n = t.n + c.dn
+           WHEN NOT MATCHED AND c.dn > 0 THEN
+             INSERT (k, sum_v, n) VALUES (c.k, c.dv, c.dn)""")
+    stamp()
+    val q2 = sql(agg)
+    assert(scansOf(q2).exists(_.contains("mvdv_agg")),
+      "the upsert-refreshed MV must serve")
+    // key v=20 was upserted in place ('b' keeps one row), v=7 is new
+    // under 'd'; 'c' still holds its v=5 row
+    assert(q2.collect().toSeq ==
+      Seq(Row("a", 1L, 1L), Row("b", 20L, 1L), Row("c", 5L, 1L),
+        Row("d", 7L, 1L)))
   }
 
   test("group-column TYPE drift between base and MV refuses the " +
