@@ -4148,7 +4148,73 @@ object CatalogQueries {
         SELECT 'd_reserved2', lang, COUNT(*),
                CAST(SUM(n_chars) AS BIGINT)
         FROM tagged GROUP BY lang
-        ORDER BY phase, lang"""))
+        ORDER BY phase, lang""")),
+
+    // -------------------------------------------------------------- q274:
+    // INCREMENTAL APPEND READ ON A PLAIN CoW TABLE — the last gap in
+    // the `$changes` surface: Iceberg's incremental append scan,
+    // served as a retained-snapshot set diff. A bounded batch read of
+    // `<t>$changes` on an ordinary (no MOR/DV machinery) table returns
+    // the rows of exactly the files ADDED in (from, to], each stamped
+    // with its commit `__ver`; a range containing a REMOVAL (DML,
+    // overwrite, compaction) refuses loudly rather than under-deliver
+    // (CowChangeFeedSpec pins the refusal matrix). Three insert waves,
+    // sliced two ways and reconstructed: snapshot v0 + the slices
+    // equals the direct read. At 100 TB this is the zero-bookkeeping
+    // polling consumer for append-only facts: the diff is O(files)
+    // commit metadata, and only the NEW files are ever opened.
+    QueryDef(
+      "q274_incremental_append",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_app")
+        Tables(s, d, "orders").createOrReplaceTempView("q274_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_app
+                 (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+        (0 to 2).foreach(w => s.sql(
+          s"""INSERT INTO graft_cat.default.orders_app
+              SELECT o_orderkey, o_totalprice FROM q274_orders
+              WHERE o_orderkey % 3 = $w"""))        // versions 0, 1, 2
+        def bounded(from: Int, to: Option[Int]) = {
+          val r = s.read.option("from_version", from.toString)
+          to.fold(r)(x => r.option("to_version", x.toString))
+            .table("graft_cat.default.`orders_app$changes`")
+        }
+        bounded(0, Some(1)).createOrReplaceTempView("q274_w2")
+        bounded(1, None).createOrReplaceTempView("q274_w3")
+        s.sql("""
+          SELECT 'w2' AS phase, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS DOUBLE) AS key_sum
+          FROM q274_w2 WHERE `__op` = 0 AND `__ver` = 1
+          UNION ALL
+          SELECT 'w3', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+          FROM q274_w3 WHERE `__op` = 0 AND `__ver` = 2
+          UNION ALL
+          SELECT 'mirror', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+          FROM (SELECT o_orderkey
+                FROM graft_cat.default.orders_app VERSION AS OF 0
+                UNION ALL SELECT o_orderkey FROM q274_w2
+                UNION ALL SELECT o_orderkey FROM q274_w3)
+          UNION ALL
+          SELECT 'direct', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+          FROM graft_cat.default.orders_app
+          ORDER BY phase""")
+      },
+      Some("""
+        SELECT 'w2' AS phase, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS DOUBLE) AS key_sum
+        FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT 'w3', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 3 = 2
+        UNION ALL
+        SELECT 'mirror', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'direct', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
+        FROM orders
+        ORDER BY phase"""))
   )
 
   // ---------------------------------------------------------------- q258:

@@ -106,9 +106,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           new GraftDvChangeFeedTable(idxKey(ident), dv)
         case mor: GraftDeltaTable =>
           new GraftChangeFeedTable(idxKey(ident), mor)
+        // plain CoW: the INCREMENTAL APPEND feed (bounded snapshot
+        // diff; removals inside the range refuse loudly)
+        case cow: GraftTable =>
+          new GraftCowChangeFeedTable(idxKey(ident), cow)
         case _ => throw new UnsupportedOperationException(
-          s"$$changes is only available on merge-on-read and " +
-            s"deletion-vector tables (${idxKey(base)} is copy-on-write)")
+          s"$$changes is not available on ${idxKey(base)}")
       }
     }
     // `<table>$files`: the file-census metadata companion (works on

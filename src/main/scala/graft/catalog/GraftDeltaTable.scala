@@ -738,6 +738,125 @@ class GraftChangeFeedStream(table: GraftDeltaTable, feedSchema: StructType,
   override def stop(): Unit = ()
 }
 
+/** INCREMENTAL APPEND feed — `<table>$changes` for a PLAIN
+  * copy-on-write table (Iceberg's incremental append scan): a
+  * version- or timestamp-bounded BATCH read returning the rows of the
+  * files ADDED in (from, to], each stamped `__op = 0` and its commit
+  * `__ver` — "what arrived since the snapshot I last processed", the
+  * polling half of the append-log stream the table already serves via
+  * `readStream`. Computed as a retained-snapshot set diff, O(files)
+  * driver metadata, zero scans beyond the added files themselves.
+  *
+  * Soundness is loud, never silent: the range endpoints must be
+  * RETAINED snapshots (or from omitted on a complete history); any
+  * file REMOVED inside the range — overwrite, row-level DML,
+  * compaction — refuses (an insert-only feed cannot represent
+  * deletions; use a MOR/DV table's `$changes` for row-level CDC), and
+  * a file added then removed within the range refuses for the same
+  * reason. Streaming this companion refuses — the table itself is the
+  * streaming source. */
+class GraftCowChangeFeedTable(ident: String, table: GraftTable)
+    extends Table with SupportsRead {
+  private[catalog] def feedSchema: StructType =
+    StructType(
+      StructField("__op", IntegerType, nullable = false) +:
+      StructField("__ver", IntegerType, nullable = false) +:
+      table.schema().fields.map(_.copy(nullable = true)))
+  override def name(): String = ident
+  override def schema(): StructType = feedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    table.refreshFromDisk()
+    new GraftCowChangeFeedScanBuilder(table, feedSchema,
+      GraftChangeBounds.fromOptions(options, table))
+  }
+}
+
+class GraftCowChangeFeedScanBuilder(table: GraftTable,
+    feedSchema: StructType, bounds: GraftChangeBounds)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = feedSchema
+  override def pruneColumns(r: StructType): Unit =
+    required = GraftStorage.sanitizeRequired(feedSchema, r, nested = true)
+  override def build(): Scan =
+    new GraftCowChangeFeedScan(table, feedSchema, required, bounds)
+}
+
+class GraftCowChangeFeedScan(table: GraftTable, feedSchema: StructType,
+    requiredSchema: StructType, bounds: GraftChangeBounds)
+    extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = table.stateNow
+    val win = st.snapshots
+    require(win.nonEmpty, s"${table.name()} has no commits")
+    val toVer = bounds.toVer.getOrElse(win.last.version)
+    val snapTo = win.find(_.version == toVer).getOrElse(
+      throw new IllegalStateException(
+        s"to_version $toVer is not a retained snapshot of " +
+          s"${table.name()} (window [${win.head.version}, " +
+          s"${win.last.version}])"))
+    val fromVer = bounds.fromVer.getOrElse(-1)
+    val fromFiles: Set[String] =
+      if (fromVer < 0) {
+        require(win.head.version == 0,
+          s"incremental append read on ${table.name()} without " +
+            "from_version needs the COMPLETE retained history " +
+            s"(earliest retained: ${win.head.version}) — pass " +
+            "from_version or reseed from a snapshot")
+        Set.empty
+      } else win.find(_.version == fromVer)
+        .map(_.files.map(_.path).toSet)
+        .getOrElse(throw new IllegalStateException(
+          s"from_version $fromVer is not a retained snapshot of " +
+            s"${table.name()} — the range cannot be attributed; " +
+            "reseed from a snapshot"))
+    val toSet = snapTo.files.map(_.path).toSet
+    val removed = fromFiles -- toSet
+    require(removed.isEmpty,
+      s"${removed.size} files were removed inside " +
+        s"($fromVer, $toVer] of ${table.name()} (overwrite, row-level " +
+        "DML, or compaction) — an insert-only incremental read cannot " +
+        "represent deletions; use a merge-on-read or deletion-vector " +
+        "table's $changes for row-level CDC, or reseed")
+    // attribution walk: the first retained snapshot a path appears in
+    val seen = scala.collection.mutable.Set.empty[String] ++= fromFiles
+    val parts = Vector.newBuilder[(GraftFileRef, Int)]
+    win.filter(s => s.version > fromVer && s.version <= toVer)
+      .foreach { s =>
+        s.files.foreach { f =>
+          if (!seen.contains(f.path)) {
+            seen += f.path
+            parts += ((f, s.version))
+          }
+        }
+      }
+    val added = parts.result()
+    val dropped = added.filterNot(p => toSet.contains(p._1.path))
+    require(dropped.isEmpty,
+      s"${dropped.size} files were added AND removed inside " +
+        s"($fromVer, $toVer] of ${table.name()} — their rows cannot " +
+        "be represented by an insert-only feed; narrow the range or " +
+        "use a MOR/DV table's $changes")
+    added.map { case (f, v) =>
+      GraftDvChangeInsertPartition(f.path, f.cols, f.rows, f.colIds, v)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDvChangeFeedReaderFactory(feedSchema, requiredSchema)
+
+  override def description(): String = {
+    s"GraftCowChangeFeedScan(${table.name()}" +
+      (if (bounds.bounded) s", versions (${bounds.fromVer.getOrElse("")}" +
+        s", ${bounds.toVer.getOrElse("")}]" else "") + ")"
+  }
+}
+
 /** Per-task delta writer: Spark's DeltaWritingSparkTask has already
   * split each input row into (operation, id row, data row) through the
   * plan's WriteDeltaProjections, so unlike the group-based path there
