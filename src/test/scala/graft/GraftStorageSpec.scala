@@ -1003,16 +1003,25 @@ class GraftStorageSpec extends SparkSpec {
     assert(spark.read.parquet(sink).selectExpr("`__id`")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
       "resumed feed stream re-read or missed changes")
-    // CoW tables have no change feed
+    // CoW tables serve the INSERT-ONLY incremental append feed
+    // (CowChangeFeedSpec owns its contracts); STREAMING the companion
+    // refuses — the table itself is the streaming source
     sql("DROP TABLE IF EXISTS gstore.default.cfc")
     sql("CREATE TABLE gstore.default.cfc (k BIGINT)")
+    sql("INSERT INTO gstore.default.cfc VALUES (7)")
+    assert(sql("SELECT `__op`, k FROM gstore.default.`cfc$changes`")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 7L)))
     val e = intercept[Exception] {
-      sql("SELECT * FROM gstore.default.`cfc$changes`").collect()
+      spark.readStream.table("gstore.default.`cfc$changes`")
+        .writeStream.format("noop")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("cfc-").toString)
+        .start().awaitTermination()
     }
-    assert(chain(e).exists(m => Option(m.getMessage).exists(
-      _.contains("merge-on-read"))) ||
-      chain(e).exists(m => Option(m.getMessage).exists(
-        _.contains("copy-on-write"))))
+    assert(chain(e).exists(m => Option(m.getMessage).exists(x =>
+      x.contains("does not support") || x.contains("STREAM"))),
+      chain(e).map(_.getMessage).mkString(" | "))
     sql("DROP TABLE gstore.default.cf")
     sql("DROP TABLE gstore.default.cfc")
   }
