@@ -814,6 +814,19 @@ class GraftCowChangeFeedScan(table: GraftTable, feedSchema: StructType,
           s"from_version $fromVer is not a retained snapshot of " +
             s"${table.name()} — the range cannot be attributed; " +
             "reseed from a snapshot"))
+    // CONTIGUITY: tags exempt snapshots from retention trimming, so
+    // the window can hold v0(tagged) + vN-1 + vN with a GAP — a file
+    // added AND removed entirely inside the gap would be invisible to
+    // both the endpoint diff and the attribution walk (silent
+    // under-delivery). Every version of the range must be retained.
+    val retained = win.map(_.version).toSet
+    val gap = ((fromVer + 1) to toVer).filterNot(retained.contains)
+    require(gap.isEmpty,
+      s"versions ${gap.take(3).mkString(", ")}${
+        if (gap.size > 3) ", ..." else ""} inside ($fromVer, $toVer] " +
+        s"of ${table.name()} were retention-trimmed — the range's " +
+        "changes cannot be proven complete; narrow the range or " +
+        "reseed from a snapshot")
     val toSet = snapTo.files.map(_.path).toSet
     val removed = fromFiles -- toSet
     require(removed.isEmpty,

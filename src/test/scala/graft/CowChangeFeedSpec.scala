@@ -113,6 +113,26 @@ class CowChangeFeedSpec extends SparkSpec {
       .toSeq == Seq(3L))
   }
 
+  test("a tag-induced GAP in the retained window refuses: an " +
+      "added-then-removed file inside the gap must not vanish " +
+      "silently") {
+    val t = setup("cow_gap", "'graft.retain'='2'")
+    sql(s"INSERT INTO $t VALUES (1, 'a')")            // v0
+    // tagging commits a NEW pinned snapshot of the current content
+    sql(s"CALL gcow.system.tag('default.cow_gap', 'seed')") // v1 (tagged)
+    sql(s"INSERT INTO $t VALUES (2, 'b')")            // v2
+    sql(s"INSERT INTO $t VALUES (3, 'c')")            // v3
+    sql(s"INSERT INTO $t VALUES (4, 'd')")            // v4 (v2 trimmed)
+    // window now holds v1 (tagged) + v3 + v4 — (1, 4] spans the gap
+    val e = intercept[Exception] {
+      bounded(t, Some(1), Some(4)).collect()
+    }
+    assert(e.getMessage.contains("retention-trimmed"), e.getMessage)
+    // the contiguous retained tail still serves
+    assert(bounded(t, Some(3), Some(4)).collect().map(_.getLong(2))
+      .toSeq == Seq(4L))
+  }
+
   test("a consumer reconstructs the table from a snapshot plus " +
       "bounded slices") {
     val t = setup("cow_mirror")
