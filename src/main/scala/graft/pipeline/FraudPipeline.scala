@@ -2,11 +2,8 @@ package graft.pipeline
 
 import java.nio.file.Files
 
-import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.RandomForestClassifier
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -22,8 +19,9 @@ import graft.streaming.Replay
   *  1. prepare: deterministic stratified sample + 70/30 split as
   *     distributed transformations (prepare_data.py:19-31, seed-42 analog
   *     via md5 ranking — no driver-side pandas);
-  *  2. train: RandomForest(100 trees, depth 10, seed 42) in an ML
-  *     Pipeline, persisted to disk (train_model.py:21-33);
+  *  2. train: the 2-stage VectorAssembler → RandomForest(100 trees,
+  *     depth 10, seed 42) Pipeline, persisted to disk
+  *     (train_model.py:16-33, graft.ml.MLQueries.pipeline);
   *  3. produce: throttled replay of the test split as JSON-lines files —
   *     the sealed-env Kafka topic (producer.py:30-43, graft.streaming.Replay);
   *  4. predict: Structured Streaming file source → schema'd JSON decode →
@@ -62,12 +60,11 @@ object FraudPipeline {
     val test = base.filter(!col("is_train"))
       .select("vec_id", "embedding", "label")
 
-    // 2. train + persist (train_model.py:21-33 analog)
-    val rf = new RandomForestClassifier()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setNumTrees(100).setMaxDepth(10).setSeed(42)
-    val model = new Pipeline().setStages(Array(rf))
-      .fit(train.withColumn("features", array_to_vector(col("embedding"))))
+    // 2. train + persist (train_model.py:16-33 analog): the 2-stage
+    // VectorAssembler -> RF pipeline — feature assembly is PERSISTED with
+    // the classifier, so predict round-trips the full recipe via load.
+    val model = graft.ml.MLQueries.pipeline()
+      .fit(graft.ml.MLQueries.withAssemblerInputs(train))
     val modelDir = s"$workDir/credit_model"
     model.write.overwrite().save(modelDir)
 
@@ -83,8 +80,18 @@ object FraudPipeline {
     * replayed topic and stops). */
   def predict(spark: SparkSession, a: Artifacts): StreamingQuery = {
     val model = PipelineModel.load(a.modelDir)
-    val parsed = spark.readStream.schema(recordSchema).json(a.topicDir)
-      .withColumn("features", array_to_vector(col("embedding")))
+    // The wire carries only raw columns (recordSchema); the loaded 2-stage
+    // model's assembler stage rebuilds `features` itself — predict derives
+    // the assembler INPUTS (scalar summaries + vectorized embedding) and
+    // nothing else, exactly predict.py:18's load-and-transform shape.
+    // The embedding dim comes FROM the persisted model (assembled width
+    // minus the 2 scalars), declared as vector-size metadata so the
+    // assembler never needs a batch first() on the stream.
+    val dim = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
+      .numFeatures - 2
+    val parsed = graft.ml.MLQueries.withAssemblerInputs(
+      spark.readStream.schema(recordSchema).json(a.topicDir), Some(dim))
     val scored = model.transform(parsed)
       .select(to_json(struct(
         col("vec_id"),
@@ -140,12 +147,8 @@ object FraudPipeline {
     }
     val train = Dag.Stage("train", deps = Seq("prepare"),
       isDone = () => new java.io.File(modelDir).exists) { () =>
-      val rf = new RandomForestClassifier()
-        .setLabelCol("label").setFeaturesCol("features")
-        .setNumTrees(100).setMaxDepth(10).setSeed(42)
-      val model = new Pipeline().setStages(Array(rf)).fit(
-        spark.read.parquet(trainPath)
-          .withColumn("features", array_to_vector(col("embedding"))))
+      val model = graft.ml.MLQueries.pipeline().fit(
+        graft.ml.MLQueries.withAssemblerInputs(spark.read.parquet(trainPath)))
       model.write.overwrite().save(modelDir)
     }
     val produce = Dag.Stage("produce", deps = Seq("prepare"),

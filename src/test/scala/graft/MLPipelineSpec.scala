@@ -2,40 +2,59 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.RandomForestClassifier
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.classification.RandomForestClassificationModel
+import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** ML parity (SURVEY.md §2.1 M1-M5): RF(100, 10, seed 42) pipeline —
-  * reproducibility under the fixed seed and save/load/transform identity
-  * (train_model.py:21-33, predict.py:18 analogs).
+/** ML parity (SURVEY.md §2.1 M1-M5): the 2-stage VectorAssembler ->
+  * RF(100, 10, seed 42) pipeline — reproducibility under the fixed seed
+  * and save/load/transform identity of BOTH stages together
+  * (train_model.py:16-33, predict.py:18 analogs).
   */
 class MLPipelineSpec extends SparkSpec {
 
-  private def featurized: DataFrame =
-    Tables(spark, sfDir, "embeddings")
-      .withColumn("features", array_to_vector(col("embedding")))
+  /** Raw fixture -> assembler inputs; assembly itself happens inside the
+    * pipeline under test, never here. */
+  private def prepped: DataFrame =
+    graft.ml.MLQueries.withAssemblerInputs(Tables(spark, sfDir, "embeddings"))
 
-  private def fit(df: DataFrame): PipelineModel = {
-    val rf = new RandomForestClassifier()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setNumTrees(100).setMaxDepth(10).setSeed(42)
-    new Pipeline().setStages(Array(rf)).fit(df)
-  }
+  private def fit(df: DataFrame): PipelineModel =
+    graft.ml.MLQueries.pipeline().fit(df)
 
   private def preds(m: PipelineModel, df: DataFrame): Seq[(Long, Double)] =
     m.transform(df).select("vec_id", "prediction")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
 
   test("two fits with seed 42 on identical data produce identical predictions") {
-    val df = featurized.cache()
+    val df = prepped.cache()
     try {
       val p1 = preds(fit(df), df)
       val p2 = preds(fit(df), df)
       assert(p1 == p2)
       assert(p1.nonEmpty)
+    } finally df.unpersist()
+  }
+
+  test("the persisted pipeline is genuinely 2-stage: assembler feeds the RF") {
+    val df = prepped.cache()
+    try {
+      val m = fit(df)
+      // stage 1 is a real VectorAssembler over 2 scalar cols + the
+      // embedding vector (M1); stage 2 the classifier (M2/M3)
+      assert(m.stages.length == 2)
+      val asm = m.stages(0).asInstanceOf[VectorAssembler]
+      assert(asm.getInputCols.toSeq == Seq("emb_norm", "emb_mean", "emb_vec"))
+      assert(asm.getOutputCol == "features")
+      val rf = m.stages(1).asInstanceOf[RandomForestClassificationModel]
+      // assembled width = 2 scalars + embedding dim — the RF trained on
+      // the CONCATENATED vector, not the bare embedding
+      val dim = df.select(size(col("embedding"))).head().getInt(0)
+      assert(rf.numFeatures == dim + 2)
+      // transform from RAW columns end to end: the model carries the
+      // assembly recipe, callers supply only assembler inputs
+      assert(m.transform(df).columns.contains("features"))
     } finally df.unpersist()
   }
 
@@ -73,13 +92,17 @@ class MLPipelineSpec extends SparkSpec {
     } finally out.unpersist(): Unit
   }
 
-  test("model save -> load -> transform is identity (M4/M5)") {
-    val df = featurized.cache()
+  test("model save -> load -> transform is identity for the 2-stage model (M4/M5)") {
+    val df = prepped.cache()
     try {
       val m = fit(df)
       val dir = Files.createTempDirectory("graft_model_").toString + "/rf"
       m.write.overwrite().save(dir)
       val loaded = PipelineModel.load(dir)
+      // the round-trip preserves the assembler stage, not just the trees
+      assert(loaded.stages.length == 2)
+      assert(loaded.stages(0).asInstanceOf[VectorAssembler]
+        .getInputCols.toSeq == Seq("emb_norm", "emb_mean", "emb_vec"))
       assert(preds(m, df) == preds(loaded, df))
     } finally df.unpersist()
   }
