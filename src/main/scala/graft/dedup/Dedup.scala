@@ -30,6 +30,44 @@ import graft.util.Hashing._
   */
 object Dedup {
 
+  /** Session conf capping the pairs any single blocking key may generate
+    * in the EXACT pairwise families (q43 n-gram Jaccard, q86 edit
+    * distance). Those are honest quadratic-within-a-block baselines: at
+    * 100× data one hot key would run essentially forever with no signal.
+    * Convention follows `graft.dv.max_live_positions`: a loud bounded
+    * refusal naming the cure, never a silent grind. */
+  val MaxPairsPerBlockConf = "spark.graft.dedup.max_pairs_per_block"
+  val MaxPairsPerBlockDefault: Long = 10000000L
+
+  /** Scale guard for exact pairwise joins: computes the worst blocking
+    * key's pair count EXACTLY from per-key row counts (one cheap
+    * count-aggregate + TakeOrdered(1) — no pair is ever formed) and
+    * refuses with a pointer to the sub-quadratic path when it exceeds
+    * [[MaxPairsPerBlockConf]]. The fixture suites sit far under the
+    * default cap, so declared queries are unchanged; a hot key at scale
+    * fails in seconds instead of grinding for days. */
+  def requireBoundedPairs(df: DataFrame, blockCol: String,
+                          alternative: String): Unit = {
+    val spark = df.sparkSession
+    val cap = spark.conf.get(MaxPairsPerBlockConf,
+      MaxPairsPerBlockDefault.toString).toLong
+    require(cap >= 0, s"$MaxPairsPerBlockConf must be non-negative, got $cap")
+    df.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1).collect().headOption.foreach { r =>
+        val n = r.getLong(1)
+        val pairs = n * (n - 1) / 2
+        if (pairs > cap) {
+          val key = Option(r.get(0)).map(_.toString).getOrElse("NULL")
+          throw new IllegalStateException(
+            s"exact pairwise join refused: blocking key $blockCol=$key has " +
+              s"$n rows -> ${pairs} candidate pairs > " +
+              s"$MaxPairsPerBlockConf=$cap. Exact pair enumeration is " +
+              s"quadratic within a block; use $alternative, tighten the " +
+              s"blocking key, or raise the cap if the cost is intended.")
+        }
+      }
+  }
+
   /** Per-doc distinct word-trigram shingle array. Kept as ONE projection
     * whose output feeds a shuffle/generator boundary — never referenced
     * from many sibling expressions (Catalyst's project-collapse would
@@ -351,6 +389,11 @@ object Dedup {
           .filter(size(col("g")) > 0)
           .select(col("doc_id"), col("source"), col("g"), size(col("g")).as("n"),
             pmod(col("doc_id"), lit(nb)).as("bk"))
+        // Loud scale guard BEFORE any pair forms: this query is the exact
+        // quadratic-within-a-source baseline; a hot source past the cap
+        // must refuse toward the banded path, not grind (VERDICT r15 #3).
+        requireBoundedPairs(sh, "source",
+          "the banded MinHash-LSH path (q41_minhash_lsh_dedup / q99_incremental_dedup)")
         // Force a shuffled hash join on (source, bucket): left to itself
         // Catalyst broadcasts the ×8-replicated side (BuildLeft) and runs
         // the probe over b's handful of scan splits — serializing the

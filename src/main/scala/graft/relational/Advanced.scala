@@ -817,6 +817,12 @@ object Advanced {
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
             length(col("p_name")).as("len"),
             pmod(col("p_partkey"), lit(nb)).as("bk"))
+        // Loud scale guard BEFORE any pair forms (q43's convention): exact
+        // edit-distance enumeration is quadratic within a brand; a hot
+        // brand past the cap refuses toward a banded/blocked design
+        // instead of grinding (VERDICT r15 #3).
+        graft.dedup.Dedup.requireBoundedPairs(p, "p_brand",
+          "a banded similarity prefilter (q41's LSH pattern) or a finer blocking key")
         val a = p.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})"))).as("a")
         a.join(p.as("b").hint("shuffle_hash"),
             col("a.p_brand") === col("b.p_brand") &&

@@ -146,4 +146,30 @@ class DedupSpec extends SparkSpec {
     val res = check(Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("exact-pair scale guard: refusal boundary is n*(n-1)/2 > cap, loudly") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // 5 rows in one block -> exactly 10 pairs; 2 rows in another -> 1
+    val df = (Seq.fill(5)("hot") ++ Seq.fill(2)("cold")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "blk")
+    def withCap[T](cap: Long)(body: => T): T = {
+      spark.conf.set(Dedup.MaxPairsPerBlockConf, cap.toString)
+      try body finally spark.conf.unset(Dedup.MaxPairsPerBlockConf)
+    }
+    // at the boundary (cap == worst pairs) the guard admits…
+    withCap(10)(Dedup.requireBoundedPairs(df, "blk", "the LSH path"))
+    // …one below, it refuses, naming key, count, conf, and the cure
+    val e = intercept[IllegalStateException] {
+      withCap(9)(Dedup.requireBoundedPairs(df, "blk", "the LSH path"))
+    }
+    assert(e.getMessage.contains("blk=hot"))
+    assert(e.getMessage.contains("10 candidate pairs"))
+    assert(e.getMessage.contains(Dedup.MaxPairsPerBlockConf))
+    assert(e.getMessage.contains("the LSH path"))
+    // the declared queries run under the DEFAULT cap on the fixture —
+    // the guard changes refusal behavior at scale, never fixture results
+    assert(SparkEntry.queries("q43_ngram_jaccard_pairs")(spark, sfDir).count() > 0)
+    assert(SparkEntry.queries("q86_edit_distance_pairs")(spark, sfDir).count() > 0)
+  }
 }
