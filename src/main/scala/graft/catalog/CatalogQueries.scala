@@ -4214,7 +4214,190 @@ object CatalogQueries {
         UNION ALL
         SELECT 'direct', COUNT(*), CAST(SUM(o_orderkey) AS DOUBLE)
         FROM orders
-        ORDER BY phase"""))
+        ORDER BY phase""")),
+
+    // -------------------------------------------------------------- q275:
+    // PERSISTED ANN INDEX MAINTAINED OFF THE CHANGE FEED (VERDICT r15
+    // item 2) — the q56 IVF structure stops being a session-cached
+    // artifact: the coarse quantizer (`ann_cells`, frozen at build — the
+    // standard IVF contract) and the cell ASSIGNMENTS (`ann_idx`, a MOR
+    // table keyed on vec_id) are managed graft tables. A curation wave
+    // on the DV corpus (embedding re-encode UPDATE, curation DELETE,
+    // new-vector INSERT) is then re-indexed INCREMENTALLY: one bounded
+    // `$changes` read since the indexed version, one key-pruned MERGE
+    // that deletes tombstoned ids and (re)assigns only the changed
+    // vectors against the broadcast 16-entry codebook. Output = the full
+    // index census (every cell's population — the oracle recomputes
+    // assignment of the FINAL corpus from scratch, so incremental ≡
+    // rebuild is oracle-checked, not just spec-checked) + the top-10
+    // ANN search for 4 query vectors SERVED from the index table.
+    // At 100 TB: sessions stop paying the per-session centroid/assign
+    // rebuild (one corpus scan, amortized forever), re-index cost is
+    // O(changed rows), and the search shuffle stays cell-sized.
+    // AnnIndexFeedSpec additionally pins assignment-table equality vs a
+    // full rebuild after the waves.
+    QueryDef(
+      "q275_ann_index_feed",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        Seq("emb_cdc", "ann_cells", "ann_idx")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$t"))
+        Tables(s, d, "embeddings").createOrReplaceTempView("q275_src")
+        s.sql("""CREATE TABLE graft_cat.default.emb_cdc
+                 TBLPROPERTIES ('graft.mode'='dv')
+                 AS SELECT vec_id, embedding FROM q275_src""") // version 0
+        // coarse quantizer: FROZEN at index build (IVF contract — DML
+        // never moves centroids, only assignments), q56's deterministic
+        // first-16 codebook so the oracle replays it exactly
+        s.sql("""CREATE TABLE graft_cat.default.ann_cells
+                 AS SELECT vec_id AS cell_id, embedding AS cb_emb
+                 FROM graft_cat.default.emb_cdc VERSION AS OF 0
+                 WHERE vec_id < 16""")
+        // assignments: ONE corpus scan ever. max_by partial-aggregates
+        // map-side over the broadcast codebook (q56's shape); ordering
+        // (cd, -cell_id) = oracle's max-cd-then-min-cell tie-break.
+        s.sql("""CREATE TABLE graft_cat.default.ann_idx
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='vec_id')
+                 AS SELECT v.vec_id,
+                           max_by(c.cell_id, named_struct(
+                             'cd', cosine_sim(v.embedding, c.cb_emb),
+                             'nc', -c.cell_id)) AS cell_id
+                 FROM graft_cat.default.emb_cdc VERSION AS OF 0 v
+                 CROSS JOIN graft_cat.default.ann_cells c
+                 GROUP BY v.vec_id""")
+        // curation waves on the corpus: re-encode (moves vectors BETWEEN
+        // cells), curation delete, brand-new vectors
+        s.sql("""UPDATE graft_cat.default.emb_cdc
+                 SET embedding = transform(embedding, x -> -x)
+                 WHERE vec_id % 11 = 5""")
+        s.sql("""DELETE FROM graft_cat.default.emb_cdc
+                 WHERE vec_id % 7 = 3""")
+        s.sql("""INSERT INTO graft_cat.default.emb_cdc
+                 SELECT vec_id + 100000, transform(embedding, x -> -x)
+                 FROM q275_src WHERE vec_id % 9 = 4""")
+        // incremental re-index: exactly the feed slice since the indexed
+        // version; collapse each key to its final state (q268's
+        // discipline), score ONLY the changed vectors against the
+        // codebook, MERGE key-pruned into the index
+        s.read.option("from_version", "0")
+          .table("graft_cat.default.`emb_cdc$changes`")
+          .createOrReplaceTempView("q275_slice")
+        s.sql("""
+          MERGE INTO graft_cat.default.ann_idx t
+          USING (
+            SELECT f.vec_id, f.`__op`,
+                   max_by(c.cell_id, named_struct(
+                     'cd', cosine_sim(f.embedding, c.cb_emb),
+                     'nc', -c.cell_id)) AS cell_id
+            FROM (
+              SELECT vec_id, embedding, `__op` FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY `__ver` DESC,
+                           CASE WHEN `__op` = 0 THEN 0 ELSE 1 END) AS rn
+                FROM q275_slice) WHERE rn = 1) f
+            CROSS JOIN graft_cat.default.ann_cells c
+            GROUP BY f.vec_id, f.`__op`) c
+          ON t.vec_id = c.vec_id
+          WHEN MATCHED AND c.`__op` = 2 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET cell_id = c.cell_id
+          WHEN NOT MATCHED AND c.`__op` = 0 THEN
+            INSERT (vec_id, cell_id) VALUES (c.vec_id, c.cell_id)""")
+        // serve: census of the maintained index (oracle recomputes the
+        // final corpus's assignment from scratch — incremental ≡ rebuild
+        // is hash-checked) + top-10 search probing 2 cells per query,
+        // candidates from the INDEX table, embeddings from the corpus
+        s.sql("""
+          WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                     FROM graft_cat.default.emb_cdc WHERE vec_id < 5),
+          qc AS (SELECT query_id, q_emb, cell_id FROM (
+                   SELECT query_id, q_emb, c.cell_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim(q_emb, c.cb_emb) DESC,
+                                     c.cell_id) AS rn
+                   FROM q CROSS JOIN graft_cat.default.ann_cells c)
+                 WHERE rn <= 2),
+          scored AS (
+            SELECT qc.query_id, i.vec_id AS cand_id, qc.cell_id,
+                   cosine_sim(qc.q_emb, v.embedding) AS cos
+            FROM qc JOIN graft_cat.default.ann_idx i
+                   ON qc.cell_id = i.cell_id
+                 JOIN graft_cat.default.emb_cdc v
+                   ON i.vec_id = v.vec_id
+            WHERE i.vec_id <> qc.query_id),
+          r AS (SELECT query_id, cand_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, cand_id) AS rank
+                FROM scored)
+          SELECT 'cell' AS phase, cell_id AS k1, COUNT(*) AS k2,
+                 CAST(-1 AS BIGINT) AS k3, CAST(0.0 AS DOUBLE) AS score
+          FROM graft_cat.default.ann_idx GROUP BY cell_id
+          UNION ALL
+          SELECT 'knn', query_id, CAST(rank AS BIGINT), cand_id,
+                 round(cos, 6)
+          FROM r WHERE rank <= 10
+          ORDER BY phase, k1, k2""")
+      },
+      Some("""
+        WITH raw AS (SELECT vec_id, embedding FROM embeddings),
+        cur AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 11 = 5
+                      THEN list_transform(embedding, x -> -x)
+                      ELSE embedding END AS embedding
+          FROM raw WHERE vec_id % 7 <> 3
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(embedding, x -> -x)
+          FROM raw WHERE vec_id % 9 = 4),
+        vn AS (SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2)) norm
+               FROM cur),
+        cb AS (SELECT vec_id AS cell_id, embedding AS cb_emb,
+                 sqrt(list_reduce(list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2)) cb_norm
+               FROM raw WHERE vec_id < 16),
+        ass AS (SELECT vn.vec_id, vn.embedding, vn.norm, cb.cell_id,
+                 list_reduce(list_transform(
+                   generate_series(1, len(vn.embedding)),
+                   i -> CAST(vn.embedding[i] AS DOUBLE)
+                        * CAST(cb.cb_emb[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2) / (vn.norm * cb.cb_norm) AS cd
+                FROM vn CROSS JOIN cb),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cd DESC, cell_id) AS arn FROM ass),
+        assigned AS (SELECT vec_id, embedding, norm, cell_id
+                     FROM rk WHERE arn = 1),
+        qc AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                      norm AS q_norm, cell_id
+               FROM rk WHERE vec_id < 5 AND arn <= 2),
+        scored AS (SELECT q.query_id, a.vec_id AS cand_id, q.cell_id,
+                 list_reduce(list_transform(
+                   generate_series(1, len(q.q_emb)),
+                   i -> CAST(q.q_emb[i] AS DOUBLE)
+                        * CAST(a.embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2) / (q.q_norm * a.norm) AS cos
+                 FROM qc q JOIN assigned a USING (cell_id)
+                 WHERE a.vec_id <> q.query_id),
+        r AS (SELECT query_id, cand_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cand_id) AS rank
+              FROM scored)
+        SELECT 'cell' AS phase, cell_id AS k1, COUNT(*) AS k2,
+               CAST(-1 AS BIGINT) AS k3, CAST(0.0 AS DOUBLE) AS score
+        FROM assigned GROUP BY cell_id
+        UNION ALL
+        SELECT 'knn', query_id, CAST(rank AS BIGINT), cand_id,
+               round(cos, 6)
+        FROM r WHERE rank <= 10
+        ORDER BY phase, k1, k2"""))
   )
 
   // ---------------------------------------------------------------- q258:

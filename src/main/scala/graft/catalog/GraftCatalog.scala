@@ -1945,6 +1945,36 @@ class GraftTable(ident: String, val dir: NioPath,
       case _ => Map.empty
     }
 
+  /** Analyzed most-common-value lists (`CALL system.analyze(t, cols,
+    * approx, buckets, mcv)`), version-gated exactly like
+    * [[analyzedNdv]]: column -> (not-null row count, (value, count)
+    * list, most-common first, value-then-count tie-broken, values
+    * URL-decoded). The skew statistic for STRING join keys — numeric
+    * histograms can't carry them — consumed by the engine's hot-key
+    * salted-join rewrite ([[graft.plans.SaltSkewJoin]]). Malformed
+    * encodings are not served (stats are advisory). */
+  private[graft] def analyzedMcv:
+      Map[String, (Long, Vector[(String, Long)])] =
+    extraProps.get("graft.stats.version").flatMap(_.toIntOption) match {
+      case Some(v) if state.current.map(_.version).contains(v) =>
+        extraProps.flatMap {
+          case (k, value) if k.startsWith("graft.stats.mcv.") =>
+            try {
+              val Array(tot, listEnc) = value.split('|')
+              val vs = listEnc.split(';').toVector.map { e =>
+                val i = e.lastIndexOf(':')
+                (java.net.URLDecoder.decode(e.take(i), "UTF-8"),
+                  e.drop(i + 1).toLong)
+              }
+              if (vs.isEmpty) None
+              else Some(k.stripPrefix("graft.stats.mcv.") ->
+                (tot.toLong, vs))
+            } catch { case _: Exception => None }
+          case _ => None
+        }
+      case _ => Map.empty
+    }
+
   /** Hidden partitioning, Iceberg style: writers split their output so
     * every data file holds ONE partition value — the source value for
     * identity fields, the TRANSFORM result (one day / month / prefix)
@@ -2128,10 +2158,23 @@ class GraftTable(ident: String, val dir: NioPath,
     commitLoop { () =>
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         curFiles ++ files, curDelta)
-      Some(trimAppend(state.copy(
+      val next = state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
-        appendLog = state.appendLog ++ files)))
+        appendLog = state.appendLog ++ files)
+      // DV `$changes` totality (round-16 gap, found by q275): a plain
+      // append IS a change — without a ledger entry the feed silently
+      // omitted INSERT INTO rows, so a CDC consumer's mirror diverged on
+      // the first mixed DML+append history. Data files enter the change
+      // ledger version-stamped; the feed reader already streams plain
+      // data refs as `__op = 0` inserts (GraftDvChangeInsertPartition).
+      // MOR deltas carry their ops in physical delta files and plain CoW
+      // has the dedicated append feed — both unaffected here.
+      Some(trimAppend(
+        if (tableKind == "dv")
+          trimChange(next.copy(changeLog = next.changeLog ++
+            files.map(_.copy(ver = state.nextVersion))))
+        else next))
     }
 
   /** Compaction guard (ADVICE r11): a compaction is a replace-all whose
@@ -2540,11 +2583,20 @@ class GraftTable(ident: String, val dir: NioPath,
         else
           GraftSnapshot(state.nextVersion, state.schemaJson,
             curFiles ++ files, curDelta)
-      Some(trimAppend(state.copy(
+      val next = state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
         appendLog = state.appendLog ++ files,
-        epochHW = state.epochHW + (queryId -> epochId))))
+        epochHW = state.epochHW + (queryId -> epochId))
+      // streaming appends into a DV table are changes too (same
+      // totality contract as commitAppend); truncate mode replaces the
+      // whole content — not representable as row-level ops, so it stays
+      // out of the feed (a consumer reseeds from the snapshot)
+      Some(trimAppend(
+        if (tableKind == "dv" && !truncate)
+          trimChange(next.copy(changeLog = next.changeLog ++
+            files.map(_.copy(ver = state.nextVersion))))
+        else next))
     } else {
       files.foreach(f =>
         Files.deleteIfExists(Paths.get(f.path)): Unit) // deduped replay

@@ -476,6 +476,13 @@ object GraftProcedures {
             .comment("equi-height histogram bins per numeric column " +
               "(0 = NDVs only); served to CBO through DSv2 column " +
               "statistics so filter/join estimation sees skew")
+            .build()
+          :+ ProcedureParameter.in("mcv", IntegerType)
+            .defaultValue("0")
+            .comment("top-K most-common values per STRING analyzed " +
+              "column (0 = none) — the skew statistic histograms " +
+              "can't express for strings; consumed by the engine's " +
+              "hot-key salted-join rewrite (graft.plans.SaltSkewJoin)")
             .build()) {
         override protected def run(input: InternalRow): Scan = {
           val qualified = input.getUTF8String(0).toString
@@ -575,6 +582,51 @@ object GraftProcedures {
               Some(c -> s"$height|$bins")
             }
           }
+          // MOST-COMMON-VALUE lists (VERDICT r15 item 4): numeric
+          // histograms can't describe STRING columns — the common
+          // skewed join key in real schemas — so CBO (and the engine's
+          // own salted-join rewrite) priced them by NDV uniformity.
+          // Exact top-K per string column: one group-by count + a
+          // not-null count for the frequency denominator. Values are
+          // URL-encoded (a key may contain the encoding's own
+          // separators); ties break on the value so the persisted list
+          // is deterministic.
+          val mcvK =
+            if (input.numFields > 4 && !input.isNullAt(4))
+              input.getInt(4) else 0
+          require(mcvK >= 0 && mcvK <= 1000,
+            s"analyze mcv must be in [0, 1000], got $mcvK")
+          val stringCols =
+            if (mcvK == 0) Nil
+            else cols.filter { c =>
+              val o = GraftStorage.ordinalByName(
+                schema.fieldNames.toIndexedSeq, c)
+              schema.fields(o).dataType == StringType
+            }
+          val mcvs: Seq[(String, String)] = stringCols.flatMap { c =>
+            import org.apache.spark.sql.functions.{count => fcount, desc, lit}
+            val top = s.table(s"${cat.name()}.$qualified")
+              .where(s"`$c` IS NOT NULL")
+              .groupBy(col(s"`$c`")).agg(fcount(lit(1)).as("cnt"))
+              .orderBy(desc("cnt"), col(s"`$c`"))
+              .limit(mcvK).collect()
+            val total = s.table(s"${cat.name()}.$qualified")
+              .where(s"`$c` IS NOT NULL").count()
+            if (top.isEmpty) None
+            else Some(c -> (s"$total|" + top.map(r =>
+              java.net.URLEncoder.encode(r.getString(0), "UTF-8") +
+                ":" + r.getLong(1)).mkString(";")))
+          }
+          // the hist/mcv passes ran after the NDV drift check: re-check
+          // so a commit landing during THEM can't stamp stale artifacts
+          // as fresh either (same provenance contract, ADVICE r14)
+          val ver2 = t.stateNow.current.map(_.version).getOrElse(-1)
+          if (ver2 != preVer)
+            throw new IllegalStateException(
+              s"analyze on $qualified: the table advanced from version " +
+                s"$preVer to $ver2 while histogram/MCV statistics were " +
+                "being computed — re-run CALL system.analyze against " +
+                "the quiesced table")
           import org.apache.spark.sql.connector.catalog.TableChange
           val changes: Seq[TableChange] =
             (cols.zipWithIndex.map { case (c, i) =>
@@ -582,6 +634,9 @@ object GraftProcedures {
                 row.getLong(i).toString): TableChange
             } ++ hists.map { case (c, enc) =>
               TableChange.setProperty(s"graft.stats.hist.$c", enc)
+                : TableChange
+            } ++ mcvs.map { case (c, enc) =>
+              TableChange.setProperty(s"graft.stats.mcv.$c", enc)
                 : TableChange
             }) :+ TableChange.setProperty("graft.stats.version",
               ver.toString)

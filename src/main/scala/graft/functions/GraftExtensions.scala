@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table transparently serve from its registered, FRESH incremental
     // MV (graft.plans.MvRewrite — the q229 machinery's query half)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // statistics-driven skew salting: an inner equi-join on a graft
+    // column whose fresh MCV shows a hot key is rewritten to q47's
+    // salted shape automatically (graft.plans.SaltSkewJoin)
+    e.injectOptimizerRule(_ => graft.plans.SaltSkewJoin)
     // read-side resolution of the catalog's persistent SQL views
     // (Spark doesn't route view SQL to DSv2 catalogs — see
     // graft.plans.ResolveGraftViews)

@@ -46,7 +46,8 @@ class DvChangeFeedSpec extends SparkSpec {
   }
 
   test("DELETE surfaces full delete-rows; UPDATE surfaces as a " +
-      "delete+insert pair sharing one __ver") {
+      "delete+insert pair sharing one __ver; plain appends surface " +
+      "as op-0 inserts (feed totality)") {
     val t = setup("dvcf_basic")
     val vDel = table("dvcf_basic").stateNow.current.get.version + 1
     sql(s"DELETE FROM $t WHERE k IN (1, 6)")
@@ -54,6 +55,12 @@ class DvChangeFeedSpec extends SparkSpec {
     val rows = sql(s"SELECT `__op`, `__ver`, k, v FROM ${feed(t)} " +
       "ORDER BY `__ver`, `__op`, k").collect().toSeq
     assert(rows == Seq(
+      // setup's two INSERT waves are changes too (round-16 totality
+      // fix: an append-fed mirror silently diverged before)
+      Row(0, vDel - 2, 0L, "a0"), Row(0, vDel - 2, 1L, "a1"),
+      Row(0, vDel - 2, 2L, "a2"), Row(0, vDel - 2, 3L, "a3"),
+      Row(0, vDel - 1, 4L, "b4"), Row(0, vDel - 1, 5L, "b5"),
+      Row(0, vDel - 1, 6L, "b6"), Row(0, vDel - 1, 7L, "b7"),
       Row(2, vDel, 1L, "a1"),      // delete pre-images, full rows
       Row(2, vDel, 6L, "b6"),
       Row(0, vDel + 1, 2L, "a2!"), // the update's re-insert...

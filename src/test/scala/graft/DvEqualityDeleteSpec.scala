@@ -118,11 +118,18 @@ class DvEqualityDeleteSpec extends SparkSpec {
     val v = table("eq_feed").stateNow.current.get.version + 1
     upsert(t, spark.sql(
       "SELECT * FROM VALUES (3L, 'three!'), (200L, 'new') AS u(k, v)"))
-    val rows = sql(s"SELECT `__op`, `__ver`, k, v FROM " +
-      s"geq.default.`eq_feed$$changes` ORDER BY `__op`, k").collect().toSeq
+    // from_version bounds away the seed INSERT waves (which the feed
+    // now carries too — round-16 totality fix) to isolate the upsert
+    val rows = spark.read.option("from_version", (v - 1).toString)
+      .table(s"geq.default.`eq_feed$$changes`")
+      .selectExpr("`__op`", "`__ver`", "k", "v")
+      .orderBy("`__op`", "k").collect().toSeq
     assert(rows == Seq(
       Row(0, v, 3L, "three!"), Row(0, v, 200L, "new"),
       Row(2, v, 3L, "a3")), s"feed rows: $rows")
+    // unbounded read = seed inserts + the upsert ops (totality)
+    assert(sql(s"SELECT COUNT(*) FROM geq.default.`eq_feed$$changes`")
+      .head().getLong(0) == 8 + rows.size)
   }
 
   test("streaming CDC upsert into a DV table: AvailableNow epochs " +
