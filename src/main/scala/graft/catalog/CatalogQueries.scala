@@ -4397,7 +4397,117 @@ object CatalogQueries {
         SELECT 'knn', query_id, CAST(rank AS BIGINT), cand_id,
                round(cos, 6)
         FROM r WHERE rank <= 10
-        ORDER BY phase, k1, k2"""))
+        ORDER BY phase, k1, k2""")),
+
+    // -------------------------------------------------------------- q276:
+    // MCV STATISTICS FOR STRING COLUMNS (VERDICT r15 item 4) — `CALL
+    // system.analyze(t, cols, approx, buckets, mcv)` persists the
+    // top-K most-common values + frequencies for string columns (the
+    // skew statistic equi-height histograms can't express for the
+    // dimension keys real schemas join on), version-stamped under the
+    // same provenance discipline as NDVs. The query builds an
+    // 80%-hot key, analyzes, then emits the PERSISTED artifact parsed
+    // back from the table property — the oracle recomputes the same
+    // top-K from raw data, so the stored counts (not just the query
+    // path) are hash-checked. AnalyzeSpec pins version-gating and the
+    // drift re-check; SaltSkewJoin (q277) is the consumer.
+    QueryDef(
+      "q276_analyze_mcv",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.ord_mcv")
+        Tables(s, d, "orders").createOrReplaceTempView("q276_orders")
+        s.sql("""CREATE TABLE graft_cat.default.ord_mcv
+                 (k STRING, o_orderkey BIGINT)""")
+        s.sql("""INSERT INTO graft_cat.default.ord_mcv
+                 SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'HOT'
+                             ELSE o_orderpriority END,
+                        o_orderkey
+                 FROM q276_orders""")
+        s.sql("""CALL graft_cat.system.analyze(
+                   table => 'default.ord_mcv', columns => 'k',
+                   mcv => 3)""").collect()
+        // read back the PERSISTED artifact: `total|v:c;v:c;v:c`
+        val enc = s.sql(
+          "SHOW TBLPROPERTIES graft_cat.default.ord_mcv").collect()
+          .collectFirst {
+            case r if r.getString(0) == "graft.stats.mcv.k" =>
+              r.getString(1)
+          }.getOrElse(throw new IllegalStateException(
+            "analyze did not persist graft.stats.mcv.k"))
+        val Array(tot, list) = enc.split('|')
+        val rows = ("__total", tot.toLong) +: list.split(';').toSeq.map {
+          e =>
+            val i = e.lastIndexOf(':')
+            (java.net.URLDecoder.decode(e.take(i), "UTF-8"),
+              e.drop(i + 1).toLong)
+        }
+        import s.implicits._
+        rows.toDF("value", "cnt").orderBy(col("cnt").desc, col("value"))
+      },
+      Some("""
+        WITH t AS (SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'HOT'
+                               ELSE o_orderpriority END AS k
+                   FROM orders),
+        top AS (SELECT k AS value, COUNT(*) AS cnt FROM t
+                GROUP BY k ORDER BY cnt DESC, k LIMIT 3)
+        SELECT value, cnt FROM (
+          SELECT '__total' AS value, COUNT(*) AS cnt FROM t
+          UNION ALL
+          SELECT value, cnt FROM top)
+        ORDER BY cnt DESC, value""")),
+
+    // -------------------------------------------------------------- q277:
+    // STATISTICS-DRIVEN AUTO-SALTED JOIN (VERDICT r15 item 9) — q47's
+    // hand-written salted shape, emitted by the optimizer
+    // (plans/SaltSkewJoin) because the engine's own MCV statistics
+    // prove the key is hot: a 90%-hot string fact key joins its dim
+    // and the plan grows the salt projection + the dim explode
+    // automatically (PlanShapeSpec pins the shape, the staleness
+    // refusal, and salted≡unsalted results). The rewrite is physical-
+    // only, so the oracle runs the plain join. At 100 TB this turns
+    // the one reducer holding 90% of the shuffle into n balanced
+    // tasks without anyone editing the query.
+    QueryDef(
+      "q277_auto_salted_join",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.fact_skew")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.dim_skew")
+        Tables(s, d, "orders").createOrReplaceTempView("q277_orders")
+        s.sql("""CREATE TABLE graft_cat.default.fact_skew
+                 (k STRING, v BIGINT)""")
+        s.sql("""INSERT INTO graft_cat.default.fact_skew
+                 SELECT CASE WHEN o_orderkey % 10 < 9 THEN 'HOT'
+                             ELSE concat('c', o_custkey % 50) END,
+                        o_orderkey
+                 FROM q277_orders""")
+        s.sql("""CREATE TABLE graft_cat.default.dim_skew
+                 (k STRING, d STRING)""")
+        s.sql("""INSERT INTO graft_cat.default.dim_skew
+                 SELECT DISTINCT k, concat('d_', k)
+                 FROM graft_cat.default.fact_skew""")
+        s.sql("""CALL graft_cat.system.analyze(
+                   table => 'default.fact_skew', columns => 'k',
+                   mcv => 5)""").collect()
+        s.sql("""
+          SELECT dm.d, COUNT(*) AS n, SUM(f.v) AS sum_v
+          FROM graft_cat.default.fact_skew f
+          JOIN graft_cat.default.dim_skew dm ON f.k = dm.k
+          GROUP BY dm.d ORDER BY dm.d""")
+      },
+      Some("""
+        WITH f AS (SELECT CASE WHEN o_orderkey % 10 < 9 THEN 'HOT'
+                               ELSE concat('c', CAST(o_custkey % 50
+                                 AS VARCHAR)) END AS k,
+                          o_orderkey AS v
+                   FROM orders),
+        dm AS (SELECT DISTINCT k, concat('d_', k) AS d FROM f)
+        SELECT dm.d, COUNT(*) AS n, CAST(SUM(f.v) AS BIGINT) AS sum_v
+        FROM f JOIN dm ON f.k = dm.k
+        GROUP BY dm.d ORDER BY dm.d"""))
   )
 
   // ---------------------------------------------------------------- q258:

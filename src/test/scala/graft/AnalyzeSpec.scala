@@ -149,4 +149,42 @@ class AnalyzeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  private def handle(name: String): graft.catalog.GraftTable =
+    spark.sessionState.catalogManager.catalog("gan")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), name))
+      .asInstanceOf[graft.catalog.GraftTable]
+
+  test("string MCVs: top-K persisted with counts, version-gated, " +
+      "separator-proof round-trip") {
+    spark.conf.set("spark.sql.catalog.gan",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = "gan.default.an_mcv"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $t SELECT id, CASE WHEN id % 10 < 9 THEN 'HOT' " +
+      "ELSE concat('x', id) END FROM range(0, 100)")
+    sql(s"CALL gan.system.analyze(table => 'default.an_mcv', " +
+      "columns => 'v', mcv => 2)")
+    val (total, vs) = handle("an_mcv").analyzedMcv("v")
+    assert(total == 100L)
+    assert(vs.size == 2)
+    assert(vs.head == ("HOT", 90L))
+    assert(vs(1)._2 == 1L)
+    // a commit after the analysis stales the MCV (same provenance
+    // gate as NDVs) — the salt rewrite must stop firing instantly
+    sql(s"INSERT INTO $t VALUES (1000, 'HOT')")
+    assert(handle("an_mcv").analyzedMcv.isEmpty)
+    // values containing the encoding's own separators round-trip
+    sql(s"DROP TABLE IF EXISTS gan.default.an_mcv2")
+    sql("CREATE TABLE gan.default.an_mcv2 (v STRING)")
+    sql("INSERT INTO gan.default.an_mcv2 VALUES " +
+      "('a:b;c|d %25'), ('a:b;c|d %25'), ('plain')")
+    sql("CALL gan.system.analyze(table => 'default.an_mcv2', " +
+      "columns => 'v', mcv => 2)")
+    val (_, vs2) = handle("an_mcv2").analyzedMcv("v")
+    assert(vs2 == Vector("a:b;c|d %25" -> 2L, "plain" -> 1L))
+  }
 }

@@ -493,4 +493,54 @@ class PlanShapeSpec extends SparkSpec {
     sql("DROP TABLE gstore.default.spj_m1")
     sql("DROP TABLE gstore.default.spj_m2")
   }
+
+  test("MCV-hot join auto-salts: salt projection + dim explode appear, " +
+      "stale stats refuse, results identical either way") {
+    def sql(q: String) = spark.sql(q)
+    spark.conf.set("spark.sql.catalog.gsalt",
+      classOf[graft.catalog.GraftCatalog].getName)
+    Seq("salt_f", "salt_d").foreach(t =>
+      sql(s"DROP TABLE IF EXISTS gsalt.default.$t"))
+    sql("CREATE TABLE gsalt.default.salt_f (k STRING, v BIGINT)")
+    sql("INSERT INTO gsalt.default.salt_f SELECT CASE WHEN id % 10 < 9 " +
+      "THEN 'HOT' ELSE concat('c', id % 7) END, id FROM range(0, 1000)")
+    sql("CREATE TABLE gsalt.default.salt_d (k STRING, d STRING)")
+    sql("INSERT INTO gsalt.default.salt_d SELECT DISTINCT k, " +
+      "concat('d_', k) FROM gsalt.default.salt_f")
+    val q = """SELECT dm.d, COUNT(*) AS n, SUM(f.v) AS sv
+               FROM gsalt.default.salt_f f
+               JOIN gsalt.default.salt_d dm ON f.k = dm.k
+               GROUP BY dm.d ORDER BY dm.d"""
+    def optimized = sql(q).queryExecution.optimizedPlan.toString
+
+    // no stats yet -> no salting
+    assert(!optimized.contains("__graft_salt"),
+      s"salting must not fire without MCV stats:\n$optimized")
+    val unsalted = sql(q).collect().toSeq
+
+    sql("CALL gsalt.system.analyze(table => 'default.salt_f', " +
+      "columns => 'k', mcv => 3)")
+    val plan = optimized
+    assert(plan.contains("__graft_salt_s") &&
+      plan.contains("__graft_salt_r"),
+      s"hot MCV must salt the join:\n$plan")
+    assert(plan.contains("explode"), s"dim side must replicate:\n$plan")
+    // physical-only: identical results, original schema
+    val salted = sql(q).collect().toSeq
+    assert(salted == unsalted)
+    assert(sql(q).columns.toSeq == Seq("d", "n", "sv"))
+
+    // conf off -> plain plan again
+    spark.conf.set("spark.graft.salt.enabled", "false")
+    try assert(!optimized.contains("__graft_salt"))
+    finally spark.conf.unset("spark.graft.salt.enabled")
+
+    // a commit stales the MCV -> the rewrite stops firing (no silently
+    // stale skew decisions)
+    sql("INSERT INTO gsalt.default.salt_f VALUES ('HOT', -1)")
+    assert(!optimized.contains("__graft_salt"),
+      "stale MCV must not salt")
+    Seq("salt_f", "salt_d").foreach(t =>
+      sql(s"DROP TABLE gsalt.default.$t"))
+  }
 }
