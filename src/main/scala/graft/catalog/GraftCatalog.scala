@@ -400,14 +400,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(appendRetain >= 1,
       s"graft.append_retain must be >= 1, got $appendRetain")
     // graft.mv.*: free-form MV-registration metadata, persisted
-    // verbatim; graft.dv.*: deletion-vector tunables (fold bound)
+    // verbatim; graft.dv.*: deletion-vector tunables (fold bound);
+    // graft.row_id on a PLAIN CoW table: declares the key the
+    // `$changes` feed diffs DML commits on (round-16 — MOR/DV tables
+    // carry it structurally instead). Frozen post-CREATE like the
+    // other structural knobs.
     val extraProps: Map[String, String] = {
       val b = Map.newBuilder[String, String]
       properties.forEach { (k, v) =>
-        if (k.startsWith("graft.mv.") || k.startsWith("graft.dv."))
+        if (k.startsWith("graft.mv.") || k.startsWith("graft.dv.") ||
+            k.equalsIgnoreCase("graft.row_id"))
           b += (k -> v)
       }
       b.result()
+    }
+    locally {
+      val rid = properties.getOrDefault("graft.row_id", "")
+      if (rid.nonEmpty)
+        require(GraftStorage.ordinalByName(
+            schema.fieldNames.toIndexedSeq, rid) >= 0,
+          s"graft.row_id column $rid not in ${schema.catalogString}")
     }
     // PARTITIONED BY: identity plus the hidden-partitioning transforms
     // (days/months/years/hours/truncate — see [[GraftPartField]]),

@@ -1088,7 +1088,10 @@ class GraftDvChangeFeedStream(table: GraftDvTable, feedSchema: StructType,
 }
 
 case class GraftDvChangeInsertPartition(path: String,
-    cols: Vector[String], rows: Long, colIds: Vector[Int], ver: Int)
+    cols: Vector[String], rows: Long, colIds: Vector[Int], ver: Int,
+    // whole-file op marker: 0 everywhere except the CoW DML feed's
+    // removed-file partitions, whose rows stream as __op = 2
+    op: Int = 0)
     extends InputPartition
 case class GraftDvChangeDeletePartition(path: String,
     cols: Vector[String], rows: Long, colIds: Vector[Int],
@@ -1121,7 +1124,7 @@ class GraftDvChangeFeedReaderFactory(feedSchema: StructType,
         val it = new GraftStorage.FileIterator(ins.path, ins.cols,
           fileSchema, ins.rows, fileColIds = ins.colIds)
         new GraftRowPipeline(fileSchema, requiredSchema, Array.empty,
-          it, it, Map("__op" -> 0, "__ver" -> ins.ver))
+          it, it, Map("__op" -> ins.op, "__ver" -> ins.ver))
       case del: GraftDvChangeDeletePartition =>
         val it = new GraftStorage.FileIterator(del.path, del.cols,
           fileSchema, del.rows, del.rangeStart, del.rangeEnd,

@@ -2,19 +2,22 @@ package graft
 
 import org.apache.spark.sql.Row
 
-/** Incremental append feed on plain copy-on-write tables
+/** Incremental change feed on plain copy-on-write tables
   * ([[graft.catalog.GraftCowChangeFeedTable]]): `<t>$changes` serves
-  * the rows of the files ADDED in a (from, to] version (or timestamp)
-  * range as `(__op = 0, __ver, <data>)` — Iceberg's incremental
-  * append scan, computed from a retained-snapshot set diff.
+  * an append-only range as `(__op = 0, __ver, <data>)` rows (Iceberg's
+  * incremental append scan) and, on a table with a declared
+  * `graft.row_id`, a DML-bearing range as a per-commit FILE-DIFF
+  * changelog (removed files -> `__op = 2` rows, added -> `__op = 0`,
+  * Iceberg changelog-scan shape) — both computed from retained-
+  * snapshot set diffs.
   *
   * Pinned contracts: exact (a, b] slicing with per-commit __ver
   * attribution; timestamp bounds resolve through the same commit-time
-  * axis; any file REMOVED inside the range refuses loudly (overwrite,
-  * DML, compaction — an insert-only feed cannot represent deletions);
-  * a file added-then-removed inside the range refuses; unbounded
-  * reads need a complete retained history; non-retained endpoints
-  * refuse. */
+  * axis; removals on an ID-LESS table refuse loudly naming the
+  * graft.row_id cure (delete-rows are unaddressable without a key);
+  * the keyed changelog converges a keyed mirror under the standard
+  * collapse; unbounded reads need a complete retained history;
+  * non-retained endpoints refuse. */
 class CowChangeFeedSpec extends SparkSpec {
 
   private def sql(q: String) = spark.sql(q)
@@ -145,5 +148,58 @@ class CowChangeFeedSpec extends SparkSpec {
         .map(r => Row(r.getLong(2), r.getString(3))).toSeq
     val direct = sql(s"SELECT k, v FROM $t").collect().toSeq
     assert(mirror.toSet == direct.toSet && mirror.size == direct.size)
+  }
+
+  test("a keyed CoW table serves DML as a file-diff changelog: " +
+      "delete-rows + inserts per commit; a keyed mirror converges") {
+    val t = setup("cow_dml", "'graft.row_id'='k'")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('a', id) FROM range(0, 6)")              // v0
+    sql(s"DELETE FROM $t WHERE k IN (1, 4)")           // v1 (rewrite)
+    sql(s"UPDATE $t SET v = 'x' WHERE k = 2")          // v2 (rewrite)
+    sql(s"INSERT INTO $t VALUES (100, 'new')")         // v3 (append)
+    val rows = bounded(t, Some(0), None)
+      .selectExpr("`__op`", "`__ver`", "k", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // v1: the whole seed file streams as deletes, the rewritten file
+    // (minus k=1,4) as inserts — raw changelog, canceling pairs for
+    // untouched keys; v2 same shape; v3 a plain append
+    assert(rows.filter(_._2 == 1).count(_._1 == 2) == 6)
+    assert(rows.filter(_._2 == 1).count(_._1 == 0) == 4)
+    assert(rows.filter(r => r._2 == 2 && r._1 == 0 && r._3 == 2L)
+      .map(_._4) == Seq("x"))
+    assert(rows.filter(_._2 == 3) == Seq((0, 3, 100L, "new")))
+    // the MOR-feed consumer discipline converges a keyed mirror
+    import spark.implicits._
+    val collapsed = rows.toDF("op", "ver", "k", "v")
+      .selectExpr("*",
+        "row_number() OVER (PARTITION BY k ORDER BY ver DESC, " +
+          "CASE WHEN op = 0 THEN 0 ELSE 1 END) AS rn")
+      .where("rn = 1 AND op = 0").select("k", "v")
+    val seed = sql(s"SELECT k, v FROM $t VERSION AS OF 0")
+    // mirror = seed keys not touched by the feed + collapsed upserts
+    val mirror = seed.join(rows.toDF("op", "ver", "k", "v")
+        .select("k").distinct(), Seq("k"), "left_anti")
+      .union(collapsed)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val direct = sql(s"SELECT k, v FROM $t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mirror == direct, s"mirror $mirror != direct $direct")
+    // a later append-only slice still takes the pure-append path
+    assert(bounded(t, Some(2), Some(3)).collect()
+      .map(_.getInt(0)).toSeq == Seq(0))
+  }
+
+  test("DML on an id-less CoW table keeps the loud refusal, naming " +
+      "the graft.row_id cure") {
+    val t = setup("cow_dml_noid")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")   // v0
+    sql(s"DELETE FROM $t WHERE k = 1")                 // v1
+    val e = intercept[Exception] {
+      bounded(t, Some(0), None).collect()
+    }
+    assert(e.getMessage.contains("graft.row_id"), e.getMessage)
+    assert(e.getMessage.contains("removed"), e.getMessage)
   }
 }
