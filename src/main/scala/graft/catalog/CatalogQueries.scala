@@ -4598,7 +4598,114 @@ object CatalogQueries {
                  AS DOUBLE) AS price_sum,
                CAST(SUM(CAST(FLOOR(o_totalprice / 1000) AS BIGINT))
                  AS BIGINT) AS band_sum
-        FROM cur GROUP BY prio ORDER BY prio"""))
+        FROM cur GROUP BY prio ORDER BY prio""")),
+
+    // -------------------------------------------------------------- q279:
+    // MULTI-TABLE ATOMIC PUBLISH (VERDICT r15 item 7) — the fact+dim
+    // consistent cut: both tables are staged on branches (a synthetic
+    // segment lands in the dim, fact rows referencing it land in the
+    // fact), then `CALL system.publish_tables` lands BOTH as one
+    // transaction whose visibility flips at a single atomic marker —
+    // a reader never sees fact rows whose dim key is missing.
+    // Phases: the pre-publish join census, the post-publish census
+    // (the synthetic segment present with exactly its fact mass), and
+    // an all-or-nothing probe — a second transaction against a
+    // deliberately diverged dim aborts whole, leaving the census
+    // byte-identical. AtomicPublishSpec pins the no-torn-read reader
+    // protocol and the crash matrix; the oracle recomputes each phase
+    // from raw data. At 100 TB the publish is O(files) metadata: the
+    // staged content hard-links in, and the cross-table instant is
+    // one file create.
+    QueryDef(
+      "q279_atomic_publish",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        Seq("fact_ap", "dim_ap", "fact_ap_branch_pub",
+          "dim_ap_branch_pub").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$t"))
+        Tables(s, d, "orders").createOrReplaceTempView("q279_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("q279_customer")
+        s.sql("""CREATE TABLE graft_cat.default.fact_ap
+                 (o_orderkey BIGINT, o_custkey BIGINT)""")
+        s.sql("""INSERT INTO graft_cat.default.fact_ap
+                 SELECT o_orderkey, o_custkey FROM q279_orders""")
+        s.sql("""CREATE TABLE graft_cat.default.dim_ap
+                 (c_custkey BIGINT, c_mktsegment STRING)""")
+        s.sql("""INSERT INTO graft_cat.default.dim_ap
+                 SELECT c_custkey, c_mktsegment FROM q279_customer""")
+        def census(name: String) = s.sql(
+          s"""SELECT '$name' AS phase, x.c_mktsegment,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(t.o_orderkey) AS DOUBLE) AS key_sum
+              FROM graft_cat.default.fact_ap t
+              JOIN graft_cat.default.dim_ap x
+                ON t.o_custkey = x.c_custkey
+              GROUP BY x.c_mktsegment""")
+        val shape = census("a_pre")
+        val p1 = shape.collect()
+        // stage the transaction on branches: a brand-new segment and
+        // the fact rows that reference it
+        s.sql("CALL graft_cat.system.create_branch(" +
+          "'default.fact_ap', 'pub')")
+        s.sql("CALL graft_cat.system.create_branch(" +
+          "'default.dim_ap', 'pub')")
+        s.sql("""INSERT INTO graft_cat.default.fact_ap_branch_pub
+                 SELECT o_orderkey + 100000000, -7 FROM q279_orders
+                 WHERE o_orderkey % 5 = 2""")
+        s.sql("""INSERT INTO graft_cat.default.dim_ap_branch_pub
+                 VALUES (-7, 'SYNTHETIC')""")
+        s.sql("""CALL graft_cat.system.publish_tables(
+                   tables => 'default.fact_ap,default.dim_ap',
+                   branch => 'pub')""").collect()
+        val p2 = census("b_post").collect()
+        // all-or-nothing probe: stage a second transaction, then
+        // diverge the dim's MAIN so the publish must abort whole —
+        // the census stays byte-identical to b_post
+        s.sql("CALL graft_cat.system.create_branch(" +
+          "'default.fact_ap', 'pub2')")
+        s.sql("CALL graft_cat.system.create_branch(" +
+          "'default.dim_ap', 'pub2')")
+        s.sql("""INSERT INTO graft_cat.default.fact_ap_branch_pub2
+                 VALUES (999999999, -8)""")
+        s.sql("""INSERT INTO graft_cat.default.dim_ap_branch_pub2
+                 VALUES (-8, 'NEVER')""")
+        s.sql("""INSERT INTO graft_cat.default.dim_ap
+                 VALUES (-99, 'FOREIGN')""")
+        val aborted =
+          try {
+            s.sql("""CALL graft_cat.system.publish_tables(
+                       tables => 'default.fact_ap,default.dim_ap',
+                       branch => 'pub2')""").collect()
+            false
+          } catch { case _: Exception => true }
+        require(aborted, "diverged publish must abort")
+        val p3 = census("c_after_abort").collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2 ++ p3).toSeq.asJava, shape.schema)
+          .orderBy("phase", "c_mktsegment")
+      },
+      Some("""
+        WITH pre AS (
+          SELECT c.c_mktsegment, o.o_orderkey
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        synth AS (
+          SELECT 'SYNTHETIC' AS c_mktsegment,
+                 o_orderkey + 100000000 AS o_orderkey
+          FROM orders WHERE o_orderkey % 5 = 2),
+        post AS (SELECT * FROM pre UNION ALL SELECT * FROM synth)
+        SELECT 'a_pre' AS phase, c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS DOUBLE) AS key_sum
+        FROM pre GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'b_post', c_mktsegment, COUNT(*),
+               CAST(SUM(o_orderkey) AS DOUBLE)
+        FROM post GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'c_after_abort', c_mktsegment, COUNT(*),
+               CAST(SUM(o_orderkey) AS DOUBLE)
+        FROM post GROUP BY c_mktsegment
+        ORDER BY phase, c_mktsegment"""))
   )
 
   // ---------------------------------------------------------------- q258:

@@ -832,8 +832,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (dst.toString, nf, nr)
   }
 
-  private[catalog] def fastForward(srcIdent: Identifier,
-      branch: String): (Long, Long) = {
+  /** Per-table fast-forward PREPARATION — validation plus file
+    * adoption — shared by [[fastForward]] and the multi-table
+    * [[publishTables]]. Returns (main handle, branch-point version,
+    * adopted refs, links created by THIS call); a thrown validation
+    * error has already cleaned its own links. */
+  private def prepareFastForward(srcIdent: Identifier, branch: String)
+      : (GraftTable, Int, Vector[GraftFileRef],
+         scala.collection.mutable.ArrayBuffer[NioPath]) = {
     val dst = branchIdent(srcIdent, branch)
     val main = loadTable(srcIdent).asInstanceOf[GraftTable]
     val br = loadTable(dst).asInstanceOf[GraftTable]
@@ -883,12 +889,95 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     try {
       val ff = bst.current.map(_.files).getOrElse(Vector.empty).map(adopt)
+      (main, baseV, ff, created)
+    } catch { case e: Throwable =>
+      created.foreach(p =>
+        try Files.deleteIfExists(p): Unit catch { case _: Exception => () })
+      throw e
+    }
+  }
+
+  private[catalog] def fastForward(srcIdent: Identifier,
+      branch: String): (Long, Long) = {
+    val (main, baseV, ff, created) = prepareFastForward(srcIdent, branch)
+    try {
       main.commitFastForward(baseV, ff)
       (ff.size.toLong, ff.map(_.rows).sum)
     } catch { case e: Throwable =>
       created.foreach(p =>
         try Files.deleteIfExists(p): Unit catch { case _: Exception => () })
       throw e
+    }
+  }
+
+  /** MULTI-TABLE ATOMIC PUBLISH (VERDICT r15 item 7) — the
+    * branch/fast-forward machinery generalized to a cross-table
+    * transaction: stage each table's content on its branch, then land
+    * ALL of them as one transaction. Under ONE warehouse index-lock
+    * round: every branch is validated (divergence, schema, delta-log
+    * gates — any conflict aborts the WHOLE transaction before
+    * anything commits), every table gets a CAS-durable but INVISIBLE
+    * fast-forward commit stamped with the transaction id, and then a
+    * single `_txn/<id>.committed` marker file — one atomic create —
+    * flips visibility for every table at the same instant. Readers
+    * resolve stamped heads through the marker
+    * ([[GraftTable.stateNow]]): before it, every table serves its
+    * pre-transaction snapshot; after it, every table serves the
+    * published one — the fact+dim consistent cut. A mid-transaction
+    * conflict (a foreign DML racing one table's CAS) or crash aborts:
+    * the `.aborted` marker (written here, or by the next writer under
+    * the lock) keeps every stamped head permanently invisible, and
+    * adopted links are removed — no table ever shows a torn cut.
+    * AtomicPublishSpec pins the no-torn-read protocol and the
+    * all-or-nothing failure matrix. */
+  private[catalog] def publishTables(
+      specs: Seq[(Identifier, String)]): Seq[(String, Long, Long)] = {
+    require(specs.nonEmpty, "publish_tables needs at least one table")
+    require(specs.map(_._1.toString).distinct.size == specs.size,
+      s"publish_tables: duplicate table in one transaction")
+    // warm the handles OUTSIDE the lock round (cold loads lock too)
+    specs.foreach { case (s, b) =>
+      loadTable(s); loadTable(branchIdent(s, b)): Unit }
+    GraftCatalog.withIndex(warehouse) { idx =>
+      val txn = "t" + UUID.randomUUID().toString.replace("-", "").take(16)
+      val txnDir = warehouse.resolve("_txn")
+      Files.createDirectories(txnDir)
+      val preps = scala.collection.mutable.ArrayBuffer.empty[
+        (Identifier, (GraftTable, Int, Vector[GraftFileRef],
+          scala.collection.mutable.ArrayBuffer[NioPath]))]
+      var phase1 = 0
+      try {
+        specs.foreach { case (s, b) =>
+          preps += ((s, prepareFastForward(s, b))) }
+        // phase 1: durable-but-invisible commits, one CAS per table
+        preps.foreach { case (_, (main, baseV, ff, _)) =>
+          main.commitFastForward(baseV, ff, publishTxnId = txn)
+          phase1 += 1
+        }
+        // phase 2: ONE atomic file create = the whole transaction's
+        // visibility instant
+        Files.createFile(txnDir.resolve(s"$txn.committed")): Unit
+        (idx, preps.map { case (s, (_, _, ff, _)) =>
+          (s.toString, ff.size.toLong, ff.map(_.rows).sum) }.toSeq)
+      } catch { case e: Throwable =>
+        // all-or-nothing: the aborted marker keeps any phase-1 head
+        // permanently invisible; adopted links are withdrawn. Tables
+        // not yet committed were never touched.
+        if (phase1 > 0) {
+          try Files.createFile(txnDir.resolve(s"$txn.aborted")): Unit
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
+        }
+        preps.foreach { case (_, (_, _, _, created)) =>
+          created.foreach(p =>
+            try Files.deleteIfExists(p): Unit
+            catch { case _: Exception => () })
+        }
+        throw new IllegalStateException(
+          s"atomic publish aborted — NO table published " +
+            s"(transaction $txn): ${e.getMessage}", e)
+      }
     }
   }
 
@@ -1686,17 +1775,33 @@ object GraftCatalog {
     * (whose directory is gone), bricking the name. The per-table logs
     * are CAS-safe on their own; this closes the same hole for the
     * name index. The index is tiny (one line per table). */
+  /** Warehouse paths whose index file lock THIS thread already holds:
+    * the JVM monitor is reentrant but FileChannel locks are not (a
+    * same-process overlap throws) — a publish transaction resolving a
+    * stale transaction on one of its tables re-enters here. */
+  private val heldIndexLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
   private[catalog] def withIndex[A](wh: NioPath)(
       f: Map[String, IndexEntry] => (Map[String, IndexEntry], A)): A =
     indexLock.synchronized {
-      Files.createDirectories(wh)
-      val lockCh = java.nio.channels.FileChannel.open(
-        wh.resolve("_tables.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val flock = lockCh.lock() // blocking, exclusive, cross-process
-      try withIndexLocked(wh)(f)
-      finally { try flock.release() finally lockCh.close() }
+      val key = wh.toAbsolutePath.toString
+      if (heldIndexLocks.get().contains(key)) withIndexLocked(wh)(f)
+      else {
+        Files.createDirectories(wh)
+        val lockCh = java.nio.channels.FileChannel.open(
+          wh.resolve("_tables.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val flock = lockCh.lock() // blocking, exclusive, cross-process
+        heldIndexLocks.set(heldIndexLocks.get() + key)
+        try withIndexLocked(wh)(f)
+        finally {
+          heldIndexLocks.set(heldIndexLocks.get() - key)
+          try flock.release() finally lockCh.close()
+        }
+      }
     }
 
   private def withIndexLocked[A](wh: NioPath)(
@@ -1832,7 +1937,35 @@ class GraftTable(ident: String, val dir: NioPath,
 
   @volatile private var state: GraftTableState = initState
 
-  private[graft] def stateNow: GraftTableState = state
+  /** Warehouse transaction-marker directory (multi-table atomic
+    * publish): `_txn/<id>.committed` is the single atomic visibility
+    * point for every table in transaction <id>; `.aborted` records a
+    * resolved failure. Table dirs live directly under the warehouse. */
+  private def txnMarker(id: String, kind: String): NioPath =
+    dir.getParent.resolve("_txn").resolve(s"$id.$kind")
+
+  /** READ-side resolution of a pending publish transaction: a state
+    * whose head snapshot carries a `publishTxn` stamp serves the head
+    * only once the transaction's `.committed` marker exists; until
+    * then (in-flight, aborted, or crashed) the PREVIOUS snapshot is
+    * the visible truth — so the visibility flip for every table in
+    * the transaction is one atomic marker creation. View-only: disk
+    * state is repaired by the next writer (which disambiguates under
+    * the index lock — see commitLoop). Cost: two Files.exists, only
+    * when the rare pending stamp is present. */
+  private def resolvePublishView(st: GraftTableState): GraftTableState =
+    if (st.publishTxn.isEmpty) st
+    else if (Files.exists(txnMarker(st.publishTxn, "committed")))
+      st.copy(publishTxn = "")
+    else {
+      // the pending head's files also entered the append log in the
+      // same commit — hide them from the stream axis too
+      val n = st.current.map(_.files.size).getOrElse(0)
+      st.copy(snapshots = st.snapshots.init, publishTxn = "",
+        appendLog = st.appendLog.dropRight(n))
+    }
+
+  private[graft] def stateNow: GraftTableState = resolvePublishView(state)
   private[graft] def dataDir: String =
     dir.resolve("data").toAbsolutePath.toString
 
@@ -2098,55 +2231,111 @@ class GraftTable(ident: String, val dir: NioPath,
   /** One optimistic commit: refresh, build (validating against the
     * refreshed state — builders throw their own loud conflict errors),
     * CAS-publish. `build` returning None means the round decided to
-    * commit nothing (deduped stream epoch replay). */
-  private def commitLoop(build: () => Option[GraftTableState]): Unit =
-    synchronized {
-      var lastSeen = -1
-      var stuckRounds = 0
-      while (true) {
+    * commit nothing (deduped stream epoch replay).
+    *
+    * PUBLISH-TRANSACTION disambiguation (round 16): a head snapshot
+    * stamped `publishTxn` whose transaction has no marker yet is
+    * either in flight (the publisher holds the warehouse index lock)
+    * or crashed. A writer must not build on ambiguous content — and it
+    * must NOT take the index lock while holding this table's monitor
+    * (the publisher takes lock-then-monitor; the reverse order would
+    * deadlock). So the round EXITS the monitor and resolves under the
+    * index lock: once acquired, a live publisher cannot exist, and the
+    * transaction is aborted by marker. Resolved markers fold in-place:
+    * committed -> the head is real; aborted -> the head (and its
+    * append-log entries) drop from the build basis, and the next CAS
+    * persists the repaired state. */
+  private def commitLoop(build: () => Option[GraftTableState]): Unit = {
+    var lastSeen = -1
+    var stuckRounds = 0
+    while (true) {
+      // 0 = done, 1 = CAS lost (retry), 2 = unresolved publish txn
+      // (resolve outside the monitor, then retry)
+      val outcome: Int = synchronized {
         refreshFromDisk()
-        // spin-breaker: a CAS loss should always come with a NEWER
-        // state to rebase onto; losing repeatedly at the SAME version
-        // means the log is inconsistent (e.g. a version-numbering gap)
-        // — fail loudly instead of burning a core forever
-        if (state.nextVersion == lastSeen) {
-          stuckRounds += 1
-          require(stuckRounds < 100,
-            s"commit loop stuck at version ${state.nextVersion} on " +
-              s"$ident: CAS keeps losing without a newer state to " +
-              "rebase onto — version log inconsistent?")
-        } else { lastSeen = state.nextVersion; stuckRounds = 0 }
-        build() match {
-          case None => return
-          case Some(ns) =>
-            // stamp the commit this state introduces (every commit path
-            // appends exactly one unstamped snapshot) — TIMESTAMP AS OF
-            val stamped = ns.snapshots.lastOption
-              .filter(_.tsMillis == 0L) match {
-              case Some(s) => ns.copy(snapshots =
-                ns.snapshots.init :+
-                  s.copy(tsMillis = System.currentTimeMillis()))
-              case None => ns
-            }
-            // transaction-ledger stamp (VERDICT r12 item 7): when an
-            // idempotent batch apply is in flight ([[applyBatchOnce]]),
-            // record its (appId -> batchId) IN THIS SAME COMMIT — the
-            // ledger entry and the batch's change become visible
-            // atomically, so a crash leaves either both or neither,
-            // never an applied-but-unrecorded batch
-            val withTxn = pendingTxn match {
-              case Some((a, v)) => stamped.copy(txns = stamped.txns + (a -> v))
-              case None => stamped
-            }
-            if (GraftStorage.casWriteLog(dir, withTxn, withTxn.nextVersion)) {
-              state = withTxn
-              GraftStorage.pruneLogs(dir, withTxn.nextVersion - 4)
-              return
-            }
-          // CAS lost to a foreign commit: loop — refresh adopts the
-          // winner and the builder revalidates from scratch
+        val pend = state.publishTxn
+        if (pend.nonEmpty) {
+          if (Files.exists(txnMarker(pend, "committed")))
+            state = state.copy(publishTxn = "")
+          else if (Files.exists(txnMarker(pend, "aborted"))) {
+            val n = state.current.map(_.files.size).getOrElse(0)
+            state = state.copy(snapshots = state.snapshots.init,
+              publishTxn = "", appendLog = state.appendLog.dropRight(n))
+          }
+        }
+        if (state.publishTxn.nonEmpty) 2
+        else {
+          // spin-breaker: a CAS loss should always come with a NEWER
+          // state to rebase onto; losing repeatedly at the SAME version
+          // means the log is inconsistent (e.g. a version-numbering
+          // gap) — fail loudly instead of burning a core forever
+          if (state.nextVersion == lastSeen) {
+            stuckRounds += 1
+            require(stuckRounds < 100,
+              s"commit loop stuck at version ${state.nextVersion} on " +
+                s"$ident: CAS keeps losing without a newer state to " +
+                "rebase onto — version log inconsistent?")
+          } else { lastSeen = state.nextVersion; stuckRounds = 0 }
+          build() match {
+            case None => 0
+            case Some(ns) =>
+              // stamp the commit this state introduces (every commit
+              // path appends exactly one unstamped snapshot) —
+              // TIMESTAMP AS OF
+              val stamped = ns.snapshots.lastOption
+                .filter(_.tsMillis == 0L) match {
+                case Some(s) => ns.copy(snapshots =
+                  ns.snapshots.init :+
+                    s.copy(tsMillis = System.currentTimeMillis()))
+                case None => ns
+              }
+              // transaction-ledger stamp (VERDICT r12 item 7): when an
+              // idempotent batch apply is in flight ([[applyBatchOnce]]),
+              // record its (appId -> batchId) IN THIS SAME COMMIT — the
+              // ledger entry and the batch's change become visible
+              // atomically, so a crash leaves either both or neither,
+              // never an applied-but-unrecorded batch
+              val withTxn = pendingTxn match {
+                case Some((a, v)) =>
+                  stamped.copy(txns = stamped.txns + (a -> v))
+                case None => stamped
+              }
+              if (GraftStorage.casWriteLog(dir, withTxn,
+                  withTxn.nextVersion)) {
+                state = withTxn
+                GraftStorage.pruneLogs(dir, withTxn.nextVersion - 4)
+                0
+              } else 1
+            // CAS lost to a foreign commit: loop — refresh adopts the
+            // winner and the builder revalidates from scratch
+          }
         }
       }
+      outcome match {
+        case 0 => return
+        case 1 => () // retry round
+        case 2 => resolveCrashedPublish()
+      }
+    }
+  }
+
+  /** Abort an unresolved publish transaction found on this table's
+    * head. Taken WITHOUT the table monitor (lock-then-monitor is the
+    * publisher's order); under the warehouse index lock a live
+    * publisher cannot exist — it holds that lock for its entire
+    * transaction — so an unmarked transaction is provably dead and
+    * gets its `.aborted` marker here. Idempotent and race-safe: the
+    * marker create tolerates a concurrent resolver. */
+  private def resolveCrashedPublish(): Unit =
+    GraftCatalog.withIndex(dir.getParent) { idx =>
+      val t = state.publishTxn
+      if (t.nonEmpty && !Files.exists(txnMarker(t, "committed")) &&
+          !Files.exists(txnMarker(t, "aborted"))) {
+        Files.createDirectories(dir.getParent.resolve("_txn"))
+        try Files.createFile(txnMarker(t, "aborted")): Unit
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      (idx, ())
     }
 
   /** Append-log retention: the stream-offset ledger keeps the last
@@ -2369,21 +2558,27 @@ class GraftTable(ident: String, val dir: NioPath,
     * branch content already folds everything the delta held at the
     * branch point (the version check proves nothing landed since). */
   private[graft] def commitFastForward(expectedVersion: Int,
-      files: Seq[GraftFileRef]): Unit = commitLoop { () =>
-    val curV = state.current.map(_.version).getOrElse(-1)
-    if (curV != expectedVersion)
-      throw new IllegalStateException(
-        s"fast_forward on $ident: main is at version $curV but the " +
-          s"branch forked at $expectedVersion — the branch has " +
-          "diverged from main. MERGE the branch content manually or " +
-          "re-branch from the current snapshot.")
-    val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
-      files.toVector, Vector.empty)
-    Some(trimAppend(state.copy(
-      snapshots = retainWindow(state.snapshots :+ snap),
-      nextVersion = state.nextVersion + 1,
-      appendLog = state.appendLog ++ files)))
-  }
+      files: Seq[GraftFileRef], publishTxnId: String = ""): Unit =
+    commitLoop { () =>
+      val curV = state.current.map(_.version).getOrElse(-1)
+      if (curV != expectedVersion)
+        throw new IllegalStateException(
+          s"fast_forward on $ident: main is at version $curV but the " +
+            s"branch forked at $expectedVersion — the branch has " +
+            "diverged from main. MERGE the branch content manually or " +
+            "re-branch from the current snapshot.")
+      val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
+        files.toVector, Vector.empty)
+      // publishTxnId non-empty = phase-1 of a multi-table atomic
+      // publish: the commit lands CAS-durable but INVISIBLE (readers
+      // fold the stamped head out) until the transaction's single
+      // `.committed` marker appears — see resolvePublishView
+      Some(trimAppend(state.copy(
+        snapshots = retainWindow(state.snapshots :+ snap),
+        nextVersion = state.nextVersion + 1,
+        appendLog = state.appendLog ++ files,
+        publishTxn = publishTxnId)))
+    }
 
   /** Group-replacement commit (row-level DML): swap exactly the scanned
     * files for the rewrite output; every other file is carried over
@@ -3076,7 +3271,7 @@ class GraftTable(ident: String, val dir: NioPath,
   // ---- read path -------------------------------------------------------
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     refreshFromDisk() // observe foreign-process commits at plan time
-    val s = state
+    val s = stateNow  // publish-transaction-resolved view (round 16)
     new GraftScanBuilder(s.schema,
       s.current.map(_.files).getOrElse(Vector.empty), Some(this), partCols,
       bucketBy, sortCols ++ zorderCols,

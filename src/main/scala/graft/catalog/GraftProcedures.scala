@@ -421,6 +421,40 @@ object GraftProcedures {
               .map(_.version.toLong).getOrElse(-1L)))
         }
       }
+      // MULTI-TABLE ATOMIC PUBLISH (VERDICT r15 item 7): fast-forward
+      // N tables' same-named branches to their mains as ONE
+      // transaction — every table's new content becomes visible at a
+      // single atomic instant (the txn marker create), and any
+      // conflict anywhere aborts the whole set with nothing published.
+      // The fact+dim consistent cut a warehouse publish needs.
+      case "publish_tables" => new GraftProcedure("publish_tables",
+        "atomically fast-forward several tables' branches to their " +
+          "mains as one cross-table transaction: all become visible " +
+          "at the same instant, or none do (any divergence/conflict " +
+          "aborts the whole set)",
+        Array(
+          ProcedureParameter.in("tables", StringType)
+            .comment("comma-separated namespace-qualified table names")
+            .build(),
+          ProcedureParameter.in("branch", StringType)
+            .comment("branch name (created per table by create_branch)")
+            .build())) {
+        override protected def run(input: InternalRow): Scan = {
+          val branch = input.getUTF8String(1).toString
+          val specs = input.getUTF8String(0).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq.map { q =>
+              val parts = q.split('.')
+              require(parts.length >= 2,
+                s"expected namespace-qualified table name, got '$q'")
+              (Identifier.of(parts.init, parts.last), branch)
+            }
+          val published = cat.publishTables(specs)
+          summaryScanStr(
+            published.map { case (n, nf, nr) =>
+              n -> s"files=$nf rows=$nr" } :+
+              ("tables_published" -> published.size.toString))
+        }
+      }
       case "rewrite_small_files" => new GraftProcedure(
         "rewrite_small_files",
         "bin-pack data files below min_bytes into ~min_bytes outputs " +
@@ -702,8 +736,9 @@ object GraftProcedures {
         s"unknown procedure ${cat.name()}.system.$other " +
           "(available: analyze, clone, compact, create_branch, " +
           "create_view, drop_branch, drop_view, expire_snapshots, " +
-          "fast_forward, history, rewrite_small_files, rollback, " +
-          "show_create, show_views, tag)")
+          "fast_forward, history, publish_tables, " +
+          "rewrite_small_files, rollback, show_create, show_views, " +
+          "tag)")
     }
   }
 
@@ -719,6 +754,7 @@ object GraftProcedures {
         Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "fast_forward"),
         Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "publish_tables"),
         Identifier.of(Array("system"), "rewrite_small_files"),
         Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "show_create"),

@@ -1518,7 +1518,11 @@ object GraftStorage {
       "txns" -> JObject(st.txns.toList.sortBy(_._1).map { case (a, v) =>
         a -> (JLong(v): JValue) }),
       // version fence for version-bounded incremental change reads
-      "changeTrimVer" -> JInt(st.changeTrimVer))
+      "changeTrimVer" -> JInt(st.changeTrimVer),
+      // multi-table atomic publish (round 16): non-empty = the head
+      // snapshot belongs to transaction <id> and is visible only once
+      // the warehouse `_txn/<id>.committed` marker exists
+      "publishTxn" -> JString(st.publishTxn))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -1566,7 +1570,9 @@ object GraftStorage {
         tj.obj.map { case (a, v) => a -> num(v) }.toMap
       }.getOrElse(Map.empty),
       // absent in pre-r14 logs: nothing attributed ever trimmed
-      o.get("changeTrimVer").map(num(_).toInt).getOrElse(-1))
+      o.get("changeTrimVer").map(num(_).toInt).getOrElse(-1),
+      // absent in pre-r16 logs: no pending publish transaction
+      o.get("publishTxn").collect { case JString(t) => t }.getOrElse(""))
   }
 
   // ---- versioned log with compare-and-swap commit ----------------------
@@ -1795,7 +1801,15 @@ final case class GraftTableState(schemaJson: String,
     // retention (-1 = nothing attributed ever trimmed): the soundness
     // fence for version-bounded incremental reads — a requested
     // `from_version` below it may span trimmed changes and rejects
-    changeTrimVer: Int = -1) {
+    changeTrimVer: Int = -1,
+    // multi-table atomic publish (round 16): non-empty = the HEAD
+    // snapshot was committed as part of transaction <id> and becomes
+    // visible only when the warehouse `_txn/<id>.committed` marker
+    // exists — the single atomic visibility point for every table in
+    // the transaction. Readers resolve through
+    // [[GraftTable.stateNow]]; writers disambiguate an unresolved
+    // marker under the warehouse index lock before committing.
+    publishTxn: String = "") {
   def current: Option[GraftSnapshot] = snapshots.lastOption
   def schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]

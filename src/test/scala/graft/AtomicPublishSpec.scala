@@ -1,0 +1,171 @@
+package graft
+
+/** Multi-table atomic publish (VERDICT r15 item 7,
+  * `CALL system.publish_tables`): N tables' branches fast-forward to
+  * their mains as ONE transaction whose visibility flips at a single
+  * atomic marker create.
+  *
+  * Pinned contracts: the no-torn-read protocol (a reader that observes
+  * a stable fact count around its dim read always sees the matching
+  * dim state — the fact+dim consistent cut); all-or-nothing under
+  * divergence (one stale branch aborts the whole set, nothing
+  * publishes); crash-mid-transaction leaves every table serving its
+  * pre-transaction snapshot, and the next writer resolves the dead
+  * transaction to an aborted marker under the index lock; a raced
+  * publish either fully lands or fully aborts, never partially. */
+class AtomicPublishSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def init(): Unit =
+    spark.conf.set("spark.sql.catalog.gap",
+      classOf[graft.catalog.GraftCatalog].getName)
+
+  private def handle(name: String): graft.catalog.GraftTable =
+    spark.sessionState.catalogManager.catalog("gap")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), name))
+      .asInstanceOf[graft.catalog.GraftTable]
+
+  private def freshPair(tag: String): (String, String) = {
+    init()
+    val (f, d) = (s"gap.default.fact_$tag", s"gap.default.dim_$tag")
+    Seq(f, d, s"${f}_branch_pub", s"${d}_branch_pub").foreach(t =>
+      sql(s"DROP TABLE IF EXISTS $t"))
+    sql(s"CREATE TABLE $f (k BIGINT, fk BIGINT)")
+    sql(s"CREATE TABLE $d (dk BIGINT, name STRING)")
+    sql(s"INSERT INTO $f VALUES (1, 10), (2, 10)")
+    sql(s"INSERT INTO $d VALUES (10, 'base')")
+    (f, d)
+  }
+
+  private def branchBoth(f: String, d: String): Unit = {
+    sql(s"CALL gap.system.create_branch('default.${f.split('.').last}', 'pub')")
+    sql(s"CALL gap.system.create_branch('default.${d.split('.').last}', 'pub')")
+  }
+
+  test("happy path: both tables flip together; branch content lands " +
+      "with referential integrity") {
+    val (f, d) = freshPair("hp")
+    branchBoth(f, d)
+    sql(s"INSERT INTO ${f}_branch_pub VALUES (3, 20)")
+    sql(s"INSERT INTO ${d}_branch_pub VALUES (20, 'synth')")
+    val out = sql("CALL gap.system.publish_tables(" +
+      s"'default.${f.split('.').last},default.${d.split('.').last}', " +
+      "'pub')").collect()
+    assert(out.head.getString(out.head.length - 1) == "2")
+    // both mains show the published content; the new fact key resolves
+    assert(sql(s"SELECT COUNT(*) FROM $f").head().getLong(0) == 3)
+    assert(sql(s"""SELECT COUNT(*) FROM $f t JOIN $d x ON t.fk = x.dk""")
+      .head().getLong(0) == 3)
+  }
+
+  test("all-or-nothing: one diverged branch aborts the whole set — " +
+      "the other table publishes NOTHING") {
+    val (f, d) = freshPair("div")
+    branchBoth(f, d)
+    sql(s"INSERT INTO ${f}_branch_pub VALUES (3, 20)")
+    sql(s"INSERT INTO ${d}_branch_pub VALUES (20, 'synth')")
+    // dim's MAIN diverges after the branch point
+    sql(s"INSERT INTO $d VALUES (99, 'foreign')")
+    val e = intercept[Exception] {
+      sql("CALL gap.system.publish_tables(" +
+        s"'default.${f.split('.').last},default.${d.split('.').last}', " +
+        "'pub')").collect()
+    }
+    assert(e.getMessage.contains("NO table published"), e.getMessage)
+    // fact main untouched even though ITS branch was clean
+    assert(sql(s"SELECT COUNT(*) FROM $f").head().getLong(0) == 2)
+    assert(sql(s"SELECT COUNT(*) FROM $d").head().getLong(0) == 2)
+  }
+
+  test("crash mid-transaction: a pending unmarked head is invisible, " +
+      "and the next writer resolves it to aborted") {
+    val (f, _) = freshPair("cr")
+    val t = handle(f.split('.').last)
+    val v = t.stateNow.current.map(_.version).getOrElse(-1)
+    // simulate a publisher that died after its phase-1 CAS: a pending
+    // fast-forward to EMPTY content, transaction marker never written
+    t.commitFastForward(v, Vector.empty, publishTxnId = "dead-txn-1")
+    // readers keep serving the pre-transaction snapshot
+    assert(sql(s"SELECT COUNT(*) FROM $f").head().getLong(0) == 2)
+    // the next writer disambiguates under the index lock: the dead
+    // transaction aborts, its head drops, the insert lands on the
+    // pre-transaction content
+    sql(s"INSERT INTO $f VALUES (100, 10)")
+    assert(sql(s"SELECT COUNT(*) FROM $f").head().getLong(0) == 3)
+    assert(sql(s"SELECT COUNT(*) FROM $f WHERE k = 100")
+      .head().getLong(0) == 1)
+  }
+
+  test("no torn read: a reader with a stable fact sample always sees " +
+      "the matching dim state, across publishes racing foreign DML") {
+    val (f, d) = freshPair("race")
+    val (fn, dn) = (f.split('.').last, d.split('.').last)
+    // baseline: 2 fact rows, 1 dim row; every transaction adds exactly
+    // one row to EACH table, so any consistent cut satisfies
+    // fact - 2 == dim - 1
+    @volatile var stop = false
+    @volatile var torn: Option[String] = None
+    val reader = new Thread(() => {
+      while (!stop && torn.isEmpty) {
+        val f1 = sql(s"SELECT COUNT(*) FROM $f").head().getLong(0)
+        val dd = sql(s"SELECT COUNT(*) FROM $d").head().getLong(0)
+        val f2 = sql(s"SELECT COUNT(*) FROM $f").head().getLong(0)
+        if (f1 == f2 && dd - 1 != f1 - 2)
+          torn = Some(s"fact=$f1 stable but dim=$dd")
+      }
+    }, "atomic-publish-reader")
+    reader.start()
+    try {
+      (0 until 5).foreach { i =>
+        branchBoth(f, d)
+        sql(s"INSERT INTO ${f}_branch_pub VALUES (${1000 + i}, ${100 + i})")
+        sql(s"INSERT INTO ${d}_branch_pub VALUES (${100 + i}, 'tx$i')")
+        sql("CALL gap.system.publish_tables(" +
+          s"'default.$fn,default.$dn', 'pub')").collect()
+        sql(s"DROP TABLE ${f}_branch_pub")
+        sql(s"DROP TABLE ${d}_branch_pub")
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(torn.isEmpty, s"torn read observed: $torn")
+    assert(sql(s"SELECT COUNT(*) FROM $f").head().getLong(0) == 7)
+    assert(sql(s"SELECT COUNT(*) FROM $d").head().getLong(0) == 6)
+  }
+
+  test("publish racing foreign DML on a member table either fully " +
+      "lands or fully aborts") {
+    val (f, d) = freshPair("dml")
+    val (fn, dn) = (f.split('.').last, d.split('.').last)
+    var published = 0
+    var aborted = 0
+    (0 until 4).foreach { i =>
+      branchBoth(f, d)
+      sql(s"INSERT INTO ${f}_branch_pub VALUES (${2000 + i}, ${200 + i})")
+      sql(s"INSERT INTO ${d}_branch_pub VALUES (${200 + i}, 'r$i')")
+      // foreign DML racing the publish from another thread
+      val racer = new Thread(() => {
+        try sql(s"INSERT INTO $f VALUES (${3000 + i}, 10)"): Unit
+        catch { case _: Throwable => () }
+      })
+      racer.start()
+      val preF = sql(s"SELECT COUNT(*) FROM $f WHERE k = ${2000 + i}")
+      val preD = sql(s"SELECT COUNT(*) FROM $d WHERE dk = ${200 + i}")
+      try {
+        sql("CALL gap.system.publish_tables(" +
+          s"'default.$fn,default.$dn', 'pub')").collect()
+        published += 1
+      } catch { case _: Exception => aborted += 1 }
+      racer.join(30000)
+      // invariant either way: the transaction's fact row and dim row
+      // are visible together or not at all
+      val hasF = preF.head().getLong(0) == 1
+      val hasD = preD.head().getLong(0) == 1
+      assert(hasF == hasD, s"torn publish at round $i: fact=$hasF dim=$hasD")
+      sql(s"DROP TABLE ${f}_branch_pub")
+      sql(s"DROP TABLE ${d}_branch_pub")
+    }
+    assert(published + aborted == 4)
+  }
+}
