@@ -4705,7 +4705,93 @@ object CatalogQueries {
         SELECT 'c_after_abort', c_mktsegment, COUNT(*),
                CAST(SUM(o_orderkey) AS DOUBLE)
         FROM post GROUP BY c_mktsegment
-        ORDER BY phase, c_mktsegment"""))
+        ORDER BY phase, c_mktsegment""")),
+
+    // -------------------------------------------------------------- q280:
+    // MV REWRITE: COUNT(DISTINCT group column) (VERDICT r15 item 8) —
+    // the dashboard distinct-count ("how many active parities per
+    // priority?") now serves from the MV: distinctness over a GROUP
+    // column is exact from the MV's own group values, no matter how
+    // many partial rows per group it holds. Phases: the grouped
+    // distinct-count roll-up (MV-served — MvRewriteSpec pins the plan
+    // swap and the value-column/FILTER refusal boundary), the global
+    // roll-up to the empty group set, and a staleness probe (a base
+    // commit kills the rewrite; the direct plan re-derives the same
+    // truth the oracle computes). At 100 TB the distinct-count
+    // dashboard reads |groups| MV rows instead of shuffling the corpus
+    // into a distinct aggregation.
+    QueryDef(
+      "q280_mv_count_distinct",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_cd")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.orders_cd_mv")
+        Tables(s, d, "orders").createOrReplaceTempView("q280_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_cd
+                 (prio STRING, parity BIGINT, o_orderkey BIGINT)""")
+        s.sql("""INSERT INTO graft_cat.default.orders_cd
+                 SELECT o_orderpriority, o_orderkey % 7, o_orderkey
+                 FROM q280_orders""")
+        s.sql("""CREATE TABLE graft_cat.default.orders_cd_mv
+                 (prio STRING, parity BIGINT, n BIGINT, key_sum BIGINT)
+                 TBLPROPERTIES (
+                   'graft.mv.of' = 'default/orders_cd',
+                   'graft.mv.group' = 'prio,parity',
+                   'graft.mv.agg' = 'count:*:n,sum:o_orderkey:key_sum')""")
+        def refresh(): Unit = {
+          s.sql("""INSERT OVERWRITE graft_cat.default.orders_cd_mv
+                   SELECT prio, parity, COUNT(*), SUM(o_orderkey)
+                   FROM graft_cat.default.orders_cd GROUP BY 1, 2""")
+          val v = s.sql(
+            "SHOW TBLPROPERTIES graft_cat.default.orders_cd").collect()
+            .collectFirst {
+              case r if r.getString(0) == "graft.current_version" =>
+                r.getString(1)
+            }.get
+          s.sql(s"""ALTER TABLE graft_cat.default.orders_cd_mv
+                    SET TBLPROPERTIES ('graft.mv.base_version' = '$v')""")
+        }
+        refresh()
+        s.sql("""ALTER TABLE graft_cat.default.orders_cd
+                 SET TBLPROPERTIES ('graft.mv.tables' = 'orders_cd_mv')""")
+        def grouped(name: String) = s.sql(
+          s"""SELECT '$name' AS phase, prio,
+                     COUNT(DISTINCT parity) AS nd,
+                     COUNT(*) AS n
+              FROM graft_cat.default.orders_cd GROUP BY prio""")
+        val shape = grouped("a_served")
+        val p1 = shape.collect()
+        // global roll-up to the empty group set
+        val p2 = s.sql("""SELECT 'b_global' AS phase, 'ALL' AS prio,
+                                 COUNT(DISTINCT parity) AS nd,
+                                 COUNT(*) AS n
+                          FROM graft_cat.default.orders_cd""").collect()
+        // staleness probe: a base commit kills the rewrite; the direct
+        // plan derives the refreshed truth
+        s.sql("""INSERT INTO graft_cat.default.orders_cd
+                 VALUES ('9-SYNTH', 99, 999999999)""")
+        val p3 = grouped("c_stale_direct").collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2 ++ p3).toSeq.asJava, shape.schema)
+          .orderBy("phase", "prio")
+      },
+      Some("""
+        WITH t AS (SELECT o_orderpriority AS prio,
+                          o_orderkey % 7 AS parity
+                   FROM orders),
+        t2 AS (SELECT * FROM t
+               UNION ALL SELECT '9-SYNTH', 99)
+        SELECT 'a_served' AS phase, prio,
+               COUNT(DISTINCT parity) AS nd, COUNT(*) AS n
+        FROM t GROUP BY prio
+        UNION ALL
+        SELECT 'b_global', 'ALL', COUNT(DISTINCT parity), COUNT(*)
+        FROM t
+        UNION ALL
+        SELECT 'c_stale_direct', prio, COUNT(DISTINCT parity), COUNT(*)
+        FROM t2 GROUP BY prio
+        ORDER BY phase, prio"""))
   )
 
   // ---------------------------------------------------------------- q258:
