@@ -4622,7 +4622,8 @@ object CatalogQueries {
         s.conf.set("spark.sql.catalog.graft_cat",
           classOf[GraftCatalog].getName)
         Seq("fact_ap", "dim_ap", "fact_ap_branch_pub",
-          "dim_ap_branch_pub").foreach(t =>
+          "dim_ap_branch_pub", "fact_ap_branch_pub2",
+          "dim_ap_branch_pub2").foreach(t =>
           s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$t"))
         Tables(s, d, "orders").createOrReplaceTempView("q279_orders")
         Tables(s, d, "customer").createOrReplaceTempView("q279_customer")
