@@ -4792,7 +4792,226 @@ object CatalogQueries {
         UNION ALL
         SELECT 'c_stale_direct', prio, COUNT(DISTINCT parity), COUNT(*)
         FROM t2 GROUP BY prio
-        ORDER BY phase, prio"""))
+        ORDER BY phase, prio""")),
+
+    // -------------------------------------------------------------- q281:
+    // PERSISTED IVF × INT8-SQ INDEX OFF THE CHANGE FEED — q275's
+    // missing half (VERDICT r15 item 2 named "centroids/assignments
+    // AND SQ/PQ codes"): the quantized codes are a managed table too.
+    // `sq_idx` carries (vec_id, cell_id, amax, int8 codes) — q240's
+    // per-row symmetric-max quantizer, so a changed vector's code
+    // recomputes from JUST that row — and the same bounded-feed MERGE
+    // that re-assigns cells re-quantizes codes for exactly the changed
+    // vectors after an UPDATE/DELETE/INSERT curation wave. Search is
+    // the q247 composition served ENTIRELY from managed tables: probe
+    // 2 cells, rank the probed pool on persisted codes × the
+    // full-precision query (asymmetric SQ, reading 1/4 the bytes),
+    // exact top-10 rerank from the corpus. Output = per-cell census
+    // of (population, code mass) — hash-checking the persisted codes
+    // table-wide against the oracle's from-scratch requantization —
+    // plus the search. At 100 TB: no session ever rebuilds centroids,
+    // assignments, OR codes; refresh cost is O(changed rows); the
+    // approx scan reads codes only for the probed cells.
+    QueryDef(
+      "q281_ann_index_sq",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        Seq("emb_sq", "sq_cells", "sq_idx")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$t"))
+        Tables(s, d, "embeddings").createOrReplaceTempView("q281_src")
+        s.sql("""CREATE TABLE graft_cat.default.emb_sq
+                 TBLPROPERTIES ('graft.mode'='dv')
+                 AS SELECT vec_id, embedding FROM q281_src""") // v0
+        s.sql("""CREATE TABLE graft_cat.default.sq_cells
+                 AS SELECT vec_id AS cell_id, embedding AS cb_emb
+                 FROM graft_cat.default.emb_sq VERSION AS OF 0
+                 WHERE vec_id < 16""")
+        s.sql("""CREATE TABLE graft_cat.default.sq_idx
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='vec_id')
+                 AS SELECT vec_id, cell_id, amax,
+                           transform(embedding, x ->
+                             CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax
+                               + 0.5d) AS INT)) AS codes
+                 FROM (
+                   SELECT v.vec_id, v.embedding,
+                          aggregate(v.embedding, CAST(0.0 AS DOUBLE),
+                            (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))
+                            AS amax,
+                          max_by(c.cell_id, named_struct(
+                            'cd', cosine_sim(v.embedding, c.cb_emb),
+                            'nc', -c.cell_id)) AS cell_id
+                   FROM graft_cat.default.emb_sq VERSION AS OF 0 v
+                   CROSS JOIN graft_cat.default.sq_cells c
+                   GROUP BY v.vec_id, v.embedding)""")
+        s.sql("""UPDATE graft_cat.default.emb_sq
+                 SET embedding = transform(embedding, x -> -x)
+                 WHERE vec_id % 11 = 5""")
+        s.sql("""DELETE FROM graft_cat.default.emb_sq
+                 WHERE vec_id % 7 = 3""")
+        s.sql("""INSERT INTO graft_cat.default.emb_sq
+                 SELECT vec_id + 100000, transform(embedding, x -> -x)
+                 FROM q281_src WHERE vec_id % 9 = 4""")
+        s.read.option("from_version", "0")
+          .table("graft_cat.default.`emb_sq$changes`")
+          .createOrReplaceTempView("q281_slice")
+        // one MERGE maintains assignment AND codes for exactly the
+        // changed vectors
+        s.sql("""
+          MERGE INTO graft_cat.default.sq_idx t
+          USING (
+            SELECT vec_id, `__op`, cell_id, amax,
+                   transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax
+                       + 0.5d) AS INT)) AS codes
+            FROM (
+              SELECT f.vec_id, f.`__op`, f.embedding, f.amax,
+                     max_by(c.cell_id, named_struct(
+                       'cd', cosine_sim(f.embedding, c.cb_emb),
+                       'nc', -c.cell_id)) AS cell_id
+              FROM (
+                SELECT vec_id, embedding, `__op`,
+                       aggregate(embedding, CAST(0.0 AS DOUBLE),
+                         (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))
+                         AS amax
+                FROM (
+                  SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY `__ver` DESC,
+                               CASE WHEN `__op` = 0 THEN 0 ELSE 1 END)
+                      AS rn
+                    FROM q281_slice) WHERE rn = 1)) f
+              CROSS JOIN graft_cat.default.sq_cells c
+              GROUP BY f.vec_id, f.`__op`, f.embedding, f.amax)) c
+          ON t.vec_id = c.vec_id
+          WHEN MATCHED AND c.`__op` = 2 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET
+            cell_id = c.cell_id, amax = c.amax, codes = c.codes
+          WHEN NOT MATCHED AND c.`__op` = 0 THEN
+            INSERT (vec_id, cell_id, amax, codes)
+            VALUES (c.vec_id, c.cell_id, c.amax, c.codes)""")
+        s.sql("""
+          WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                     FROM graft_cat.default.emb_sq WHERE vec_id < 5),
+          qc AS (SELECT query_id, q_emb, cell_id FROM (
+                   SELECT query_id, q_emb, c.cell_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim(q_emb, c.cb_emb) DESC,
+                                     c.cell_id) AS rn
+                   FROM q CROSS JOIN graft_cat.default.sq_cells c)
+                 WHERE rn <= 2),
+          approx AS (
+            SELECT qc.query_id, qc.q_emb, i.vec_id AS cand_id,
+                   aggregate(zip_with(i.codes, qc.q_emb,
+                     (cd, qd) -> CAST(cd AS DOUBLE) * CAST(qd AS DOUBLE)),
+                     CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+                     * i.amax / 127.0 AS sq_dot
+            FROM qc JOIN graft_cat.default.sq_idx i
+                   ON qc.cell_id = i.cell_id
+            WHERE i.vec_id <> qc.query_id),
+          ar AS (SELECT query_id, q_emb, cand_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY sq_dot DESC, cand_id) AS arank
+                 FROM approx),
+          ex AS (SELECT ar.query_id, ar.cand_id,
+                        cosine_sim(ar.q_emb, v.embedding) AS cos
+                 FROM ar JOIN graft_cat.default.emb_sq v
+                   ON ar.cand_id = v.vec_id
+                 WHERE ar.arank <= 25),
+          r AS (SELECT query_id, cand_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, cand_id) AS rank
+                FROM ex)
+          SELECT 'cell' AS phase, cell_id AS k1, COUNT(*) AS k2,
+                 SUM(CAST(element_at(codes, 1) AS BIGINT)) AS k3,
+                 CAST(0.0 AS DOUBLE) AS score
+          FROM graft_cat.default.sq_idx GROUP BY cell_id
+          UNION ALL
+          SELECT 'knn', query_id, CAST(rank AS BIGINT), cand_id,
+                 round(cos, 6)
+          FROM r WHERE rank <= 10
+          ORDER BY phase, k1, k2""")
+      },
+      Some("""
+        WITH raw AS (SELECT vec_id, embedding FROM embeddings),
+        cur AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 11 = 5
+                      THEN list_transform(embedding, x -> -x)
+                      ELSE embedding END AS embedding
+          FROM raw WHERE vec_id % 7 <> 3
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(embedding, x -> -x)
+          FROM raw WHERE vec_id % 9 = 4),
+        vn AS (SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2)) norm,
+                 list_reduce(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))),
+                   (a2, b2) -> greatest(a2, b2)) amax
+               FROM cur),
+        cb AS (SELECT vec_id AS cell_id, embedding AS cb_emb,
+                 sqrt(list_reduce(list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2)) cb_norm
+               FROM raw WHERE vec_id < 16),
+        ass AS (SELECT vn.vec_id, vn.embedding, vn.norm, vn.amax,
+                 cb.cell_id,
+                 list_reduce(list_transform(
+                   generate_series(1, len(vn.embedding)),
+                   i -> CAST(vn.embedding[i] AS DOUBLE)
+                        * CAST(cb.cb_emb[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2) / (vn.norm * cb.cb_norm) AS cd
+                FROM vn CROSS JOIN cb),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cd DESC, cell_id) AS arn FROM ass),
+        idx AS (SELECT vec_id, embedding, norm, amax, cell_id,
+                       list_transform(embedding, x ->
+                         CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax
+                           + 0.5) AS INTEGER)) AS codes
+                FROM rk WHERE arn = 1),
+        qc AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                      norm AS q_norm, cell_id
+               FROM rk WHERE vec_id < 5 AND arn <= 2),
+        approx AS (SELECT q.query_id, q.q_emb, q.q_norm,
+                 i.vec_id AS cand_id,
+                 list_reduce(list_transform(
+                   generate_series(1, len(i.codes)),
+                   j -> CAST(i.codes[j] AS DOUBLE)
+                        * CAST(q.q_emb[j] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2) * i.amax / 127.0 AS sq_dot
+                 FROM qc q JOIN idx i USING (cell_id)
+                 WHERE i.vec_id <> q.query_id),
+        ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sq_dot DESC, cand_id) AS arank
+               FROM approx),
+        ex AS (SELECT ar.query_id, ar.cand_id,
+                 list_reduce(list_transform(
+                   generate_series(1, len(ar.q_emb)),
+                   i -> CAST(ar.q_emb[i] AS DOUBLE)
+                        * CAST(v.embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2) / (ar.q_norm * v.norm) AS cos
+               FROM ar JOIN vn v ON ar.cand_id = v.vec_id
+               WHERE ar.arank <= 25),
+        r AS (SELECT query_id, cand_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cand_id) AS rank
+              FROM ex)
+        SELECT 'cell' AS phase, cell_id AS k1, COUNT(*) AS k2,
+               CAST(SUM(codes[1]) AS BIGINT) AS k3,
+               CAST(0.0 AS DOUBLE) AS score
+        FROM idx GROUP BY cell_id
+        UNION ALL
+        SELECT 'knn', query_id, CAST(rank AS BIGINT), cand_id,
+               round(cos, 6)
+        FROM r WHERE rank <= 10
+        ORDER BY phase, k1, k2"""))
   )
 
   // ---------------------------------------------------------------- q258:

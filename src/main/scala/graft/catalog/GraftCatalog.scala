@@ -3195,7 +3195,9 @@ class GraftTable(ident: String, val dir: NioPath,
     * future versions are LOUD errors. */
   private[catalog] def snapshotAt(v: Int): Table = synchronized {
     refreshFromDisk()
-    val win = state.snapshots
+    // publish-resolved view: an in-flight/aborted transaction's head
+    // must not be time-travel-readable before its commit marker
+    val win = stateNow.snapshots
     require(v >= 0 && v < state.nextVersion,
       s"version $v out of range [0, ${state.nextVersion})")
     win.find(_.version == v) match {
@@ -3211,7 +3213,7 @@ class GraftTable(ident: String, val dir: NioPath,
   /** `TIMESTAMP AS OF` resolution — see the catalog-side scaladoc. */
   private[catalog] def snapshotAsOfTime(tMillis: Long): Table = synchronized {
     refreshFromDisk()
-    val win = state.snapshots
+    val win = stateNow.snapshots
     require(win.nonEmpty, s"$ident has no commits to time-travel to")
     win.filter(_.tsMillis <= tMillis).lastOption match {
       case Some(snap) => snapshotView(s"$ident@t$tMillis", snap)

@@ -112,6 +112,16 @@ class GraftDeltaTable(ident: String, dir: NioPath,
   // content. Loud capability error instead (the change FEED is the
   // `$changes` companion table). Partition overwrites are capability-
   // advertised but gated at plan/commit time on an empty delta log.
+  //
+  // CHANGE-SURFACE CONTRACT BY MODE (round 16): a MOR table is
+  // deliberately TWO-AXIS — appends stream on the table itself
+  // (readStream t), row-level ops on `t$changes` (__op/__id rows, no
+  // __ver; a CDC consumer tails both, as q206 does). A DV table's
+  // `$changes` is TOTAL instead: appends, deletes, and upserts all
+  // ride one (__op, __ver) feed — an id-less table has no key axis a
+  // consumer could join the two streams on, so splitting them would
+  // be unconsumable. Plain CoW's `$changes` is the snapshot-diff feed
+  // (append-only, or keyed file-diff changelog with graft.row_id).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,

@@ -57,4 +57,28 @@ class AnnIndexFeedSpec extends SparkSpec {
     // from the corpus by the curation wave
     assert(spark.table("graft_cat.default.ann_cells").count() == 16)
   }
+
+  test("q281: the feed-maintained SQ-code index equals a from-scratch " +
+      "requantization, per vector and per code array") {
+    SparkEntry.queries("q281_ann_index_sq")(spark, sfDir).collect()
+    val rebuilt = spark.sql("""
+      SELECT vec_id, cell_id, amax,
+             transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5d)
+                 AS INT)) AS codes
+      FROM (
+        SELECT v.vec_id, v.embedding,
+               aggregate(v.embedding, CAST(0.0 AS DOUBLE),
+                 (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) AS amax,
+               max_by(c.cell_id, named_struct(
+                 'cd', cosine_sim(v.embedding, c.cb_emb),
+                 'nc', -c.cell_id)) AS cell_id
+        FROM graft_cat.default.emb_sq v
+        CROSS JOIN graft_cat.default.sq_cells c
+        GROUP BY v.vec_id, v.embedding)""")
+    val idx = spark.table("graft_cat.default.sq_idx")
+    assert(idx.count() == rebuilt.count())
+    assert(idx.exceptAll(rebuilt).count() == 0)
+    assert(rebuilt.exceptAll(idx).count() == 0)
+  }
 }

@@ -90,6 +90,10 @@ class AtomicPublishSpec extends SparkSpec {
     t.commitFastForward(v, Vector.empty, publishTxnId = "dead-txn-1")
     // readers keep serving the pre-transaction snapshot
     assert(sql(s"SELECT COUNT(*) FROM $f").head().getLong(0) == 2)
+    // time travel cannot reach the uncommitted head either
+    intercept[Exception] {
+      sql(s"SELECT COUNT(*) FROM $f VERSION AS OF ${v + 1}").collect()
+    }
     // the next writer disambiguates under the index lock: the dead
     // transaction aborts, its head drops, the insert lands on the
     // pre-transaction content
