@@ -5011,7 +5011,125 @@ object CatalogQueries {
         SELECT 'knn', query_id, CAST(rank AS BIGINT), cand_id,
                round(cos, 6)
         FROM r WHERE rank <= 10
-        ORDER BY phase, k1, k2"""))
+        ORDER BY phase, k1, k2""")),
+
+    // -------------------------------------------------------------- q282:
+    // INCREMENTAL MV MAINTENANCE OFF THE CoW DML FEED — q273's cycle
+    // on COPY-ON-WRITE storage, closing "incremental MV refresh across
+    // all three storage modes": the corpus is a plain CoW table with a
+    // declared row id, so its `$changes` serves DML as the raw
+    // file-diff changelog (q278). The q273 partial-delta MERGE applies
+    // VERBATIM: untouched rows a rewrite copied arrive as canceling
+    // same-version delete+insert pairs whose group deltas net to ZERO
+    // — the raw changelog is exactly as sound a partial-maintenance
+    // input as the DV feed, just proportionally larger (O(rewritten
+    // files' rows), which is what the CoW write itself already cost).
+    // Same four phases as q273: MV-served, stale-direct after a
+    // curation DELETE, re-served after the feed-applied refresh,
+    // re-served after a lang re-tag UPDATE that moves mass between
+    // groups, including into a brand-new group. Oracle recomputes each
+    // phase from the raw corpus.
+    QueryDef(
+      "q282_cow_feed_mv",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_cfm")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_cfm_mv")
+        Tables(s, d, "documents").createOrReplaceTempView("q282_docs")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_cfm
+                 (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                 TBLPROPERTIES ('graft.row_id'='doc_id')""")
+        s.sql("""INSERT INTO graft_cat.default.corpus_cfm
+                 SELECT doc_id, lang, n_chars FROM q282_docs""")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_cfm_mv
+                 (lang STRING, n_docs BIGINT, sum_chars BIGINT)
+                 TBLPROPERTIES (
+                   'graft.mv.of' = 'default/corpus_cfm',
+                   'graft.mv.group' = 'lang',
+                   'graft.mv.agg' = 'count:*:n_docs,sum:n_chars:sum_chars')""")
+        def ver(): Int = s.sql(
+          "SHOW TBLPROPERTIES graft_cat.default.corpus_cfm").collect()
+          .collectFirst {
+            case r if r.getString(0) == "graft.current_version" =>
+              r.getString(1).toInt
+          }.get
+        def stamp(): Unit = s.sql(
+          s"""ALTER TABLE graft_cat.default.corpus_cfm_mv
+              SET TBLPROPERTIES ('graft.mv.base_version' = '${ver()}')""")
+        s.sql("""INSERT OVERWRITE graft_cat.default.corpus_cfm_mv
+                 SELECT lang, COUNT(*), SUM(n_chars)
+                 FROM graft_cat.default.corpus_cfm GROUP BY lang""")
+        stamp()
+        s.sql("""ALTER TABLE graft_cat.default.corpus_cfm
+                 SET TBLPROPERTIES ('graft.mv.tables' = 'corpus_cfm_mv')""")
+        var appliedVer = ver()
+        def refreshIncremental(): Unit = {
+          val cur = ver()
+          s.read.option("from_version", appliedVer.toString)
+            .option("to_version", cur.toString)
+            .table("graft_cat.default.`corpus_cfm$changes`")
+            .createOrReplaceTempView("q282_slice")
+          s.sql("""
+            MERGE INTO graft_cat.default.corpus_cfm_mv t
+            USING (
+              SELECT lang,
+                     SUM(CASE WHEN `__op` = 0 THEN 1 ELSE -1 END) AS dn,
+                     SUM(CASE WHEN `__op` = 0 THEN n_chars
+                              ELSE -n_chars END) AS dc
+              FROM q282_slice GROUP BY lang) c
+            ON t.lang = c.lang
+            WHEN MATCHED AND t.n_docs + c.dn = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              n_docs = t.n_docs + c.dn,
+              sum_chars = t.sum_chars + c.dc
+            WHEN NOT MATCHED AND c.dn > 0 THEN
+              INSERT (lang, n_docs, sum_chars) VALUES (c.lang, c.dn, c.dc)""")
+          appliedVer = cur
+          stamp()
+        }
+        def phase(name: String) = s.sql(
+          s"""SELECT '$name' AS phase, lang, COUNT(*) AS n_docs,
+                     SUM(n_chars) AS sum_chars
+              FROM graft_cat.default.corpus_cfm
+              GROUP BY lang""")
+        val shape = phase("a_served")
+        val p1 = shape.collect()
+        s.sql("""DELETE FROM graft_cat.default.corpus_cfm
+                 WHERE n_chars % 7 = 3""")           // curation
+        val p2 = phase("b_stale_direct").collect()
+        refreshIncremental()
+        val p3 = phase("c_reserved").collect()
+        s.sql("""UPDATE graft_cat.default.corpus_cfm
+                 SET lang = 'und' WHERE n_chars % 11 = 5""") // re-tag
+        refreshIncremental()
+        val p4 = phase("d_reserved2").collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame((p1 ++ p2 ++ p3 ++ p4).toSeq.asJava,
+          shape.schema).orderBy("phase", "lang")
+      },
+      Some("""
+        WITH cur AS (SELECT lang, n_chars FROM documents
+                     WHERE n_chars % 7 <> 3),
+        tagged AS (
+          SELECT CASE WHEN n_chars % 11 = 5 THEN 'und' ELSE lang END
+                   AS lang, n_chars
+          FROM cur)
+        SELECT 'a_served' AS phase, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'b_stale_direct', lang, COUNT(*),
+               CAST(SUM(n_chars) AS BIGINT)
+        FROM cur GROUP BY lang
+        UNION ALL
+        SELECT 'c_reserved', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        FROM cur GROUP BY lang
+        UNION ALL
+        SELECT 'd_reserved2', lang, COUNT(*),
+               CAST(SUM(n_chars) AS BIGINT)
+        FROM tagged GROUP BY lang
+        ORDER BY phase, lang"""))
   )
 
   // ---------------------------------------------------------------- q258:

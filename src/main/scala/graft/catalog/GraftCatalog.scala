@@ -2069,7 +2069,7 @@ class GraftTable(ident: String, val dir: NioPath,
     * `height|lo,hi,ndv;...` in `graft.stats.hist.<col>`; a malformed
     * encoding is simply not served (stats are advisory, never load-
     * bearing). */
-  private[catalog] def analyzedHist:
+  private[graft] def analyzedHist:
       Map[String, (Double, Array[(Double, Double, Long)])] =
     extraProps.get("graft.stats.version").flatMap(_.toIntOption) match {
       case Some(v) if state.current.map(_.version).contains(v) =>

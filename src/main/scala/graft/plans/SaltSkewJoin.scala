@@ -79,11 +79,24 @@ object SaltSkewJoin extends Rule[LogicalPlan] {
         }
     }.flatten
 
-  private def hotShare(t: GraftTable, c: String): Option[Double] =
-    t.analyzedMcv.get(c).collect {
+  /** Hot-key mass share from the engine's own statistics: MCV lists
+    * for string columns; for numeric columns, the q271 equi-height
+    * histograms — a DEGENERATE bin (lo == hi) holds exactly one value
+    * at the bin height, so the hottest value's share is the summed
+    * height of its degenerate bins over the total mass. */
+  private def hotShare(t: GraftTable, c: String): Option[Double] = {
+    val mcv = t.analyzedMcv.get(c).collect {
       case (total, vs) if total > 0 && vs.nonEmpty =>
         vs.map(_._2).max.toDouble / total
     }
+    mcv.orElse(t.analyzedHist.get(c).collect {
+      case (height, bins) if height > 0 && bins.nonEmpty =>
+        val total = height * bins.length
+        val byValue = bins.filter(b => b._1 == b._2)
+          .groupBy(_._1).values.map(_.length * height)
+        if (byValue.isEmpty) 0.0 else byValue.max / total
+    })
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

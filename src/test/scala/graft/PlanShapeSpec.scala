@@ -543,4 +543,35 @@ class PlanShapeSpec extends SparkSpec {
     Seq("salt_f", "salt_d").foreach(t =>
       sql(s"DROP TABLE gsalt.default.$t"))
   }
+
+  test("histogram-detected NUMERIC hot key auto-salts too: degenerate " +
+      "hot bins carry the mass share MCVs carry for strings") {
+    def sql(q: String) = spark.sql(q)
+    spark.conf.set("spark.sql.catalog.gsalt",
+      classOf[graft.catalog.GraftCatalog].getName)
+    Seq("salt_nf", "salt_nd").foreach(t =>
+      sql(s"DROP TABLE IF EXISTS gsalt.default.$t"))
+    sql("CREATE TABLE gsalt.default.salt_nf (k BIGINT, v BIGINT)")
+    // 90% of rows carry k = 7
+    sql("INSERT INTO gsalt.default.salt_nf SELECT CASE WHEN id % 10 < 9 " +
+      "THEN 7 ELSE id % 5 END, id FROM range(0, 1000)")
+    sql("CREATE TABLE gsalt.default.salt_nd (k BIGINT, d STRING)")
+    sql("INSERT INTO gsalt.default.salt_nd SELECT DISTINCT k, " +
+      "concat('d_', k) FROM gsalt.default.salt_nf")
+    val q = """SELECT dm.d, COUNT(*) AS n FROM gsalt.default.salt_nf f
+               JOIN gsalt.default.salt_nd dm ON f.k = dm.k
+               GROUP BY dm.d ORDER BY dm.d"""
+    def optimized = sql(q).queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("__graft_salt"))
+    val unsalted = sql(q).collect().toSeq
+    // numeric column: MCV collection skips it; the 10-bin equi-height
+    // histogram pins the hot value in >= 5 degenerate bins
+    sql("CALL gsalt.system.analyze(table => 'default.salt_nf', " +
+      "columns => 'k', buckets => 10, mcv => 3)")
+    assert(optimized.contains("__graft_salt_s"),
+      s"histogram-hot numeric key must salt:\n$optimized")
+    assert(sql(q).collect().toSeq == unsalted)
+    Seq("salt_nf", "salt_nd").foreach(t =>
+      sql(s"DROP TABLE gsalt.default.$t"))
+  }
 }
