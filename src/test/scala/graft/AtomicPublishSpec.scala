@@ -138,6 +138,39 @@ class AtomicPublishSpec extends SparkSpec {
     assert(sql(s"SELECT COUNT(*) FROM $d").head().getLong(0) == 6)
   }
 
+  test("two concurrent publishers serialize on the index lock: one " +
+      "lands, the other aborts whole on the divergence it then sees") {
+    val (f, d) = freshPair("pp")
+    val (fn, dn) = (f.split('.').last, d.split('.').last)
+    Seq(f, d).foreach(t => sql(s"DROP TABLE IF EXISTS ${t}_branch_pub_b"))
+    branchBoth(f, d)
+    sql(s"CALL gap.system.create_branch('default.$fn', 'pub_b')")
+    sql(s"CALL gap.system.create_branch('default.$dn', 'pub_b')")
+    sql(s"INSERT INTO ${f}_branch_pub VALUES (10, 50)")
+    sql(s"INSERT INTO ${d}_branch_pub VALUES (50, 'a')")
+    sql(s"INSERT INTO ${f}_branch_pub_b VALUES (11, 51)")
+    sql(s"INSERT INTO ${d}_branch_pub_b VALUES (51, 'b')")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val ts = Seq("pub", "pub_b").map(b => new Thread(() => {
+      try {
+        sql("CALL gap.system.publish_tables(" +
+          s"'default.$fn,default.$dn', '$b')").collect()
+        results.add(true): Unit
+      } catch { case _: Throwable => results.add(false): Unit }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    // exactly one transaction lands (the second sees a diverged main
+    // under the lock and aborts whole); both tables agree on which
+    assert(rs.count(identity) == 1 && rs.size == 2, rs.toString)
+    val fNew = sql(s"SELECT COUNT(*) FROM $f WHERE k IN (10, 11)")
+      .head().getLong(0)
+    val dNew = sql(s"SELECT COUNT(*) FROM $d WHERE dk IN (50, 51)")
+      .head().getLong(0)
+    assert(fNew == 1 && dNew == 1, s"fact=$fNew dim=$dNew")
+  }
+
   test("publish racing foreign DML on a member table either fully " +
       "lands or fully aborts") {
     val (f, d) = freshPair("dml")
