@@ -133,14 +133,11 @@ object Bench {
         val deadlineS =
           if (samples.isEmpty) 300.0
           else math.max(30.0, 10.0 * samples.min)
-        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
         val done = new java.util.concurrent.CountDownLatch(1)
         val watchdog = new Thread(() => {
           if (!done.await((deadlineS * 1000).toLong,
-              java.util.concurrent.TimeUnit.MILLISECONDS)) {
-            fired.set(true)
+              java.util.concurrent.TimeUnit.MILLISECONDS))
             dumpStacks(s"${name}_s${samples.size}")
-          }
         }, s"graft-bench-watchdog-$name")
         watchdog.setDaemon(true)
         val gc0 = gcMs(); val cpu0 = procCpuNs()

@@ -408,18 +408,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val extraProps: Map[String, String] = {
       val b = Map.newBuilder[String, String]
       properties.forEach { (k, v) =>
-        if (k.startsWith("graft.mv.") || k.startsWith("graft.dv.") ||
-            k.equalsIgnoreCase("graft.row_id"))
+        if (k.startsWith("graft.mv.") || k.startsWith("graft.dv."))
           b += (k -> v)
+        // key normalized to the canonical casing — validation and the
+        // CoW feed consumer both look it up exactly (review find: a
+        // mixed-case key skipped validation AND the feed's lookup)
+        else if (k.equalsIgnoreCase("graft.row_id"))
+          b += ("graft.row_id" -> v)
       }
       b.result()
     }
-    locally {
-      val rid = properties.getOrDefault("graft.row_id", "")
-      if (rid.nonEmpty)
-        require(GraftStorage.ordinalByName(
-            schema.fieldNames.toIndexedSeq, rid) >= 0,
-          s"graft.row_id column $rid not in ${schema.catalogString}")
+    extraProps.get("graft.row_id").filter(_.nonEmpty).foreach { rid =>
+      require(GraftStorage.ordinalByName(
+          schema.fieldNames.toIndexedSeq, rid) >= 0,
+        s"graft.row_id column $rid not in ${schema.catalogString}")
     }
     // PARTITIONED BY: identity plus the hidden-partitioning transforms
     // (days/months/years/hours/truncate — see [[GraftPartField]]),
@@ -1944,6 +1946,27 @@ class GraftTable(ident: String, val dir: NioPath,
   private def txnMarker(id: String, kind: String): NioPath =
     dir.getParent.resolve("_txn").resolve(s"$id.$kind")
 
+  /** Fold a publish-stamped head into (committed) or out of (aborted /
+    * in-flight) a state — the ONE place the repair arithmetic lives,
+    * shared by the reader view and the writer-side disambiguation so
+    * the two can never disagree. Dropping the head also hides its
+    * append-log entries (they entered in the same commit) from the
+    * stream axis. */
+  private def foldPublish(st: GraftTableState,
+      committed: Boolean): GraftTableState =
+    if (committed) st.copy(publishTxn = "")
+    else {
+      val n = st.current.map(_.files.size).getOrElse(0)
+      st.copy(snapshots = st.snapshots.init, publishTxn = "",
+        appendLog = st.appendLog.dropRight(n))
+    }
+
+  /** Transactions whose `.committed` marker this handle has already
+    * seen: a published read-mostly table would otherwise pay a
+    * Files.exists on EVERY stateNow until its next write persists the
+    * cleared stamp. Bounded (capped) — transactions are rare events. */
+  @volatile private var committedTxnsSeen: Set[String] = Set.empty
+
   /** READ-side resolution of a pending publish transaction: a state
     * whose head snapshot carries a `publishTxn` stamp serves the head
     * only once the transaction's `.committed` marker exists; until
@@ -1951,19 +1974,17 @@ class GraftTable(ident: String, val dir: NioPath,
     * the visible truth — so the visibility flip for every table in
     * the transaction is one atomic marker creation. View-only: disk
     * state is repaired by the next writer (which disambiguates under
-    * the index lock — see commitLoop). Cost: two Files.exists, only
-    * when the rare pending stamp is present. */
+    * the index lock — see commitLoop). Cost: one memoized set probe,
+    * or two Files.exists the first time the rare stamp is met. */
   private def resolvePublishView(st: GraftTableState): GraftTableState =
     if (st.publishTxn.isEmpty) st
-    else if (Files.exists(txnMarker(st.publishTxn, "committed")))
-      st.copy(publishTxn = "")
-    else {
-      // the pending head's files also entered the append log in the
-      // same commit — hide them from the stream axis too
-      val n = st.current.map(_.files.size).getOrElse(0)
-      st.copy(snapshots = st.snapshots.init, publishTxn = "",
-        appendLog = st.appendLog.dropRight(n))
-    }
+    else if (committedTxnsSeen.contains(st.publishTxn))
+      foldPublish(st, committed = true)
+    else if (Files.exists(txnMarker(st.publishTxn, "committed"))) {
+      if (committedTxnsSeen.size < 1024)
+        committedTxnsSeen += st.publishTxn
+      foldPublish(st, committed = true)
+    } else foldPublish(st, committed = false)
 
   private[graft] def stateNow: GraftTableState = resolvePublishView(state)
   private[graft] def dataDir: String =
@@ -2010,7 +2031,12 @@ class GraftTable(ident: String, val dir: NioPath,
     if (targetBytes > 0)
       m.put("graft.target_file_bytes", targetBytes.toString)
     extraProps.foreach { case (k, v) => m.put(k, v) }
-    val st = state
+    // publish-resolved view: an invisible pending head must not leak
+    // its version through SHOW TBLPROPERTIES — the MV stamping pattern
+    // reads graft.current_version, and a pending version stamped as
+    // graft.mv.base_version would mark a stale MV fresh the instant
+    // the transaction commits (round-16 review find)
+    val st = stateNow
     m.put("graft.current_version",
       st.current.map(_.version).getOrElse(-1).toString)
     m.put("graft.data_files",
@@ -2256,12 +2282,9 @@ class GraftTable(ident: String, val dir: NioPath,
         val pend = state.publishTxn
         if (pend.nonEmpty) {
           if (Files.exists(txnMarker(pend, "committed")))
-            state = state.copy(publishTxn = "")
-          else if (Files.exists(txnMarker(pend, "aborted"))) {
-            val n = state.current.map(_.files.size).getOrElse(0)
-            state = state.copy(snapshots = state.snapshots.init,
-              publishTxn = "", appendLog = state.appendLog.dropRight(n))
-          }
+            state = foldPublish(state, committed = true)
+          else if (Files.exists(txnMarker(pend, "aborted")))
+            state = foldPublish(state, committed = false)
         }
         if (state.publishTxn.nonEmpty) 2
         else {
@@ -2543,10 +2566,14 @@ class GraftTable(ident: String, val dir: NioPath,
       }
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         files.toVector, Vector.empty)
-      Some(trimAppend(state.copy(
+      val next = state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
-        appendLog = state.appendLog ++ files)))
+        appendLog = state.appendLog ++ files)
+      // fresh-content replace fences the DV feed; the guarded path is
+      // compaction (a content-preserving fold — history stays readable)
+      Some(trimAppend(
+        if (replaceAllGuard.isEmpty) fenceDvChanges(next) else next))
     }
 
   /** Fast-forward publish ([[GraftCatalog.fastForward]]): replace the
@@ -2624,6 +2651,27 @@ class GraftTable(ident: String, val dir: NioPath,
     Some(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
       nextVersion = state.nextVersion + 1))
   }
+
+  /** DV `$changes` totality fence (round-16 review find): a commit
+    * that REPLACES table content with rows the feed never carried —
+    * fresh-content INSERT OVERWRITE, a truncate-mode streaming epoch,
+    * a dynamic/matching partition overwrite, a rollback — makes the
+    * ledger's earlier history unusable: a consumer reading across it
+    * would apply pre-replacement ops to post-replacement content and
+    * silently diverge. Reset the retained window and raise the trim
+    * fence to the replacing commit's version, so a bounded read
+    * spanning the replacement REFUSES loudly (reseed from a snapshot),
+    * a post-replacement from_version serves cleanly, and a lagging
+    * streaming checkpoint fails on the offset-base jump. Compaction
+    * and small-file rewrites are content-preserving folds and do NOT
+    * fence (spec-pinned: the feed stays readable across compaction).
+    * Call on the already-advanced state (nextVersion - 1 = the
+    * replacing commit). */
+  private def fenceDvChanges(st: GraftTableState): GraftTableState =
+    if (tableKind != "dv") st
+    else st.copy(changeLog = Vector.empty,
+      changeBase = st.changeBase + st.changeLog.size,
+      changeTrimVer = math.max(st.changeTrimVer, st.nextVersion - 1))
 
   /** Change-feed ledger retention — same discipline as the append log:
     * keep the last `appendRetain` delta-file entries, `changeBase`
@@ -2797,12 +2845,14 @@ class GraftTable(ident: String, val dir: NioPath,
         epochHW = state.epochHW + (queryId -> epochId))
       // streaming appends into a DV table are changes too (same
       // totality contract as commitAppend); truncate mode replaces the
-      // whole content — not representable as row-level ops, so it stays
-      // out of the feed (a consumer reseeds from the snapshot)
+      // whole content — not representable as row-level ops, so it
+      // FENCES the feed (a read across it refuses; a consumer reseeds
+      // from the snapshot — silent divergence was the review find)
       Some(trimAppend(
         if (tableKind == "dv" && !truncate)
           trimChange(next.copy(changeLog = next.changeLog ++
             files.map(_.copy(ver = state.nextVersion))))
+        else if (truncate) fenceDvChanges(next)
         else next))
     } else {
       files.foreach(f =>
@@ -3165,9 +3215,11 @@ class GraftTable(ident: String, val dir: NioPath,
       target = v
       val ns = GraftSnapshot(state.nextVersion, state.schemaJson,
         snap.files, snap.deltaFiles)
-      Some(state.copy(
+      // a rollback rewrites history: ops after the target never
+      // happened — fence the DV feed so a consumer cannot apply them
+      Some(fenceDvChanges(state.copy(
         snapshots = retainWindow(state.snapshots :+ ns),
-        nextVersion = state.nextVersion + 1))
+        nextVersion = state.nextVersion + 1)))
     }
     target
   }
@@ -3322,14 +3374,27 @@ class GraftTable(ident: String, val dir: NioPath,
         "deleteWhere precondition no longer holds (undecidable predicate " +
           "set, or a concurrent commit changed the table) — retry the " +
           "statement")
-      val removed = curFiles.filter(f =>
+      val removedRefs = curFiles.filter(f =>
         predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
-        .map(_.path).toSet
+      val removed = removedRefs.map(_.path).toSet
       val kept = curFiles.filterNot(f => removed.contains(f.path))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         kept, curDelta)
-      Some(state.copy(snapshots = retainWindow(state.snapshots :+ snap),
-        nextVersion = state.nextVersion + 1))
+      val next = state.copy(
+        snapshots = retainWindow(state.snapshots :+ snap),
+        nextVersion = state.nextVersion + 1)
+      // DV feed totality (round-16 review find): a stats-decidable
+      // DELETE drops whole files with no vectors — record each dropped
+      // file in the change ledger tagged whole-file-delete, so the
+      // feed streams its rows as op-2 deletes. Cost O(deleted rows) —
+      // exactly proportional to the DELETE itself.
+      Some(
+        if (tableKind == "dv" && removedRefs.nonEmpty)
+          trimChange(next.copy(changeLog = next.changeLog ++
+            removedRefs.map(_.copy(
+              fence = GraftDvTable.WholeFileDeleteTag,
+              ver = state.nextVersion))))
+        else next)
     }
 
   override def truncateTable(): Boolean = { commitReplaceAll(Nil); true }
@@ -3376,10 +3441,14 @@ class GraftTable(ident: String, val dir: NioPath,
       predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
     val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
       kept ++ files, curDelta)
-    Some(trimAppend(state.copy(
+    val next = state.copy(
       snapshots = retainWindow(state.snapshots :+ snap),
       nextVersion = state.nextVersion + 1,
-      appendLog = state.appendLog ++ files)))
+      appendLog = state.appendLog ++ files)
+    // fresh-content REPLACE WHERE fences the DV feed; the guarded path
+    // (partition-scoped compaction) is a content-preserving fold
+    Some(trimAppend(
+      if (replaceMatchingGuard.isEmpty) fenceDvChanges(next) else next))
   }
 
   /** Dynamic-partition overwrite: replace exactly the partitions the
@@ -3436,10 +3505,11 @@ class GraftTable(ident: String, val dir: NioPath,
       val kept = curFiles.filterNot(f => newKeys.contains(key(f)))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         kept ++ files, curDelta)
-      Some(trimAppend(state.copy(
+      // a dynamic partition overwrite is fresh content: fence the DV feed
+      Some(trimAppend(fenceDvChanges(state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
-        appendLog = state.appendLog ++ files)))
+        appendLog = state.appendLog ++ files))))
     }
 
   // ---- row-level DML (MERGE / UPDATE / DELETE) -------------------------

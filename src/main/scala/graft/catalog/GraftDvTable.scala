@@ -396,6 +396,16 @@ object GraftDvTable {
   private[catalog] def isVectorRef(f: GraftFileRef): Boolean =
     f.cols == Vector("__file", "__pos")
 
+  /** Ledger tag for a DATA file whose ENTIRE content was removed by a
+    * metadata-level operation (stats-decidable DELETE drops whole
+    * files without writing vectors — round-16 review find: those
+    * deletes were invisible to the feed). Carried in the otherwise
+    * unused `fence` field of a data ledger entry; the feed resolves
+    * it as whole-file delete-rows, cost O(deleted rows). */
+  private[catalog] val WholeFileDeleteTag = -2
+  private[catalog] def isWholeDeleteRef(f: GraftFileRef): Boolean =
+    f.fence == WholeFileDeleteTag && !isVectorRef(f) && !isEqRef(f)
+
   /** Is this delta/ledger entry an EQUALITY-DELETE file (the upsert
     * write path)? Marked by filename — an eq file's columns are real
     * table key columns, so the column list can't distinguish it. */
@@ -965,6 +975,11 @@ object GraftDvChangeFeed {
             : InputPartition)
         }
       }
+      else if (GraftDvTable.isWholeDeleteRef(entry))
+        // a metadata-level DELETE dropped this whole file: every row
+        // streams as a delete-row (op = 2) at the commit's version
+        Seq(GraftDvChangeInsertPartition(entry.path, entry.cols,
+          entry.rows, entry.colIds, entry.ver, op = 2): InputPartition)
       else if (!GraftDvTable.isVectorRef(entry))
         Seq(GraftDvChangeInsertPartition(entry.path, entry.cols,
           entry.rows, entry.colIds, entry.ver): InputPartition)

@@ -392,7 +392,11 @@ object Dedup {
         // Loud scale guard BEFORE any pair forms: this query is the exact
         // quadratic-within-a-source baseline; a hot source past the cap
         // must refuse toward the banded path, not grind (VERDICT r15 #3).
-        requireBoundedPairs(sh, "source",
+        // Counted on the RAW table (a conservative upper bound — empty-
+        // token docs included), so the guard is one columnar count, not
+        // a second full-corpus shingling pass (round-16 review find).
+        requireBoundedPairs(Tables(s, d, "documents").select("source"),
+          "source",
           "the banded MinHash-LSH path (q41_minhash_lsh_dedup / q99_incremental_dedup)")
         // Force a shuffled hash join on (source, bucket): left to itself
         // Catalyst broadcasts the ×8-replicated side (BuildLeft) and runs

@@ -65,19 +65,34 @@ object SaltSkewJoin extends Rule[LogicalPlan] {
       case _ => false
     }.isDefined
 
-  /** Trace `attr` to the graft relation COLUMN it reads (exprId pass-
-    * through only — an alias means the stat no longer describes it). */
+  /** Trace `attr` to the graft relation COLUMN it reads — descending
+    * ONLY through operators that preserve the key's per-row
+    * multiplicity (Project pass-through, Filter, aliasing wrappers).
+    * An Aggregate/Distinct/Window between the join and the scan keeps
+    * the attr's exprId but destroys the skew the MCV describes (one
+    * row per key after a group-by) — salting there would explode the
+    * other side for zero benefit (review find), so anything that can
+    * change multiplicity stops the walk. An alias also stops it: the
+    * stat's provenance is gone. */
   private def relationColumn(plan: LogicalPlan,
-      attr: Attribute): Option[(GraftTable, String)] =
-    plan.collectFirst {
-      case r: DataSourceV2Relation
-          if r.output.exists(_.exprId == attr.exprId) =>
-        r.table match {
-          case g: GraftTable =>
-            Some((g, r.output.find(_.exprId == attr.exprId).get.name))
-          case _ => None
-        }
-    }.flatten
+      attr: Attribute): Option[(GraftTable, String)] = plan match {
+    case r: DataSourceV2Relation
+        if r.output.exists(_.exprId == attr.exprId) =>
+      r.table match {
+        case g: GraftTable =>
+          Some((g, r.output.find(_.exprId == attr.exprId).get.name))
+        case _ => None
+      }
+    case p: Project
+        if p.projectList.exists(e =>
+          e.isInstanceOf[Attribute] && e.exprId == attr.exprId) =>
+      relationColumn(p.child, attr)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      relationColumn(f.child, attr)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      relationColumn(s.child, attr)
+    case _ => None
+  }
 
   /** Hot-key mass share from the engine's own statistics: MCV lists
     * for string columns; for numeric columns, the q271 equi-height

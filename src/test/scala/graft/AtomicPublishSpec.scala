@@ -94,6 +94,15 @@ class AtomicPublishSpec extends SparkSpec {
     intercept[Exception] {
       sql(s"SELECT COUNT(*) FROM $f VERSION AS OF ${v + 1}").collect()
     }
+    // nor does SHOW TBLPROPERTIES leak the pending version — the MV
+    // stamping pattern reads graft.current_version, and a leaked
+    // pending stamp would mark a stale MV as fresh at commit
+    val shownV = sql(s"SHOW TBLPROPERTIES $f").collect()
+      .collectFirst {
+        case r if r.getString(0) == "graft.current_version" =>
+          r.getString(1).toInt
+      }.get
+    assert(shownV == v, s"properties leaked pending version $shownV")
     // the next writer disambiguates under the index lock: the dead
     // transaction aborts, its head drops, the insert lands on the
     // pre-transaction content

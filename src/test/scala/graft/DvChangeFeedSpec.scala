@@ -68,6 +68,26 @@ class DvChangeFeedSpec extends SparkSpec {
       s"feed rows: $rows")
   }
 
+  test("a fresh-content replace FENCES the feed: reads across it " +
+      "refuse, post-replace reads serve, compaction does not fence") {
+    val t = setup("dvcf_fence")
+    sql(s"DELETE FROM $t WHERE k = 1")                    // v2
+    val vOver = table("dvcf_fence").stateNow.nextVersion  // v3
+    sql(s"INSERT OVERWRITE $t VALUES (100, 'fresh')")     // replace
+    // spanning the replacement refuses loudly (reseed, don't diverge)
+    val e = intercept[Exception] {
+      spark.read.option("from_version", "0").table(feed(t)).collect()
+    }
+    assert(e.getMessage.contains("reseed") ||
+      e.getMessage.contains("retained"), e.getMessage)
+    // post-replacement reads serve cleanly: ops after the fence only
+    sql(s"DELETE FROM $t WHERE k = 100")
+    val rows = spark.read.option("from_version", vOver.toString)
+      .table(feed(t)).selectExpr("`__op`", "k").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows == Seq((2, 100L)), s"got $rows")
+  }
+
   test("version-bounded batch slices follow the (a, b] discipline on " +
       "the DV feed") {
     val t = setup("dvcf_bounds")
