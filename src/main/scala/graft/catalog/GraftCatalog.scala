@@ -2653,20 +2653,22 @@ class GraftTable(ident: String, val dir: NioPath,
   }
 
   /** DV `$changes` totality fence (round-16 review find): a commit
-    * that REPLACES table content with rows the feed never carried —
-    * fresh-content INSERT OVERWRITE, a truncate-mode streaming epoch,
-    * a dynamic/matching partition overwrite, a rollback — makes the
-    * ledger's earlier history unusable: a consumer reading across it
-    * would apply pre-replacement ops to post-replacement content and
-    * silently diverge. Reset the retained window and raise the trim
-    * fence to the replacing commit's version, so a bounded read
-    * spanning the replacement REFUSES loudly (reseed from a snapshot),
-    * a post-replacement from_version serves cleanly, and a lagging
-    * streaming checkpoint fails on the offset-base jump. Compaction
-    * and small-file rewrites are content-preserving folds and do NOT
-    * fence (spec-pinned: the feed stays readable across compaction).
-    * Call on the already-advanced state (nextVersion - 1 = the
-    * replacing commit). */
+    * that replaces the WHOLE table with rows the feed never carried —
+    * fresh-content full INSERT OVERWRITE, a truncate-mode streaming
+    * epoch, a rollback — makes the ledger's earlier history unusable:
+    * a consumer reading across it would apply pre-replacement ops to
+    * post-replacement content and silently diverge. Reset the retained
+    * window and raise the trim fence to the replacing commit's
+    * version, so a bounded read spanning the replacement REFUSES
+    * loudly (reseed from a snapshot), a post-replacement from_version
+    * serves cleanly, and a lagging streaming checkpoint fails on the
+    * offset-base jump. SCOPED replaces don't need the fence: metadata
+    * DELETEs and partition-scoped (matching/dynamic) overwrites emit
+    * scale-proportional whole-file delete + insert entries instead,
+    * and compaction/small-file rewrites are content-preserving folds
+    * (spec-pinned: the feed stays readable across compaction). Call
+    * on the already-advanced state (nextVersion - 1 = the replacing
+    * commit). */
   private def fenceDvChanges(st: GraftTableState): GraftTableState =
     if (tableKind != "dv") st
     else st.copy(changeLog = Vector.empty,
@@ -3437,6 +3439,8 @@ class GraftTable(ident: String, val dir: NioPath,
             "publishing the stale fold would lose that commit. Retry " +
             "system.compact.")
     }
+    val replaced = curFiles.filter(f =>
+      predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
     val kept = curFiles.filterNot(f =>
       predicates.forall(GraftV2Preds.mustMatchAll(state.schema, f, _)))
     val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
@@ -3445,10 +3449,17 @@ class GraftTable(ident: String, val dir: NioPath,
       snapshots = retainWindow(state.snapshots :+ snap),
       nextVersion = state.nextVersion + 1,
       appendLog = state.appendLog ++ files)
-    // fresh-content REPLACE WHERE fences the DV feed; the guarded path
-    // (partition-scoped compaction) is a content-preserving fold
+    // DV feed: a predicate-SCOPED replace is scale-proportional, so it
+    // stays feed-visible — the replaced files stream as whole-file
+    // delete-rows and the fresh files as inserts, one version. The
+    // guarded path (partition-scoped compaction) is a content-
+    // preserving fold: no entries, no fence.
     Some(trimAppend(
-      if (replaceMatchingGuard.isEmpty) fenceDvChanges(next) else next))
+      if (replaceMatchingGuard.nonEmpty || tableKind != "dv") next
+      else trimChange(next.copy(changeLog = next.changeLog ++
+        replaced.map(_.copy(fence = GraftDvTable.WholeFileDeleteTag,
+          ver = state.nextVersion)) ++
+        files.map(_.copy(ver = state.nextVersion))))))
   }
 
   /** Dynamic-partition overwrite: replace exactly the partitions the
@@ -3502,14 +3513,23 @@ class GraftTable(ident: String, val dir: NioPath,
           }
         }
       val newKeys = files.map(key).toSet
+      val replaced = curFiles.filter(f => newKeys.contains(key(f)))
       val kept = curFiles.filterNot(f => newKeys.contains(key(f)))
       val snap = GraftSnapshot(state.nextVersion, state.schemaJson,
         kept ++ files, curDelta)
-      // a dynamic partition overwrite is fresh content: fence the DV feed
-      Some(trimAppend(fenceDvChanges(state.copy(
+      val next = state.copy(
         snapshots = retainWindow(state.snapshots :+ snap),
         nextVersion = state.nextVersion + 1,
-        appendLog = state.appendLog ++ files))))
+        appendLog = state.appendLog ++ files)
+      // DV feed: a dynamic overwrite replaces exactly the touched
+      // partitions — scale-proportional, so it stays feed-visible
+      // (replaced files as whole-file delete-rows, fresh as inserts)
+      Some(trimAppend(
+        if (tableKind != "dv") next
+        else trimChange(next.copy(changeLog = next.changeLog ++
+          replaced.map(_.copy(fence = GraftDvTable.WholeFileDeleteTag,
+            ver = state.nextVersion)) ++
+          files.map(_.copy(ver = state.nextVersion))))))
     }
 
   // ---- row-level DML (MERGE / UPDATE / DELETE) -------------------------

@@ -88,6 +88,37 @@ class DvChangeFeedSpec extends SparkSpec {
     assert(rows == Seq((2, 100L)), s"got $rows")
   }
 
+  test("a partition-SCOPED dynamic overwrite stays feed-visible: " +
+      "replaced partition rows stream as deletes, fresh rows as " +
+      "inserts, untouched partitions stay silent") {
+    spark.conf.set("spark.sql.catalog.gdcf",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = "gdcf.default.dvcf_dynow"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('graft.mode'='dv')")
+    sql(s"INSERT INTO $t VALUES (1, 'a1'), (2, 'a2')")      // v0
+    val vBefore = table("dvcf_dynow").stateNow.nextVersion
+    val prevMode = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql(s"INSERT OVERWRITE $t VALUES (2, 'b2')")        // v1
+    finally prevMode match {
+      case Some(m) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode")
+    }
+    val rows = spark.read.option("from_version", (vBefore - 1).toString)
+      .table(feed(t)).selectExpr("`__op`", "k", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+      .sorted
+    // partition k=2: old row deleted, new row inserted; k=1 silent
+    assert(rows == Seq((0, 2L, "b2"), (2, 2L, "a2")), s"got $rows")
+    // and the feed is still consumable end to end (no fence)
+    assert(spark.read.table(feed(t)).count() >= 4) // 2 seeds + the pair
+  }
+
   test("version-bounded batch slices follow the (a, b] discipline on " +
       "the DV feed") {
     val t = setup("dvcf_bounds")
