@@ -169,9 +169,9 @@ object Bench {
       val dTot = math.max(1L, tot1 - tot0)
       val busyPct = 100.0 * (busy1 - busy0) / dTot
       val stealPct = 100.0 * (steal1 - steal0) / dTot
-      // noise evidence, recorded ONLY for windows that needed extra
-      // samples or kept a wide spread — the artifact stays one short
-      // line on a quiet host, and says exactly where it was contended
+      // detailed sample evidence, recorded ONLY for windows that needed
+      // extra samples or kept a wide spread — the artifact stays short
+      // on a quiet host, and says exactly where it was contended
       val noisy = samples.size > 2 ||
         samples.max - samples.min > math.max(0.75, 0.5 * samples.min)
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
@@ -182,33 +182,50 @@ object Bench {
       (name, dt, err,
         if (noisy) Some((samples.toList, gcDeltas.toList, cpuDeltas.toList,
           busyPct, stealPct))
-        else None)
+        else None,
+        (busyPct, stealPct, samples.max))
     }
     // Millisecond precision keeps the one-line JSON short: the driver's
     // log capture truncated the round-2 line (q01-q29 vanished from
     // BENCH_r02.json), and full double precision was ~40% of the bytes.
-    val qs = results.map { case (k, v, _, _) => s""""$k":${num(v)}""" }
+    val qs = results.map { case (k, v, _, _, _) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     // A crashed query must not flatter the total: errors are listed
     // explicitly so the bench JSON is auditable against the correctness run.
-    val errs = results.collect { case (k, _, Some(e), _) => s"\"$k\":\"$e\"" }
+    val errs = results.collect { case (k, _, Some(e), _, _) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     // contended windows carry their own evidence: every sample's wall /
     // JVM-GC-ms / process-CPU-s plus whole-host busy/steal% — the judge
     // (and the builder) can classify a spiked sample from the artifact
     // alone: gc≈wall → collector, cpu≈0 → blocked thread (see the
     // matching BENCH_STALL_*.txt stack dump), cpu≈wall → real work.
-    val noise = results.collect { case (k, _, _, Some((ws, gcs, cpus, b, st))) =>
-      s""""$k":{"max":${num(ws.max)},"n":${ws.size},""" +
-        s""""wall_s":[${ws.map(num).mkString(",")}],""" +
-        s""""gc_ms":[${gcs.mkString(",")}],""" +
-        s""""proc_cpu_s":[${cpus.map(num).mkString(",")}],""" +
-        s""""busy_pct":${num(b)},"steal_pct":${num(st)}}"""
+    val noise = results.collect {
+      case (k, _, _, Some((ws, gcs, cpus, b, st)), _) =>
+        s""""$k":{"max":${num(ws.max)},"n":${ws.size},""" +
+          s""""wall_s":[${ws.map(num).mkString(",")}],""" +
+          s""""gc_ms":[${gcs.mkString(",")}],""" +
+          s""""proc_cpu_s":[${cpus.map(num).mkString(",")}],""" +
+          s""""busy_pct":${num(b)},"steal_pct":${num(st)}}"""
+    }.mkString("{", ",", "}")
+    // ALWAYS-ON host evidence (VERDICT r16 item 1): busy%/steal% over
+    // EVERY query's sampling window plus the window's max wall — r16's
+    // clean-window regressions (q149 0.38 s -> 5.79 s with two
+    // CONSISTENT samples under sustained steal) recorded no exonerating
+    // evidence because only noisy windows serialized theirs. The values
+    // were already computed; one compact [busy, steal, max_wall] triple
+    // per query (~20 bytes) makes every mover classifiable from the
+    // artifact alone: high steal on the window => contended host, not a
+    // plan regression.
+    val host = results.map { case (k, _, _, _, (b, st, mx)) =>
+      val b1 = String.format(java.util.Locale.ROOT, "%.1f", Double.box(b))
+      val s1 = String.format(java.util.Locale.ROOT, "%.1f", Double.box(st))
+      val m2 = String.format(java.util.Locale.ROOT, "%.2f", Double.box(mx))
+      s""""$k":[$b1,$s1,$m2]"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,""" +
-        s""""noise":$noise,""" +
+        s""""noise":$noise,"host":$host,""" +
         s""""load_avg":{"start":${num(loadStart)},"end":${num(loadAvg())}},""" +
         s""""sf":"$sfDir"}"""
     // Belt and braces against tail-capture truncation: stdout line (the

@@ -4466,9 +4466,15 @@ object CatalogQueries {
     // and the plan grows the salt projection + the dim explode
     // automatically (PlanShapeSpec pins the shape, the staleness
     // refusal, and salted≡unsalted results). The rewrite is physical-
-    // only, so the oracle runs the plain join. At 100 TB this turns
-    // the one reducer holding 90% of the shuffle into n balanced
-    // tasks without anyone editing the query.
+    // only, so the oracle runs the plain join. Broadcast is disabled
+    // for the demonstration query because the r16 PROFIT gates
+    // (correctly) refuse to salt a join BHJ already owns — at sf0.01
+    // the dim is ~51 rows; the production shape this models is a
+    // shuffle join whose dim exceeds the broadcast threshold.
+    // PlanShapeSpec pins the broadcast-small and co-bucketed-SPJ
+    // refusals alongside the firing shape. At 100 TB this turns the
+    // one reducer holding 90% of the shuffle into n balanced tasks
+    // without anyone editing the query.
     QueryDef(
       "q277_auto_salted_join",
       (s, d) => {
@@ -4492,11 +4498,27 @@ object CatalogQueries {
         s.sql("""CALL graft_cat.system.analyze(
                    table => 'default.fact_skew', columns => 'k',
                    mcv => 5)""").collect()
-        s.sql("""
-          SELECT dm.d, COUNT(*) AS n, SUM(f.v) AS sum_v
-          FROM graft_cat.default.fact_skew f
-          JOIN graft_cat.default.dim_skew dm ON f.k = dm.k
-          GROUP BY dm.d ORDER BY dm.d""")
+        val savedBhj =
+          try Some(s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+          catch { case _: Exception => None }
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val df = s.sql("""
+            SELECT dm.d, COUNT(*) AS n, SUM(f.v) AS sum_v
+            FROM graft_cat.default.fact_skew f
+            JOIN graft_cat.default.dim_skew dm ON f.k = dm.k
+            GROUP BY dm.d ORDER BY dm.d""")
+          // EXECUTE inside the conf scope: any downstream count()/write
+          // re-optimizes under the restored threshold and BHJ would
+          // re-own the join — the salted shape this query demonstrates
+          // would never run. The result is one row per dim key (~51),
+          // so handing back a local frame is bounded by construction.
+          s.createDataFrame(
+            java.util.Arrays.asList(df.collect(): _*), df.schema)
+        } finally savedBhj match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
       },
       Some("""
         WITH f AS (SELECT CASE WHEN o_orderkey % 10 < 9 THEN 'HOT'

@@ -1957,8 +1957,20 @@ class GraftTable(ident: String, val dir: NioPath,
     if (committed) st.copy(publishTxn = "")
     else {
       val n = st.current.map(_.files.size).getOrElse(0)
+      // The stamped commit appended n entries, but trimAppend may have
+      // consumed some of THEM already (a fast-forwarded file set larger
+      // than graft.append_retain trims from the front through the
+      // commit's own tail): only `present` remain in the log. Dropping
+      // n unconditionally would eat pre-transaction entries that were
+      // never trimmed; and the base must roll back past the phantom
+      // portion of the trim the aborted commit caused, or the append
+      // axis ends beyond the last offset that ever held committed data
+      // (ADVICE r16). Trim drops from the front, the txn's entries are
+      // the tail — so present = min(n, log size) is exact.
+      val present = math.min(n, st.appendLog.size)
       st.copy(snapshots = st.snapshots.init, publishTxn = "",
-        appendLog = st.appendLog.dropRight(n))
+        appendLog = st.appendLog.dropRight(present),
+        appendBase = st.appendBase - (n - present))
     }
 
   /** Transactions whose `.committed` marker this handle has already
@@ -2170,7 +2182,23 @@ class GraftTable(ident: String, val dir: NioPath,
   private[catalog] def partSpecEncoded: Seq[String] = partCols
   private[catalog] def sortColumns: Seq[String] = sortCols
   private[catalog] def zorderColumns: Seq[String] = zorderCols
-  private[catalog] def bucketSpec: Option[(String, Int)] = bucketBy
+  private[graft] def bucketSpec: Option[(String, Int)] = bucketBy
+  /** Layout facts served to the optimizer-side skew gates
+    * ([[graft.plans.SaltSkewJoin]]): identity partition source columns
+    * (an SPJ-capable layout alongside [[bucketSpec]]) and the current
+    * snapshot's recorded data size — rows exactly, bytes as compressed
+    * file size (an order-of-magnitude broadcast heuristic, which is all
+    * a refusal gate needs). */
+  private[graft] def identityPartitionCols: Seq[String] =
+    if (partFields.nonEmpty && partFields.forall(_.isIdentity))
+      partFields.map(_.col)
+    else Nil
+  private[graft] def currentDataBytes: Long =
+    stateNow.current
+      .map(s => (s.files ++ s.deltaFiles).map(_.bytes).sum)
+      .getOrElse(0L)
+  private[graft] def currentDataRows: Long =
+    stateNow.current.map(_.files.map(_.rows).sum).getOrElse(0L)
   private[catalog] def bloomColumns: Seq[String] = bloomCols
   private[catalog] def targetFileBytes: Long = targetBytes
 
@@ -3252,8 +3280,13 @@ class GraftTable(ident: String, val dir: NioPath,
     // publish-resolved view: an in-flight/aborted transaction's head
     // must not be time-travel-readable before its commit marker
     val win = stateNow.snapshots
-    require(v >= 0 && v < state.nextVersion,
-      s"version $v out of range [0, ${state.nextVersion})")
+    // range-check against the RESOLVED view's max, not raw nextVersion:
+    // an in-flight/aborted publish head sits below nextVersion but is
+    // not visible — bounding with the unresolved counter would pass the
+    // range check and then fail with a misleading "expired" message
+    val maxVisible = win.lastOption.map(_.version).getOrElse(-1)
+    require(v >= 0 && v <= maxVisible,
+      s"version $v out of range [0, ${maxVisible + 1})")
     win.find(_.version == v) match {
       case Some(snap) => snapshotView(s"$ident@v$v", snap)
       case None => throw new IllegalStateException(

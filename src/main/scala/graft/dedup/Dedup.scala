@@ -55,8 +55,11 @@ object Dedup {
     df.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc).limit(1).collect().headOption.foreach { r =>
         val n = r.getLong(1)
-        val pairs = n * (n - 1) / 2
-        if (pairs > cap) {
+        // BigInt: n*(n-1)/2 overflows Long past ~4.3B rows per key —
+        // exactly the hot-key-at-scale regime the guard exists for, and
+        // a negative product would silently PASS the cap check
+        val pairs = BigInt(n) * BigInt(n - 1) / 2
+        if (pairs > BigInt(cap)) {
           val key = Option(r.get(0)).map(_.toString).getOrElse("NULL")
           throw new IllegalStateException(
             s"exact pairwise join refused: blocking key $blockCol=$key has " +

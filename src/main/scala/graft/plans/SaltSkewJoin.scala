@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, CreateArray, EqualTo, Explode, Expression, Literal, Murmur3Hash, Pmod}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Filter, Generate, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{IntegerType, MapType}
@@ -41,6 +41,37 @@ import graft.catalog.GraftTable
   *     salt must spread the hot key's rows, and map types don't hash);
   *   - not already salted (the salt conjunct's `__graft_salt` names
   *     guard the fixed point).
+  *
+  * PROFIT gates (VERDICT r16 item 2 + ADVICE: a sound rewrite can
+  * still be a scale REGRESSION — each refusal keeps the plan a better
+  * strategy already owns):
+  *   - BROADCAST-SMALL other side: when the to-be-exploded side's
+  *     recorded size (its graft table's compressed bytes, traced
+  *     through row-nonincreasing operators) is at or under
+  *     `spark.sql.autoBroadcastJoinThreshold`, Spark plans a
+  *     BroadcastHashJoin — there is NO skewed Exchange to fix, and the
+  *     rewrite would replicate the broadcast side ×n for zero benefit.
+  *     Disabling broadcast (threshold -1) re-admits salting: the user
+  *     forced a shuffle join, so the hot reducer is real again.
+  *   - CO-PARTITIONED SPJ sides: when v2 bucketing is on and BOTH join
+  *     keys sit directly on graft scans whose layouts are SPJ-
+  *     compatible (same-column `bucket(n, c)` with equal n, or
+  *     matching single-column identity partitioning), the join already
+  *     plans with ZERO Exchange (q212/q218) — the salt projection +
+  *     Generate would destroy the KeyGroupedPartitioning report and
+  *     re-introduce the shuffle this engine's layout exists to remove.
+  *     A hot key inside one co-bucketed task is AQE's province, not a
+  *     reason to resurrect the Exchange.
+  *   - HOT OTHER SIDE (self-join shape): when the other side's join
+  *     column carries its own ≥threshold MCV/histogram share, the
+  *     "dim" is a second fact with the same hot key — exploding it ×n
+  *     multiplies shuffle volume instead of balancing it.
+  *   - UNPROVEN DIMENSION: the rewrite only fires when the other
+  *     side's row count is KNOWN (traces to a graft table through
+  *     row-nonincreasing operators) and the replication is bounded by
+  *     the skew it removes (`other_rows × (n-1) ≤ skew_rows`) —
+  *     optimizer-automatic plans must prove their benefit; "probably a
+  *     dim" is not a statistic.
   *
   * At 100 TB this is the difference between one straggler task holding
   * 90% of a shuffle and n balanced tasks — without anyone hand-writing
@@ -118,6 +149,86 @@ object SaltSkewJoin extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Row/byte upper bound for a sub-plan, traced to a graft relation
+    * through operators that never INCREASE row count (projection,
+    * filter, aliasing, aggregation, distinct, limits). The full-table
+    * figure over-estimates a filtered side — conservative in the right
+    * direction for both consumers: the broadcast gate refuses more
+    * (an over-estimated side that still fits under the threshold
+    * certainly broadcasts) and the explosion bound refuses more (an
+    * over-estimated other side looks more expensive to replicate). */
+  private def sizeUpperBound(plan: LogicalPlan): Option[(Long, Long)] =
+    plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftTable => Some((g.currentDataRows, g.currentDataBytes))
+        case _ => None
+      }
+      case p: Project => sizeUpperBound(p.child)
+      case f: Filter => sizeUpperBound(f.child)
+      case s: SubqueryAlias => sizeUpperBound(s.child)
+      case a: Aggregate => sizeUpperBound(a.child)
+      case d: Distinct => sizeUpperBound(d.child)
+      case d: Deduplicate => sizeUpperBound(d.child)
+      case l: GlobalLimit => sizeUpperBound(l.child)
+      case l: LocalLimit => sizeUpperBound(l.child)
+      case _ => None
+    }
+
+  /** Would the UNSALTED join already plan with zero Exchange through
+    * storage-partitioned join? True when v2 bucketing is enabled and
+    * both keys sit on graft scans whose layouts report compatible
+    * KeyGroupedPartitioning: the same `bucket(n, col)` transform
+    * (equal n — Spark requires clustering-expression equality), or
+    * both tables identity-partitioned by exactly the join column. */
+  private def spjCompatible(lt: GraftTable, lc: String,
+      rt: GraftTable, rc: String): Boolean = {
+    val v2b =
+      try conf.getConfString(
+        "spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+      catch { case _: Exception => false }
+    if (!v2b) false
+    else {
+      val bucketed = (lt.bucketSpec, rt.bucketSpec) match {
+        case (Some((bc1, n1)), Some((bc2, n2))) =>
+          bc1.equalsIgnoreCase(lc) && bc2.equalsIgnoreCase(rc) && n1 == n2
+        case _ => false
+      }
+      def identityOn(t: GraftTable, c: String): Boolean =
+        t.identityPartitionCols.map(_.toLowerCase) == Seq(c.toLowerCase)
+      bucketed || (identityOn(lt, lc) && identityOn(rt, rc))
+    }
+  }
+
+  /** All profit gates for one candidate orientation: `skewCol` on
+    * `skewTbl` proved hot, `other` is the side the rewrite would
+    * explode ×n. Refusals keep the original plan. */
+  private def profitable(skewTbl: GraftTable, skewCol: String,
+      other: LogicalPlan, otherCol: Option[(GraftTable, String)]): Boolean = {
+    // hot other side: a self-join shape — exploding the second fact
+    // multiplies shuffle volume instead of balancing it
+    val otherHot = otherCol
+      .flatMap { case (t, c) => hotShare(t, c) }.exists(_ >= threshold)
+    if (otherHot) return false
+    // co-partitioned SPJ sides: the unsalted join is already
+    // Exchange-free; salting would resurrect the shuffle
+    if (otherCol.exists { case (t, c) =>
+        spjCompatible(skewTbl, skewCol, t, c) }) return false
+    val otherSize = sizeUpperBound(other)
+    // broadcast-small other side: BHJ has no skewed Exchange to fix
+    val bhjThreshold =
+      try conf.autoBroadcastJoinThreshold
+      catch { case _: Exception => 10485760L }
+    if (bhjThreshold > 0 &&
+        otherSize.exists { case (_, bytes) => bytes <= bhjThreshold })
+      return false
+    // unproven dimension / unbounded replication: only fire when the
+    // explosion is provably cheaper than the skew it removes
+    val n = math.max(2, saltN)
+    otherSize.exists { case (rows, _) =>
+      rows * (n - 1L) <= skewTbl.currentDataRows
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
@@ -126,16 +237,18 @@ object SaltSkewJoin extends Rule[LogicalPlan] {
         val eq = conjuncts(cond).collectFirst(Function.unlift {
           case EqualTo(a: Attribute, b: Attribute) =>
             val (la, ra) =
-              if (left.outputSet.contains(a)) (Some(a), Some(b))
-              else (Some(b), Some(a))
-            val hotLeft = la.flatMap(x => relationColumn(left, x))
-              .flatMap { case (t, c) => hotShare(t, c) }
+              if (left.outputSet.contains(a)) (a, b) else (b, a)
+            val lcol = relationColumn(left, la)
+            val rcol = relationColumn(right, ra)
+            val hotLeft = lcol.flatMap { case (t, c) => hotShare(t, c) }
               .exists(_ >= threshold)
-            lazy val hotRight = ra.flatMap(x => relationColumn(right, x))
-              .flatMap { case (t, c) => hotShare(t, c) }
+            lazy val hotRight = rcol.flatMap { case (t, c) => hotShare(t, c) }
               .exists(_ >= threshold)
-            if (hotLeft) Some(true)        // salt the left side
-            else if (hotRight) Some(false) // salt the right side
+            if (hotLeft && profitable(lcol.get._1, lcol.get._2, right, rcol))
+              Some(true)         // salt the left side
+            else if (hotRight &&
+                profitable(rcol.get._1, rcol.get._2, left, lcol))
+              Some(false)        // salt the right side
             else None
           case _ => None
         })

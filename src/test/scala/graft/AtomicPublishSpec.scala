@@ -112,6 +112,46 @@ class AtomicPublishSpec extends SparkSpec {
       .head().getLong(0) == 1)
   }
 
+  test("aborted publish larger than append_retain folds out cleanly: " +
+      "the append axis ends where the pre-transaction axis ended") {
+    init()
+    val name = "fact_trimfold"
+    sql(s"DROP TABLE IF EXISTS gap.default.$name")
+    // retention keeps only 4 append-ledger entries — small enough that
+    // a fast-forwarded file set larger than the window trims THROUGH
+    // the stamped commit's own entries (the ADVICE r16 over-drop case)
+    sql(s"""CREATE TABLE gap.default.$name (k BIGINT, fk BIGINT)
+            TBLPROPERTIES ('graft.append_retain'='4')""")
+    (0 until 3).foreach(i =>
+      sql(s"INSERT INTO gap.default.$name VALUES ($i, 10)"))
+    val t = handle(name)
+    val st0 = t.stateNow
+    val axisEnd0 = st0.appendBase + st0.appendLog.size
+    val v = st0.current.map(_.version).getOrElse(-1)
+    // dead publisher: phase-1 CAS lands 9 entries (> retain 4), the
+    // trim inside that commit advances appendBase past 5 of the txn's
+    // OWN entries — marker never written, so readers must fold it out
+    val files = Vector.fill(3)(st0.current.get.files).flatten
+    assert(files.size > 4, s"need > retain files, got ${files.size}")
+    t.commitFastForward(v, files, publishTxnId = "dead-txn-trim")
+    val st1 = t.stateNow
+    // pre-fix: dropRight(n) over-dropped (log went empty but the base
+    // kept the txn's phantom trim), leaving the axis ending PAST the
+    // last offset that ever held committed data
+    assert(st1.appendBase + st1.appendLog.size == axisEnd0,
+      s"aborted fold must end the append axis at $axisEnd0, got " +
+        s"base=${st1.appendBase} + log=${st1.appendLog.size}")
+    // content view unchanged, and the next writer's resolution keeps a
+    // consistent axis too
+    assert(sql(s"SELECT COUNT(*) FROM gap.default.$name")
+      .head().getLong(0) == 3)
+    sql(s"INSERT INTO gap.default.$name VALUES (100, 10)")
+    val st2 = t.stateNow
+    assert(st2.appendBase + st2.appendLog.size == axisEnd0 + 1,
+      "post-abort append must extend the pre-transaction axis by 1")
+    sql(s"DROP TABLE gap.default.$name")
+  }
+
   test("no torn read: a reader with a stable fact sample always sees " +
       "the matching dim state, across publishes racing foreign DML") {
     val (f, d) = freshPair("race")

@@ -499,6 +499,11 @@ class PlanShapeSpec extends SparkSpec {
     def sql(q: String) = spark.sql(q)
     spark.conf.set("spark.sql.catalog.gsalt",
       classOf[graft.catalog.GraftCatalog].getName)
+    // broadcast disabled: a test-scale dim sits under the BHJ
+    // threshold, and the profit gate (r16 item 2) correctly refuses to
+    // salt a broadcast join — this test exercises the shuffle-join path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     Seq("salt_f", "salt_d").foreach(t =>
       sql(s"DROP TABLE IF EXISTS gsalt.default.$t"))
     sql("CREATE TABLE gsalt.default.salt_f (k STRING, v BIGINT)")
@@ -542,6 +547,96 @@ class PlanShapeSpec extends SparkSpec {
       "stale MCV must not salt")
     Seq("salt_f", "salt_d").foreach(t =>
       sql(s"DROP TABLE gsalt.default.$t"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salting refuses a broadcast-small dim: BHJ has no skewed " +
+      "Exchange to fix, so the hot MCV must NOT explode the broadcast side") {
+    def sql(q: String) = spark.sql(q)
+    spark.conf.set("spark.sql.catalog.gsalt",
+      classOf[graft.catalog.GraftCatalog].getName)
+    Seq("salt_bf", "salt_bd").foreach(t =>
+      sql(s"DROP TABLE IF EXISTS gsalt.default.$t"))
+    sql("CREATE TABLE gsalt.default.salt_bf (k STRING, v BIGINT)")
+    sql("INSERT INTO gsalt.default.salt_bf SELECT CASE WHEN id % 10 < 9 " +
+      "THEN 'HOT' ELSE concat('c', id % 7) END, id FROM range(0, 1000)")
+    sql("CREATE TABLE gsalt.default.salt_bd (k STRING, d STRING)")
+    sql("INSERT INTO gsalt.default.salt_bd SELECT DISTINCT k, " +
+      "concat('d_', k) FROM gsalt.default.salt_bf")
+    sql("CALL gsalt.system.analyze(table => 'default.salt_bf', " +
+      "columns => 'k', mcv => 3)")
+    val q = """SELECT dm.d, COUNT(*) AS n
+               FROM gsalt.default.salt_bf f
+               JOIN gsalt.default.salt_bd dm ON f.k = dm.k
+               GROUP BY dm.d ORDER BY dm.d"""
+    // default broadcast threshold: the 8-key dim broadcasts, so the
+    // profit gate keeps the plan — no salt names anywhere, and the
+    // physical join is a BroadcastHashJoin
+    val df = sql(q)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("__graft_salt"),
+      s"broadcast-small dim must keep BHJ, not salt:\n$optimized")
+    val phys = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(phys.contains("BroadcastHashJoin"),
+      s"expected BHJ on the broadcast-small dim:\n$phys")
+    df.collect()
+    Seq("salt_bf", "salt_bd").foreach(t =>
+      sql(s"DROP TABLE gsalt.default.$t"))
+  }
+
+  test("salting refuses co-bucketed SPJ sides: a hot key on " +
+      "bucket-compatible layouts keeps the zero-Exchange plan") {
+    def sql(q: String) = spark.sql(q)
+    spark.conf.set("spark.sql.catalog.gsalt",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // broadcast off: otherwise the tiny bucketed dim would broadcast
+      // and never reach either the SPJ or the salt decision
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Seq("salt_sf", "salt_sd").foreach(t =>
+        sql(s"DROP TABLE IF EXISTS gsalt.default.$t"))
+      sql("""CREATE TABLE gsalt.default.salt_sf (k STRING, v BIGINT)
+             TBLPROPERTIES ('graft.bucket_by' = 'k,4')""")
+      sql("INSERT INTO gsalt.default.salt_sf SELECT CASE WHEN id % 10 < 9 " +
+        "THEN 'HOT' ELSE concat('c', id % 7) END, id FROM range(0, 1000)")
+      sql("""CREATE TABLE gsalt.default.salt_sd (k STRING, d STRING)
+             TBLPROPERTIES ('graft.bucket_by' = 'k,4')""")
+      sql("INSERT INTO gsalt.default.salt_sd SELECT DISTINCT k, " +
+        "concat('d_', k) FROM gsalt.default.salt_sf")
+      sql("CALL gsalt.system.analyze(table => 'default.salt_sf', " +
+        "columns => 'k', mcv => 3)")
+      val q = """SELECT dm.d, COUNT(*) AS n
+                 FROM gsalt.default.salt_sf f
+                 JOIN gsalt.default.salt_sd dm ON f.k = dm.k
+                 GROUP BY dm.d, f.k ORDER BY dm.d"""
+      val df = sql(q)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("__graft_salt"),
+        s"co-bucketed SPJ sides must not salt (the rewrite would " +
+          s"resurrect the Exchange SPJ removes):\n$optimized")
+      val phys = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joinIdx = phys.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge SPJ join:\n$phys")
+      assert(!phys.substring(joinIdx).contains("Exchange"),
+        s"co-bucketed join must stay Exchange-free below the join:\n$phys")
+      df.collect()
+      Seq("salt_sf", "salt_sd").foreach(t =>
+        sql(s"DROP TABLE gsalt.default.$t"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("histogram-detected NUMERIC hot key auto-salts too: degenerate " +
@@ -549,6 +644,10 @@ class PlanShapeSpec extends SparkSpec {
     def sql(q: String) = spark.sql(q)
     spark.conf.set("spark.sql.catalog.gsalt",
       classOf[graft.catalog.GraftCatalog].getName)
+    // broadcast off for the same reason as the MCV test: the profit
+    // gate refuses to salt a join BHJ already owns
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     Seq("salt_nf", "salt_nd").foreach(t =>
       sql(s"DROP TABLE IF EXISTS gsalt.default.$t"))
     sql("CREATE TABLE gsalt.default.salt_nf (k BIGINT, v BIGINT)")
@@ -573,5 +672,6 @@ class PlanShapeSpec extends SparkSpec {
     assert(sql(q).collect().toSeq == unsalted)
     Seq("salt_nf", "salt_nd").foreach(t =>
       sql(s"DROP TABLE gsalt.default.$t"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
