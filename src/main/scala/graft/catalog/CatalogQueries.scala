@@ -4257,7 +4257,15 @@ object CatalogQueries {
         // assignments: ONE corpus scan ever. max_by partial-aggregates
         // map-side over the broadcast codebook (q56's shape); ordering
         // (cd, -cell_id) = oracle's max-cd-then-min-cell tie-break.
+        // PARTITIONED BY (cell_id) — VERDICT r16 item 3: the index
+        // table's layout IS the IVF contract. Identity-partitioned by
+        // cell (16 cells — file-friendly), a probe's literal cell list
+        // prunes the scan to nprobe/ncells of the index FILES through
+        // the ordinary exact-partition machinery; unpartitioned, every
+        // probe paid a full index scan, the very ratio IVF exists to
+        // buy back. PlanShapeSpec pins files-opened == probed cells.
         s.sql("""CREATE TABLE graft_cat.default.ann_idx
+                 PARTITIONED BY (cell_id)
                  TBLPROPERTIES ('graft.mode'='mor',
                                 'graft.row_id'='vec_id')
                  AS SELECT v.vec_id,
@@ -4304,11 +4312,29 @@ object CatalogQueries {
           WHEN MATCHED THEN UPDATE SET cell_id = c.cell_id
           WHEN NOT MATCHED AND c.`__op` = 0 THEN
             INSERT (vec_id, cell_id) VALUES (c.vec_id, c.cell_id)""")
+        // PROBE PLANNING, two-phase (r16 item 3): score the query
+        // vectors against the 16-entry codebook and COLLECT the distinct
+        // probed cells — bounded by nqueries × nprobe (≤ 10 values) by
+        // construction, the IVF analogue of collecting a filter's
+        // partition list. Inlined as a literal IN, the probe prunes the
+        // partitioned index scan STATICALLY (files-opened == probed
+        // cells) instead of relying on runtime join filtering.
+        val probedCells = s.sql("""
+          SELECT DISTINCT cell_id FROM (
+            SELECT c.cell_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY cosine_sim(q.embedding, c.cb_emb) DESC,
+                              c.cell_id) AS rn
+            FROM (SELECT vec_id, embedding
+                  FROM graft_cat.default.emb_cdc WHERE vec_id < 5) q
+            CROSS JOIN graft_cat.default.ann_cells c) WHERE rn <= 2""")
+          .collect().map(_.getLong(0)).sorted
         // serve: census of the maintained index (oracle recomputes the
         // final corpus's assignment from scratch — incremental ≡ rebuild
         // is hash-checked) + top-10 search probing 2 cells per query,
-        // candidates from the INDEX table, embeddings from the corpus
-        s.sql("""
+        // candidates from the INDEX table pruned to the probed cells'
+        // partitions, embeddings from the corpus
+        s.sql(s"""
           WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                      FROM graft_cat.default.emb_cdc WHERE vec_id < 5),
           qc AS (SELECT query_id, q_emb, cell_id FROM (
@@ -4325,7 +4351,8 @@ object CatalogQueries {
                    ON qc.cell_id = i.cell_id
                  JOIN graft_cat.default.emb_cdc v
                    ON i.vec_id = v.vec_id
-            WHERE i.vec_id <> qc.query_id),
+            WHERE i.vec_id <> qc.query_id
+              AND i.cell_id IN (${probedCells.mkString(", ")})),
           r AS (SELECT query_id, cand_id, cos,
                        row_number() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, cand_id) AS rank
@@ -4849,7 +4876,12 @@ object CatalogQueries {
                  AS SELECT vec_id AS cell_id, embedding AS cb_emb
                  FROM graft_cat.default.emb_sq VERSION AS OF 0
                  WHERE vec_id < 16""")
+        // PARTITIONED BY (cell_id), like q275's ann_idx (r16 item 3):
+        // the probe's literal cell list prunes code reads to the probed
+        // cells' files — the approx ADC pass touches nprobe/ncells of
+        // the quantized index, never the whole code table
         s.sql("""CREATE TABLE graft_cat.default.sq_idx
+                 PARTITIONED BY (cell_id)
                  TBLPROPERTIES ('graft.mode'='mor',
                                 'graft.row_id'='vec_id')
                  AS SELECT vec_id, cell_id, amax,
@@ -4913,7 +4945,20 @@ object CatalogQueries {
           WHEN NOT MATCHED AND c.`__op` = 0 THEN
             INSERT (vec_id, cell_id, amax, codes)
             VALUES (c.vec_id, c.cell_id, c.amax, c.codes)""")
-        s.sql("""
+        // two-phase probe (r16 item 3), same as q275: collect the
+        // bounded probed-cell list, inline as a literal so the
+        // partitioned code table prunes statically
+        val probedSq = s.sql("""
+          SELECT DISTINCT cell_id FROM (
+            SELECT c.cell_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY cosine_sim(q.embedding, c.cb_emb) DESC,
+                              c.cell_id) AS rn
+            FROM (SELECT vec_id, embedding
+                  FROM graft_cat.default.emb_sq WHERE vec_id < 5) q
+            CROSS JOIN graft_cat.default.sq_cells c) WHERE rn <= 2""")
+          .collect().map(_.getLong(0)).sorted
+        s.sql(s"""
           WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                      FROM graft_cat.default.emb_sq WHERE vec_id < 5),
           qc AS (SELECT query_id, q_emb, cell_id FROM (
@@ -4931,7 +4976,8 @@ object CatalogQueries {
                      * i.amax / 127.0 AS sq_dot
             FROM qc JOIN graft_cat.default.sq_idx i
                    ON qc.cell_id = i.cell_id
-            WHERE i.vec_id <> qc.query_id),
+            WHERE i.vec_id <> qc.query_id
+              AND i.cell_id IN (${probedSq.mkString(", ")})),
           ar AS (SELECT query_id, q_emb, cand_id,
                         row_number() OVER (PARTITION BY query_id
                           ORDER BY sq_dot DESC, cand_id) AS arank

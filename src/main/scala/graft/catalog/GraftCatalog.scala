@@ -4890,7 +4890,14 @@ class GraftScan(tableSchema: StructType, requiredSchema: StructType,
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (spjKeyed.isDefined || skipLeadingRows > 0) Array.empty
     else {
-      val names = tableSchema.fieldNames.toSet
+      // advertise only columns surviving COLUMN PRUNING: Spark's
+      // PartitionPruning/RowLevelOperationRuntimeGroupFiltering resolve
+      // these refs against the scan relation's OUTPUT, and a layout
+      // column the query never reads (a row-id-only MERGE target scan
+      // on a partitioned index, say) would throw "Unable to resolve"
+      // at plan time. A ref absent from the output can't carry a
+      // runtime IN filter anyway — nothing is lost by withholding it.
+      val names = requiredSchema.fieldNames.toSet
       (partCols.map(GraftPartField.parse(_).col) ++
         bucketSpec.map(_._1) ++ clusterCols).distinct
         .filter(names.contains)

@@ -639,6 +639,56 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ANN index probe opens exactly the probed cells' files: " +
+      "PARTITIONED BY (cell_id) + literal probe list = the IVF read ratio") {
+    def sql(q: String) = spark.sql(q)
+    spark.conf.set("spark.sql.catalog.gann",
+      classOf[graft.catalog.GraftCatalog].getName)
+    def opens(body: => Unit): Long = {
+      val before = graft.catalog.GraftStorage.fileOpens.get()
+      body
+      graft.catalog.GraftStorage.fileOpens.get() - before
+    }
+    sql("DROP TABLE IF EXISTS gann.default.probe_idx")
+    // q275/q281's index layout at toy scale: 8 cells, one partition
+    // (-> one data file) per cell
+    sql("""CREATE TABLE gann.default.probe_idx PARTITIONED BY (cell_id)
+           TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='vec_id')
+           AS SELECT id AS vec_id, id % 8 AS cell_id FROM range(0, 800)""")
+    val t = spark.sessionState.catalogManager.catalog("gann")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("default"), "probe_idx"))
+      .asInstanceOf[graft.catalog.GraftTable]
+    val baseFiles = t.stateNow.current.get.files
+    assert(baseFiles.size == 8,
+      s"partitioned CTAS must split one file per cell: ${baseFiles.size}")
+    // the q275 probe shape: a literal 2-cell IN list (nprobe=2 of
+    // ncells=8) must read exactly those cells' files — the read ratio
+    // IVF exists to buy; before r16 item 3 the index was unpartitioned
+    // and every probe scanned the whole assignment table
+    val n = opens {
+      assert(sql("""SELECT COUNT(*) AS n FROM gann.default.probe_idx
+                    WHERE cell_id IN (2, 5)""").head().getLong(0) == 200L)
+    }
+    assert(n <= 2, s"2-cell probe opened $n files (want <= 2: exact " +
+      "partition pushdown may even serve the count from the manifest)")
+    val rows = sql("""SELECT vec_id FROM gann.default.probe_idx
+                      WHERE cell_id IN (2, 5) ORDER BY vec_id LIMIT 3""")
+    val nRows = opens { assert(rows.collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 5L, 10L)) }
+    assert(nRows == 2, s"2-cell row probe opened $nRows files, want 2")
+    // a curation MERGE keeps the layout: the moved vector's new cell
+    // gains a delta, and the probe still opens only probed-cell files
+    sql("""MERGE INTO gann.default.probe_idx t
+           USING (SELECT 2 AS vec_id, 5 AS cell_id) s
+           ON t.vec_id = s.vec_id
+           WHEN MATCHED THEN UPDATE SET cell_id = s.cell_id""")
+    assert(sql("""SELECT COUNT(*) FROM gann.default.probe_idx
+                  WHERE cell_id = 5""").head().getLong(0) == 101L)
+    sql("DROP TABLE gann.default.probe_idx")
+  }
+
   test("histogram-detected NUMERIC hot key auto-salts too: degenerate " +
       "hot bins carry the mass share MCVs carry for strings") {
     def sql(q: String) = spark.sql(q)
