@@ -5197,7 +5197,91 @@ object CatalogQueries {
         SELECT 'd_reserved2', lang, COUNT(*),
                CAST(SUM(n_chars) AS BIGINT)
         FROM tagged GROUP BY lang
-        ORDER BY phase, lang"""))
+        ORDER BY phase, lang""")),
+
+    // -------------------------------------------------------------- q283:
+    // STATISTICS THAT SURVIVE COMMITS (VERDICT r16 item 4) — `CALL
+    // system.refresh_stats` maintains the persisted column statistics
+    // off the change feed: the append wave's slice updates each listed
+    // MCV count EXACTLY (+op0/-op2 net per value), the not-null total
+    // likewise, NDVs move to their sound upper bound, and freshness is
+    // re-stamped — so the q277 salted-join shape survives the commit
+    // without a corpus re-scan (AnalyzeSpec pins the plan; the
+    // unlisted-overtake and negative-count refusals too). The query
+    // builds an 80/10/fragmented key, analyzes top-2, appends a wave of
+    // listed-value rows, refreshes, and emits the PERSISTED artifact
+    // parsed back from the table property — the oracle recomputes the
+    // base top-2 plus the wave's exact contributions from raw data, so
+    // the refreshed stored counts are hash-checked end to end. At
+    // 100 TB: stats maintenance costs O(changed rows), not O(corpus).
+    QueryDef(
+      "q283_refresh_stats",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.ord_rstats")
+        Tables(s, d, "orders").createOrReplaceTempView("q283_orders")
+        s.sql("""CREATE TABLE graft_cat.default.ord_rstats
+                 (k STRING, o_orderkey BIGINT)
+                 TBLPROPERTIES ('graft.row_id'='o_orderkey')""")
+        s.sql("""INSERT INTO graft_cat.default.ord_rstats
+                 SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'HOT'
+                             WHEN o_orderkey % 10 = 8 THEN 'WARM'
+                             ELSE concat('c', o_custkey % 40) END,
+                        o_orderkey
+                 FROM q283_orders""")
+        s.sql("""CALL graft_cat.system.analyze(
+                   table => 'default.ord_rstats', columns => 'k',
+                   mcv => 2)""").collect()
+        // the commit that would have killed the stats: an append wave
+        // touching only LISTED values (the sound case — the overtake
+        // guard proves no unlisted value could have entered the top-K)
+        s.sql("""INSERT INTO graft_cat.default.ord_rstats
+                 SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'HOT'
+                             ELSE 'WARM' END,
+                        o_orderkey + 10000000
+                 FROM q283_orders WHERE o_orderkey % 3 = 0""")
+        s.sql("""CALL graft_cat.system.refresh_stats(
+                   table => 'default.ord_rstats')""").collect()
+        // read back the refreshed PERSISTED artifact: `total|v:c;v:c`
+        val enc = s.sql(
+          "SHOW TBLPROPERTIES graft_cat.default.ord_rstats").collect()
+          .collectFirst {
+            case r if r.getString(0) == "graft.stats.mcv.k" =>
+              r.getString(1)
+          }.getOrElse(throw new IllegalStateException(
+            "refresh_stats did not keep graft.stats.mcv.k"))
+        val Array(tot, list) = enc.split('|')
+        val rows = ("__total", tot.toLong) +: list.split(';').toSeq.map {
+          e =>
+            val i = e.lastIndexOf(':')
+            (java.net.URLDecoder.decode(e.take(i), "UTF-8"),
+              e.drop(i + 1).toLong)
+        }
+        import s.implicits._
+        rows.toDF("value", "cnt").orderBy(col("cnt").desc, col("value"))
+      },
+      Some("""
+        WITH base AS (SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'HOT'
+                                  WHEN o_orderkey % 10 = 8 THEN 'WARM'
+                                  ELSE concat('c', CAST(o_custkey % 40
+                                    AS VARCHAR)) END AS k
+                      FROM orders),
+        wave AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'HOT'
+                             ELSE 'WARM' END AS k
+                 FROM orders WHERE o_orderkey % 3 = 0),
+        top2 AS (SELECT k AS value, COUNT(*) AS cnt FROM base
+                 GROUP BY k ORDER BY cnt DESC, k LIMIT 2),
+        wcnt AS (SELECT k, COUNT(*) AS cnt FROM wave GROUP BY k)
+        SELECT value, cnt FROM (
+          SELECT '__total' AS value,
+                 CAST((SELECT COUNT(*) FROM base)
+                      + (SELECT COUNT(*) FROM wave) AS BIGINT) AS cnt
+          UNION ALL
+          SELECT t.value,
+                 CAST(t.cnt + coalesce(w.cnt, 0) AS BIGINT)
+          FROM top2 t LEFT JOIN wcnt w ON t.value = w.k)
+        ORDER BY cnt DESC, value"""))
   )
 
   // ---------------------------------------------------------------- q258:

@@ -672,7 +672,14 @@ object GraftProcedures {
             } ++ mcvs.map { case (c, enc) =>
               TableChange.setProperty(s"graft.stats.mcv.$c", enc)
                 : TableChange
-            }) :+ TableChange.setProperty("graft.stats.version",
+            } ++ cols.map(c =>
+              // a full analyze resets the refresh machinery's running
+              // unlisted-count bound (graft.stats.mcv_bound.*): a stale
+              // bound from a previous refresh generation would poison
+              // the next refresh's soundness check
+              TableChange.removeProperty(s"graft.stats.mcv_bound.$c")
+                : TableChange
+            )) :+ TableChange.setProperty("graft.stats.version",
               ver.toString)
           cat.alterTable(ident, changes: _*)
           val out = StructType(Seq(
@@ -690,6 +697,235 @@ object GraftProcedures {
             override def description(): String =
               s"GraftAnalyzeResult(${cols.mkString(", ")})"
           }
+        }
+      }
+      // INCREMENTAL STATISTICS MAINTENANCE (VERDICT r16 item 4): the
+      // version-gated stats discipline is honest but brittle at scale —
+      // ANY commit kills the MCVs/histograms/NDVs, and the salted-join
+      // shape (q277) silently reverts until a FULL re-analyze re-scans
+      // the corpus. `refresh_stats` closes the gap with the change-feed
+      // machinery (q268/q278): one bounded `$changes` read since the
+      // analyzed version updates the persisted statistics at O(changed
+      // rows) and re-stamps freshness. Per statistic:
+      //   - MCV lists: EXACT delta maintenance — each listed value's
+      //     count adds its feed net (+op0/-op2), the not-null total
+      //     likewise. Soundness refusal: an UNLISTED value's true count
+      //     is unknown (bounded by the old K-th count, since it missed
+      //     the list); if old-Kth + its feed additions could reach the
+      //     refreshed K-th, top-K membership is ambiguous and the call
+      //     refuses loudly toward a full analyze — never a silently
+      //     wrong hottest-value share.
+      //   - NDVs: re-stamped as the sound UPPER bound old + distinct
+      //     added values (over-estimation is the CBO-safe direction: a
+      //     high NDV under-broadcasts, it never OOMs a broadcast).
+      //   - Equi-height histograms CANNOT be mass-maintained (the bin
+      //     endpoints are percentiles of the analyzed snapshot; repeated
+      //     endpoints make per-bin re-assignment ill-defined) — instead
+      //     each histogram's skew signal survives as a DERIVED numeric
+      //     MCV: the degenerate-bin values' masses become exact-delta-
+      //     maintained counts, and the stale histogram is REMOVED
+      //     rather than served fresh.
+      // At 100 TB: an append wave costs a slice-sized scan instead of a
+      // corpus re-analyze, and the hot-key plan survives the commit.
+      case "refresh_stats" => new GraftProcedure("refresh_stats",
+        "update persisted column statistics from the change feed since " +
+          "the analyzed version (O(changed rows)) and re-stamp " +
+          "freshness; refuses loudly when the update cannot be proven " +
+          "sound (re-run system.analyze)") {
+        override protected def run(input: InternalRow): Scan = {
+          val qualified = input.getUTF8String(0).toString
+          val (ident, t) = resolve(cat, qualified)
+          val props = t.properties()
+          val statsVer = Option(props.get("graft.stats.version"))
+            .flatMap(_.toIntOption).getOrElse(throw new IllegalStateException(
+              s"refresh_stats on $qualified: no persisted statistics — " +
+                "run CALL system.analyze first"))
+          val cv = t.stateNow.current.map(_.version).getOrElse(-1)
+          if (cv == statsVer)
+            return summaryScan(Seq("from_version" -> statsVer.toLong,
+              "to_version" -> cv.toLong, "mcv_refreshed" -> 0L,
+              "ndv_refreshed" -> 0L, "hist_converted" -> 0L))
+          require(cv > statsVer, s"refresh_stats on $qualified: current " +
+            s"version $cv behind stats version $statsVer")
+          val s = SparkSession.active
+          import org.apache.spark.sql.functions.{coalesce, col, countDistinct, lit, max => fmax, sum => fsum, when}
+          import scala.jdk.CollectionConverters._
+          val parts = qualified.split('.')
+          val feedName = (parts.init :+ s"`${parts.last}$$changes`")
+            .mkString(".")
+          // the bounded slice: every row the table changed since the
+          // analyzed version, op 0 = insert, op 2 = delete (updates
+          // stream as a 2/0 pair, so value-preserving rewrites net to
+          // zero). Trimmed history refuses inside the feed read itself.
+          val slice = s.read.option("from_version", statsVer.toString)
+            .table(s"${cat.name()}.$feedName")
+          val allProps = props.asScala.toMap
+          def decodeMcv(enc: String): (Long, Vector[(String, Long)]) = {
+            val Array(tot, listEnc) = enc.split('|')
+            (tot.toLong, listEnc.split(';').toVector.map { e =>
+              val i = e.lastIndexOf(':')
+              (java.net.URLDecoder.decode(e.take(i), "UTF-8"),
+                e.drop(i + 1).toLong)
+            })
+          }
+          def encodeMcv(total: Long, vs: Seq[(String, Long)]): String =
+            s"$total|" + vs.sortBy { case (v, c) => (-c, v) }.map {
+              case (v, c) =>
+                java.net.URLEncoder.encode(v, "UTF-8") + ":" + c
+            }.mkString(";")
+          /** Exact delta refresh of one (value -> count) list. `bound`
+            * caps any unlisted value's pre-wave count — the analyze-time
+            * K-th count on the first refresh, then the PERSISTED running
+            * bound (graft.stats.mcv_bound.<c>): it must accumulate
+            * across refreshes (unlisted additions never reset), while
+            * min-of-current-list would over-tighten. The refusal fires
+            * when an unlisted value could reach the refreshed top-K
+            * floor. Returns (newTotal, refreshed list, newBound). */
+          def refreshList(c: String, asString: Boolean, totalOld: Long,
+              listed: Vector[(String, Long)], bound: Long)
+              : (Long, Vector[(String, Long)], Long) = {
+            val v0 =
+              if (asString) col(s"`$c`").cast("string")
+              else col(s"`$c`").cast("double").cast("string")
+            val base = slice.where(col(s"`$c`").isNotNull).select(
+              v0.as("v"),
+              when(col("__op") === 0, 1L).otherwise(-1L).as("d"),
+              when(col("__op") === 0, 1L).otherwise(0L).as("a"))
+            val keys = listed.map(_._1)
+            val deltas = base.where(col("v").isin(keys: _*))
+              .groupBy("v")
+              .agg(fsum(col("d")).as("d"), fsum(col("a")).as("a"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val totalDelta = base.agg(coalesce(fsum(col("d")), lit(0L)))
+              .head().getLong(0)
+            val maxUnlistedAdd = base.where(!col("v").isin(keys: _*))
+              .groupBy("v").agg(fsum(col("a")).as("a"))
+              .agg(coalesce(fmax(col("a")), lit(0L))).head().getLong(0)
+            val refreshed = listed.map { case (v, n) =>
+              val nn = n + deltas.getOrElse(v, 0L)
+              require(nn >= 0, s"refresh_stats on $qualified.$c: value " +
+                s"'$v' count went negative ($n + ${deltas.getOrElse(v, 0L)})" +
+                " — feed and stored statistics disagree; re-run " +
+                "CALL system.analyze")
+              (v, nn)
+            }
+            val newKth = refreshed.map(_._2).min
+            val newBound = bound + maxUnlistedAdd
+            if (newBound >= newKth)
+              throw new IllegalStateException(
+                s"refresh_stats on $qualified.$c: an unlisted value " +
+                  s"(bounded by $bound pre-wave + $maxUnlistedAdd added)" +
+                  s" could reach the refreshed top-K floor $newKth — " +
+                  "top-K membership is ambiguous after this wave; " +
+                  "re-run CALL system.analyze for a fresh list")
+            (totalOld + totalDelta, refreshed, newBound)
+          }
+          val schema = t.schema()
+          def inSchema(c: String): Boolean =
+            GraftStorage.ordinalByName(schema.fieldNames.toIndexedSeq, c) >= 0
+          def isString(c: String): Boolean =
+            schema.fields(GraftStorage.ordinalByName(
+              schema.fieldNames.toIndexedSeq, c)).dataType == StringType
+          // --- MCV columns: exact refresh (a column dropped since the
+          // analyze simply loses its statistic) -----------------------
+          val mcvCols = allProps.collect {
+            case (k, v) if k.startsWith("graft.stats.mcv.") &&
+                inSchema(k.stripPrefix("graft.stats.mcv.")) =>
+              k.stripPrefix("graft.stats.mcv.") -> v
+          }
+          val refreshedMcv = mcvCols.map { case (c, enc) =>
+            val (totalOld, listed) = decodeMcv(enc)
+            // first refresh: the analyze-time K-th count bounds every
+            // unlisted value (it missed the list); afterwards the
+            // persisted running bound carries the accumulated slack
+            val bound = allProps.get(s"graft.stats.mcv_bound.$c")
+              .flatMap(_.toLongOption)
+              .getOrElse(listed.map(_._2).min)
+            val (tot, vs, nb) = refreshList(c, isString(c), totalOld,
+              listed, bound)
+            c -> (encodeMcv(tot, vs), nb)
+          }
+          // --- histogram columns: skew survives as derived numeric MCV ----
+          val histCols = allProps.collect {
+            case (k, v) if k.startsWith("graft.stats.hist.") &&
+                inSchema(k.stripPrefix("graft.stats.hist.")) =>
+              k.stripPrefix("graft.stats.hist.") -> v
+          }
+          val convertedHist = histCols.flatMap { case (c, enc) =>
+            val Array(h, binsEnc) = enc.split('|')
+            val height = h.toDouble
+            val bins = binsEnc.split(';').map { b =>
+              val Array(lo, hi, _) = b.split(',')
+              (lo.toDouble, hi.toDouble)
+            }
+            // a value WITHOUT repeated percentile endpoints holds at
+            // most ~2 bins of mass (it can straddle one endpoint): the
+            // conservative pre-wave bound for any unlisted value. Only
+            // degenerate values whose mass strictly EXCEEDS that bound
+            // are provably top values — a borderline single-degenerate-
+            // bin value is indistinguishable from the unlisted tail and
+            // would trip the soundness refusal on every wave
+            val unlistedBound = math.round(2.0 * height)
+            val degen = bins.filter(b => b._1 == b._2).groupBy(_._1)
+              .map { case (v, bs) =>
+                (v.toString, math.round(height * bs.length)) }
+              .toVector.filter(_._2 > unlistedBound)
+            if (degen.isEmpty) None
+            else {
+              val totalOld = math.round(height * bins.length)
+              val (tot, vs, nb) = refreshList(c, asString = false,
+                totalOld, degen, unlistedBound)
+              Some(c -> (encodeMcv(tot, vs), nb))
+            }
+          }
+          // --- NDVs: sound upper bound ------------------------------------
+          val ndvCols = allProps.collect {
+            case (k, v) if k.startsWith("graft.stats.ndv.") &&
+                v.toLongOption.isDefined &&
+                inSchema(k.stripPrefix("graft.stats.ndv.")) =>
+              k.stripPrefix("graft.stats.ndv.") -> v.toLong
+          }.toSeq
+          val refreshedNdv =
+            if (ndvCols.isEmpty) Nil
+            else {
+              val aggs = ndvCols.map { case (c, _) =>
+                countDistinct(col(s"`$c`")).as(c) }
+              val row = slice.where(col("__op") === 0)
+                .agg(aggs.head, aggs.tail: _*).collect()(0)
+              ndvCols.zipWithIndex.map { case ((c, old), i) =>
+                c -> (old + row.getLong(i)) }
+            }
+          // drift re-check (same provenance contract as analyze): a
+          // commit landing during the refresh must not get cv stamped
+          // onto statistics that exclude its changes
+          val cv2 = t.stateNow.current.map(_.version).getOrElse(-1)
+          if (cv2 != cv)
+            throw new IllegalStateException(
+              s"refresh_stats on $qualified: the table advanced from " +
+                s"version $cv to $cv2 during the refresh — re-run " +
+                "against the quiesced table")
+          import org.apache.spark.sql.connector.catalog.TableChange
+          val changes: Seq[TableChange] =
+            (refreshedMcv.toSeq ++ convertedHist.toSeq).flatMap {
+              case (c, (e, nb)) => Seq(
+                TableChange.setProperty(s"graft.stats.mcv.$c", e)
+                  : TableChange,
+                TableChange.setProperty(s"graft.stats.mcv_bound.$c",
+                  nb.toString): TableChange)
+            } ++ histCols.keys.map(c =>
+              TableChange.removeProperty(s"graft.stats.hist.$c")
+                : TableChange
+            ) ++ refreshedNdv.map { case (c, n) =>
+              TableChange.setProperty(s"graft.stats.ndv.$c", n.toString)
+                : TableChange
+            } :+ TableChange.setProperty("graft.stats.version",
+              cv.toString)
+          cat.alterTable(ident, changes: _*)
+          summaryScan(Seq("from_version" -> statsVer.toLong,
+            "to_version" -> cv.toLong,
+            "mcv_refreshed" -> refreshedMcv.size.toLong,
+            "ndv_refreshed" -> refreshedNdv.size.toLong,
+            "hist_converted" -> convertedHist.size.toLong))
         }
       }
       // SHOW CREATE TABLE parity (Spark routes the SQL statement to the

@@ -187,4 +187,116 @@ class AnalyzeSpec extends SparkSpec {
     val (_, vs2) = handle("an_mcv2").analyzedMcv("v")
     assert(vs2 == Vector("a:b;c|d %25" -> 2L, "plain" -> 1L))
   }
+
+  test("refresh_stats keeps the salted shape across an append wave " +
+      "without a corpus re-scan (VERDICT r16 item 4)") {
+    spark.conf.set("spark.sql.catalog.gan",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("rf_f", "rf_d").foreach(t =>
+        sql(s"DROP TABLE IF EXISTS gan.default.$t"))
+      // the change feed needs row identity: a declared row id gives the
+      // CoW table the q278 file-diff changelog refresh_stats reads
+      sql("""CREATE TABLE gan.default.rf_f (k STRING, v BIGINT)
+             TBLPROPERTIES ('graft.row_id'='v')""")
+      // HOT 900, WARM 50, c1/c3 25 each — the K-th (WARM) is clearly
+      // separated from the unlisted tail, so listed-only waves refresh
+      sql("INSERT INTO gan.default.rf_f SELECT CASE WHEN id % 10 < 9 " +
+        "THEN 'HOT' WHEN id < 500 THEN 'WARM' " +
+        "ELSE concat('c', id % 4) END, id FROM range(0, 1000)")
+      sql("CREATE TABLE gan.default.rf_d (k STRING, d STRING)")
+      sql("INSERT INTO gan.default.rf_d SELECT DISTINCT k, " +
+        "concat('d_', k) FROM gan.default.rf_f")
+      sql("CALL gan.system.analyze(table => 'default.rf_f', " +
+        "columns => 'k', mcv => 2)")
+      val q = """SELECT dm.d, COUNT(*) AS n
+                 FROM gan.default.rf_f f
+                 JOIN gan.default.rf_d dm ON f.k = dm.k
+                 GROUP BY dm.d ORDER BY dm.d"""
+      def optimized = sql(q).queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__graft_salt_s"),
+        s"fresh hot MCV must salt:\n$optimized")
+      // the commit that kills version-gated stats...
+      sql("INSERT INTO gan.default.rf_f SELECT CASE WHEN id < 2500 " +
+        "THEN 'HOT' ELSE 'WARM' END, id FROM range(2000, 2600)")
+      assert(!optimized.contains("__graft_salt"),
+        "stale MCV must stop salting")
+      // ...and the O(changed rows) refresh that resurrects them
+      val out = sql("CALL gan.system.refresh_stats(" +
+        "table => 'default.rf_f')").collect().head
+      assert(out.getLong(2) == 1L, s"expected 1 MCV refreshed: $out")
+      assert(optimized.contains("__graft_salt_s"),
+        s"refreshed MCV must salt again without re-analyze:\n$optimized")
+      // the refreshed counts are EXACT, not estimates
+      val (total, vs) = handle("rf_f").analyzedMcv("k")
+      assert(total == 1600L, s"refreshed total $total")
+      assert(vs == Vector("HOT" -> 1400L, "WARM" -> 150L),
+        s"refreshed counts $vs")
+
+      // deletes maintain too (net negative deltas), and the unlisted
+      // bound persists across refreshes (a min-of-list bound would
+      // spuriously refuse this kth-lowering wave)
+      sql("DELETE FROM gan.default.rf_f WHERE v >= 2550")
+      sql("CALL gan.system.refresh_stats(table => 'default.rf_f')")
+      val (total2, vs2) = handle("rf_f").analyzedMcv("k")
+      assert(total2 == 1550L &&
+        vs2 == Vector("HOT" -> 1400L, "WARM" -> 100L),
+        s"delete wave: $total2 $vs2")
+
+      // SOUNDNESS refusal: a wave pumping an UNLISTED value enough to
+      // threaten the top-K floor must refuse toward a full analyze
+      sql("INSERT INTO gan.default.rf_f SELECT 'c0', id " +
+        "FROM range(3000, 3400)")
+      val e = intercept[Exception] {
+        sql("CALL gan.system.refresh_stats(table => 'default.rf_f')")
+          .collect()
+      }
+      assert(e.getMessage.contains("ambiguous") &&
+        e.getMessage.contains("system.analyze"),
+        s"overtake refusal must name the cure: ${e.getMessage}")
+      Seq("rf_f", "rf_d").foreach(t => sql(s"DROP TABLE gan.default.$t"))
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("refresh_stats NDV upper bound and histogram-to-MCV conversion") {
+    spark.conf.set("spark.sql.catalog.gan",
+      classOf[graft.catalog.GraftCatalog].getName)
+    sql("DROP TABLE IF EXISTS gan.default.rf_h")
+    sql("""CREATE TABLE gan.default.rf_h (k BIGINT, v BIGINT)
+           TBLPROPERTIES ('graft.row_id'='v')""")
+    // 90% of rows carry k = 7 -> degenerate hot bins
+    sql("INSERT INTO gan.default.rf_h SELECT CASE WHEN id % 10 < 9 " +
+      "THEN 7 ELSE id % 5 END, id FROM range(0, 1000)")
+    sql("CALL gan.system.analyze(table => 'default.rf_h', " +
+      "columns => 'k', buckets => 10)")
+    assert(handle("rf_h").analyzedHist.contains("k"))
+    def ndvProp(): Long = sql("SHOW TBLPROPERTIES gan.default.rf_h")
+      .collect().collectFirst {
+        case r if r.getString(0) == "graft.stats.ndv.k" =>
+          r.getString(1).toLong
+      }.get
+    val ndv0 = ndvProp()
+    // append wave: 200 more hot rows + 3 NEW distinct values
+    sql("INSERT INTO gan.default.rf_h SELECT CASE WHEN id % 10 < 5 " +
+      "THEN 7 ELSE 100 + id % 3 END, id FROM range(5000, 5200)")
+    sql("CALL gan.system.refresh_stats(table => 'default.rf_h')")
+    val t = handle("rf_h")
+    // the stale histogram is REMOVED, never served as fresh...
+    assert(t.analyzedHist.isEmpty,
+      "refresh must drop the unmaintainable histogram")
+    // ...its skew signal survives as a derived, exactly-delta'd MCV:
+    // the hot value's mass moved by exactly the wave's hot additions
+    val (_, vs) = t.analyzedMcv("k")
+    assert(vs.nonEmpty && vs.head._1.toDouble == 7.0,
+      s"derived MCV must carry the hot value: $vs")
+    // NDV re-stamps at the sound upper bound (old + distinct added)
+    val ndv1 = ndvProp()
+    assert(ndv1 >= ndv0 && ndv1 <= ndv0 + 4,
+      s"NDV bound drifted: $ndv0 -> $ndv1")
+    // SaltSkewJoin still prices the numeric hot key from the refreshed
+    // artifact (hotShare prefers MCV over histograms)
+    sql("DROP TABLE gan.default.rf_h")
+  }
 }
