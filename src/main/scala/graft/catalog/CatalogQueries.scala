@@ -5281,7 +5281,102 @@ object CatalogQueries {
           SELECT t.value,
                  CAST(t.cnt + coalesce(w.cnt, 0) AS BIGINT)
           FROM top2 t LEFT JOIN wcnt w ON t.value = w.k)
-        ORDER BY cnt DESC, value"""))
+        ORDER BY cnt DESC, value""")),
+
+    // -------------------------------------------------------------- q284:
+    // STREAMING CoW CHANGE FEED (VERDICT r16 item 5) — `$changes` on a
+    // keyed copy-on-write table gains the checkpointed streaming
+    // variant the DV feed has had since q268: offsets ARE commit
+    // versions, each micro-batch plans its (start, end] range through
+    // the same file-diff walk as the batch read, so streamed slices
+    // carry identical op-2/op-0 rows (removed files as keyed deletes,
+    // added files as inserts, carried rows as canceling same-version
+    // pairs). The pipeline: CoW corpus CTAS (v0) -> mirror seeds from
+    // v0 -> curation DELETE + re-tag UPDATE + append INSERT ->
+    // AvailableNow stream MERGE-applies the slice per micro-batch with
+    // the standard collapse (per key, max __ver, insert wins within a
+    // version). The mirror census is the oracle. CowChangeFeedSpec
+    // pins stream ≡ batch row equality, checkpoint-resume exactly-once
+    // delivery, and the trimmed-resume loud failure. At 100 TB a
+    // downstream mirror follows a CoW table at O(rows the DML rewrote)
+    // per trigger, checkpoint-resumable, with no bespoke version
+    // bookkeeping.
+    QueryDef(
+      "q284_cow_stream_apply",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_cowf")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.corpus_cowtok")
+        Tables(s, d, "documents").createOrReplaceTempView("q284_docs")
+        s.sql("""CREATE TABLE graft_cat.default.corpus_cowf
+                 TBLPROPERTIES ('graft.row_id'='doc_id')
+                 AS SELECT doc_id, lang, n_chars
+                 FROM q284_docs""")                        // version 0
+        s.sql("""CREATE TABLE graft_cat.default.corpus_cowtok
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='doc_id')
+                 AS SELECT doc_id, lang, n_chars,
+                           CAST(n_chars DIV 4 AS BIGINT) AS tok
+                 FROM graft_cat.default.corpus_cowf VERSION AS OF 0""")
+        // CoW DML: whole-file rewrites — the feed streams the diff
+        s.sql("""DELETE FROM graft_cat.default.corpus_cowf
+                 WHERE n_chars % 7 = 3""")
+        s.sql("""UPDATE graft_cat.default.corpus_cowf
+                 SET lang = 'und' WHERE n_chars % 11 = 5""")
+        s.sql("""INSERT INTO graft_cat.default.corpus_cowf
+                 SELECT doc_id + 1000000, lang, n_chars + 1
+                 FROM q284_docs WHERE n_chars % 13 = 6""")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q284-ckpt-").toString
+        val q = s.readStream
+          .table("graft_cat.default.`corpus_cowf$changes`")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.createOrReplaceTempView("q284_batch")
+              batch.sparkSession.sql("""
+                MERGE INTO graft_cat.default.corpus_cowtok t
+                USING (
+                  SELECT doc_id, lang, n_chars, `__op` FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY `__ver` DESC,
+                               CASE WHEN `__op` = 0 THEN 0 ELSE 1 END)
+                      AS rn
+                    FROM q284_batch) WHERE rn = 1) c
+                ON t.doc_id = c.doc_id
+                WHEN MATCHED AND c.`__op` = 2 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET
+                  lang = c.lang, n_chars = c.n_chars,
+                  tok = CAST(c.n_chars DIV 4 AS BIGINT)
+                WHEN NOT MATCHED AND c.`__op` = 0 THEN
+                  INSERT (doc_id, lang, n_chars, tok)
+                  VALUES (c.doc_id, c.lang, c.n_chars,
+                          CAST(c.n_chars DIV 4 AS BIGINT))"""): Unit
+          }
+          .start()
+        q.awaitTermination()
+        s.sql("""SELECT lang, COUNT(*) AS n_docs,
+                        SUM(n_chars) AS sum_chars, SUM(tok) AS sum_tok
+                 FROM graft_cat.default.corpus_cowtok
+                 GROUP BY lang ORDER BY lang""")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars % 11 = 5 THEN 'und' ELSE lang END
+                   AS lang,
+                 n_chars
+          FROM documents WHERE n_chars % 7 <> 3
+          UNION ALL
+          SELECT doc_id + 1000000, lang, n_chars + 1
+          FROM documents WHERE n_chars % 13 = 6)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n_chars // 4) AS BIGINT) AS sum_tok
+        FROM m GROUP BY lang ORDER BY lang"""))
   )
 
   // ---------------------------------------------------------------- q258:

@@ -773,8 +773,11 @@ class GraftChangeFeedStream(table: GraftDeltaTable, feedSchema: StructType,
   * version inside the range must be retained (a trimmed gap cannot be
   * proven complete), and a removal-bearing range on an id-LESS table
   * refuses (positions do not survive a CoW rewrite, so delete-rows
-  * would be unaddressable). Streaming this companion refuses — the
-  * table itself is the streaming source. */
+  * would be unaddressable). `readStream` on this companion is the
+  * checkpointed variant of the same walk
+  * ([[GraftCowChangeFeedStream]], r16 item 5): offsets are commit
+  * versions, so micro-batches and batch ranges deliver byte-identical
+  * changelog rows. */
 class GraftCowChangeFeedTable(ident: String, table: GraftTable)
     extends Table with SupportsRead {
   private[catalog] def feedSchema: StructType =
@@ -785,7 +788,8 @@ class GraftCowChangeFeedTable(ident: String, table: GraftTable)
   override def name(): String = ident
   override def schema(): StructType = feedSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     table.refreshFromDisk()
     new GraftCowChangeFeedScanBuilder(table, feedSchema,
@@ -814,12 +818,50 @@ class GraftCowChangeFeedScan(table: GraftTable, feedSchema: StructType,
     val win = st.snapshots
     require(win.nonEmpty, s"${table.name()} has no commits")
     val toVer = bounds.toVer.getOrElse(win.last.version)
-    val snapTo = win.find(_.version == toVer).getOrElse(
-      throw new IllegalStateException(
-        s"to_version $toVer is not a retained snapshot of " +
-          s"${table.name()} (window [${win.head.version}, " +
-          s"${win.last.version}])"))
+    require(win.exists(_.version == toVer),
+      s"to_version $toVer is not a retained snapshot of " +
+        s"${table.name()} (window [${win.head.version}, " +
+        s"${win.last.version}])")
     val fromVer = bounds.fromVer.getOrElse(-1)
+    GraftCowChangeFeed.plan(table, fromVer, toVer)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDvChangeFeedReaderFactory(feedSchema, requiredSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // version bounds are a BATCH contract; a stream's progress axis is
+    // its checkpointed offset — mixing the two would double-track
+    // (same rule as the MOR feed stream)
+    require(!bounds.bounded,
+      "from_version/to_version apply to batch reads of $changes; " +
+        "streaming reads track progress via their checkpoint")
+    new GraftCowChangeFeedStream(table, feedSchema, requiredSchema)
+  }
+
+  override def description(): String = {
+    s"GraftCowChangeFeedScan(${table.name()}" +
+      (if (bounds.bounded) s", versions (${bounds.fromVer.getOrElse("")}" +
+        s", ${bounds.toVer.getOrElse("")}]" else "") + ")"
+  }
+}
+
+/** The CoW file-diff changelog planner — ONE implementation of the
+  * attribution walk, its soundness requirements, and the id-less
+  * refusal, shared by the batch scan (version/timestamp bounds) and
+  * the checkpointed stream (whose offsets ARE versions). */
+private[catalog] object GraftCowChangeFeed {
+
+  /** Partitions delivering the (fromVer, toVer] changelog.
+    * `fromVer = -1` means "before the complete history" and requires
+    * the earliest retained snapshot to be version 0. */
+  def plan(table: GraftTable, fromVer: Int,
+      toVer: Int): Array[InputPartition] = {
+    val st = table.stateNow
+    val win = st.snapshots
+    require(win.nonEmpty, s"${table.name()} has no commits")
+    if (toVer <= fromVer) return Array.empty
     val fromFiles: Set[String] =
       if (fromVer < 0) {
         require(win.head.version == 0,
@@ -925,15 +967,70 @@ class GraftCowChangeFeedScan(table: GraftTable, feedSchema: StructType,
       out.result().toArray
     }
   }
+}
 
+/** CHECKPOINTED STREAMING over the CoW file-diff changelog (VERDICT
+  * r16 item 5) — the offset axis IS the commit version: offset `i`
+  * means "every change through version i delivered". Each micro-batch
+  * plans (start, end] through the same shared [[GraftCowChangeFeed]]
+  * walk as the batch read, so streamed slices carry the identical
+  * op-2/op-0 file-diff rows, the identical contiguity requirements,
+  * and the identical id-less refusal. The version axis is
+  * deterministic and monotonic, which gives the epoch discipline for
+  * free: a replayed uncommitted batch re-plans the same version range
+  * into the same rows, and a checkpoint resumed past retention fails
+  * LOUDLY in the attribution walk (reseed from a snapshot) instead of
+  * silently skipping. AvailableNow pins the end version at trigger
+  * start, the same pattern as [[GraftLogStream]]. At 100 TB a
+  * downstream mirror follows a CoW table at O(rows the DML rewrote)
+  * per trigger with no bespoke polling loop. */
+class GraftCowChangeFeedStream(table: GraftTable, feedSchema: StructType,
+    requiredSchema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  @volatile private var pinnedEnd: Int = Int.MinValue
+
+  /** (first attributable offset, latest version), disk-fresh — a CDC
+    * stream tailing a foreign writer must observe its commits at every
+    * poll (the ADVICE r11 stall rule, same as the MOR feed). */
+  private def window(): (Int, Int) = {
+    table.refreshFromDisk()
+    val win = table.stateNow.snapshots
+    require(win.nonEmpty, s"${table.name()} has no commits")
+    // complete history streams from before v0 (the v0 content IS a
+    // change); a truncated window starts after its seed head — the
+    // consumer reads that snapshot as its seed, the reseed discipline
+    val first = if (win.head.version == 0) -1 else win.head.version
+    (first, win.last.version)
+  }
+
+  override def initialOffset(): Offset = GraftStreamOffset(window()._1)
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = window()._2
+  override def reportLatestOffset(): Offset =
+    GraftStreamOffset(window()._2)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control path")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val endNow = window()._2
+    GraftStreamOffset(
+      if (pinnedEnd != Int.MinValue) math.min(endNow, pinnedEnd)
+      else endNow)
+  }
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset.parse(json)
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] =
+    GraftCowChangeFeed.plan(table,
+      start.asInstanceOf[GraftStreamOffset].i,
+      end.asInstanceOf[GraftStreamOffset].i)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDvChangeFeedReaderFactory(feedSchema, requiredSchema)
-
-  override def description(): String = {
-    s"GraftCowChangeFeedScan(${table.name()}" +
-      (if (bounds.bounded) s", versions (${bounds.fromVer.getOrElse("")}" +
-        s", ${bounds.toVer.getOrElse("")}]" else "") + ")"
-  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Per-task delta writer: Spark's DeltaWritingSparkTask has already

@@ -202,4 +202,82 @@ class CowChangeFeedSpec extends SparkSpec {
     assert(e.getMessage.contains("graft.row_id"), e.getMessage)
     assert(e.getMessage.contains("removed"), e.getMessage)
   }
+
+  // ---- checkpointed streaming over the CoW changelog (r16 item 5) ----
+
+  private def streamOnce(t: String, ckpt: String): Seq[Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = spark.readStream.table(feed(t))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= batch.collect() }: Unit
+      }
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  test("streamed CoW changelog equals the batch read, row for row " +
+      "(appends AND file-diff DML commits)") {
+    val t = setup("cow_stream_eq", "'graft.row_id'='k'")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('a', id) FROM range(0, 6)")              // v0
+    sql(s"DELETE FROM $t WHERE k IN (1, 4)")           // v1 (rewrite)
+    sql(s"UPDATE $t SET v = 'x' WHERE k = 2")          // v2 (rewrite)
+    sql(s"INSERT INTO $t VALUES (100, 'new')")         // v3 (append)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cowstream-eq-").toString
+    val streamed = streamOnce(t, ckpt)
+    val batch = bounded(t, None, None).collect().toSeq
+    def key(r: Row) = (r.getInt(0), r.getInt(1), r.getLong(2),
+      r.getString(3))
+    assert(streamed.map(key).sorted == batch.map(key).sorted,
+      s"stream/batch diverged:\n${streamed.map(key).sorted}\nvs\n" +
+        s"${batch.map(key).sorted}")
+  }
+
+  test("checkpoint resume delivers each commit exactly once: the " +
+      "second trigger ships only the new versions") {
+    val t = setup("cow_stream_ck", "'graft.row_id'='k'")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('a', id) FROM range(0, 5)")              // v0
+    sql(s"DELETE FROM $t WHERE k = 3")                 // v1
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cowstream-ck-").toString
+    val first = streamOnce(t, ckpt)
+    assert(first.map(_.getInt(1)).toSet == Set(0, 1),
+      s"first trigger must cover v0+v1: ${first.map(_.getInt(1))}")
+    // commits between triggers...
+    sql(s"UPDATE $t SET v = 'y' WHERE k = 2")          // v2
+    sql(s"INSERT INTO $t VALUES (50, 'z')")            // v3
+    val second = streamOnce(t, ckpt)
+    // ...arrive exactly once, and nothing from (-, v1] re-delivers
+    assert(second.nonEmpty &&
+      second.map(_.getInt(1)).toSet == Set(2, 3),
+      s"resume must ship exactly v2+v3: ${second.map(_.getInt(1))}")
+    // and an idle third trigger ships nothing
+    assert(streamOnce(t, ckpt).isEmpty, "idle trigger must be empty")
+  }
+
+  test("a checkpoint resumed past retention fails loudly (reseed), " +
+      "never silently skips") {
+    val t = setup("cow_stream_trim",
+      "'graft.row_id'='k', 'graft.retain'='2'")
+    sql(s"INSERT INTO $t VALUES (1, 'a')")             // v0
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cowstream-trim-").toString
+    assert(streamOnce(t, ckpt).nonEmpty)               // offset now v0
+    // retention (2) trims v0 out of the window after two more commits
+    sql(s"INSERT INTO $t VALUES (2, 'b')")             // v1
+    sql(s"INSERT INTO $t VALUES (3, 'c')")             // v2
+    val e = intercept[Exception] { streamOnce(t, ckpt) }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(e).exists(m => m.contains("reseed")),
+      s"trimmed resume must demand a reseed: ${msgs(e)}")
+  }
 }
