@@ -5376,7 +5376,191 @@ object CatalogQueries {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                CAST(SUM(n_chars // 4) AS BIGINT) AS sum_tok
-        FROM m GROUP BY lang ORDER BY lang"""))
+        FROM m GROUP BY lang ORDER BY lang""")),
+
+    // -------------------------------------------------------------- q285:
+    // ANN RE-TRAIN THROUGH THE ATOMIC SWAP (VERDICT r16 item 6) — the
+    // model-v2 drift story end to end: an IVF index is built against
+    // the v1 corpus (frozen codebook, the q275 contract), then EVERY
+    // vector is re-encoded into a new embedding space (a deterministic
+    // md5-seeded 20-cluster mixture, so DuckDB replays it bit-exactly),
+    // after which the frozen centroids describe nothing. `CALL
+    // system.reindex_ann` re-seeds the codebook from the CURRENT
+    // corpus, re-assigns every vector in one scan, and lands
+    // cells+assignments as ONE q279 multi-table publish — a searcher
+    // never sees new assignments against old centroids. Output =
+    // post-swap index census + the 2-cell probed top-10 search (the
+    // partitioned-index literal-probe shape of q275); the oracle
+    // recomputes the re-encoded corpus, the re-seeded codebook, and
+    // the assignment from scratch, so the whole rebuild is
+    // hash-checked through the swap. AnnRecallCurveSpec pins the
+    // recall story (drift degrades, reindex restores). At 100 TB:
+    // feed waves stay O(changed rows); this is the one-corpus-scan
+    // scheduled re-train that keeps them meaningful.
+    QueryDef(
+      "q285_ann_reindex",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        Seq("emb_rx", "cells_rx", "idx_rx",
+            "cells_rx_branch_reindex", "idx_rx_branch_reindex")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$t"))
+        Tables(s, d, "embeddings").createOrReplaceTempView("q285_src")
+        s.sql("""CREATE TABLE graft_cat.default.emb_rx
+                 TBLPROPERTIES ('graft.mode'='dv')
+                 AS SELECT vec_id, embedding FROM q285_src""") // v0
+        s.sql("""CREATE TABLE graft_cat.default.cells_rx
+                 AS SELECT vec_id AS cell_id, embedding AS cb_emb
+                 FROM graft_cat.default.emb_rx VERSION AS OF 0
+                 WHERE vec_id < 16""")
+        s.sql("""CREATE TABLE graft_cat.default.idx_rx
+                 PARTITIONED BY (cell_id)
+                 TBLPROPERTIES ('graft.mode'='mor',
+                                'graft.row_id'='vec_id')
+                 AS SELECT v.vec_id,
+                           max_by(c.cell_id, named_struct(
+                             'cd', cosine_sim(v.embedding, c.cb_emb),
+                             'nc', -c.cell_id)) AS cell_id
+                 FROM graft_cat.default.emb_rx VERSION AS OF 0 v
+                 CROSS JOIN graft_cat.default.cells_rx c
+                 GROUP BY v.vec_id""")
+        // THE DRIFT WAVE: model-v2 re-encode of the ENTIRE corpus into
+        // a new 16-dim space (20 md5-seeded cluster centers as plan
+        // literals + linear-arithmetic jitter — both replayable in
+        // DuckDB; floats rounded identically by the shared CAST)
+        val dims = 16
+        val kC = 20
+        val centers = (0 until kC).map(c => (0 until dims).map(dd =>
+          ((graft.util.Hashing.md5Long(s"rx:$c:$dd") % 2001) - 1000)
+            / 1000.0))
+        val ctrsSpark = centers
+          .map(r => r.mkString("array(", ", ", ")"))
+          .mkString("array(", ", ", ")")
+        s.sql(s"""
+          UPDATE graft_cat.default.emb_rx SET embedding =
+            transform(sequence(0, ${dims - 1}), dd -> CAST(
+              element_at(element_at($ctrsSpark,
+                CAST(vec_id % $kC AS INT) + 1), dd + 1)
+              + 0.15 * ((pmod(vec_id * (1000003 + dd * 7919)
+                  + dd * 54321, 2001) - 1000) / 1000.0) AS FLOAT))""")
+        // the corrective: re-seed + re-assign + atomic swap
+        s.sql("""CALL graft_cat.system.reindex_ann(
+                   table => 'default.emb_rx',
+                   cells => 'default.cells_rx',
+                   index => 'default.idx_rx',
+                   ncells => 16)""").collect()
+        // post-swap probe (the q275 literal-probe shape on the
+        // partitioned index)
+        val probed = s.sql("""
+          SELECT DISTINCT cell_id FROM (
+            SELECT c.cell_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY cosine_sim(q.embedding, c.cb_emb) DESC,
+                              c.cell_id) AS rn
+            FROM (SELECT vec_id, embedding
+                  FROM graft_cat.default.emb_rx WHERE vec_id < 5) q
+            CROSS JOIN graft_cat.default.cells_rx c) WHERE rn <= 2""")
+          .collect().map(_.getLong(0)).sorted
+        s.sql(s"""
+          WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                     FROM graft_cat.default.emb_rx WHERE vec_id < 5),
+          qc AS (SELECT query_id, q_emb, cell_id FROM (
+                   SELECT query_id, q_emb, c.cell_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim(q_emb, c.cb_emb) DESC,
+                                     c.cell_id) AS rn
+                   FROM q CROSS JOIN graft_cat.default.cells_rx c)
+                 WHERE rn <= 2),
+          scored AS (
+            SELECT qc.query_id, i.vec_id AS cand_id,
+                   cosine_sim(qc.q_emb, v.embedding) AS cos
+            FROM qc JOIN graft_cat.default.idx_rx i
+                   ON qc.cell_id = i.cell_id
+                 JOIN graft_cat.default.emb_rx v
+                   ON i.vec_id = v.vec_id
+            WHERE i.vec_id <> qc.query_id
+              AND i.cell_id IN (${probed.mkString(", ")})),
+          r AS (SELECT query_id, cand_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, cand_id) AS rank
+                FROM scored)
+          SELECT 'cell' AS phase, cell_id AS k1, COUNT(*) AS k2,
+                 CAST(-1 AS BIGINT) AS k3, CAST(0.0 AS DOUBLE) AS score
+          FROM graft_cat.default.idx_rx GROUP BY cell_id
+          UNION ALL
+          SELECT 'knn', query_id, CAST(rank AS BIGINT), cand_id,
+                 round(cos, 6)
+          FROM r WHERE rank <= 10
+          ORDER BY phase, k1, k2""")
+      },
+      {
+        val dims = 16
+        val kC = 20
+        val centers = (0 until kC).map(c => (0 until dims).map(dd =>
+          ((graft.util.Hashing.md5Long(s"rx:$c:$dd") % 2001) - 1000)
+            / 1000.0))
+        val ctrsDuck = centers
+          .map(r => r.mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")
+        Some(s"""
+        WITH ctrs AS (SELECT $ctrsDuck AS m),
+        cur AS (
+          SELECT vec_id,
+                 list_transform(generate_series(0, ${dims - 1}), dd ->
+                   CAST(ctrs.m[CAST(vec_id % $kC AS INT) + 1][dd + 1]
+                     + 0.15 * (((vec_id * (1000003 + dd * 7919)
+                         + dd * 54321) % 2001) - 1000) / 1000.0
+                     AS REAL)) AS embedding
+          FROM embeddings, ctrs),
+        vn AS (SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2)) norm
+               FROM cur),
+        cb AS (SELECT vec_id AS cell_id, embedding AS cb_emb,
+                 sqrt(list_reduce(list_transform(
+                   generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2)) cb_norm
+               FROM cur WHERE vec_id < 16),
+        ass AS (SELECT vn.vec_id, vn.embedding, vn.norm, cb.cell_id,
+                 list_reduce(list_transform(
+                   generate_series(1, len(vn.embedding)),
+                   i -> CAST(vn.embedding[i] AS DOUBLE)
+                        * CAST(cb.cb_emb[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2) / (vn.norm * cb.cb_norm) AS cd
+                FROM vn CROSS JOIN cb),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cd DESC, cell_id) AS arn FROM ass),
+        assigned AS (SELECT vec_id, embedding, norm, cell_id
+                     FROM rk WHERE arn = 1),
+        qc AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                      norm AS q_norm, cell_id
+               FROM rk WHERE vec_id < 5 AND arn <= 2),
+        scored AS (SELECT q.query_id, a.vec_id AS cand_id, q.cell_id,
+                 list_reduce(list_transform(
+                   generate_series(1, len(q.q_emb)),
+                   i -> CAST(q.q_emb[i] AS DOUBLE)
+                        * CAST(a.embedding[i] AS DOUBLE)),
+                   (a2, b2) -> a2 + b2) / (q.q_norm * a.norm) AS cos
+                 FROM qc q JOIN assigned a USING (cell_id)
+                 WHERE a.vec_id <> q.query_id),
+        r AS (SELECT query_id, cand_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cand_id) AS rank
+              FROM scored)
+        SELECT 'cell' AS phase, cell_id AS k1, COUNT(*) AS k2,
+               CAST(-1 AS BIGINT) AS k3, CAST(0.0 AS DOUBLE) AS score
+        FROM assigned GROUP BY cell_id
+        UNION ALL
+        SELECT 'knn', query_id, CAST(rank AS BIGINT), cand_id,
+               round(cos, 6)
+        FROM r WHERE rank <= 10
+        ORDER BY phase, k1, k2""")
+      })
   )
 
   // ---------------------------------------------------------------- q258:

@@ -84,6 +84,124 @@ class AnnRecallCurveSpec extends SparkSpec {
     assert(s <= 0.5, f"banded LSH scanned $s%.3f — candidate gen degenerated")
   }
 
+  test("quantizer drift (r16 item 6): a re-encode wave craters frozen-" +
+      "codebook probe recall; CALL system.reindex_ann restores it " +
+      "through the atomic swap") {
+    spark.conf.set("spark.sql.catalog.gdrift",
+      classOf[graft.catalog.GraftCatalog].getName)
+    def sql(q: String) = spark.sql(q)
+    Seq("emb_dr", "cells_dr", "idx_dr").foreach(t =>
+      sql(s"DROP TABLE IF EXISTS gdrift.default.$t"))
+    // two 16-dim half-spaces of a 32-dim embedding: model v1 lives in
+    // dims 0..15 (8 md5 clusters + jitter, EXACT zeros above), model v2
+    // in dims 16..31. v1 centroids are exactly zero where v2 vectors
+    // carry their signal, so post-drift cell scores are pure per-vector
+    // jitter -> same-cluster vectors SCATTER across cells, the IVF
+    // failure mode re-training exists to fix.
+    val n = 400
+    val kc = 8
+    val half = 16
+    def ctrLit(tag: String): String = (0 until kc).map(c =>
+      (0 until half).map(dd =>
+        ((graft.util.Hashing.md5Long(s"$tag:$c:$dd") % 2001) - 1000)
+          / 1000.0)
+        .mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val ctrA = ctrLit("drA")
+    val ctrB = ctrLit("drB")
+    def jit(seed: Int): String =
+      s"((pmod(xxhash64(concat(CAST(vec_id AS STRING), ':', " +
+        s"CAST(dd AS STRING), ':$seed')), 2001) - 1000) / 1000.0)"
+    spark.range(n).toDF("vec_id").selectExpr("vec_id",
+      s"""transform(sequence(0, ${2 * half - 1}), dd -> CAST(
+         |  CASE WHEN dd < $half THEN
+         |    element_at(element_at($ctrA,
+         |      CAST(vec_id % $kc AS INT) + 1), dd + 1) + 0.05 * ${jit(1)}
+         |  ELSE 0.0 END AS FLOAT)) AS embedding""".stripMargin)
+      .createOrReplaceTempView("dr_v1")
+    sql("""CREATE TABLE gdrift.default.emb_dr
+           TBLPROPERTIES ('graft.mode'='dv')
+           AS SELECT * FROM dr_v1""")
+    sql("""CREATE TABLE gdrift.default.cells_dr
+           AS SELECT vec_id AS cell_id, embedding AS cb_emb
+           FROM gdrift.default.emb_dr WHERE vec_id < 16""")
+    val assignSql =
+      """SELECT v.vec_id,
+                max_by(c.cell_id, named_struct(
+                  'cd', cosine_sim(v.embedding, c.cb_emb),
+                  'nc', -c.cell_id)) AS cell_id
+         FROM gdrift.default.emb_dr v
+         CROSS JOIN gdrift.default.cells_dr c
+         GROUP BY v.vec_id"""
+    sql(s"""CREATE TABLE gdrift.default.idx_dr
+            PARTITIONED BY (cell_id)
+            TBLPROPERTIES ('graft.mode'='mor','graft.row_id'='vec_id')
+            AS $assignSql""")
+    // probe recall@10, 2 cells of 16, 8 cluster-spread queries
+    def recall(): Double = {
+      val hits = sql("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM gdrift.default.emb_dr
+                   WHERE vec_id >= 100 AND vec_id < 108),
+        exact AS (SELECT query_id, cand_id FROM (
+          SELECT q.query_id, v.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY cosine_sim(q.q_emb, v.embedding) DESC,
+                            v.vec_id) AS rn
+          FROM q CROSS JOIN gdrift.default.emb_dr v
+          WHERE v.vec_id <> q.query_id) WHERE rn <= 10),
+        qc AS (SELECT query_id, q_emb, cell_id FROM (
+          SELECT query_id, q_emb, c.cell_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim(q_emb, c.cb_emb) DESC,
+                            c.cell_id) AS rn
+          FROM q CROSS JOIN gdrift.default.cells_dr c) WHERE rn <= 2),
+        cand AS (SELECT query_id, cand_id FROM (
+          SELECT qc.query_id, i.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY qc.query_id
+                   ORDER BY cosine_sim(qc.q_emb, v.embedding) DESC,
+                            i.vec_id) AS rn
+          FROM qc JOIN gdrift.default.idx_dr i
+                 ON qc.cell_id = i.cell_id
+               JOIN gdrift.default.emb_dr v ON i.vec_id = v.vec_id
+          WHERE i.vec_id <> qc.query_id) WHERE rn <= 10)
+        SELECT COUNT(*) FROM exact e
+        JOIN cand c ON e.query_id = c.query_id
+                   AND e.cand_id = c.cand_id""").head().getLong(0)
+      hits / 80.0
+    }
+    val r0 = recall()
+    assert(r0 >= 0.8, f"pre-drift recall $r0%.3f below 0.8 — the " +
+      "scenario must start healthy")
+    // THE DRIFT: model-v2 re-encode of every vector into the other
+    // half-space (new clusters, new jitter)
+    sql(s"""UPDATE gdrift.default.emb_dr SET embedding =
+            transform(sequence(0, ${2 * half - 1}), dd -> CAST(
+              CASE WHEN dd < $half THEN 0.05 * ${jit(2)}
+              ELSE element_at(element_at($ctrB,
+                CAST(vec_id % $kc AS INT) + 1), dd - $half + 1)
+                + 0.05 * ${jit(2)} END AS FLOAT))""")
+    // fresh assignments against the FROZEN codebook — the feed loop's
+    // own maintenance (q275's MERGE), written as the whole-corpus
+    // equivalent because every row changed. Staleness is NOT the
+    // variable here; the dead codebook is.
+    sql(s"INSERT OVERWRITE gdrift.default.idx_dr $assignSql")
+    val r1 = recall()
+    assert(r1 < 0.5, f"post-drift recall $r1%.3f should crater " +
+      "(scattered assignments) — the drift construction broke")
+    // the corrective re-train + atomic swap
+    sql("""CALL gdrift.system.reindex_ann(
+             table => 'default.emb_dr', cells => 'default.cells_dr',
+             index => 'default.idx_dr', ncells => 16)""")
+    val r2 = recall()
+    assert(r2 >= 0.8, f"post-reindex recall $r2%.3f must recover " +
+      f"(was $r0%.3f healthy, $r1%.3f drifted)")
+    info(f"drift recall: healthy=$r0%.3f drifted=$r1%.3f " +
+      f"reindexed=$r2%.3f")
+    Seq("emb_dr", "cells_dr", "idx_dr").foreach(t =>
+      sql(s"DROP TABLE gdrift.default.$t"))
+  }
+
   test("int8 scalar quantization (q240): exact rerank of the 2.5x " +
       "approx overfetch recovers the TRUE top-10 verbatim") {
     val exact = SparkEntry.queries("q45_knn_bruteforce")(spark, sfDir)
