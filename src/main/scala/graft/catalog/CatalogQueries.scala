@@ -5560,7 +5560,136 @@ object CatalogQueries {
                round(cos, 6)
         FROM r WHERE rank <= 10
         ORDER BY phase, k1, k2""")
-      })
+      }),
+
+    // -------------------------------------------------------------- q286:
+    // CONSISTENT-CUT PUBLISH FOR BASE + MV + STATISTICS (VERDICT r16
+    // item 7) — q279's multi-table publish composed into the refresh
+    // cycle: the base's wave, the MV's recomputation, AND the base's
+    // statistics land as ONE visibility flip. The branch pair takes the
+    // wave (base append + MV INSERT OVERWRITE + analyze on the base
+    // branch); publish_tables stamps the MV's freshness PENDING (it
+    // resolves at exactly the marker instant — MvRewrite.freshStamp)
+    // and transfers the branch-computed MCV stamped with the base's
+    // pending version (the existing version gate makes that flip
+    // atomic for free). Before the flip readers serve the OLD MV
+    // against the OLD base; after it, the NEW against the NEW — no
+    // refusal window, no torn freshness (AtomicPublishSpec pins the
+    // never-torn invariant under a racing reader and the immediate
+    // post-publish MV serve). Output: the MV-eligible aggregate (which
+    // serves from the published MV), the MV's direct content, and the
+    // TRANSFERRED stats artifact parsed off the main table — the
+    // oracle recomputes all three from the final truth, so the whole
+    // cut is hash-checked. At 100 TB this is how a nightly build
+    // publishes a fact table, its dashboard MVs, and its optimizer
+    // statistics without a second of stale-or-refusing reads.
+    QueryDef(
+      "q286_consistent_cut_publish",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[GraftCatalog].getName)
+        Seq("orders_ccb_branch_cut", "orders_ccv_branch_cut",
+            "orders_ccb", "orders_ccv")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$t"))
+        Tables(s, d, "orders").createOrReplaceTempView("q286_orders")
+        s.sql("""CREATE TABLE graft_cat.default.orders_ccb
+                 (o_orderpriority STRING, o_orderkey BIGINT)""")
+        s.sql("""INSERT INTO graft_cat.default.orders_ccb
+                 SELECT o_orderpriority, o_orderkey FROM q286_orders
+                 WHERE o_orderkey % 3 != 0""")
+        s.sql("""CREATE TABLE graft_cat.default.orders_ccv
+                 (o_orderpriority STRING, key_sum BIGINT, n BIGINT)
+                 TBLPROPERTIES (
+                   'graft.mv.of' = 'default/orders_ccb',
+                   'graft.mv.group' = 'o_orderpriority',
+                   'graft.mv.agg' =
+                     'sum:o_orderkey:key_sum,count:*:n')""")
+        s.sql("""INSERT OVERWRITE graft_cat.default.orders_ccv
+                 SELECT o_orderpriority, SUM(o_orderkey), COUNT(*)
+                 FROM graft_cat.default.orders_ccb GROUP BY 1""")
+        def ver(t: String): String = s.sql(
+          s"SHOW TBLPROPERTIES graft_cat.default.$t").collect()
+          .collectFirst {
+            case r if r.getString(0) == "graft.current_version" =>
+              r.getString(1)
+          }.get
+        s.sql(s"""ALTER TABLE graft_cat.default.orders_ccv
+                  SET TBLPROPERTIES
+                  ('graft.mv.base_version' = '${ver("orders_ccb")}')""")
+        s.sql("""ALTER TABLE graft_cat.default.orders_ccb
+                 SET TBLPROPERTIES ('graft.mv.tables' = 'orders_ccv')""")
+        // THE CUT: wave + MV recompute + stats, all on branches...
+        s.sql("CALL graft_cat.system.create_branch(" +
+          "'default.orders_ccb', 'cut')")
+        s.sql("CALL graft_cat.system.create_branch(" +
+          "'default.orders_ccv', 'cut')")
+        s.sql("""INSERT INTO graft_cat.default.orders_ccb_branch_cut
+                 SELECT o_orderpriority, o_orderkey FROM q286_orders
+                 WHERE o_orderkey % 3 = 0""")
+        s.sql("""INSERT OVERWRITE graft_cat.default.orders_ccv_branch_cut
+                 SELECT o_orderpriority, SUM(o_orderkey), COUNT(*)
+                 FROM graft_cat.default.orders_ccb_branch_cut
+                 GROUP BY 1""")
+        s.sql("""CALL graft_cat.system.analyze(
+                   table => 'default.orders_ccb_branch_cut',
+                   columns => 'o_orderpriority', mcv => 2)""").collect()
+        // ...and ONE flip
+        s.sql("""CALL graft_cat.system.publish_tables(
+                   'default.orders_ccb,default.orders_ccv',
+                   'cut')""").collect()
+        Seq("orders_ccb_branch_cut", "orders_ccv_branch_cut")
+          .foreach(t => s.sql(s"DROP TABLE graft_cat.default.$t"))
+        // the transferred stats artifact, parsed off the MAIN table
+        val enc = s.sql(
+          "SHOW TBLPROPERTIES graft_cat.default.orders_ccb").collect()
+          .collectFirst {
+            case r if r.getString(0) ==
+              "graft.stats.mcv.o_orderpriority" => r.getString(1)
+          }.getOrElse(throw new IllegalStateException(
+            "publish did not transfer graft.stats.mcv.o_orderpriority"))
+        val Array(tot, list) = enc.split('|')
+        val statRows = ("__total", tot.toLong) +:
+          list.split(';').toSeq.map { e =>
+            val i = e.lastIndexOf(':')
+            (java.net.URLDecoder.decode(e.take(i), "UTF-8"),
+              e.drop(i + 1).toLong)
+          }
+        import s.implicits._
+        statRows.toDF("k", "v1")
+          .selectExpr("'c_stats' AS phase", "k", "v1",
+            "CAST(-1 AS BIGINT) AS v2")
+          .createOrReplaceTempView("q286_stats")
+        s.sql("""
+          SELECT phase, k, v1, v2 FROM (
+            SELECT 'a_mv_served' AS phase, o_orderpriority AS k,
+                   SUM(o_orderkey) AS v1, COUNT(*) AS v2
+            FROM graft_cat.default.orders_ccb GROUP BY 2
+            UNION ALL
+            SELECT 'b_mv_direct', o_orderpriority, key_sum, n
+            FROM graft_cat.default.orders_ccv
+            UNION ALL
+            SELECT phase, k, v1, v2 FROM q286_stats)
+          ORDER BY phase, k, v1""")
+      },
+      Some("""
+        WITH truth AS (SELECT o_orderpriority AS k,
+                              CAST(SUM(o_orderkey) AS BIGINT) AS v1,
+                              COUNT(*) AS v2
+                       FROM orders GROUP BY 1),
+        top2 AS (SELECT k, v2 AS cnt FROM truth
+                 ORDER BY cnt DESC, k LIMIT 2)
+        SELECT phase, k, v1, v2 FROM (
+          SELECT 'a_mv_served' AS phase, k, v1, v2 FROM truth
+          UNION ALL
+          SELECT 'b_mv_direct', k, v1, v2 FROM truth
+          UNION ALL
+          SELECT 'c_stats', k, cnt,
+                 CAST(-1 AS BIGINT) FROM top2
+          UNION ALL
+          SELECT 'c_stats', '__total',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                 CAST(-1 AS BIGINT))
+        ORDER BY phase, k, v1"""))
   )
 
   // ---------------------------------------------------------------- q258:

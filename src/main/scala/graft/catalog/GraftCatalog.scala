@@ -956,10 +956,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           main.commitFastForward(baseV, ff, publishTxnId = txn)
           phase1 += 1
         }
+        // phase 1.5 — CONSISTENT-CUT freshness stamps (VERDICT r16
+        // item 7): when a member table is an MV of ANOTHER member, its
+        // freshness stamp must flip at the same instant as the content,
+        // or a reader between the flip and a separate ALTER sees fresh
+        // base + stale-marked MV (a refusal window on every refresh).
+        // The stamp is written PENDING (graft.mv.base_version.pending +
+        // the transaction id): readers resolve it only once this
+        // transaction's marker exists — before the marker they serve
+        // the OLD stamp against the OLD content, after it the NEW
+        // against the NEW; there is no moment where stamp and content
+        // disagree (MvRewrite.freshStamp). Fresh statistics computed on
+        // a member's branch ride the same flip: their values copy over
+        // stamped with the member's PENDING version, which the existing
+        // version gate refuses until the marker lands and then serves —
+        // atomic by the same argument (an aborted publish costs a
+        // re-analyze, never serves wrong stats).
+        var curIdx = idx
+        val memberVer: Map[String, Int] = preps.map {
+          case (s, (main, _, _, _)) =>
+            idxKey(s) -> main.pendingHeadVersion }.toMap
+        specs.foreach { case (s, b) =>
+          val key = idxKey(s)
+          val entry = curIdx(key)
+          var add = Map.empty[String, String]
+          entry.extraProps.get("graft.mv.of")
+            .filter(memberVer.contains).foreach { baseKey =>
+              add += ("graft.mv.base_version.pending" ->
+                memberVer(baseKey).toString)
+              add += ("graft.mv.pending_txn" -> txn)
+            }
+          val brKey = idxKey(branchIdent(s, b))
+          val brProps = curIdx.get(brKey).map(_.extraProps)
+            .getOrElse(Map.empty)
+          val brT = loadTable(branchIdent(s, b)).asInstanceOf[GraftTable]
+          val brStatsFresh = brProps.get("graft.stats.version")
+            .flatMap(_.toIntOption)
+            .exists(v => brT.stateNow.current.map(_.version).contains(v))
+          if (brStatsFresh) {
+            add ++= brProps.filter { case (k, _) =>
+              k.startsWith("graft.stats.") && k != "graft.stats.version" }
+            add += ("graft.stats.version" -> memberVer(key).toString)
+          }
+          if (add.nonEmpty) {
+            val ne = entry.copy(extraProps = entry.extraProps ++ add)
+            curIdx += (key -> ne)
+            rebuildFromEntry(s, ne): Unit
+          }
+        }
         // phase 2: ONE atomic file create = the whole transaction's
         // visibility instant
         Files.createFile(txnDir.resolve(s"$txn.committed")): Unit
-        (idx, preps.map { case (s, (_, _, ff, _)) =>
+        (curIdx, preps.map { case (s, (_, _, ff, _)) =>
           (s.toString, ff.size.toLong, ff.map(_.rows).sum) }.toSeq)
       } catch { case e: Throwable =>
         // all-or-nothing: the aborted marker keeps any phase-1 head
@@ -1316,31 +1364,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       require(e.sortBy.isEmpty || e.zorderBy.isEmpty,
         "graft.zorder_by and graft.sort_by are mutually exclusive")
-      // rebuild the live handle with the new knobs: disk state is the
-      // content truth (same dir, same log), only the policy changes
-      val dir = Paths.get(e.dir)
-      val st = GraftStorage.readLog(dir).getOrElse(
-        throw new IllegalStateException(
-          s"table $ident registered but log missing at ${e.dir}"))
-      val eBucket = e.bucketBy match {
-        case c :: n :: Nil => Some((c, n.toInt))
-        case _ => None
-      }
-      val nt =
-        if (e.mode == "mor")
-          new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
-            e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
-            e.bloomBy, e.targetBytes, e.extraProps)
-        else if (e.mode == "dv")
-          new GraftDvTable(idxKey(ident), dir, st, e.retain, e.parts,
-            e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
-            e.targetBytes, e.extraProps)
-        else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
+      (idx + (idxKey(ident) -> e), rebuildFromEntry(ident, e))
+    }
+  }
+
+  /** Rebuild the LIVE handle for `ident` from its (updated) index
+    * entry: disk state is the content truth (same dir, same log), only
+    * the policy/props change. Shared by ALTER TABLE properties and the
+    * publish-time consistent-cut stamping. */
+  private def rebuildFromEntry(ident: Identifier,
+      e: GraftCatalog.IndexEntry): GraftTable = {
+    val dir = Paths.get(e.dir)
+    val st = GraftStorage.readLog(dir).getOrElse(
+      throw new IllegalStateException(
+        s"table $ident registered but log missing at ${e.dir}"))
+    val eBucket = e.bucketBy match {
+      case c :: n :: Nil => Some((c, n.toInt))
+      case _ => None
+    }
+    val nt =
+      if (e.mode == "mor")
+        new GraftDeltaTable(idxKey(ident), dir, st, e.retain, e.rowId,
+          e.parts, e.appendRetain, e.sortBy, e.zorderBy, eBucket,
+          e.bloomBy, e.targetBytes, e.extraProps)
+      else if (e.mode == "dv")
+        new GraftDvTable(idxKey(ident), dir, st, e.retain, e.parts,
           e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
           e.targetBytes, e.extraProps)
-      GraftCatalog.tables.put(regKey(ident), nt)
-      (idx + (idxKey(ident) -> e), nt)
-    }
+      else new GraftTable(idxKey(ident), dir, st, e.retain, e.parts,
+        e.appendRetain, e.sortBy, e.zorderBy, eBucket, e.bloomBy,
+        e.targetBytes, e.extraProps)
+    GraftCatalog.tables.put(regKey(ident), nt)
+    nt
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -1999,6 +2054,27 @@ class GraftTable(ident: String, val dir: NioPath,
     } else foldPublish(st, committed = false)
 
   private[graft] def stateNow: GraftTableState = resolvePublishView(state)
+
+  /** The RAW head version, pending-publish heads included — what a
+    * phase-1-committed fast-forward will become once its transaction's
+    * marker lands. Publisher-side bookkeeping only (the consistent-cut
+    * freshness stamps); readers resolve through [[stateNow]]. */
+  private[graft] def pendingHeadVersion: Int =
+    state.snapshots.lastOption.map(_.version).getOrElse(-1)
+
+  /** Has transaction `id`'s commit marker landed? The resolution probe
+    * for PENDING freshness stamps (`graft.mv.*.pending`): a stamp
+    * written between a publish's phase-1 CAS and its marker create
+    * becomes authoritative at exactly the marker instant — the same
+    * visibility point as the content it describes. Memoized like
+    * [[resolvePublishView]] (markers are immutable once present). */
+  private[graft] def publishTxnCommitted(id: String): Boolean =
+    committedTxnsSeen.contains(id) || {
+      val ok = Files.exists(txnMarker(id, "committed"))
+      if (ok && committedTxnsSeen.size < 1024) committedTxnsSeen += id
+      ok
+    }
+
   private[graft] def dataDir: String =
     dir.resolve("data").toAbsolutePath.toString
 

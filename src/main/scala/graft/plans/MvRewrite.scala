@@ -188,6 +188,27 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** Effective freshness stamp for `key`, pending-publish aware
+    * (VERDICT r16 item 7): a consistent-cut publish writes
+    * `<key>.pending` + `graft.mv.pending_txn` BETWEEN its phase-1 CAS
+    * and its marker create, so the stamp becomes authoritative at
+    * exactly the content's visibility instant. Resolution takes the
+    * NUMERIC MAX of the plain stamp and a committed pending stamp — a
+    * later ordinary refresh (plain stamp advances) supersedes an older
+    * committed pending without any cleanup, and an aborted/in-flight
+    * pending (marker absent) is simply invisible. `witness` is any
+    * table of the same warehouse (the marker directory is shared). */
+  private def freshStamp(p: java.util.Map[String, String], key: String,
+      witness: GraftTable): Option[Int] = {
+    val plain = Option(p.get(key)).flatMap(_.toIntOption)
+    val pending = for {
+      txn <- Option(p.get("graft.mv.pending_txn"))
+      v <- Option(p.get(s"$key.pending")).flatMap(_.toIntOption)
+      if witness.publishTxnCommitted(txn)
+    } yield v
+    (plain.toSeq ++ pending.toSeq).reduceOption(_ max _)
+  }
+
   private def rewrite(agg: Aggregate, rel: DataSourceV2Relation,
       filter: Option[Expression]): Option[LogicalPlan] = {
     val base = rel.table.asInstanceOf[GraftTable]
@@ -281,7 +302,8 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val p = mv.properties()
     if (p.get("graft.mv.of") != base.name()) return None
     if (p.get("graft.mv.join_dim") != null) return None // join arm's MV
-    if (p.get("graft.mv.base_version") != baseVersion.toString) return None
+    if (!freshStamp(p, "graft.mv.base_version", base)
+        .contains(baseVersion)) return None
 
     // a pre-aggregation WHERE is admissible iff every referenced
     // attribute is an MV grouping column (filter-then-aggregate then
@@ -365,7 +387,8 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     resolved.foreach(d =>
       ensureFresh(d._1.table.asInstanceOf[GraftTable]))
     val fv = factT.stateNow.current.map(_.version).getOrElse(-1)
-    if (p.get("graft.mv.base_version") != fv.toString) return None
+    if (!freshStamp(p, "graft.mv.base_version", factT)
+        .contains(fv)) return None
     resolved.foreach { case (rel, _, _, ver) =>
       val dv = rel.table.asInstanceOf[GraftTable]
         .stateNow.current.map(_.version).getOrElse(-1)

@@ -187,6 +187,97 @@ class AtomicPublishSpec extends SparkSpec {
     assert(sql(s"SELECT COUNT(*) FROM $d").head().getLong(0) == 6)
   }
 
+  test("consistent-cut publish (r16 item 7): a reader never sees base " +
+      "and MV at different versions, and the MV serves immediately " +
+      "after the flip — no refusal window") {
+    init()
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2Relation => r.table.name()
+        case s: DataSourceV2ScanRelation => s.relation.table.name()
+      }
+    }
+    Seq("cc_base_branch_cut", "cc_mv_branch_cut", "cc_base", "cc_mv")
+      .foreach(t => sql(s"DROP TABLE IF EXISTS gap.default.$t"))
+    sql("CREATE TABLE gap.default.cc_base (g STRING, v BIGINT)")
+    sql("INSERT INTO gap.default.cc_base SELECT concat('g', id % 4), " +
+      "id FROM range(0, 100)")
+    sql("""CREATE TABLE gap.default.cc_mv (g STRING, sum_v BIGINT,
+             n BIGINT)
+           TBLPROPERTIES ('graft.mv.of' = 'default/cc_base',
+             'graft.mv.group' = 'g',
+             'graft.mv.agg' = 'sum:v:sum_v,count:*:n')""")
+    def refreshInto(mv: String, base: String): Unit =
+      sql(s"INSERT OVERWRITE gap.default.$mv SELECT g, SUM(v), " +
+        s"COUNT(*) FROM gap.default.$base GROUP BY 1"): Unit
+    refreshInto("cc_mv", "cc_base")
+    val v0 = handle("cc_base").stateNow.current.get.version
+    sql(s"""ALTER TABLE gap.default.cc_mv SET TBLPROPERTIES
+            ('graft.mv.base_version' = '$v0')""")
+    sql("ALTER TABLE gap.default.cc_base SET TBLPROPERTIES " +
+      "('graft.mv.tables' = 'cc_mv')")
+    val agg = "SELECT g, SUM(v) AS sum_v, COUNT(*) AS n " +
+      "FROM gap.default.cc_base GROUP BY g"
+    assert(scansOf(sql(agg)).exists(_.contains("cc_mv")),
+      "baseline MV serve must be in place before the cut")
+    // racing reader: at EVERY observation the maybe-MV-served
+    // aggregate must equal the truth computed by a direct base scan
+    // (MV rewrite disabled) — a torn cut (fresh base + stale-served
+    // MV, or stale base + fresh-served MV) diverges the two
+    @volatile var stop = false
+    @volatile var torn: Option[String] = None
+    val reader = new Thread(() => {
+      while (!stop && torn.isEmpty) {
+        val served = sql(agg).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        // direct truth via a shape MvRewrite refuses (a filter on a
+        // non-group column): always scans the base — and without
+        // touching the session-global kill-switch, which would race
+        // the publisher thread's own plan checks
+        val direct = sql(agg.replace("GROUP BY g",
+            "WHERE v >= 0 GROUP BY g")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        // only comparable when the base did not advance between the
+        // two reads: re-check served afterwards
+        val served2 = sql(agg).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        if (served == served2 && served != direct)
+          torn = Some(s"served=$served\ndirect=$direct")
+      }
+    }, "consistent-cut-reader")
+    reader.start()
+    try {
+      (1 to 3).foreach { i =>
+        sql("CALL gap.system.create_branch('default.cc_base', 'cut')")
+        sql("CALL gap.system.create_branch('default.cc_mv', 'cut')")
+        sql("INSERT INTO gap.default.cc_base_branch_cut SELECT " +
+          s"concat('g', id % 4), id FROM range(${1000 * i}, " +
+          s"${1000 * i + 40})")
+        refreshInto("cc_mv_branch_cut", "cc_base_branch_cut")
+        sql("CALL gap.system.publish_tables(" +
+          "'default.cc_base,default.cc_mv', 'cut')")
+        // the no-refusal-window half: IMMEDIATELY after the publish,
+        // the aggregate serves from the MV again (the pending stamp
+        // resolved at the marker — no ALTER races, no stale gap)
+        assert(scansOf(sql(agg)).exists(_.contains("cc_mv")),
+          s"MV must serve immediately after cut publish #$i")
+        sql("DROP TABLE gap.default.cc_base_branch_cut")
+        sql("DROP TABLE gap.default.cc_mv_branch_cut")
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(torn.isEmpty, s"torn base/MV read observed:\n$torn")
+    // the content is right too, not just consistent
+    val fin = sql(agg).collect().map(r => (r.getString(0), r.getLong(2)))
+      .toMap
+    assert(fin.values.sum == 100L + 3 * 40L, s"final census: $fin")
+    Seq("cc_base", "cc_mv").foreach(t =>
+      sql(s"DROP TABLE gap.default.$t"))
+  }
+
   test("two concurrent publishers serialize on the index lock: one " +
       "lands, the other aborts whole on the divergence it then sees") {
     val (f, d) = freshPair("pp")
