@@ -1003,25 +1003,29 @@ class GraftStorageSpec extends SparkSpec {
     assert(spark.read.parquet(sink).selectExpr("`__id`")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
       "resumed feed stream re-read or missed changes")
-    // CoW tables serve the INSERT-ONLY incremental append feed
-    // (CowChangeFeedSpec owns its contracts); STREAMING the companion
-    // refuses — the table itself is the streaming source
+    // CoW tables serve the INSERT-ONLY incremental append feed; since
+    // r16 item 5 the companion also STREAMS it (checkpointed, offsets
+    // are commit versions — CowChangeFeedSpec owns the full contracts,
+    // incl. the id-less refusal once removals appear). Pin here only
+    // that an id-less append-only table streams its feed at all.
     sql("DROP TABLE IF EXISTS gstore.default.cfc")
     sql("CREATE TABLE gstore.default.cfc (k BIGINT)")
     sql("INSERT INTO gstore.default.cfc VALUES (7)")
     assert(sql("SELECT `__op`, k FROM gstore.default.`cfc$changes`")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
       Seq((0, 7L)))
-    val e = intercept[Exception] {
-      spark.readStream.table("gstore.default.`cfc$changes`")
-        .writeStream.format("noop")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("cfc-").toString)
-        .start().awaitTermination()
-    }
-    assert(chain(e).exists(m => Option(m.getMessage).exists(x =>
-      x.contains("does not support") || x.contains("STREAM"))),
-      chain(e).map(_.getMessage).mkString(" | "))
+    val cfcSink = base.resolve("cfc-sink").toString
+    spark.readStream.table("gstore.default.`cfc$changes`")
+      .writeStream.format("parquet")
+      .option("path", cfcSink)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("cfc-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(spark.read.parquet(cfcSink).selectExpr("`__op`", "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 7L)),
+      "id-less append-only CoW feed must stream its op-0 rows")
     sql("DROP TABLE gstore.default.cf")
     sql("DROP TABLE gstore.default.cfc")
   }
