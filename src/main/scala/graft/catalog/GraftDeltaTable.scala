@@ -279,6 +279,18 @@ object GraftDeltaTable {
     case other => throw new IllegalStateException(s"bad id type $other")
   }
 
+  /** Per-file parsed-delta memo (round-17 optimization, guide §1/§5):
+    * delta files are immutable once committed, so the ordered
+    * (id, op, row) sequence of ONE file is a pure function of
+    * `(path, rows, bytes)` plus the table schema the rows project
+    * into. Every MOR scan-builder construction used to re-read every
+    * delta file on the driver; the memo makes that one read per
+    * distinct file per JVM. Values are immutable (UnsafeRow copies,
+    * shared read-only across folds); cache clears wholesale past a
+    * file-count cap. */
+  private val deltaParseCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), Array[(AnyRef, Int, UnsafeRow)]]()
+
   /** Driver-side fold of the delta FILES (never the base): read each
     * delta file in commit order, last op per id wins. Work and memory
     * are O(|delta|), bounded by delta volume between compactions. */
@@ -288,26 +300,49 @@ object GraftDeltaTable {
       StructField("__op", IntegerType, nullable = false) +:
       StructField("__id", idType, nullable = true) +:
       tableSchema.fields.map(_.copy(nullable = true)))
-    val dataProj = UnsafeProjection.create(
+    lazy val dataProj = UnsafeProjection.create(
       tableSchema.fields.zipWithIndex.map { case (f, i) =>
         BoundReference(2 + i, f.dataType, nullable = true)
       }.toIndexedSeq)
+    // the signature must capture FIELD IDS, not just names/types: a
+    // DROP COLUMN + re-ADD under the same name keeps catalogString
+    // identical but must bind the old delta files differently (the old
+    // id no longer matches — the column reads as null, never the
+    // dropped data). GraftStorageSpec's resurrection case pins this.
+    val schemaSig = idType.catalogString + "|" +
+      tableSchema.fields.map(f =>
+        s"${f.name}:${f.dataType.catalogString}:" +
+          GraftStorage.fieldId(f).getOrElse(-1)).mkString(",")
     val m = new java.util.LinkedHashMap[AnyRef, (UnsafeRow, Int)]()
     var ops = 0L
     delta.foreach { f =>
-      val it = new GraftStorage.FileIterator(f.path, f.cols, ds, f.rows,
-        fileColIds = f.colIds)
-      try it.foreach { r =>
-        ops += 1
-        val id = idValue(r, 1, idType)
-        r.getInt(0) match {
-          case 0 | 1 => // insert/update
-            m.put(id, (dataProj(r).copy(), f.fence)): Unit
-          case 2 => m.put(id, (null, f.fence)): Unit // delete tombstone
-          case other =>
-            throw new IllegalStateException(s"corrupt delta op $other")
-        }
-      } finally it.close()
+      if (deltaParseCache.size > 4096) deltaParseCache.clear()
+      val parsed = deltaParseCache.computeIfAbsent(
+        (f.path, f.rows, f.bytes, schemaSig), _ => {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(AnyRef, Int, UnsafeRow)]
+          val it = new GraftStorage.FileIterator(f.path, f.cols, ds, f.rows,
+            fileColIds = f.colIds)
+          try it.foreach { r =>
+            val id = idValue(r, 1, idType)
+            r.getInt(0) match {
+              case op @ (0 | 1) => // insert/update
+                buf += ((id, op, dataProj(r).copy()))
+              case 2 => buf += ((id, 2, null)) // delete tombstone
+              case other =>
+                throw new IllegalStateException(s"corrupt delta op $other")
+            }
+          } finally it.close()
+          buf.toArray
+        })
+      ops += parsed.length
+      var i = 0
+      while (i < parsed.length) {
+        val (id, op, row) = parsed(i)
+        if (op == 2) m.put(id, (null, f.fence)): Unit
+        else m.put(id, (row, f.fence)): Unit
+        i += 1
+      }
     }
     val drop = new Array[(AnyRef, Int)](m.size())
     val repl = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]

@@ -423,17 +423,42 @@ object GraftDvTable {
   private[catalog] final case class EqDeletes(fence: Int,
       keyCols: Vector[String], keys: java.util.HashSet[AnyRef])
 
+  /** Driver-side per-file fold memo (round-17 optimization, guide §1/§5):
+    * delta/DV/eq files are IMMUTABLE once committed (UUID-named data
+    * dirs and file names, never rewritten in place), so the parse of one
+    * file is a pure function of its identity `(path, rows, bytes)`.
+    * Before the memo, EVERY table resolution re-opened and re-read the
+    * same small parquet files on the driver — a profiled q275 cycle
+    * paid 922 driver-side parquet opens ≈ 7.4 s of its 12.5 s wall.
+    * The memo collapses that to one read per distinct file per JVM.
+    * Bounded: caches clear wholesale past a file-count cap (per-file
+    * content is already bounded by compaction cadence). Cached values
+    * are treated as immutable — every merge path COPIES before adding.
+    * This caches table METADATA (deletion vectors / delta ops), never
+    * query results: a new commit writes new files under new names and
+    * misses the cache by construction. */
+  private val vecFoldCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Map[String, Array[Long]]]()
+  private val eqFoldCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), java.util.HashSet[AnyRef]]()
+  private def bounded(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
+    if (m.size > 4096) m.clear()
+
   /** [[foldEq]] plus a merge of same-(fence, key-columns) groups —
     * the per-task eq files of one commit collapse to ONE probe set,
     * so the read-side per-row cost is O(distinct probe shapes), not
-    * O(task files). */
+    * O(task files). Merged groups build a FRESH set (the singletons
+    * hand out the memoized set, which must stay immutable). */
   private[catalog] def foldEqMerged(eq: Vector[GraftFileRef],
       tableSchema: StructType): Vector[EqDeletes] =
     foldEq(eq, tableSchema)
       .groupBy(e => (e.fence, e.keyCols)).values.map { g =>
-        val m = g.head
-        g.tail.foreach(x => m.keys.addAll(x.keys): Unit)
-        m
+        if (g.size == 1) g.head
+        else {
+          val keys = new java.util.HashSet[AnyRef](g.head.keys)
+          g.tail.foreach(x => keys.addAll(x.keys): Unit)
+          EqDeletes(g.head.fence, g.head.keyCols, keys)
+        }
       }.toVector.sortBy(_.fence)
 
   /** Driver-side fold of the equality-delete files — O(upserted keys),
@@ -450,17 +475,28 @@ object GraftDvTable {
         tableSchema.fields(o)
       }
       val ks = StructType(fields.map(_.copy(nullable = false)))
-      val set = new java.util.HashSet[AnyRef]()
-      val it = new GraftStorage.FileIterator(f.path, f.cols, ks, f.rows,
-        fileColIds = f.colIds)
-      try it.foreach { r =>
-        val v: AnyRef =
-          if (f.cols.size == 1)
-            GraftDeltaTable.idValue(r, 0, fields(0).dataType)
-          else Vector.tabulate(f.cols.size)(i =>
-            GraftDeltaTable.idValue(r, i, fields(i).dataType))
-        set.add(v): Unit
-      } finally it.close()
+      // key signature in the memo key: an ALTER COLUMN TYPE widen
+      // changes the JVM value type the same bytes decode to, and a
+      // DROP + re-ADD changes the field id the file binds against
+      val typeSig = fields.map(f =>
+        s"${f.dataType.catalogString}:" +
+          GraftStorage.fieldId(f).getOrElse(-1)).mkString(",")
+      bounded(eqFoldCache)
+      val set = eqFoldCache.computeIfAbsent(
+        (f.path, f.rows, f.bytes, typeSig), _ => {
+          val s = new java.util.HashSet[AnyRef]()
+          val it = new GraftStorage.FileIterator(f.path, f.cols, ks, f.rows,
+            fileColIds = f.colIds)
+          try it.foreach { r =>
+            val v: AnyRef =
+              if (f.cols.size == 1)
+                GraftDeltaTable.idValue(r, 0, fields(0).dataType)
+              else Vector.tabulate(f.cols.size)(i =>
+                GraftDeltaTable.idValue(r, i, fields(i).dataType))
+            s.add(v): Unit
+          } finally it.close()
+          s
+        })
       EqDeletes(f.fence, f.cols, set)
     }
 
@@ -506,25 +542,50 @@ object GraftDvTable {
   private[catalog] def foldVectors(
       delta: Vector[GraftFileRef]): Map[String, Array[Long]] = {
     if (delta.isEmpty) return Map.empty
-    val m = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
-    delta.foreach { f =>
-      val it = new GraftStorage.FileIterator(f.path, f.cols, DvSchema,
-        f.rows, fileColIds = f.colIds)
-      try it.foreach { r =>
-        val path = r.getUTF8String(0).toString
-        m.computeIfAbsent(path, _ => new java.util.TreeSet[java.lang.Long]())
-          .add(r.getLong(1)): Unit
-      } finally it.close()
+    // per-file fold from the memo (one parquet read per distinct file
+    // per JVM — see the memo comment above)
+    val perFile: Vector[Map[String, Array[Long]]] = delta.map { f =>
+      bounded(vecFoldCache)
+      vecFoldCache.computeIfAbsent((f.path, f.rows, f.bytes), _ => {
+        val m = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
+        val it = new GraftStorage.FileIterator(f.path, f.cols, DvSchema,
+          f.rows, fileColIds = f.colIds)
+        try it.foreach { r =>
+          val path = r.getUTF8String(0).toString
+          m.computeIfAbsent(path, _ => new java.util.TreeSet[java.lang.Long]())
+            .add(r.getLong(1)): Unit
+        } finally it.close()
+        val b = Map.newBuilder[String, Array[Long]]
+        m.forEach { (p, s) =>
+          val a = new Array[Long](s.size())
+          val si = s.iterator()
+          var i = 0
+          while (si.hasNext) { a(i) = si.next(); i += 1 }
+          b += (p -> a)
+        }
+        b.result()
+      })
     }
-    val b = Map.newBuilder[String, Array[Long]]
-    m.forEach { (p, s) =>
-      val a = new Array[Long](s.size())
-      val it = s.iterator()
-      var i = 0
-      while (it.hasNext) { a(i) = it.next(); i += 1 }
-      b += (p -> a)
+    if (perFile.size == 1) perFile.head
+    else {
+      // multi-file merge: sorted-distinct union per base path (the
+      // memoized per-file arrays are already sorted distinct)
+      val m = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
+      perFile.foreach(_.foreach { case (p, a) =>
+        val s = m.computeIfAbsent(p, _ => new java.util.TreeSet[java.lang.Long]())
+        var i = 0
+        while (i < a.length) { s.add(a(i)): Unit; i += 1 }
+      })
+      val b = Map.newBuilder[String, Array[Long]]
+      m.forEach { (p, s) =>
+        val a = new Array[Long](s.size())
+        val si = s.iterator()
+        var i = 0
+        while (si.hasNext) { a(i) = si.next(); i += 1 }
+        b += (p -> a)
+      }
+      b.result()
     }
-    b.result()
   }
 }
 
@@ -965,8 +1026,14 @@ object GraftDvChangeFeed {
               "retained snapshot window — the feed cannot resolve its " +
               "equality deletes; reseed from a snapshot"))
         val es = GraftDvTable.foldEq(group, tableSchema)
-        val merged = es.head
-        es.tail.foreach(x => merged.keys.addAll(x.keys): Unit)
+        // copy-on-merge: the singleton sets are memoized and immutable
+        val merged =
+          if (es.size == 1) es.head
+          else {
+            val keys = new java.util.HashSet[AnyRef](es.head.keys)
+            es.tail.foreach(x => keys.addAll(x.keys): Unit)
+            GraftDvTable.EqDeletes(es.head.fence, es.head.keyCols, keys)
+          }
         snapFiles.take(entry.fence).flatMap { f =>
           val keys = GraftDvTable.narrowKeys(f, tableSchema, merged)
           if (keys.isEmpty) None
