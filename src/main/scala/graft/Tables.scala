@@ -14,6 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Footer-schema memo per (dir, table) — round-17 optimization
+    * (guide §1.2 step 2 / §6): `spark.read.parquet` re-infers the schema
+    * on EVERY call (a footer read + mergeSchemasInParallel pass), and the
+    * suite calls Tables ~2-3× per query — a fixed ~50-150 ms of planning
+    * per query that a real warehouse serves from its catalog for free.
+    * The fixtures are immutable for a JVM's lifetime; key on (dir, name).
+    * Metadata only — never rows. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Declared queries must run on ANY session: register the native
     // functions + planner strategy session-locally (idempotent) so a
@@ -30,7 +40,9 @@ object Tables {
     // as if it were a known one produces silently-wrong rows, the worst
     // failure mode an engine can ship.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val sch = schemaCache.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
+    val df = spark.read.schema(sch).parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventsTs(df)
     // documents/embeddings feed signature computation + pairwise
     // self-joins (minhash, simhash, jaccard, cosine) whose per-row cost
