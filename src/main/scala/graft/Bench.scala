@@ -17,6 +17,16 @@ object Bench {
       // pin UTC so bench results match Verify's regardless of host tz.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Guide §2.2: let AQE coalesce small shuffle partitions BY SIZE.
+      // The Spark default parallelismFirst=true keeps tiny post-shuffle
+      // partitions at the session partition count to "maximize
+      // parallelism" — at sf0.1 that is 32 near-empty tasks per stage of
+      // every catalog DML cycle (measured: q259 3.46 s -> 3.02 s, q284
+      // 3.03 s -> 2.72 s with size-based coalescing). Scale-adaptive by
+      // construction: partitions are sized by advisoryPartitionSizeInBytes
+      // (64 MB default), not by any local core-count constant.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       // Structural half of the r15 stall hunt: ContextCleaner only frees
       // shuffle/broadcast/checkpoint state when the driver GCs, and a
       // large mostly-idle heap can go 30+ min (the default periodicGC

@@ -18,6 +18,16 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Guide §2.2: let AQE coalesce small shuffle partitions BY SIZE.
+      // The Spark default parallelismFirst=true keeps tiny post-shuffle
+      // partitions at the session partition count to "maximize
+      // parallelism" — at sf0.1 that is 32 near-empty tasks per stage of
+      // every catalog DML cycle (measured: q259 3.46 s -> 3.02 s, q284
+      // 3.03 s -> 2.72 s with size-based coalescing). Scale-adaptive by
+      // construction: partitions are sized by advisoryPartitionSizeInBytes
+      // (64 MB default), not by any local core-count constant.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -3425,6 +3425,14 @@ class GraftTable(ident: String, val dir: NioPath,
             !live.contains(p.toAbsolutePath.toString) &&
             Files.getLastModifiedTime(p).toMillis <= cutoff)
         victims.foreach(p => Files.deleteIfExists(p): Unit)
+        // the per-file fold memos key on path: a deleted file's entry
+        // can never hit again — drop it now instead of waiting for
+        // LRU aging (round-18, guide §5 driver heap)
+        val gone = victims.map(_.toAbsolutePath.toString).toSet
+        if (gone.nonEmpty) {
+          GraftDvTable.invalidateFoldCache(gone)
+          GraftDeltaTable.invalidateFoldCache(gone)
+        }
         victims.size
       }
     }

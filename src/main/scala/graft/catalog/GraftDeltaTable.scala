@@ -286,10 +286,24 @@ object GraftDeltaTable {
     * into. Every MOR scan-builder construction used to re-read every
     * delta file on the driver; the memo makes that one read per
     * distinct file per JVM. Values are immutable (UnsafeRow copies,
-    * shared read-only across folds); cache clears wholesale past a
-    * file-count cap. */
-  private val deltaParseCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long, String), Array[(AnyRef, Int, UnsafeRow)]]()
+    * shared read-only across folds — never mutate a cached array or
+    * its rows). Bounded BY BYTES with per-entry LRU eviction
+    * ([[ByteLruCache]], round-18 fix of the round-17 count cap whose
+    * wholesale clear thrashed exactly when delta chains were long,
+    * and which bounded entries, not heap). */
+  private val deltaParseCache =
+    new ByteLruCache[(String, Long, Long, String),
+        Array[(AnyRef, Int, UnsafeRow)]](
+      ByteLruCache.budgetBytes _,
+      a => a.iterator.map { case (id, _, row) =>
+        64L + ByteLruCache.idWeight(id) +
+          (if (row == null) 0L else row.getSizeInBytes.toLong)
+      }.sum)
+
+  /** Eager memo invalidation for files deleted by the orphan sweep. */
+  private[catalog] def invalidateFoldCache(paths: Set[String]): Unit =
+    deltaParseCache.invalidateIf(k => paths.contains(k._1))
+  private[catalog] def foldCacheBytes: Long = deltaParseCache.currentBytes
 
   /** Driver-side fold of the delta FILES (never the base): read each
     * delta file in commit order, last op per id wins. Work and memory
@@ -300,10 +314,6 @@ object GraftDeltaTable {
       StructField("__op", IntegerType, nullable = false) +:
       StructField("__id", idType, nullable = true) +:
       tableSchema.fields.map(_.copy(nullable = true)))
-    lazy val dataProj = UnsafeProjection.create(
-      tableSchema.fields.zipWithIndex.map { case (f, i) =>
-        BoundReference(2 + i, f.dataType, nullable = true)
-      }.toIndexedSeq)
     // the signature must capture FIELD IDS, not just names/types: a
     // DROP COLUMN + re-ADD under the same name keeps catalogString
     // identical but must bind the old delta files differently (the old
@@ -313,12 +323,19 @@ object GraftDeltaTable {
       tableSchema.fields.map(f =>
         s"${f.name}:${f.dataType.catalogString}:" +
           GraftStorage.fieldId(f).getOrElse(-1)).mkString(",")
-    val m = new java.util.LinkedHashMap[AnyRef, (UnsafeRow, Int)]()
-    var ops = 0L
-    delta.foreach { f =>
-      if (deltaParseCache.size > 4096) deltaParseCache.clear()
-      val parsed = deltaParseCache.computeIfAbsent(
-        (f.path, f.rows, f.bytes, schemaSig), _ => {
+    // PARSE in parallel (FoldPar; fresh post-commit files are all memo
+    // misses and each parse is an independent pure function), APPLY
+    // serially below in commit order. One UnsafeProjection per parsed
+    // file: generated projections are single-threaded (mutable row
+    // buffer), and codegen is cached by expression tree so the repeat
+    // creations are lookups, not recompiles.
+    val parsedAll = FoldPar.map(delta) { f =>
+      deltaParseCache.getOrCompute(
+        (f.path, f.rows, f.bytes, schemaSig)) {
+          val dataProj = UnsafeProjection.create(
+            tableSchema.fields.zipWithIndex.map { case (fld, i) =>
+              BoundReference(2 + i, fld.dataType, nullable = true)
+            }.toIndexedSeq)
           val buf = scala.collection.mutable.ArrayBuffer
             .empty[(AnyRef, Int, UnsafeRow)]
           val it = new GraftStorage.FileIterator(f.path, f.cols, ds, f.rows,
@@ -334,7 +351,13 @@ object GraftDeltaTable {
             }
           } finally it.close()
           buf.toArray
-        })
+        }
+    }
+    val m = new java.util.LinkedHashMap[AnyRef, (UnsafeRow, Int)]()
+    var ops = 0L
+    delta.indices.foreach { fi =>
+      val f = delta(fi)
+      val parsed = parsedAll(fi)
       ops += parsed.length
       var i = 0
       while (i < parsed.length) {

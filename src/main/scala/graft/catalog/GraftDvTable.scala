@@ -419,9 +419,12 @@ object GraftDvTable {
     * existed when the upsert committed — later files, including the
     * upsert's own inserts, are exempt). Key values are canonical JVM
     * values ([[GraftDeltaTable.idValue]]); multi-column keys fold as
-    * `Vector[AnyRef]`. */
+    * `Vector[AnyRef]`. `keys` coming out of the fold memo is an
+    * UNMODIFIABLE view (ADVICE r17): the memoized sets are shared by
+    * reference across every fold, so accidental mutation must throw
+    * instead of corrupting every later fold of the file. */
   private[catalog] final case class EqDeletes(fence: Int,
-      keyCols: Vector[String], keys: java.util.HashSet[AnyRef])
+      keyCols: Vector[String], keys: java.util.Set[AnyRef])
 
   /** Driver-side per-file fold memo (round-17 optimization, guide §1/§5):
     * delta/DV/eq files are IMMUTABLE once committed (UUID-named data
@@ -431,18 +434,37 @@ object GraftDvTable {
     * same small parquet files on the driver — a profiled q275 cycle
     * paid 922 driver-side parquet opens ≈ 7.4 s of its 12.5 s wall.
     * The memo collapses that to one read per distinct file per JVM.
-    * Bounded: caches clear wholesale past a file-count cap (per-file
-    * content is already bounded by compaction cadence). Cached values
-    * are treated as immutable — every merge path COPIES before adding.
-    * This caches table METADATA (deletion vectors / delta ops), never
-    * query results: a new commit writes new files under new names and
-    * misses the cache by construction. */
-  private val vecFoldCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), Map[String, Array[Long]]]()
-  private val eqFoldCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long, String), java.util.HashSet[AnyRef]]()
-  private def bounded(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
-    if (m.size > 4096) m.clear()
+    * Bounded BY BYTES with per-entry LRU eviction ([[ByteLruCache]],
+    * round-18 fix: the round-17 count cap cleared wholesale at 4096
+    * entries — thrash exactly when delta pressure was highest, and no
+    * actual memory bound). Cached values are immutable — the eq sets
+    * are unmodifiable views, and every merge path COPIES before
+    * adding. This caches table METADATA (deletion vectors / delta
+    * ops), never query results: a new commit writes new files under
+    * new names and misses the cache by construction. */
+  private val vecFoldCache =
+    new ByteLruCache[(String, Long, Long), Map[String, Array[Long]]](
+      ByteLruCache.budgetBytes _,
+      m => m.iterator.map { case (p, a) =>
+        64L + 2L * p.length + 8L * a.length }.sum)
+  private val eqFoldCache =
+    new ByteLruCache[(String, Long, Long, String), java.util.Set[AnyRef]](
+      ByteLruCache.budgetBytes _,
+      s => {
+        var w = 64L
+        s.forEach(k => w += 16L + ByteLruCache.idWeight(k))
+        w
+      })
+
+  /** Eagerly drop memo entries for files physically deleted by the
+    * orphan sweep; keyed-by-path so retired files stop pinning heap
+    * before LRU aging would get to them. */
+  private[catalog] def invalidateFoldCache(paths: Set[String]): Unit = {
+    vecFoldCache.invalidateIf(k => paths.contains(k._1))
+    eqFoldCache.invalidateIf(k => paths.contains(k._1))
+  }
+  private[catalog] def foldCacheBytes: Long =
+    vecFoldCache.currentBytes + eqFoldCache.currentBytes
 
   /** [[foldEq]] plus a merge of same-(fence, key-columns) groups —
     * the per-task eq files of one commit collapse to ONE probe set,
@@ -465,7 +487,7 @@ object GraftDvTable {
     * bounded by compaction cadence, the eq sibling of [[foldVectors]]. */
   private[catalog] def foldEq(eq: Vector[GraftFileRef],
       tableSchema: StructType): Vector[EqDeletes] =
-    eq.map { f =>
+    FoldPar.map(eq) { f =>
       val names = tableSchema.fieldNames.toIndexedSeq
       val fields = f.cols.map { c =>
         val o = GraftStorage.ordinalByName(names, c)
@@ -481,9 +503,8 @@ object GraftDvTable {
       val typeSig = fields.map(f =>
         s"${f.dataType.catalogString}:" +
           GraftStorage.fieldId(f).getOrElse(-1)).mkString(",")
-      bounded(eqFoldCache)
-      val set = eqFoldCache.computeIfAbsent(
-        (f.path, f.rows, f.bytes, typeSig), _ => {
+      val set = eqFoldCache.getOrCompute(
+        (f.path, f.rows, f.bytes, typeSig)) {
           val s = new java.util.HashSet[AnyRef]()
           val it = new GraftStorage.FileIterator(f.path, f.cols, ks, f.rows,
             fileColIds = f.colIds)
@@ -495,8 +516,10 @@ object GraftDvTable {
                 GraftDeltaTable.idValue(r, i, fields(i).dataType))
             s.add(v): Unit
           } finally it.close()
-          s
-        })
+          // shared by reference across every later fold: mutation must
+          // throw, not corrupt (ADVICE r17)
+          java.util.Collections.unmodifiableSet(s)
+        }
       EqDeletes(f.fence, f.cols, set)
     }
 
@@ -505,7 +528,7 @@ object GraftDvTable {
     * file could contain (the [[GraftMorScan.idsFor]] discipline).
     * Multi-column keys and stat-less files ship whole. */
   private[catalog] def narrowKeys(f: GraftFileRef,
-      tableSchema: StructType, e: EqDeletes): java.util.HashSet[AnyRef] = {
+      tableSchema: StructType, e: EqDeletes): java.util.Set[AnyRef] = {
     if (e.keyCols.size != 1) return e.keys
     val names = tableSchema.fieldNames.toIndexedSeq
     val o = GraftStorage.ordinalByName(names, e.keyCols.head)
@@ -544,9 +567,10 @@ object GraftDvTable {
     if (delta.isEmpty) return Map.empty
     // per-file fold from the memo (one parquet read per distinct file
     // per JVM — see the memo comment above)
-    val perFile: Vector[Map[String, Array[Long]]] = delta.map { f =>
-      bounded(vecFoldCache)
-      vecFoldCache.computeIfAbsent((f.path, f.rows, f.bytes), _ => {
+    // parallel first-parse: after a DML wave every file is a memo miss;
+    // the parses are independent (FoldPar), results merge in order below
+    val perFile: Vector[Map[String, Array[Long]]] = FoldPar.map(delta) { f =>
+      vecFoldCache.getOrCompute((f.path, f.rows, f.bytes)) {
         val m = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
         val it = new GraftStorage.FileIterator(f.path, f.cols, DvSchema,
           f.rows, fileColIds = f.colIds)
@@ -564,7 +588,7 @@ object GraftDvTable {
           b += (p -> a)
         }
         b.result()
-      })
+      }
     }
     if (perFile.size == 1) perFile.head
     else {
@@ -771,7 +795,7 @@ class GraftDvScan(tableSchema: StructType, requiredSchema: StructType,
       // equality deletes applicable to THIS file: fence strictly above
       // its snapshot index (files the upsert had already seen), keys
       // narrowed by the file's stats where a single-column key allows
-      val eqDels: Seq[(Vector[String], java.util.HashSet[AnyRef])] =
+      val eqDels: Seq[(Vector[String], java.util.Set[AnyRef])] =
         eq.collect { case e if idx < e.fence =>
           (e.keyCols, GraftDvTable.narrowKeys(f, tableSchema, e))
         }.filter(!_._2.isEmpty)
@@ -822,7 +846,7 @@ case class GraftDvFilePartition(path: String, cols: Vector[String],
     rows: Long, colIds: Vector[Int], dels: Array[Long],
     rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue,
     posBase: Long = 0L,
-    eqDels: Seq[(Vector[String], java.util.HashSet[AnyRef])] = Nil)
+    eqDels: Seq[(Vector[String], java.util.Set[AnyRef])] = Nil)
     extends InputPartition
 
 /** DV reader: iterate the file in PHYSICAL order (no in-parquet
@@ -873,7 +897,7 @@ class GraftDvReaderFactory(tableSchema: StructType,
     // equality probes, bound to the FILE-schema ordinals once
     val fileNames = fileSchema.fieldNames.toIndexedSeq
     val eqProbes: Array[(Array[(Int, org.apache.spark.sql.types.DataType)],
-        java.util.HashSet[AnyRef])] =
+        java.util.Set[AnyRef])] =
       fp.eqDels.map { case (keyCols, keys) =>
         (keyCols.map { c =>
           val o = GraftStorage.ordinalByName(fileNames, c)
@@ -1181,7 +1205,7 @@ case class GraftDvChangeDeletePartition(path: String,
     ver: Int) extends InputPartition
 case class GraftDvChangeEqDeletePartition(path: String,
     cols: Vector[String], rows: Long, colIds: Vector[Int],
-    keyCols: Vector[String], keys: java.util.HashSet[AnyRef], ver: Int)
+    keyCols: Vector[String], keys: java.util.Set[AnyRef], ver: Int)
     extends InputPartition
 
 /** Feed readers: insert partitions stream their data file with

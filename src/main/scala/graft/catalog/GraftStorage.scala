@@ -466,7 +466,7 @@ object GraftStorage {
       bloomCols: Seq[String] = Nil) {
     // executor tasks may land the first file of a fresh table/delta dir
     Files.createDirectories(java.nio.file.Paths.get(path).getParent)
-    private val conf = new Configuration()
+    private val conf = GraftStorage.newHadoopConf()
     private val writer = {
       val b = ExampleParquetWriter.builder(new HPath(path))
         .withConf(conf)
@@ -1005,6 +1005,16 @@ object GraftStorage {
     * diff before/after. */
   val fileOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Hadoop `Configuration()` construction re-parses the classpath XML
+    * defaults EVERY time (measured ~2-10 ms); every reader/writer open
+    * paid it — q275's profile attributed ~1.3 s of driver wall to
+    * `mkReader` alone (round-18, guide §1 measure / §6 per-file open
+    * overhead). Parse once, hand out cheap copy-constructed instances
+    * (parquet mutates its conf, so sharing one object is unsafe; the
+    * copy constructor clones properties without touching XML). */
+  private lazy val baseHadoopConf = new Configuration()
+  def newHadoopConf(): Configuration = new Configuration(baseHadoopConf)
+
   /** Iterator over one parquet file (or one row-group byte range of
     * it), producing rows in `wanted` layout (a subset of the TABLE
     * schema). Columns absent from the file (added by a later ALTER
@@ -1067,7 +1077,7 @@ object GraftStorage {
           new RowReadSupport(toParquetType(requested),
             requested.fields.map(_.dataType), targets, wanted.length),
           new HPath(path))
-        .withConf(new Configuration())
+        .withConf(GraftStorage.newHadoopConf())
         .withFileRange(rangeStart, rangeEnd)
       // schema name -> (file spelling, type) via the id-aware ords
       val preds =
@@ -1145,7 +1155,8 @@ object GraftStorage {
     * by the task that produced the file (and as the plan-time fallback
     * for legacy refs that predate recorded offsets). */
   def readRowGroups(path: String): Vector[GraftRowGroup] = {
-    val in = HadoopInputFile.fromPath(new HPath(path), new Configuration())
+    val in = HadoopInputFile.fromPath(new HPath(path),
+      GraftStorage.newHadoopConf())
     val r = ParquetFileReader.open(in)
     try r.getRowGroups.asScala.toVector.map(b =>
       GraftRowGroup(b.getStartingPos, b.getRowCount, b.getCompressedSize))

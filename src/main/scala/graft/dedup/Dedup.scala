@@ -407,8 +407,19 @@ object Dedup {
         // pairwise work. The shuffle spreads the sources × 64 bucket-pair
         // key space across all partitions, and unlike a broadcast it
         // still works when documents is a full-size table, not a dim.
-        val a = sh.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})"))).as("a")
-        a.join(sh.as("b").hint("shuffle_hash"),
+        // PIN the pair stage's partition count (round-18): cost here is
+        // per candidate PAIR, not per shuffled byte, so AQE's byte-based
+        // coalescing (the session's parallelismFirst=false default)
+        // would fold the small-bytes shuffle into one task and serialize
+        // the quadratic work (measured: 5.5 s -> 12.1 s). An explicit
+        // repartition(n, keys) on both sides is REPARTITION_BY_NUM —
+        // AQE never coalesces it — and the join reuses the partitioning
+        // (same keys, same n => no extra Exchange). n scales with the
+        // cluster (2×defaultParallelism), not a local constant.
+        val np = 2 * s.sparkContext.defaultParallelism
+        val a = sh.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})")))
+          .repartition(np, col("source"), col("bk_partner")).as("a")
+        a.join(sh.repartition(np, col("source"), col("bk")).as("b").hint("shuffle_hash"),
             col("a.source") === col("b.source") &&
             col("a.bk_partner") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id") &&

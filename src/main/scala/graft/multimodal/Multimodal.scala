@@ -31,6 +31,15 @@ import graft.{QueryDef, Tables}
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs EVERY read/write with a temp
+  // FILE (create + write + delete per image) — pure syscall churn for
+  // the small in-memory payloads here, and the dominant variance source
+  // under 32 concurrent decoders (round-18, guide §1: q82 swung
+  // 1.4–5.5 s across back-to-back samples with proc-CPU tracking the
+  // swing). Memory-backed streams; one JVM-wide switch, applied when
+  // any executor first touches this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Input row: payload + metadata (what a real image/audio table looks
     * like: (id, bytes, meta...)). */
   final case class BinDoc(doc_id: Long, payload: Array[Byte], lang: String)

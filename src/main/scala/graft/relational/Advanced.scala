@@ -823,8 +823,16 @@ object Advanced {
         // instead of grinding (VERDICT r15 #3).
         graft.dedup.Dedup.requireBoundedPairs(p, "p_brand",
           "a banded similarity prefilter (q41's LSH pattern) or a finer blocking key")
-        val a = p.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})"))).as("a")
-        a.join(p.as("b").hint("shuffle_hash"),
+        // PIN the pair stage's partition count (q43's round-18 pattern):
+        // per-pair CPU cost, tiny shuffle bytes — AQE's byte-based
+        // coalescing would serialize the quadratic work (measured:
+        // 6.0 s -> 9.6 s). repartition(n, keys) is REPARTITION_BY_NUM
+        // (never coalesced) and the join reuses it; n scales with the
+        // cluster, not a local constant.
+        val np = 2 * s.sparkContext.defaultParallelism
+        val a = p.withColumn("bk_partner", explode(expr(s"sequence(0, ${nb - 1})")))
+          .repartition(np, col("p_brand"), col("bk_partner")).as("a")
+        a.join(p.repartition(np, col("p_brand"), col("bk")).as("b").hint("shuffle_hash"),
             col("a.p_brand") === col("b.p_brand") &&
             col("a.bk_partner") === col("b.bk") &&
             col("a.p_partkey") < col("b.p_partkey") &&

@@ -269,7 +269,16 @@ object Indexing {
         val docs = Tables(s, d, "documents")
         val tok = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
         val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // dl DERIVED from tf (round-18, guide §2.4): dl = Σ tf per doc
+        // by definition, so deriving it reuses tf's exchange instead of
+        // re-tokenizing the corpus and shuffling raw token instances by
+        // doc_id — the before-plan had FOUR parquet scans of documents
+        // and nine exchanges because the doc_id-keyed token shuffle
+        // could not be reused by the (doc_id, term)-keyed one; with
+        // every subtree derived from tf, ReuseExchange collapses them
+        // (plans/r18/q159_bm25_topk_{before,after}.txt). Same rows: the
+        // per-doc token count is the sum of its per-term counts.
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         // corpus stats over docs that HAVE tokens (dl rows) — same
         // population both engines
