@@ -24,11 +24,47 @@ object Fs {
     } finally st.close()
   }
 
-  /** Recursive delete (dirs and files; no-op if absent). */
+  /** Recursive delete (dirs and files; no-op if absent). A directory's
+    * immediate children delete in parallel (round-18, guide §1: DROP
+    * TABLE of a many-file table spent ~360 ms of q281's wall in this
+    * walk single-threaded; per-file unlink latency dominates, and
+    * unlinks of sibling entries are independent). Ordering is
+    * preserved where it matters — a directory is only removed after
+    * every child delete has completed. */
   def rmTree(p: Path): Unit =
     if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        children(p).foreach(rmTree)
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val kids = children(p)
+        if (kids.size >= 8)
+          kids.par(8).foreach(rmTree)
+        else kids.foreach(rmTree)
+      }
       Files.delete(p)
     }
+
+  /** Minimal bounded-parallel foreach over a small Seq (no external
+    * parallel-collections dependency): `n` worker threads drain an
+    * index counter. Exceptions propagate (first one wins). */
+  implicit final class ParSeq[A](private val xs: Seq[A]) {
+    def par(n: Int): ParRunner[A] = new ParRunner(xs, n)
+  }
+  final class ParRunner[A](xs: Seq[A], n: Int) {
+    def foreach(f: A => Unit): Unit = {
+      val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val threads = (0 until math.min(n, xs.size)).map { _ =>
+        val t = new Thread(() => {
+          var i = idx.getAndIncrement()
+          while (i < xs.size && err.get() == null) {
+            try f(xs(i))
+            catch { case e: Throwable => err.compareAndSet(null, e): Unit }
+            i = idx.getAndIncrement()
+          }
+        }, "graft-fs-par")
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join())
+      if (err.get() != null) throw err.get()
+    }
+  }
 }
