@@ -28,6 +28,16 @@ object Explain {
       // (64 MB default), not by any local core-count constant.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // Advisory post-shuffle partition size for the size-based
+      // coalescing above, parameterised (SPARK_GRAFT_ADVISORY; guide
+      // §2.2/§9 suggests 64-256m at scale). Default = Spark's own 64m:
+      // a full-suite A/B vs 8m read 183.7 s vs 191.2 s — the CPU-heavy
+      // CoW rewrites prefer smaller partitions (q278 4.10 -> 3.37) but
+      // the MOR/DV feed cycles prefer the FEWER output files of larger
+      // ones (q210 2.17 -> 2.77, q268 1.70 -> 2.15), and 64m wins on
+      // totals and geomean.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -19,10 +19,23 @@ object Tables {
     * on EVERY call (a footer read + mergeSchemasInParallel pass), and the
     * suite calls Tables ~2-3× per query — a fixed ~50-150 ms of planning
     * per query that a real warehouse serves from its catalog for free.
-    * The fixtures are immutable for a JVM's lifetime; key on (dir, name).
-    * Metadata only — never rows. */
+    * The key carries the parquet path's (length, mtime) alongside
+    * (dir, name) — ADVICE r17: a fixture regenerated in-process under
+    * the same path with a different schema must MISS, not decode
+    * silently-wrong rows through a stale schema. Metadata only — never
+    * rows. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), org.apache.spark.sql.types.StructType]()
+    (String, String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  /** (size, mtime) of the fixture path — 0s when unreadable (a plain
+    * directory-backed dataset or remote path still caches; those are
+    * not the regenerate-in-place case the key guards). */
+  private def fileSig(path: String): (Long, Long) =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    } catch { case _: Exception => (0L, 0L) }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Declared queries must run on ANY session: register the native
@@ -40,7 +53,8 @@ object Tables {
     // as if it were a known one produces silently-wrong rows, the worst
     // failure mode an engine can ship.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = schemaCache.computeIfAbsent((dir, name),
+    val sig = fileSig(s"$dir/$name.parquet")
+    val sch = schemaCache.computeIfAbsent((dir, name, sig._1, sig._2),
       _ => spark.read.parquet(s"$dir/$name.parquet").schema)
     val df = spark.read.schema(sch).parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventsTs(df)
