@@ -35,7 +35,10 @@ object Fs {
     if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
         val kids = children(p)
-        if (kids.size >= 8)
+        // fan out only from the caller's thread: a nested level going
+        // parallel again would cascade 8^depth short-lived threads
+        if (kids.size >= 8 &&
+            !Thread.currentThread().getName.startsWith("graft-fs-par"))
           kids.par(8).foreach(rmTree)
         else kids.foreach(rmTree)
       }
